@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator (SURVEY.md §2 + the
+training-data-pipeline suite) as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the driver's
+correctness gate.
 """
 
 from __future__ import annotations
@@ -14,25 +14,44 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _prepare(spark: SparkSession) -> None:
+    """Install functions + parity confs on the driver-provided session.
+
+    The driver builds its own SparkSession, so the runtime-settable
+    parity configs (LAST_WIN map merge for m_add, pinned UTC session
+    timezone for timestamp round-trips) must be applied here, not only
+    in our own session factory.
+    """
+    from data_misc_tools_spark.session import register_all
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_all(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's own argmax test query shape
+    (max_with over a grouped dimension, tests.sql:79-83) on sf0.001."""
+    _prepare(spark)
+    from data_misc_tools_spark.catalog import QUERIES
+
+    return QUERIES["argmax_customer_by_nation"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from data_misc_tools_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_misc_tools_spark.catalog import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes for 100 TB:
+
+- Exact dedup is a single hash-aggregate on md5(text): map-side
+  partial aggregation + one shuffle on the digest — the minimum
+  possible work, and the digest (16 bytes) shuffles instead of the
+  document body.
+- MinHash+LSH avoids the O(n²) pairwise comparison: signatures are one
+  hash-aggregate over shingles; candidate pairs come from an equi-join
+  on (band, band_value) — Catalyst shuffles both sides on the band
+  key, so cost is proportional to bucket collisions, not n². Skewed
+  buckets (e.g. boilerplate-heavy corpora) are handled by AQE skew
+  join; pathological buckets can be capped upstream by filtering
+  high-frequency band values.
+- All hashing is md5-based so results are engine-portable (the DuckDB
+  oracle computes bit-identical signatures) and stable across Spark
+  versions — xxhash64 would be faster but is JVM-specific.
+- Everything is built-in expressions; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode each document into its character k-grams.
+
+    Narrow per-row expansion (sequence + explode); no shuffle. Output:
+    (id_col, sh).
+    """
+    t = F.col(text_col)
+    return (
+        df.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length(t) - (k - 1))).alias("pos"),
+            t.alias("__t"),
+        )
+        .select(F.col(id_col), F.expr(f"substr(__t, pos, {k})").alias("sh"))
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5 digest: (content_hash, keep_id, dup_count).
+
+    ``keep_id`` = min id — the canonical survivor; rows with
+    dup_count > 1 are the removable duplicates.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated corpus (first id per identical text wins)."""
+    keep = exact_dedup_stats(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 8,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document.
+
+    Permutation *i* is simulated by ``min(md5(i || ':' || shingle))``
+    — one seeded hash per permutation, min-aggregated per document.
+    All ``num_perm`` mins are computed in a single hash-aggregate pass
+    over the shingle stream (one shuffle on doc id).
+    Output: (id_col, m0..m{num_perm-1}).
+    """
+    sh = char_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(i), F.lit(":"), F.col("sh")))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
+    """Fold a signature into LSH bands: (id, band, band_val)."""
+    mcols = [c for c in sigs.columns if c != id_col]
+    rows_per_band = len(mcols) // bands
+    assert rows_per_band * bands == len(mcols), "num_perm must divide evenly into bands"
+    band_vals = F.array(
+        *[
+            F.concat(*[F.col(mcols[b * rows_per_band + r]) for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.posexplode(band_vals).alias("band", "band_val"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate duplicate pairs: (doc_a, doc_b), doc_a < doc_b.
+
+    Two docs collide if any band of their signatures matches — the
+    standard banding construction: P(collide) ≈ 1-(1-j^r)^b for
+    Jaccard j, r rows/band, b bands.
+    """
+    sigs = minhash_signatures(df, num_perm=num_perm, k=k, text_col=text_col, id_col=id_col)
+    b = minhash_bands(sigs, bands=bands, id_col=id_col)
+    left = b.select(F.col(id_col).alias("doc_a"), "band", "band_val")
+    right = b.select(F.col(id_col).alias("doc_b"), "band", "band_val")
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens.
+
+    Each token hashes to a ``bits``-wide integer (first hex digits of
+    md5); bit *b* of the fingerprint is the sign of the per-bit vote
+    sum. One explode + one hash-aggregate (single shuffle on doc id);
+    the ``bits`` vote sums are computed as parallel agg expressions.
+    Output: (id_col, simhash bigint).
+    """
+    from data_misc_tools_spark.operators.text import tokens
+
+    hexdigits = bits // 4
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, hexdigits), 16, 10).cast("long")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming distance ≤ max_hamming.
+
+    Blocked on the fingerprint's high byte to avoid the full n² join at
+    scale (candidates must agree on ≥ bits-max_hamming bits, so equal
+    high bytes is a cheap, recall-lossy block; for exact recall use the
+    standard pigeonhole multi-block scheme — documented tradeoff).
+    """
+    s = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    block = F.shiftright(F.col("simhash"), bits // 2)
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), block.alias("blk"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), block.alias("blk"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact char-n-gram Jaccard similarity for given candidate pairs.
+
+    ``pairs``: (doc_a, doc_b). Joins each side to its distinct shingle
+    set sizes and counts the intersection via a shingle equi-join —
+    set algebra in SQL, no arrays collected to the driver. Intended as
+    the *verify* stage after LSH candidate generation (pairs ≪ n²).
+    Output: (doc_a, doc_b, jaccard) with jaccard rounded to 4.
+    """
+    sh = char_shingles(docs, k=n, text_col=text_col, id_col=id_col).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
+    common = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )

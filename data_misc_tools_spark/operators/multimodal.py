@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` payload columns plus a typed
+metadata struct — the standard lakehouse layout for multimodal
+training data. The Spark-side plumbing (schemas, partition-parallel
+Pandas-UDF batch shape, deterministic metadata extraction) is real and
+tested; the actual codec work is stubbed behind ``decode_stub``
+because media libraries are not available in this environment — the
+function signatures and batch contracts are what a real decoder would
+plug into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_TYPE = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def with_binary_payload(
+    df: DataFrame, source_col: str, payload_col: str = "payload", charset: str = "UTF-8"
+) -> DataFrame:
+    """Attach a binary payload column (here: encoded text stands in for
+    media bytes; in production this is the raw image/audio blob read
+    from parquet/object storage)."""
+    return df.withColumn(payload_col, F.encode(F.col(source_col), charset))
+
+
+def extract_meta(
+    df: DataFrame, payload_col: str = "payload", media_type: str = "application/octet-stream"
+) -> DataFrame:
+    """Cheap JVM-side metadata over the opaque payload (no decode):
+    byte length + content digest; width/height/duration stay NULL until
+    a real decoder fills them."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    ).withColumn("payload_md5", F.md5(F.col(payload_col)))
+
+
+def decode_stub(kind: str = "image"):
+    """Placeholder for the real per-batch media decoder.
+
+    A production implementation decodes/resizes/frame-samples inside
+    ``mapInPandas`` with the codec library imported per-partition.
+    This environment has no media codecs, so invoking the decode path
+    raises — the plumbing around it (schema, batching) is still
+    exercised by :func:`decode_batches` with ``fake=True``.
+    """
+    raise NotImplementedError(
+        f"media decode ({kind}) requires codec libraries not present in this "
+        "environment; use decode_batches(fake=True) for plumbing tests"
+    )
+
+
+def decode_batches(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """mapInPandas decode pipeline: (id, payload) → (id, width, height,
+    pixels_sampled).
+
+    With ``fake=True`` a deterministic stand-in decoder derives shape
+    from the payload bytes (so partitioning, Arrow batching, schema and
+    row alignment are all real and testable); with ``fake=False`` it
+    calls :func:`decode_stub` (NotImplementedError here).
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("pixels_sampled", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        # per-partition "codec" setup happens here (open once, reuse)
+        if not fake:
+            decode_stub()
+        for pdf in batches:
+            widths, heights, pixels = [], [], []
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                # deterministic fake decode: shape from byte stats
+                w = 16 + (len(b) % 64)
+                h = 16 + (sum(b[:8]) % 64 if b else 0)
+                widths.append(w)
+                heights.append(h)
+                pixels.append(w * h)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pixels_sampled": pd.Series(pixels, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is actually deployed on Spark:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  The candidate side is broadcast when small, or the query side is
+  broadcast (typical: few queries vs a 100 TB corpus) so the scan side
+  never shuffles; per-row cosine is computed with JVM higher-order
+  functions (zip_with/aggregate) in codegen, not Python.
+- ``lsh_topk``: random-hyperplane (sign) LSH bucketing — the scale
+  path. Vectors hash to a small signature; only bucket-colliding
+  pairs are scored. Recall is tunable via (planes, tables); this
+  turns the n·m cross product into a bucket equi-join.
+
+All math is done in double precision after an explicit cast from
+float32 so results are deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dbl(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (sequential, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in double."""
+    da, db = _dbl(a), _dbl(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    Output: (query_id, vec_id, sim) — ``sim`` rounded to 4 so ordering
+    and selection are reproducible across engines; ties broken by
+    candidate id ascending.
+
+    Plan shape: broadcast-nested-loop of (small queries) × (corpus
+    scan) → per-partition window top-k. The corpus is never shuffled
+    until the final per-query k-row reduction.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "sim")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
+
+    ``block_col`` restricts comparisons to equal blocking keys (e.g. a
+    cluster/label/LSH bucket) — at corpus scale the block key IS the
+    scalability lever; pass None for the exact all-pairs (test sizes
+    only). Output: (vec_a, vec_b, sim).
+    """
+    a = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    joined = a.join(b, block_col) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-LSH signature: bit i = 1 iff dot(v, plane_i) > 0."""
+    sig = None
+    v = _dbl(vec_col)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, p) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only bucket-colliding (query, candidate)
+    pairs under a random-hyperplane signature.
+
+    ``planes`` must be generated driver-side with a seeded RNG so the
+    operator stays deterministic. More planes → smaller buckets →
+    faster + lower recall. Output schema matches :func:`cosine_topk`.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "sim")
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Catalyst expressions (no Python UDFs): token
+counting, quality scoring, language identification, and document
+fingerprinting run entirely inside WholeStageCodegen, so they scan
+100 TB at parquet-read speed. Every function takes/returns DataFrames
+and keeps the input's partitioning (narrow transformations only,
+except where a groupBy is semantically required).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic: language ID at scale
+# is a scoring heuristic, not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "je", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que", "no", "por"),
+}
+
+
+def tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """Whitespace tokens with empties removed (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, " "), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+# BPE-ish pre-tokenization: runs of letters, runs of digits, single
+# other non-space symbols — the classic GPT-2-style pre-split shape,
+# here as a pure regex so it is engine-portable and JVM-executed.
+BPEISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpeish_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPEISH_PATTERN), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Cheap, deterministic heuristics (length / punctuation / digit /
+    token statistics) of the kind used to filter web-scale pretraining
+    corpora. All expressions are built-ins; `translate` deletes char
+    classes without regex engines (identical semantics in DuckDB for
+    oracle checking).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    # characters remaining after deleting spaces -> total token chars
+    tok_chars = F.length(F.regexp_replace(t, " ", ""))
+    avg_tok_len = F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 4)
+    n_digits = n_chars - F.length(F.translate(t, "0123456789", ""))
+    n_punct = n_chars - F.length(F.translate(t, ".,!?;:'\"", ""))
+    score = F.round(
+        F.least(n_tok / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), 0.3).otherwise(0.0)
+        + F.when(n_digits / F.greatest(n_chars, F.lit(1)) < 0.2, 0.2).otherwise(0.0)
+        + F.when(n_punct / F.greatest(n_chars, F.lit(1)) < 0.1, 0.1).otherwise(0.0),
+        4,
+    )
+    return df.select(
+        *[F.col(c) for c in id_cols],
+        n_chars.alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        n_digits.alias("n_digits"),
+        n_punct.alias("n_punct"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language identification.
+
+    Explodes tokens once, inner-joins a tiny broadcast stopword table,
+    and argmaxes the per-language hit count (ties broken by language
+    code ascending; no hits → 'und'). The stopword join is a broadcast
+    hash join against ~40 rows — no shuffle of the corpus; the only
+    shuffle is the per-document aggregation, partitioned by doc id.
+    """
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
+        "lang_cand string, word string",
+    )
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("word"))
+    votes = (
+        toks.join(F.broadcast(sw), "word")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang_cand"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        id_col, F.col("lang_cand"), F.col("hits")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lang_cand"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("stopword_hits"),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token multiset — robust to token reordering, the standard
+    cheap near-canonical form for fuzzy-dedup pre-grouping."""
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(tokens(text_col, lowercase=True))), " "
+    )
+    return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))

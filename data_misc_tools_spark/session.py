@@ -1,0 +1,156 @@
+"""SparkSession factory with the configs required for semantic parity.
+
+The reference ships a Hive site config enabling vectorization, CBO,
+predicate pushdown, auto map-join etc. (reference:
+data-process/spark-process/configs/configs.properties:1-37).  On Spark
+all of those are Catalyst/Tungsten built-ins; the only session-level
+work is (a) turning AQE on, (b) `mapKeyDedupPolicy=LAST_WIN` so map
+merging keeps the *last* value for duplicate keys exactly like the
+reference's N-ary map union (reference:
+hive-udfs/.../commons/UDFMapAdd.java:45-62, HashMap.put semantics),
+and (c) pinning the session timezone so timestamp semantics are
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "data-misc-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    Parameters are environment-overridable so the same code runs on
+    ``local[N]`` in tests and on a real cluster unchanged:
+
+    - ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back
+      to ``local[*]``) when no master is configured externally.
+    - ``shuffle_partitions`` defaults to the local core count; on a
+      cluster AQE coalesces/splits at runtime anyway.
+    """
+    builder = SparkSession.builder.appName(app_name)
+
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+
+    conf = {
+        # --- parity-critical ---
+        # m_add merges maps right-biased (later args overwrite); Spark's
+        # map_concat throws on duplicate keys unless LAST_WIN.
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        # Deterministic timestamp semantics across Spark and the DuckDB
+        # oracle: everything in UTC.
+        "spark.sql.session.timeZone": "UTC",
+        # --- scale/efficiency defaults ---
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Arrow for all pandas interchange (mapInPandas / pandas_udf).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Parquet scans: vectorized reader + pushdown are default-on;
+        # keep partition sizing explicit so 100TB scans split sanely.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    register_all(spark)
+    return spark
+
+
+def register_all(spark: SparkSession) -> SparkSession:
+    """Register every SQL function this engine provides.
+
+    The analog of the reference's ``setup.sql`` CREATE FUNCTION block
+    (reference: hive-udfs/src/test/resources/setup.sql:6-56), so both
+    ``spark.sql("select url_encode(...)")`` and the ``F``-style Python
+    API work.
+    """
+    from data_misc_tools_spark.functions.registry import register_functions
+
+    register_functions(spark)
+    return spark
+
+
+def nanos_ts_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) at ``path``.
+
+    Spark has no nanosecond timestamp type; such columns are read as
+    raw longs (``spark.sql.legacy.parquet.nanosAsLong``) and converted
+    to microsecond timestamps by :func:`read_parquet_table`.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet_table(spark: SparkSession, path: str):
+    """``spark.read.parquet`` with transparent TIMESTAMP(NANOS) handling.
+
+    Nanos columns come in as longs and are truncated to micros with
+    integer division (``div`` — double math would lose precision above
+    2^53 ns) before ``timestamp_micros``. Plain columns pass through
+    untouched, so pushdown/pruning are unaffected for them.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_ts_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the driver's parquet tables as temp views; returns dict of DataFrames.
+
+    Reads are plain ``spark.read.parquet`` so Catalyst gets column
+    pruning + filter pushdown on every query.
+    """
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        df = read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
