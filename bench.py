@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
+
+Each query is materialized with a count-style collect (driver-side
+row materialization, no show/stdout cost). Timings include plan +
+execution but not Spark session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The queries that exercise the engine's distinct execution shapes:
+# full-scan agg, join+topN, multi-join, window, sessionization,
+# explode+agg, hash-dedup, LSH band join, text featurization,
+# similarity search.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "window_rank_orders",
+    "sessionize_events",
+    "hourly_event_rollup",
+    "word_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_language_id",
+    "embedding_cosine_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from data_misc_tools_spark.session import build_session
+
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_misc_tools_spark.catalog import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: full computation of every column, no driver
+        # transfer, no count()-induced column pruning.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

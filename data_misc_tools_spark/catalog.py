@@ -640,28 +640,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_stats(_doubled_docs(spark, sf_dir))
 
 
-_MINHASH_ORACLE = f"""
+def _minhash_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
     WITH sh AS (
-        SELECT d.doc_id, substr(d.text, g.x, 5) AS sh
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
         FROM {_DOUBLED} d
         JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
         WHERE length(d.text) >= 5
     ),
-    sig AS (
-        SELECT doc_id,
-               {', '.join(f"min(md5(concat({i}, ':', sh))) AS m{i}" for i in range(8))}
-        FROM sh GROUP BY doc_id
-    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
     bands AS (
-        SELECT doc_id, 0 AS band, concat(m0, m1) AS band_val FROM sig
-        UNION ALL SELECT doc_id, 1, concat(m2, m3) FROM sig
-        UNION ALL SELECT doc_id, 2, concat(m4, m5) FROM sig
-        UNION ALL SELECT doc_id, 3, concat(m6, m7) FROM sig
+        SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
     WHERE a.doc_id < b.doc_id
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle()
 
 
 @_q("dedup_minhash_lsh", _MINHASH_ORACLE)

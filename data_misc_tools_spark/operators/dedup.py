@@ -25,15 +25,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+from data_misc_tools_spark.operators.util import spread as _spread
+
+
 def char_shingles(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Explode each document into its character k-grams.
 
-    Narrow per-row expansion (sequence + explode); no shuffle. Output:
-    (id_col, sh).
+    Narrow per-row expansion (sequence + explode); no shuffle beyond
+    the parallelism-restoring spread. Output: (id_col, sh).
     """
     t = F.col(text_col)
     return (
-        df.filter(F.length(t) >= k)
+        _spread(df.filter(F.length(t) >= k))
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), F.length(t) - (k - 1))).alias("pos"),
@@ -62,6 +65,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+# Universal-hash parameters for the simulated permutations:
+# perm_i(h) = (A[i] * h + B[i]) mod P with P = 2^31 - 1 (Mersenne).
+# h is 32 bits, A/B < 2^31, so every intermediate fits int64 — the
+# same arithmetic is exact in any engine (incl. the DuckDB oracle).
+# Constants are fixed (engine output must be deterministic); generated
+# once from a seeded RNG.
+MINHASH_P = 2_147_483_647
+_MINHASH_A = [1_203_114_875, 866_513_193, 120_266_047, 1_456_936_065,
+              1_852_952_459, 413_548_585, 1_556_913_229, 974_305_963,
+              663_077_591, 1_162_379_045, 306_944_227, 2_101_857_317,
+              514_589_311, 1_723_451_131, 89_274_119, 1_998_014_843]
+_MINHASH_B = [1_205_537_647, 122_887_969, 1_979_969_197, 666_062_755,
+              315_434_415, 1_534_897_763, 442_971_055, 1_820_372_381,
+              904_414_139, 212_370_713, 1_377_002_881, 750_938_317,
+              1_641_205_519, 97_551_251, 1_288_462_433, 531_876_029]
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 8,
@@ -71,15 +91,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document.
 
-    Permutation *i* is simulated by ``min(md5(i || ':' || shingle))``
-    — one seeded hash per permutation, min-aggregated per document.
-    All ``num_perm`` mins are computed in a single hash-aggregate pass
-    over the shingle stream (one shuffle on doc id).
-    Output: (id_col, m0..m{num_perm-1}).
+    Each shingle is hashed ONCE (first 8 hex chars of md5 → 32-bit
+    int); permutation *i* is the universal-hash transform
+    ``(A[i]*h + B[i]) mod (2^31-1)`` — integer-only per-permutation
+    cost instead of per-permutation cryptographic hashing, and the
+    min-aggregate shuffles bigints, not hex strings. All ``num_perm``
+    mins run in a single hash-aggregate pass (one shuffle on doc id).
+    Output: (id_col, m0..m{num_perm-1} bigint).
     """
+    assert num_perm <= len(_MINHASH_A), f"max {len(_MINHASH_A)} permutations"
     sh = char_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    sh = sh.select(F.col(id_col), h.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(i), F.lit(":"), F.col("sh")))).alias(f"m{i}")
+        F.min((F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i])) % MINHASH_P).alias(
+            f"m{i}"
+        )
         for i in range(num_perm)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -92,7 +119,9 @@ def minhash_bands(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> DataFr
     assert rows_per_band * bands == len(mcols), "num_perm must divide evenly into bands"
     band_vals = F.array(
         *[
-            F.concat(*[F.col(mcols[b * rows_per_band + r]) for r in range(rows_per_band)])
+            F.concat_ws(
+                "_", *[F.col(mcols[b * rows_per_band + r]) for r in range(rows_per_band)]
+            )
             for b in range(bands)
         ]
     )
@@ -142,7 +171,9 @@ def simhash(
     from data_misc_tools_spark.operators.text import tokens
 
     hexdigits = bits // 4
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("w"))
+    toks = _spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("w")
+    )
     h = F.conv(F.substring(F.md5(F.col("w")), 1, hexdigits), 16, 10).cast("long")
     votes = toks.groupBy(id_col).agg(
         *[

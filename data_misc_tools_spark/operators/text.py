@@ -93,12 +93,16 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     hash join against ~40 rows — no shuffle of the corpus; the only
     shuffle is the per-document aggregation, partitioned by doc id.
     """
+    from data_misc_tools_spark.operators.util import spread
+
     spark = df.sparkSession
     sw = spark.createDataFrame(
         [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
         "lang_cand string, word string",
     )
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("word"))
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("word")
+    )
     votes = (
         toks.join(F.broadcast(sw), "word")
         .groupBy(id_col, "lang_cand")
