@@ -31,7 +31,9 @@ def _py_url_encode(s: str | None) -> str:
     """Driver/row-level fallback with identical semantics (quote_plus ≈ URLEncoder)."""
     if s is None:
         return "null"
-    return urllib.parse.quote_plus(s, encoding="utf-8")
+    # safe='*': URLEncoder keeps [a-zA-Z0-9.*_-]; quote_plus already
+    # keeps ._- and escapes * unless told otherwise
+    return urllib.parse.quote_plus(s, safe="*", encoding="utf-8")
 
 
 def m_add(*maps: Column | str) -> Column:
@@ -67,15 +69,14 @@ def su_strip(col: Column | str, chars: str) -> Column:
     return F.trim(c, F.lit(chars))
 
 
-def tp(fmt_col: Column | str, ts_col: Column | str) -> Column:
+def tp(fmt: str, ts_col: Column | str) -> Column:
     """Format a unix-seconds timestamp with a pattern — the reference's
     ``TP`` temporary macro ``from_unixtime(t, fmt)`` (reference:
-    README.md:177). Spark has no SQL macros; this is the Python column
-    builder equivalent.
+    README.md:177). The format is a constant parameter (as in the
+    reference's macro), not a per-row column.
     """
-    f = F.lit(fmt_col) if isinstance(fmt_col, str) else fmt_col
     t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return F.from_unixtime(t, f)
+    return F.from_unixtime(t, fmt)
 
 
 def default_now(ts_str_col: Column | str, fmt: str = "yyyy-MM-dd'T'HH:mm") -> Column:

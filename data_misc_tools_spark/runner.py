@@ -1,0 +1,187 @@
+"""Scheduled hot-reload script runner — the Spark Runner analog.
+
+Reference behavior (reference: process/InterpreterLoader.scala:106-152,
+process/ScriptHelper.scala:30-159): a long-lived driver loops every
+≥60 s, hot-reloads a script when its mtime changes (compiled instance
+cached otherwise), invokes it as ``(SparkSession, prev_result) -> Any``
+feeding the previous result back in, enforces a per-task minimum
+interval (ISO-8601, default PT1M; annotation/ProcDescription.java:12-21),
+and persists an execution record per run (records/RecordDao.scala:19-22,
+ExecutionRecord.scala:8-45).
+
+Spark-native redesign: scripts are Python modules exposing
+``run(spark, param) -> Any`` (SQL scripts run through the statement
+splitter); "compilation" is importlib loading into a fresh module
+namespace per reload (no stale-closure reuse); execution records land
+in a parquet table instead of MySQL-over-JDO. No classloader
+machinery — PySpark ships closures to executors natively.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+import time
+import traceback
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+RECORD_SCHEMA = (
+    "path string, script_type string, started_at bigint, finished_at bigint, "
+    "status string, result string"
+)
+
+
+def parse_iso_duration(s: str) -> float:
+    """ISO-8601 duration (the PT1M-style subset the reference uses,
+    ProcDescription.java:20) -> seconds."""
+    m = re.fullmatch(
+        r"P(?:(?P<d>\d+)D)?(?:T(?:(?P<h>\d+)H)?(?:(?P<m>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?",
+        s.strip().upper(),
+    )
+    if not m or not any(m.groupdict().values()):
+        raise ValueError(f"invalid ISO-8601 duration: {s!r}")
+    g = {k: float(v) if v else 0.0 for k, v in m.groupdict().items()}
+    return g["d"] * 86400 + g["h"] * 3600 + g["m"] * 60 + g["s"]
+
+
+@dataclass
+class _Loaded:
+    mtime: float
+    instance: Any  # callable(spark, param) -> Any
+
+
+@dataclass
+class ScriptTask:
+    """One scheduled unit: a Python script exposing ``run(spark, param)``
+    or a ``.sql`` script executed statement-by-statement."""
+
+    path: str
+    interval: str = "PT1M"
+    name: str | None = None
+    _cache: _Loaded | None = field(default=None, repr=False)
+
+    @property
+    def script_type(self) -> str:
+        return "sql" if self.path.endswith(".sql") else "py"
+
+    def _load(self) -> Any:
+        """mtime-cached load; reload only on modification (reference:
+        ScriptHelper.getTaskInstance:62-88). Old instances with a
+        ``close()`` are closed before replacement (:113-115)."""
+        mtime = os.stat(self.path).st_mtime
+        if self._cache is not None and self._cache.mtime == mtime:
+            return self._cache.instance
+        if self._cache is not None:
+            close = getattr(self._cache.instance, "close", None)
+            if close:
+                try:
+                    close()
+                except Exception:
+                    pass
+        if self.script_type == "sql":
+            with open(self.path, encoding="utf-8") as f:
+                script = f.read()
+
+            def run_sql(spark: SparkSession, _param: Any) -> Any:
+                from data_misc_tools_spark.plans.sql_script import run_sql_script
+
+                results = run_sql_script(spark, script)
+                # materialize the final statement's result as the task value
+                if not results:
+                    return None
+                last = results[-1][1]
+                return [tuple(r) for r in last.collect()]
+
+            instance = run_sql
+        else:
+            # fresh module name per reload: no stale attributes survive
+            mod_name = f"_dmt_task_{uuid.uuid4().hex}"
+            spec = importlib.util.spec_from_file_location(mod_name, self.path)
+            assert spec and spec.loader
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+            if not hasattr(module, "run"):
+                raise AttributeError(f"{self.path} must define run(spark, param)")
+            instance = module.run
+        self._cache = _Loaded(mtime, instance)
+        return instance
+
+
+class Runner:
+    """Scheduler + execution-record keeper for a set of ScriptTasks."""
+
+    def __init__(self, spark: SparkSession, records_path: str) -> None:
+        self.spark = spark
+        self.records_path = records_path
+        self.last_result: dict[str, Any] = {}
+        self.last_started: dict[str, float] = {}
+
+    # -- records ---------------------------------------------------------
+    def _record(
+        self, task: ScriptTask, started: float, finished: float, status: str, result: Any
+    ) -> None:
+        row = [
+            (
+                task.path,
+                task.script_type,
+                int(started * 1000),
+                int(finished * 1000),
+                status,
+                str(result)[:4000],
+            )
+        ]
+        (
+            self.spark.createDataFrame(row, RECORD_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.records_path)
+        )
+
+    def records(self):
+        return self.spark.read.parquet(self.records_path)
+
+    # -- scheduling ------------------------------------------------------
+    def is_ready(self, task: ScriptTask, now: float | None = None) -> bool:
+        """Interval throttle: has ≥ interval elapsed since the last
+        start? (reference: ScriptHelper.isReady via execution-record
+        lookup, HiveBeeLine.scala:218-224)."""
+        now = now if now is not None else time.time()
+        last = self.last_started.get(task.path)
+        return last is None or (now - last) >= parse_iso_duration(task.interval)
+
+    def run_once(self, task: ScriptTask, force: bool = False) -> Any:
+        """Execute the task if due; feeds the previous result back as
+        ``param`` (reference: InterpreterLoader.scala:141-152)."""
+        if not force and not self.is_ready(task):
+            return self.last_result.get(task.path)
+        started = time.time()
+        self.last_started[task.path] = started
+        try:
+            fn = task._load()
+            result = fn(self.spark, self.last_result.get(task.path))
+            status = "succeeded"
+        except Exception:
+            result = traceback.format_exc()
+            status = "failed"
+        finished = time.time()
+        self._record(task, started, finished, status, result)
+        if status == "succeeded":
+            self.last_result[task.path] = result
+            return result
+        return None
+
+    def loop(self, tasks: list[ScriptTask], tick_sec: float = 60.0, max_ticks: int | None = None) -> None:
+        """The reference's ≥60 s timer loop (InterpreterLoader:127-131).
+        ``max_ticks`` bounds the loop for tests; None = run forever."""
+        ticks = 0
+        while max_ticks is None or ticks < max_ticks:
+            for task in tasks:
+                self.run_once(task)
+            ticks += 1
+            if max_ticks is None or ticks < max_ticks:
+                time.sleep(tick_sec)

@@ -78,16 +78,52 @@ def build_session(
     return spark
 
 
+_shipped_sessions: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    mapInPandas/UDF closures reference this package's modules; workers
+    deserialize them by import, which fails unless the package is on
+    the worker's path (only coincidentally true when the driver's cwd
+    is the repo root). Zipping the package once and ``addPyFile``-ing
+    it is the standard way a PySpark library ships itself — it works
+    identically on local mode and a 1000-executor cluster.
+    """
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"data_misc_tools_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _shipped_sessions.add(key)
+
+
 def register_all(spark: SparkSession) -> SparkSession:
     """Register every SQL function this engine provides.
 
     The analog of the reference's ``setup.sql`` CREATE FUNCTION block
     (reference: hive-udfs/src/test/resources/setup.sql:6-56), so both
     ``spark.sql("select url_encode(...)")`` and the ``F``-style Python
-    API work.
+    API work. Also ships the package to executors (see ship_package).
     """
     from data_misc_tools_spark.functions.registry import register_functions
 
+    ship_package(spark)
     register_functions(spark)
     return spark
 

@@ -1,0 +1,63 @@
+"""Filesystem helpers (the HdfsHelper analog).
+
+Reference surface: whole-file cat, append, ls over HDFS (reference:
+process/HdfsHelper.scala:25-43,45-65,67-77). On Spark the same
+operations go through the Hadoop FileSystem API via py4j, so they work
+uniformly for hdfs://, s3a://, file:// — whatever filesystems the
+cluster's Hadoop conf knows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath, jvm
+
+
+def cat(spark: SparkSession, path: str, encoding: str = "utf-8") -> str:
+    """Whole-file read (reference: HdfsHelper.cat:25-43)."""
+    fs, jpath, jvm = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        return bytes(out.toByteArray()).decode(encoding)
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str, overwrite: bool = True) -> None:
+    """Create/overwrite a text file (append on HDFS requires dfs
+    append support; reference: HdfsHelper.scala:45-65)."""
+    fs, jpath, _ = _fs(spark, path)
+    stream = fs.create(jpath, overwrite)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def ls(spark: SparkSession, path: str) -> list[dict]:
+    """Directory listing with size/mtime (reference: HdfsHelper.scala:67-77)."""
+    fs, jpath, _ = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(jpath):
+        out.append(
+            {
+                "path": st.getPath().toString(),
+                "is_dir": st.isDirectory(),
+                "size": st.getLen(),
+                "mtime_ms": st.getModificationTime(),
+            }
+        )
+    return sorted(out, key=lambda d: d["path"])
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath, _ = _fs(spark, path)
+    return fs.exists(jpath)

@@ -1,0 +1,42 @@
+"""Driver-contract smoke: every catalog query runs at sf0.001 with a
+stable schema; every oracle is syntactically valid DuckDB SQL.
+
+(The full value-hash comparison runs in tools/check.py — at sf0.01 it
+is the driver's own gate; here we keep the per-test cost small.)
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_query_has_oracle_or_documented_skip():
+    missing = set(QUERIES) - set(ORACLES)
+    assert missing == set(), f"queries without oracle: {missing}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["n_name", "top_customer", "top_acctbal"]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_and_matches_oracle_columns(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    assert sorted(df.columns) == sorted(ocols), name
+    # cheap execution check (full value comparison: tools/check.py)
+    assert df.limit(5).count() >= 0

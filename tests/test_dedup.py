@@ -1,0 +1,82 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, Jaccard."""
+
+import pyspark.sql.functions as F
+
+from data_misc_tools_spark.operators import dedup as D
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different content about spark query engines instead"),
+        (5, "zq"),  # shorter than shingle width k=5
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_stats_and_filter(spark):
+    d = _docs(spark)
+    stats = {r.keep_id: r.dup_count for r in D.exact_dedup_stats(d).collect()}
+    assert stats[1] == 2  # docs 1+2 merged, min id kept
+    assert stats[3] == 1
+    kept = {r.doc_id for r in D.exact_dedup(d).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    sigs = {r.doc_id: (r.m0, r.m1, r.m2, r.m3) for r in
+            D.minhash_signatures(_docs(spark), num_perm=4).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert 5 not in sigs  # below shingle width -> no signature
+
+
+def test_minhash_candidate_pairs(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_candidate_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    # near-dup 3 should collide with 1 or 2 in at least one band
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_universal_hash_bounds(spark):
+    sigs = D.minhash_signatures(_docs(spark), num_perm=8).collect()
+    for r in sigs:
+        for i in range(8):
+            v = r[f"m{i}"]
+            assert 0 <= v < D.MINHASH_P
+
+
+def test_simhash_similarity_property(spark):
+    d = _docs(spark)
+    sh = {r.doc_id: r.simhash for r in D.simhash(d).collect()}
+    assert sh[1] == sh[2]  # identical docs -> identical fingerprint
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    assert all(0 <= v < 2**16 for v in sh.values())
+
+
+def test_simhash_neardup_pairs(spark):
+    out = {(r.doc_a, r.doc_b): r.hamming
+           for r in D.simhash_neardup_pairs(_docs(spark), max_hamming=2).collect()}
+    assert out[(1, 2)] == 0
+
+
+def test_ngram_jaccard(spark):
+    d = _docs(spark)
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long")
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in D.ngram_jaccard_pairs(pairs, d).collect()}
+    assert j[(1, 2)] == 1.0  # identical
+    assert 0.5 < j[(1, 3)] < 1.0  # near-dup
+    assert j[(1, 4)] < 0.2  # unrelated
+
+
+def test_minhash_plan_has_single_shuffle_to_signatures(spark):
+    # signature computation must be one explode + one hash-aggregate;
+    # no join/cartesian before the band self-join
+    plan = D.minhash_signatures(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan

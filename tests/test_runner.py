@@ -1,0 +1,90 @@
+"""Scheduled runner: hot reload, interval throttle, records, result feedback."""
+
+import os
+import time
+
+import pytest
+
+from data_misc_tools_spark.runner import Runner, ScriptTask, parse_iso_duration
+
+
+def test_parse_iso_duration():
+    assert parse_iso_duration("PT1M") == 60
+    assert parse_iso_duration("PT60M") == 3600
+    assert parse_iso_duration("PT1H") == 3600
+    assert parse_iso_duration("P1D") == 86400
+    assert parse_iso_duration("PT0.5S") == 0.5
+    with pytest.raises(ValueError):
+        parse_iso_duration("1 minute")
+
+
+def _write_script(path, body):
+    with open(path, "w") as f:
+        f.write(body)
+    # ensure a distinct mtime for reload detection on fast filesystems
+    os.utime(path, (time.time(), time.time() + 0.01))
+
+
+def test_run_and_result_feedback(spark, tmp_path):
+    script = tmp_path / "task.py"
+    _write_script(script, "def run(spark, param):\n    return (param or 0) + 1\n")
+    runner = Runner(spark, str(tmp_path / "records"))
+    t = ScriptTask(str(script), interval="PT0.1S")
+    assert runner.run_once(t) == 1
+    time.sleep(0.15)
+    assert runner.run_once(t) == 2  # previous result fed back as param
+
+
+def test_interval_throttle(spark, tmp_path):
+    script = tmp_path / "task.py"
+    _write_script(script, "def run(spark, param):\n    return (param or 0) + 1\n")
+    runner = Runner(spark, str(tmp_path / "records"))
+    t = ScriptTask(str(script), interval="PT1H")
+    assert runner.run_once(t) == 1
+    assert runner.run_once(t) == 1  # throttled: returns last result, no new run
+    assert runner.run_once(t, force=True) == 2
+
+
+def test_hot_reload_on_mtime_change(spark, tmp_path):
+    script = tmp_path / "task.py"
+    _write_script(script, "def run(spark, param):\n    return 'v1'\n")
+    runner = Runner(spark, str(tmp_path / "records"))
+    t = ScriptTask(str(script), interval="PT0S")
+    assert runner.run_once(t) == "v1"
+    time.sleep(0.02)
+    _write_script(script, "def run(spark, param):\n    return 'v2'\n")
+    assert runner.run_once(t) == "v2"  # mtime change -> fresh module
+
+
+def test_failure_recorded_not_raised(spark, tmp_path):
+    script = tmp_path / "bad.py"
+    _write_script(script, "def run(spark, param):\n    raise RuntimeError('boom')\n")
+    runner = Runner(spark, str(tmp_path / "records"))
+    t = ScriptTask(str(script), interval="PT0S")
+    assert runner.run_once(t) is None
+    recs = runner.records().collect()
+    assert len(recs) == 1
+    assert recs[0].status == "failed" and "boom" in recs[0].result
+
+
+def test_sql_script_task(spark, tmp_path):
+    script = tmp_path / "q.sql"
+    _write_script(script, "select 1 as a;\nselect 2 as b;\n")
+    runner = Runner(spark, str(tmp_path / "records"))
+    result = runner.run_once(ScriptTask(str(script), interval="PT0S"))
+    assert result == [(2,)]  # last statement's rows
+    rec = runner.records().first()
+    assert rec.script_type == "sql" and rec.status == "succeeded"
+
+
+def test_records_accumulate(spark, tmp_path):
+    script = tmp_path / "task.py"
+    _write_script(script, "def run(spark, param):\n    return 1\n")
+    runner = Runner(spark, str(tmp_path / "records"))
+    t = ScriptTask(str(script), interval="PT0S")
+    runner.run_once(t)
+    runner.run_once(t, force=True)
+    recs = runner.records().orderBy("started_at").collect()
+    assert len(recs) == 2
+    assert all(r.status == "succeeded" for r in recs)
+    assert all(r.finished_at >= r.started_at for r in recs)

@@ -1,0 +1,59 @@
+"""Text analysis operators."""
+
+import pyspark.sql.functions as F
+
+from data_misc_tools_spark.operators import text as T
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b   c"), (2, " x "), (3, "one"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n for r in df.select("doc_id", T.token_count("text").alias("n")).collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0}  # runs of spaces don't create tokens
+
+
+def test_bpeish_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world42!")], "doc_id long, text string")
+    n = df.select(T.bpeish_token_count("text").alias("n")).first().n
+    # hello , world 42 ! -> 5
+    assert n == 5
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "good clean text with several reasonable words here"),
+         (2, "1234567890 9999 123456 00000"),
+         (3, "!!!! ???? ....")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.quality_features(df).collect()}
+    assert out[1].quality_score > out[2].quality_score
+    assert out[1].quality_score > out[3].quality_score
+    assert out[2].n_digits == 25
+    assert out[1].n_tokens == 8
+    assert 0.0 <= out[3].quality_score <= 1.0
+
+
+def test_language_id_votes(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "der hund und die katze ist nicht da"),
+         (3, "xyzzy plugh qwrt")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.lang_pred, r.stopword_hits) for r in T.language_id(df).collect()}
+    assert out[1][0] == "en" and out[1][1] >= 4
+    assert out[2][0] == "de"
+    assert out[3] == ("und", 0)  # no stopword hits -> undetermined
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in T.fingerprint(df).collect()}
+    assert fp[1] == fp[2]  # same token set (order/multiplicity-insensitive)
+    assert fp[1] != fp[3]
