@@ -55,6 +55,12 @@ def main() -> int:
 
     from data_misc_tools_spark.catalog import QUERIES
 
+    # Warm the JVM/codegen/parquet-footer paths once so the first
+    # timed query doesn't absorb session startup costs.
+    from data_misc_tools_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ["region"])["region"].groupBy("r_name").count().collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

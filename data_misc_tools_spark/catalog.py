@@ -815,33 +815,39 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANGID_ORACLE = (
-    """
-    WITH toks AS (
+def _langid_oracle() -> str:
+    langs = sorted(T.STOPWORDS)
+
+    def listlit(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+    hits = ",\n           ".join(
+        f"len(list_filter(toks, x -> list_contains({listlit(lang)}, x)))::BIGINT AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+    WITH t AS (
         SELECT doc_id,
-               unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+               list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
         FROM documents
     ),
-    sw(lang_cand, word) AS (VALUES """
-    + ", ".join(
-        f"('{lang}', '{w}')" for lang, ws in sorted(T.STOPWORDS.items()) for w in ws
+    h AS (
+        SELECT doc_id,
+           {hits}
+        FROM t
     )
-    + """),
-    votes AS (
-        SELECT doc_id, lang_cand, count(*) AS hits
-        FROM toks JOIN sw USING (word) GROUP BY doc_id, lang_cand
-    ),
-    best AS (
-        SELECT doc_id, lang_cand, hits,
-               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rn
-        FROM votes
-    )
-    SELECT d.doc_id,
-           coalesce(b.lang_cand, 'und') AS lang_pred,
-           coalesce(b.hits, 0)::BIGINT  AS stopword_hits
-    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    SELECT doc_id,
+           {case} AS lang_pred,
+           {best}::BIGINT AS stopword_hits
+    FROM h
 """
-)
+
+
+_LANGID_ORACLE = _langid_oracle()
 
 
 @_q("text_language_id", _LANGID_ORACLE)
@@ -908,3 +914,129 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is the scale lever: block → bucket-join instead of n²)."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return S.cosine_neardup_pairs(e, threshold=0.3, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Additional relational / ETL coverage (round 1 widening)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "json_results_explode_demo",
+    """
+    SELECT e.event_id,
+           json_extract_string(concat('{"results":[', e.props, ',{"k": -1}]}'),
+                               '$.results[' || i.i || '].k')::INT AS k
+    FROM events e CROSS JOIN (VALUES (0), (1)) i(i)
+    """,
+)
+def json_results_explode_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship ETL idiom — explode {"results":[...]}
+    into per-element rows (reference: README.md:202-219) — done
+    Spark-first with from_json + explode (no lookaround regex splits,
+    which RE2-based engines cannot even express)."""
+    from data_misc_tools_spark.operators.etl import json_results_explode
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    doc = e.select(
+        "event_id",
+        F.concat(F.lit('{"results":['), F.col("props"), F.lit(',{"k": -1}]}')).alias(
+            "content"
+        ),
+    )
+    out = json_results_explode(doc, "content", "k int")
+    return out.select("event_id", F.col("ev.k").alias("k"))
+
+
+@_q(
+    "orders_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                          AS n_orders,
+           round(sum(o_totalprice), 4)       AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@_q(
+    "custkeys_only_open",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def custkeys_only_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT distinct)."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@_q(
+    "brand_stats",
+    """
+    SELECT p.p_brand,
+           count(*)                                              AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(avg(p.p_retailprice), 4)                        AS avg_retail
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension aggregation; the part dimension is broadcast so
+    the fact table never shuffles for the join."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+    )
+
+
+@_q(
+    "event_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )

@@ -85,6 +85,13 @@ def cosine_topk(
     )
 
 
+def l2_normalize(col: Column) -> Column:
+    """array<float> → unit-length array<double>."""
+    v = _dbl(col)
+    n = norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -98,16 +105,25 @@ def cosine_neardup_pairs(
     cluster/label/LSH bucket) — at corpus scale the block key IS the
     scalability lever; pass None for the exact all-pairs (test sizes
     only). Output: (vec_a, vec_b, sim).
+
+    Vectors are L2-normalized ONCE before the pair join, so the
+    per-pair cost is a single dot product instead of dot + two norms
+    (the n² side of the computation is the one to slim down).
     """
-    a = df.select(
+    normed = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col),
+        l2_normalize(F.col(vec_col)).alias("__vn"),
+    )
+    a = normed.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("__va"),
+        F.col("__vn").alias("__va"),
     )
-    b = df.select(
+    b = normed.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("__vb"),
+        F.col("__vn").alias("__vb"),
     )
     joined = a.join(b, block_col) if block_col else a.crossJoin(b)
     return (
@@ -115,7 +131,7 @@ def cosine_neardup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("sim"),
+            F.round(dot(F.col("__va"), F.col("__vb")), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -85,43 +85,41 @@ def quality_features(df: DataFrame, text_col: str = "text", id_cols: tuple[str, 
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language identification.
+    """Stopword-vote language identification — fully shuffle-free.
 
-    Explodes tokens once, inner-joins a tiny broadcast stopword table,
-    and argmaxes the per-language hit count (ties broken by language
-    code ascending; no hits → 'und'). The stopword join is a broadcast
-    hash join against ~40 rows — no shuffle of the corpus; the only
-    shuffle is the per-document aggregation, partitioned by doc id.
+    Per-language hit counts are computed with higher-order array
+    expressions over the token array (``filter`` + ``size``), then the
+    argmax is a pure CASE cascade (ties broken by language code
+    ascending; zero hits → 'und'). A narrow map-only operator: at
+    100 TB it runs at scan speed with no exchange, no join, no window —
+    the earlier explode+broadcast-join formulation shuffled the entire
+    token stream for the same answer.
     """
-    from data_misc_tools_spark.operators.util import spread
+    toks = tokens(text_col, lowercase=True)
+    langs = sorted(STOPWORDS)
 
-    spark = df.sparkSession
-    sw = spark.createDataFrame(
-        [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
-        "lang_cand string, word string",
-    )
-    toks = spread(df).select(
-        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("word")
-    )
-    votes = (
-        toks.join(F.broadcast(sw), "word")
-        .groupBy(id_col, "lang_cand")
-        .agg(F.count("*").alias("hits"))
-    )
-    from pyspark.sql.window import Window
+    def _matcher(words: tuple[str, ...]):
+        return lambda x: x.isin(*words)
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang_cand"))
-    best = votes.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
-        id_col, F.col("lang_cand"), F.col("hits")
-    )
-    return (
-        df.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("lang_cand"), F.lit("und")).alias("lang_pred"),
-            F.coalesce(F.col("hits"), F.lit(0)).alias("stopword_hits"),
-        )
+    hit_cols = {
+        lang: F.size(F.filter(toks, _matcher(STOPWORDS[lang]))).cast("long")
+        for lang in langs
+    }
+    out = df.select(F.col(id_col), *[hit_cols[lang].alias(f"__h_{lang}") for lang in langs])
+    best_hits = F.greatest(*[F.col(f"__h_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # first language (ascending) reaching the max wins; build the CASE
+    # in reverse so earlier languages take precedence
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"__h_{lang}") == best_hits) & (best_hits > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.when(best_hits > 0, best_hits).otherwise(F.lit(0).cast("long")).alias(
+            "stopword_hits"
+        ),
     )
 
 
