@@ -145,3 +145,36 @@ def _to_millis(ts: str) -> int:
         except ValueError:
             continue
     raise ValueError(f"unparseable timestamp: {ts!r}")
+
+
+def kf_topics(spark: SparkSession, bootstrap_servers: str) -> DataFrame:
+    """List topics + partition counts as (t, p) rows (reference:
+    hive-udfs/.../kafka/UDFKafkaTopics.java:32-81 returns
+    array<struct<t,p>> via consumer.listTopics).
+
+    Driver-side admin call → DataFrame (a topic catalog is metadata,
+    not data; no reason to involve executors). Import-gated on a
+    Python Kafka client.
+    """
+    try:
+        from confluent_kafka.admin import AdminClient  # type: ignore[import-not-found]
+    except ImportError:
+        try:
+            from kafka import KafkaConsumer  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise ImportError(
+                "kf_topics requires confluent-kafka or kafka-python on the driver"
+            ) from e
+        consumer = KafkaConsumer(bootstrap_servers=bootstrap_servers)
+        try:
+            rows = [
+                (t, len(consumer.partitions_for_topic(t) or []))
+                for t in sorted(consumer.topics())
+            ]
+        finally:
+            consumer.close()
+        return spark.createDataFrame(rows, "t string, p int")
+    admin = AdminClient({"bootstrap.servers": bootstrap_servers})
+    md = admin.list_topics(timeout=10)
+    rows = [(t, len(tp.partitions)) for t, tp in sorted(md.topics.items())]
+    return spark.createDataFrame(rows, "t string, p int")

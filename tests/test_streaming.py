@@ -1,0 +1,137 @@
+"""Structured Streaming paths: availableNow replay + stateful sessionize."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from data_misc_tools_spark.streaming.batch_replay import replay_parquet_aggregate
+from data_misc_tools_spark.streaming.stateful import (
+    SESSION_OUT_SCHEMA,
+    _session_fn,
+    sessionize_stream,
+)
+
+
+def test_replay_matches_batch(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
+    streamed = replay_parquet_aggregate(
+        spark,
+        path,
+        group_cols=[F.col("event_type")],
+        aggs=[F.count("*").alias("n")],
+        transform=lambda df: df,
+    )
+    got = {r.event_type: r.n for r in streamed.collect()}
+    from data_misc_tools_spark.session import read_parquet_table
+
+    want = {
+        r.event_type: r.n
+        for r in read_parquet_table(spark, path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+class FakeState:
+    """Duck-typed GroupState for unit-testing the state machine."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        assert self._v is not None
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _batch(user, times):
+    return pd.DataFrame({"user_id": [user] * len(times), "ts": pd.to_datetime(times)})
+
+
+def test_session_fn_accumulates_state():
+    state = FakeState()
+    out = list(
+        _session_fn((7,), iter([_batch(7, ["2024-01-01 10:00", "2024-01-01 10:05"])]), state)
+    )
+    assert out == []  # nothing emitted until timeout
+    n, start, end = state._v
+    assert n == 2
+    assert str(start) == "2024-01-01 10:00:00"
+    assert str(end) == "2024-01-01 10:05:00"
+    assert state.timeout_ms == 30 * 60 * 1000
+
+
+def test_session_fn_merges_across_batches():
+    state = FakeState()
+    list(_session_fn((7,), iter([_batch(7, ["2024-01-01 10:00"])]), state))
+    list(_session_fn((7,), iter([_batch(7, ["2024-01-01 10:10"])]), state))
+    n, start, end = state._v
+    assert n == 2 and str(end) == "2024-01-01 10:10:00"
+
+
+def test_session_fn_emits_on_timeout():
+    state = FakeState(
+        value=(3, pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-01 10:20")),
+        timed_out=True,
+    )
+    out = list(_session_fn((7,), iter([]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row.user_id == 7 and row.n_events == 3
+    assert state.removed  # state cleared after emission
+
+
+def test_sessionize_stream_runs_end_to_end(spark, sf_dir):
+    """The streaming query starts, processes real input through the
+    state machine, and stops cleanly (timeout emissions need wall-clock
+    inactivity, so rows may be zero in a single availableNow pass)."""
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="sess_stage_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    from pyspark.sql import functions as FF
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+        .select("user_id", "ts")
+    )
+    out = sessionize_stream(stream)
+    assert out.schema == SESSION_OUT_SCHEMA
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert q.exception() is None
+    assert spark.table("sess_test").count() >= 0
