@@ -1040,3 +1040,46 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+@_q(
+    "gc_reference_query",
+    """
+    WITH gc(region_id, city_id, city) AS (VALUES
+        ('331', 10, 'aachen'), ('331', 25, 'berlin'), ('331', 10, 'bonn'),
+        ('331', NULL, 'ghost'), ('323', 7, 'celle'), ('323', 3, 'dresden'),
+        ('999', NULL, 'onlynull')
+    )
+    SELECT region_id,
+           max_by(city, city_id) AS city_of_max,
+           max(city_id)::INT     AS max_city_id
+    FROM gc
+    WHERE region_id IN ('331', '323')
+    GROUP BY region_id
+    """,
+)
+def gc_reference_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own UDAF smoke query, verbatim semantics
+    (reference: hive-udfs/src/test/resources/tests.sql:79-83
+    `select max_with(city_id, ...) from gc where region_id=... group by
+    region_id`), on the FIXTURES.md §1 gc shape: NULL keys ignored,
+    tie behavior at the max is engine-unspecified (as in the reference),
+    so the fixture ties only non-max keys; the aachen/bonn tie at 10
+    exercises multiplicity without touching the argmax result.
+    """
+    gc = spark.createDataFrame(
+        [
+            ("331", 10, "aachen"), ("331", 25, "berlin"), ("331", 10, "bonn"),
+            ("331", None, "ghost"), ("323", 7, "celle"), ("323", 3, "dresden"),
+            ("999", None, "onlynull"),
+        ],
+        "region_id string, city_id int, city string",
+    )
+    return (
+        gc.filter(F.col("region_id").isin("331", "323"))
+        .groupBy("region_id")
+        .agg(
+            max_with("city_id", F.col("city")).alias("city_of_max"),
+            F.max("city_id").alias("max_city_id"),
+        )
+    )

@@ -84,16 +84,15 @@ def kf_pull(
         # start==end / start>end -> empty (UDFKafkaPull.java:105-108)
         return spark.createDataFrame([], "t string, ct bigint, k string, v string")
     topics_csv = ",".join(topics)
-    starting = {t: {"-1": start_ms} for t in topics}
-    ending = {t: {"-1": end_ms} for t in topics}
-    import json
-
     reader = (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topics_csv)
-        .option("startingOffsetsByTimestamp", json.dumps(starting))
-        .option("endingOffsetsByTimestamp", json.dumps(ending))
+        # global timestamp bounds: the source resolves offsets per
+        # partition (offsetsForTimes) and fetches partition-parallel —
+        # everything KafkaHelper.java:173-254 hand-rolls
+        .option("startingTimestamp", str(start_ms))
+        .option("endingTimestamp", str(end_ms))
         .option("startingOffsetsByTimestampStrategy", "latest")
     )
     for key, val in (extra_options or {}).items():

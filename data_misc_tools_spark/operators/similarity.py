@@ -191,3 +191,80 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", id_col, "sim")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the
+    corpus, score queries only against their ``n_probe`` nearest
+    cells.
+
+    The standard coarse-quantization ANN layout on Spark: the cluster
+    id is a *blocking key* — corpus vectors shuffle once at index-build
+    time (KMeans assign), then every query touches n_probe/n_clusters
+    of the corpus via an equi-join on cell id. Recall rises with
+    ``n_probe`` (== exact when n_probe == n_clusters). Deterministic
+    under a fixed ``seed``.
+
+    Output schema matches :func:`cosine_topk`: (query_id, vec_id, sim).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(_dbl(F.col(vec_col))).alias("__feat")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), F.col("prediction").alias("cell")
+    )
+
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # rank cells per query by cosine to the centroid, keep top n_probe
+    qcells = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centers_df))
+        .select(
+            "query_id",
+            "__qv",
+            "cell",
+            cosine(F.col("__qv"), F.col("center")).alias("__cd"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "sim")
+    )

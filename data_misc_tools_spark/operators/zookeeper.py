@@ -44,10 +44,12 @@ def merge_paths(paths: list[str]) -> list[str]:
     (reference: ZooKeeperHelper.mergePaths:150-169) — reading /a and
     /a/b would duplicate the /a/b subtree."""
     out: list[str] = []
-    for p in sorted(set(paths)):
-        norm = p.rstrip("/") or "/"
-        if not any(norm == kept or norm.startswith(kept + "/") for kept in out):
-            out.append(norm)
+    for p in sorted({q.rstrip("/") or "/" for q in paths}):
+        covered = any(
+            kept == "/" or p == kept or p.startswith(kept + "/") for kept in out
+        )
+        if not covered:
+            out.append(p)
     return out
 
 

@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the pure-Python components."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_misc_tools_spark.functions.scalar import _py_url_encode
+from data_misc_tools_spark.operators.kafka import _to_millis
+from data_misc_tools_spark.operators.zookeeper import merge_paths
+from data_misc_tools_spark.plans.sql_script import split_sql_statements
+from data_misc_tools_spark.runner import parse_iso_duration
+
+# statements free of quote/comment/semicolon machinery
+_plain = st.text(
+    alphabet=st.characters(
+        blacklist_characters=";'\"#-/!\\", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+).filter(lambda s: s.strip())
+
+
+@given(st.lists(_plain, min_size=1, max_size=8))
+@settings(max_examples=200)
+def test_split_inverts_join_for_plain_statements(stmts):
+    script = ";".join(stmts) + ";"
+    assert split_sql_statements(script) == [s.strip() for s in stmts if s.strip()]
+
+
+@given(_plain)
+@settings(max_examples=200)
+def test_quoted_semicolons_never_split(s):
+    body = s.replace("'", "")
+    script = f"select '{body};{body}' as x;"
+    out = split_sql_statements(script)
+    assert len(out) == 1
+    assert f"{body};{body}" in out[0]
+
+
+@given(st.lists(st.sampled_from(["/a", "/a/b", "/a/b/c", "/ab", "/x", "/x/y", "/"]),
+                min_size=1, max_size=7))
+@settings(max_examples=200)
+def test_merge_paths_properties(paths):
+    merged = merge_paths(paths)
+    # no element is a descendant of another
+    for p in merged:
+        for q in merged:
+            if p != q:
+                assert not p.startswith(q + "/") and (q != "/" or p == "/")
+    # every input is covered by some kept ancestor-or-self
+    for p in paths:
+        norm = p.rstrip("/") or "/"
+        assert any(norm == m or norm.startswith(m + "/") or m == "/" for m in merged)
+
+
+@given(st.text(max_size=50))
+@settings(max_examples=300)
+def test_url_encode_roundtrip(s):
+    from urllib.parse import unquote_plus
+
+    assert unquote_plus(_py_url_encode(s)) == s
+
+
+@given(st.integers(min_value=0, max_value=4_102_444_800))
+@settings(max_examples=200)
+def test_to_millis_roundtrip_seconds(epoch):
+    from datetime import datetime, timezone
+
+    s = datetime.fromtimestamp(epoch, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    assert _to_millis(s) == epoch * 1000
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=0, max_value=59))
+@settings(max_examples=100)
+def test_iso_duration_composition(hours, minutes):
+    assert parse_iso_duration(f"PT{hours}H{minutes}M") == hours * 3600 + minutes * 60

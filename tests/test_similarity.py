@@ -83,3 +83,16 @@ def test_topk_determinism(spark, vectors):
     a = S.cosine_topk(df.filter("vec_id < 2"), df, k=5).collect()
     b = S.cosine_topk(df.filter("vec_id < 2"), df, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark, vectors):
+    df, rows = vectors
+    exact = S.cosine_topk(df.filter("vec_id < 3"), df, k=5).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    # full probe == exact brute force
+    full = S.ivf_topk(df.filter("vec_id < 3"), df, k=5, n_clusters=4, n_probe=4)
+    assert {(r.query_id, r.vec_id) for r in full.collect()} == exact_set
+    # partial probe: meaningful recall
+    part = S.ivf_topk(df.filter("vec_id < 3"), df, k=5, n_clusters=4, n_probe=2)
+    part_set = {(r.query_id, r.vec_id) for r in part.collect()}
+    assert len(part_set & exact_set) >= len(exact_set) // 2
