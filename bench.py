@@ -26,12 +26,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "brand_stats",
     "window_rank_orders",
+    "orders_rollup",
     "sessionize_events",
     "hourly_event_rollup",
+    "event_value_quantiles",
+    "json_results_explode_demo",
     "word_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash",
     "text_quality",
     "text_language_id",
     "embedding_cosine_topk",

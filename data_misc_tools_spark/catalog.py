@@ -37,6 +37,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries with no SQL-expressible oracle (driver records a weaker
+# rows-only check): each must say WHY in its docstring.
+ROWS_ONLY: set[str] = set()
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -676,7 +680,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 perms) + LSH(4 bands × 2): candidate duplicate pairs
     via band-bucket equi-join — no n² comparison."""
     return D.minhash_candidate_pairs(
-        _doubled_docs(spark, sf_dir), num_perm=8, bands=4, k=5
+        _doubled_docs(spark, sf_dir), num_perm=8, bands=4, k=5, portable_hash=True
     )
 
 
@@ -1082,4 +1086,19 @@ def gc_reference_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_with("city_id", F.col("city")).alias("city_of_max"),
             F.max("city_id").alias("max_city_id"),
         )
+    )
+
+
+ROWS_ONLY.add("dedup_minhash_lsh_fast")
+
+
+@_q("dedup_minhash_lsh_fast")
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path MinHash+LSH: identical pipeline to
+    dedup_minhash_lsh but hashing shingles with native xxhash64
+    instead of md5-derived integers. No oracle: xxhash64 is not
+    reproducible in DuckDB (rows-only check); the algorithm itself is
+    fully oracle-verified by dedup_minhash_lsh."""
+    return D.minhash_candidate_pairs(
+        _doubled_docs(spark, sf_dir), num_perm=8, bands=4, k=5, portable_hash=False
     )

@@ -88,20 +88,28 @@ def minhash_signatures(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash signature per document.
 
-    Each shingle is hashed ONCE (first 8 hex chars of md5 → 32-bit
-    int); permutation *i* is the universal-hash transform
-    ``(A[i]*h + B[i]) mod (2^31-1)`` — integer-only per-permutation
-    cost instead of per-permutation cryptographic hashing, and the
-    min-aggregate shuffles bigints, not hex strings. All ``num_perm``
-    mins run in a single hash-aggregate pass (one shuffle on doc id).
+    Each shingle is hashed ONCE; permutation *i* is the universal-hash
+    transform ``(A[i]*h + B[i]) mod (2^31-1)`` — integer-only
+    per-permutation cost instead of per-permutation hashing, and the
+    min-aggregate shuffles bigints, not strings. All ``num_perm`` mins
+    run in a single hash-aggregate pass (one shuffle on doc id).
     Output: (id_col, m0..m{num_perm-1} bigint).
+
+    ``portable_hash``: False (default) uses native ``xxhash64`` —
+    the fast production path; True uses md5-derived integers whose
+    exact values any engine can reproduce (the oracle-checked path).
+    Candidate-pair QUALITY is identical; only the hash family differs.
     """
     assert num_perm <= len(_MINHASH_A), f"max {len(_MINHASH_A)} permutations"
     sh = char_shingles(df, k=k, text_col=text_col, id_col=id_col)
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("sh")).bitwiseAND(F.lit((1 << 31) - 1))
     sh = sh.select(F.col(id_col), h.alias("h"))
     aggs = [
         F.min((F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i])) % MINHASH_P).alias(
@@ -135,6 +143,7 @@ def minhash_candidate_pairs(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """LSH candidate duplicate pairs: (doc_a, doc_b), doc_a < doc_b.
 
@@ -142,7 +151,10 @@ def minhash_candidate_pairs(
     standard banding construction: P(collide) ≈ 1-(1-j^r)^b for
     Jaccard j, r rows/band, b bands.
     """
-    sigs = minhash_signatures(df, num_perm=num_perm, k=k, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(
+        df, num_perm=num_perm, k=k, text_col=text_col, id_col=id_col,
+        portable_hash=portable_hash,
+    )
     b = minhash_bands(sigs, bands=bands, id_col=id_col)
     left = b.select(F.col(id_col).alias("doc_a"), "band", "band_val")
     right = b.select(F.col(id_col).alias("doc_b"), "band", "band_val")

@@ -20,3 +20,32 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_aggregate(df, key_cols: list[str], aggs: dict[str, tuple[str, str]], salt: int = 16):
+    """Two-phase aggregation with key salting for skewed group keys.
+
+    ``aggs`` maps output column -> (input column, fn) where fn ∈
+    {"sum", "count", "min", "max"} (the re-aggregable functions).
+    Phase 1 aggregates by (key, random salt in [0, salt)) so a hot key
+    spreads over ``salt`` reducers; phase 2 merges the partials by key.
+    Same result as a direct groupBy — strictly for skew relief: use
+    when one key holds a disproportionate share of rows and AQE skew
+    handling isn't available (e.g. pre-3.0 clusters or non-join aggs).
+
+    At 100 TB a single hot key (null join keys, bot users, empty
+    documents) otherwise serializes one reducer; salting bounds any
+    reducer's share at ~1/salt of the hot key.
+    """
+    from pyspark.sql import functions as F
+
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    partials = salted.groupBy(*key_cols, "__salt").agg(
+        *[phase1_fn[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    return partials.groupBy(*key_cols).agg(
+        *[merge_fn[fn](out).alias(out) for out, (col, fn) in aggs.items()]
+    )

@@ -36,3 +36,16 @@ def test_decode_stub_raises(spark):
     b = M.with_binary_payload(_df(spark), "text")
     with pytest.raises(Exception):  # surfaces from the executor as PythonException
         M.decode_batches(b, fake=False).collect()
+
+
+def test_udtf_probe_lifecycle(spark):
+    from data_misc_tools_spark.operators.probes import udtf_probe
+
+    df = spark.range(1000).repartition(4)
+    out = udtf_probe(df).collect()
+    assert len(out) == 1000
+    parts = {r.partition_id for r in out}
+    assert len(parts) == 4  # one "client scope" per partition
+    # batch sizes are consistent with Arrow batching and rows align
+    for r in out[:5]:
+        assert r.batch_rows >= 1 and r.batch_index >= 0

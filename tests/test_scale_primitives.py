@@ -1,0 +1,83 @@
+"""Scale primitives: salting, bucketed co-located joins, compaction."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_misc_tools_spark.operators.util import salted_aggregate, spread
+from data_misc_tools_spark.sources.tables import compact_parquet, write_bucketed
+
+
+def test_salted_aggregate_matches_direct(spark):
+    # heavy skew: 90% of rows on one key
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("k"),
+        F.col("id").alias("v"),
+    )
+    direct = {
+        (r.k): (r.n, r.total, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.total, r.lo, r.hi)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "n": ("v", "count"),
+                "total": ("v", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_aggregate_spreads_partials(spark):
+    df = spark.range(1000).select(F.lit("only").alias("k"), F.col("id").alias("v"))
+    salted = df.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+    n_groups = salted.select("k", "__salt").distinct().count()
+    assert n_groups > 1  # the hot key really fans out
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", "-1"
+    )  # force non-broadcast join path
+    try:
+        left = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+        )
+        write_bucketed(left, "t_left_b", ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(right, "t_right_b", ["k"], num_buckets=8, sort_cols=["k"])
+        joined = spark.table("t_left_b").join(spark.table("t_right_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located buckets: zero shuffle
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("drop table if exists t_left_b")
+        spark.sql("drop table if exists t_right_b")
+
+
+def test_compact_parquet(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(10_000).repartition(40).write.parquet(path)
+    before = len([f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")])
+    assert before >= 40
+    after = compact_parquet(spark, path, target_file_mb=128)
+    assert after < before
+    assert spark.read.parquet(path).count() == 10_000  # no data loss
