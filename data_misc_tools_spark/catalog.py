@@ -1102,3 +1102,28 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidate_pairs(
         _doubled_docs(spark, sf_dir), num_perm=8, bands=4, k=5, portable_hash=False
     )
+
+
+@_q(
+    "scalar_idioms_demo",
+    """
+    SELECT event_id,
+           printf('%05d|%s', event_id, event_type)             AS tagged,
+           CASE WHEN value > 100 THEN 'high' ELSE 'low' END    AS bucket,
+           substr(event_type, 1, 3)                            AS prefix,
+           concat(event_type, ':', user_id)                    AS joined
+    FROM events
+    """,
+)
+def scalar_idioms_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar idioms in one pass (SURVEY §2.4:
+    printf→format_string, if()→when, substr, concat-family —
+    reference: README.md:98,176-193)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.select(
+        "event_id",
+        F.format_string("%05d|%s", F.col("event_id"), F.col("event_type")).alias("tagged"),
+        F.when(F.col("value") > 100, "high").otherwise("low").alias("bucket"),
+        F.substring("event_type", 1, 3).alias("prefix"),
+        F.concat_ws(":", "event_type", "user_id").alias("joined"),
+    )

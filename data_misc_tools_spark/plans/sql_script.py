@@ -95,7 +95,13 @@ def run_sql_script(
     """Execute each statement via ``spark.sql``; returns
     (statement, result DataFrame) pairs in execution order. Catalyst
     replaces the Hive compiler; registered engine functions replace
-    the reference's aux-jar UDFs."""
+    the reference's aux-jar UDFs.
+
+    Caveat: DDL/DML statements execute eagerly (spark.sql side
+    effects), but SELECT results are lazy DataFrames — consume them
+    before a later statement drops what they read (Beeline prints
+    eagerly; ScriptTask materializes the final statement for you).
+    """
     return [(stmt, spark.sql(stmt)) for stmt in split_sql_statements(script)]
 
 

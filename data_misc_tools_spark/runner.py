@@ -120,6 +120,23 @@ class Runner:
         self.records_path = records_path
         self.last_result: dict[str, Any] = {}
         self.last_started: dict[str, float] = {}
+        self._stop = False
+        # Recover last-start times from the records table so interval
+        # throttling survives runner restarts (reference looks up the
+        # last execution record: records/RecordDao.scala:85-90,
+        # hive/HiveBeeLine.scala:218-224).
+        try:
+            from pyspark.sql import functions as F
+
+            for row in (
+                self.records()
+                .groupBy("path")
+                .agg(F.max("started_at").alias("ms"))
+                .collect()
+            ):
+                self.last_started[row.path] = row.ms / 1000.0
+        except Exception:
+            pass  # no records yet
 
     # -- records ---------------------------------------------------------
     def _record(
@@ -177,11 +194,30 @@ class Runner:
 
     def loop(self, tasks: list[ScriptTask], tick_sec: float = 60.0, max_ticks: int | None = None) -> None:
         """The reference's ≥60 s timer loop (InterpreterLoader:127-131).
-        ``max_ticks`` bounds the loop for tests; None = run forever."""
+        ``max_ticks`` bounds the loop for tests; None = run until
+        :meth:`stop` (the graceful-shutdown analog of the reference's
+        POSIX signal handlers, process/MiscHelper.scala:31-45)."""
         ticks = 0
-        while max_ticks is None or ticks < max_ticks:
+        while not self._stop and (max_ticks is None or ticks < max_ticks):
             for task in tasks:
+                if self._stop:
+                    break
                 self.run_once(task)
             ticks += 1
-            if max_ticks is None or ticks < max_ticks:
+            if not self._stop and (max_ticks is None or ticks < max_ticks):
                 time.sleep(tick_sec)
+
+    def start_background(self, tasks: list[ScriptTask], tick_sec: float = 60.0):
+        """Run the loop on a daemon thread; returns the thread. Call
+        :meth:`stop` to end it after the in-flight task finishes."""
+        import threading
+
+        self._stop = False
+        t = threading.Thread(
+            target=self.loop, args=(tasks, tick_sec), daemon=True, name="dmt-runner"
+        )
+        t.start()
+        return t
+
+    def stop(self) -> None:
+        self._stop = True

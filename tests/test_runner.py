@@ -88,3 +88,32 @@ def test_records_accumulate(spark, tmp_path):
     assert len(recs) == 2
     assert all(r.status == "succeeded" for r in recs)
     assert all(r.finished_at >= r.started_at for r in recs)
+
+
+def test_throttle_survives_runner_restart(spark, tmp_path):
+    script = tmp_path / "task.py"
+    _write_script(script, "def run(spark, param):\n    return (param or 0) + 1\n")
+    records = str(tmp_path / "records")
+    r1 = Runner(spark, records)
+    t = ScriptTask(str(script), interval="PT1H")
+    assert r1.run_once(t) == 1
+    # a NEW runner instance must see the prior start via the records table
+    r2 = Runner(spark, records)
+    t2 = ScriptTask(str(script), interval="PT1H")
+    assert not r2.is_ready(t2)
+    assert r2.run_once(t2) is None  # throttled; no prior in-memory result
+
+
+def test_background_loop_and_graceful_stop(spark, tmp_path):
+    script = tmp_path / "task.py"
+    _write_script(script, "def run(spark, param):\n    return (param or 0) + 1\n")
+    runner = Runner(spark, str(tmp_path / "records"))
+    t = ScriptTask(str(script), interval="PT0S")
+    th = runner.start_background([t], tick_sec=0.05)
+    deadline = time.time() + 30
+    while time.time() < deadline and runner.last_result.get(str(script), 0) < 2:
+        time.sleep(0.1)
+    runner.stop()
+    th.join(timeout=10)
+    assert not th.is_alive()
+    assert runner.last_result[str(script)] >= 2  # ran multiple ticks
