@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality",
     "text_language_id",
+    "asof_purchase_prior_click",
+    "distinct_users_daily",
     "embedding_cosine_topk",
     "embedding_neardup",
 ]

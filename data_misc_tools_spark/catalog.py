@@ -1127,3 +1127,93 @@ def scalar_idioms_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("event_type", 1, 3).alias("prefix"),
         F.concat_ws(":", "event_type", "user_id").alias("joined"),
     )
+
+
+@_q(
+    "asof_purchase_prior_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, max(event_id) AS click_id
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           floor(epoch(p.ts))::BIGINT AS purchase_ts,
+           c.click_id                  AS prior_click_id,
+           floor(epoch(c.ts))::BIGINT  AS prior_click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase event gets the same
+    user's most recent strictly-prior click. Implemented as the
+    union-window construction (one shuffle on user_id, no row
+    amplification) — checked against DuckDB's native ASOF JOIN."""
+    from data_misc_tools_spark.operators.temporal import asof_join
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.col("ts").alias("click_ts"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["click_id", "click_ts"], strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_ts"),
+        F.col("click_id_asof").alias("prior_click_id"),
+        F.unix_timestamp("click_ts_asof").alias("prior_click_ts"),
+    )
+
+
+@_q(
+    "event_value_bands",
+    """
+    SELECT e.event_id, e.value, b.band
+    FROM events e
+    LEFT JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
+         b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each fact row matched to its containing interval via
+    a broadcast non-equi join (no fact shuffle)."""
+    from data_misc_tools_spark.operators.temporal import range_join
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return range_join(e, bands, "value").select("event_id", "value", "band")
+
+
+@_q(
+    "distinct_users_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str,
+           event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) rollup (expand + two-phase agg under the hood;
+    the approx_count_distinct sketch variant is one call away where a
+    0.5% error is acceptable at 1000x less shuffle)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_str"),
+        "event_type",
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )

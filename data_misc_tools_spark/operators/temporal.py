@@ -1,0 +1,99 @@
+"""Temporal join operators Spark lacks as built-ins: as-of and range joins.
+
+Neither exists in the reference (it delegates all joins to Hive) nor in
+Spark's operator set; both are staples of event/time-series pipelines,
+so the engine provides them as compositions of built-in operators with
+plans that survive scale (SURVEY-prompt custom-operator tier (a)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    strict: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time join: for each left row, attach the columns of the
+    most recent right row with the same ``by`` key and ``on`` (time)
+    ≤ / < the left row's.
+
+    Implementation is the union-window construction, NOT a range join:
+    tag both sides, union, and take the last non-null right value over
+    a (by)-partitioned window ordered by time. One shuffle on the by
+    key, zero row amplification — the plan that survives 100 TB, where
+    an inequality join would explode (per-key cross products) and a
+    per-key UDF would serialize.
+
+    ``strict=True`` means strictly-before (ties excluded): right rows
+    at the same timestamp sort AFTER left rows so the window never
+    sees them. With ``strict=False`` ties are included (right-at-ts
+    sorts first). Ties among multiple right rows at one timestamp
+    resolve to the one the window saw last — callers needing full
+    determinism should pre-dedupe right to one row per (by, on).
+    """
+    lcols = left.columns
+    # side marker orders equal timestamps: strict -> left first (right
+    # not yet visible), non-strict -> right first
+    l_tag = F.lit(1 if strict else 2)
+    r_tag = F.lit(2 if strict else 1)
+    l = left.select(
+        F.col(by), F.col(on), l_tag.alias("__side"),
+        *[F.col(c) for c in lcols if c not in (by, on)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r = right.select(
+        F.col(by), F.col(on), r_tag.alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (by, on)],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *[F.col(c) for c in [by, on]],
+        F.col("__side"),
+        *[F.col(c) for c in lcols if c not in (by, on)],
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == (1 if strict else 2)).drop("__side")
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join fact rows to the interval containing their value:
+    ``lo <= value < hi``.
+
+    The interval side is broadcast (interval dimensions are small by
+    construction); Catalyst turns this into a broadcast nested-loop
+    with the band predicate — no shuffle of the fact side. For huge
+    interval tables, pre-bucket both sides on a coarse grid instead.
+
+    Overlapping intervals multiply matching fact rows (standard join
+    semantics) — supply disjoint intervals when a 1:1 result is
+    expected; unmatched facts keep one row with null interval columns.
+    """
+    return facts.join(
+        F.broadcast(intervals),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "left",
+    )
