@@ -105,19 +105,37 @@ def minhash_signatures(
     Candidate-pair QUALITY is identical; only the hash family differs.
     """
     assert num_perm <= len(_MINHASH_A), f"max {len(_MINHASH_A)} permutations"
-    sh = char_shingles(df, k=k, text_col=text_col, id_col=id_col)
+    t = F.col(text_col)
+
+    # Narrow formulation: build the per-document shingle-hash ARRAY with
+    # transform(sequence(...)), then each permutation is an array_min
+    # over an integer transform — no explode, no aggregation, NO
+    # shuffle. The signature job is map-only and runs at scan speed;
+    # the groupBy formulation this replaces shuffled one row per
+    # shingle (~doc_length × corpus rows).
     if portable_hash:
-        h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+        hexpr = lambda sub: F.conv(F.substring(F.md5(sub), 1, 8), 16, 10).cast("long")  # noqa: E731
     else:
-        h = F.xxhash64(F.col("sh")).bitwiseAND(F.lit((1 << 31) - 1))
-    sh = sh.select(F.col(id_col), h.alias("h"))
-    aggs = [
-        F.min((F.lit(_MINHASH_A[i]) * F.col("h") + F.lit(_MINHASH_B[i])) % MINHASH_P).alias(
-            f"m{i}"
-        )
+        hexpr = lambda sub: F.xxhash64(sub).bitwiseAND(F.lit((1 << 31) - 1))  # noqa: E731
+
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda p: hexpr(t.substr(p, F.lit(k))),
+    )
+    # map-only pipeline: parallelism must come from the input, so
+    # spread small/few-partition inputs across cores first
+    out = _spread(df.filter(F.length(t) >= k)).select(F.col(id_col), hs.alias("__hs"))
+
+    def perm(i: int):
+        # single-arg lambda: a second parameter would make transform
+        # pass the element INDEX into it
+        return lambda h: (F.lit(_MINHASH_A[i]) * h + F.lit(_MINHASH_B[i])) % MINHASH_P
+
+    mins = [
+        F.array_min(F.transform(F.col("__hs"), perm(i))).alias(f"m{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return out.select(F.col(id_col), *mins)
 
 
 def minhash_bands(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
