@@ -127,3 +127,103 @@ def decode_batches(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_batches(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """mapInPandas resize: (id, payload) → (id, resized payload, w, h).
+
+    Contract for a real codec: decode → resample to (target_w,
+    target_h) → re-encode, per Arrow batch with the codec held for the
+    partition lifetime. ``fake=True`` substitutes a deterministic
+    byte-slice "resize" so the schema/batch plumbing and size
+    invariants are testable without image libraries.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        if not fake:
+            decode_stub("image-resize")
+        budget = max(1, target_w * target_h // 8)
+        for pdf in batches:
+            payloads = [bytes(b)[:budget] for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_batches(
+    df: DataFrame,
+    every_nth: int = 10,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """mapInPandas video frame sampling: one output row PER SAMPLED
+    FRAME — (id, frame_index, frame payload). The 1→N fan-out shape of
+    a real frame sampler with the decoder stubbed: ``fake=True`` treats
+    each 64-byte block of the payload as a "frame" deterministically.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_index", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        if not fake:
+            decode_stub("video-decode")
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = max(1, len(b) // 64)
+                for fi in range(0, n_frames, every_nth):
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    frames.append(b[fi * 64 : (fi + 1) * 64])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -15,7 +15,9 @@ class _EchoHandler(BaseHTTPRequestHandler):
     """GET /x -> 200 'x'; POST /x body b -> 200 'x|b'; /err/<code> -> error."""
 
     def _payload(self) -> tuple[int, str]:
-        path = self.path.lstrip("/")
+        from urllib.parse import unquote_plus
+
+        path = unquote_plus(self.path.lstrip("/"))
         if path.startswith("err/"):
             return int(path.split("/", 1)[1]), "error"
         return 200, path

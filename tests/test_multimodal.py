@@ -49,3 +49,26 @@ def test_udtf_probe_lifecycle(spark):
     # batch sizes are consistent with Arrow batching and rows align
     for r in out[:5]:
         assert r.batch_rows >= 1 and r.batch_index >= 0
+
+
+def test_resize_contract(spark):
+    b = M.with_binary_payload(_df(spark), "text")
+    out = {r.doc_id: r for r in M.resize_batches(b, 8, 8, fake=True).collect()}
+    assert out[1].width == 8 and out[1].height == 8
+    assert len(bytes(out[1].payload)) <= 8 * 8 // 8
+    with pytest.raises(Exception):
+        M.resize_batches(b, 8, 8, fake=False).collect()  # codec stub raises
+
+
+def test_frame_sample_fanout(spark):
+    long_doc = spark.createDataFrame(
+        [(1, "x" * 640), (2, "y" * 64)], "doc_id long, text string"
+    )
+    b = M.with_binary_payload(long_doc, "text")
+    rows = M.frame_sample_batches(b, every_nth=2, fake=True).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_index)
+    assert per_doc[1] == [0, 2, 4, 6, 8]  # 10 frames, every 2nd
+    assert per_doc[2] == [0]
+    assert all(len(bytes(r.frame)) <= 64 for r in rows)
