@@ -44,6 +44,7 @@ HEADLINE = [
     "distinct_users_daily",
     "embedding_cosine_topk",
     "embedding_neardup",
+    "embedding_neardup_gemm",
 ]
 
 

@@ -1250,3 +1250,16 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+ROWS_ONLY.add("embedding_neardup_gemm")
+
+
+@_q("embedding_neardup_gemm")
+def embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path embedding near-dup: per-block BLAS GEMM inside
+    applyInPandas. No oracle: GEMM accumulation order can shift
+    4-decimal rounding at ~1e-12 boundaries vs the expression variant
+    (which IS oracle-checked as embedding_neardup); rows-only check."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.cosine_neardup_pairs_gemm(e, threshold=0.3, block_col="label")

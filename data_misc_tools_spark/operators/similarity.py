@@ -268,3 +268,64 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", id_col, "sim")
     )
+
+
+def cosine_neardup_pairs_gemm(
+    df: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via per-block matrix multiplication.
+
+    The production-throughput twin of :func:`cosine_neardup_pairs`:
+    each block's vectors are gathered into one numpy matrix inside
+    ``applyInPandas`` and all pairwise sims come from a single BLAS
+    GEMM (``Vn @ Vn.T``) — orders of magnitude fewer interpreter
+    operations than per-pair expression evaluation. Same blocking
+    strategy, same output schema (vec_a, vec_b, sim).
+
+    Float note: GEMM accumulation order differs from sequential dot
+    products, so the 4-decimal rounding can differ in ~1e-12-boundary
+    cases — use the expression variant when bit-for-bit cross-engine
+    reproducibility matters more than throughput.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sims_r = np.round(sims[ia, ib], 4)
+        keep = sims_r >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"vec_a": a2, "vec_b": b2, "sim": sims_r[keep]})
+
+    return (
+        df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, schema=out_schema)
+    )

@@ -96,3 +96,14 @@ def test_ivf_topk_recall_and_exactness_at_full_probe(spark, vectors):
     part = S.ivf_topk(df.filter("vec_id < 3"), df, k=5, n_clusters=4, n_probe=2)
     part_set = {(r.query_id, r.vec_id) for r in part.collect()}
     assert len(part_set & exact_set) >= len(exact_set) // 2
+
+
+def test_gemm_neardup_matches_expression_variant(spark, vectors):
+    df, _ = vectors
+    expr = {(r.vec_a, r.vec_b): r.sim
+            for r in S.cosine_neardup_pairs(df, threshold=0.2, block_col="label").collect()}
+    gemm = {(r.vec_a, r.vec_b): r.sim
+            for r in S.cosine_neardup_pairs_gemm(df, threshold=0.2, block_col="label").collect()}
+    assert set(expr) == set(gemm)
+    for k in expr:
+        assert abs(expr[k] - gemm[k]) <= 1e-4  # same to rounding
