@@ -24,6 +24,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession configured for this engine.
 
@@ -36,6 +37,15 @@ def build_session(
       cluster AQE coalesces/splits at runtime anyway.
     """
     builder = SparkSession.builder.appName(app_name)
+    if hive:
+        # Hive-metastore-backed catalog (the reference runs against
+        # HiveServer2). Requires Hive classes on the classpath; on a
+        # plain PySpark install the built-in catalog serves the same
+        # SQL surface, so failure here is not fatal.
+        try:
+            builder = builder.enableHiveSupport()
+        except Exception:
+            pass
 
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

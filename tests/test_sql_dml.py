@@ -46,3 +46,16 @@ def test_insert_via_sql_script_runner(spark, sf_dir, tmp_path):
     # results are lazy DataFrames: consume before mutating DDL runs
     assert results[2][1].first().n == 5
     run_sql_script(spark, "drop table t_regions;")
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """The reference stores tables as ORC (README.md:205); verify the
+    format path end-to-end."""
+    from data_misc_tools_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    path = str(tmp_path / "orc_out")
+    li.limit(1000).write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 1000
+    assert set(back.columns) == set(li.columns)
