@@ -64,10 +64,14 @@ def _q(name: str, oracle: str | None = None):
            round(sum(l_quantity), 4)                                        AS sum_qty,
            round(sum(l_extendedprice), 4)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           ((2 * round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1e6)::BIGINT + 100)
+             // 200) / 10000.0                                              AS sum_charge,
+           ((200 * round(sum(l_quantity) * 100)::BIGINT + count(*)) // (2 * count(*))) / 10000.0
+                                                                            AS avg_qty,
+           ((200 * round(sum(l_extendedprice) * 100)::BIGINT + count(*)) // (2 * count(*))) / 10000.0
+                                                                            AS avg_price,
+           ((200 * round(sum(l_discount) * 100)::BIGINT + count(*)) // (2 * count(*))) / 10000.0
+                                                                            AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -86,11 +90,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # ULP-stable ratio/6dp outputs: exact-decimal sums become
+            # scaled BIGINTs and the 4dp half-up rounding is INTEGER
+            # arithmetic — engines disagree on rounding doubles at
+            # exact halves (BigDecimal vs multiply-then-round), but
+            # integer div is engine-universal (CLAUDE.md invariant)
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))) * 1e6).cast("long").alias("__charge_e6"),
+            F.round(F.sum("l_quantity") * 100).cast("long").alias("__qty_c"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("__price_c"),
+            F.round(F.sum("l_discount") * 100).cast("long").alias("__disc_c"),
             F.count("*").alias("count_order"),
+        )
+        .selectExpr(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+            "((2 * __charge_e6 + 100) div 200) / 10000.0 as sum_charge",
+            "((200 * __qty_c + count_order) div (2 * count_order)) / 10000.0 as avg_qty",
+            "((200 * __price_c + count_order) div (2 * count_order)) / 10000.0 as avg_price",
+            "((200 * __disc_c + count_order) div (2 * count_order)) / 10000.0 as avg_disc",
+            "count_order",
         )
     )
 
@@ -314,7 +331,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*)             AS n_events,
            round(sum(value), 4) AS sum_value,
-           round(avg(value), 4) AS avg_value
+           ((200 * round(sum(value) * 100)::BIGINT + count(*)) // (2 * count(*))) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -331,8 +348,13 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value") * 100).cast("long").alias("__v_c"),
         )
+        .selectExpr(
+            "hour_str", "event_type", "n_events", "sum_value",
+            "((200 * __v_c + n_events) div (2 * n_events)) / 10000.0 as avg_value",
+        )
+        .select("hour_str", "event_type", "n_events", "sum_value", "avg_value")
     )
 
 
@@ -1002,7 +1024,8 @@ def custkeys_only_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_brand,
            count(*)                                              AS n_items,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-           round(avg(p.p_retailprice), 4)                        AS avg_retail
+           ((200 * round(sum(p.p_retailprice) * 100)::BIGINT + count(*)) // (2 * count(*))) / 10000.0
+                                                                 AS avg_retail
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY p.p_brand
     """,
@@ -1020,7 +1043,11 @@ def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             ),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.round(F.sum("p_retailprice") * 100).cast("long").alias("__r_c"),
+        )
+        .selectExpr(
+            "p_brand", "n_items", "revenue",
+            "((200 * __r_c + n_items) div (2 * n_items)) / 10000.0 as avg_retail",
         )
     )
 
@@ -1223,10 +1250,12 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_share",
     """
     SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
-           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share,
+           ((2000000 * round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                       THEN l.l_extendedprice * (1 - l.l_discount)
+                                       ELSE 0 END) * 1e4)::BIGINT
+             + round(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e4)::BIGINT)
+            // (2 * round(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e4)::BIGINT)) / 10000.0
+               AS promo_share,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1
@@ -1242,12 +1271,15 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_share"),
+            F.round(F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)) * 1e4)
+            .cast("long").alias("__promo_e4"),
+            F.round(F.sum(rev) * 1e4).cast("long").alias("__total_e4"),
             F.count("*").alias("n_items"),
+        )
+        .selectExpr(
+            "ship_month",
+            "((2000000 * __promo_e4 + __total_e4) div (2 * __total_e4)) / 10000.0 as promo_share",
+            "n_items",
         )
     )
 

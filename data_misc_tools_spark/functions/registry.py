@@ -76,6 +76,16 @@ _SQL_UDFS: dict[str, str] = {
         "'key.serializer','org.apache.kafka.common.serialization.StringSerializer',"
         "'value.serializer','org.apache.kafka.common.serialization.StringSerializer')"
     ),
+    # --- engine extensions exposed to SQL users (text analysis) ---
+    "token_count": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION token_count(s STRING) "
+        "RETURNS BIGINT RETURN size(filter(split(s, ' '), x -> x != ''))"
+    ),
+    "doc_fingerprint": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION doc_fingerprint(s STRING) "
+        "RETURNS STRING RETURN md5(array_join(array_sort(array_distinct("
+        "filter(split(lower(s), ' '), x -> x != ''))), ' '))"
+    ),
     # max_with (argmax UDAF, reference:
     # hive-udfs/src/test/resources/tests.sql:79-83) is NOT registered
     # here: Spark SQL UDFs cannot wrap aggregates and Spark's built-in

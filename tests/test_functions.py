@@ -111,3 +111,17 @@ def test_kafka_cfg_functions(spark):
 def test_http_scalar_udfs_registered(spark):
     row = spark.sql("select http_get('http://127.0.0.1:9/x', 300) as r").first().r
     assert row.code == -1 and "refused" in row.content.lower()
+
+
+def test_sql_text_functions_match_operators(spark):
+    from data_misc_tools_spark.operators.text import fingerprint, token_count
+
+    df = spark.createDataFrame([(1, "The quick  brown the")], "doc_id long, text string")
+    df.createOrReplaceTempView("_txt")
+    sql_row = spark.sql(
+        "select token_count(text) as n, doc_fingerprint(text) as fp from _txt"
+    ).first()
+    api_n = df.select(token_count("text").cast("long").alias("n")).first().n
+    api_fp = fingerprint(df).first().fingerprint
+    assert sql_row.n == api_n == 4
+    assert sql_row.fp == api_fp
