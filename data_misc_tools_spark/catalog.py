@@ -760,7 +760,8 @@ _JACCARD_ORACLE = """
         GROUP BY p.doc_a, p.doc_b
     )
     SELECT p.doc_a, p.doc_b,
-           round(coalesce(c.inter, 0) / (za.sz + zb.sz - coalesce(c.inter, 0)), 4) AS jaccard
+           ((20000 * coalesce(c.inter, 0) + (za.sz + zb.sz - coalesce(c.inter, 0)))
+             // (2 * (za.sz + zb.sz - coalesce(c.inter, 0)))) / 10000.0 AS jaccard
     FROM pairs p
     LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
     JOIN sizes za ON za.doc_id = p.doc_a
@@ -810,14 +811,14 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text)::BIGINT AS n_chars_actual,
            len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n_tokens,
-           round(length(replace(text, ' ', ''))
-                 / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1), 4)
+           ((20000 * length(replace(text, ' ', '')) + greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1))
+             // (2 * greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1))) / 10000.0
                AS avg_token_len,
            (length(text) - length(translate(text, '0123456789', '')))::BIGINT AS n_digits,
            (length(text) - length(translate(text, '.,!?;:''"', '')))::BIGINT  AS n_punct,
            round(least(len(list_filter(string_split(text, ' '), x -> x != '')) / 200.0, 1.0) * 0.4
-                 + CASE WHEN round(length(replace(text, ' ', ''))
-                           / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1), 4)
+                 + CASE WHEN ((20000 * length(replace(text, ' ', '')) + greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1))
+                           // (2 * greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1))) / 10000.0
                            BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
                  + CASE WHEN (length(text) - length(translate(text, '0123456789', '')))
                            / greatest(length(text), 1) < 0.2 THEN 0.2 ELSE 0.0 END

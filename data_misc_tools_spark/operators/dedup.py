@@ -275,6 +275,10 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    from data_misc_tools_spark.operators.util import half_up_ratio4
+
+    inter = F.coalesce(F.col("inter"), F.lit(0))
+    union = F.col("sz_a") + F.col("sz_b") - inter
     return (
         pairs.join(common, ["doc_a", "doc_b"], "left")
         .join(sz_a, "doc_a")
@@ -282,10 +286,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.coalesce(F.col("inter"), F.lit(0))
-                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
-                4,
-            ).alias("jaccard"),
+            # int/int ratio -> integer half-up rounding (engine-universal)
+            half_up_ratio4(inter, union).alias("jaccard"),
         )
     )

@@ -63,7 +63,12 @@ def quality_features(df: DataFrame, text_col: str = "text", id_cols: tuple[str, 
     n_tok = token_count(t)
     # characters remaining after deleting spaces -> total token chars
     tok_chars = F.length(F.regexp_replace(t, " ", ""))
-    avg_tok_len = F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 4)
+    # integer half-up rounding of the chars/tokens ratio: engines
+    # disagree on rounding identical doubles at exact .00005 halves
+    # (e.g. 33 chars / 32 tokens)
+    from data_misc_tools_spark.operators.util import half_up_ratio4
+
+    avg_tok_len = half_up_ratio4(tok_chars, F.greatest(n_tok, F.lit(1)))
     n_digits = n_chars - F.length(F.translate(t, "0123456789", ""))
     n_punct = n_chars - F.length(F.translate(t, ".,!?;:'\"", ""))
     score = F.round(

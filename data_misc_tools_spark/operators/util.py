@@ -49,3 +49,21 @@ def salted_aggregate(df, key_cols: list[str], aggs: dict[str, tuple[str, str]], 
     return partials.groupBy(*key_cols).agg(
         *[merge_fn[fn](out).alias(out) for out, (col, fn) in aggs.items()]
     )
+
+
+def half_up_ratio4(numer, denom):
+    """round-half-up(numer/denom, 4) as pure integer arithmetic.
+
+    Engines disagree on rounding *identical* doubles at exact .00005
+    halves (BigDecimal-exact vs multiply-then-round), so any 4dp ratio
+    that can land on a half (int/int, exact-decimal/int) must round via
+    integer division instead: (2·10⁴·A + B) div (2·B) / 10⁴. ``a % b``
+    / subtraction / the final exact division keep every step integral
+    (valid for |values| < 2^53).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.lit(20000) * numer.cast("long") + denom.cast("long")
+    b = F.lit(2) * denom.cast("long")
+    q = (a - a % b) / b  # exact: a - a%b is an exact multiple of b
+    return q.cast("long") / F.lit(10000.0)
