@@ -1296,3 +1296,266 @@ def embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which IS oracle-checked as embedding_neardup); rows-only check."""
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return S.cosine_neardup_pairs_gemm(e, threshold=0.3, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Subquery / grouping-set patterns (SURVEY §2.3 — Hive-delegated relational
+# surface a reference user exercises via Beeline SQL)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS decorrelated to a LEFT SEMI join. The
+    lineitem side is filtered before the semi-join, so the shuffle
+    carries only matching orderkeys; at scale AQE picks broadcast or
+    shuffled-hash from runtime sizes."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style ultra-selective scan-aggregate: every predicate
+    is pushed into the parquet scan (range + between), only 4 columns
+    read, single partial+final agg — the canonical pushdown showcase."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style count-of-counts histogram: LEFT OUTER join (so
+    order-less customers appear with 0), per-customer count, then a
+    second agg over the counts. count(col) null-skip semantics match
+    both engines."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice), 4) AS total_price,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 5 * l.l_quantity * pa.cnt < pa.sq
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated average subquery, decorrelated into a
+    self-aggregate + join. The avg comparison ``qty < 0.2 * avg(qty)``
+    is restated as ``5*qty*cnt < sum(qty)`` — all-integer (quantities
+    are integral doubles), so the boundary can't flip on summation-
+    order ULPs between engines. The per-part aggregate is tiny
+    (#parts rows) and broadcasts."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    pa = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg(F.sum("l_quantity").alias("sq"), F.count("*").alias("cnt"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(pa), F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.lit(5) * F.col("l_quantity") * F.col("cnt") < F.col("sq"))
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 4) AS totalprice,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 135)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY sum_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style IN + group-HAVING subquery as a semi-join on an
+    aggregated key set. The HAVING aggregate output (few keys) semi-
+    joins orders before the wide 3-way join; top-k via
+    TakeOrderedAndProject with the (metric, unique key) tiebreak."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"))
+        .filter(F.col("oq") > 135)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice"), 4).alias("totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q22_idle_rich_customers",
+    """
+    WITH pos AS (
+        SELECT round(c_acctbal * 100)::BIGINT AS cents, c_custkey, c_nationkey, c_acctbal
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    stats AS (SELECT sum(cents) AS s, count(*) AS n FROM pos)
+    SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM pos c, stats
+    WHERE c.cents * stats.n > stats.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F' AND o.o_totalprice > 150000)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: scalar-subquery average threshold + NOT EXISTS
+    anti-join. The global average comparison ``bal > avg(bal)`` is
+    restated in integer cents (``cents*n > sum(cents)``) so the
+    boundary is ULP-proof; the 1-row stats side is a broadcast cross
+    join, the anti side a LEFT ANTI join on the filtered order subset."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    pos = t["customer"].filter(F.col("c_acctbal") > 0.0).withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    stats = pos.agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
+    big_f = (
+        t["orders"]
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(big_f, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+@_q(
+    "orders_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (status, priority): all four grouping sets in
+    one Expand + partial/final agg pass (one shuffle, not four). The
+    source columns are null-free so coalesce marks only the grouping-
+    set totals as 'ALL'."""
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
