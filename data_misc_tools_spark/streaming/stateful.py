@@ -92,3 +92,90 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def _session_fn_event_time(gap_ms: int):
+    """Build the per-key state fn for the event-time-timeout variant.
+
+    The timeout fires when the *watermark* (not the wall clock) passes
+    ``session end + gap``, so emissions are a pure function of the data
+    — replayable, and testable under availableNow."""
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, start, end = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sess_start": [start],
+                    "sess_end": [end],
+                }
+            )
+            return
+        n, start, end = state.get if state.exists else (0, None, None)
+        incoming: list = []
+        for pdf in pdfs:
+            if len(pdf):
+                incoming.extend(pd.to_datetime(pdf["ts"]))
+        incoming.sort()
+        # split on gap as data arrives: events beyond end+gap close the
+        # open session inline (the watermark timeout only handles keys
+        # that go silent)
+        closed: list[tuple] = []
+        for t in incoming:
+            if end is not None and (t - end).value // 1_000_000 > gap_ms:
+                closed.append((n, start, end))
+                n, start, end = 0, t, t
+            start = t if start is None else min(start, t)
+            end = t if end is None else max(end, t)
+            n += 1
+        state.update((n, start, end))
+        # timeout timestamps must be strictly beyond the current
+        # watermark (late data can put end+gap behind it)
+        deadline = end.value // 1_000_000 + gap_ms
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "n_events": [c[0] for c in closed],
+                    "sess_start": [c[1] for c in closed],
+                    "sess_end": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream_event_time(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Event-time gap sessionization: a session closes when the stream's
+    watermark passes its last event + ``gap_minutes``.
+
+    Unlike the processing-time variant, emission depends only on the
+    DATA (watermark = max seen ts - delay), so the operator is
+    deterministic under replay and batch-testable with
+    ``trigger(availableNow=True)``: keys whose gap elapsed before the
+    final watermark are emitted; still-open sessions stay in the state
+    store for the next run. At scale the state store shards by the
+    group key across executors, same as any shuffle."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn_event_time(gap_minutes * 60 * 1000),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

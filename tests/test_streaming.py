@@ -135,3 +135,79 @@ def test_sessionize_stream_runs_end_to_end(spark, sf_dir):
             q.stop()
     assert q.exception() is None
     assert spark.table("sess_test").count() >= 0
+
+
+def test_session_fn_event_time_sets_data_driven_deadline():
+    from data_misc_tools_spark.streaming.stateful import _session_fn_event_time
+
+    class EventState(FakeState):
+        def __init__(self, *a, wm_ms=0, **kw):
+            super().__init__(*a, **kw)
+            self.wm_ms = wm_ms
+            self.timeout_ts = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ts = ms
+
+    fn = _session_fn_event_time(30 * 60 * 1000)
+    state = EventState()
+    assert list(fn((7,), iter([_batch(7, ["2024-01-01 10:00", "2024-01-01 10:05"])]), state)) == []
+    # deadline = last event + gap, in epoch millis
+    assert state.timeout_ts == int(pd.Timestamp("2024-01-01 10:35").value // 1_000_000)
+    # late data: deadline already behind watermark -> clamped past it
+    late = EventState(wm_ms=int(pd.Timestamp("2024-01-01 12:00").value // 1_000_000))
+    list(fn((8,), iter([_batch(8, ["2024-01-01 09:00"])]), late))
+    assert late.timeout_ts == late.wm_ms + 1
+
+
+def test_sessionize_event_time_emits_closed_sessions(spark, tmp_path):
+    """availableNow two-batch replay: the second file advances the
+    watermark past user 1's first-session deadline, so exactly that
+    session is emitted; the 12:00 session stays open in state."""
+    from data_misc_tools_spark.streaming.stateful import sessionize_stream_event_time
+
+    stage = tmp_path / "events_in"
+    stage.mkdir()
+    early = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"), (2, "2024-01-01 10:10:00")],
+        "user_id long, ts_str string",
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"))
+    late = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "user_id long, ts_str string"
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"))
+    early.coalesce(1).write.parquet(str(stage / "00"))
+    late.coalesce(1).write.parquet(str(stage / "01"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{stage}/*/")
+    )
+    out = sessionize_stream_event_time(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_evt")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert q.exception() is None
+    rows = {
+        (r.user_id, r.n_events, str(r.sess_start), str(r.sess_end))
+        for r in spark.table("sess_evt").collect()
+    }
+    # watermark after batch 2 = 12:00 > both 10:35 and 10:40 deadlines;
+    # user 1's 12:00 event opened a NEW session that is still unexpired
+    assert (1, 2, "2024-01-01 10:00:00", "2024-01-01 10:05:00") in rows
+    assert (2, 1, "2024-01-01 10:10:00", "2024-01-01 10:10:00") in rows
+    assert not any(str(s).startswith("2024-01-01 12:00") for (_, _, s, _) in rows)
