@@ -45,6 +45,17 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_neardup",
     "embedding_neardup_gemm",
+    # subquery / grouping-set shapes
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "orders_cube",
+    # deterministic sampling
+    "sample_documents_hash",
+    "sample_per_group_reservoir",
 ]
 
 

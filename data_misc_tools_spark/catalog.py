@@ -1559,3 +1559,82 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data pipeline extension — see
+# operators/sampling.py for the scale rationale)
+# ---------------------------------------------------------------------------
+
+from data_misc_tools_spark.operators import sampling as SA  # noqa: E402
+
+_T10 = int(0.1 * (1 << 32))
+_T05 = int(0.05 * (1 << 32))
+_T25 = int(0.25 * (1 << 32))
+_T50 = int(0.5 * (1 << 32))
+
+
+@_q(
+    "sample_documents_hash",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 8))::BIGINT < {_T10}
+    """,
+)
+def sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic Bernoulli sample keyed on doc_id: the keep
+    decision is a pure function of the key (md5-derived 32-bit hash vs
+    threshold), so the sample is identical across runs, partition
+    layouts, and engines — unlike seed-based df.sample()."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return SA.hash_sample(d, "doc_id", 0.1, salt="s1").select("doc_id", "lang", "source")
+
+
+@_q(
+    "sample_stratified_lang",
+    f"""
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE ('0x' || substr(md5('s2' || doc_id::VARCHAR), 1, 8))::BIGINT
+          < CASE lang WHEN 'en' THEN {_T05} WHEN 'zh' THEN {_T50} ELSE {_T25} END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rebalancing sample: downsample the dominant language
+    (en @ 5%), oversample the tail (zh @ 50%, others 25%). The
+    per-stratum threshold is a scan-local CASE expression — no join,
+    no shuffle before the count."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        SA.stratified_hash_sample(
+            d, "doc_id", "lang", {"en": 0.05, "zh": 0.5}, default_rate=0.25, salt="s2"
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_q(
+    "sample_per_group_reservoir",
+    """
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('s3' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                            doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source sample: rank by hashed key within
+    each group, keep the first 5 — reproducible reservoir sampling
+    (one shuffle on the group key; rank, not full sort)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return SA.per_group_reservoir(d, "source", "doc_id", k=5, salt="s3").select(
+        "source", "doc_id"
+    )

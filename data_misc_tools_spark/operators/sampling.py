@@ -1,0 +1,96 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Extension surface (the reference delegates all relational work to
+Hive and has no sampling primitives — SURVEY §2.3): reproducible,
+coordinated sampling is a first-class need when assembling corpora at
+100 TB — `df.sample()` is seed-dependent per partition layout, so the
+same logical dataset can sample differently after a repartition or a
+file-split change. Hashing the KEY makes the decision a pure function
+of the data:
+
+- the sample is stable under any re-partitioning / re-ordering;
+- the same key draws the same verdict in every table it appears in
+  (coordinated sampling across fact/dim tables);
+- rates compose: a 10% hash-sample of a 50% hash-sample with
+  different salts is an independent 5%.
+
+All hashes are md5-derived 32-bit integers (engine-portable: DuckDB
+computes the identical value via ``('0x' || substr(md5(x),1,8))::
+BIGINT``), per the repo-wide portable-hashing invariant. Every
+operator is a scan-local expression filter or a per-group window —
+no driver collects; the only shuffle is the window's group exchange
+in ``per_group_reservoir``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_HASH_SPACE = float(1 << 32)
+
+
+def _hash_u32(col, salt: str):
+    """md5-derived uniform 32-bit integer of (salt || key) — the
+    engine-portable twin of DuckDB's ('0x'||substr(md5(..),1,8))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hashed key falls
+    below ``rate`` of the 32-bit hash space.
+
+    Scan-local (no shuffle, no RNG state); at any scale each task
+    filters independently and the selected set is bit-identical across
+    runs, partitionings, and engines."""
+    return df.filter(_hash_u32(F.col(key_col), salt) < F.lit(int(rate * _HASH_SPACE)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep the tail): the keep-threshold is a CASE over the
+    stratum column, the decision is still the row key's hash.
+
+    The rate lookup is a scan-local expression (no join against a
+    rates table — at 1000 executors that broadcast is pure overhead
+    for a handful of literals)."""
+    thresh = F.lit(int(default_rate * _HASH_SPACE))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _HASH_SPACE))
+        ).otherwise(thresh)
+    return df.filter(_hash_u32(F.col(key_col), salt) < thresh)
+
+
+def per_group_reservoir(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    (hashed key, key) and keep the first k — a reproducible stand-in
+    for reservoir sampling whose output is order- and
+    partitioning-independent.
+
+    One shuffle on the group column; with AQE, skewed groups split
+    into multiple reducers before the rank. For very hot groups
+    (> ~10M rows) pre-filter with ``hash_sample`` at ~10·k/|group| to
+    cut the sorted run length."""
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_u32(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

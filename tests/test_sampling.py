@@ -1,0 +1,73 @@
+"""Deterministic sampling operators: stability, coordination, rates."""
+
+import pyspark.sql.functions as F
+
+from data_misc_tools_spark.operators import sampling as SA
+
+
+def _docs(spark, sf_dir):
+    from data_misc_tools_spark.session import load_tables
+
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def test_hash_sample_stable_under_repartition(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r.doc_id for r in SA.hash_sample(d, "doc_id", 0.2).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in SA.hash_sample(d.repartition(13), "doc_id", 0.2).select("doc_id").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_rate_roughly_holds(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    k = SA.hash_sample(d, "doc_id", 0.3).count()
+    assert 0.15 * n < k < 0.45 * n  # 500 draws @ 30%
+
+
+def test_hash_sample_coordinated_across_frames(spark, sf_dir):
+    """Same key + salt -> same verdict in any table (join-consistent)."""
+    d = _docs(spark, sf_dir)
+    ids_from_docs = {
+        r.doc_id for r in SA.hash_sample(d, "doc_id", 0.25, salt="x").select("doc_id").collect()
+    }
+    only_ids = d.select("doc_id").distinct()
+    ids_again = {
+        r.doc_id for r in SA.hash_sample(only_ids, "doc_id", 0.25, salt="x").collect()
+    }
+    assert ids_from_docs == ids_again
+
+
+def test_hash_sample_salts_compose_independently(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s1 = SA.hash_sample(d, "doc_id", 0.5, salt="a")
+    s2 = SA.hash_sample(s1, "doc_id", 0.5, salt="b")
+    n, k = d.count(), s2.count()
+    assert 0.1 * n < k < 0.4 * n  # ~25% with independent salts
+
+
+def test_stratified_rates_per_stratum(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = SA.stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.0}, default_rate=1.0
+    )
+    langs = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "en" not in langs  # rate 0 drops the stratum entirely
+    full = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in langs.items():
+        assert n == full[lang]  # rate 1 keeps every row
+
+
+def test_per_group_reservoir_counts_and_stability(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = SA.per_group_reservoir(d, "source", "doc_id", k=3)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in per.values())
+    again = SA.per_group_reservoir(d.repartition(7), "source", "doc_id", k=3)
+    assert {(r.source, r.doc_id) for r in out.select("source", "doc_id").collect()} == {
+        (r.source, r.doc_id) for r in again.select("source", "doc_id").collect()
+    }
+    assert "__rk" not in out.columns
