@@ -53,9 +53,10 @@ HEADLINE = [
     "q18_large_orders",
     "q22_idle_rich_customers",
     "orders_cube",
-    # deterministic sampling
+    # deterministic sampling + packing
     "sample_documents_hash",
     "sample_per_group_reservoir",
+    "pack_token_batches",
 ]
 
 

@@ -1638,3 +1638,39 @@ def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.per_group_reservoir(d, "source", "doc_id", k=5, salt="s3").select(
         "source", "doc_id"
     )
+
+
+from data_misc_tools_spark.operators import packing as PK  # noqa: E402
+
+
+@_q(
+    "pack_token_batches",
+    """
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5('p1' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_chars, h % 8 AS shard,
+               sum(n_chars) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS cum
+        FROM t
+    )
+    SELECT shard, (cum - n_chars) // 4000 AS batch_id,
+           count(*) AS n_docs, sum(n_chars) AS sum_tokens
+    FROM s
+    GROUP BY shard, (cum - n_chars) // 4000
+    ORDER BY shard, batch_id
+    """,
+)
+def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (cumsum next-fit): documents fill 4000-token
+    batches inside 8 hash shards; summarized as (shard, batch_id,
+    n_docs, sum_tokens). All integer arithmetic over one window
+    shuffle — the assignment is engine-exact and reproducible."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    packed = PK.pack_by_cumsum(d, "doc_id", "n_chars", budget=4000, shards=8, salt="p1")
+    return (
+        packed.groupBy("shard", "batch_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_tokens"))
+        .orderBy("shard", "batch_id")
+    )
