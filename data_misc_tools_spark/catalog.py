@@ -1674,3 +1674,47 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_tokens"))
         .orderBy("shard", "batch_id")
     )
+
+
+from data_misc_tools_spark.operators.cluster import dedup_clusters as _dedup_clusters  # noqa: E402
+
+
+@_q(
+    "connected_components_runs",
+    """
+    WITH RECURSIVE e AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2
+          ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+    ), und AS (
+        SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ), nodes AS (
+        SELECT DISTINCT a AS n FROM und
+    ), reach AS (
+        SELECT n AS node, n AS r FROM nodes
+        UNION
+        SELECT re.node, u.b AS r FROM reach re JOIN und u ON u.a = re.r
+    )
+    SELECT min(r) AS component, count(DISTINCT node) AS size, min(r) AS keep_id
+    FROM (SELECT node, min(r) OVER (PARTITION BY node) AS comp, r FROM reach) t
+    GROUP BY comp
+    ORDER BY component
+    """,
+)
+def connected_components_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label-propagation connected components (operators/
+    cluster.py) validated against a recursive-CTE reachability closure:
+    edges join consecutive doc ids sharing a language, so components
+    are same-lang runs (diameter <= 7 here; 2-4 for real near-dup
+    cliques). Each Spark round is one shuffle with persist/unpersist
+    lineage control — the pattern that keeps iteration linear, not
+    quadratic, at scale."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    a = d.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"))
+    edges = a.join(
+        b, (F.col("b") == F.col("a") + 1) & (F.col("lang_a") == F.col("lang_b"))
+    ).select("a", "b")
+    return _dedup_clusters(edges, left="a", right="b").select(
+        "component", "size", "keep_id"
+    )

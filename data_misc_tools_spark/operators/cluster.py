@@ -1,0 +1,101 @@
+"""Connected components over pair edges: near-dup clusters.
+
+Dedup pipelines produce PAIRS (MinHash/LSH, SimHash, embedding
+near-dup — operators/dedup.py); choosing one survivor per duplicate
+GROUP needs the transitive closure of those pairs. Extension surface
+(nothing comparable in the reference, SURVEY §2.3).
+
+Algorithm: iterative min-label propagation on the DataFrame API —
+every node adopts the smallest label among itself and its neighbors
+until fixpoint. Each round is one shuffle (groupBy node); rounds =
+graph diameter, which for near-dup graphs is tiny (duplicate groups
+are near-cliques, so 2-4 rounds). Labels and the frontier stay
+distributed; the driver sees only the per-round convergence counter
+(an aggregate, not the data). For adversarial long-chain graphs use
+more rounds or the large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") — the near-dup use
+case never needs it.
+
+Each round truncates lineage with ``localCheckpoint`` — the labels
+frame is referenced twice per round (join + union), so without
+truncation the logical plan DOUBLES every iteration: exponential
+analysis cost and, past ~7 rounds, a driver OOM just rendering the
+plan. Checkpointing makes each round's plan start from materialized
+partitions (on a production cluster prefer ``checkpoint()`` with a
+reliable dir so executor loss can't lose label state mid-algorithm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node with the min node id of its component.
+
+    ``edges`` is undirected (each pair once is enough). Returns
+    (node, component) with one row per distinct node. Deterministic:
+    component ids are the smallest member id."""
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; each node keeps the min of
+        # (own label, incoming labels) — one shuffle per round.
+        # localCheckpoint cuts the lineage so the next round's plan
+        # references materialized partitions, not the whole history.
+        msgs = und.join(labels, und["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters: (component, size,
+    keep_id). ``keep_id`` is the smallest member — the canonical
+    survivor; every other member is a duplicate to drop."""
+    comp = connected_components(pairs, src=left, dst=right)
+    return comp.groupBy("component").agg(
+        F.count("*").alias("size"),
+        F.min("node").alias("keep_id"),
+    )
