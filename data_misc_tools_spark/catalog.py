@@ -1718,3 +1718,76 @@ def connected_components_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_clusters(edges, left="a", right="b").select(
         "component", "size", "keep_id"
     )
+
+
+@_q(
+    "split_assign_demo",
+    """
+    SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM (SELECT ('0x' || substr(md5('sp' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+          FROM documents)
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def split_assign_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashed key:
+    adding rows or repartitioning never moves an existing key between
+    splits — eval contamination can't creep in across dataset
+    versions."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        SA.split_assign(d, "doc_id", salt="sp")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_q(
+    "text_clean_demo",
+    """
+    SELECT doc_id,
+           length(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))::BIGINT AS clean_chars,
+           length(text)::BIGINT AS raw_chars
+    FROM documents
+    """,
+)
+def text_clean_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace normalization (operators/text.clean_text): pure JVM
+    regexp expression at scan speed, no UDF."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return d.select(
+        "doc_id",
+        F.length(T.clean_text("text")).cast("long").alias("clean_chars"),
+        F.length("text").cast("long").alias("raw_chars"),
+    )
+
+
+_QUARTILE_ORACLE = (
+    "WITH q AS (" + ORACLES["text_quality"] + ")"
+    """
+    SELECT doc_id, quality_score FROM (
+        SELECT doc_id, quality_score,
+               ntile(4) OVER (ORDER BY quality_score, doc_id) AS tile
+        FROM q
+    ) WHERE tile = 4
+    """
+)
+
+
+@_q("quality_quartile_filter", _QUARTILE_ORACLE)
+def quality_quartile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top quality quartile: ntile over the (score, id) total
+    order — deterministic in both engines because the ordering key is
+    unique. The global ntile is a single-partition sort, fine for a
+    threshold pass whose OUTPUT is small; at 100 TB compute the cutoff
+    with approx_percentile and filter scan-locally instead."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = T.quality_features(d).select("doc_id", "quality_score")
+    w = Window.orderBy("quality_score", "doc_id")
+    return (
+        q.withColumn("tile", F.ntile(4).over(w))
+        .filter(F.col("tile") == 4)
+        .select("doc_id", "quality_score")
+    )

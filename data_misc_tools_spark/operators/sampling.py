@@ -94,3 +94,30 @@ def per_group_reservoir(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split by hashed
+    key: bucket = hash % 10000, carved into cumulative rate ranges
+    (default 90/5/5).
+
+    The assignment is a pure function of the key — re-running the
+    pipeline, repartitioning, or adding new rows never moves an
+    existing key between splits (the property that keeps eval sets
+    uncontaminated across dataset versions)."""
+    splits = splits or {"train": 0.90, "val": 0.05, "test": 0.05}
+    bucket = _hash_u32(F.col(key_col), salt) % 10000
+    expr = None
+    hi = 0
+    items = list(splits.items())
+    for name, rate in items[:-1]:
+        hi += int(rate * 10000)
+        expr = F.when(bucket < hi, name) if expr is None else expr.when(bucket < hi, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

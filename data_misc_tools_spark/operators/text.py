@@ -136,3 +136,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.array_sort(F.array_distinct(tokens(text_col, lowercase=True))), " "
     )
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def clean_text(text: Column | str) -> Column:
+    """Normalize whitespace: collapse runs of spaces/tabs/newlines to a
+    single space and trim the ends — the first pass of every corpus
+    cleaning pipeline. Pure JVM expression (no UDF); DuckDB twin:
+    ``trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))``."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(t, "[ \\t\\n\\r]+", " "))

@@ -71,3 +71,17 @@ def test_per_group_reservoir_counts_and_stability(spark, sf_dir):
         (r.source, r.doc_id) for r in again.select("source", "doc_id").collect()
     }
     assert "__rk" not in out.columns
+
+
+def test_split_assign_exhaustive_and_stable(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = SA.split_assign(d, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > counts.get("val", 0)  # 90% dominates
+    # a key's split never depends on what else is in the frame
+    sub = SA.split_assign(d.limit(50), "doc_id")
+    whole = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert whole[r.doc_id] == r.split

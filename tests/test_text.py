@@ -57,3 +57,13 @@ def test_fingerprint_order_insensitive(spark):
     fp = {r.doc_id: r.fingerprint for r in T.fingerprint(df).collect()}
     assert fp[1] == fp[2]  # same token set (order/multiplicity-insensitive)
     assert fp[1] != fp[3]
+
+
+def test_clean_text_collapses_whitespace(spark):
+    from data_misc_tools_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "  a\t\tb\n\nc  "), (2, "one two"), (3, "")], "id long, text string"
+    )
+    got = {r.id: r.c for r in df.select("id", clean_text("text").alias("c")).collect()}
+    assert got == {1: "a b c", 2: "one two", 3: ""}
