@@ -1791,3 +1791,60 @@ def quality_quartile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tile") == 4)
         .select("doc_id", "quality_score")
     )
+
+
+@_q(
+    "events_pivot_by_type",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT events into per-type count columns via df.groupBy().pivot()
+    with EXPLICIT values — without them Spark runs an extra distinct
+    pass over the data just to learn the column set (2 jobs instead of
+    1; at 100 TB that is a full extra scan)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+@_q(
+    "acctbal_union_all",
+    """
+    SELECT kind, count(*) AS n, round(sum(acctbal), 4) AS total FROM (
+        SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    ) GROUP BY kind
+    ORDER BY kind
+    """,
+)
+def acctbal_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogeneous tables (completing the set-op
+    family next to INTERSECT/EXCEPT): unions concatenate partitions
+    with no shuffle; only the following agg exchanges."""
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    u = t["customer"].select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    ).unionAll(
+        t["supplier"].select(F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal"))
+    )
+    return u.groupBy("kind").agg(
+        F.count("*").alias("n"), F.round(F.sum("acctbal"), 4).alias("total")
+    )
