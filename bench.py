@@ -57,6 +57,9 @@ HEADLINE = [
     "sample_documents_hash",
     "sample_per_group_reservoir",
     "pack_token_batches",
+    # wide-shape + skew primitives
+    "events_pivot_by_type",
+    "salted_event_rollup",
 ]
 
 

@@ -1848,3 +1848,43 @@ def acctbal_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("kind").agg(
         F.count("*").alias("n"), F.round(F.sum("acctbal"), 4).alias("total")
     )
+
+
+@_q(
+    "salted_event_rollup",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation (operators/util.
+    salted_aggregate): phase 1 groups by (key, salt) so a hot key
+    spreads over 16 reducers, phase 2 merges partials. The oracle is
+    the PLAIN group-by — salting must be result-invariant; only the
+    shuffle layout changes. sum/count/min/max merge exactly; the float
+    sum still rounds to 4dp like every aggregate here."""
+    from data_misc_tools_spark.operators.util import salted_aggregate
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    out = salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("event_id", "count"),
+            "total_value": ("value", "sum"),
+            "max_value": ("value", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
