@@ -179,3 +179,28 @@ def sessionize_stream_event_time(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup by key with watermark-bounded state.
+
+    Batch dedup (operators/dedup.exact_dedup) sees the whole corpus;
+    a stream must instead remember seen keys — unboundedly, unless a
+    watermark bounds how late a duplicate may arrive. State per key is
+    evicted once the watermark passes it, so memory is O(keys per
+    watermark window), not O(all keys ever).
+
+    ``within_watermark=True`` uses dropDuplicatesWithinWatermark
+    (Spark 3.5+): duplicates are only suppressed if they arrive within
+    the watermark delay of the first occurrence — the right semantics
+    when the key can legitimately recur later (e.g. re-crawls)."""
+    w = events.withWatermark(ts_col, watermark_delay)
+    if within_watermark:
+        return w.dropDuplicatesWithinWatermark(key_cols)
+    return w.dropDuplicates(key_cols)

@@ -211,3 +211,43 @@ def test_sessionize_event_time_emits_closed_sessions(spark, tmp_path):
     assert (1, 2, "2024-01-01 10:00:00", "2024-01-01 10:05:00") in rows
     assert (2, 1, "2024-01-01 10:10:00", "2024-01-01 10:10:00") in rows
     assert not any(str(s).startswith("2024-01-01 12:00") for (_, _, s, _) in rows)
+
+
+def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
+    from data_misc_tools_spark.streaming.stateful import dedup_stream
+
+    stage = tmp_path / "dups_in"
+    stage.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00"), (1, "2024-01-01 10:02:00")],
+        "doc_id long, ts_str string",
+    ).select("doc_id", F.to_timestamp("ts_str").alias("ts"))
+    b2 = spark.createDataFrame(
+        [(2, "2024-01-01 10:10:00"), (3, "2024-01-01 10:11:00")],
+        "doc_id long, ts_str string",
+    ).select("doc_id", F.to_timestamp("ts_str").alias("ts"))
+    b1.coalesce(1).write.parquet(str(stage / "00"))
+    b2.coalesce(1).write.parquet(str(stage / "01"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*/")
+    )
+    out = dedup_stream(stream, ["doc_id"], watermark_delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert q.exception() is None
+    ids = [r.doc_id for r in spark.table("dedup_stream_t").collect()]
+    assert sorted(ids) == [1, 2, 3]  # each key exactly once, across batches
