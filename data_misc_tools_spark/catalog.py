@@ -1888,3 +1888,67 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 4).alias("total_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+@_q(
+    "running_daily_revenue",
+    """
+    WITH daily AS (SELECT date_trunc('day', ts) AS d, sum(value) AS v
+                   FROM events GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day_str,
+           round(v, 4) AS day_value,
+           round(sum(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 4) AS running_total,
+           round(avg(v) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM daily
+    ORDER BY day_str
+    """,
+)
+def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES: running total (UNBOUNDED PRECEDING) and 7-day
+    moving average (6 PRECEDING..CURRENT) over the daily rollup. The
+    frame walks rows in a defined total order, so both engines
+    accumulate identically; the pre-aggregation shrinks the window
+    input to |days| rows — frames never see raw events."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w_all = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w7 = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_str"),
+            F.round("v", 4).alias("day_value"),
+            F.round(F.sum("v").over(w_all), 4).alias("running_total"),
+            F.round(F.avg("v").over(w7), 4).alias("ma7"),
+        )
+        .orderBy("day_str")
+    )
+
+
+@_q(
+    "event_transitions",
+    """
+    WITH x AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT prev, event_type AS next, count(*) AS n
+    FROM x WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    ORDER BY prev, next
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-based Markov transition counts per user: the window order
+    key (ts, event_id) is unique, so the predecessor is deterministic
+    in both engines. One shuffle on user_id, then a hash agg over the
+    25 transition cells."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
