@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: pin the execution strategies that
+EXPLAIN.md documents, so a refactor that silently degrades a plan
+(broadcast -> shuffle, lost pushdown, Python creeping into a JVM path)
+fails CI instead of only showing up at 100 TB.
+"""
+
+import re
+
+import pytest
+
+from data_misc_tools_spark.catalog import QUERIES
+
+
+def _plan(spark, name, sf_dir):
+    """Formatted explain: prints scan metadata (PushedFilters,
+    ReadSchema) in full, unlike executedPlan().toString() which
+    truncates every metadata field at ~100 chars."""
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q3_q5_dimension_joins_broadcast(spark, sf_dir):
+    for name in ["q3_shipping_priority", "q5_region_volume"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name  # dims must not shuffle-sort
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no pushed filters in q6 scan"
+    s = m.group(1)
+    assert "l_shipdate" in s and "l_discount" in s and "l_quantity" in s
+
+
+def test_q1_reads_only_needed_columns(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_semi_and_anti_joins_stay_semi(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, "q4_order_priority", sf_dir)
+    p22 = _plan(spark, "q22_idle_rich_customers", sf_dir)
+    assert "LeftAnti" in p22
+
+
+def test_sampling_queries_are_scan_local(spark, sf_dir):
+    """hash_sample / stratified filters must stay shuffle-free."""
+    plan = _plan(spark, "sample_documents_hash", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_no_python_eval_in_relational_paths(spark, sf_dir):
+    """Python runners belong only to inherently Python-side operators;
+    the relational/text/sampling catalog must stay JVM-only."""
+    for name in [
+        "q1_pricing_summary", "q18_large_orders", "text_quality",
+        "sample_per_group_reservoir", "pack_token_batches",
+        "running_daily_revenue", "event_transitions",
+    ]:
+        plan = _plan(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """LIMIT+ORDER BY must compile to TakeOrderedAndProject (per-
+    partition heaps), never a global sort followed by limit."""
+    plan = _plan(spark, "q3_shipping_priority", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["orders_cube", "orders_rollup"])
+def test_grouping_sets_single_exchange(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert plan.count("Exchange") <= 2  # one agg exchange (+AQE read)
+    assert "Expand" in plan
