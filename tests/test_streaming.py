@@ -1,6 +1,8 @@
 """Structured Streaming paths: availableNow replay + stateful sessionize."""
 
 import os
+
+import pytest
 import tempfile
 
 import pandas as pd
@@ -251,3 +253,133 @@ def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
     assert q.exception() is None
     ids = [r.doc_id for r in spark.table("dedup_stream_t").collect()]
     assert sorted(ids) == [1, 2, 3]  # each key exactly once, across batches
+
+
+def _protobuf_ok():
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = []
+
+    def getValueState(self, name, schema):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms=0):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+def test_tws_processor_state_machine_unit():
+    """SessionProcessor logic driven through fakes: inline gap split,
+    timer replacement, timer-expiry emission. (The full streaming run
+    needs google.protobuf, absent in this environment — the processor
+    contract is exercised here instead.)"""
+    from data_misc_tools_spark.streaming.tws import SessionProcessor
+
+    p = SessionProcessor(30 * 60 * 1000)
+    h = _FakeHandle()
+    p.init(h)
+
+    out = list(p.handleInputRows((7,), iter([_batch(7, ["2024-01-01 10:00", "2024-01-01 10:05"])]), _FakeTimerValues()))
+    assert out == []  # session still open
+    assert h.state.get()[0] == 2
+    assert h.timers == [int(pd.Timestamp("2024-01-01 10:35").value // 1_000_000)]
+
+    # an event past the gap closes the first session inline and
+    # replaces the timer with the new session's deadline
+    out = list(p.handleInputRows((7,), iter([_batch(7, ["2024-01-01 12:00"])]), _FakeTimerValues()))
+    assert len(out) == 1 and out[0].iloc[0].n_events == 2
+    assert str(out[0].iloc[0].sess_end) == "2024-01-01 10:05:00"
+    assert h.timers == [int(pd.Timestamp("2024-01-01 12:30").value // 1_000_000)]
+
+    # watermark passes the deadline -> expiry emits and clears
+    out = list(p.handleExpiredTimer((7,), _FakeTimerValues(), None))
+    assert len(out) == 1 and out[0].iloc[0].n_events == 1
+    assert not h.state.exists()
+
+
+@pytest.mark.skipif(not _protobuf_ok(), reason="TransformWithState needs google.protobuf")
+def test_transform_with_state_matches_applyinpandas_variant(spark, tmp_path):
+
+    """The TransformWithState port emits the same sessions as the
+    applyInPandasWithState implementation on the same two-batch input."""
+    from data_misc_tools_spark.streaming.tws import sessionize_transform_with_state
+
+    stage = tmp_path / "tws_in"
+    stage.mkdir()
+    early = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"), (2, "2024-01-01 10:10:00")],
+        "user_id long, ts_str string",
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"))
+    late = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "user_id long, ts_str string"
+    ).select("user_id", F.to_timestamp("ts_str").alias("ts"))
+    early.coalesce(1).write.parquet(str(stage / "00"))
+    late.coalesce(1).write.parquet(str(stage / "01"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*/")
+    )
+    out = sessionize_transform_with_state(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_tws")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert q.exception() is None
+    rows = {
+        (r.user_id, r.n_events, str(r.sess_start), str(r.sess_end))
+        for r in spark.table("sess_tws").collect()
+    }
+    # identical emissions to test_sessionize_event_time_emits_closed_sessions
+    assert (1, 2, "2024-01-01 10:00:00", "2024-01-01 10:05:00") in rows
+    assert (2, 1, "2024-01-01 10:10:00", "2024-01-01 10:10:00") in rows
+    assert not any(str(s).startswith("2024-01-01 12:00") for (_, _, s, _) in rows)
