@@ -1952,3 +1952,42 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count("*").alias("n"))
     )
+
+
+ROWS_ONLY.add("distinct_users_daily_approx")
+
+
+@_q("distinct_users_daily_approx")
+def distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch twin of distinct_users_daily: approx_count_distinct
+    carries a ~KB sketch per group instead of the full value set
+    through the shuffle — at 100 TB the difference between an
+    in-memory partial agg and a spilling one. No oracle: sketch
+    estimates are implementation-defined; the row count (one per
+    day×type group) is deterministic and rows-only-checked, and
+    tests/test_scale_io.py pins the estimate error to <5%."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_str"),
+        "event_type",
+    ).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ROWS_ONLY.add("event_value_quantiles_approx")
+
+
+@_q("event_value_quantiles_approx")
+def event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx twin of event_value_quantiles: a bounded
+    KLL-style sketch replaces the exact percentile's full sort state.
+    Rows-only (estimates are engine-specific); error pinned in
+    tests/test_scale_io.py."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
+        F.count("*").alias("n"),
+    )
