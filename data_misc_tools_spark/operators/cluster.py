@@ -99,3 +99,83 @@ def dedup_clusters(
         F.count("*").alias("size"),
         F.min("node").alias("keep_id"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond"): converges
+    in O(log n) rounds regardless of graph DIAMETER, where plain
+    min-label propagation needs diameter rounds — the scale path for
+    chain-shaped duplicate graphs (crawl snapshots, version chains).
+
+    large-star: every node links its larger neighbors to its
+    neighborhood minimum; small-star: links its smaller-or-equal
+    neighbors to that minimum. Both preserve connectivity and strictly
+    flatten trees; at fixpoint every node points at its component
+    minimum. Same output contract as ``connected_components``."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = e.distinct().localCheckpoint()
+
+    def _checksum(df) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.hash("a", "b").cast("long")), F.lit(0)).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    sig = _checksum(cur)
+    for _ in range(max_rounds):
+        und = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # large-star around every center u: m = min(N(u) ∪ {u})
+        mins = und.groupBy(F.col("a").alias("u")).agg(F.min("b").alias("mn"))
+        mins = mins.withColumn("m", F.least("mn", "u"))
+        large = (
+            und.join(mins, und["a"] == mins["u"])
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: only smaller neighbors participate
+        und2 = large.union(large.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        sm = und2.filter(F.col("b") < F.col("a"))
+        mins2 = sm.groupBy(F.col("a").alias("u")).agg(F.min("b").alias("m"))
+        small = (
+            sm.join(mins2, sm["a"] == mins2["u"])
+            .select(F.col("b").alias("v"), F.col("m"), F.col("a").alias("u"))
+            .select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .union(
+                mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _checksum(small)
+        cur = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # at fixpoint every edge is (node, component-min); centers appear
+    # only on the b side (or are isolated after self-edge removal)
+    parents = cur.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("component"))
+    return (
+        nodes.join(parents, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )

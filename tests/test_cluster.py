@@ -64,3 +64,41 @@ def test_components_on_real_neardup_pairs(spark, sf_dir):
     assert len(clusters) > 0
     assert all(r.size >= 2 for r in clusters)
     assert all(r.keep_id == r.component for r in clusters)
+
+
+def _cc_star(spark, edges):
+    from data_misc_tools_spark.operators.cluster import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {(r.node, r.component) for r in connected_components_star(df).collect()}
+
+
+def test_star_variant_basic_shapes(spark):
+    assert _cc_star(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]) == {
+        (n, 1) for n in [1, 2, 3, 4, 5]
+    }
+    got = dict(_cc_star(spark, [(1, 2), (10, 11), (11, 12)]))
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_star_variant_long_chain_few_rounds(spark):
+    """A 64-node chain (diameter 63): the star algorithm must converge
+    within its 25-round cap, where plain propagation would need 63."""
+    chain = [(i, i + 1) for i in range(1, 64)]
+    got = dict(_cc_star(spark, chain))
+    assert set(got.values()) == {1}
+    assert len(got) == 64
+
+
+def test_star_variant_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    star = dict(_cc_star(spark, edges))
+    plain = {
+        r.node: r.component for r in connected_components(df, max_iter=60).collect()
+    }
+    assert star == plain
