@@ -329,3 +329,89 @@ def cosine_neardup_pairs_gemm(
         .groupBy(block_col)
         .applyInPandas(block_pairs, schema=out_schema)
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and PERSIST an IVF index: corpus vectors written
+    partitioned by their KMeans cell, centroids alongside.
+
+    Index build is the expensive pass (KMeans + one corpus shuffle);
+    persisting it amortizes that over every later query batch — the
+    production ANN layout. ``partitionBy(cell)`` means a query that
+    probes 4 of 64 cells READS 4/64ths of the index from storage
+    (partition pruning), not just filters it post-scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(_dbl(F.col(vec_col))).alias("__feat")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("cell")
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    corpus.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+
+
+def ivf_query_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (see :func:`ivf_build_index`).
+
+    The probed cell ids arrive at the index scan as an IN filter over
+    the PARTITION column, so unprobed cells are never read. Output
+    matches :func:`cosine_topk`: (query_id, vec_id, sim)."""
+    spark = queries.sparkSession
+    centers_df = spark.read.parquet(f"{path}/centers")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    qcells = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centers_df))
+        .select(
+            "query_id", "__qv", "cell",
+            cosine(F.col("__qv"), F.col("center")).alias("__cd"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+    # collect the (tiny) probed cell set so it prunes index partitions
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col("__qv"), F.col(vec_col)).alias("sim"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_k))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

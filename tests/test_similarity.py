@@ -107,3 +107,31 @@ def test_gemm_neardup_matches_expression_variant(spark, vectors):
     assert set(expr) == set(gemm)
     for k in expr:
         assert abs(expr[k] - gemm[k]) <= 1e-4  # same to rounding
+
+
+def test_ivf_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """Build-once/query-many IVF: with n_probe == n_clusters the
+    persisted-index path must return exactly the brute-force top-k."""
+    from data_misc_tools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from data_misc_tools_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    corpus = e.limit(200)
+    queries = e.limit(5)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(corpus, idx, n_clusters=8)
+
+    exact = cosine_topk(queries, corpus, k=3)
+    full = ivf_query_index(queries, idx, k=3, n_probe=8)
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert got == want
+
+    # a partial probe returns k rows per query (recall < 1 allowed)
+    part = ivf_query_index(queries, idx, k=3, n_probe=2)
+    per_q = part.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_q) and len(per_q) == 5
