@@ -1991,3 +1991,64 @@ def event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.9, 1000).alias("p90_approx"),
         F.count("*").alias("n"),
     )
+
+
+@_q(
+    "lineitem_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_quantity), 4) AS sq
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    ORDER BY rf, ls
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE),
+    exercised through the engine's SQL surface: three grouping sets in
+    one Expand + single agg exchange. Registered temp view + spark.sql
+    — the path a reference Beeline user would take."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n, round(sum(l_quantity), 4) AS sq
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@_q(
+    "event_percent_rank_low",
+    """
+    WITH r AS (SELECT event_type, event_id,
+                      rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events)
+    SELECT event_type, event_id,
+           ((20000 * (rk - 1) + (n - 1)) // (2 * (n - 1))) / 10000.0 AS pr
+    FROM r WHERE rk <= 5
+    ORDER BY event_type, event_id
+    """,
+)
+def event_percent_rank_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank as integer arithmetic: (rank-1)/(n-1) is an
+    int/int ratio, so the 4dp output uses the repo's half-up integer
+    idiom instead of double rounding (engines split on exact halves).
+    rank ties broken by unique event_id -> deterministic row set."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    return (
+        e.withColumn("rk", F.rank().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rk") <= 5)
+        .selectExpr(
+            "event_type",
+            "event_id",
+            "((20000 * (rk - 1) + (n - 1)) div (2 * (n - 1))) / 10000.0 AS pr",
+        )
+        .orderBy("event_type", "event_id")
+    )
