@@ -103,10 +103,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
-            "((2 * __charge_e6 + 100) div 200) / 10000.0 as sum_charge",
-            "((200 * __qty_c + count_order) div (2 * count_order)) / 10000.0 as avg_qty",
-            "((200 * __price_c + count_order) div (2 * count_order)) / 10000.0 as avg_price",
-            "((200 * __disc_c + count_order) div (2 * count_order)) / 10000.0 as avg_disc",
+            # 10000.0D: a double literal — bare 10000.0 parses as DECIMAL in
+            # Spark SQL and the output would hash-mismatch DuckDB's DOUBLE
+            "((2 * __charge_e6 + 100) div 200) / 10000.0D as sum_charge",
+            "((200 * __qty_c + count_order) div (2 * count_order)) / 10000.0D as avg_qty",
+            "((200 * __price_c + count_order) div (2 * count_order)) / 10000.0D as avg_price",
+            "((200 * __disc_c + count_order) div (2 * count_order)) / 10000.0D as avg_disc",
             "count_order",
         )
     )
@@ -292,8 +294,8 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), s AS (
         SELECT user_id, event_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
         FROM g
     )
     SELECT user_id, session_id,
@@ -352,7 +354,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "hour_str", "event_type", "n_events", "sum_value",
-            "((200 * __v_c + n_events) div (2 * n_events)) / 10000.0 as avg_value",
+            "((200 * __v_c + n_events) div (2 * n_events)) / 10000.0D as avg_value",
         )
         .select("hour_str", "event_type", "n_events", "sum_value", "avg_value")
     )
@@ -1048,7 +1050,7 @@ def brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "p_brand", "n_items", "revenue",
-            "((200 * __r_c + n_items) div (2 * n_items)) / 10000.0 as avg_retail",
+            "((200 * __r_c + n_items) div (2 * n_items)) / 10000.0D as avg_retail",
         )
     )
 
@@ -1279,7 +1281,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "ship_month",
-            "((2000000 * __promo_e4 + __total_e4) div (2 * __total_e4)) / 10000.0 as promo_share",
+            "((2000000 * __promo_e4 + __total_e4) div (2 * __total_e4)) / 10000.0D as promo_share",
             "n_items",
         )
     )
@@ -1655,8 +1657,8 @@ from data_misc_tools_spark.operators import packing as PK  # noqa: E402
                sum(n_chars) OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS cum
         FROM t
     )
-    SELECT shard, (cum - n_chars) // 4000 AS batch_id,
-           count(*) AS n_docs, sum(n_chars) AS sum_tokens
+    SELECT shard, ((cum - n_chars) // 4000)::BIGINT AS batch_id,
+           count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_tokens
     FROM s
     GROUP BY shard, (cum - n_chars) // 4000
     ORDER BY shard, batch_id
@@ -1797,11 +1799,11 @@ def quality_quartile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot_by_type",
     """
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+           sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+           sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+           sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error
     FROM events
     GROUP BY user_id
     """,
@@ -2028,7 +2030,9 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       count(*) OVER (PARTITION BY event_type) AS n
                FROM events)
     SELECT event_type, event_id,
-           ((20000 * (rk - 1) + (n - 1)) // (2 * (n - 1))) / 10000.0 AS pr
+           CASE WHEN n > 1
+                THEN ((20000 * (rk - 1) + (n - 1)) // (2 * (n - 1))) / 10000.0
+                ELSE 0.0 END AS pr
     FROM r WHERE rk <= 5
     ORDER BY event_type, event_id
     """,
@@ -2048,7 +2052,10 @@ def event_percent_rank_low(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "event_type",
             "event_id",
-            "((20000 * (rk - 1) + (n - 1)) div (2 * (n - 1))) / 10000.0 AS pr",
+            # n=1 guard: percent_rank of a single-row partition is 0 by
+            # definition; the integer idiom would hit 0 div 0 otherwise
+            "CASE WHEN n > 1 THEN ((20000 * (rk - 1) + (n - 1)) div (2 * (n - 1))) / 10000.0D"
+            " ELSE 0.0D END AS pr",
         )
         .orderBy("event_type", "event_id")
     )

@@ -406,7 +406,10 @@ def ivf_query_index(
         .select(
             "query_id",
             F.col(id_col),
-            cosine(F.col("__qv"), F.col(vec_col)).alias("sim"),
+            # round to 4dp BEFORE ranking so ties resolve on the same
+            # values as cosine_topk/lsh_topk (raw-double ranking could
+            # pick different rows than the other topk operators)
+            F.round(cosine(F.col("__qv"), F.col(vec_col)), 4).alias("sim"),
         )
     )
     w_k = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))

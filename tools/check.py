@@ -27,10 +27,15 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # absorb fp representation noise beyond 6 significant decimals
-        return f"{v:.6g}"
+        # EXACT rendering (shortest repr). The driver hashes exact
+        # values, so the local gate must not absorb any difference —
+        # round-1 shipped 5 red queries because .6g collapsed
+        # Decimal('0.0494000') and 0.0494 into the same string.
+        return repr(v + 0.0)  # +0.0 canonicalizes -0.0
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.6g}"
+        # do NOT coerce to float: a decimal-typed column must fail
+        # against a double-typed oracle column (driver-strict)
+        return "dec:" + str(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -38,6 +43,38 @@ def norm_cell(v) -> str:
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def _family(typename: str) -> str:
+    """Collapse an engine type name into a comparison family. HUGEINT
+    gets its own family on purpose: the driver's pandas fetch renders
+    INT128 as float ('5.0' vs '5'), so HUGEINT vs BIGINT must FAIL
+    locally even though fetchall() yields equal Python ints."""
+    t = typename.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("hugeint", "int128", "uhugeint"):
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "double", "real", "float4", "float8"):
+        return "float"
+    if t in ("varchar", "string", "text"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return t
+
+
+def dtype_problems(scols, sdtypes, ocols, odtypes) -> list[str]:
+    smap = {c: _family(t) for c, t in zip(scols, sdtypes)}
+    out = []
+    for c, t in zip(ocols, odtypes):
+        fo, fs = _family(t), smap.get(c)
+        if fs is not None and fs != fo:
+            out.append(f"dtype[{c}] spark={fs} duck={fo}")
+    return out
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -95,6 +132,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -104,9 +142,13 @@ def main() -> int:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # relation API (not DB-API execute): .types yields real
+            # DuckDB types (HUGEINT/DECIMAL/...) where .description
+            # collapses every numeric to 'NUMBER'
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            odtypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
@@ -117,6 +159,7 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
         else:
+            problems.extend(dtype_problems(scols, sdtypes, ocols, odtypes))
             sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
             if sh != oh:
                 problems.append(f"hash spark={sh} duck={oh}")
