@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from data_misc_tools_spark.session import load_tables
 from data_misc_tools_spark.functions.aggregates import max_with, min_with
-from data_misc_tools_spark.functions.scalar import m_add, su_strip, url_encode
+from data_misc_tools_spark.functions.scalar import su_strip, url_encode
 from data_misc_tools_spark.operators import dedup as D
 from data_misc_tools_spark.operators import similarity as S
 from data_misc_tools_spark.operators import text as T
@@ -466,16 +466,19 @@ def url_encode_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m_add_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """m_add right-biased merge with null-skip (reference:
+    """m_add right-biased N-ary merge with null-skip (reference:
     hive-udfs/.../commons/UDFMapAdd.java:28-62), exploded to rows so
-    the result is engine-portable."""
+    the result is engine-portable. Goes through the SQL surface at
+    arity 4 — the registered m_add takes 2..6 maps via DEFAULT
+    parameters, matching the reference's variadic signature."""
     df = spark.range(1).select(
         F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2")).alias("m1"),
         F.create_map(F.lit("b"), F.lit("9"), F.lit("c"), F.lit("3")).alias("m2"),
         F.lit(None).cast("map<string,string>").alias("m3"),
         F.create_map(F.lit("d"), F.lit("7")).alias("m4"),
     )
-    merged = df.select(m_add("m1", "m2", "m3", "m4").alias("m"))
+    df.createOrReplaceTempView("m_add_demo_in")
+    merged = spark.sql("SELECT m_add(m1, m2, m3, m4) AS m FROM m_add_demo_in")
     return merged.select(F.explode("m").alias("k", "v"))
 
 

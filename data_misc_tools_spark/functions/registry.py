@@ -26,14 +26,22 @@ _SQL_UDFS: dict[str, str] = {
     # (hive-udfs/.../http/UDFUrlEncoder.java:51); the Python helper
     # functions.url_encode() preserves that rule for strict parity.
     # Right-biased map merge, null args skipped
-    # (reference: hive-udfs/.../commons/UDFMapAdd.java:45-62). Fixed
-    # arities 2/3 cover the documented uses; Python API m_add() is
-    # fully variadic. Needs spark.sql.mapKeyDedupPolicy=LAST_WIN.
+    # (reference: hive-udfs/.../commons/UDFMapAdd.java:45-62 merges N
+    # maps). SQL UDFs are fixed-arity, but DEFAULT parameters (Spark 4)
+    # make one registration accept 2..6 args — still Catalyst-inlined.
+    # Null-skip = coalesce(x, map()); right bias needs
+    # spark.sql.mapKeyDedupPolicy=LAST_WIN. Python API m_add() is
+    # unboundedly variadic.
     "m_add": (
-        "CREATE OR REPLACE TEMPORARY FUNCTION m_add(a MAP<STRING,STRING>, b MAP<STRING,STRING>) "
+        "CREATE OR REPLACE TEMPORARY FUNCTION m_add("
+        "a MAP<STRING,STRING>, b MAP<STRING,STRING>, "
+        "c MAP<STRING,STRING> DEFAULT map(), d MAP<STRING,STRING> DEFAULT map(), "
+        "e MAP<STRING,STRING> DEFAULT map(), f MAP<STRING,STRING> DEFAULT map()) "
         "RETURNS MAP<STRING,STRING> RETURN map_concat("
-        "coalesce(a, map()), coalesce(b, map()))"
+        "coalesce(a, map()), coalesce(b, map()), coalesce(c, map()), "
+        "coalesce(d, map()), coalesce(e, map()), coalesce(f, map()))"
     ),
+    # m_add3 kept as a back-compat alias (pre-variadic surface).
     "m_add3": (
         "CREATE OR REPLACE TEMPORARY FUNCTION m_add3(a MAP<STRING,STRING>, b MAP<STRING,STRING>, c MAP<STRING,STRING>) "
         "RETURNS MAP<STRING,STRING> RETURN map_concat("

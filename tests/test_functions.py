@@ -50,6 +50,20 @@ def test_m_add_sql_function(spark):
     assert out3 == {"a": "3", "b": "2"}
 
 
+def test_m_add_sql_variadic(spark):
+    # SQL surface is N-ary like the reference UDFMapAdd (2..6 args via
+    # DEFAULT parameters); null args are skipped at every position
+    out4 = spark.sql(
+        "select m_add(map('a','1'), NULL, map('a','9'), map('c','3')) as m"
+    ).first().m
+    assert out4 == {"a": "9", "c": "3"}
+    out6 = spark.sql(
+        "select m_add(map('a','1'), map('b','2'), map('c','3'),"
+        " map('d','4'), map('e','5'), map('a','6')) as m"
+    ).first().m
+    assert out6 == {"a": "6", "b": "2", "c": "3", "d": "4", "e": "5"}
+
+
 def test_m_add_requires_args(spark):
     with pytest.raises(ValueError):
         m_add()
