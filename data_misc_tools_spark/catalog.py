@@ -1769,7 +1769,34 @@ def text_clean_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUARTILE_ORACLE = (
+_CUTOFF_ORACLE = (
+    "WITH q AS (" + ORACLES["text_quality"] + ")"
+    """
+    , c AS (SELECT quality_score AS s, count(*) AS cnt FROM q GROUP BY 1),
+    t AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cum,
+                 (SELECT count(*) FROM q) AS n FROM c),
+    cut AS (SELECT min(s) AS cutoff FROM t WHERE 4 * cum >= 3 * n)
+    SELECT doc_id, quality_score FROM q, cut WHERE quality_score > cutoff
+    """
+)
+
+
+@_q("quality_quartile_filter", _CUTOFF_ORACLE)
+def quality_quartile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep docs strictly above the exact 75th-percentile quality
+    boundary. Scale shape: quality_score is rounded to 4dp, so its
+    distinct-value histogram is bounded (~10k cells) no matter the
+    corpus size — one map-side-combined count agg, a driver-side
+    cumulative walk over the tiny histogram, then a scan-local filter.
+    No global sort, no single-partition window (a global ntile(4)
+    would funnel the whole corpus through one reducer). The DuckDB
+    twin computes the same integer-arithmetic cutoff exactly."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = T.quality_features(d).select("doc_id", "quality_score")
+    return T.top_quartile_filter(q, "quality_score")
+
+
+_NTILE_ORACLE = (
     "WITH q AS (" + ORACLES["text_quality"] + ")"
     """
     SELECT doc_id, quality_score FROM (
@@ -1781,13 +1808,12 @@ _QUARTILE_ORACLE = (
 )
 
 
-@_q("quality_quartile_filter", _QUARTILE_ORACLE)
-def quality_quartile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep the top quality quartile: ntile over the (score, id) total
-    order — deterministic in both engines because the ordering key is
-    unique. The global ntile is a single-partition sort, fine for a
-    threshold pass whose OUTPUT is small; at 100 TB compute the cutoff
-    with approx_percentile and filter scan-locally instead."""
+@_q("quality_quartile_ntile", _NTILE_ORACLE)
+def quality_quartile_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n/4 twin of quality_quartile_filter via global ntile over
+    the unique (score, id) order — the small-data formulation (single
+    partition sort; use the cutoff-filter primary at scale). Kept as
+    an oracle-checked cross-check of the quartile boundary."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     q = T.quality_features(d).select("doc_id", "quality_score")
     w = Window.orderBy("quality_score", "doc_id")

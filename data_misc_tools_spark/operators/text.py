@@ -145,3 +145,49 @@ def clean_text(text: Column | str) -> Column:
     ``trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g'))``."""
     t = F.col(text) if isinstance(text, str) else text
     return F.trim(F.regexp_replace(t, "[ \\t\\n\\r]+", " "))
+
+
+def score_cutoff(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    lower_num: int = 3,
+    lower_den: int = 4,
+) -> float:
+    """Exact quantile boundary of a ROUNDED score column, computed the
+    100 TB-safe way: the scores are rounded (4dp -> at most ~10k
+    distinct values no matter the corpus size), so a per-score count
+    aggregate (map-side combined, tiny result) plus a driver-side
+    cumulative walk yields the exact boundary with no global sort and
+    no per-row window. Returns the smallest score s such that
+    count(score <= s) * lower_den >= lower_num * n — all-integer
+    arithmetic, engine-portable (DuckDB twin: min(s) over the same
+    windowed-count inequality).
+    """
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(score_col).agg(F.count("*").alias("cnt")).collect()
+        if r[0] is not None
+    )
+    n = sum(c for _, c in counts)
+    cum = 0
+    for s, c in counts:
+        cum += c
+        if cum * lower_den >= lower_num * n:
+            return s
+    return counts[-1][0] if counts else float("nan")
+
+
+def top_quartile_filter(
+    df: DataFrame, score_col: str = "quality_score"
+) -> DataFrame:
+    """Keep rows strictly above the 75th-percentile score boundary.
+
+    The threshold-filter formulation of "top quality quartile": unlike
+    a global ntile(4) (single-partition sort of the whole corpus —
+    dies on one reducer at scale), this computes the exact boundary
+    from the bounded distinct-score histogram and applies a scan-local
+    comparison filter. Ties AT the boundary are excluded, so the kept
+    fraction is <= 25% — the standard corpus-filter semantics.
+    """
+    cutoff = score_cutoff(df, score_col)
+    return df.filter(F.col(score_col) > F.lit(cutoff))

@@ -53,6 +53,15 @@ def test_semi_and_anti_joins_stay_semi(spark, sf_dir):
     assert "LeftAnti" in p22
 
 
+def test_quality_quartile_filter_has_no_window(spark, sf_dir):
+    """The primary quartile filter must be the histogram-cutoff form:
+    a scan-local comparison filter, never a global-ntile Window (that
+    plan funnels the whole corpus through one reducer)."""
+    plan = _plan(spark, "quality_quartile_filter", sf_dir)
+    assert "Window" not in plan
+    assert "Sort" not in plan
+
+
 def test_sampling_queries_are_scan_local(spark, sf_dir):
     """hash_sample / stratified filters must stay shuffle-free."""
     plan = _plan(spark, "sample_documents_hash", sf_dir)
