@@ -383,3 +383,140 @@ def test_transform_with_state_matches_applyinpandas_variant(spark, tmp_path):
     assert (1, 2, "2024-01-01 10:00:00", "2024-01-01 10:05:00") in rows
     assert (2, 1, "2024-01-01 10:10:00", "2024-01-01 10:10:00") in rows
     assert not any(str(s).startswith("2024-01-01 12:00") for (_, _, s, _) in rows)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once Kafka sink (reference: KafkaHelper pushWithTransaction)
+# ---------------------------------------------------------------------------
+
+
+class _FakeTxProducer:
+    """Fake transactional producer: records the committed-visible log
+    the way a read_committed consumer would see it (aborted sends are
+    rolled back)."""
+
+    def __init__(self, fail_after: int | None = None):
+        self.committed_log: list[tuple] = []
+        self.pending: list[tuple] = []
+        self.events: list[str] = []
+        self.fail_after = fail_after
+        self._sent = 0
+
+    def begin_transaction(self):
+        self.events.append("begin")
+        self.pending = []
+
+    def send(self, topic, key=None, value=None, headers=None):
+        if self.fail_after is not None and self._sent >= self.fail_after:
+            raise RuntimeError("broker gone")
+        self._sent += 1
+        self.pending.append((topic, key, value, tuple(headers or ())))
+
+    def commit_transaction(self):
+        self.events.append("commit")
+        self.committed_log.extend(self.pending)
+        self.pending = []
+
+    def abort_transaction(self):
+        self.events.append("abort")
+        self.pending = []
+
+
+def test_exactly_once_sink_skips_replayed_batch(spark, tmp_path):
+    from data_misc_tools_spark.streaming.exactly_once import ExactlyOnceKafkaSink
+
+    fake = _FakeTxProducer()
+    sink = ExactlyOnceKafkaSink(
+        "t1", str(tmp_path / "commits"),
+        producer_factory=lambda cfg, tid: fake, driver_side=True,
+    )
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], "k string, v string")
+    sink(df, 7)
+    assert len(fake.committed_log) == 2
+    assert sink.committed(7)
+    sink(df, 7)  # foreachBatch replay after checkpoint recovery
+    assert len(fake.committed_log) == 2  # no duplicate produce
+    assert fake.events == ["begin", "commit"]  # one transaction total
+
+
+def test_exactly_once_sink_aborts_and_retries_clean(spark, tmp_path):
+    from data_misc_tools_spark.streaming.exactly_once import ExactlyOnceKafkaSink
+
+    df = spark.createDataFrame([("a", "1"), ("b", "2"), ("c", "3")], "k string, v string")
+    failing = _FakeTxProducer(fail_after=2)
+    sink = ExactlyOnceKafkaSink(
+        "t1", str(tmp_path / "commits2"),
+        producer_factory=lambda cfg, tid: failing, driver_side=True,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sink(df, 0)
+    # aborted: nothing visible to read_committed, no batch marker
+    assert failing.committed_log == []
+    assert failing.events == ["begin", "abort"]
+    assert not sink.committed(0)
+
+    ok = _FakeTxProducer()
+    sink.producer_factory = lambda cfg, tid: ok
+    sink(df, 0)  # the replay that checkpoint recovery would drive
+    assert len(ok.committed_log) == 3
+    assert sink.committed(0)
+
+
+def test_exactly_once_sink_headers_carry_batch_id(spark, tmp_path):
+    from data_misc_tools_spark.streaming.exactly_once import (
+        BATCH_HEADER,
+        ExactlyOnceKafkaSink,
+    )
+
+    fake = _FakeTxProducer()
+    sink = ExactlyOnceKafkaSink(
+        "t1", str(tmp_path / "commits3"),
+        producer_factory=lambda cfg, tid: fake, driver_side=True,
+    )
+    df = spark.createDataFrame([("a", "1")], "k string, v string")
+    sink(df, 42)
+    ((_, _, _, headers),) = fake.committed_log
+    assert (BATCH_HEADER, b"42") in headers
+
+
+def test_exactly_once_sink_over_file_replay_stream(spark, tmp_path):
+    """End-to-end: availableNow file stream -> foreachBatch exactly-once
+    sink. A second identical run over the same checkpoint must produce
+    nothing new (source-side exactly-once) and the committed log holds
+    each input row exactly once."""
+    from data_misc_tools_spark.streaming.exactly_once import ExactlyOnceKafkaSink
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(20)], "k string, v string"
+    ).coalesce(1).write.parquet(str(src))
+
+    fake = _FakeTxProducer()
+    sink = ExactlyOnceKafkaSink(
+        "topic-e2e", str(tmp_path / "commits4"),
+        producer_factory=lambda cfg, tid: fake, driver_side=True,
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("k string, v string").parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt_eo"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert q.exception() is None
+
+    run_once()
+    assert sorted(k for (_, k, _, _) in fake.committed_log) == sorted(
+        str(i).encode() for i in range(20)
+    )
+    run_once()  # same checkpoint: no unseen input, no new produce
+    assert len(fake.committed_log) == 20
