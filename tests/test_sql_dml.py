@@ -59,3 +59,68 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == 1000
     assert set(back.columns) == set(li.columns)
+
+
+def test_hive_catalog_roundtrip_subprocess(tmp_path):
+    """The reference's entry point B runs DDL scripts against a
+    HiveServer2-backed catalog (reference: hive/HiveBeeLine.scala:94-122,
+    README.md:202-205 'create temporary table ... stored as orc'). Drive
+    the same shapes — CTAS STORED AS ORC, INSERT OVERWRITE TABLE, DROP —
+    through build_session(hive=True) against an embedded derby
+    metastore. Runs in a subprocess because this pytest JVM already
+    holds a non-Hive session (catalogImplementation is first-session
+    sticky)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import os, sys
+        sys.path.insert(0, "/root/repo")
+        d = {str(tmp_path)!r}
+        os.environ["SPARK_GRAFT_CPUS"] = "2"
+        from data_misc_tools_spark.session import build_session
+        from data_misc_tools_spark.plans.sql_script import run_sql_script
+
+        spark = build_session(
+            app_name="hive-roundtrip",
+            hive=True,
+            extra_conf={{
+                "spark.sql.warehouse.dir": os.path.join(d, "warehouse"),
+                "spark.driver.extraJavaOptions": f"-Dderby.system.home={{d}}",
+            }},
+        )
+        assert spark.conf.get("spark.sql.catalogImplementation") == "hive", (
+            "hive support not active"
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(10).selectExpr("id", "id % 3 AS g").createOrReplaceTempView("src")
+        results = run_sql_script(
+            spark,
+            '''
+            CREATE DATABASE IF NOT EXISTS etl_rt;
+            USE etl_rt;
+            CREATE TABLE agg_tbl STORED AS ORC AS SELECT g, count(*) AS n FROM src GROUP BY g;
+            SELECT sum(n) AS s FROM agg_tbl;
+            ''',
+        )
+        assert results[3][1].first().s == 10
+        spark.sql("INSERT OVERWRITE TABLE agg_tbl SELECT g, count(*) FROM src WHERE id < 5 GROUP BY g")
+        assert spark.sql("SELECT sum(n) AS s FROM agg_tbl").first().s == 5
+        fmt = [r.data_type for r in spark.sql("DESCRIBE FORMATTED agg_tbl").collect()
+               if r.col_name == "InputFormat"]
+        assert fmt == ["org.apache.hadoop.hive.ql.io.orc.OrcInputFormat"], fmt
+        run_sql_script(spark, "DROP TABLE agg_tbl; DROP DATABASE etl_rt;")
+        assert "etl_rt" not in [db.name for db in spark.catalog.listDatabases()]
+        print("HIVE_ROUNDTRIP_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+    )
+    if "hive support not active" in proc.stdout + proc.stderr:
+        pytest.skip("Hive classes unavailable in this environment")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "HIVE_ROUNDTRIP_OK" in proc.stdout
