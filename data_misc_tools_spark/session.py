@@ -132,9 +132,11 @@ def register_all(spark: SparkSession) -> SparkSession:
     API work. Also ships the package to executors (see ship_package).
     """
     from data_misc_tools_spark.functions.registry import register_functions
+    from data_misc_tools_spark.sources.pydatasource import register_python_datasources
 
     ship_package(spark)
     register_functions(spark)
+    register_python_datasources(spark)
     return spark
 
 
