@@ -2090,6 +2090,31 @@ def event_percent_rank_low(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROWS_ONLY.add("embedding_pq_topk")
+
+
+@_q("embedding_pq_topk")
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN demo: build a product-quantized index (8 subvectors
+    x 32 codes — 32x smaller than raw float32) over the embeddings
+    table, then answer 10 queries with ADC scoring at full probe.
+    rows-only: KMeans cell assignment + PQ codebook training are
+    iterative/seeded and not SQL-expressible; exactness and recall are
+    pinned in tests/test_similarity.py (lossless-codebook case matches
+    brute force exactly)."""
+    import tempfile
+
+    from data_misc_tools_spark.operators.similarity import (
+        pq_build_index,
+        pq_query_index,
+    )
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    idx = tempfile.mkdtemp(prefix="pq_idx_")
+    pq_build_index(e, idx, n_clusters=8, m_subvectors=8, n_codes=32)
+    return pq_query_index(e.limit(10), idx, k=5, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order — round 1 shipped 17 queries

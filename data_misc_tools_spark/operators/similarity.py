@@ -418,3 +418,219 @@ def ivf_query_index(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization inside IVF cells (IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+def _np_kmeans(X, k: int, iters: int = 25, seed: int = 0):
+    """Deterministic Lloyd k-means over a numpy matrix.
+
+    PQ codebooks train on a bounded driver-side sample (the standard
+    ANN-library approach — codebook quality saturates long before the
+    corpus size matters). Initialization draws from the DISTINCT rows,
+    so when ``k >= #distinct`` every distinct point becomes its own
+    centroid and quantization is exact — the property the exactness
+    test pins.
+    """
+    import numpy as np
+
+    uniq = np.unique(X, axis=0)
+    k = min(k, len(uniq))
+    rng = np.random.RandomState(seed)
+    C = uniq[np.sort(rng.choice(len(uniq), size=k, replace=False))]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        newC = np.vstack(
+            [X[a == j].mean(0) if (a == j).any() else C[j] for j in range(k)]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m_subvectors: int = 8,
+    n_codes: int = 256,
+    train_sample: int = 10000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and persist an IVF-PQ index.
+
+    Layout = :func:`ivf_build_index` (cell-partitioned parquet +
+    centers) except each cell stores ``m_subvectors`` uint8-range PQ
+    codes per vector instead of the raw floats — a 64-dim float32
+    vector compresses 32× (256B -> 8B), which is what lets a 100 TB
+    corpus's index live in a fraction of the space and stream through
+    ADC scoring at memory bandwidth.
+
+    Vectors are L2-normalized BEFORE encoding, so inner-product ADC
+    against a normalized query reads out cosine similarity directly.
+    Codebooks train driver-side on a deterministic bounded sample
+    (first ``train_sample`` ids); encoding itself is a distributed
+    map-only ``mapInPandas`` pass.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    normed = corpus.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__nv")
+    )
+    feats = normed.withColumn("__feat", array_to_vector(F.col("__nv")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(feats)
+    assigned = model.transform(feats).select(
+        id_col, "__nv", F.col("prediction").alias("cell")
+    )
+
+    # --- codebooks: driver-side sample, per-subspace Lloyd ---
+    sample = np.array(
+        [
+            r[1]
+            for r in normed.orderBy(id_col).limit(train_sample).collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+    dsub = dim // m_subvectors
+    books = [
+        _np_kmeans(sample[:, j * dsub : (j + 1) * dsub], n_codes, seed=seed + j)
+        for j in range(m_subvectors)
+    ]
+
+    # --- distributed encoding: nearest sub-centroid per subspace ---
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__nv"]])
+            codes = np.empty((len(mat), m_subvectors), dtype=np.int64)
+            for j, cb in enumerate(books):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    "cell": pdf["cell"],
+                }
+            )
+
+    assigned.mapInPandas(
+        encode, schema=f"{id_col} long, codes array<long>, cell int"
+    ).write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(m_subvectors)
+            for c in range(len(books[j]))
+        ],
+        "m int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_query_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a persisted IVF-PQ index via ADC scoring.
+
+    Probing mirrors :func:`ivf_query_index` (top ``n_probe`` cells by
+    query-to-centroid cosine; the probed cell set prunes index
+    partitions at the scan). Scoring is asymmetric distance
+    computation: per query, one (m × n_codes) inner-product table is
+    built against the codebooks, then every candidate's score is m
+    table lookups — no decompression, no per-pair dot products.
+    Output matches the other topk operators: (query_id, vec_id, sim),
+    sim rounded to 4dp, ties broken by vec_id.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    centers_df = spark.read.parquet(f"{path}/centers")
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    m_sub = max(r.m for r in cb) + 1
+    n_codes = max(r.code for r in cb) + 1
+    dsub = len(cb[0].center)
+    books = np.zeros((m_sub, n_codes, dsub))
+    for r in cb:
+        books[r.m, r.code] = r.center
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("__qv")
+    )
+    qcells = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centers_df))
+        .select(
+            "query_id", "__qv", "cell",
+            dot(F.col("__qv"), F.col("center")).alias("__cd"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+    cand = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
+    joined = F.broadcast(probed).join(cand, "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    def adc(pdf):
+        import pandas as pd
+
+        out = []
+        for qid, grp in pdf.groupby("query_id"):
+            qv = np.asarray(grp["__qv"].iloc[0], dtype=np.float64)
+            # ADC table: subquery x all sub-centroids inner products
+            table = np.stack(
+                [
+                    books[j] @ qv[j * dsub : (j + 1) * dsub]
+                    for j in range(m_sub)
+                ]
+            )  # (m, n_codes)
+            codes = np.vstack([np.asarray(c) for c in grp["codes"]])
+            sims = np.round(table[np.arange(m_sub)[:, None], codes.T].sum(0), 4)
+            ids = grp[id_col].to_numpy()
+            order = np.lexsort((ids, -sims))[:k]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qid, id_col: ids[order], "sim": sims[order]}
+                )
+            )
+        return (
+            pd.concat(out)
+            if out
+            else pd.DataFrame({"query_id": [], id_col: [], "sim": []})
+        )
+
+    import pandas as pd  # noqa: F401  (applyInPandas requirement)
+
+    return joined.groupBy("query_id").applyInPandas(
+        adc, schema=f"query_id long, {id_col} long, sim double"
+    )

@@ -135,3 +135,60 @@ def test_ivf_persisted_index_roundtrip(spark, sf_dir, tmp_path):
     part = ivf_query_index(queries, idx, k=3, n_probe=2)
     per_q = part.groupBy("query_id").count().collect()
     assert all(r["count"] <= 3 for r in per_q) and len(per_q) == 5
+
+
+def test_pq_exact_when_codebook_covers_distinct_subvectors(spark, vectors, tmp_path):
+    """With n_codes >= #distinct subvectors and full probe, PQ
+    reconstruction is lossless, so IVF-PQ must return exactly the
+    brute-force top-k (same set; sims equal to 4dp)."""
+    df, _ = vectors
+    corpus = df.filter("vec_id < 40")
+    queries = df.filter("vec_id < 3")
+    idx = str(tmp_path / "pq_exact")
+    # 40 vectors -> <=40 distinct subvectors per subspace; 64 codes cover all
+    S.pq_build_index(corpus, idx, n_clusters=4, m_subvectors=4, n_codes=64)
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in S.cosine_topk(queries, corpus, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id): r.sim
+        for r in S.pq_query_index(queries, idx, k=5, n_probe=4).collect()
+    }
+    assert set(got) == set(exact)
+    for key in exact:
+        assert abs(got[key] - exact[key]) <= 1e-4
+
+
+def test_pq_lossy_recall_at_full_probe(spark, vectors, tmp_path):
+    """Real compression (few codes): recall@5 against brute force must
+    stay high at full probe — deterministic seed, pinned floor."""
+    df, _ = vectors
+    queries = df.filter("vec_id < 10")
+    idx = str(tmp_path / "pq_lossy")
+    S.pq_build_index(df, idx, n_clusters=4, m_subvectors=4, n_codes=8)
+    exact = S.cosine_topk(queries, df, k=5).collect()
+    got = S.pq_query_index(queries, idx, k=5, n_probe=4).collect()
+    want_pairs = {(r.query_id, r.vec_id) for r in exact}
+    got_pairs = {(r.query_id, r.vec_id) for r in got}
+    recall = len(want_pairs & got_pairs) / len(want_pairs)
+    assert recall >= 0.5, recall
+    # every query answered with k rows
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n == 5 for n in per_q.values()) and len(per_q) == 10
+
+
+def test_pq_codes_compress_and_partition_prune(spark, vectors, tmp_path):
+    """The persisted cells hold m int codes (not raw floats) and a
+    partial probe reads only the probed cell partitions."""
+    df, _ = vectors
+    idx = str(tmp_path / "pq_layout")
+    S.pq_build_index(df, idx, n_clusters=4, m_subvectors=4, n_codes=16)
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert set(cells.columns) == {"vec_id", "codes", "cell"}
+    row = cells.first()
+    assert len(row.codes) == 4 and all(0 <= c < 16 for c in row.codes)
+    out = S.pq_query_index(df.filter("vec_id < 2"), idx, k=3, n_probe=1)
+    assert out.count() <= 2 * 3
