@@ -2090,6 +2090,45 @@ def event_percent_rank_low(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "reflect_bridge_demo",
+    """
+    SELECT * FROM (VALUES
+        ('"quoted"',  'quoted',  'a b',  '"quoted"'),
+        ('"x"y"',     'x"y',     'a+b',  '"x"y"'),
+        ('plain',     'plain',   '%C3%BC', 'Plain')
+    ) t(raw, stripped, decoded, capitalized)
+    """,
+)
+def reflect_bridge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Java-reflection bridge idiom — e.g.
+    ``reflect('org.apache.commons.lang3.StringUtils','strip',line,'"')``
+    (reference: README.md:179, UDFHelper.getMethodBridge:383-467) —
+    runs UNMODIFIED on Spark: ``reflect``/``java_method`` are built-in
+    and commons-lang3 is on Spark's classpath. Demonstrated over fixed
+    inputs with literal expected outputs as the oracle (DuckDB has no
+    JVM to reflect into). The decoded column round-trips through
+    java.net.URLDecoder exactly as the reference's UDFUrlEncoder
+    inverse idiom would."""
+    df = spark.createDataFrame(
+        [('"quoted"', "a%20b"), ('"x"y"', "a%2Bb"), ("plain", "%25C3%25BC")],
+        "raw string, enc string",
+    )
+    df.createOrReplaceTempView("reflect_demo_in")
+    return spark.sql(
+        """
+        SELECT raw,
+               reflect('org.apache.commons.lang3.StringUtils', 'strip', raw, '"')
+                   AS stripped,
+               java_method('java.net.URLDecoder', 'decode', enc, 'UTF-8')
+                   AS decoded,
+               reflect('org.apache.commons.lang3.StringUtils', 'capitalize', raw)
+                   AS capitalized
+        FROM reflect_demo_in
+        """
+    )
+
+
 ROWS_ONLY.add("embedding_pq_topk")
 
 
