@@ -2091,6 +2091,171 @@ def event_percent_rank_low(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sliding_window_rollup",
+    """
+    WITH b AS (
+        SELECT event_type, value,
+               (floor(epoch(ts) / 1800))::BIGINT * 1800 AS bucket
+        FROM events
+    ), w AS (
+        SELECT event_type, value, bucket - k.k * 1800 AS ws
+        FROM b JOIN (VALUES (0), (1)) k(k) ON true
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M')        AS win_start,
+           strftime(make_timestamp((ws + 3600) * 1000000), '%Y-%m-%d %H:%M') AS win_end,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM w
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation: 1-hour windows sliding every 30
+    minutes via the built-in F.window (each event lands in exactly 2
+    windows; Spark explodes window membership map-side, then one hash
+    agg). The DuckDB twin materializes the same two epoch-aligned
+    window starts per event with a bounded 2-row join."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+@_q(
+    "session_window_native",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM g
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS sess_start_us,
+           max(epoch_us(ts)) + 1800000000 AS sess_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (gap = 30 min),
+    oracle-checked against the lag/cumsum sessionization at exact
+    microsecond semantics — proving the built-in operator implements
+    the reference-style gap rule (new session iff the gap is >= 30
+    minutes; window end = last event + gap). Built-in beats the window
+    formulation at scale: sessions merge inside the aggregate, no
+    full per-user running-sum pass."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("sess_start_us"),
+            F.unix_micros("session_window.end").alias("sess_end_us"),
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "repeated_ngram_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(t, i, i + 7), ' ') AS ngram
+        FROM toks JOIN generate_series(1, 2048) g(i)
+          ON i <= len(t) - 7
+    )
+    SELECT ngram, count(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY ngram
+    HAVING count(DISTINCT doc_id) >= 3
+    ORDER BY n_docs DESC, ngram
+    LIMIT 20
+    """,
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span mining: every 8-token shingle that
+    appears in >= 3 distinct documents — the boilerplate/template
+    detector used to clean pretraining corpora (the span list feeds a
+    removal pass). Map-side: tokenize + slide an 8-token window via
+    transform over an index sequence (no Python); one shuffle for the
+    distinct-doc count; top-20 via TakeOrderedAndProject."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("t") - 7, F.lit(0))),
+                lambda i: F.array_join(F.slice("t", i, 8), " "),
+            )
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+_BPE_PATTERN = r"(?:'(?:s|t|re|ve|m|ll|d))|[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+@_q(
+    "text_bpe_token_estimate",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}'))::BIGINT AS bpe_tokens,
+           len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: a GPT-2-style pre-tokenizer regex
+    (contractions | letter runs | single digits | punctuation) counted
+    per document alongside the whitespace count. Pure JVM regex at
+    scan speed; the pattern is deliberately RE2-compatible so the
+    DuckDB twin runs the identical expression."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast("long").alias("bpe_tokens"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long").alias("ws_tokens"),
+    )
+
+
+@_q(
     "reflect_bridge_demo",
     """
     SELECT * FROM (VALUES
@@ -2173,7 +2338,7 @@ GRADED_FIRST: list[str] = [
     "argmax_customer_by_nation", "argmin_supplier_by_nation", "gc_reference_query",
     # windows
     "window_rank_orders", "sessionize_events", "running_daily_revenue",
-    "event_percent_rank_low",
+    "event_percent_rank_low", "session_window_native", "sliding_window_rollup",
     # multi-dim grouping / set ops / skew
     "lineitem_grouping_sets", "events_pivot_by_type", "acctbal_union_all",
     "salted_event_rollup",
@@ -2184,16 +2349,17 @@ GRADED_FIRST: list[str] = [
     "promo_revenue_share", "hourly_event_rollup", "streaming_hourly_rollup",
     # function + connector surface
     "json_extract_events", "m_add_demo", "multimodal_meta",
-    "kf_pull_window", "http_enrich", "word_topk",
+    "kf_pull_window", "http_enrich",
     # dedup suite
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     # text analysis suite
     "text_token_count", "text_quality", "text_language_id", "text_fingerprint",
+    "repeated_ngram_spans",
     # embeddings
     "embedding_cosine_topk", "embedding_neardup",
     # deterministic sampling / packing / graph
-    "sample_documents_hash", "sample_stratified_lang", "sample_per_group_reservoir",
-    "pack_token_batches", "connected_components_runs", "split_assign_demo",
+    "sample_documents_hash", "sample_stratified_lang",
+    "pack_token_batches", "connected_components_runs",
     "quality_quartile_filter",
 ]
 
