@@ -60,6 +60,12 @@ HEADLINE = [
     # wide-shape + skew primitives
     "events_pivot_by_type",
     "salted_event_rollup",
+    # round-2 additions: hopping windows, native session windows,
+    # repeated-span mining, histogram-cutoff quality filter
+    "sliding_window_rollup",
+    "session_window_native",
+    "repeated_ngram_spans",
+    "quality_quartile_filter",
 ]
 
 

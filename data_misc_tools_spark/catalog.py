@@ -641,6 +641,56 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_sliding_rollup",
+    """
+    WITH b AS (
+        SELECT event_type,
+               (floor(epoch(ts) / 1800))::BIGINT * 1800 AS bucket
+        FROM events
+    ), w AS (
+        SELECT event_type, bucket - k.k * 1800 AS ws
+        FROM b JOIN (VALUES (0), (1)) k(k) ON true
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M') AS win_start,
+           event_type,
+           count(*) AS n_events
+    FROM w
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sliding_window_rollup executed through Structured Streaming
+    (file source -> hopping-window agg -> memory sink, availableNow):
+    the built-in F.window(1h, 30min) is the same operator in batch and
+    streaming, so the oracle carries over verbatim — the point of
+    declaring windows instead of hand-slicing micro-batches like the
+    reference's runner (reference: process/KafkaHelper.scala:89-131)."""
+    from data_misc_tools_spark.session import nanos_ts_columns
+    from data_misc_tools_spark.streaming.batch_replay import replay_parquet_aggregate
+
+    path = f"{sf_dir}/events.parquet"
+    nanos = nanos_ts_columns(path)
+
+    def fix_ts(df: DataFrame) -> DataFrame:
+        for c in nanos:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        return df
+
+    out = replay_parquet_aggregate(
+        spark,
+        path,
+        group_cols=[F.window("ts", "1 hour", "30 minutes"), F.col("event_type")],
+        aggs=[F.count("*").alias("n_events")],
+        transform=fix_ts,
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication suite (training-data pipeline operators)
 # ---------------------------------------------------------------------------
