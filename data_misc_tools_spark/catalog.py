@@ -2736,7 +2736,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     idx = tempfile.mkdtemp(prefix="pq_idx_")
-    pq_build_index(e, idx, n_clusters=8, m_subvectors=8, n_codes=32)
+    pq_build_index(e, idx, n_clusters=8, m_subvectors=8, n_codes=32, residual=True)
     return pq_query_index(e.limit(10), idx, k=5, n_probe=8)
 
 

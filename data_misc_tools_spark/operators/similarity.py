@@ -463,8 +463,16 @@ def pq_build_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Train and persist an IVF-PQ index.
+
+    ``residual=True`` encodes ``v - centroid(cell)`` instead of the
+    raw vector (the standard IVF-PQ refinement): codes spend their
+    budget on local detail around each centroid instead of re-encoding
+    the centroid's position, so recall at the same code budget is
+    higher. The query-side score decomposes exactly as
+    ``q·v ≈ q·c + q·r`` — the probe pass already computes ``q·c``.
 
     Layout = :func:`ivf_build_index` (cell-partitioned parquet +
     centers) except each cell stores ``m_subvectors`` uint8-range PQ
@@ -493,14 +501,15 @@ def pq_build_index(
         id_col, "__nv", F.col("prediction").alias("cell")
     )
 
-    # --- codebooks: driver-side sample, per-subspace Lloyd ---
-    sample = np.array(
-        [
-            r[1]
-            for r in normed.orderBy(id_col).limit(train_sample).collect()
-        ],
-        dtype=np.float64,
+    centers_np = np.array(
+        [[float(x) for x in c] for c in model.clusterCenters()], dtype=np.float64
     )
+
+    # --- codebooks: driver-side sample, per-subspace Lloyd ---
+    srows = assigned.orderBy(id_col).limit(train_sample).collect()
+    sample = np.array([r[1] for r in srows], dtype=np.float64)
+    if residual:
+        sample = sample - centers_np[np.array([r[2] for r in srows])]
     dim = sample.shape[1]
     if dim % m_subvectors:
         raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
@@ -516,6 +525,8 @@ def pq_build_index(
 
         for pdf in batches:
             mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__nv"]])
+            if residual:
+                mat = mat - centers_np[pdf["cell"].to_numpy()]
             codes = np.empty((len(mat), m_subvectors), dtype=np.int64)
             for j, cb in enumerate(books):
                 sub = mat[:, j * dsub : (j + 1) * dsub]
@@ -545,6 +556,9 @@ def pq_build_index(
         ],
         "m int, code int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def pq_query_index(
@@ -570,6 +584,10 @@ def pq_query_index(
 
     spark = queries.sparkSession
     centers_df = spark.read.parquet(f"{path}/centers")
+    try:
+        residual = bool(spark.read.parquet(f"{path}/meta").first().residual)
+    except Exception:
+        residual = False  # pre-meta index layout: raw encoding
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     m_sub = max(r.m for r in cb) + 1
     n_codes = max(r.code for r in cb) + 1
@@ -593,7 +611,7 @@ def pq_query_index(
     probed = (
         qcells.withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", "cell")
+        .select("query_id", "__qv", "cell", "__cd")
     )
     cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
     cand = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
@@ -615,7 +633,11 @@ def pq_query_index(
                 ]
             )  # (m, n_codes)
             codes = np.vstack([np.asarray(c) for c in grp["codes"]])
-            sims = np.round(table[np.arange(m_sub)[:, None], codes.T].sum(0), 4)
+            # residual decomposition: q·v ≈ q·centroid(cell) + q·residual
+            base = grp["__cd"].to_numpy() if residual else 0.0
+            sims = np.round(
+                base + table[np.arange(m_sub)[:, None], codes.T].sum(0), 4
+            )
             ids = grp[id_col].to_numpy()
             order = np.lexsort((ids, -sims))[:k]
             out.append(

@@ -192,3 +192,52 @@ def test_pq_codes_compress_and_partition_prune(spark, vectors, tmp_path):
     assert len(row.codes) == 4 and all(0 <= c < 16 for c in row.codes)
     out = S.pq_query_index(df.filter("vec_id < 2"), idx, k=3, n_probe=1)
     assert out.count() <= 2 * 3
+
+
+def test_pq_residual_exact_with_covering_codebook(spark, vectors, tmp_path):
+    """Residual encoding with a covering codebook is also lossless:
+    q·c + q·(v-c) must reproduce brute-force cosine exactly to 4dp."""
+    df, _ = vectors
+    corpus = df.filter("vec_id < 40")
+    queries = df.filter("vec_id < 3")
+    idx = str(tmp_path / "pq_res_exact")
+    S.pq_build_index(
+        corpus, idx, n_clusters=4, m_subvectors=4, n_codes=64, residual=True
+    )
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in S.cosine_topk(queries, corpus, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id): r.sim
+        for r in S.pq_query_index(queries, idx, k=5, n_probe=4).collect()
+    }
+    assert set(got) == set(exact)
+    for key in exact:
+        assert abs(got[key] - exact[key]) <= 1e-4
+
+
+def test_pq_residual_recall_not_worse_than_raw(spark, vectors, tmp_path):
+    """At the same tight code budget, residual encoding's recall must
+    at least match raw encoding (it re-centers every cell's codes)."""
+    df, _ = vectors
+    queries = df.filter("vec_id < 10")
+    exact_pairs = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(queries, df, k=5).collect()
+    }
+
+    def recall(residual):
+        idx = str(tmp_path / f"pq_cmp_{residual}")
+        S.pq_build_index(
+            df, idx, n_clusters=4, m_subvectors=4, n_codes=8, residual=residual
+        )
+        got = {
+            (r.query_id, r.vec_id)
+            for r in S.pq_query_index(queries, idx, k=5, n_probe=4).collect()
+        }
+        return len(exact_pairs & got) / len(exact_pairs)
+
+    r_raw, r_res = recall(False), recall(True)
+    assert r_res >= r_raw, (r_raw, r_res)
+    assert r_res >= 0.5, r_res
