@@ -58,3 +58,40 @@ def test_sketch_aggregates_within_tolerance(spark, sf_dir):
     p_approx = e.agg(F.percentile_approx("value", 0.9, 1000)).first()[0]
     spread = e.agg(F.max("value") - F.min("value")).first()[0]
     assert abs(p_approx - p_exact) <= 0.05 * spread
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO Exchange operators (the 100 TB fact-join
+    layout: the shuffle happens once at write time, never again)."""
+    from data_misc_tools_spark.session import load_tables
+    from data_misc_tools_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    write_bucketed(
+        t["orders"].withColumnRenamed("o_orderkey", "key"), "b_orders", "key", 4
+    )
+    write_bucketed(
+        t["lineitem"].withColumnRenamed("l_orderkey", "key"), "b_lineitem", "key", 4
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "b_orders", "b_lineitem", "key")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # cross-check the result is the real join
+            n = joined.count()
+            want = (
+                t["orders"]
+                .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+                .count()
+            )
+            assert n == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
