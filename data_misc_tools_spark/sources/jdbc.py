@@ -35,7 +35,13 @@ def jdbc_to_df(
     into range predicates executed in parallel across executors —
     replacing the reference's single-connection collect.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
+    if partition_column is None:
+        reader = reader.option("query", query)
+    else:
+        # the JDBC source forbids 'query' together with partitioning —
+        # wrap the query as a derived-table dbtable instead
+        reader = reader.option("dbtable", f"({query}) spark_jdbc_sub")
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
