@@ -115,9 +115,23 @@ class ScriptTask:
 class Runner:
     """Scheduler + execution-record keeper for a set of ScriptTasks."""
 
-    def __init__(self, spark: SparkSession, records_path: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        records_path: str,
+        records_jdbc_url: str | None = None,
+        records_table: str = "execution_records",
+        jdbc_properties: dict[str, str] | None = None,
+    ) -> None:
+        """``records_path`` is the parquet records table; passing
+        ``records_jdbc_url`` instead persists records to a database
+        table like the reference's JDO-backed RecordDao
+        (records/RecordDao.scala:19-22 writes MySQL)."""
         self.spark = spark
         self.records_path = records_path
+        self.records_jdbc_url = records_jdbc_url
+        self.records_table = records_table
+        self.jdbc_properties = dict(jdbc_properties or {})
         self.last_result: dict[str, Any] = {}
         self.last_started: dict[str, float] = {}
         self._stop = False
@@ -152,14 +166,26 @@ class Runner:
                 str(result)[:4000],
             )
         ]
-        (
-            self.spark.createDataFrame(row, RECORD_SCHEMA)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self.records_path)
-        )
+        df = self.spark.createDataFrame(row, RECORD_SCHEMA).coalesce(1)
+        if self.records_jdbc_url is not None:
+            from data_misc_tools_spark.sources.jdbc import df_to_jdbc
+
+            df_to_jdbc(
+                df, self.records_jdbc_url, self.records_table,
+                mode="append", properties=self.jdbc_properties,
+            )
+        else:
+            df.write.mode("append").parquet(self.records_path)
 
     def records(self):
+        if self.records_jdbc_url is not None:
+            from data_misc_tools_spark.sources.jdbc import jdbc_to_df
+
+            return jdbc_to_df(
+                self.spark, self.records_jdbc_url,
+                f"SELECT * FROM {self.records_table}",
+                properties=self.jdbc_properties,
+            )
         return self.spark.read.parquet(self.records_path)
 
     # -- scheduling ------------------------------------------------------

@@ -68,3 +68,31 @@ def test_jdbc_to_view_composes_with_sql(spark, derby):
     )
     n = spark.sql("SELECT count(*) AS n FROM people_v WHERE id < 3").first().n
     assert n == 3
+
+
+def test_runner_records_to_jdbc_and_restart_recovery(spark, tmp_path):
+    """Execution records persisted to a database table (the reference's
+    RecordDao/MySQL path) — and a fresh Runner instance recovers its
+    interval throttle state from the database across 'restarts'."""
+    import time
+
+    from data_misc_tools_spark.runner import Runner, ScriptTask
+
+    script = tmp_path / "job.py"
+    script.write_text("def run(spark, param):\n    return 'ok'\n")
+    url = "jdbc:derby:memory:runnerrec;create=true"
+    kw = dict(
+        records_jdbc_url=url, records_table="exec_records",
+        jdbc_properties=PROPS,
+    )
+    r1 = Runner(spark, str(tmp_path / "unused"), **kw)
+    task = ScriptTask(str(script), interval="PT1H")
+    assert r1.run_once(task) == "ok"
+    recs = r1.records().collect()
+    assert len(recs) == 1 and recs[0].status == "succeeded"
+
+    # restart: a brand-new Runner reads last_started from the DB, so
+    # the 1-hour throttle suppresses an immediate re-run
+    r2 = Runner(spark, str(tmp_path / "unused2"), **kw)
+    assert r2.last_started  # recovered
+    assert not r2.is_ready(task, now=time.time())
