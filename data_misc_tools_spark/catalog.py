@@ -2677,6 +2677,37 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "profile_documents",
+    """
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           min(doc_id)::VARCHAR AS min_val, max(doc_id)::VARCHAR AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+           min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+           min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table (operators/
+    profile.py): null counts, exact cardinalities, and min/max per
+    column from ONE aggregate pass + stack unpivot — the drift-check
+    input for dataset-version diffs. The oracle spells the same stats
+    as four UNION ALL aggregates."""
+    from data_misc_tools_spark.operators.profile import profile_table
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return profile_table(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@_q(
     "reflect_bridge_demo",
     """
     SELECT * FROM (VALUES

@@ -1,0 +1,53 @@
+"""Table profiler: per-column statistics in one scan.
+
+The data-quality pass every large-scale ingest runs before training:
+null ratios, cardinalities, and value ranges per column, as a
+DataFrame (one row per column) so drift checks can diff profiles
+across dataset versions.
+
+Shape: ONE aggregate over the table computes every statistic as a
+single wide row (Catalyst evaluates all aggregates in one pass over
+the scan; the distinct counts add an Expand but no extra scan), then
+``stack`` unpivots driver-free to a row per column. For 100 TB runs
+set ``exact_distinct=False`` — approx_count_distinct (HLL++) keeps
+the distinct-count state bounded instead of shuffling every value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df``.
+
+    Output: (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)
+    — min/max cast to string AFTER aggregation so numeric ordering is
+    preserved and the output schema is column-type-independent.
+    """
+    cols = columns or df.columns
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+                distinct(c).alias(f"__dist_{c}"),
+                F.min(c).cast("string").alias(f"__min_{c}"),
+                F.max(c).cast("string").alias(f"__max_{c}"),
+            ]
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+        "__n AS n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

@@ -81,3 +81,21 @@ def test_compact_parquet(spark, tmp_path):
     after = compact_parquet(spark, path, target_file_mb=128)
     assert after < before
     assert spark.read.parquet(path).count() == 10_000  # no data loss
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from data_misc_tools_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k int, v string"
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 4
+    assert prof["k"].n_nulls == 1
+    assert prof["k"].n_distinct == 3
+    assert (prof["k"].min_val, prof["k"].max_val) == ("1", "3")
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+
+    # scale mode: HLL distinct, same shape
+    approx = {r.col_name: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert approx["v"].n_distinct >= 1
