@@ -2677,6 +2677,62 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "zktree_source_demo",
+    """
+    SELECT * FROM (VALUES
+        ('/app',          'root'),
+        ('/app/db',       'mysql'),
+        ('/app/db/host',  'h1'),
+        ('/app/db/port',  '3306')
+    ) t(p, v)
+    """,
+)
+def zktree_source_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zktree Python DataSource as a planner-visible scan
+    (sources/pydatasource.py; reference: UDFZooKeeperRead.java). The
+    deterministic fake_data seed makes the connector read
+    oracle-checkable; a real cluster swaps .option('hosts', ...) in."""
+    import json
+
+    seed = {"/app": "root", "/app/db": "mysql",
+            "/app/db/host": "h1", "/app/db/port": "3306"}
+    return (
+        spark.read.format("zktree")
+        .option("paths", "/app")
+        .option("fake_data", json.dumps(seed))
+        .load()
+        .orderBy("p")
+    )
+
+
+@_q(
+    "rediskeys_source_demo",
+    """
+    SELECT * FROM (VALUES
+        ('user:1',  'ann'),
+        ('user:10', 'cat'),
+        ('user:2',  'bob')
+    ) t(k, v)
+    """,
+)
+def rediskeys_source_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rediskeys Python DataSource: pattern-scan into (k, v) rows
+    through the SCAN cursor contract (reference:
+    redis/UDTFJedisKeys.java:19-48), oracle-checked via the
+    deterministic fake seed."""
+    import json
+
+    seed = {"user:1": "ann", "user:2": "bob", "cfg:x": "1", "user:10": "cat"}
+    return (
+        spark.read.format("rediskeys")
+        .option("pattern", "user:*")
+        .option("fake_data", json.dumps(seed))
+        .load()
+        .orderBy("k")
+    )
+
+
+@_q(
     "profile_documents",
     """
     SELECT 'doc_id' AS col_name, count(*) AS n_rows,

@@ -53,6 +53,18 @@ def test_semi_and_anti_joins_stay_semi(spark, sf_dir):
     assert "LeftAnti" in p22
 
 
+def test_q7_q8_broadcast_all_dimensions(spark, sf_dir):
+    for name in ["q7_volume_shipping", "q8_market_share"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q10_top20_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, "q10_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_quality_quartile_filter_has_no_window(spark, sf_dir):
     """The primary quartile filter must be the histogram-cutoff form:
     a scan-local comparison filter, never a global-ntile Window (that
