@@ -98,6 +98,9 @@ def cosine_neardup_pairs(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = None,
+    subdivide_planes: int = 4,
+    seed: int = 7,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
 
@@ -106,10 +109,43 @@ def cosine_neardup_pairs(
     scalability lever; pass None for the exact all-pairs (test sizes
     only). Output: (vec_a, vec_b, sim).
 
+    ``max_block_rows`` is the block-size guard for skewed blocking
+    keys: any block larger than the limit is SUBDIVIDED by a seeded
+    sign-LSH sub-bucket appended to the blocking key, capping the n²
+    term at (block/2^planes)² per sub-bucket. Within oversized blocks
+    this trades recall (pairs straddling a hyperplane are missed —
+    near-identical vectors almost always land together); leave None
+    for the exact oracle twin.
+
     Vectors are L2-normalized ONCE before the pair join, so the
     per-pair cost is a single dot product instead of dot + two norms
     (the n² side of the computation is the one to slim down).
     """
+    if max_block_rows is not None and block_col is not None:
+        import random
+
+        rng = random.Random(seed)
+        dim = len(df.select(vec_col).first()[0])
+        planes = [
+            [rng.gauss(0, 1) for _ in range(dim)] for _ in range(subdivide_planes)
+        ]
+        sizes = df.groupBy(block_col).agg(F.count("*").alias("__bn"))
+        df = (
+            df.join(F.broadcast(sizes), block_col)
+            .withColumn(
+                "__blk",
+                F.when(
+                    F.col("__bn") > max_block_rows,
+                    F.concat_ws(
+                        "#",
+                        F.col(block_col).cast("string"),
+                        hyperplane_signature(F.col(vec_col), planes).cast("string"),
+                    ),
+                ).otherwise(F.col(block_col).cast("string")),
+            )
+            .drop("__bn")
+        )
+        block_col = "__blk"
     normed = df.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col),

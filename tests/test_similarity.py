@@ -5,6 +5,7 @@ import random
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from data_misc_tools_spark.operators import similarity as S
 
@@ -241,3 +242,29 @@ def test_pq_residual_recall_not_worse_than_raw(spark, vectors, tmp_path):
     r_raw, r_res = recall(False), recall(True)
     assert r_res >= r_raw, (r_raw, r_res)
     assert r_res >= 0.5, r_res
+
+
+def test_neardup_block_guard_subdivides_oversized_blocks(spark, vectors):
+    """With max_block_rows set, oversized blocks split into sign-LSH
+    sub-buckets: output is a subset of the exact pairs, near-identical
+    vectors still pair, small blocks are untouched (exact)."""
+    df, rows = vectors
+    # one giant block (all label 0) plus a near-duplicate pair in it
+    base = df.withColumn("label", F.lit(0))
+    twin = spark.createDataFrame(
+        [(1000, [v * 1.001 for v in rows[0][1]], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    data = base.unionByName(twin)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs(data, threshold=0.5).collect()
+    }
+    guarded = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs(
+            data, threshold=0.5, max_block_rows=10
+        ).collect()
+    }
+    assert guarded <= exact  # never invents pairs
+    assert (0, 1000) in guarded  # near-identical pair survives the split
