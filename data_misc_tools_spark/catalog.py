@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 from data_misc_tools_spark.session import load_tables
 from data_misc_tools_spark.functions.aggregates import max_with, min_with
 from data_misc_tools_spark.functions.scalar import su_strip, url_encode
+from data_misc_tools_spark.operators import contamination as C
 from data_misc_tools_spark.operators import dedup as D
 from data_misc_tools_spark.operators import similarity as S
 from data_misc_tools_spark.operators import text as T
@@ -2512,6 +2513,303 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT c.l_partkey, c.unit_cost, s.s_acctbal, s.s_name, n.n_name
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.unit_cost AS unit_cost
+    FROM eu e JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+      AND e.unit_cost = (SELECT min(e2.unit_cost) FROM eu e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (adapted: lineitem stands
+    in for the absent partsupp; unit cost = min extendedprice/quantity
+    observed for the (part, supplier) pair). The correlated min-cost
+    subquery becomes a window min over the part key AFTER the part
+    filter prunes the frame. unit_cost is a min over per-row IEEE
+    divisions (no accumulation order), so both engines hold identical
+    doubles — it is emitted UNROUNDED: the usual round(...,4) would
+    REINTRODUCE divergence (Spark rounds the exact binary expansion,
+    DuckDB the shortest decimal — they split at ...X5 boundaries).
+
+    Scale: cost agg shuffles on (partkey, suppkey); dims broadcast;
+    the window min re-shuffles only the filtered slice.
+    reference: relational surface delegated to Hive (SURVEY §2.3)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"])
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    parts = t["part"].filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("__mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("__mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+    WITH v AS (
+        SELECT l.l_partkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)) * 1e4)::BIGINT
+                   AS value_e4
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_nationkey % 3 = 0
+        GROUP BY 1
+    )
+    SELECT l_partkey AS partkey, value_e4 / 10000.0 AS value
+    FROM v
+    WHERE 900 * value_e4 > (SELECT sum(value_e4)::BIGINT FROM v)
+    ORDER BY value_e4 DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock (adapted: lineitem revenue for
+    a supplier-nation slice stands in for partsupp stock value; the
+    slice is nationkey % 3 = 0 so it is non-empty at every SF). The
+    HAVING-over-global-sum threshold is computed in EXACT integer
+    math: per-part value scales to a BIGINT at 4dp once, then
+    `900 * value_e4 > total_e4` compares integers — no double
+    accumulation can flip a boundary row between engines.
+
+    Scale: one shuffle on partkey; the global total is a broadcast
+    scalar, not a second pass over lineitem."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_nationkey") % 3 == 0)),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1e4)
+            .cast("long")
+            .alias("value_e4")
+        )
+    )
+    total = v.agg(F.sum("value_e4").alias("__tot"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(900 * F.col("value_e4") > F.col("__tot"))
+        .orderBy(F.desc("value_e4"), "l_partkey")
+        .selectExpr("l_partkey AS partkey", "value_e4 / 10000.0D AS value")
+    )
+
+
+@_q(
+    "q20_part_promotion_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_11', 'NATION_19')
+      AND s.s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 100
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style nested-IN supplier screen (adapted: 'shipped
+    more than 100 units of red parts in 1996' replaces the availqty
+    vs half-of-shipped predicate — same nested IN → grouped HAVING →
+    IN shape). sum(l_quantity) is a sum of integral doubles, exact
+    below 2^53, so the HAVING boundary is engine-stable.
+
+    Scale: the inner aggregate reduces lineitem to a per-supplier
+    set that broadcasts into a semi join; the part screen broadcasts
+    into the lineitem scan."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    red_parts = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    qualified = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(
+                    F.col("n_name").isin("NATION_3", "NATION_11", "NATION_19")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(F.broadcast(qualified), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+    WITH ls AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT l_orderkey, l_suppkey, late,
+               count(*)  OVER (PARTITION BY l_orderkey)           AS n_supp,
+               (sum(late) OVER (PARTITION BY l_orderkey))::BIGINT AS n_late
+        FROM ls
+    )
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM agg a
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE a.late = 1 AND a.n_supp > 1 AND a.n_late = 1
+      AND n.n_name IN ('NATION_2', 'NATION_12', 'NATION_22')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style 'suppliers who kept orders waiting' (adapted:
+    no receipt/commit dates in the slimmed schema, so 'late' means
+    shipped >60 days after the order date). The original's
+    EXISTS(other supplier) AND NOT EXISTS(other late supplier)
+    correlated pair collapses to per-order window counts over the
+    (order, supplier) frame: sole late supplier on a multi-supplier
+    finished order.
+
+    Scale: one shuffle on (orderkey, suppkey) for the dedup agg; the
+    window reuses the orderkey clustering; supplier/nation broadcast."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "nation"])
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    ls = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(
+                    F.col("n_name").isin("NATION_2", "NATION_12", "NATION_22")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        ls.withColumn("__n", F.count("*").over(w))
+        .withColumn("__nl", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("__n") > 1) & (F.col("__nl") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@_q(
+    "eval_contamination",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT t.doc_id, md5(array_to_string(w[g.g:g.g+3], ' ')) AS gh
+        FROM toks t JOIN generate_series(1, 2048) g(g)
+          ON g.g <= len(t.w) - 3
+    ), train AS (SELECT DISTINCT doc_id, gh FROM grams WHERE doc_id % 29 <> 3),
+         ev   AS (SELECT DISTINCT doc_id, gh FROM grams WHERE doc_id % 29 = 3),
+         esz  AS (SELECT doc_id, count(*) AS n_eval FROM ev GROUP BY 1)
+    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+           count(*)::BIGINT AS n_overlap, any_value(s.n_eval)::BIGINT AS n_eval
+    FROM train t JOIN ev e ON e.gh = t.gh
+    JOIN esz s ON s.doc_id = e.doc_id
+    GROUP BY 1, 2
+    HAVING 10 * count(*) >= any_value(s.n_eval)
+    ORDER BY n_overlap DESC, train_doc, eval_doc
+    """,
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥10% of an
+    eval doc's distinct word 4-grams (doc_id % 29 = 3 is the held-out
+    'benchmark' slice). Gram sets build map-only (array lambdas +
+    in-row distinct), the eval side broadcasts, and the threshold is
+    integer math — see operators/contamination.py."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    train = docs.filter(F.col("doc_id") % 29 != 3)
+    ev = docs.filter(F.col("doc_id") % 29 == 3)
+    return C.contamination_pairs(train, ev, n=4, threshold_times=10)
+
+
+@_q(
     "sliding_window_rollup",
     """
     WITH b AS (
@@ -2847,8 +3145,10 @@ GRADED_FIRST: list[str] = [
     # windows
     "window_rank_orders", "sessionize_events", "running_daily_revenue",
     "event_percent_rank_low", "session_window_native", "sliding_window_rollup",
-    # multi-dim grouping / set ops / skew
-    "lineitem_grouping_sets", "events_pivot_by_type", "acctbal_union_all",
+    # multi-dim grouping / set ops / skew (acctbal_union_all demoted
+    # past the cap in r2: plain UNION ALL, the least informative slot;
+    # set-op semantics stay covered by the INTERSECT/EXCEPT queries)
+    "lineitem_grouping_sets", "events_pivot_by_type",
     "salted_event_rollup",
     # joins beyond equi
     "asof_purchase_prior_click",
@@ -2858,8 +3158,9 @@ GRADED_FIRST: list[str] = [
     # function + connector surface
     "json_extract_events", "m_add_demo", "multimodal_meta",
     "kf_pull_window", "http_enrich",
-    # dedup suite
+    # dedup / decontamination suite
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "eval_contamination",
     # text analysis suite
     "text_token_count", "text_quality", "text_language_id", "text_fingerprint",
     "repeated_ngram_spans",

@@ -105,3 +105,35 @@ def test_grouping_sets_single_exchange(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert plan.count("Exchange") <= 2  # one agg exchange (+AQE read)
     assert "Expand" in plan
+
+
+def test_q2_filters_before_window_min(spark, sf_dir):
+    """q2's correlated min-cost subquery is a window min; the part /
+    region screens must broadcast and prune BEFORE the window, so the
+    windowed frame is the filtered slice, not all of lineitem."""
+    plan = _plan(spark, "q2_min_cost_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 never global-sorts
+
+
+def test_q11_total_is_broadcast_scalar(spark, sf_dir):
+    """The HAVING-over-global-sum threshold joins as a broadcast
+    scalar (BroadcastNestedLoopJoin over 1 row), not a shuffle."""
+    plan = _plan(spark, "q11_important_parts", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_nested_in_compiles_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, "q20_part_promotion_suppliers", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_q21_window_reuses_group_clustering(spark, sf_dir):
+    """The per-order window runs over the (orderkey, suppkey) agg:
+    no Python, dims broadcast, and the final top-k heap-selects."""
+    plan = _plan(spark, "q21_waiting_suppliers", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
