@@ -66,6 +66,13 @@ HEADLINE = [
     "session_window_native",
     "repeated_ngram_spans",
     "quality_quartile_filter",
+    # round-2 late additions: correlated-min / global-threshold /
+    # nested-IN / sole-late-supplier TPC-H shapes, decontamination
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "eval_contamination",
 ]
 
 

@@ -2810,6 +2810,38 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_unigram_nll",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+    ), total AS (SELECT sum(cnt) AS t FROM freq),
+    model AS (
+        SELECT tok, round(-ln(cnt / t.t) * 1e6)::BIGINT AS nll_e6
+        FROM freq, total t
+    )
+    SELECT s.doc_id, count(*)::BIGINT AS n_tokens,
+           ((2 * sum(m.nll_e6)::BIGINT + 100 * count(*))
+              // (200 * count(*))) / 10000.0 AS avg_nll
+    FROM toks s JOIN model m ON m.tok = s.tok
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: per-document average negative
+    log-likelihood under the corpus's own unigram model (the
+    CCNet/Gopher-style LM filter). All cross-engine math is integer
+    (per-token e6-scaled NLL, half-up integer average) — see
+    operators/text.py:unigram_nll_scores."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.unigram_nll_scores(docs).orderBy("doc_id")
+
+
+@_q(
     "sliding_window_rollup",
     """
     WITH b AS (

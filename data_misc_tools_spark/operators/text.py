@@ -191,3 +191,58 @@ def top_quartile_filter(
     """
     cutoff = score_cutoff(df, score_col)
     return df.filter(F.col(score_col) > F.lit(cutoff))
+
+
+def unigram_nll_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    freqs: DataFrame | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a corpus
+    unigram language model — the perplexity-proxy quality filter of
+    CCNet/Gopher-style pipelines (high NLL = rare-token soup; low =
+    repetitive boilerplate).
+
+    ``freqs`` (token, cnt) lets a reference corpus score a different
+    target corpus; by default the model is fit on ``df`` itself.
+
+    Engine-exact by construction: each token's -ln(cnt/total) scales
+    to an e6 BIGINT with a per-row round (transcendental values never
+    sit on decimal half-boundaries), per-doc sums are integer-exact,
+    and the average divides half-up in pure integer math — no double
+    accumulation anywhere, so the DuckDB twin matches hash-exactly.
+
+    Scale: token explode is map-only; the model is one hash-agg on
+    token; scoring joins tokens to the vocab — broadcast when the
+    vocab fits (default; ~1M-token vocabs are MBs), else a shuffle
+    equi-join on token with AQE handling stopword skew
+    (broadcast_vocab=False). Output: (id_col, n_tokens, avg_nll).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    if freqs is None:
+        freqs = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freqs.agg(F.sum("cnt").cast("long").alias("__total"))
+    model = freqs.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log(F.col("cnt") / F.col("__total")) * 1e6)
+        .cast("long")
+        .alias("__nll_e6"),
+    )
+    scored = toks.join(
+        F.broadcast(model) if broadcast_vocab else model, "tok"
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__nll_e6").alias("__s"),
+            F.count("*").alias("__n"),
+        )
+        .selectExpr(
+            id_col,
+            "cast(__n AS bigint) AS n_tokens",
+            # half-up integer average: e6 sum / (100 * count) -> 4dp
+            "((2 * __s + 100 * __n) div (200 * __n)) / 10000.0D AS avg_nll",
+        )
+    )

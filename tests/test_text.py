@@ -67,3 +67,48 @@ def test_clean_text_collapses_whitespace(spark):
     )
     got = {r.id: r.c for r in df.select("id", clean_text("text").alias("c")).collect()}
     assert got == {1: "a b c", 2: "one two", 3: ""}
+
+
+class TestUnigramNLL:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.avg_nll)
+            for r in T.unigram_nll_scores(df).collect()
+        }
+        # corpus: a:2 b:2 c:1, total 5
+        nll = lambda p: round(-math.log(p) * 1e6)
+        exp1 = round((2 * nll(0.4) + nll(0.4)) / 300 + 1e-9) / 1e4
+        exp2 = round((nll(0.4) + nll(0.2)) / 200 + 1e-9) / 1e4
+        assert got[1] == (3, exp1)
+        assert got[2] == (2, exp2)
+        # rare-token doc scores strictly worse (higher NLL)
+        assert got[2][1] > got[1][1]
+
+    def test_external_reference_model(self, spark):
+        ref = spark.createDataFrame(
+            [(1, "x x x y")], "doc_id long, text string"
+        )
+        target = spark.createDataFrame([(9, "x y")], "doc_id long, text string")
+        from data_misc_tools_spark.operators.text import tokens
+        from pyspark.sql import functions as F
+
+        freqs = (
+            ref.select(F.explode(tokens("text")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("cnt"))
+        )
+        out = T.unigram_nll_scores(target, freqs=freqs).collect()
+        assert out[0].n_tokens == 2
+        # avg of -ln(0.75), -ln(0.25)
+        import math
+        e6 = round(-math.log(0.75) * 1e6) + round(-math.log(0.25) * 1e6)
+        assert out[0].avg_nll == round(e6 / 200 + 1e-9) / 1e4
+
+    def test_jvm_only_plan(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        plan = T.unigram_nll_scores(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
