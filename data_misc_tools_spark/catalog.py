@@ -2842,6 +2842,47 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mixture_resample_langs",
+    """
+    WITH n AS (
+        SELECT lang, count(*) AS n_s FROM documents GROUP BY 1
+    ), thr AS (
+        SELECT lang,
+               least(4294967296,
+                     (4294967296 * (CASE lang WHEN 'en' THEN 27
+                                              WHEN 'de' THEN 55
+                                              WHEN 'es' THEN 55
+                                              WHEN 'fr' THEN 55
+                                              WHEN 'zh' THEN 55 END)) // n_s)
+                   AS t
+        FROM n
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN thr ON thr.lang = d.lang
+    WHERE ('0x' || substr(md5('mx' || d.doc_id::VARCHAR), 1, 8))::BIGINT < thr.t
+    ORDER BY d.doc_id
+    """,
+)
+def mixture_resample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture resampling demo: rebalance the en-heavy corpus
+    toward a 1:2:2:2:2 language mixture over a 250-row budget. The
+    per-language keep-thresholds (CASE constants above = target_rows *
+    w_s // W) are integer math over measured stratum sizes, and the
+    keep decision is the engine-portable md5 hash of the doc id — see
+    operators/sampling.py:mixture_resample."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = SA.mixture_resample(
+        docs,
+        strata_col="lang",
+        key_col="doc_id",
+        weights={"en": 1, "de": 2, "es": 2, "fr": 2, "zh": 2},
+        target_rows=250,
+        salt="mx",
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@_q(
     "sliding_window_rollup",
     """
     WITH b AS (

@@ -121,3 +121,59 @@ def split_assign(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, int],
+    target_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus-mixture resampling: downsample each
+    stratum (domain, language, source) toward target share
+    ``weights[s] / sum(weights)`` of a ``target_rows`` budget — the
+    data-mixing step of a pretraining pipeline, as a pure function of
+    the row keys.
+
+    Per-stratum target t_s = target_rows * w_s // W is a plan-time
+    constant; the keep-threshold  min(2^32, 2^32 * t_s // n_s)  uses
+    the measured stratum size n_s, all in integer math, so Spark and
+    the SQL twin keep bit-identical row sets. Strata absent from
+    ``weights`` are dropped; strata smaller than their target keep
+    every row (the threshold caps at the full hash space — mixture
+    weights are a ceiling, not upsampling).
+
+    Scale: one tiny count aggregate, broadcast back into a scan-local
+    hash filter. The sampled size per stratum is binomial around t_s
+    (rate-based, not exact-k); for exact-k use per_group_reservoir.
+    """
+    total_w = sum(weights.values())
+    space = 1 << 32
+    targets = F.create_map(
+        *[
+            x
+            for s, w in sorted(weights.items())
+            for x in (F.lit(s), F.lit(target_rows * w // total_w))
+        ]
+    )
+    sizes = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("__n_s"))
+        .withColumn("__t_s", targets[F.col(strata_col)])
+        .filter(F.col("__t_s").isNotNull())
+        .withColumn(
+            "__thr",
+            F.least(
+                F.lit(space).cast("long"),
+                F.expr(f"(cast({space} as bigint) * __t_s) div __n_s"),
+            ),
+        )
+        .select(strata_col, "__thr")
+    )
+    return (
+        df.join(F.broadcast(sizes), strata_col)
+        .filter(_hash_u32(F.col(key_col), salt) < F.col("__thr"))
+        .drop("__thr")
+    )

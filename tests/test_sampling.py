@@ -1,5 +1,6 @@
 """Deterministic sampling operators: stability, coordination, rates."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from data_misc_tools_spark.operators import sampling as SA
@@ -85,3 +86,47 @@ def test_split_assign_exhaustive_and_stable(spark, sf_dir):
     whole = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
     for r in sub.select("doc_id", "split").collect():
         assert whole[r.doc_id] == r.split
+
+
+class TestMixtureResample:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        return spark.createDataFrame(rows, "k long, src string")
+
+    def test_rebalances_toward_targets(self, spark, skewed):
+        out = SA.mixture_resample(
+            skewed, "src", "k", weights={"big": 1, "small": 1}, target_rows=200
+        )
+        by = {r.src: r["cnt"] for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+        # big: rate 100/900 -> ~100 of 900; small: capped at keep-all (100 < target)
+        assert by["small"] == 100
+        assert 60 <= by["big"] <= 140
+
+    def test_small_stratum_keeps_everything_never_upsamples(self, spark, skewed):
+        out = SA.mixture_resample(
+            skewed, "src", "k", weights={"small": 10, "big": 0}, target_rows=500
+        )
+        got = sorted(r.k for r in out.collect())
+        assert got == list(range(900, 1000))  # all of small, none of big
+
+    def test_unlisted_strata_dropped(self, spark, skewed):
+        out = SA.mixture_resample(skewed, "src", "k", weights={"big": 1}, target_rows=100)
+        assert out.filter(F.col("src") == "small").count() == 0
+
+    def test_deterministic_under_repartition(self, spark, skewed):
+        a = {r.k for r in SA.mixture_resample(skewed, "src", "k", {"big": 1, "small": 3}, 300).collect()}
+        b = {
+            r.k
+            for r in SA.mixture_resample(
+                skewed.repartition(17), "src", "k", {"big": 1, "small": 3}, 300
+            ).collect()
+        }
+        assert a == b
+
+    def test_scan_local_filter_after_broadcast(self, spark, skewed):
+        plan = (
+            SA.mixture_resample(skewed, "src", "k", {"big": 1}, 100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
