@@ -2883,6 +2883,41 @@ def mixture_resample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "funnel_view_click_purchase",
+    """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS ts1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS ts2
+        FROM events e JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS ts3
+        FROM events e JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1
+    )
+    SELECT 1 AS stage, (SELECT count(*) FROM t1)::BIGINT AS n_users
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM t2)::BIGINT
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM t3)::BIGINT
+    ORDER BY stage
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: users reaching view -> click (after
+    the view) -> purchase (after the click). The oracle is the
+    correlated min-chain; the Spark plan is ONE scan + one shuffle
+    with a per-user Catalyst fold (greedy-earliest matching, provably
+    the same reachability) — see operators/temporal.py:funnel_stages."""
+    from data_misc_tools_spark.operators.temporal import funnel_counts
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@_q(
     "sliding_window_rollup",
     """
     WITH b AS (

@@ -97,3 +97,83 @@ def range_join(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
         "left",
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: how far each user progresses through
+    ``steps`` (each step strictly LATER than the one before). Output:
+    (user_col, funnel_stage) with stage in [0, len(steps)].
+
+    Greedy-earliest matching (first step-1 event, then the first
+    step-2 event after it, ...) is provably optimal for reachability,
+    so this equals the correlated min-chain a SQL engine would run.
+
+    One shuffle on the user key; the per-user fold is a Catalyst
+    array_sort + aggregate lambda over (ts, type) structs — pure JVM,
+    no Python, no per-user repeated scans (a join-per-stage plan scans
+    the events table len(steps) times; this scans ONCE). Users whose
+    event counts are pathological (bots with millions of events) cost
+    O(n log n) in the sort; pre-filter df to the step types — done
+    below — so only funnel-relevant events are carried."""
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("y"),
+        ).alias("__e"),
+    )
+    folded = (
+        ev.groupBy(user_col)
+        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
+        .select(
+            F.col(user_col),
+            F.aggregate(
+                F.col("__evs"),
+                F.struct(
+                    F.lit(0).alias("stage"),
+                    F.lit(None).cast("timestamp").alias("t"),
+                ),
+                lambda acc, e: F.when(
+                    (acc.stage < F.size(steps_lit))
+                    & (e.y == F.element_at(steps_lit, acc.stage + 1))
+                    & (acc.t.isNull() | (e.t > acc.t)),
+                    F.struct((acc.stage + 1).alias("stage"), e.t.alias("t")),
+                ).otherwise(acc),
+            ).alias("__st"),
+        )
+        .select(user_col, F.col("__st.stage").alias("funnel_stage"))
+    )
+    return folded
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Funnel conversion table: (stage, n_users) where n_users counts
+    users reaching AT LEAST that stage. Tiny result; the per-user
+    stage frame reduces map-side before the final single-partition
+    stack."""
+    st = funnel_stages(df, steps, user_col, ts_col, type_col, id_col)
+    aggs = [
+        F.sum((F.col("funnel_stage") >= i).cast("long")).alias(f"__n{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    wide = st.agg(*aggs)
+    stack_args = ", ".join(f"{i}, __n{i}" for i in range(1, len(steps) + 1))
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (stage, n_users)"
+    ).selectExpr("cast(stage AS int) AS stage", "cast(n_users AS bigint) AS n_users")

@@ -1,5 +1,6 @@
 """As-of and range join semantics."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from data_misc_tools_spark.operators.temporal import asof_join, range_join
@@ -62,3 +63,67 @@ def test_range_join_bands(spark):
     )
     out = {r.id: r.band for r in range_join(facts, bands, "v").collect()}
     assert out == {1: "low", 2: "low", 3: "mid", 4: None}  # lo inclusive, hi exclusive
+
+
+class TestFunnel:
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        rows = [
+            # user 1: full funnel in order
+            (1, "2024-01-01 00:00:00", 1, "view"),
+            (2, "2024-01-01 00:01:00", 1, "click"),
+            (3, "2024-01-01 00:02:00", 1, "purchase"),
+            # user 2: purchase BEFORE click -> stops at stage 2
+            (4, "2024-01-01 00:00:00", 2, "view"),
+            (5, "2024-01-01 00:02:00", 2, "click"),
+            (6, "2024-01-01 00:01:00", 2, "purchase"),
+            # user 3: click only (no view first) -> stage 0
+            (7, "2024-01-01 00:00:00", 3, "click"),
+            # user 4: view only -> stage 1; noise types ignored
+            (8, "2024-01-01 00:00:00", 4, "view"),
+            (9, "2024-01-01 00:01:00", 4, "error"),
+            # user 5: second view opens the path (greedy restarts not
+            # needed: earliest view at t0, click at t2 after it)
+            (10, "2024-01-01 00:00:00", 5, "view"),
+            (11, "2024-01-01 00:03:00", 5, "view"),
+            (12, "2024-01-01 00:04:00", 5, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        )
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    def test_stages_per_user(self, spark, events):
+        from data_misc_tools_spark.operators.temporal import funnel_stages
+
+        got = {
+            r.user_id: r.funnel_stage
+            for r in funnel_stages(events, ["view", "click", "purchase"]).collect()
+        }
+        assert got == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
+
+    def test_counts_are_at_least_stage(self, spark, events):
+        from data_misc_tools_spark.operators.temporal import funnel_counts
+
+        got = {
+            r.stage: r.n_users
+            for r in funnel_counts(events, ["view", "click", "purchase"]).collect()
+        }
+        assert got == {1: 4, 2: 3, 3: 1}
+
+    def test_order_scramble_invariant(self, spark, events):
+        from data_misc_tools_spark.operators.temporal import funnel_stages
+
+        shuffled = events.orderBy(F.col("event_id").desc()).repartition(7)
+        a = sorted(map(tuple, funnel_stages(events, ["view", "click"]).collect()))
+        b = sorted(map(tuple, funnel_stages(shuffled, ["view", "click"]).collect()))
+        assert a == b
+
+    def test_single_scan_no_python(self, spark, events):
+        from data_misc_tools_spark.operators.temporal import funnel_stages
+
+        plan = (
+            funnel_stages(events, ["view", "click", "purchase"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
