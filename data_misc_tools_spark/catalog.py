@@ -3248,10 +3248,13 @@ GRADED_FIRST: list[str] = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
     "q4_order_priority", "q6_forecast_revenue", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q18_large_orders", "q22_idle_rich_customers",
-    # reference UDAF surface (argmax family)
-    "argmax_customer_by_nation", "argmin_supplier_by_nation", "gc_reference_query",
-    # windows
-    "window_rank_orders", "sessionize_events", "running_daily_revenue",
+    # reference UDAF surface (argmax family; the argmin twin demoted
+    # past the cap in r2 — max_with/min_with share one implementation
+    # and gc_reference_query exercises both directions)
+    "argmax_customer_by_nation", "gc_reference_query",
+    # windows (running_daily_revenue demoted: plain cumsum, the frame
+    # semantics stay covered by sliding/session/rank/percent_rank)
+    "window_rank_orders", "sessionize_events",
     "event_percent_rank_low", "session_window_native", "sliding_window_rollup",
     # multi-dim grouping / set ops / skew (acctbal_union_all demoted
     # past the cap in r2: plain UNION ALL, the least informative slot;
@@ -3260,9 +3263,12 @@ GRADED_FIRST: list[str] = [
     "salted_event_rollup",
     # joins beyond equi
     "asof_purchase_prior_click",
-    # aggregates / ratios
-    "event_value_quantiles", "distinct_users_daily", "brand_stats",
+    # aggregates / ratios (distinct_users_daily demoted: exact
+    # count_distinct also graded via q16-style shapes and dedup_exact)
+    "event_value_quantiles", "brand_stats",
     "promo_revenue_share", "hourly_event_rollup", "streaming_hourly_rollup",
+    # r2 pipeline additions: LM quality filter, corpus mixing, funnels
+    "text_unigram_nll", "mixture_resample_langs", "funnel_view_click_purchase",
     # function + connector surface
     "json_extract_events", "m_add_demo", "multimodal_meta",
     "kf_pull_window", "http_enrich",
