@@ -73,6 +73,9 @@ HEADLINE = [
     "q20_part_promotion_suppliers",
     "q21_waiting_suppliers",
     "eval_contamination",
+    "text_unigram_nll",
+    "mixture_resample_langs",
+    "funnel_view_click_purchase",
 ]
 
 
