@@ -76,6 +76,7 @@ HEADLINE = [
     "text_unigram_nll",
     "mixture_resample_langs",
     "funnel_view_click_purchase",
+    "cohort_retention_weekly",
 ]
 
 

@@ -2918,6 +2918,32 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cohort_retention_weekly",
+    """
+    WITH up AS (
+        SELECT DISTINCT user_id, (floor(epoch(ts) / 604800))::BIGINT AS p
+        FROM events
+    ), c AS (
+        SELECT user_id, min(p) AS c FROM up GROUP BY 1
+    )
+    SELECT c.c AS cohort_period, up.p - c.c AS period_offset,
+           count(*)::BIGINT AS n_users
+    FROM up JOIN c ON c.user_id = up.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: integer epoch-
+    week buckets, per-user first-week cohort, distinct activity counts
+    per (cohort, offset) — see operators/temporal.py:cohort_retention."""
+    from data_misc_tools_spark.operators.temporal import cohort_retention
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return cohort_retention(ev)
+
+
+@_q(
     "sliding_window_rollup",
     """
     WITH b AS (

@@ -177,3 +177,34 @@ def funnel_counts(
     return wide.selectExpr(
         f"stack({len(steps)}, {stack_args}) AS (stage, n_users)"
     ).selectExpr("cast(stage AS int) AS stage", "cast(n_users AS bigint) AS n_users")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort retention table: users bucketed by the period of their
+    FIRST event, counted in every later period they return. Output:
+    (cohort_period, period_offset, n_users) — n_users active exactly
+    ``period_offset`` periods after their cohort period (offset 0 =
+    cohort size).
+
+    Periods are integer epoch buckets (default weekly), so every
+    cross-engine comparison is integer math. Scale: the distinct
+    (user, period) frame and the per-user min both hash-shuffle on the
+    user key — co-partitioned, so the self-join adds no exchange; the
+    final rollup groups a frame already reduced to user-period grain."""
+    p = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(period_seconds)).cast("long")
+    up = df.select(F.col(user_col), p.alias("__p")).distinct()
+    cohort = up.groupBy(user_col).agg(F.min("__p").alias("__c"))
+    return (
+        up.join(cohort, user_col)
+        .groupBy(
+            F.col("__c").alias("cohort_period"),
+            (F.col("__p") - F.col("__c")).alias("period_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_period", "period_offset")
+    )

@@ -127,3 +127,40 @@ class TestFunnel:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+
+
+class TestCohortRetention:
+    def test_hand_computed_table(self, spark):
+        from data_misc_tools_spark.operators.temporal import cohort_retention
+
+        day = 86400
+        rows = [
+            # users 1,2 start day 0; user 1 returns day 2; user 2 never
+            (1, 0), (1, 10), (1, 2 * day),
+            (2, day // 2),
+            # user 3 starts day 1, returns days 2 and 3
+            (3, day), (3, 2 * day), (3, 3 * day),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, sec long").select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        )
+        got = {
+            (r.cohort_period, r.period_offset): r.n_users
+            for r in cohort_retention(df, period_seconds=day).collect()
+        }
+        assert got == {
+            (0, 0): 2, (0, 2): 1,   # cohort day-0: both, then user 1 back
+            (1, 0): 1, (1, 1): 1, (1, 2): 1,  # user 3 daily streak
+        }
+
+    def test_offset_zero_equals_cohort_size(self, spark):
+        from data_misc_tools_spark.operators.temporal import cohort_retention
+
+        rows = [(u, u % 3, ) for u in range(30)]
+        df = spark.createDataFrame(rows, "user_id long, d long").select(
+            "user_id", F.timestamp_seconds(F.col("d") * 86400).alias("ts")
+        )
+        out = cohort_retention(df, period_seconds=86400).collect()
+        by = {(r.cohort_period, r.period_offset): r.n_users for r in out}
+        assert by[(0, 0)] == 10 and by[(1, 0)] == 10 and by[(2, 0)] == 10
+        assert len(by) == 3  # nobody returns
