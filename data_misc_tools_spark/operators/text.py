@@ -214,15 +214,22 @@ def unigram_nll_scores(
     and the average divides half-up in pure integer math — no double
     accumulation anywhere, so the DuckDB twin matches hash-exactly.
 
-    Scale: token explode is map-only; the model is one hash-agg on
-    token; scoring joins tokens to the vocab — broadcast when the
-    vocab fits (default; ~1M-token vocabs are MBs), else a shuffle
-    equi-join on token with AQE handling stopword skew
-    (broadcast_vocab=False). Output: (id_col, n_tokens, avg_nll).
+    Scale: model fit and scoring both branch off ONE (doc, token)
+    count aggregate, so Spark's ReusedExchange serves both from a
+    single corpus scan + explode (the naive fit-then-score plan scans
+    the corpus twice). The model is one further hash-agg on token;
+    scoring joins the vocab — broadcast when it fits (default;
+    ~1M-token vocabs are MBs), else a shuffle equi-join on token with
+    AQE handling stopword skew (broadcast_vocab=False). Output:
+    (id_col, n_tokens, avg_nll).
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tokc = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("__k"))
+    )
     if freqs is None:
-        freqs = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        freqs = tokc.groupBy("tok").agg(F.sum("__k").alias("cnt"))
     total = freqs.agg(F.sum("cnt").cast("long").alias("__total"))
     model = freqs.crossJoin(F.broadcast(total)).select(
         "tok",
@@ -230,14 +237,14 @@ def unigram_nll_scores(
         .cast("long")
         .alias("__nll_e6"),
     )
-    scored = toks.join(
+    scored = tokc.join(
         F.broadcast(model) if broadcast_vocab else model, "tok"
     )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.sum("__nll_e6").alias("__s"),
-            F.count("*").alias("__n"),
+            F.sum(F.col("__k") * F.col("__nll_e6")).alias("__s"),
+            F.sum("__k").alias("__n"),
         )
         .selectExpr(
             id_col,

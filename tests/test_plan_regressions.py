@@ -137,3 +137,13 @@ def test_q21_window_reuses_group_clustering(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_nll_reuses_the_token_exchange(spark, sf_dir):
+    """Model fit and scoring must branch off one (doc, token)
+    aggregate: the executed plan shows ReusedExchange, meaning the
+    corpus is scanned + exploded ONCE, not once per branch."""
+    df = QUERIES["text_unigram_nll"](spark, sf_dir)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
