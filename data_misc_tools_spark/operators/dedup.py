@@ -290,3 +290,89 @@ def ngram_jaccard_pairs(
             half_up_ratio4(inter, union).alias("jaccard"),
         )
     )
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 8,
+    k: int = 5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> None:
+    """Persist the corpus's LSH band table so later batches dedup
+    against it WITHOUT re-hashing the corpus — the incremental
+    ingestion pattern: at 100 TB you LSH the backlog once, then each
+    daily batch only hashes itself.
+
+    Layout: parquet partitioned by ``band`` (band_val, id inside).
+    Partitioning keeps each band's buckets clustered, so the per-batch
+    band join reads band-aligned row groups instead of one giant
+    unsorted table; appends via :func:`minhash_index_append` land in
+    the same partitions.
+    """
+    sigs = minhash_signatures(df, num_perm, k, text_col, id_col, portable_hash)
+    (
+        minhash_bands(sigs, bands, id_col)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def minhash_index_append(
+    df: DataFrame,
+    path: str,
+    num_perm: int = 8,
+    k: int = 5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> None:
+    """Add a new batch's bands to a persisted index (append-mode write
+    into the same band partitions)."""
+    sigs = minhash_signatures(df, num_perm, k, text_col, id_col, portable_hash)
+    (
+        minhash_bands(sigs, bands, id_col)
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def minhash_index_query(
+    batch: DataFrame,
+    path: str,
+    num_perm: int = 8,
+    k: int = 5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Near-duplicate candidates between a NEW batch and the persisted
+    index: (batch_id, index_id) pairs sharing at least one LSH band
+    bucket. Self-matches (same id) are excluded so a batch can be
+    checked against an index that already contains it.
+
+    Only the batch is hashed (map-only); the index side is a plain
+    parquet scan joined on (band, band_val). Equal batch parameters
+    (num_perm/k/bands/hash family) are the caller's contract — they
+    must match the build, or buckets never collide."""
+    spark = batch.sparkSession
+    sigs = minhash_signatures(batch, num_perm, k, text_col, id_col, portable_hash)
+    qb = minhash_bands(sigs, bands, id_col).select(
+        F.col(id_col).alias("batch_id"), "band", "band_val"
+    )
+    idx = spark.read.parquet(path).select(
+        F.col(id_col).alias("index_id"), "band", "band_val"
+    )
+    return (
+        qb.join(idx, ["band", "band_val"])
+        .filter(F.col("batch_id") != F.col("index_id"))
+        .select("batch_id", "index_id")
+        .distinct()
+    )

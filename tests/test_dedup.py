@@ -80,3 +80,63 @@ def test_minhash_plan_has_single_shuffle_to_signatures(spark):
     # no join/cartesian before the band self-join
     plan = D.minhash_signatures(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Cartesian" not in plan
+
+
+class TestIncrementalIndex:
+    def test_batch_vs_persisted_index(self, spark, tmp_path):
+        p = str(tmp_path / "lshidx")
+        D.minhash_index_build(_docs(spark), p)
+        # batch: one near-dup of indexed doc 1, one novel doc
+        batch = spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps over the lazy dog and keeps walking"),
+                (101, "entirely unrelated text with no shared shingles whatsoever"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r.batch_id, r.index_id)
+            for r in D.minhash_index_query(batch, p).collect()
+        }
+        assert any(b == 100 for b, _ in pairs)  # near-dup found
+        assert all(b != 101 for b, _ in pairs)  # novel doc clean
+        # self-pairs excluded even when the batch is already indexed
+        again = {
+            (r.batch_id, r.index_id)
+            for r in D.minhash_index_query(_docs(spark), p).collect()
+        }
+        assert all(b != i for b, i in again)
+        assert (1, 2) in again  # exact dups still collide
+
+    def test_append_extends_the_index(self, spark, tmp_path):
+        p = str(tmp_path / "lshidx2")
+        D.minhash_index_build(_docs(spark), p)
+        newdoc = spark.createDataFrame(
+            [(200, "fresh corpus segment not resembling anything indexed here")],
+            "doc_id long, text string",
+        )
+        pre = D.minhash_index_query(newdoc, p).count()
+        assert pre == 0
+        D.minhash_index_append(newdoc, p)
+        # a near-dup of the appended doc now matches it
+        probe = spark.createDataFrame(
+            [(300, "fresh corpus segment not resembling anything indexed there")],
+            "doc_id long, text string",
+        )
+        hits = {
+            (r.batch_id, r.index_id)
+            for r in D.minhash_index_query(probe, p).collect()
+        }
+        assert (300, 200) in hits
+
+    def test_only_the_batch_is_hashed(self, spark, tmp_path):
+        """The index side must enter the join as a plain parquet scan
+        (no xxhash64/md5 over index documents at query time)."""
+        p = str(tmp_path / "lshidx3")
+        D.minhash_index_build(_docs(spark), p)
+        batch = _docs(spark).limit(2)
+        plan = (
+            D.minhash_index_query(batch, p)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("xxhash64") <= 8  # batch signatures only
