@@ -77,6 +77,7 @@ HEADLINE = [
     "mixture_resample_langs",
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
+    "dedup_incremental_index",
 ]
 
 

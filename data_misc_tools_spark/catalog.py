@@ -762,6 +762,55 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_incremental_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    )
+    SELECT DISTINCT b.doc_id AS batch_id, i.doc_id AS index_id
+    FROM bands b JOIN bands i ON i.band = b.band AND i.band_val = b.band_val
+    WHERE b.doc_id % 7 = 0 AND i.doc_id % 7 <> 0
+    ORDER BY 1, 2
+"""
+
+
+@_q("dedup_incremental_index", _minhash_incremental_oracle())
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the corpus slice (doc_id % 7 != 0)
+    is LSH-indexed ONCE into band-partitioned parquet; the new batch
+    (doc_id % 7 = 0) hashes only itself and joins the persisted band
+    table — the oracle recomputes both sides' bands directly, proving
+    the persisted path loses nothing. See
+    operators/dedup.py:minhash_index_build/query."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = tempfile.mkdtemp(prefix="lsh_idx_")
+    D.minhash_index_build(
+        docs.filter(F.col("doc_id") % 7 != 0), path, portable_hash=True
+    )
+    return D.minhash_index_query(
+        docs.filter(F.col("doc_id") % 7 == 0), path, portable_hash=True
+    ).orderBy("batch_id", "index_id")
+
+
 _SIMHASH_ORACLE = (
     """
     WITH toks AS (
@@ -3307,7 +3356,9 @@ GRADED_FIRST: list[str] = [
     # embeddings
     "embedding_cosine_topk", "embedding_neardup",
     # deterministic sampling / packing / graph
-    "sample_documents_hash", "sample_stratified_lang",
+    # (sample_stratified_lang demoted in r2: mixture_resample_langs is
+    # the general form of per-stratum hash sampling)
+    "sample_documents_hash", "dedup_incremental_index",
     "pack_token_batches", "connected_components_runs",
     "quality_quartile_filter",
 ]
