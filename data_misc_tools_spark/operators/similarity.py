@@ -692,3 +692,62 @@ def pq_query_index(
     return joined.groupBy("query_id").applyInPandas(
         adc, schema=f"query_id long, {id_col} long, sim double"
     )
+
+
+def cosine_neardup_pairs_ivf(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_clusters: int = 16,
+    assign: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs with KMeans cells as the blocking key —
+    for corpora with NO natural blocking column (the 100 TB regime
+    where :func:`cosine_neardup_pairs`'s label blocking does not
+    apply and all-pairs is impossible).
+
+    Each vector is multi-assigned to its ``assign`` nearest cells, so
+    a pair straddling one cell boundary still meets in the other's
+    cell — the standard IVF recall lever (assign=1 is fastest,
+    assign=2 catches boundary pairs at 2× candidate cost; assign ==
+    n_clusters degenerates to exact all-pairs). Pairs found in two
+    shared cells dedup via DISTINCT (the rounded sim is identical, so
+    the row is too).
+
+    Cost: n² shrinks to sum over cells of (cell size × assign)²; cell
+    count is the block-size lever. Not oracle-checkable (KMeans is
+    iterative/seeded); recall vs the exact variant is pinned in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(_dbl(F.col(vec_col))).alias("__feat"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(feats)
+    centers = model.clusterCenters()
+    centers_df = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(centers_df))
+        .select(
+            id_col, vec_col, "cell",
+            cosine(_dbl(F.col(vec_col)), F.col("center")).alias("__cs"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= assign)
+        .select(id_col, vec_col, "cell")
+    )
+    return cosine_neardup_pairs(
+        assigned, threshold=threshold, block_col="cell",
+        id_col=id_col, vec_col=vec_col,
+    ).distinct()

@@ -268,3 +268,31 @@ def test_neardup_block_guard_subdivides_oversized_blocks(spark, vectors):
     }
     assert guarded <= exact  # never invents pairs
     assert (0, 1000) in guarded  # near-identical pair survives the split
+
+
+def test_neardup_ivf_blocks_subset_and_recall(spark, vectors):
+    """IVF-cell blocking: output is a subset of exact all-pairs; with
+    multi-assign 2 over few cells, recall on this fixture is high; a
+    single cell reproduces the exact result."""
+    df, rows = vectors
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs(df, threshold=0.5, block_col=None).collect()
+    }
+    assert exact  # fixture must actually contain qualifying pairs
+    # assign == n_clusters: every vector is in every cell -> exact
+    full_assign = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs_ivf(
+            df, threshold=0.5, n_clusters=2, assign=2
+        ).collect()
+    }
+    assert full_assign == exact
+    ivf = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs_ivf(
+            df, threshold=0.5, n_clusters=4, assign=2
+        ).collect()
+    }
+    assert ivf <= exact
+    assert len(ivf) >= 0.5 * len(exact), (len(ivf), len(exact))
