@@ -3283,6 +3283,32 @@ def reflect_bridge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROWS_ONLY.add("pagerank_neardup_graph")
+
+
+@_q("pagerank_neardup_graph")
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-hub ranking: PageRank over the MinHash candidate-
+    pair graph — documents sharing buckets with many others rank high
+    (template/boilerplate sources worth inspecting before dedup).
+    rows-only: power iteration accumulates doubles over engine-
+    specific orders; the update rule is pinned against a pure-Python
+    reference in tests/test_cluster.py."""
+    from data_misc_tools_spark.operators.cluster import pagerank
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(docs, num_perm=8, bands=4, k=5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        pagerank(both, max_iter=5)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
 ROWS_ONLY.add("embedding_pq_topk")
 
 

@@ -179,3 +179,64 @@ def connected_components_star(
         nodes.join(parents, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+) -> DataFrame:
+    """PageRank by power iteration on the DataFrame API: node
+    centrality over a directed edge list — e.g. hub detection in a
+    citation/link graph, or boilerplate-source ranking over the
+    near-dup pair graph. Returns (node, rank); ranks sum to ~1.
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly
+    each round, keeping the total stochastic.
+
+    Scale shape per round: one groupBy(dst) shuffle of the
+    contribution stream, co-partitioned join back to ranks, and the
+    dangling mass is a one-row aggregate broadcast — no driver-side
+    data beyond that scalar. Like connected_components, every round
+    ``localCheckpoint``s: the ranks frame feeds both the contribution
+    join and the dangling aggregate, so an untruncated plan doubles
+    per iteration (driver OOM rendering it past ~8 rounds).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("a").agg(F.count("*").alias("__deg"))
+    # edges annotated once with the source's out-degree
+    ew = e.join(outdeg, "a").localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(max_iter):
+        contribs = (
+            ew.join(ranks, ew["a"] == ranks["node"])
+            .select(F.col("b").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # mass parked on dangling nodes (no out-edges) this round
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["a"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__d"))
+            .first()[0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1,6 +1,7 @@
 """Connected components / dedup clustering."""
 
 from data_misc_tools_spark.operators.cluster import connected_components, dedup_clusters
+from data_misc_tools_spark.operators import cluster as C
 
 
 def _cc(spark, edges):
@@ -102,3 +103,48 @@ def test_star_variant_matches_propagation_on_random_graph(spark):
         r.node: r.component for r in connected_components(df, max_iter=60).collect()
     }
     assert star == plain
+
+
+class TestPageRank:
+    def _reference_pagerank(self, edges, damping=0.85, iters=10):
+        """Pure-Python power iteration, identical update rule."""
+        nodes = sorted({n for e in edges for n in e})
+        out = {}
+        for a, b in set(edges):
+            out.setdefault(a, set()).add(b)
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            dangling = sum(rank[v] for v in nodes if v not in out)
+            base = (1 - damping) / n + damping * dangling / n
+            new = {v: 0.0 for v in nodes}
+            for a, targets in out.items():
+                for b in targets:
+                    new[b] += rank[a] / len(targets)
+            rank = {v: base + damping * new[v] for v in nodes}
+        return rank
+
+    def test_matches_reference_implementation(self, spark):
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 -> sink-ish
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank for r in C.pagerank(df, max_iter=10).collect()}
+        want = self._reference_pagerank(edges)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, v
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_dangling_mass_is_conserved(self, spark):
+        # node 3 has no out-edges: total rank must still sum to 1
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        got = {r.node: r.rank for r in C.pagerank(df, max_iter=8).collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        # downstream of the chain ranks higher than the source
+        assert got[3] > got[1]
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        got = [r.rank for r in C.pagerank(df, max_iter=5).collect()]
+        assert all(abs(r - 0.25) < 1e-12 for r in got)
