@@ -19,6 +19,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -204,3 +205,76 @@ def dedup_stream(
     if within_watermark:
         return w.dropDuplicatesWithinWatermark(key_cols)
     return w.dropDuplicates(key_cols)
+
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", IntegerType()),
+        StructField("at", TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("stage", IntegerType()), StructField("t", TimestampType())]
+)
+
+
+def _funnel_fn(steps: list[str]):
+    """Per-user funnel state machine (streaming twin of
+    operators/temporal.funnel_stages): state = (stage reached, ts of
+    the event that reached it); a batch's events are sorted by event
+    time and folded with the same greedy-earliest rule, emitting one
+    row per stage ADVANCE. With in-order arrival (or a single
+    availableNow batch) the final stage per user equals the batch
+    operator exactly; funnels never expire, so no timeout is set."""
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        stage, t = state.get if state.exists else (0, None)
+        inc: list[tuple] = []
+        for pdf in pdfs:
+            for ts, y in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"]):
+                inc.append((ts, y))
+        inc.sort(key=lambda e: e[0])
+        advanced: list[tuple] = []
+        for ts, y in inc:
+            if stage < len(steps) and y == steps[stage] and (t is None or ts > t):
+                stage += 1
+                t = ts
+                advanced.append((stage, ts))
+        state.update((stage, t))
+        if advanced:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(advanced),
+                    "stage": [a[0] for a in advanced],
+                    "at": [a[1] for a in advanced],
+                }
+            )
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ordered-funnel tracker: emits (user_id, stage, at)
+    whenever a user advances a stage. State is one (int, timestamp)
+    per user — bounded by the user population, not the event volume;
+    shards across executors on the user key like any stateful agg."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn(steps),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

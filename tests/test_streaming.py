@@ -520,3 +520,107 @@ def test_exactly_once_sink_over_file_replay_stream(spark, tmp_path):
     )
     run_once()  # same checkpoint: no unseen input, no new produce
     assert len(fake.committed_log) == 20
+
+
+class TestFunnelStream:
+    def test_state_machine_matches_batch_rule(self):
+        """Unit-drive _funnel_fn with a fake state: same greedy rule
+        as the batch operator, advance rows emitted in order."""
+        from data_misc_tools_spark.streaming.stateful import _funnel_fn
+
+        fn = _funnel_fn(["view", "click", "purchase"])
+        state = FakeState()
+
+        def batch(uid, rows):
+            return pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(t) for t, _ in rows],
+                    "event_type": [y for _, y in rows],
+                }
+            )
+
+        out = list(
+            fn(
+                (7,),
+                iter([batch(7, [
+                    ("2024-01-01 00:02", "purchase"),  # out of order: sorted first
+                    ("2024-01-01 00:00", "view"),
+                    ("2024-01-01 00:01", "click"),
+                ])]),
+                state,
+            )
+        )
+        got = out[0][["stage", "at"]].values.tolist()
+        assert [g[0] for g in got] == [1, 2, 3]
+        assert state.get == (3, pd.Timestamp("2024-01-01 00:02"))
+        # a later batch cannot regress or re-advance a finished funnel
+        out2 = list(fn((7,), iter([batch(7, [("2024-01-01 00:05", "view")])]), state))
+        assert out2 == []
+
+    def test_cross_batch_continuation(self):
+        from data_misc_tools_spark.streaming.stateful import _funnel_fn
+
+        fn = _funnel_fn(["view", "click"])
+        state = FakeState()
+        b = lambda rows: pd.DataFrame(
+            {"ts": [pd.Timestamp(t) for t, _ in rows], "event_type": [y for _, y in rows]}
+        )
+        list(fn((1,), iter([b([("2024-01-01 00:00", "view")])]), state))
+        out = list(fn((1,), iter([b([("2024-01-01 00:01", "click")])]), state))
+        assert out[0].iloc[0].stage == 2
+        # click at the SAME ts as the view would not have advanced
+        state2 = FakeState()
+        list(fn((2,), iter([b([("2024-01-01 00:00", "view")])]), state2))
+        out2 = list(fn((2,), iter([b([("2024-01-01 00:00", "click")])]), state2))
+        assert out2 == []
+
+    def test_stream_end_to_end_equals_batch_operator(self, spark, sf_dir):
+        """availableNow replay of the events table: final stage per
+        user must equal the batch funnel_stages result."""
+        from data_misc_tools_spark.operators.temporal import funnel_stages
+        from data_misc_tools_spark.session import read_parquet_table
+        from data_misc_tools_spark.streaming.stateful import funnel_stream
+
+        src = f"{sf_dir}/events.parquet"
+        stage_dir = tempfile.mkdtemp(prefix="funnel_stage_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(src).schema
+        from pyspark.sql import functions as FF
+
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage_dir)
+            .withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+            .select("user_id", "ts", "event_type")
+        )
+        steps = ["view", "click", "purchase"]
+        q = (
+            funnel_stream(stream, steps)
+            .writeStream.format("memory")
+            .queryName("funnel_test")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="funnel_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert q.exception() is None
+        got = {
+            r.user_id: r.stage
+            for r in spark.table("funnel_test")
+            .groupBy("user_id")
+            .agg(FF.max("stage").alias("stage"))
+            .collect()
+        }
+        ev = read_parquet_table(spark, src)
+        want = {
+            r.user_id: r.funnel_stage
+            for r in funnel_stages(ev, steps).collect()
+            if r.funnel_stage > 0
+        }
+        assert got == want
