@@ -3283,6 +3283,30 @@ def reflect_bridge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "skew_report_users",
+    """
+    WITH c AS (
+        SELECT user_id::VARCHAR AS key_value, count(*) AS n_rows
+        FROM events GROUP BY 1
+    ), t AS (SELECT sum(n_rows)::BIGINT AS t FROM c)
+    SELECT key_value, n_rows,
+           ((2 * 10000 * n_rows + t.t) // (2 * t.t)) / 10000.0 AS share
+    FROM c, t
+    ORDER BY n_rows DESC, key_value
+    LIMIT 20
+    """,
+)
+def skew_report_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on events.user_id: the 20 heaviest
+    keys with integer-exact table shares — the check run before any
+    100 TB join on the key. See operators/profile.py:skew_report."""
+    from data_misc_tools_spark.operators.profile import skew_report
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return skew_report(ev, "user_id", top=20)
+
+
 ROWS_ONLY.add("pagerank_neardup_graph")
 
 

@@ -51,3 +51,37 @@ def profile_table(
         "(col_name, n_nulls, n_distinct, min_val, max_val)",
         "__n AS n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnostic: the ``top`` heaviest values of a
+    prospective join/group key with their row counts and share of the
+    table (4dp, half-up integer math — engine-portable).
+
+    The thing to check BEFORE shipping a 100 TB join: one hash-agg on
+    the key (map-side combined), a broadcast scalar total, and a
+    top-k heap — no global sort, no second scan. A key whose top value
+    holds >1% of a 100 TB table needs salting or AQE skew handling;
+    this report is how you find out for pennies.
+
+    Output: (key_value string, n_rows, share), heaviest first.
+    """
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key_value"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_rows"), "key_value")
+        .limit(top)
+        .selectExpr(
+            "key_value",
+            "n_rows",
+            "((2 * 10000 * n_rows + __t) div (2 * __t)) / 10000.0D AS share",
+        )
+    )

@@ -99,3 +99,18 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     # scale mode: HLL distinct, same shape
     approx = {r.col_name: r for r in profile_table(df, exact_distinct=False).collect()}
     assert approx["v"].n_distinct >= 1
+
+
+def test_skew_report_counts_shares_and_tiebreak(spark):
+    from data_misc_tools_spark.operators.profile import skew_report
+
+    rows = [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top=2).collect()
+    assert [(r.key_value, r.n_rows, r.share) for r in out] == [
+        ("a", 6, 0.6), ("b", 3, 0.3),
+    ]
+    # ties break lexicographically so the top-k cut is deterministic
+    df2 = spark.createDataFrame([(k,) for k in ["y", "x", "z"]], "k string")
+    out2 = skew_report(df2, "k", top=2).collect()
+    assert [r.key_value for r in out2] == ["x", "y"]
