@@ -227,3 +227,40 @@ def frame_sample_batches(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def image_dimensions(payload: Column | str) -> Column:
+    """Parse (format, width, height) from an image payload's HEADER
+    with pure JVM byte arithmetic — no codec, no Python: the 100 TB
+    way to validate/size-filter an image corpus is reading the first
+    ~32 bytes of each blob, not decoding pixels.
+
+    Fixed-offset formats are expressible as Catalyst byte slices:
+    PNG (IHDR width/height, big-endian u32 at offsets 17/21) and GIF
+    (logical-screen w/h, little-endian u16 at offsets 7/9). Formats
+    needing a marker scan (JPEG SOF) belong on the mapInPandas decode
+    path (:func:`decode_batches`). Unknown formats -> (null struct
+    fields).
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def be32(off: int) -> Column:
+        return F.conv(F.hex(F.substring(p, off, 4)), 16, 10).cast("long")
+
+    def le16(off: int) -> Column:
+        lo = F.conv(F.hex(F.substring(p, off, 1)), 16, 10).cast("long")
+        hi = F.conv(F.hex(F.substring(p, off + 1, 1)), 16, 10).cast("long")
+        return hi * 256 + lo
+
+    is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
+    is_gif = F.hex(F.substring(p, 1, 4)).isin("47494638")
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = F.when(is_png, be32(17)).when(is_gif, le16(7))
+    height = F.when(is_png, be32(21)).when(is_gif, le16(9))
+    return F.struct(
+        fmt.alias("format"), width.alias("width"), height.alias("height")
+    )

@@ -72,3 +72,42 @@ def test_frame_sample_fanout(spark):
     assert per_doc[1] == [0, 2, 4, 6, 8]  # 10 frames, every 2nd
     assert per_doc[2] == [0]
     assert all(len(bytes(r.frame)) <= 64 for r in rows)
+
+
+class TestImageDimensions:
+    def test_png_gif_and_unknown(self, spark):
+        import struct
+
+        from data_misc_tools_spark.operators.multimodal import image_dimensions
+
+        def png(w, h):
+            sig = bytes.fromhex("89504E470D0A1A0A")
+            ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h)
+            return sig + ihdr + b"\x08\x02\x00\x00\x00"
+
+        def gif(w, h):
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+        rows = [
+            (1, png(640, 480)),
+            (2, gif(320, 200)),
+            (3, b"plain text, not an image"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {
+            r.id: (r.dims.format, r.dims.width, r.dims.height)
+            for r in df.select("id", image_dimensions("payload").alias("dims")).collect()
+        }
+        assert out[1] == ("png", 640, 480)
+        assert out[2] == ("gif", 320, 200)
+        assert out[3] == (None, None, None)
+
+    def test_header_parse_is_jvm_only(self, spark):
+        from data_misc_tools_spark.operators.multimodal import image_dimensions
+
+        df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+        plan = (
+            df.select(image_dimensions("payload"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
