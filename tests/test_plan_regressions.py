@@ -147,3 +147,30 @@ def test_unigram_nll_reuses_the_token_exchange(spark, sf_dir):
     df.collect()  # AQE finalizes reuse at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_cohort_retention_self_join_is_co_partitioned(spark, sf_dir):
+    """The distinct (user, period) frame and the per-user min both
+    hash by user: joining them must not add a third exchange for the
+    join itself (static plan: distinct agg + min agg only)."""
+    plan = _plan(spark, "cohort_retention_weekly", sf_dir)
+    # exchanges: distinct, min-agg, final rollup (+AQE reads); the
+    # user-key join must not add a fourth (at test scale AQE may also
+    # broadcast the tiny min side — either way, no join exchange)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_skew_report_is_one_agg_plus_topk(spark, sf_dir):
+    plan = _plan(spark, "skew_report_users", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar total
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_single_scan_single_user_shuffle(spark, sf_dir):
+    df = QUERIES["funnel_view_click_purchase"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one scan of events: the fold replaces a join-per-stage plan
+    assert plan.count("Scan parquet") == 1
