@@ -72,3 +72,67 @@ def test_to_millis_roundtrip_seconds(epoch):
 @settings(max_examples=100)
 def test_iso_duration_composition(hours, minutes):
     assert parse_iso_duration(f"PT{hours}H{minutes}M") == hours * 3600 + minutes * 60
+
+
+class _MiniState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@given(
+    st.lists(st.sampled_from(["view", "click", "purchase", "noise"]),
+             min_size=0, max_size=24),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_funnel_state_machine_is_batch_split_invariant(types, data):
+    """Folding an in-order event stream through ANY micro-batch
+    partitioning must equal folding it in one batch — the property
+    that makes the streaming funnel replay-equal to the batch
+    operator."""
+    import pandas as pd
+
+    from data_misc_tools_spark.streaming.stateful import _funnel_fn
+
+    events = [
+        (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i), y)
+        for i, y in enumerate(types)
+    ]
+
+    def run(batches):
+        fn = _funnel_fn(["view", "click", "purchase"])
+        state = _MiniState()
+        rows = []
+        for b in batches:
+            pdf = pd.DataFrame(
+                {"ts": [t for t, _ in b], "event_type": [y for _, y in b]}
+            )
+            for out in fn((1,), iter([pdf]), state):
+                rows.extend(map(tuple, out[["stage", "at"]].values))
+        return state.get, rows
+
+    # arbitrary in-order split points
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(events)), max_size=4), label="cuts"
+        )
+    )
+    parts, prev = [], 0
+    for c in cuts + [len(events)]:
+        parts.append(events[prev:c])
+        prev = c
+    split_state, split_rows = run([p for p in parts if p])
+    one_state, one_rows = run([events] if events else [])
+    assert split_state == one_state
+    assert split_rows == one_rows
