@@ -3284,6 +3284,37 @@ def reflect_bridge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "training_order_export",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('ord' || doc_id::VARCHAR), 1, 8))::BIGINT AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           least((hh // 268435456)::INT, 15) AS shard,
+           (row_number() OVER (
+                PARTITION BY least((hh // 268435456)::INT, 15)
+                ORDER BY hh, doc_id))::BIGINT AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+)
+def training_order_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training-order export: fixed
+    hash-range shards (2^32/16 wide -> width 268435456) + per-shard
+    positions. Reading shards in order is a reproducible pseudorandom
+    permutation; no global sort anywhere — see
+    operators/sampling.py:training_order."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        SA.training_order(docs, "doc_id", shards=16, salt="ord")
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+@_q(
     "skew_report_users",
     """
     WITH c AS (

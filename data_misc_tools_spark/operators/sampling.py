@@ -177,3 +177,35 @@ def mixture_resample(
         .filter(_hash_u32(F.col(key_col), salt) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str,
+    shards: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order export: every
+    row gets (shard, pos) such that reading shards in order, each
+    sorted by pos, is a uniform pseudorandom permutation of the corpus
+    — a pure function of the keys (same order on any cluster, any
+    partitioning, any engine).
+
+    Shards are FIXED hash ranges (shard = h div (2^32/shards)), not
+    range-partitioner samples, so shard membership never depends on
+    runtime sampling. One shuffle (the per-shard position window);
+    at 100 TB each shard sorts independently — no global sort, and
+    writing ``partitionBy(shard)`` yields ready-to-stream files.
+
+    Output: input columns + (shard int, pos bigint).
+    """
+    width = (1 << 32) // shards
+    h = _hash_u32(F.col(key_col), salt)
+    with_shard = df.withColumn("__h", h).withColumn(
+        "shard", F.least(F.expr(f"cast(__h div {width} as int)"), F.lit(shards - 1))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )

@@ -130,3 +130,38 @@ class TestMixtureResample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestTrainingOrder:
+    def test_permutation_properties(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+        out = SA.training_order(df, "k", shards=8).collect()
+        assert len(out) == 500  # a permutation loses nothing
+        # (shard, pos) is a unique dense numbering within each shard
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(8))
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        # hash order != key order (it actually shuffles)
+        first_shard = sorted(by_shard)[0]
+        keys_in_order = [
+            r.k for r in sorted(out, key=lambda r: (r.shard, r.pos))
+        ]
+        assert keys_in_order != sorted(keys_in_order)
+
+    def test_stable_under_repartition_and_row_growth(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+        a = {(r.k, r.shard, r.pos) for r in SA.training_order(df, "k").collect()}
+        b = {
+            (r.k, r.shard, r.pos)
+            for r in SA.training_order(df.repartition(13), "k").collect()
+        }
+        assert a == b
+        # adding rows never moves an existing key to another SHARD
+        # (positions inside a shard may shift)
+        grown = spark.createDataFrame([(i,) for i in range(300)], "k long")
+        shards_a = {r.k: r.shard for r in SA.training_order(df, "k").collect()}
+        shards_g = {r.k: r.shard for r in SA.training_order(grown, "k").collect()}
+        assert all(shards_g[k] == s for k, s in shards_a.items())
