@@ -26,6 +26,10 @@ def _prepare(spark: SparkSession) -> None:
 
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet micros timestamps without isAdjustedToUTC must read as
+    # TIMESTAMP (LTZ), not TIMESTAMP_NTZ — value-identical under the UTC
+    # session timezone, and required by unix_millis/session_window.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     register_all(spark)
 
 

@@ -172,6 +172,11 @@ def read_parquet_table(spark: SparkSession, path: str):
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet micros timestamps without isAdjustedToUTC would otherwise
+    # surface as TIMESTAMP_NTZ, which unix_millis/session_window reject;
+    # with the session timezone pinned to UTC the LTZ reading is
+    # value-identical, so read them as plain TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in nanos_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

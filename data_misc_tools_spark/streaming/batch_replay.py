@@ -33,6 +33,7 @@ def replay_parquet_aggregate(
     variants live alongside in this package.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(path).schema
     name = f"replay_{uuid.uuid4().hex[:12]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")

@@ -111,15 +111,16 @@ def test_sessionize_stream_runs_end_to_end(spark, sf_dir):
     stage = tempfile.mkdtemp(prefix="sess_stage_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(src).schema
     from pyspark.sql import functions as FF
 
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage)
-        .withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
-        .select("user_id", "ts")
-    )
+    from data_misc_tools_spark.session import nanos_ts_columns
+
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if "ts" in nanos_ts_columns(src):
+        stream = stream.withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+    stream = stream.select("user_id", "ts")
     out = sessionize_stream(stream)
     assert out.schema == SESSION_OUT_SCHEMA
     q = (
@@ -585,15 +586,16 @@ class TestFunnelStream:
         stage_dir = tempfile.mkdtemp(prefix="funnel_stage_")
         os.symlink(src, os.path.join(stage_dir, "events.parquet"))
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         schema = spark.read.parquet(src).schema
         from pyspark.sql import functions as FF
 
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(stage_dir)
-            .withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
-            .select("user_id", "ts", "event_type")
-        )
+        from data_misc_tools_spark.session import nanos_ts_columns
+
+        stream = spark.readStream.schema(schema).parquet(stage_dir)
+        if "ts" in nanos_ts_columns(src):
+            stream = stream.withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+        stream = stream.select("user_id", "ts", "event_type")
         steps = ["view", "click", "purchase"]
         q = (
             funnel_stream(stream, steps)
