@@ -78,6 +78,10 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
     "dedup_incremental_index",
+    # corpus quality / scrubbing additions (r2 cont.)
+    "text_repetition_signals",
+    "tfidf_topk_terms",
+    "pii_scrub_demo",
 ]
 
 

@@ -3389,6 +3389,124 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_query_index(e.limit(10), idx, k=5, n_probe=8)
 
 
+@_q(
+    "text_repetition_signals",
+    """
+    WITH lst AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS w FROM lst)
+        GROUP BY 1, 2
+    ),
+    ws AS (
+        SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS d, max(c)::BIGINT AS m1
+        FROM wc GROUP BY 1
+    ),
+    bc AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, l[g] || ' ' || l[g + 1] AS bg
+              FROM lst JOIN generate_series(1, 2048) g(g) ON g <= len(l) - 1)
+        GROUP BY 1, 2
+    ),
+    bs AS (SELECT doc_id, max(c)::BIGINT AS m2 FROM bc GROUP BY 1)
+    SELECT ws.doc_id,
+           n AS n_tokens,
+           d AS n_distinct,
+           ((20000 * (n - d) + greatest(n, 1)) // (2 * greatest(n, 1))) / 10000.0
+               AS dup_word_frac,
+           ((20000 * m1 + greatest(n, 1)) // (2 * greatest(n, 1))) / 10000.0
+               AS top_word_share,
+           ((20000 * coalesce(m2, 0) + greatest(n - 1, 1))
+             // (2 * greatest(n - 1, 1))) / 10000.0 AS top_bigram_share
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-word fraction, top
+    word/bigram share) as two doc-keyed hash-aggs + one doc-keyed join
+    — the repetition half of the corpus quality suite. Bigrams are
+    built narrowly from the token array (no positional self-join); the
+    DuckDB twin enumerates them via a bounded generate_series join."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.repetition_signals(d)
+
+
+@_q(
+    "tfidf_topk_terms",
+    """
+    WITH tokc AS (
+        SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df_docs FROM tokc GROUP BY 1),
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents)
+    SELECT doc_id, term, tf, df_docs, score_e4 FROM (
+        SELECT t.doc_id, t.term, t.tf, f.df_docs,
+               ((10000 * t.tf * n) // f.df_docs)::BIGINT AS score_e4,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY (10000 * t.tf * n) // f.df_docs DESC, t.term
+               ) AS rn
+        FROM tokc t JOIN dfreq f USING (term) CROSS JOIN nd
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by rational tf-idf
+    (score = 10000*tf*N div df — exact BIGINT, so the per-doc top-k
+    tie-breaks identically in both engines; a float ln() idf would
+    not). One (doc, term) exchange feeds both tf and document
+    frequency; df is vocabulary-sized and broadcast."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.tfidf_topk(d, k=3)
+
+
+@_q(
+    "pii_scrub_demo",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com from 10.1.'
+                    || (doc_id % 200) || '.7 call +49' || (1000000 + doc_id) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '\\+[0-9]{7,15}\\b'))::BIGINT AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\+[0-9]{7,15}\\b', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def pii_scrub_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / intl phone numbers -> typed
+    placeholder tags) over documents with deterministic synthetic PII
+    injected per doc_id (the corpus itself is clean synthetic text).
+    Scan-local regexp chain — narrow at any scale; patterns restricted
+    to the Java-regex ∩ RE2 common subset so Spark and the DuckDB twin
+    redact byte-identically."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    aug = d.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', doc_id, '@example.com from 10.1.',"
+            " doc_id % 200, '.7 call +49', 1000000 + doc_id)"
+        ).alias("text"),
+    )
+    return T.pii_scrub(aug)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order — round 1 shipped 17 queries
@@ -3408,10 +3526,12 @@ GRADED_FIRST: list[str] = [
     # past the cap in r2 — max_with/min_with share one implementation
     # and gc_reference_query exercises both directions)
     "argmax_customer_by_nation", "gc_reference_query",
-    # windows (running_daily_revenue demoted: plain cumsum, the frame
-    # semantics stay covered by sliding/session/rank/percent_rank)
+    # windows (running_daily_revenue demoted r2: plain cumsum;
+    # event_percent_rank_low demoted r2 cont.: ranking windows stay
+    # covered by window_rank_orders, the integer-ratio idiom by q1 et
+    # al. — freed slots go to the new corpus-pipeline operators)
     "window_rank_orders", "sessionize_events",
-    "event_percent_rank_low", "session_window_native", "sliding_window_rollup",
+    "session_window_native", "sliding_window_rollup",
     # multi-dim grouping / set ops / skew (acctbal_union_all demoted
     # past the cap in r2: plain UNION ALL, the least informative slot;
     # set-op semantics stay covered by the INTERSECT/EXCEPT queries)
@@ -3431,15 +3551,20 @@ GRADED_FIRST: list[str] = [
     # dedup / decontamination suite
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "eval_contamination",
-    # text analysis suite
-    "text_token_count", "text_quality", "text_language_id", "text_fingerprint",
-    "repeated_ngram_spans",
+    # text analysis suite (text_token_count demoted r2 cont.: its
+    # n_tokens column is re-graded inside text_quality and
+    # text_repetition_signals)
+    "text_quality", "text_language_id", "text_fingerprint",
+    "repeated_ngram_spans", "text_repetition_signals", "tfidf_topk_terms",
+    "pii_scrub_demo",
     # embeddings
     "embedding_cosine_topk", "embedding_neardup",
     # deterministic sampling / packing / graph
     # (sample_stratified_lang demoted in r2: mixture_resample_langs is
-    # the general form of per-stratum hash sampling)
-    "sample_documents_hash", "dedup_incremental_index",
+    # the general form of per-stratum hash sampling;
+    # sample_documents_hash demoted r2 cont. for the same reason —
+    # plain hash sampling is the degenerate single-stratum case)
+    "dedup_incremental_index",
     "pack_token_batches", "connected_components_runs",
     "quality_quartile_filter",
 ]

@@ -253,3 +253,192 @@ def unigram_nll_scores(
             "((2 * __s + 100 * __n) div (200 * __n)) / 10000.0D AS avg_nll",
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shuffle: bool = False,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of duplicated words, the share of the most frequent word,
+    and the share of the most frequent adjacent bigram. High values
+    flag boilerplate / template spam in pretraining corpora (Rae et
+    al. 2021 "Scaling Language Models", §A1.1 repetition filters).
+
+    Two physical shapes, same semantics:
+
+    - ``shuffle=False`` (default): one narrow projection per document
+      using higher-order functions — mode counts are
+      ``array_max(transform(distinct, t -> count of t))``, O(n·d) per
+      doc but entirely inside WholeStageCodegen with ZERO shuffles, so
+      a 100 TB corpus of typical (≤ a few-thousand-token) documents
+      runs at parquet-scan speed with no exchange at all.
+    - ``shuffle=True``: two exploded (doc, term) hash-aggregates
+      (map-side combined, doc-keyed) joined on the document key —
+      O(n log n)-ish per doc; the right shape when single documents
+      are huge (100k+ tokens) and per-row quadratic work would bite.
+
+    All ratios use the engine-portable integer half-up idiom (see
+    catalog conventions). Output: (id_col, n_tokens, n_distinct,
+    dup_word_frac, top_word_share, top_bigram_share), ratios at 4dp.
+    """
+    toks = df.select(
+        F.col(id_col),
+        tokens(text_col, lowercase=True).alias("__toks"),
+    )
+    bg_sql = (
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', __toks[i + 1]))"
+    )
+    if not shuffle:
+        # Mode count without a quadratic membership scan: sort the
+        # array and take the longest equal-run via a linear aggregate
+        # fold — O(n log n) per document.
+        def longest_run(arr: str) -> str:
+            one = "cast(1 AS bigint)"
+            return (
+                f"aggregate(array_sort({arr}),"
+                " named_struct('p', cast(null AS string), 'r', cast(0 AS bigint), 'b', cast(0 AS bigint)),"
+                f" (a, x) -> named_struct('p', x,"
+                f"   'r', if(x <=> a.p, a.r + {one}, {one}),"
+                f"   'b', greatest(a.b, if(x <=> a.p, a.r + {one}, {one}))),"
+                " a -> a.b)"
+            )
+
+        stats = toks.selectExpr(id_col, "__toks", f"{bg_sql} AS __bgs").selectExpr(
+            id_col,
+            "cast(size(__toks) AS bigint) AS __n",
+            "cast(size(array_distinct(__toks)) AS bigint) AS __d",
+            f"{longest_run('__toks')} AS __m1",
+            f"{longest_run('__bgs')} AS __m2",
+        )
+    else:
+        words = (
+            toks.select(id_col, F.explode("__toks").alias("__w"))
+            .groupBy(id_col, "__w")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("__c").cast("long").alias("__n"),
+                F.count("*").cast("long").alias("__d"),
+                F.max("__c").cast("long").alias("__m1"),
+            )
+        )
+        bigr = (
+            toks.select(id_col, F.explode(F.expr(bg_sql)).alias("__b"))
+            .groupBy(id_col, "__b")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(id_col)
+            .agg(F.max("__c").cast("long").alias("__m2"))
+        )
+        stats = words.join(bigr, id_col, "left").withColumn(
+            "__m2", F.coalesce(F.col("__m2"), F.lit(0).cast("long"))
+        )
+    return stats.selectExpr(
+        id_col,
+        "__n AS n_tokens",
+        "__d AS n_distinct",
+        "((20000 * (__n - __d) + greatest(__n, 1)) div (2 * greatest(__n, 1))) / 10000.0D"
+        " AS dup_word_frac",
+        "((20000 * __m1 + greatest(__n, 1)) div (2 * greatest(__n, 1))) / 10000.0D"
+        " AS top_word_share",
+        "((20000 * __m2 + greatest(__n - 1, 1))"
+        " div (2 * greatest(__n - 1, 1))) / 10000.0D AS top_bigram_share",
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by a rational tf-idf.
+
+    The idf is kept as the exact rational N/df instead of ln(N/df):
+    score_e4 = (10000 * tf * N) div df is pure BIGINT arithmetic, so
+    ranking is bit-identical across engines (a float ln() would make
+    top-k tie-breaks engine-dependent). Monotone in the usual tf-idf
+    for fixed tf, which is all a top-k needs.
+
+    Scale shape: one (doc, term) count aggregate feeds both the tf
+    side and the document-frequency aggregate (ReusedExchange — one
+    corpus scan); df(term) is vocabulary-sized, broadcast to the tf
+    side; the per-doc top-k window partitions by document, so no
+    global sort. Ties break on (score desc, term asc) -> deterministic.
+
+    Output: (id_col, term, tf, df_docs, score_e4) — k rows per doc.
+    """
+    from pyspark.sql.window import Window
+
+    tokc = (
+        df.select(F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tokc.groupBy("term").agg(F.count("*").cast("long").alias("df_docs"))
+    ndocs = df.agg(F.count("*").cast("long").alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_e4"), F.asc("term"))
+    return (
+        tokc.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .selectExpr(
+            id_col,
+            "term",
+            "tf",
+            "df_docs",
+            "(10000 * tf * __n) div df_docs AS score_e4",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, explicit character classes.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_PHONE = "\\+[0-9]{7,15}\\b"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and +intl phone numbers with
+    typed placeholder tags — the standard scrubbing pass before
+    pretraining on scraped text. Order matters: emails first (an email
+    must not first lose a digit-run to the phone pattern).
+
+    Pure JVM regexp_replace chain (replace-all is Spark's default);
+    the DuckDB twin is the same chain with the 'g' flag.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return t
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII scrub report: match counts per category plus
+    the redacted text. Narrow (scan-local) — no shuffle at any scale.
+
+    Output: (id_col, n_emails, n_ips, n_phones, redacted).
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        redact_pii(t).alias("redacted"),
+    )

@@ -112,3 +112,82 @@ class TestUnigramNLL:
         df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
         plan = T.unigram_nll_scores(df)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 tokens, 2 distinct; "a b" occurs twice among 3 bigrams
+            (1, "a b a b"),
+            # all distinct, every bigram unique
+            (2, "w x y z"),
+            # single token: no bigrams, shares degenerate cleanly
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_distinct) == (4, 2)
+    assert r1.dup_word_frac == 0.5       # (4-2)/4
+    assert r1.top_word_share == 0.5      # max count 2 / 4
+    assert r1.top_bigram_share == 0.6667  # "a b" 2 / 3 bigrams
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0
+    assert r2.top_word_share == 0.25
+    assert r2.top_bigram_share == 0.3333  # every bigram count 1 / 3
+    r3 = out[3]
+    assert (r3.n_tokens, r3.n_distinct) == (1, 1)
+    assert r3.top_bigram_share == 0.0    # no bigrams at all
+
+
+def test_repetition_signals_shuffle_variant_matches_narrow(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b a b c a", "x", "", "p q p q p q p", "m n o m n o"]
+        )],
+        "doc_id long, text string",
+    )
+    narrow = sorted(map(tuple, T.repetition_signals(df).collect()))
+    shuffled = sorted(map(tuple, T.repetition_signals(df, shuffle=True).collect()))
+    # the empty doc only appears in the narrow (non-exploding) variant
+    narrow = [t for t in narrow if t[1] > 0]
+    assert narrow == shuffled
+
+
+def test_tfidf_topk_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common"),
+            (2, "common rare2"),
+            (3, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = T.tfidf_topk(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' is in every doc (df=3); the doc-unique term (df=1) wins
+    # even against tf=2 of 'common': 1*3/1 > 2*3/3
+    assert top == {1: "rare1", 2: "rare2", 3: "other"}
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert (r1.tf, r1.df_docs, r1.score_e4) == (1, 1, 30000)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@mail.example.org now"),
+            (2, "from 192.168.0.1 to 10.0.0.255 end"),
+            (3, "call +4915112345678 today"),
+            (4, "clean text no pii"),
+            (5, "a@b.co and 1.2.3.4 and +1234567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.pii_scrub(df).collect()}
+    assert out[1].n_emails == 1 and out[1].redacted == "mail <EMAIL> now"
+    assert out[2].n_ips == 2 and out[2].redacted == "from <IP> to <IP> end"
+    assert out[3].n_phones == 1 and out[3].redacted == "call <PHONE> today"
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+    assert out[4].redacted == "clean text no pii"
+    assert out[5].redacted == "<EMAIL> and <IP> and <PHONE>"
