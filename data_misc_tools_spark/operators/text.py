@@ -378,7 +378,14 @@ def tfidf_topk(
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dfreq = tokc.groupBy("term").agg(F.count("*").cast("long").alias("df_docs"))
+    # sum(least(tf, 1)) == count(*) here (every (doc, term) row has
+    # tf >= 1), but unlike count(*)/count(tf) the optimizer cannot
+    # prune tf out of the shared child aggregate — both branches then
+    # canonicalize equal and the (doc, term) exchange is computed once
+    # (ReusedExchange: one corpus scan, not two).
+    dfreq = tokc.groupBy("term").agg(
+        F.sum(F.least(F.col("tf"), F.lit(1))).cast("long").alias("df_docs")
+    )
     ndocs = df.agg(F.count("*").cast("long").alias("__n"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score_e4"), F.asc("term"))
     return (

@@ -174,3 +174,29 @@ def test_funnel_single_scan_single_user_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # one scan of events: the fold replaces a join-per-stage plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_repetition_signals_is_exchange_free(spark, sf_dir):
+    """The narrow repetition-signal shape must stay a pure projection:
+    one scan, zero shuffles — that's its whole 100 TB argument."""
+    plan = _plan(spark, "text_repetition_signals", sf_dir)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_document_frequency(spark, sf_dir):
+    """df(term) is vocabulary-sized: it must reach the tf side as a
+    broadcast, and both branches must reuse one (doc, term) exchange
+    instead of scanning the corpus twice (AQE finalizes the reuse at
+    execution, so assert on the executed plan)."""
+    df = QUERIES["tfidf_topk_terms"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_pii_scrub_is_scan_local(spark, sf_dir):
+    plan = _plan(spark, "pii_scrub_demo", sf_dir)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
