@@ -3390,6 +3390,51 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "audio_meta_demo",
+    """
+    SELECT doc_id,
+           'wav' AS format,
+           (1 + doc_id % 2)::BIGINT AS channels,
+           16000::BIGINT AS sample_rate,
+           16::BIGINT AS bits_per_sample,
+           (n_chars // 16)::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def audio_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata round trip, all JVM-side: fabricate a canonical
+    PCM WAV blob per document from table columns (synthetic_wav —
+    Catalyst hex/byte expressions, no Python), then parse it back with
+    wav_audio_meta's byte-slice reader. The oracle computes the
+    expected metadata arithmetically (duration_ms = n_samples*1000/rate
+    = n_chars div 16 at 16 kHz), so a mismatch anywhere in the
+    writer->reader byte layout fails the hash."""
+    from data_misc_tools_spark.operators.multimodal import (
+        synthetic_wav,
+        wav_audio_meta,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    blobs = d.select(
+        "doc_id",
+        synthetic_wav(
+            n_samples=F.col("n_chars"),
+            sample_rate=F.lit(16000),
+            channels=(F.lit(1) + F.col("doc_id") % 2),
+        ).alias("payload"),
+    )
+    m = wav_audio_meta("payload")
+    return blobs.select(
+        "doc_id",
+        m.getField("format").alias("format"),
+        m.getField("channels").cast("long").alias("channels"),
+        m.getField("sample_rate").cast("long").alias("sample_rate"),
+        m.getField("bits_per_sample").cast("long").alias("bits_per_sample"),
+        m.getField("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+@_q(
     "text_repetition_signals",
     """
     WITH lst AS (
@@ -3545,8 +3590,10 @@ GRADED_FIRST: list[str] = [
     "promo_revenue_share", "hourly_event_rollup", "streaming_hourly_rollup",
     # r2 pipeline additions: LM quality filter, corpus mixing, funnels
     "text_unigram_nll", "mixture_resample_langs", "funnel_view_click_purchase",
-    # function + connector surface
-    "json_extract_events", "m_add_demo", "multimodal_meta",
+    # function + connector surface (multimodal_meta demoted r2 cont.:
+    # audio_meta_demo grades the same binary-column plumbing PLUS the
+    # byte-layout writer/reader round trip)
+    "json_extract_events", "m_add_demo", "audio_meta_demo",
     "kf_pull_window", "http_enrich",
     # dedup / decontamination suite
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",

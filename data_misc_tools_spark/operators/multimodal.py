@@ -264,3 +264,89 @@ def image_dimensions(payload: Column | str) -> Column:
     return F.struct(
         fmt.alias("format"), width.alias("width"), height.alias("height")
     )
+
+
+def wav_audio_meta(payload: Column | str) -> Column:
+    """Parse canonical PCM WAV headers (RIFF + 16-byte fmt chunk +
+    data chunk) with pure JVM byte arithmetic — the audio twin of
+    :func:`image_dimensions`: validating/length-filtering an audio
+    corpus needs the first 44 bytes of each blob, not a codec.
+
+    Returns struct(format, channels, sample_rate, bits_per_sample,
+    duration_ms). Non-canonical layouts (extra chunks before 'data',
+    compressed codecs) yield null fields — route those through the
+    mapInPandas decode path (:func:`decode_batches`).
+
+    duration_ms is exact integer math:
+    data_bytes * 8000 div (rate * channels * bits).
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def le16(off: int) -> Column:
+        lo = F.conv(F.hex(F.substring(p, off, 1)), 16, 10).cast("long")
+        hi = F.conv(F.hex(F.substring(p, off + 1, 1)), 16, 10).cast("long")
+        return hi * 256 + lo
+
+    def le32(off: int) -> Column:
+        return le16(off + 2) * 65536 + le16(off)
+
+    is_wav = (
+        (F.hex(F.substring(p, 1, 4)) == "52494646")       # 'RIFF'
+        & (F.hex(F.substring(p, 9, 4)) == "57415645")     # 'WAVE'
+        & (F.hex(F.substring(p, 13, 4)) == "666D7420")    # 'fmt '
+        & (le32(17) == 16)                                # PCM fmt size
+        & (F.hex(F.substring(p, 37, 4)) == "64617461")    # 'data'
+    )
+    channels = le16(23)
+    rate = le32(25)
+    bits = le16(35)
+    data_bytes = le32(41)
+    denom = rate * channels * bits
+    # floor of the exact quotient: both operands are < 2^53 (u32 data
+    # size * 8000), so the double division is exact before floor
+    duration_ms = F.when(denom > 0, F.floor(data_bytes * 8000 / denom).cast("long"))
+    return F.struct(
+        F.when(is_wav, F.lit("wav")).otherwise(F.lit(None).cast("string")).alias("format"),
+        F.when(is_wav, channels).alias("channels"),
+        F.when(is_wav, rate).alias("sample_rate"),
+        F.when(is_wav, bits).alias("bits_per_sample"),
+        F.when(is_wav, duration_ms).alias("duration_ms"),
+    )
+
+
+def _le_bytes(x: Column, nbytes: int) -> Column:
+    """Integer -> little-endian bytes as a hex string (JVM-side)."""
+    h = F.lpad(F.hex(x), 2 * nbytes, "0")
+    return F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
+
+
+def synthetic_wav(
+    n_samples: Column,
+    sample_rate: Column,
+    channels: Column,
+    bits: int = 16,
+) -> Column:
+    """Build a canonical PCM WAV blob (header + zero body) entirely
+    with Catalyst expressions — the writer half of the audio plumbing
+    round trip (:func:`wav_audio_meta` is the reader). Used to
+    fabricate deterministic binary fixtures from table columns without
+    any Python in the plan."""
+    dlen = (n_samples * channels * (bits // 8)).cast("long")
+    header_hex = F.concat(
+        F.lit("52494646"),                      # RIFF
+        _le_bytes(dlen + 36, 4),
+        F.lit("57415645666D7420"),              # WAVE fmt|
+        _le_bytes(F.lit(16), 4),                # fmt chunk size
+        _le_bytes(F.lit(1), 2),                 # PCM
+        _le_bytes(channels, 2),
+        _le_bytes(sample_rate, 4),
+        _le_bytes(sample_rate * channels * (bits // 8), 4),
+        _le_bytes(channels * (bits // 8), 2),
+        _le_bytes(F.lit(bits), 2),
+        F.lit("64617461"),                      # data
+        _le_bytes(dlen, 4),
+    )
+    body = F.repeat(F.lit("00"), dlen.cast("int"))
+    return F.unhex(F.concat(header_hex, body))

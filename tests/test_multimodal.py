@@ -111,3 +111,51 @@ class TestImageDimensions:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+
+
+class TestWavAudioMeta:
+    def _wav(self, channels, rate, bits, n_samples):
+        import struct
+
+        data_len = n_samples * channels * (bits // 8)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_len)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+            + b"data"
+            + struct.pack("<I", data_len)
+            + b"\x00" * data_len
+        )
+
+    def test_wav_header_fields(self, spark):
+        from data_misc_tools_spark.operators.multimodal import wav_audio_meta
+
+        rows = [
+            (1, self._wav(2, 44100, 16, 44100)),   # 1 s stereo CD
+            (2, self._wav(1, 16000, 16, 8000)),    # 0.5 s mono
+            (3, b"RIFFxxxxAVI LIST"),              # RIFF but not WAVE
+            (4, b"not audio at all"),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        out = {
+            r.id: (r.m.format, r.m.channels, r.m.sample_rate,
+                   r.m.bits_per_sample, r.m.duration_ms)
+            for r in df.select("id", wav_audio_meta("payload").alias("m")).collect()
+        }
+        assert out[1] == ("wav", 2, 44100, 16, 1000)
+        assert out[2] == ("wav", 1, 16000, 16, 500)
+        assert out[3][0] is None and out[4][0] is None
+
+    def test_wav_parse_is_jvm_only(self, spark):
+        from data_misc_tools_spark.operators.multimodal import wav_audio_meta
+
+        df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+        plan = (
+            df.select(wav_audio_meta("payload"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
