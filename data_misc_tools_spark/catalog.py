@@ -3554,66 +3554,51 @@ def pii_scrub_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
-# entries of queries(), in insertion order — round 1 shipped 17 queries
-# (sampling/packing/CC/pivot/grouping-sets/frames/salted/approx) that
-# were never graded because they were defined after slot 50. Reorder so
-# every slot in the graded window is a distinct, oracle-checked
-# operator; rows-only twins of oracle-green queries and redundant
-# scalar demos (all graded green in round 1) sit past the cap.
+# entries of queries(), in insertion order. Rounds 1-2 graded the core
+# 50 (CORRECTNESS_r01/r02: every slot green in r2), leaving 53 queries
+# with only local-gate evidence. Round 3 rotates the ENTIRE window: all
+# 50 r2 veterans already hold official driver rows, so every slot now
+# goes to a query that has never been driver-graded — 47 oracle-checked
+# (the full TPC-H remainder, set ops, rollup/cube, sampling, scalar
+# demos, pydatasource/reflect connector demos, cohort/profile/skew/
+# training-export pipeline ops) plus 3 rows-only twins. The strict
+# local gate (tools/check.py, dtype-family-strict since r2) is the
+# regression net for the demoted veterans: local green == driver green.
 # ---------------------------------------------------------------------------
 
 GRADED_FIRST: list[str] = [
-    # TPC-H-style relational core
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q4_order_priority", "q6_forecast_revenue", "q13_customer_distribution",
-    "q17_small_quantity_revenue", "q18_large_orders", "q22_idle_rich_customers",
-    # reference UDAF surface (argmax family; the argmin twin demoted
-    # past the cap in r2 — max_with/min_with share one implementation
-    # and gc_reference_query exercises both directions)
-    "argmax_customer_by_nation", "gc_reference_query",
-    # windows (running_daily_revenue demoted r2: plain cumsum;
-    # event_percent_rank_low demoted r2 cont.: ranking windows stay
-    # covered by window_rank_orders, the integer-ratio idiom by q1 et
-    # al. — freed slots go to the new corpus-pipeline operators)
-    "window_rank_orders", "sessionize_events",
-    "session_window_native", "sliding_window_rollup",
-    # multi-dim grouping / set ops / skew (acctbal_union_all demoted
-    # past the cap in r2: plain UNION ALL, the least informative slot;
-    # set-op semantics stay covered by the INTERSECT/EXCEPT queries)
-    "lineitem_grouping_sets", "events_pivot_by_type",
-    "salted_event_rollup",
-    # joins beyond equi
-    "asof_purchase_prior_click",
-    # aggregates / ratios (distinct_users_daily demoted: exact
-    # count_distinct also graded via q16-style shapes and dedup_exact)
-    "event_value_quantiles", "brand_stats",
-    "promo_revenue_share", "hourly_event_rollup", "streaming_hourly_rollup",
-    # r2 pipeline additions: LM quality filter, corpus mixing, funnels
-    "text_unigram_nll", "mixture_resample_langs", "funnel_view_click_purchase",
-    # function + connector surface (multimodal_meta demoted r2 cont.:
-    # audio_meta_demo grades the same binary-column plumbing PLUS the
-    # byte-layout writer/reader round trip)
-    "json_extract_events", "m_add_demo", "audio_meta_demo",
-    "kf_pull_window", "http_enrich",
-    # dedup / decontamination suite
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "eval_contamination",
-    # text analysis suite (text_token_count demoted r2 cont.: its
-    # n_tokens column is re-graded inside text_quality and
-    # text_repetition_signals)
-    "text_quality", "text_language_id", "text_fingerprint",
-    "repeated_ngram_spans", "text_repetition_signals", "tfidf_topk_terms",
-    "pii_scrub_demo",
-    # embeddings
-    "embedding_cosine_topk", "embedding_neardup",
-    # deterministic sampling / packing / graph
-    # (sample_stratified_lang demoted in r2: mixture_resample_langs is
-    # the general form of per-stratum hash sampling;
-    # sample_documents_hash demoted r2 cont. for the same reason —
-    # plain hash sampling is the degenerate single-stratum case)
-    "dedup_incremental_index",
-    "pack_token_batches", "connected_components_runs",
-    "quality_quartile_filter",
+    # TPC-H remainder (r2 additions, local-green, never driver-graded)
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_priority_class", "q15_top_supplier", "q16_supplier_cnt",
+    "q19_discounted_revenue", "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers",
+    # argmax family: the argmin direction never had its own row
+    "argmin_supplier_by_nation",
+    # anti-join / set ops
+    "customers_without_orders", "custkeys_in_both_statuses",
+    "custkeys_only_open", "acctbal_union_all",
+    # multi-dim grouping + windows
+    "orders_rollup", "orders_cube", "running_daily_revenue",
+    "event_transitions", "event_percent_rank_low", "distinct_users_daily",
+    "event_value_bands",
+    # scalar / built-in surface (reference §2.4 demos)
+    "word_topk", "scalar_idioms_demo", "url_encode_demo", "su_strip_demo",
+    "tp_format_demo", "json_results_explode_demo", "text_clean_demo",
+    "text_token_count",
+    # multimodal + streaming sliding twin
+    "multimodal_meta", "streaming_sliding_rollup",
+    # deterministic sampling / split / quartile (exact-ntile twin)
+    "sample_documents_hash", "sample_stratified_lang",
+    "sample_per_group_reservoir", "split_assign_demo",
+    "quality_quartile_ntile",
+    # round-2 pipeline ops that never earned a driver row
+    "cohort_retention_weekly", "text_bpe_token_estimate",
+    "zktree_source_demo", "rediskeys_source_demo", "profile_documents",
+    "reflect_bridge_demo", "training_order_export", "skew_report_users",
+    # rows-only twins (weaker driver check, but an official row at last);
+    # swapped out for new round-3 oracle-checked queries as they land
+    "embedding_pq_topk", "pagerank_neardup_graph", "dedup_minhash_lsh_fast",
 ]
 
 
