@@ -3451,6 +3451,12 @@ def audio_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wc GROUP BY 1
     ),
     bc AS (
+        -- DuckDB 1.0 lacks correlated lateral generate_series, so the
+        -- bigram positions come from a bounded series join: docs over
+        -- 2049 tokens would silently lose tail bigrams here while the
+        -- Spark side keeps them. The fixture contract test pins
+        -- max tokens/doc <= 2048 (test_catalog_contract.py) so the
+        -- bound is load-bearing, not hopeful.
         SELECT doc_id, bg, count(*) AS c
         FROM (SELECT doc_id, l[g] || ' ' || l[g + 1] AS bg
               FROM lst JOIN generate_series(1, 2048) g(g) ON g <= len(l) - 1)

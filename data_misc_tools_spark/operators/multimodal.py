@@ -295,6 +295,7 @@ def wav_audio_meta(payload: Column | str) -> Column:
         & (F.hex(F.substring(p, 9, 4)) == "57415645")     # 'WAVE'
         & (F.hex(F.substring(p, 13, 4)) == "666D7420")    # 'fmt '
         & (le32(17) == 16)                                # PCM fmt size
+        & (le16(21) == 1)                                 # audio format: PCM
         & (F.hex(F.substring(p, 37, 4)) == "64617461")    # 'data'
     )
     channels = le16(23)
@@ -315,8 +316,13 @@ def wav_audio_meta(payload: Column | str) -> Column:
 
 
 def _le_bytes(x: Column, nbytes: int) -> Column:
-    """Integer -> little-endian bytes as a hex string (JVM-side)."""
-    h = F.lpad(F.hex(x), 2 * nbytes, "0")
+    """Integer -> little-endian bytes as a hex string (JVM-side).
+
+    The value is reduced mod 2^(8*nbytes) first: without it, lpad
+    would keep the LEFTMOST (high-order) hex digits of an over-wide
+    value and silently emit garbage bytes.
+    """
+    h = F.lpad(F.hex(F.pmod(x, F.lit(2 ** (8 * nbytes)))), 2 * nbytes, "0")
     return F.concat(
         *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
     )

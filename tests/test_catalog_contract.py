@@ -35,6 +35,24 @@ def test_graded_window_is_the_designed_50():
     assert not ungraded_oracle_less
 
 
+def test_fixture_docs_fit_series_bound(sf_dir):
+    """Several oracles enumerate per-doc token/char positions through a
+    bounded `JOIN generate_series(1, 2048)` (DuckDB 1.0 has no
+    correlated lateral series). That bound silently drops positions
+    past 2048, so pin the fixture contract: no document may exceed
+    2048 whitespace tokens or 2053 chars (char-position oracles bound
+    length(text) - 4)."""
+    con = duckdb.connect()
+    n_long = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE len(list_filter(string_split(lower(text), ' '), x -> x != '')) > 2048
+           OR length(text) > 2052
+        """
+    ).fetchone()[0]
+    assert n_long == 0
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
