@@ -101,6 +101,7 @@ def cosine_neardup_pairs(
     max_block_rows: int | None = None,
     subdivide_planes: int = 4,
     seed: int = 7,
+    max_rows_unblocked: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
 
@@ -108,6 +109,13 @@ def cosine_neardup_pairs(
     cluster/label/LSH bucket) — at corpus scale the block key IS the
     scalability lever; pass None for the exact all-pairs (test sizes
     only). Output: (vec_a, vec_b, sim).
+
+    ``max_rows_unblocked`` guards the ``block_col=None`` path: an
+    unblocked call counts the input first and refuses to plan the
+    cartesian above the limit, pointing at
+    :func:`cosine_neardup_pairs_ivf` (KMeans-cell blocking) instead —
+    a 10-million-row corpus must never silently schedule 10^14 pairs.
+    Pass None to opt out for a deliberate exact run.
 
     ``max_block_rows`` is the block-size guard for skewed blocking
     keys: any block larger than the limit is SUBDIVIDED by a seeded
@@ -121,6 +129,17 @@ def cosine_neardup_pairs(
     per-pair cost is a single dot product instead of dot + two norms
     (the n² side of the computation is the one to slim down).
     """
+    if block_col is None and max_rows_unblocked is not None:
+        n = df.count()
+        if n > max_rows_unblocked:
+            raise ValueError(
+                f"cosine_neardup_pairs with block_col=None would plan an "
+                f"all-pairs cartesian over {n} rows (> max_rows_unblocked="
+                f"{max_rows_unblocked}). Pass a blocking column, use "
+                f"cosine_neardup_pairs_ivf for corpora without a natural "
+                f"blocking key, or set max_rows_unblocked=None to force "
+                f"an exact run."
+            )
     if max_block_rows is not None and block_col is not None:
         import random
 

@@ -270,6 +270,23 @@ def test_neardup_block_guard_subdivides_oversized_blocks(spark, vectors):
     assert (0, 1000) in guarded  # near-identical pair survives the split
 
 
+def test_neardup_unblocked_guard_refuses_cartesian(spark, vectors):
+    """block_col=None above the row limit must raise BEFORE planning
+    the cartesian — a big unblocked corpus never schedules n² pairs."""
+    import pytest
+
+    df, _ = vectors
+    with pytest.raises(ValueError, match="cosine_neardup_pairs_ivf"):
+        S.cosine_neardup_pairs(
+            df, threshold=0.5, block_col=None, max_rows_unblocked=5
+        )
+    # explicit opt-out still allows the exact run
+    out = S.cosine_neardup_pairs(
+        df, threshold=0.5, block_col=None, max_rows_unblocked=None
+    )
+    assert out.count() >= 0
+
+
 def test_neardup_ivf_blocks_subset_and_recall(spark, vectors):
     """IVF-cell blocking: output is a subset of exact all-pairs; with
     multi-assign 2 over few cells, recall on this fixture is high; a
