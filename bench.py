@@ -85,6 +85,15 @@ HEADLINE = [
 ]
 
 
+def _py_warm(pdf):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"r_regionkey": pdf["r_regionkey"].iloc[:1], "n": [int(np.int64(len(pdf)))]}
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -105,7 +114,17 @@ def main() -> int:
     # timed query doesn't absorb session startup costs.
     from data_misc_tools_spark.session import load_tables
 
-    load_tables(spark, sf_dir, ["region"])["region"].groupBy("r_name").count().collect()
+    region = load_tables(spark, sf_dir, ["region"])["region"]
+    region.groupBy("r_name").count().collect()
+    # Warm the Python-worker path too (daemon fork + Arrow serdes +
+    # numpy/pandas imports, ~2 s across 32 workers): that is session
+    # startup, and without this it lands entirely on whichever
+    # applyInPandas query happens to run first — r2's bench charged it
+    # all to embedding_neardup_gemm (2.4 s cold vs 0.5 s warm), which
+    # read as a phantom 27% regression.
+    region.groupBy("r_regionkey").applyInPandas(
+        _py_warm, schema="r_regionkey bigint, n bigint"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
