@@ -77,6 +77,13 @@ def build_session(
         # keep partition sizing explicit so 100TB scans split sanely.
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Driver heap must be sized WITH the broadcast threshold: a
+        # 64 MB on-disk relation is several hundred MB as in-memory
+        # rows, and Spark's local-mode default (1g) OOMs building it —
+        # found by the sf1 scale stress (q3's AQE broadcast). Only
+        # effective when this session launches the JVM; a cluster
+        # submit that sets its own driver memory wins.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
     if extra_conf:
         conf.update(extra_conf)
