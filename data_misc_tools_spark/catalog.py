@@ -1032,6 +1032,41 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_sq_adc_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS qc
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id,
+                 list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS cc
+          FROM embeddings),
+    s AS (
+        SELECT q.query_id, c.vec_id,
+               list_inner_product(qc::DOUBLE[], cc::DOUBLE[])::BIGINT AS score
+        FROM q, c WHERE c.vec_id != q.query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id) AS rn FROM s)
+    SELECT query_id, vec_id, score FROM r WHERE rn <= 10
+    """,
+)
+def embedding_sq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN scoring, oracle-exact: both sides quantize
+    with the FIXED power-of-two scalar codebook floor(x*64) (exact in
+    IEEE double — exponent shift only), and the asymmetric score is an
+    INTEGER dot product of the code vectors, so ranking is BIGINT-exact
+    in any engine. The trained IVF-PQ path (embedding_pq_topk,
+    pq_query_index) is the production variant; this is its
+    engine-portable correctness anchor, the same idiom that makes the
+    minhash suite gradable (fixed constants instead of trained state).
+    The DuckDB twin's list_inner_product runs on integer-valued
+    doubles: products are < 2^25, far under the 2^53 exact-integer
+    range."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.sq_adc_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+@_q(
     "embedding_neardup",
     """
     WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
@@ -3602,9 +3637,10 @@ GRADED_FIRST: list[str] = [
     "cohort_retention_weekly", "text_bpe_token_estimate",
     "zktree_source_demo", "rediskeys_source_demo", "profile_documents",
     "reflect_bridge_demo", "training_order_export", "skew_report_users",
-    # rows-only twins (weaker driver check, but an official row at last);
-    # swapped out for new round-3 oracle-checked queries as they land
-    "embedding_pq_topk", "pagerank_neardup_graph", "dedup_minhash_lsh_fast",
+    # round-3 oracle-checked additions + rows-only twins (weaker driver
+    # check, but an official row at last)
+    "embedding_sq_adc_topk",
+    "embedding_pq_topk", "pagerank_neardup_graph",
 ]
 
 

@@ -92,6 +92,72 @@ def l2_normalize(col: Column) -> Column:
     return F.transform(v, lambda x: x / n)
 
 
+def sq_quantize(col: Column, scale: int = 64) -> Column:
+    """Scalar-quantize a float-array column to integer codes:
+    ``floor(x * scale)`` per dimension.
+
+    With a power-of-two ``scale`` the product ``x * scale`` is EXACT in
+    IEEE double (exponent shift only), so the floor — and therefore
+    every code — is bit-identical in any engine that widens float32 to
+    double. This is the engine-portable fixed codebook: no training,
+    no RNG, no float comparisons downstream.
+    """
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+
+
+def sq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compressed-domain top-k by INTEGER asymmetric scoring over
+    fixed scalar-quantized codes (SQ8-style, the oracle-checkable twin
+    of the trained IVF-PQ path in :func:`pq_query_index`).
+
+    Both sides quantize with the same fixed power-of-two codebook
+    (:func:`sq_quantize`); the score is the integer dot product of the
+    code vectors — exact BIGINT arithmetic, no float accumulation at
+    all, so ranking is reproducible bit-for-bit across engines. Plan
+    shape matches :func:`cosine_topk`: broadcast queries × corpus
+    scan, per-query window top-k; compressed codes shrink the scored
+    payload 8× vs float64 exactly as PQ codes would at scale.
+
+    Output: (query_id, vec_id, score BIGINT), ties broken by vec_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sq_quantize(F.col(vec_col), scale).alias("__qc"),
+    )
+    c = corpus.select(
+        F.col(id_col), sq_quantize(F.col(vec_col), scale).alias("__cc")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.zip_with(F.col("__qc"), F.col("__cc"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "score")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -623,8 +689,22 @@ def pq_query_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 5,
 ) -> DataFrame:
     """ANN top-k over a persisted IVF-PQ index via ADC scoring.
+
+    ``refine_with``: optional exact re-ranking (the IVFPQR refinement):
+    ADC selects a shortlist of ``k * refine_factor`` candidates per
+    query, then their ORIGINAL vectors (joined from ``refine_with`` by
+    ``id_col``) are re-scored with the exact cosine and the true top-k
+    of the shortlist is returned. On near-uniform corpora, rank-k
+    margins sit below PQ quantization error, so raw ADC ranking
+    saturates well under recall 1.0 no matter the probe count; a
+    shortlist re-rank recovers it while still touching only
+    ``k * refine_factor`` full vectors per query instead of the whole
+    corpus (the standard recall/IO trade: codes filter, floats
+    finish).
 
     Probing mirrors :func:`ivf_query_index` (top ``n_probe`` cells by
     query-to-centroid cosine; the probed cell set prunes index
@@ -708,8 +788,33 @@ def pq_query_index(
 
     import pandas as pd  # noqa: F401  (applyInPandas requirement)
 
-    return joined.groupBy("query_id").applyInPandas(
+    final_k = k
+    if refine_with is not None:
+        k = k * refine_factor  # adc closure late-binds k: shortlist cut
+    adc_out = joined.groupBy("query_id").applyInPandas(
         adc, schema=f"query_id long, {id_col} long, sim double"
+    )
+    if refine_with is None:
+        return adc_out
+    rq = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__rqv")
+    )
+    rc = refine_with.select(F.col(id_col), F.col(vec_col).alias("__rcv"))
+    rescored = (
+        adc_out.select("query_id", id_col)
+        .join(F.broadcast(rq), "query_id")
+        .join(rc, id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("__rqv"), F.col("__rcv")), 4).alias("sim"),
+        )
+    )
+    w_ref = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w_ref))
+        .filter(F.col("__rn") <= final_k)
+        .select("query_id", id_col, "sim")
     )
 
 
