@@ -19,6 +19,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StructField,
@@ -277,4 +278,100 @@ def funnel_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+COHORT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cohort_period", LongType()),
+        StructField("period_offset", LongType()),
+    ]
+)
+
+COHORT_STATE_SCHEMA = StructType(
+    [
+        StructField("cohort_period", LongType()),
+        StructField("seen", ArrayType(LongType())),
+    ]
+)
+
+
+def _cohort_fn(period_seconds: int):
+    """Per-user cohort/activity state machine (streaming twin of
+    operators/temporal.cohort_retention): state = (cohort period, seen
+    periods); a batch's events reduce to their distinct periods, and
+    each period not seen before emits one
+    (user_id, cohort_period, period_offset) row.
+
+    In-order contract: the user's FIRST-ever event must not arrive in
+    a later micro-batch than a later event (guaranteed when batches
+    are time-ordered — e.g. availableNow file replay or an in-order
+    Kafka partition keyed by user). A violation would re-base the
+    cohort; like the sessionizer's processing-time variant, this
+    operator trades retro-correction for bounded append-only output.
+    State is bounded by the horizon/period count, not event volume.
+    """
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        cohort, seen = state.get if state.exists else (None, [])
+        seen_set = set(seen)
+        periods: set[int] = set()
+        for pdf in pdfs:
+            secs = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
+            periods.update((secs // period_seconds).astype("int64").tolist())
+        new = sorted(p for p in periods if p not in seen_set)
+        if not new:
+            return
+        if cohort is None:
+            cohort = new[0]
+        seen_set.update(new)
+        state.update((int(cohort), sorted(seen_set)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(new),
+                "cohort_period": [int(cohort)] * len(new),
+                "period_offset": [int(p - cohort) for p in new],
+            }
+        )
+
+    return fn
+
+
+def cohort_stream(
+    events: DataFrame,
+    period_seconds: int = 604800,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming cohort-activity tracker: emits one
+    (user_id, cohort_period, period_offset) row the first time a user
+    is active in each period. ``cohort_retention_from_stream`` over
+    the emitted rows equals the batch ``cohort_retention`` table under
+    the in-order contract (see ``_cohort_fn``); the replay-equality
+    property is pinned in tests/test_streaming.py."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cohort_fn(period_seconds),
+            outputStructType=COHORT_OUT_SCHEMA,
+            stateStructType=COHORT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cohort_retention_from_stream(rows: DataFrame) -> DataFrame:
+    """Fold the ``cohort_stream`` activity rows into the batch-shaped
+    retention table (cohort_period, period_offset, n_users)."""
+    from pyspark.sql import functions as F
+
+    return (
+        rows.groupBy("cohort_period", "period_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_period", "period_offset")
     )

@@ -626,3 +626,82 @@ class TestFunnelStream:
             if r.funnel_stage > 0
         }
         assert got == want
+
+
+class TestCohortStream:
+    def test_state_machine_matches_batch_rule(self):
+        """Unit-drive _cohort_fn: cohort = first period seen, one row
+        per newly seen period, duplicates within and across batches
+        suppressed."""
+        from data_misc_tools_spark.streaming.stateful import _cohort_fn
+
+        fn = _cohort_fn(period_seconds=604800)
+        state = FakeState()
+        week = 604800
+
+        def batch(ts_list):
+            return pd.DataFrame({"ts": [pd.Timestamp(t, unit="s") for t in ts_list]})
+
+        out = list(fn((42,), iter([batch([week * 100 + 5, week * 100 + 9,
+                                          week * 102])]), state))
+        rows = out[0][["cohort_period", "period_offset"]].values.tolist()
+        assert rows == [[100, 0], [100, 2]]
+        assert state.get[0] == 100 and state.get[1] == [100, 102]
+        # later batch: only the unseen period emits, cohort unchanged
+        out2 = list(fn((42,), iter([batch([week * 102 + 1, week * 103])]), state))
+        rows2 = out2[0][["cohort_period", "period_offset"]].values.tolist()
+        assert rows2 == [[100, 3]]
+        # batch with nothing new emits nothing
+        assert list(fn((42,), iter([batch([week * 100])]), state)) == []
+
+    def test_stream_end_to_end_equals_batch_operator(self, spark, sf_dir):
+        """availableNow replay of the events table: folding the
+        emitted activity rows must reproduce the batch
+        cohort_retention table exactly."""
+        from pyspark.sql import functions as FF
+
+        from data_misc_tools_spark.operators.temporal import cohort_retention
+        from data_misc_tools_spark.session import (
+            nanos_ts_columns,
+            read_parquet_table,
+        )
+        from data_misc_tools_spark.streaming.stateful import (
+            cohort_retention_from_stream,
+            cohort_stream,
+        )
+
+        src = f"{sf_dir}/events.parquet"
+        stage_dir = tempfile.mkdtemp(prefix="cohort_stage_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(stage_dir)
+        if "ts" in nanos_ts_columns(src):
+            stream = stream.withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+        stream = stream.select("user_id", "ts")
+        q = (
+            cohort_stream(stream)
+            .writeStream.format("memory")
+            .queryName("cohort_test")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="cohort_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert q.exception() is None
+        got = [
+            (r.cohort_period, r.period_offset, r.n_users)
+            for r in cohort_retention_from_stream(spark.table("cohort_test")).collect()
+        ]
+        ev = read_parquet_table(spark, src)
+        want = [
+            (r.cohort_period, r.period_offset, r.n_users)
+            for r in cohort_retention(ev).collect()
+        ]
+        assert got == want
