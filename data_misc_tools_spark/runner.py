@@ -138,7 +138,8 @@ class Runner:
         # Recover last-start times from the records table so interval
         # throttling survives runner restarts (reference looks up the
         # last execution record: records/RecordDao.scala:85-90,
-        # hive/HiveBeeLine.scala:218-224).
+        # hive/HiveBeeLine.scala:218-224). 'running' rows count: a run
+        # that crashed mid-task still consumed its interval slot.
         try:
             from pyspark.sql import functions as F
 
@@ -149,6 +150,7 @@ class Runner:
                 .collect()
             ):
                 self.last_started[row.path] = row.ms / 1000.0
+            self._fail_orphans()
         except Exception:
             pass  # no records yet
 
@@ -156,16 +158,20 @@ class Runner:
     def _record(
         self, task: ScriptTask, started: float, finished: float, status: str, result: Any
     ) -> None:
-        row = [
-            (
-                task.path,
-                task.script_type,
-                int(started * 1000),
-                int(finished * 1000),
-                status,
-                str(result)[:4000],
-            )
-        ]
+        self._append_row(
+            task.path,
+            task.script_type,
+            int(started * 1000),
+            int(finished * 1000),
+            status,
+            str(result)[:4000],
+        )
+
+    def _append_row(
+        self, path: str, script_type: str, started_ms: int, finished_ms: int,
+        status: str, result: str,
+    ) -> None:
+        row = [(path, script_type, started_ms, finished_ms, status, result)]
         df = self.spark.createDataFrame(row, RECORD_SCHEMA).coalesce(1)
         if self.records_jdbc_url is not None:
             from data_misc_tools_spark.sources.jdbc import df_to_jdbc
@@ -188,6 +194,31 @@ class Runner:
             )
         return self.spark.read.parquet(self.records_path)
 
+    def _fail_orphans(self) -> None:
+        """Mark crash-orphaned runs failed: a 'running' start row with
+        no completion row for the same (path, started_at) means the
+        previous runner died mid-task (reference: the execution record
+        written at start and finalized at finish,
+        process/ScriptHelper.scala:143-156 — a crash leaves it
+        unfinished, and the restarted runner must both see the start
+        for throttling and record the failure)."""
+        recs = self.records()
+        done = recs.filter(recs.status != "running").select(
+            "path", "started_at"
+        )
+        orphans = (
+            recs.filter(recs.status == "running")
+            .select("path", "script_type", "started_at")
+            .join(done, ["path", "started_at"], "left_anti")
+            .collect()
+        )
+        now_ms = int(time.time() * 1000)
+        for o in orphans:
+            self._append_row(
+                o.path, o.script_type, o.started_at, now_ms,
+                "failed", "crashed: no completion record (runner restart)",
+            )
+
     # -- scheduling ------------------------------------------------------
     def is_ready(self, task: ScriptTask, now: float | None = None) -> bool:
         """Interval throttle: has ≥ interval elapsed since the last
@@ -204,6 +235,12 @@ class Runner:
             return self.last_result.get(task.path)
         started = time.time()
         self.last_started[task.path] = started
+        # Start record FIRST (reference writes the execution record at
+        # task start and finalizes it at finish): a crash mid-task
+        # leaves this 'running' row behind, so the restarted runner
+        # both throttles the slot and marks the run failed
+        # (_fail_orphans).
+        self._record(task, started, 0, "running", "")
         try:
             fn = task._load()
             result = fn(self.spark, self.last_result.get(task.path))

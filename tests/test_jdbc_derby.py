@@ -88,7 +88,7 @@ def test_runner_records_to_jdbc_and_restart_recovery(spark, tmp_path):
     r1 = Runner(spark, str(tmp_path / "unused"), **kw)
     task = ScriptTask(str(script), interval="PT1H")
     assert r1.run_once(task) == "ok"
-    recs = r1.records().collect()
+    recs = [r for r in r1.records().collect() if r.status != "running"]
     assert len(recs) == 1 and recs[0].status == "succeeded"
 
     # restart: a brand-new Runner reads last_started from the DB, so

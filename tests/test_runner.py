@@ -63,8 +63,9 @@ def test_failure_recorded_not_raised(spark, tmp_path):
     t = ScriptTask(str(script), interval="PT0S")
     assert runner.run_once(t) is None
     recs = runner.records().collect()
-    assert len(recs) == 1
-    assert recs[0].status == "failed" and "boom" in recs[0].result
+    done = [r for r in recs if r.status != "running"]
+    assert len(done) == 1 and len(recs) == 2  # start row + failed completion
+    assert done[0].status == "failed" and "boom" in done[0].result
 
 
 def test_sql_script_task(spark, tmp_path):
@@ -73,7 +74,7 @@ def test_sql_script_task(spark, tmp_path):
     runner = Runner(spark, str(tmp_path / "records"))
     result = runner.run_once(ScriptTask(str(script), interval="PT0S"))
     assert result == [(2,)]  # last statement's rows
-    rec = runner.records().first()
+    rec = runner.records().filter("status != 'running'").first()
     assert rec.script_type == "sql" and rec.status == "succeeded"
 
 
@@ -84,7 +85,9 @@ def test_records_accumulate(spark, tmp_path):
     t = ScriptTask(str(script), interval="PT0S")
     runner.run_once(t)
     runner.run_once(t, force=True)
-    recs = runner.records().orderBy("started_at").collect()
+    recs = (
+        runner.records().filter("status != 'running'").orderBy("started_at").collect()
+    )
     assert len(recs) == 2
     assert all(r.status == "succeeded" for r in recs)
     assert all(r.finished_at >= r.started_at for r in recs)
@@ -102,6 +105,39 @@ def test_throttle_survives_runner_restart(spark, tmp_path):
     t2 = ScriptTask(str(script), interval="PT1H")
     assert not r2.is_ready(t2)
     assert r2.run_once(t2) is None  # throttled; no prior in-memory result
+
+
+def test_crash_mid_task_records_failure_and_restart_throttles(spark, tmp_path):
+    """Kill the runner mid-task (KeyboardInterrupt escapes run_once
+    after the start record lands, before any completion row — the
+    crash shape): the restarted runner must (a) mark the orphaned run
+    failed in the records table and (b) still throttle the slot, since
+    the crashed run consumed its interval (reference:
+    process/ScriptHelper.scala:143-156 start/finalize record
+    semantics)."""
+    script = tmp_path / "task.py"
+    _write_script(
+        script, "def run(spark, param):\n    raise KeyboardInterrupt\n"
+    )
+    records = str(tmp_path / "records")
+    r1 = Runner(spark, records)
+    t = ScriptTask(str(script), interval="PT1H")
+    with pytest.raises(KeyboardInterrupt):
+        r1.run_once(t)
+    recs = r1.records().collect()
+    assert [r.status for r in recs] == ["running"]  # no completion row
+
+    r2 = Runner(spark, records)  # restart
+    recs2 = r2.records().orderBy("finished_at").collect()
+    assert [r.status for r in recs2] == ["running", "failed"]
+    assert "crashed" in recs2[-1].result
+    assert recs2[-1].started_at == recs2[0].started_at  # same run slot
+    assert not r2.is_ready(t)  # the crashed run consumed the interval
+    # a second restart must not double-mark the orphan
+    r3 = Runner(spark, records)
+    assert [r.status for r in r3.records().orderBy("finished_at").collect()] == [
+        "running", "failed",
+    ]
 
 
 def test_background_loop_and_graceful_stop(spark, tmp_path):
