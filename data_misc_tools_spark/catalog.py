@@ -1861,6 +1861,91 @@ def connected_components_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "zorder_key_demo",
+    """
+    WITH bits AS (SELECT b FROM generate_series(0, 7) g(b))
+    SELECT e.event_id,
+           sum( ((((e.user_id % 256) >> b) & 1) << (2 * b))
+              + ((((e.event_id % 256) >> b) & 1) << (2 * b + 1)) )::BIGINT AS z
+    FROM events e CROSS JOIN bits
+    GROUP BY e.event_id
+    """,
+)
+def zorder_key_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key for multi-dim file clustering (operators/
+    layout.py): bit b of column i lands at output bit b*n+i — pure
+    integer shifts/masks, engine-portable, JVM-side at scan speed. The
+    oracle recomputes the interleave as a sum of disjoint-bit terms
+    over a bounded bit series. The layout win (files cluster in EVERY
+    interleaved dimension, so conjunctive filters skip most of them)
+    is proven against parquet footers in tests/test_layout.py."""
+    from data_misc_tools_spark.operators.layout import zorder_key
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.select(
+        "event_id",
+        zorder_key(
+            [F.pmod(F.col("user_id"), F.lit(256)),
+             F.pmod(F.col("event_id"), F.lit(256))],
+            bits=8,
+        ).alias("z"),
+    )
+
+
+@_q(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE e AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2
+          ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+    ), und AS (
+        SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ), nodes AS (
+        SELECT DISTINCT a AS n FROM und
+    ), reach AS (
+        SELECT n AS node, n AS r FROM nodes
+        UNION
+        SELECT re.node, u.b AS r FROM reach re JOIN und u ON u.a = re.r
+    ), comp AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component
+    ), best AS (
+        SELECT c.component, d.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT s.component, s.size, b.doc_id AS keep_id,
+           b.n_chars::BIGINT AS keep_score
+    FROM sizes s JOIN best b ON b.component = s.component AND b.rn = 1
+    ORDER BY s.component
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor policy (operators/cluster.py
+    dedup_keep_best): same-lang consecutive-id near-dup clusters, but
+    the kept member is the LONGEST document (n_chars, ties -> smallest
+    id) instead of the smallest id — what a real corpus pipeline does
+    after near-dup clustering. Validated against the recursive-CTE
+    closure + window argmax; the tie-break makes the argmax total, per
+    the max_by invariant."""
+    from data_misc_tools_spark.operators.cluster import dedup_keep_best as _dkb
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    a = d.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"))
+    edges = a.join(
+        b, (F.col("b") == F.col("a") + 1) & (F.col("lang_a") == F.col("lang_b"))
+    ).select("a", "b")
+    return _dkb(
+        edges, d.select("doc_id", "n_chars"), left="a", right="b",
+        node_col="doc_id", score_col="n_chars",
+    ).orderBy("component")
+
+
+@_q(
     "split_assign_demo",
     """
     SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split,
@@ -2139,6 +2224,37 @@ def distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
         F.count("*").alias("n_events"),
+    )
+
+
+ROWS_ONLY.add("hll_users_mergeable_rollup")
+
+
+@_q("hll_users_mergeable_rollup")
+def hll_users_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct sketches — the 100 TB pre-aggregation
+    pattern that approx_count_distinct alone cannot express: build one
+    Datasketches HLL per (day, type) ONCE (hll_sketch_agg), persist
+    it, then answer any coarser rollup by unioning sketches
+    (hll_union_agg) without re-touching the raw events. Demonstrated
+    as day×type sketches unioned up to per-day totals in the same
+    plan, estimates read out with hll_sketch_estimate. No oracle:
+    sketch binaries/estimates are implementation-defined; rows-only +
+    a <5%-error pin in tests/test_scale_io.py."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily_type = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_str"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily_type.groupBy("day_str")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("n_users_est"),
+            F.count("*").cast("long").alias("n_type_sketches"),
+        )
+        .orderBy("day_str")
     )
 
 
@@ -3193,6 +3309,36 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "chunk_documents",
+    """
+    WITH lst AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id, l, len(l) AS n,
+               CASE WHEN len(l) <= 24 THEN 1
+                    ELSE 1 + (len(l) - 24 + 15) // 16 END AS n_chunks
+        FROM lst WHERE len(l) >= 1
+    )
+    SELECT doc_id, g.i::BIGINT AS chunk_id,
+           array_to_string(list_slice(l, g.i * 16 + 1, g.i * 16 + 24), ' ')
+               AS chunk_text,
+           least(n - g.i * 16, 24)::BIGINT AS n_chunk_tokens
+    FROM meta JOIN generate_series(0, 2048) g(i) ON g.i < n_chunks
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (operators/text.py
+    chunk_documents): max_tokens=24, overlap=8 — chunk i covers tokens
+    [i*16, i*16+24), integer-exact chunk counts, map-only explode at
+    scan speed. The oracle re-derives every chunk with list_slice over
+    a bounded series join (fixture pins docs <= 2048 tokens)."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.chunk_documents(d, max_tokens=24, overlap=8)
+
+
+@_q(
     "zktree_source_demo",
     """
     SELECT * FROM (VALUES
@@ -3637,10 +3783,9 @@ GRADED_FIRST: list[str] = [
     "cohort_retention_weekly", "text_bpe_token_estimate",
     "zktree_source_demo", "rediskeys_source_demo", "profile_documents",
     "reflect_bridge_demo", "training_order_export", "skew_report_users",
-    # round-3 oracle-checked additions + rows-only twins (weaker driver
-    # check, but an official row at last)
-    "embedding_sq_adc_topk",
-    "embedding_pq_topk", "pagerank_neardup_graph",
+    # round-3 oracle-checked additions (SQ-ADC compressed ANN scoring,
+    # context-window chunking, quality-aware dedup survivor policy)
+    "embedding_sq_adc_topk", "chunk_documents", "dedup_keep_best",
 ]
 
 

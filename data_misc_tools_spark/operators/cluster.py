@@ -101,6 +101,51 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(
+    pairs: DataFrame,
+    scores: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    node_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster near-dup pairs and keep the BEST member per cluster —
+    the quality-aware survivor policy (vs :func:`dedup_clusters`'s
+    min-id): the kept document is the one with the highest
+    ``score_col``, ties broken by smallest id, so the policy is total
+    and engine-reproducible.
+
+    ``scores`` maps ``node_col`` -> ``score_col`` (e.g. a quality
+    score from operators.text). Output: (component, size, keep_id,
+    keep_score). Scale shape: CC labels + one score join + one
+    per-component window over the already-reduced (node, component)
+    frame — all keyed shuffles, nothing quadratic.
+    """
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, src=left, dst=right)
+    scored = comp.join(
+        scores.select(
+            F.col(node_col).alias("node"), F.col(score_col).alias("__s")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__s"), F.asc("node"))
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_id"),
+            F.col("__s").alias("keep_score"),
+        )
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("size"))
+    return sizes.join(best, "component").select(
+        "component", "size", "keep_id", "keep_score"
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

@@ -1,0 +1,117 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-dim
+file skipping.
+
+At 100 TB the scan is the query: parquet min/max footer stats prune
+files, but a layout sorted on one column only prunes THAT column.
+Interleaving the bits of several columns into one Morton key and
+range-partition-sorting by it clusters files in EVERY interleaved
+dimension at once, so a conjunctive filter on any subset of the
+Z-ordered columns skips most files (the Delta/Iceberg OPTIMIZE ZORDER
+idea, here as plain DataFrame ops over plain parquet).
+
+The key computation is pure integer bit arithmetic — engine-portable
+(the catalog oracle recomputes it in DuckDB) and JVM-executed at scan
+speed.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton interleave: bit *b* of input *i* lands at output bit
+    ``b * n_cols + i``.
+
+    Inputs must already be non-negative integers below ``2^bits``
+    (bucket/rank/clamp first — see :func:`zorder_write`); they are
+    masked to ``bits`` defensively. ``bits * n_cols`` must fit a
+    signed 64-bit output: up to 16 bits x 3 cols, 21 x 3, 31 x 2 etc.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    if bits * n > 62:
+        raise ValueError(f"{bits} bits x {n} cols overflows a signed long")
+    parts = [
+        F.shiftleft(
+            F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)), b * n + i
+        )
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return reduce(lambda a, x: a.bitwiseOR(x), parts)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 32,
+    bucketize: str = "rank",
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``.
+
+    Each column is first normalized to a ``bits``-wide non-negative
+    bucket; range partitioning on the Morton key then gives
+    ``n_files`` roughly equal files, each covering a compact Z-range —
+    a small rectangle in every dimension — which is what makes the
+    min/max footer stats selective for conjunctive filters on any of
+    ``cols``.
+
+    ``bucketize``:
+
+    - ``'rank'`` (default): equal-POPULATION buckets via ``ntile`` —
+      robust to skew and outliers (a min-max scale collapses a
+      heavy-tailed column into a handful of buckets and the dimension
+      stops pruning). Costs one global sort per column at write time;
+      a 100 TB job would swap exact ntile for sampled quantile
+      boundaries (approxQuantile) — same layout, no global sorts.
+    - ``'minmax'``: equal-WIDTH buckets from one tiny min/max agg —
+      cheapest, fine for uniform-ish columns.
+    """
+    from pyspark.sql.window import Window
+
+    span = (1 << bits) - 1
+    if bucketize == "rank":
+        keyed = df
+        bucket_cols = []
+        for c in cols:
+            bname = f"__zb_{c}"
+            keyed = keyed.withColumn(
+                bname,
+                (F.ntile(span + 1).over(Window.orderBy(F.col(c))) - 1).cast("long"),
+            )
+            bucket_cols.append(F.col(bname))
+        keyed = keyed.withColumn("__z", zorder_key(bucket_cols, bits)).drop(
+            *[f"__zb_{c}" for c in cols]
+        )
+    elif bucketize == "minmax":
+        lo_hi = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+        ).first()
+        bucket_cols = []
+        for c in cols:
+            lo, hi = lo_hi[f"__lo_{c}"], lo_hi[f"__hi_{c}"]
+            scale = span / (hi - lo) if hi > lo else 0.0
+            bucket_cols.append(
+                F.least(
+                    F.lit(span),
+                    F.floor((F.col(c).cast("double") - F.lit(lo)) * F.lit(scale)),
+                ).cast("long")
+            )
+        keyed = df.withColumn("__z", zorder_key(bucket_cols, bits))
+    else:
+        raise ValueError(f"unknown bucketize mode: {bucketize!r}")
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -49,6 +49,61 @@ def bpeish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPEISH_PATTERN), F.lit(0)))
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping context-window chunks — the
+    standard long-document preparation for a fixed-context trainer:
+    chunk *i* covers whitespace tokens ``[i*stride, i*stride +
+    max_tokens)`` with ``stride = max_tokens - overlap``, so adjacent
+    chunks share ``overlap`` tokens and no token is dropped.
+
+    Pure Catalyst (split → sequence → transform/slice → explode):
+    map-only, zero shuffle, so a 100 TB corpus chunks at scan speed
+    with output parallelism inherited from the input partitioning.
+    Chunk counts are exact integer math (engine-portable):
+    ``n_chunks = 1`` for ``n <= max_tokens`` else ``1 + ceil((n -
+    max_tokens) / stride)``.
+
+    Output: (id_col, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    stride = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - max_tokens + stride - 1) / F.lit(stride)).cast("int")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, max_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        )
+    )
+    return (
+        df.filter(n >= 1)
+        .select(F.col(id_col), F.col(text_col), chunk.alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.size(F.filter(F.split("__c.chunk_text", " "), lambda x: x != ""))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Per-document quality features + a composite score in [0, 1].
 

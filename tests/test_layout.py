@@ -1,0 +1,117 @@
+"""Z-order layout: key correctness + the actual file-skipping win.
+
+The point of Morton clustering is measurable from parquet footers: a
+2-D box predicate admits far fewer files under a Z-ordered layout
+than under a single-column sort, because each Z-range file covers a
+small rectangle in BOTH dimensions.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_misc_tools_spark.operators.layout import zorder_key, zorder_write
+from data_misc_tools_spark.session import read_parquet_table
+
+
+def _interleave_py(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(3, 5), (0, 0), (255, 255), (170, 85), (1, 128)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _interleave_py(x, y, 8)
+
+
+def test_zorder_key_validations(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match=">= 2"):
+        zorder_key([df.x], bits=8)
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key([df.x, df.y], bits=32)
+
+
+def _file_stats(path: str) -> list[dict[str, tuple]]:
+    """Per-file {col: (min, max)} from parquet footers."""
+    ds = pq.ParquetDataset(path)
+    out = []
+    for frag in ds.fragments:
+        md = frag.metadata
+        stats: dict[str, tuple] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for j in range(g.num_columns):
+                c = g.column(j)
+                s = c.statistics
+                if s is None:
+                    continue
+                name = c.path_in_schema
+                lo, hi = s.min, s.max
+                if name in stats:
+                    lo = min(lo, stats[name][0])
+                    hi = max(hi, stats[name][1])
+                stats[name] = (lo, hi)
+        out.append(stats)
+    return out
+
+
+def _admitted(stats: list[dict], box: dict[str, tuple[float, float]]) -> int:
+    n = 0
+    for st in stats:
+        if all(
+            col in st and not (hi < st[col][0] or lo > st[col][1])
+            for col, (lo, hi) in box.items()
+        ):
+            n += 1
+    return n
+
+
+def test_zorder_layout_skips_files_on_any_dimension(spark, sf_dir, tmp_path):
+    """The multi-dim skipping property, measured from parquet footers:
+    under a user_id-only sort, a value-selective filter admits ~every
+    file (each file spans the full value range); under Z-order BOTH a
+    value-selective filter and a user-selective filter skip most
+    files. Rank bucketing keeps the value dimension informative
+    despite its heavy tail (min-max bucketing would collapse it)."""
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "events_z")
+    spath = str(tmp_path / "events_sorted")
+    n_files = 16
+    zorder_write(ev, zpath, ["user_id", "value"], bits=8, n_files=n_files)
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    zstats = [s for s in _file_stats(zpath) if s]
+    sstats = [s for s in _file_stats(spath) if s]
+    assert len(zstats) >= n_files // 2  # layout actually split
+
+    # value-selective: top 5% of values (selective in rows AND range)
+    p95, vmax = ev.approxQuantile("value", [0.95, 1.0], 0.0)
+    val_box = {"value": (p95, vmax)}
+    z_val = _admitted(zstats, val_box)
+    s_val = _admitted(sstats, val_box)
+    assert s_val >= len(sstats) - 1, (s_val, len(sstats))  # sort can't prune value
+    assert z_val <= len(zstats) // 2, (z_val, len(zstats))  # z-order can
+
+    # user-selective: bottom quarter of users — z-order still prunes
+    lo_u, hi_u = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    usr_box = {"user_id": (lo_u, lo_u + (hi_u - lo_u) / 4)}
+    z_usr = _admitted(zstats, usr_box)
+    assert z_usr <= 3 * len(zstats) // 4, (z_usr, len(zstats))

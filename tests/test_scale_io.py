@@ -60,6 +60,35 @@ def test_sketch_aggregates_within_tolerance(spark, sf_dir):
     assert abs(p_approx - p_exact) <= 0.05 * spread
 
 
+def test_hll_sketch_union_matches_exact_within_tolerance(spark, sf_dir):
+    """The MERGEABLE sketch path (hll_sketch_agg per group, then
+    hll_union_agg across groups) must estimate the true per-day
+    distinct-user count within 5% — the correctness pin behind the
+    hll_users_mergeable_rollup catalog entry: pre-aggregated sketches
+    answer coarser rollups without re-scanning raw events."""
+    from data_misc_tools_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_str")
+    exact = {
+        r.day_str: r.x
+        for r in e.groupBy(day)
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    merged = {
+        r.day_str: r.est
+        for r in e.groupBy(day, "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("day_str")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for d, x in exact.items():
+        assert abs(merged[d] - x) / x < 0.05, (d, merged[d], x)
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Two tables bucketed on the join key with equal bucket counts
     must join with ZERO Exchange operators (the 100 TB fact-join
