@@ -82,6 +82,14 @@ HEADLINE = [
     "text_repetition_signals",
     "tfidf_topk_terms",
     "pii_scrub_demo",
+    # round-3 additions: context-window chunking, quality-aware dedup
+    # survivor, integer-exact compressed ANN scoring, Z-order keys,
+    # mergeable HLL rollup
+    "chunk_documents",
+    "dedup_keep_best",
+    "embedding_sq_adc_topk",
+    "zorder_key_demo",
+    "hll_users_mergeable_rollup",
 ]
 
 

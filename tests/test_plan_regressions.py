@@ -200,3 +200,26 @@ def test_pii_scrub_is_scan_local(spark, sf_dir):
     plan = _plan(spark, "pii_scrub_demo", sf_dir)
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_is_exchange_free(spark, sf_dir):
+    """Chunking is a map-only explode: one scan, zero shuffles, zero
+    Python — its scan-speed claim at corpus scale."""
+    plan = _plan(spark, "chunk_documents", sf_dir)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sq_adc_topk_broadcasts_queries_jvm_side(spark, sf_dir):
+    """Compressed ANN scoring: query side broadcast (corpus never
+    shuffles for the join), integer scoring stays in the JVM."""
+    plan = _plan(spark, "embedding_sq_adc_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zorder_key_is_scan_local(spark, sf_dir):
+    plan = _plan(spark, "zorder_key_demo", sf_dir)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
