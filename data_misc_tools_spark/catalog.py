@@ -1970,6 +1970,62 @@ def split_assign_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "split_by_cluster_demo",
+    """
+    WITH RECURSIVE e AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2
+          ON d2.doc_id = d1.doc_id + 1 AND d1.lang = d2.lang
+    ), und AS (
+        SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e
+    ), nodes AS (
+        SELECT DISTINCT a AS n FROM und
+    ), reach AS (
+        SELECT n AS node, n AS r FROM nodes
+        UNION
+        SELECT re.node, u.b AS r FROM reach re JOIN und u ON u.a = re.r
+    ), comp AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    ), keyed AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS ck
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), sp AS (
+        SELECT ck,
+               ('0x' || substr(md5('cl' || ck::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+        FROM keyed
+    )
+    SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT ck) AS n_clusters
+    FROM sp GROUP BY 1 ORDER BY split
+    """,
+)
+def split_by_cluster_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free splitting (operators/sampling.py split_by_cluster):
+    near-dup cluster members share one split, so no test doc has a
+    train near-duplicate. The oracle re-derives the clusters with the
+    recursive closure and carves the SAME md5 buckets on the cluster
+    key; n_clusters per split proves whole clusters moved together."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    a = d.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"))
+    edges = a.join(
+        b, (F.col("b") == F.col("a") + 1) & (F.col("lang_a") == F.col("lang_b"))
+    ).select("a", "b")
+    return (
+        SA.split_by_cluster(d, edges, key_col="doc_id", left="a", right="b",
+                            salt="cl")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_key").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+@_q(
     "text_clean_demo",
     """
     SELECT doc_id,

@@ -68,9 +68,13 @@ def zorder_write(
     - ``'rank'`` (default): equal-POPULATION buckets via ``ntile`` —
       robust to skew and outliers (a min-max scale collapses a
       heavy-tailed column into a handful of buckets and the dimension
-      stops pruning). Costs one global sort per column at write time;
-      a 100 TB job would swap exact ntile for sampled quantile
-      boundaries (approxQuantile) — same layout, no global sorts.
+      stops pruning). Costs one global sort per column at write time.
+    - ``'quantile'``: the same equal-population idea from
+      ``approxQuantile`` boundary samples — NO global sorts (one
+      sketch pass per column, boundaries broadcast as literals, bucket
+      = counting fold over the boundary array, all in codegen). The
+      100 TB writer's choice; layout quality equals 'rank' up to the
+      sketch error.
     - ``'minmax'``: equal-WIDTH buckets from one tiny min/max agg —
       cheapest, fine for uniform-ish columns.
     """
@@ -90,6 +94,21 @@ def zorder_write(
         keyed = keyed.withColumn("__z", zorder_key(bucket_cols, bits)).drop(
             *[f"__zb_{c}" for c in cols]
         )
+    elif bucketize == "quantile":
+        probs = [i / (span + 1) for i in range(1, span + 1)]
+        bucket_cols = []
+        for c in cols:
+            bounds = df.approxQuantile(c, probs, 0.001)
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            bucket_cols.append(
+                F.aggregate(
+                    arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+                )
+            )
+        keyed = df.withColumn("__z", zorder_key(bucket_cols, bits))
     elif bucketize == "minmax":
         lo_hi = df.agg(
             *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],

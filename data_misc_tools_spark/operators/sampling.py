@@ -123,6 +123,41 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    left: str = "doc_a",
+    right: str = "doc_b",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-free train/val/test split: every member of a near-dup
+    cluster lands in the SAME split, so a test document can never have
+    a near-duplicate in train (the contamination mode a plain per-doc
+    hash split cannot prevent — Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" measures exactly this
+    train/test leakage).
+
+    ``pairs`` are near-dup edges (e.g. LSH candidates after verify);
+    the split key is the connected component's min id, singletons fall
+    back to their own key, and the assignment itself is the same
+    deterministic hash-bucket carve as :func:`split_assign`. Scale:
+    CC labels + one left join; the split decision stays scan-local.
+
+    Output: ``df`` + (cluster_key, split).
+    """
+    from data_misc_tools_spark.operators.cluster import connected_components
+
+    comp = connected_components(pairs, src=left, dst=right).withColumnRenamed(
+        "node", key_col
+    )
+    keyed = df.join(comp, key_col, "left").withColumn(
+        "cluster_key", F.coalesce(F.col("component"), F.col(key_col)).cast("long")
+    ).drop("component")
+    return split_assign(keyed, "cluster_key", splits=splits, salt=salt)
+
+
 def mixture_resample(
     df: DataFrame,
     strata_col: str,

@@ -115,3 +115,14 @@ def test_zorder_layout_skips_files_on_any_dimension(spark, sf_dir, tmp_path):
     usr_box = {"user_id": (lo_u, lo_u + (hi_u - lo_u) / 4)}
     z_usr = _admitted(zstats, usr_box)
     assert z_usr <= 3 * len(zstats) // 4, (z_usr, len(zstats))
+
+    # the sort-free 'quantile' bucketing (the 100 TB writer) must
+    # deliver the same skew-robust pruning as exact ntile ranks
+    qpath = str(tmp_path / "events_zq")
+    zorder_write(
+        ev, qpath, ["user_id", "value"], bits=8, n_files=n_files,
+        bucketize="quantile",
+    )
+    qstats = [s for s in _file_stats(qpath) if s]
+    assert _admitted(qstats, val_box) <= len(qstats) // 2
+    assert _admitted(qstats, usr_box) <= 3 * len(qstats) // 4

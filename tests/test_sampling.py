@@ -165,3 +165,38 @@ class TestTrainingOrder:
         shards_a = {r.k: r.shard for r in SA.training_order(df, "k").collect()}
         shards_g = {r.k: r.shard for r in SA.training_order(grown, "k").collect()}
         assert all(shards_g[k] == s for k, s in shards_a.items())
+
+
+class TestSplitByCluster:
+    def test_cluster_members_share_split_and_singletons_fallback(self, spark):
+        """The leakage-free property itself: every near-dup cluster
+        lands whole in one split; docs with no edges keep their own
+        key (same assignment as plain split_assign)."""
+        docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        # clusters: {0..4} via chain edges, {10,11}, rest singletons
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+        )
+        out = SA.split_by_cluster(docs, edges, salt="t").collect()
+        split = {r.doc_id: r.split for r in out}
+        ck = {r.doc_id: r.cluster_key for r in out}
+        assert len(out) == 100  # left join loses nothing
+        assert len({split[i] for i in range(5)}) == 1
+        assert ck[3] == 0 and ck[11] == 10  # min-id cluster key
+        assert split[10] == split[11]
+        # singletons match split_assign on their own key
+        plain = {
+            r.doc_id: r.split
+            for r in SA.split_assign(docs, "doc_id", salt="t").collect()
+        }
+        for i in [20, 55, 99]:
+            assert ck[i] == i and split[i] == plain[i]
+
+    def test_assignment_stable_under_new_edges_elsewhere(self, spark):
+        """Adding an unrelated cluster never moves existing docs."""
+        docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        e1 = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+        e2 = spark.createDataFrame([(0, 1), (30, 31)], "doc_a long, doc_b long")
+        s1 = {r.doc_id: r.split for r in SA.split_by_cluster(docs, e1).collect()}
+        s2 = {r.doc_id: r.split for r in SA.split_by_cluster(docs, e2).collect()}
+        assert all(s2[k] == v for k, v in s1.items() if k not in (30, 31))

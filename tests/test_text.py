@@ -191,3 +191,60 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
     assert out[4].redacted == "clean text no pii"
     assert out[5].redacted == "<EMAIL> and <IP> and <PHONE>"
+
+
+class TestChunkDocuments:
+    def test_chunks_match_python_reference(self, spark):
+        """Exact chunk/text equality vs an independent Python slicer
+        across doc lengths around every boundary (0, 1, max, max+1,
+        stride multiples, +/-1 off the edges)."""
+        import random
+
+        from data_misc_tools_spark.operators.text import chunk_documents
+
+        max_tokens, overlap = 8, 3
+        stride = max_tokens - overlap
+        rng = random.Random(7)
+        lengths = sorted(
+            {0, 1, 2, max_tokens - 1, max_tokens, max_tokens + 1,
+             stride * 3, stride * 3 + 1, 40, 41, 57}
+        )
+        rows = []
+        for n in lengths:
+            words = [f"w{rng.randrange(100)}" for _ in range(n)]
+            rows.append((n, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got: dict[tuple, tuple] = {}
+        for r in chunk_documents(
+            df, max_tokens=max_tokens, overlap=overlap
+        ).collect():
+            got[(r.doc_id, r.chunk_id)] = (r.chunk_text, r.n_chunk_tokens)
+
+        expected: dict[tuple, tuple] = {}
+        for n, text in rows:
+            toks = [t for t in text.split(" ") if t]
+            if not toks:
+                continue  # empty docs are dropped
+            n_chunks = 1 if n <= max_tokens else 1 + -(-(n - max_tokens) // stride)
+            for i in range(n_chunks):
+                part = toks[i * stride: i * stride + max_tokens]
+                expected[(n, i)] = (" ".join(part), len(part))
+        assert got == expected
+
+    def test_every_token_covered_no_gap_no_tail_loss(self, spark):
+        from data_misc_tools_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(str(i) for i in range(100)))], "doc_id long, text string"
+        )
+        chunks = sorted(
+            (r.chunk_id, r.chunk_text.split(" "))
+            for r in chunk_documents(df, max_tokens=24, overlap=8).collect()
+        )
+        seen = set()
+        for _, toks in chunks:
+            seen.update(int(t) for t in toks)
+        assert seen == set(range(100))  # no token dropped
+        # adjacent chunks overlap by exactly `overlap` tokens
+        for (i1, t1), (_, t2) in zip(chunks, chunks[1:]):
+            assert t1[-8:] == t2[:8] or len(t1) < 24
