@@ -101,6 +101,69 @@ def dedup_clusters(
     )
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Merge a NEW batch of edges into existing CC ``labels`` without
+    reprocessing the original graph — the companion of the incremental
+    dedup index (dedup.minhash_index_append): the backlog's edges were
+    already contracted into labels, so only the CONTRACTED graph
+    (components touched by new edges, one node per component) needs
+    label propagation.
+
+    Correctness: within-cluster connectivity is already established,
+    so mapping each new edge endpoint to its component (new nodes map
+    to themselves) and running CC on that tiny contracted graph yields
+    exactly the full-recompute result — component ids stay "min member
+    id" because the old id was already the min of its members and the
+    contracted CC takes the min across merged groups.
+
+    Cost: one lookup join per endpoint + CC on a graph whose size is
+    the NEW batch's edge count, not the corpus. Output: (node,
+    component) for all old and new nodes.
+    """
+    lab = labels.select(F.col("node"), F.col("component"))
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    for side in ("a", "b"):
+        e = (
+            e.join(
+                lab.select(
+                    F.col("node").alias(side),
+                    F.col("component").alias(f"__c_{side}"),
+                ),
+                side,
+                "left",
+            )
+            .withColumn(
+                f"__c_{side}", F.coalesce(F.col(f"__c_{side}"), F.col(side))
+            )
+        )
+    contracted = e.select(
+        F.col("__c_a").alias("src"), F.col("__c_b").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    remap = connected_components(contracted, src="src", dst="dst").select(
+        F.col("node").alias("component"), F.col("component").alias("__new")
+    )
+    # all known nodes: previous labels + any node first seen in this batch
+    new_nodes = (
+        e.select(F.col("a").alias("node"), F.col("__c_a").alias("component"))
+        .union(e.select(F.col("b").alias("node"), F.col("__c_b").alias("component")))
+        .join(lab.select("node"), "node", "left_anti")
+        .distinct()
+    )
+    allnodes = lab.union(new_nodes)
+    return (
+        allnodes.join(remap, "component", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__new"), F.col("component")).alias("component"),
+        )
+    )
+
+
 def dedup_keep_best(
     pairs: DataFrame,
     scores: DataFrame,

@@ -148,3 +148,63 @@ class TestPageRank:
         )
         got = [r.rank for r in C.pagerank(df, max_iter=5).collect()]
         assert all(abs(r - 0.25) < 1e-12 for r in got)
+
+
+class TestIncrementalCC:
+    def test_matches_full_recompute_on_random_split(self, spark):
+        """Split a random edge set into two batches: CC(batch1) merged
+        with batch2 incrementally must equal CC(all edges) exactly —
+        including nodes first seen in batch2."""
+        import random
+
+        from data_misc_tools_spark.operators.cluster import (
+            connected_components_incremental,
+        )
+
+        rng = random.Random(13)
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+        edges = [e for e in edges if e[0] != e[1]]
+        cut = len(edges) // 2
+        df_all = spark.createDataFrame(edges, "src long, dst long")
+        df1 = spark.createDataFrame(edges[:cut], "src long, dst long")
+        df2 = spark.createDataFrame(edges[cut:], "src long, dst long")
+
+        full = {
+            r.node: r.component
+            for r in connected_components(df_all, max_iter=60).collect()
+        }
+        lab1 = connected_components(df1, max_iter=60)
+        inc = {
+            r.node: r.component
+            for r in connected_components_incremental(lab1, df2).collect()
+        }
+        assert inc == full
+
+    def test_new_batch_merges_two_old_clusters(self, spark):
+        from data_misc_tools_spark.operators.cluster import (
+            connected_components_incremental,
+        )
+
+        base = spark.createDataFrame([(1, 2), (10, 11)], "src long, dst long")
+        lab = connected_components(base)
+        # bridge the clusters and introduce a brand-new node 50
+        bridge = spark.createDataFrame([(2, 10), (50, 11)], "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in connected_components_incremental(lab, bridge).collect()
+        }
+        assert got == {1: 1, 2: 1, 10: 1, 11: 1, 50: 1}
+
+    def test_untouched_clusters_keep_labels(self, spark):
+        from data_misc_tools_spark.operators.cluster import (
+            connected_components_incremental,
+        )
+
+        base = spark.createDataFrame([(1, 2), (10, 11)], "src long, dst long")
+        lab = connected_components(base)
+        only_new = spark.createDataFrame([(30, 31)], "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in connected_components_incremental(lab, only_new).collect()
+        }
+        assert got == {1: 1, 2: 1, 10: 10, 11: 10, 30: 30, 31: 30}
