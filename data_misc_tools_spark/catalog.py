@@ -1341,6 +1341,43 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "interval_join_attribution",
+    """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           floor(epoch(p.ts))::BIGINT AS purchase_ts,
+           floor(epoch(c.ts))::BIGINT AS click_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join: every (purchase, click-within-prior-
+    30-min) pair per user — the batch twin of the stream-stream
+    event-time join (streaming/joins.py; availableNow replay equality
+    pinned in tests/test_streaming.py). Unlike the as-of join (nearest
+    prior only), the interval form keeps ALL window matches; at scale
+    it is one co-partitioned user-key join whose streaming state is
+    bounded by watermark + interval."""
+    from data_misc_tools_spark.streaming.joins import interval_join_batch
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    return interval_join_batch(p, c, max_gap_seconds=1800).select(
+        "user_id",
+        F.unix_timestamp("l_ts").alias("purchase_ts"),
+        F.unix_timestamp("r_ts").alias("click_ts"),
+    )
+
+
+@_q(
     "event_value_bands",
     """
     SELECT e.event_id, e.value, b.band

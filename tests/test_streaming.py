@@ -705,3 +705,74 @@ class TestCohortStream:
             for r in cohort_retention(ev).collect()
         ]
         assert got == want
+
+
+class TestIntervalJoinStream:
+    def test_availablenow_replay_equals_batch_twin(self, spark, sf_dir):
+        """Stream-stream interval join (purchases x prior clicks within
+        30 min): availableNow replay over the events table must equal
+        the identical-condition batch join."""
+        from pyspark.sql import functions as FF
+
+        from data_misc_tools_spark.session import (
+            nanos_ts_columns,
+            read_parquet_table,
+        )
+        from data_misc_tools_spark.streaming.joins import (
+            interval_join_batch,
+            interval_join_stream,
+        )
+
+        src = f"{sf_dir}/events.parquet"
+        stage_dir = tempfile.mkdtemp(prefix="ij_stage_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        schema = spark.read.parquet(src).schema
+
+        def stream_side(event_type, ts_name):
+            s = spark.readStream.schema(schema).parquet(stage_dir)
+            if "ts" in nanos_ts_columns(src):
+                s = s.withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+            return s.filter(FF.col("event_type") == event_type).select(
+                "user_id", FF.col("ts").alias(ts_name)
+            )
+
+        joined = interval_join_stream(
+            stream_side("purchase", "l_ts"),
+            stream_side("click", "r_ts"),
+            max_gap_seconds=1800,
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ij_test")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ij_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert q.exception() is None
+        got = {
+            (r.user_id, r.l_ts, r.r_ts) for r in spark.table("ij_test").collect()
+        }
+
+        ev = read_parquet_table(spark, src)
+        purchases = ev.filter("event_type = 'purchase'").select(
+            "user_id", FF.col("ts").alias("l_ts")
+        )
+        clicks = ev.filter("event_type = 'click'").select(
+            "user_id", FF.col("ts").alias("r_ts")
+        )
+        want = {
+            (r.user_id, r.l_ts, r.r_ts)
+            for r in interval_join_batch(
+                purchases, clicks, max_gap_seconds=1800
+            ).collect()
+        }
+        assert want  # fixture must produce matches
+        assert got == want
