@@ -3709,6 +3709,46 @@ def audio_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "jpeg_meta_demo",
+    """
+    SELECT doc_id,
+           'jpeg' AS format,
+           (64 + doc_id % 1024)::BIGINT AS width,
+           (48 + doc_id % 768)::BIGINT  AS height
+    FROM documents
+    """,
+)
+def jpeg_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG metadata round trip, all JVM-side: fabricate a minimal
+    JPEG header per document (synthetic_jpeg — SOI + APP0 + SOF0 +
+    EOI), then parse it back with jpeg_dimensions' bounded segment-walk
+    fold (the reader must hop the APP0 segment to reach SOF). The
+    oracle computes the expected dims arithmetically, so any byte-slip
+    in writer or walker fails the hash — the JPEG twin of
+    audio_meta_demo."""
+    from data_misc_tools_spark.operators.multimodal import (
+        image_dimensions,
+        synthetic_jpeg,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    blobs = d.select(
+        "doc_id",
+        synthetic_jpeg(
+            width=F.lit(64) + F.col("doc_id") % 1024,
+            height=F.lit(48) + F.col("doc_id") % 768,
+        ).alias("payload"),
+    )
+    m = image_dimensions("payload")
+    return blobs.select(
+        "doc_id",
+        m.getField("format").alias("format"),
+        m.getField("width").cast("long").alias("width"),
+        m.getField("height").cast("long").alias("height"),
+    )
+
+
+@_q(
     "text_repetition_signals",
     """
     WITH lst AS (

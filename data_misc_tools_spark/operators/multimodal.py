@@ -237,9 +237,12 @@ def image_dimensions(payload: Column | str) -> Column:
 
     Fixed-offset formats are expressible as Catalyst byte slices:
     PNG (IHDR width/height, big-endian u32 at offsets 17/21) and GIF
-    (logical-screen w/h, little-endian u16 at offsets 7/9). Formats
-    needing a marker scan (JPEG SOF) belong on the mapInPandas decode
-    path (:func:`decode_batches`). Unknown formats -> (null struct
+    (logical-screen w/h, little-endian u16 at offsets 7/9). JPEG needs
+    a SEGMENT WALK to find the SOF marker — still no Python: the walk
+    is a bounded ``aggregate`` fold whose state is (pos, w, h) and
+    whose step reads bytes at a DYNAMIC offset (``substring`` with a
+    column position), hopping ``2 + seglen`` per segment
+    (:func:`jpeg_dimensions`). Unknown formats -> (null struct
     fields).
     """
     p = F.col(payload) if isinstance(payload, str) else payload
@@ -254,15 +257,89 @@ def image_dimensions(payload: Column | str) -> Column:
 
     is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
     is_gif = F.hex(F.substring(p, 1, 4)).isin("47494638")
+    jpeg = jpeg_dimensions(p)
+    is_jpeg = jpeg.getField("width").isNotNull()
     fmt = (
         F.when(is_png, F.lit("png"))
         .when(is_gif, F.lit("gif"))
+        .when(is_jpeg, F.lit("jpeg"))
         .otherwise(F.lit(None).cast("string"))
     )
-    width = F.when(is_png, be32(17)).when(is_gif, le16(7))
-    height = F.when(is_png, be32(21)).when(is_gif, le16(9))
+    width = (
+        F.when(is_png, be32(17))
+        .when(is_gif, le16(7))
+        .when(is_jpeg, jpeg.getField("width"))
+    )
+    height = (
+        F.when(is_png, be32(21))
+        .when(is_gif, le16(9))
+        .when(is_jpeg, jpeg.getField("height"))
+    )
     return F.struct(
         fmt.alias("format"), width.alias("width"), height.alias("height")
+    )
+
+
+def jpeg_dimensions(payload: Column | str, max_segments: int = 16) -> Column:
+    """JPEG (width, height) from the SOF0/SOF1/SOF2 frame header with
+    ZERO Python: the marker scan — an inherently iterative parse — is
+    a bounded Catalyst ``aggregate`` fold. State = (pos, w, h); each
+    step reads the marker byte and the big-endian segment length at
+    the CURRENT position (dynamic-offset ``substring``), records
+    height/width from an SOF segment (offsets +5/+7 past the marker),
+    stops at SOS/EOI (dimensions always precede entropy-coded data),
+    or hops ``pos += 2 + seglen``. ``max_segments`` bounds the walk
+    (real files put SOF within the first handful of segments; headers
+    with more leading APPn/COM segments than that yield nulls, not a
+    scan of the whole blob).
+
+    Returns struct(width, height) — null fields when not a JPEG or no
+    SOF found within the bound.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def u8_at(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast("long")
+
+    def be16_at(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, F.lit(2))), 16, 10).cast("long")
+
+    def step(acc: Column, _: Column) -> Column:
+        pos = acc.getField("pos")
+        w = acc.getField("w")
+        h = acc.getField("h")
+        done = (w != F.lit(-1)) | (pos < F.lit(0))
+        m1 = u8_at(pos)
+        m2 = u8_at(pos + 1)
+        seglen = be16_at(pos + 2)
+        is_sof = m2.isin(0xC0, 0xC1, 0xC2) & (m1 == 0xFF)
+        stop = (
+            (m1 != 0xFF) | m2.isin(0xD9, 0xDA) | (seglen < 2)
+            | (pos + 2 + seglen > F.length(p))
+        )
+        nxt = F.struct(
+            F.when(is_sof | stop, F.lit(-1).cast("long"))
+            .otherwise(pos + 2 + seglen)
+            .alias("pos"),
+            F.when(is_sof, be16_at(pos + 7)).otherwise(w).alias("w"),
+            F.when(is_sof, be16_at(pos + 5)).otherwise(h).alias("h"),
+        )
+        return F.when(done, acc).otherwise(nxt)
+
+    init = F.struct(
+        F.lit(3).cast("long").alias("pos"),
+        F.lit(-1).cast("long").alias("w"),
+        F.lit(-1).cast("long").alias("h"),
+    )
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), init, step
+    )
+    is_jpeg = (F.hex(F.substring(p, 1, 2)) == "FFD8") & (
+        folded.getField("w") != -1
+    )
+    return F.struct(
+        F.when(is_jpeg, folded.getField("w")).alias("width"),
+        F.when(is_jpeg, folded.getField("h")).alias("height"),
     )
 
 
@@ -356,3 +433,30 @@ def synthetic_wav(
     )
     body = F.repeat(F.lit("00"), dlen.cast("int"))
     return F.unhex(F.concat(header_hex, body))
+
+
+def _be_bytes(x: Column, nbytes: int) -> Column:
+    """Integer -> big-endian bytes as a hex string (JVM-side), value
+    reduced mod 2^(8*nbytes) like :func:`_le_bytes`."""
+    return F.lpad(F.hex(F.pmod(x, F.lit(2 ** (8 * nbytes)))), 2 * nbytes, "0")
+
+
+def synthetic_jpeg(width: Column, height: Column) -> Column:
+    """Build a minimal structurally-valid JPEG header blob entirely
+    with Catalyst expressions — the writer half of the JPEG plumbing
+    round trip (:func:`jpeg_dimensions` is the reader): SOI, a JFIF
+    APP0 segment (so the reader must actually WALK past a segment to
+    reach the frame header), an SOF0 with the given dimensions, EOI.
+    No entropy-coded data — a header fixture, not a decodable image.
+    """
+    return F.unhex(
+        F.concat(
+            F.lit("FFD8"),                                  # SOI
+            F.lit("FFE000104A46494600010100000100010000"),  # APP0 JFIF, len 16
+            F.lit("FFC0000B08"),                            # SOF0, len 11, prec 8
+            _be_bytes(height, 2),
+            _be_bytes(width, 2),
+            F.lit("01011100"),                              # 1 component
+            F.lit("FFD9"),                                  # EOI
+        )
+    )

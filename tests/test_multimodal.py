@@ -1,6 +1,7 @@
 """Multimodal binary-column plumbing."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_misc_tools_spark.operators import multimodal as M
 
@@ -159,3 +160,60 @@ class TestWavAudioMeta:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+
+
+class TestJpegDimensions:
+    def test_round_trip_via_catalyst_writer(self, spark):
+        from data_misc_tools_spark.operators.multimodal import (
+            image_dimensions,
+            synthetic_jpeg,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 640, 480), (2, 1, 1), (3, 65535, 2)], "i long, w long, h long"
+        )
+        out = df.select(
+            "i", "w", "h",
+            image_dimensions(synthetic_jpeg(F.col("w"), F.col("h"))).alias("m"),
+        ).select("i", "w", "h", "m.format", "m.width", "m.height").collect()
+        for r in out:
+            assert (r.format, r.width, r.height) == ("jpeg", r.w, r.h), r
+
+    def test_real_header_with_many_leading_segments(self, spark):
+        """Hand-built JPEG bytes: APP0 + APP1(Exif-ish) + COM + DQT
+        before SOF2 — the walk must hop four segments; SOS data after
+        SOF must not confuse it."""
+        import struct
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        blob = (
+            b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xE1, b"Exif\x00\x00" + b"\x00" * 20)
+            + seg(0xFE, b"a comment")
+            + seg(0xDB, b"\x00" + bytes(64))
+            + seg(0xC2, b"\x08" + struct.pack(">HH", 900, 1440) + b"\x03")
+            + seg(0xDA, b"\x01\x01\x00")
+            + b"\x12\x34\x56"
+            + b"\xff\xd9"
+        )
+        from data_misc_tools_spark.operators.multimodal import jpeg_dimensions
+
+        df = spark.createDataFrame([(blob,)], "payload binary")
+        r = df.select(jpeg_dimensions("payload").alias("m")).first().m
+        assert (r.width, r.height) == (1440, 900)
+
+    def test_non_jpeg_and_truncated_yield_nulls(self, spark):
+        from data_misc_tools_spark.operators.multimodal import jpeg_dimensions
+
+        rows = [
+            (b"\x89PNG\r\n\x1a\x0a" + bytes(30),),   # PNG magic
+            (b"\xff\xd8\xff\xe0\x00\x10JF",),         # truncated mid-APP0
+            (b"\xff\xd8\xff\xd9",),                   # SOI+EOI, no SOF
+            (bytes(10),),
+        ]
+        df = spark.createDataFrame(rows, "payload binary")
+        for r in df.select(jpeg_dimensions("payload").alias("m")).collect():
+            assert r.m.width is None and r.m.height is None
