@@ -90,6 +90,9 @@ HEADLINE = [
     "embedding_sq_adc_topk",
     "zorder_key_demo",
     "hll_users_mergeable_rollup",
+    "split_by_cluster_demo",
+    "interval_join_attribution",
+    "jpeg_meta_demo",
 ]
 
 
