@@ -3708,6 +3708,61 @@ def audio_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_oracle() -> str:
+    from data_misc_tools_spark.operators.text import STOPWORDS, _ALPHA
+
+    stops = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})
+    )
+    return f"""
+    WITH lst AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x != '') AS l
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(l)::BIGINT AS n,
+               greatest(len(l), 1)::BIGINT AS sn,
+               list_sum(list_transform(l, x -> length(x)))::BIGINT AS tc,
+               len(list_filter(l, x ->
+                   length(translate(x, '{_ALPHA}', '')) < length(x)))::BIGINT AS aw,
+               len(list_filter(l, x -> list_contains([{stops}], x)))::BIGINT AS sh,
+               len(list_distinct(l))::BIGINT AS nd
+        FROM lst
+    )
+    SELECT doc_id, n AS n_words,
+           (CASE WHEN n < 10 THEN 'too_few_words'
+                 WHEN n > 2048 THEN 'too_many_words'
+                 WHEN tc < 3 * sn THEN 'mean_word_too_short'
+                 WHEN tc > 10 * sn THEN 'mean_word_too_long'
+                 WHEN aw * 100 < 80 * sn THEN 'too_few_alpha_words'
+                 WHEN sh < 2 THEN 'too_few_stopwords'
+                 WHEN (n - nd) * 100 > 60 * sn THEN 'too_repetitive'
+                 ELSE NULL END) IS NULL AS keep,
+           CASE WHEN n < 10 THEN 'too_few_words'
+                WHEN n > 2048 THEN 'too_many_words'
+                WHEN tc < 3 * sn THEN 'mean_word_too_short'
+                WHEN tc > 10 * sn THEN 'mean_word_too_long'
+                WHEN aw * 100 < 80 * sn THEN 'too_few_alpha_words'
+                WHEN sh < 2 THEN 'too_few_stopwords'
+                WHEN (n - nd) * 100 > 60 * sn THEN 'too_repetitive'
+                ELSE NULL END AS fail_reason
+    FROM m
+    """
+
+
+@_q("gopher_filter_demo", _gopher_oracle())
+def gopher_filter_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules document gate (operators/text.py gopher_filter):
+    word-count bounds, mean word length, alphabetic-word share,
+    stopword presence, duplicate-word fraction — every threshold an
+    integer cross-multiplication so the keep/drop decision and the
+    named first-failing rule hash identically in both engines. One
+    narrow projection, zero shuffles."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.gopher_filter(d)
+
+
 @_q(
     "jpeg_meta_demo",
     """

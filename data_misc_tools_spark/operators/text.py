@@ -49,6 +49,72 @@ def bpeish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPEISH_PATTERN), F.lit(0)))
 
 
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 2048,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_alpha_word_pct: int = 80,
+    min_stopword_hits: int = 2,
+    max_dup_word_pct: int = 60,
+) -> DataFrame:
+    """Gopher-style document quality GATE (Rae et al. 2021 §A1.1): the
+    composite keep/drop decision web-scale pipelines apply before
+    training, with the FIRST failing rule named so filter funnels are
+    debuggable. Rules:
+
+    1. word count in [min_words, max_words]
+    2. mean word length in [min_mean_word_len, max_mean_word_len]
+    3. >= min_alpha_word_pct % of words contain an alphabetic char
+    4. >= min_stopword_hits stopword occurrences (any language list)
+    5. duplicate-word fraction <= max_dup_word_pct %
+
+    Every comparison is INTEGER cross-multiplication (chars*10 vs
+    words*threshold etc.) — no float ratios anywhere, so the decision
+    is bit-identical in any engine and the filter is oracle-checkable.
+    One narrow projection over the scan, zero shuffles: the gate runs
+    at parquet-scan speed on any corpus size.
+
+    Output: (id_col, n_words, keep, fail_reason) — fail_reason null
+    when kept.
+    """
+    toks = tokens(text_col, lowercase=True)
+    n = F.size(toks).cast("long")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    alpha_words = F.size(
+        F.filter(toks, lambda x: F.length(F.translate(x, _ALPHA, "")) < F.length(x))
+    ).cast("long")
+    all_stop = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*all_stop))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    safe_n = F.greatest(n, F.lit(1))
+
+    reason = (
+        F.when(n < min_words, "too_few_words")
+        .when(n > max_words, "too_many_words")
+        .when(tok_chars < min_mean_word_len * safe_n, "mean_word_too_short")
+        .when(tok_chars > max_mean_word_len * safe_n, "mean_word_too_long")
+        .when(alpha_words * 100 < min_alpha_word_pct * safe_n, "too_few_alpha_words")
+        .when(stop_hits < min_stopword_hits, "too_few_stopwords")
+        .when((n - n_distinct) * 100 > max_dup_word_pct * safe_n, "too_repetitive")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        reason.isNull().alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 512,

@@ -248,3 +248,36 @@ class TestChunkDocuments:
         # adjacent chunks overlap by exactly `overlap` tokens
         for (i1, t1), (_, t2) in zip(chunks, chunks[1:]):
             assert t1[-8:] == t2[:8] or len(t1) < 24
+
+
+class TestGopherFilter:
+    def test_each_rule_fires_with_its_name(self, spark):
+        from data_misc_tools_spark.operators.text import gopher_filter
+
+        good = "the quick brown fox and the lazy dog go to town in the morning"
+        rows = [
+            (1, good),                                         # keep
+            (2, "short text"),                                 # too_few_words
+            (3, " ".join(["ab"] * 12)),                        # mean_word_too_short
+            (4, " ".join(["abcdefghijklmnop"] * 12)),          # mean_word_too_long
+            (5, "the of " + " ".join(["1234"] * 10)),          # too_few_alpha_words
+            (6, " ".join(f"word{i}" for i in range(12))),      # too_few_stopwords
+            (7, "the of " + " ".join(["same"] * 30)),          # too_repetitive
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.keep, r.fail_reason) for r in gopher_filter(df).collect()}
+        assert got[1] == (True, None)
+        assert got[2] == (False, "too_few_words")
+        assert got[3] == (False, "mean_word_too_short")
+        assert got[4] == (False, "mean_word_too_long")
+        assert got[5] == (False, "too_few_alpha_words")
+        assert got[6] == (False, "too_few_stopwords")
+        assert got[7] == (False, "too_repetitive")
+
+    def test_first_failing_rule_wins(self, spark):
+        from data_misc_tools_spark.operators.text import gopher_filter
+
+        # fails word count AND stopwords: word-count rule is named
+        df = spark.createDataFrame([(1, "xyzzy plugh")], "doc_id long, text string")
+        r = gopher_filter(df).first()
+        assert r.fail_reason == "too_few_words"
