@@ -3764,6 +3764,58 @@ def gopher_filter_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_bigram_nll",
+    """
+    WITH lst AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS l
+        FROM documents
+    ),
+    fit AS (SELECT l FROM lst WHERE doc_id % 2 = 0),
+    uni AS (SELECT w AS cur, count(*)::BIGINT AS cu
+            FROM (SELECT unnest(l) AS w FROM fit) GROUP BY 1),
+    tot AS (SELECT sum(cu)::BIGINT AS total FROM uni),
+    bg AS (SELECT prev, cur, count(*)::BIGINT AS cb
+           FROM (SELECT l[g] AS prev, l[g + 1] AS cur
+                 FROM fit JOIN generate_series(1, 2048) g(g) ON g <= len(l) - 1)
+           GROUP BY 1, 2),
+    bgm AS (SELECT bg.prev, bg.cur,
+                   round(-ln(cb::DOUBLE / cu::DOUBLE) * 1e6)::BIGINT AS bg_e6
+            FROM bg JOIN uni ON uni.cur = bg.prev),
+    docs AS (SELECT doc_id, l FROM lst WHERE len(l) >= 1),
+    firsts AS (SELECT d.doc_id,
+                      round(-ln(coalesce(u.cu, 1)::DOUBLE / t.total::DOUBLE)
+                            * 1e6)::BIGINT AS e6
+               FROM docs d LEFT JOIN uni u ON u.cur = d.l[1] CROSS JOIN tot t),
+    rests AS (SELECT p.doc_id,
+                     coalesce(m.bg_e6,
+                              round(-ln(0.4 * coalesce(u.cu, 1)::DOUBLE
+                                        / t.total::DOUBLE) * 1e6)::BIGINT) AS e6
+              FROM (SELECT doc_id, l[g] AS prev, l[g + 1] AS cur
+                    FROM docs JOIN generate_series(1, 2048) g(g)
+                      ON g <= len(l) - 1) p
+              LEFT JOIN bgm m ON m.prev = p.prev AND m.cur = p.cur
+              LEFT JOIN uni u ON u.cur = p.cur
+              CROSS JOIN tot t),
+    all_e6 AS (SELECT * FROM firsts UNION ALL SELECT * FROM rests)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           ((2 * sum(e6)::BIGINT + 100 * count(*)) // (200 * count(*)))
+               / 10000.0 AS avg_nll
+    FROM all_e6 GROUP BY doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM filter (operators/text.py
+    bigram_nll_scores): model fit on the EVEN doc_ids, scored over all
+    docs, so odd docs genuinely exercise the unseen-bigram backoff
+    path. Same engine-exact e6-integer idiom as text_unigram_nll; the
+    oracle re-derives bigram positions with the bounded series join."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.bigram_nll_scores(
+        d, model_df=d.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+@_q(
     "jpeg_meta_demo",
     """
     SELECT doc_id,

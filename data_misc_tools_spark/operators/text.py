@@ -376,6 +376,124 @@ def unigram_nll_scores(
     )
 
 
+def bigram_nll_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_df: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document average NLL under a BIGRAM model with stupid
+    backoff (Brants et al. 2007) — the next step up from
+    :func:`unigram_nll_scores`: fluent text scores low, shuffled-word
+    soup that fools a unigram model scores high because its bigrams
+    are unseen and pay the backoff penalty.
+
+    Position *i* ≥ 2 scores ``-ln(c(prev,cur) / c(prev))`` when the
+    bigram was seen in the model corpus, else the backoff
+    ``-ln(alpha · c(cur) / total)`` (unseen words count as 1). The
+    first token scores by unigram. ``model_df`` fits the model on a
+    reference corpus (text_col/id_col schema); default fits on ``df``
+    itself (then backoff never fires — pass a held-out reference to
+    exercise it).
+
+    Engine-exact by the unigram idiom: every per-position NLL rounds
+    to an e6 BIGINT, per-doc sums are integer, the average divides
+    half-up in integer math. Scale: two hash-aggs fit the model (token
+    and token-pair counts), both broadcast to the scoring join (vocab
+    ≈ MBs); the (doc, position) frame is map-only explode.
+
+    Output: (id_col, n_tokens, avg_nll).
+    """
+    fit_src = model_df if model_df is not None else df
+    fit_toks = fit_src.select(tokens(text_col).alias("__t"))
+    uni = (
+        fit_toks.select(F.explode("__t").alias("cur"))
+        .groupBy("cur")
+        .agg(F.count("*").alias("__cu"))
+    )
+    total = uni.agg(F.sum("__cu").cast("long").alias("__total"))
+
+    def _bigram_pairs(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(2), n),
+                lambda j: F.struct(
+                    F.element_at(toks, (j - 1).cast("int")).alias("prev"),
+                    F.element_at(toks, j.cast("int")).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+    bg = (
+        fit_toks.select(F.explode(_bigram_pairs(F.col("__t"))).alias("p"))
+        .select("p.prev", "p.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("__cb"))
+    )
+    # context count = unigram count of prev (stupid-backoff convention)
+    ctx = uni.select(F.col("cur").alias("prev"), F.col("__cu").alias("__cp"))
+    bg_model = bg.join(F.broadcast(ctx), "prev").select(
+        "prev", "cur",
+        F.round(-F.log(F.col("__cb") / F.col("__cp")) * 1e6)
+        .cast("long")
+        .alias("__bg_e6"),
+    )
+
+    d_toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).filter(
+        F.size("__t") >= 1
+    )
+    # first token: unigram NLL (unseen words count as 1)
+    first = (
+        d_toks.select(
+            F.col(id_col), F.element_at("__t", 1).alias("cur")
+        )
+        .join(F.broadcast(uni), "cur", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                -F.log(F.coalesce(F.col("__cu"), F.lit(1)) / F.col("__total")) * 1e6
+            )
+            .cast("long")
+            .alias("__e6"),
+        )
+    )
+    rest = (
+        d_toks.select(F.col(id_col), F.explode(_bigram_pairs(F.col("__t"))).alias("p"))
+        .select(F.col(id_col), "p.prev", "p.cur")
+        .join(F.broadcast(bg_model), ["prev", "cur"], "left")
+        .join(F.broadcast(uni), "cur", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("__bg_e6"),
+                F.round(
+                    -F.log(
+                        F.lit(alpha)
+                        * F.coalesce(F.col("__cu"), F.lit(1))
+                        / F.col("__total")
+                    )
+                    * 1e6
+                ).cast("long"),
+            ).alias("__e6"),
+        )
+    )
+    return (
+        first.union(rest)
+        .groupBy(id_col)
+        .agg(F.sum("__e6").alias("__s"), F.count("*").alias("__n"))
+        .selectExpr(
+            id_col,
+            "cast(__n AS bigint) AS n_tokens",
+            "((2 * __s + 100 * __n) div (200 * __n)) / 10000.0D AS avg_nll",
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",

@@ -281,3 +281,40 @@ class TestGopherFilter:
         df = spark.createDataFrame([(1, "xyzzy plugh")], "doc_id long, text string")
         r = gopher_filter(df).first()
         assert r.fail_reason == "too_few_words"
+
+
+class TestBigramNll:
+    def test_backoff_penalizes_shuffled_word_order(self, spark):
+        """The signal unigram NLL cannot see: same words, shuffled
+        order -> unseen bigrams -> backoff penalty -> higher NLL."""
+        from data_misc_tools_spark.operators.text import bigram_nll_scores
+
+        fluent = "the cat sat on the mat and the dog sat on the rug"
+        words = fluent.split()
+        shuffled = " ".join(reversed(words))
+        ref = spark.createDataFrame(
+            [(i, fluent) for i in range(10)], "doc_id long, text string"
+        )
+        target = spark.createDataFrame(
+            [(100, fluent), (101, shuffled)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.avg_nll
+            for r in bigram_nll_scores(target, model_df=ref).collect()
+        }
+        assert got[101] > got[100]
+
+    def test_self_fit_never_backs_off_and_matches_counts(self, spark):
+        from data_misc_tools_spark.operators.text import bigram_nll_scores
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "c")], "doc_id long, text string"
+        )
+        out = {r.doc_id: (r.n_tokens, r.avg_nll) for r in
+               bigram_nll_scores(df).collect()}
+        assert out[1][0] == 5 and out[2][0] == 1
+        # single-token doc: unigram only; c appears once of 6 tokens
+        import math
+
+        want = round(round(-math.log(1 / 6) * 1e6) / 100) / 10000 * 1.0
+        assert abs(out[2][1] - want) < 2e-4
