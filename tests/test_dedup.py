@@ -140,3 +140,62 @@ class TestIncrementalIndex:
             ._jdf.queryExecution().optimizedPlan().toString()
         )
         assert plan.count("xxhash64") <= 8  # batch signatures only
+
+
+def test_incremental_pipeline_equals_full_recompute(spark, tmp_path):
+    """The 100 TB incremental-dedup flow end to end: LSH-index the
+    backlog once; for each new batch (1) query the index for
+    collisions, (2) append the batch to the index, (3) merge the new
+    candidate edges into the CC labels INCREMENTALLY. After two
+    batches, cluster labels must equal a from-scratch
+    minhash_candidate_pairs + connected_components over the full
+    corpus — without ever re-hashing the backlog."""
+    from data_misc_tools_spark.operators.cluster import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    backlog = spark.createDataFrame(
+        [(1, base), (2, base), (4, "completely different content about "
+                                   "spark query engines instead")],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(3, base.replace("lazy", "sleepy")),
+         (6, "totally unrelated text that matches nothing else here")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(7, base.replace("quick", "swift")),
+         (8, "completely different content about spark query engines instead")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "inc_idx")
+    D.minhash_index_build(backlog, p)
+    # seed labels from the backlog's own internal pairs
+    labels = connected_components(
+        D.minhash_candidate_pairs(backlog), src="doc_a", dst="doc_b"
+    )
+    for batch in (batch1, batch2):
+        internal = D.minhash_candidate_pairs(batch)
+        vs_index = D.minhash_index_query(batch, p).select(
+            F.col("batch_id").alias("doc_a"), F.col("index_id").alias("doc_b")
+        )
+        edges = internal.union(vs_index)
+        labels = connected_components_incremental(
+            labels, edges, src="doc_a", dst="doc_b"
+        ).localCheckpoint()
+        D.minhash_index_append(batch, p)
+
+    incremental = {r.node: r.component for r in labels.collect()}
+    full_corpus = backlog.union(batch1).union(batch2)
+    full = {
+        r.node: r.component
+        for r in connected_components(
+            D.minhash_candidate_pairs(full_corpus), src="doc_a", dst="doc_b"
+        ).collect()
+    }
+    assert incremental == full
+    assert incremental[8] == incremental[4]  # cross-batch exact dup found
+    assert incremental[3] == incremental[1]  # near dup joined backlog cluster
