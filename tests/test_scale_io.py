@@ -124,3 +124,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_count_min_sketch_mergeable_frequencies(spark, sf_dir):
+    """Count-min sketches are the mergeable FREQUENCY twin of the HLL
+    distinct path: build one sketch per event_type group, merge them
+    driver-side, and the merged estimate over-counts each user's
+    event total by at most eps*N (CMS errs only upward) — heavy-user
+    frequencies without carrying per-key counts through the shuffle."""
+    from data_misc_tools_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    exact = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    per_group = e.groupBy("event_type").agg(
+        F.count_min_sketch(
+            "user_id", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("sk")
+    ).collect()
+    jvm = spark._jvm
+    merged = None
+    for r in per_group:
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r.sk)
+        )
+        merged = sk if merged is None else merged.mergeInPlace(sk)
+    total = sum(exact.values())
+    for uid, n in exact.items():
+        est = merged.estimateCount(uid)
+        assert est >= n  # CMS never undercounts
+        assert est - n <= 0.001 * total + 1
