@@ -89,25 +89,50 @@ def split_sql_statements(script: str) -> list[str]:
     return stmts
 
 
+def substitute_vars(script: str, variables: dict[str, str]) -> str:
+    """Hive/Beeline-style variable substitution: ``${hivevar:name}``,
+    ``${var:name}``, and bare ``${name}`` all resolve from
+    ``variables`` (the reference runs scripts through Beeline, whose
+    ``--hivevar k=v`` flags substitute this way; reference:
+    hive/HiveBeeLine.scala:94-122 invocation surface). Unknown
+    references are left VERBATIM — Hive's behavior — so a missing
+    variable fails loudly at SQL parse, not silently as empty text.
+    Substitution is textual and happens before statement splitting,
+    exactly like Beeline (inside string literals too).
+    """
+    import re as _re
+
+    def repl(m: "_re.Match[str]") -> str:
+        name = m.group(2)
+        return str(variables[name]) if name in variables else m.group(0)
+
+    return _re.sub(r"\$\{(hivevar:|var:)?([A-Za-z_][A-Za-z0-9_.]*)\}", repl, script)
+
+
 def run_sql_script(
-    spark: SparkSession, script: str
+    spark: SparkSession, script: str, variables: dict[str, str] | None = None
 ) -> list[tuple[str, DataFrame]]:
     """Execute each statement via ``spark.sql``; returns
     (statement, result DataFrame) pairs in execution order. Catalyst
     replaces the Hive compiler; registered engine functions replace
-    the reference's aux-jar UDFs.
+    the reference's aux-jar UDFs. ``variables`` applies Beeline
+    ``--hivevar``-style substitution first (:func:`substitute_vars`).
 
     Caveat: DDL/DML statements execute eagerly (spark.sql side
     effects), but SELECT results are lazy DataFrames — consume them
     before a later statement drops what they read (Beeline prints
     eagerly; ScriptTask materializes the final statement for you).
     """
+    if variables:
+        script = substitute_vars(script, variables)
     return [(stmt, spark.sql(stmt)) for stmt in split_sql_statements(script)]
 
 
-def run_sql_file(spark: SparkSession, path: str) -> list[tuple[str, DataFrame]]:
+def run_sql_file(
+    spark: SparkSession, path: str, variables: dict[str, str] | None = None
+) -> list[tuple[str, DataFrame]]:
     """Read a script file and execute it (reference: runSqlFile reads
     from HDFS; any fsspec/posix path works here — executors are not
     involved in reading the script)."""
     with open(path, encoding="utf-8") as f:
-        return run_sql_script(spark, f.read())
+        return run_sql_script(spark, f.read(), variables=variables)

@@ -56,3 +56,25 @@ def test_run_sql_script_executes_in_order(spark):
 def test_run_sql_script_uses_engine_functions(spark):
     results = run_sql_script(spark, "select su_strip('[7]', '[]') as v;")
     assert results[0][1].first().v == "7"
+
+
+class TestVariableSubstitution:
+    def test_hivevar_var_and_bare_forms(self):
+        from data_misc_tools_spark.plans.sql_script import substitute_vars
+
+        s = ("SELECT * FROM ${hivevar:tbl} WHERE d >= '${var:start}' "
+             "AND d < '${end}' AND tag = '${missing}'")
+        out = substitute_vars(s, {"tbl": "events", "start": "2024-01-01",
+                                  "end": "2024-02-01"})
+        assert out == ("SELECT * FROM events WHERE d >= '2024-01-01' "
+                       "AND d < '2024-02-01' AND tag = '${missing}'")
+
+    def test_run_script_with_variables(self, spark):
+        from data_misc_tools_spark.plans.sql_script import run_sql_script
+
+        res = run_sql_script(
+            spark,
+            "SELECT ${a} + ${hivevar:b} AS s;",
+            variables={"a": "2", "b": "3"},
+        )
+        assert res[-1][1].first().s == 5
