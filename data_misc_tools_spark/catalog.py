@@ -1341,6 +1341,126 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scd2_user_status",
+    """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS d, event_type,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), s AS (
+        SELECT user_id, d, event_type AS status FROM daily WHERE rn = 1
+    ), flagged AS (
+        SELECT user_id, d, status,
+               CASE WHEN lag(status) OVER (PARTITION BY user_id ORDER BY d)
+                         IS NOT DISTINCT FROM status THEN 0 ELSE 1 END AS chg
+        FROM s
+    ), runs AS (
+        SELECT user_id, d, status,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM flagged
+    ), iv AS (
+        SELECT user_id, run, min(status) AS status, min(d) AS vf
+        FROM runs GROUP BY user_id, run
+    )
+    SELECT user_id, status,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                    '%Y-%m-%d') AS valid_to
+    FROM iv
+    """,
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension historization (operators/etl.py scd2_intervals):
+    each user's daily last event_type collapses into validity
+    intervals — one row per run of equal consecutive states,
+    valid_to = next change (null while current). Gaps-and-islands with
+    key-partitioned windows only (no global sorts); the daily argmax
+    is made total by (ts, event_id) so both engines pick the same
+    row."""
+    from data_misc_tools_spark.operators.etl import scd2_intervals
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("d"),
+            F.col("event_type").alias("status"),
+        )
+    )
+    iv = scd2_intervals(daily, key_col="user_id", ts_col="d", state_col="status")
+    return iv.select(
+        "user_id",
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+@_q(
+    "snapshot_diff_demo",
+    """
+    WITH old AS (SELECT c_custkey, c_acctbal FROM customer),
+    new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal FROM customer
+        WHERE c_custkey % 89 = 0
+    ),
+    j AS (
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               o.c_acctbal AS oa, n.c_acctbal AS na,
+               o.c_custkey IS NOT NULL AS oe, n.c_custkey IS NOT NULL AS ne
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN NOT oe THEN 'insert'
+                WHEN NOT ne THEN 'delete'
+                WHEN oa IS DISTINCT FROM na THEN 'update' END AS change_type
+    FROM j
+    WHERE CASE WHEN NOT oe THEN 'insert'
+               WHEN NOT ne THEN 'delete'
+               WHEN oa IS DISTINCT FROM na THEN 'update' END IS NOT NULL
+    """,
+)
+def snapshot_diff_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot CDC (operators/etl.py snapshot_diff): one
+    co-partitioned full-outer join classifies inserts / updates /
+    deletes between two table versions — deltas only, never a full
+    reload downstream. The 'new' snapshot is derived deterministically
+    from customer (drop %97 keys, bump %10==3 balances, add %89 keys
+    under a shifted id) so both engines diff identical inputs."""
+    from data_misc_tools_spark.operators.etl import snapshot_diff
+
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    old = c.select("c_custkey", "c_acctbal")
+    new = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 100
+            ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 89 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["c_custkey"], ["c_acctbal"])
+
+
+@_q(
     "interval_join_attribution",
     """
     WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -50,3 +50,104 @@ def parse_event_time(
     README.md:217 ``cast(substr(ev.timestamp,1,19) as timestamp)``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.to_timestamp(F.substring(c, 1, prefix_len), fmt)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed change-data-capture between two table snapshots: one row
+    per changed key with change_type in ('insert', 'update', 'delete')
+    — the diff step of an ETL pipeline that only ships deltas
+    downstream instead of full reloads.
+
+    ``compare_cols`` defaults to every non-key column the frames
+    share. Scale shape: ONE full-outer join co-partitioned on the key
+    (both sides hash-shuffle once); comparison is a scan-local
+    null-safe equality over the compared columns, so the output is
+    only as large as the delta.
+    """
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    # presence markers, NOT compare-column nullness: a row whose
+    # compared values are all null still exists
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__o_present"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__n_present"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    old_exists = F.col("__o_present").isNotNull()
+    new_exists = F.col("__n_present").isNotNull()
+    changed = reduce_or(
+        [~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare_cols]
+    )
+    ctype = (
+        F.when(~old_exists, "insert")
+        .when(~new_exists, "delete")
+        .when(changed, "update")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        j.withColumn("change_type", ctype)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
+def reduce_or(cols):
+    from functools import reduce
+
+    return reduce(lambda a, b: a | b, cols)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Collapse a keyed state series into SCD2 validity intervals: one
+    row per RUN of equal consecutive states, with valid_from = first
+    observation of the run and valid_to = the next run's start (null
+    while current) — dimension historization from append-only
+    observations.
+
+    Gaps-and-islands with the standard two-window construction: a
+    change flag (lag), a running change count as the island id, then
+    one aggregate per island. All windows partition by the KEY, so at
+    corpus scale every shuffle is the key exchange — no global sorts.
+
+    Output: (key_col, state_col, valid_from, valid_to).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    flagged = df.select(key_col, ts_col, state_col).withColumn(
+        "__chg",
+        F.when(
+            F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), 0
+        ).otherwise(1),
+    )
+    runs = flagged.withColumn(
+        "__run", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    iv = runs.groupBy(key_col, "__run").agg(
+        F.first(state_col).alias(state_col),
+        F.min(ts_col).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return iv.withColumn("valid_to", F.lead("valid_from").over(w2)).select(
+        key_col, state_col, "valid_from", "valid_to"
+    )

@@ -55,3 +55,47 @@ def test_kf_topics_import_gate(spark):
 
     with pytest.raises(ImportError, match="confluent-kafka or kafka-python"):
         kf_topics(spark, "broker:9092")
+
+
+class TestSnapshotDiff:
+    def test_classifies_insert_update_delete(self, spark):
+        from data_misc_tools_spark.operators.etl import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)],
+            "k long, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, 10.0), (2, 25.0), (5, 50.0), (4, None)],
+            "k long, v double",
+        )
+        got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+        # 1 unchanged (absent), 4 null==null unchanged (null-safe eq)
+        assert got == {2: "update", 3: "delete", 5: "insert"}
+
+    def test_null_to_value_is_update(self, spark):
+        from data_misc_tools_spark.operators.etl import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "k long, v double")
+        new = spark.createDataFrame([(1, 7.0)], "k long, v double")
+        got = snapshot_diff(old, new, ["k"]).collect()
+        assert [(r.k, r.change_type) for r in got] == [(1, "update")]
+
+
+class TestScd2Intervals:
+    def test_runs_collapse_with_open_tail(self, spark):
+        from data_misc_tools_spark.operators.etl import scd2_intervals
+
+        rows = [
+            (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"),
+            (2, 1, "x"),
+        ]
+        df = spark.createDataFrame(rows, "k long, t long, s string")
+        got = sorted(
+            (r.k, r.s, r.valid_from, r.valid_to)
+            for r in scd2_intervals(df, "k", "t", "s").collect()
+        )
+        assert got == [
+            (1, "a", 1, 3), (1, "a", 4, None), (1, "b", 3, 4),
+            (2, "x", 1, None),
+        ]
