@@ -93,6 +93,10 @@ HEADLINE = [
     "split_by_cluster_demo",
     "interval_join_attribution",
     "jpeg_meta_demo",
+    "gopher_filter_demo",
+    "text_bigram_nll",
+    "scd2_user_status",
+    "snapshot_diff_demo",
 ]
 
 
