@@ -887,6 +887,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(pairs, d, n=3)
 
 
+_EDITDIST_ORACLE = """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text)::BIGINT AS edit_dist,
+           ((20000 * (greatest(length(a.text), length(b.text), 1)
+                      - levenshtein(a.text, b.text))
+             + greatest(length(a.text), length(b.text), 1))
+            // (2 * greatest(length(a.text), length(b.text), 1))) / 10000.0
+               AS edit_sim
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+@_q("dedup_editdist_verify", _EDITDIST_ORACLE)
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage on candidate pairs (deterministic
+    consecutive-id pair generator, like dedup_ngram_jaccard): JVM
+    built-in levenshtein, similarity via the integer half-up idiom.
+    The thresholded (banded, early-exit) form exists for long docs but
+    has no DuckDB twin — see operators/dedup.py:editdist_pairs."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ids = d.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b"))
+        .join(ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    )
+    return D.editdist_pairs(pairs, d)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis suite
 # ---------------------------------------------------------------------------

@@ -96,8 +96,8 @@ def cfgs(spark, pattern: str | None = None) -> dict[str, str]:
     import re
 
     all_cfg = dict(spark.sparkContext.getConf().getAll())
-    try:  # runtime SQL confs too
-        all_cfg.update({k: v for k, v in spark.sql("SET -v").rdd.map(lambda r: (r[0], r[1])).collect()})
+    try:  # runtime SQL confs too — plain collect, no Python-RDD job
+        all_cfg.update({r[0]: r[1] for r in spark.sql("SET -v").collect()})
     except Exception:
         pass
     if pattern:

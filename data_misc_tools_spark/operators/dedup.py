@@ -292,6 +292,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def editdist_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int | None = None,
+) -> DataFrame:
+    """Levenshtein-distance verification for given candidate pairs.
+
+    The strictest of the post-LSH verify stages (reference pipelines
+    verify near-dup candidates with either set overlap — see
+    :func:`ngram_jaccard_pairs` — or sequence edit distance; this is
+    the latter): each (doc_a, doc_b) pair is joined to its two texts
+    and scored with the JVM built-in ``levenshtein``. Output columns:
+    ``edit_dist`` (absolute distance, bigint) and ``edit_sim``
+    (1 − dist/max(len), half-up-rounded to 4dp via integer
+    arithmetic so the DuckDB oracle matches bit-exactly).
+
+    Scale: cost is O(|pairs| · len_a · len_b) compute but ZERO extra
+    shuffles beyond the two hash joins that attach the texts — for
+    LSH output, |pairs| ≪ n². For long documents pass ``threshold``:
+    Spark's 3-arg ``levenshtein(l, r, t)`` abandons a pair early once
+    the distance provably exceeds t (returns -1), turning the inner
+    loop into a banded O(t·len) computation. The thresholded form has
+    no DuckDB twin, so oracle-checked queries use the exact form.
+    """
+    t_a = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta"))
+    t_b = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb"))
+    j = pairs.join(t_a, "doc_a").join(t_b, "doc_b")
+    if threshold is not None:
+        dist = F.levenshtein(F.col("__ta"), F.col("__tb"), threshold)
+    else:
+        dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    maxlen = F.greatest(F.length("__ta"), F.length("__tb"), F.lit(1))
+    from data_misc_tools_spark.operators.util import half_up_ratio4
+
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("long").alias("edit_dist"),
+        half_up_ratio4(maxlen - dist, maxlen).alias("edit_sim"),
+    )
+    if threshold is not None:
+        # early-exit rows carry dist = -1: similarity is unknowable,
+        # only "below 1 - t/maxlen" — null it rather than fabricate
+        out = out.withColumn(
+            "edit_sim", F.when(F.col("edit_dist") >= 0, F.col("edit_sim"))
+        )
+    return out
+
+
 def minhash_index_build(
     df: DataFrame,
     path: str,

@@ -199,3 +199,25 @@ def test_incremental_pipeline_equals_full_recompute(spark, tmp_path):
     assert incremental == full
     assert incremental[8] == incremental[4]  # cross-batch exact dup found
     assert incremental[3] == incremental[1]  # near dup joined backlog cluster
+
+
+def test_editdist_pairs_exact_and_thresholded(spark):
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "abcdefgh")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in D.editdist_pairs(pairs, docs).collect()}
+    assert rows[(1, 2)].edit_dist == 3  # classic kitten->sitting
+    assert rows[(1, 2)].edit_sim == round(1 - 3 / 7, 4)
+    assert rows[(1, 3)].edit_dist == 0 and rows[(1, 3)].edit_sim == 1.0
+    assert rows[(1, 4)].edit_dist == 7  # the shared 'e' aligns
+
+    # banded early-exit: distances above the threshold come back -1
+    # with a null similarity instead of a fabricated score
+    t = {(r.doc_a, r.doc_b): r for r in
+         D.editdist_pairs(pairs, docs, threshold=3).collect()}
+    assert t[(1, 2)].edit_dist == 3 and t[(1, 2)].edit_sim is not None
+    assert t[(1, 4)].edit_dist == -1 and t[(1, 4)].edit_sim is None
