@@ -3761,6 +3761,32 @@ def skew_report_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(ev, "user_id", top=20)
 
 
+@_q(
+    "k_anonymity_report",
+    """
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           count(*)                 AS class_size,
+           count(*) < 5             AS at_risk,
+           count(DISTINCT user_id)  AS l_diversity
+    FROM events
+    GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate: k-anonymity (k=5) equivalence-class sizes
+    over the (event_type, day) quasi-identifiers with user_id
+    l-diversity — one hash aggregate, map-side combined. See
+    operators/profile.py:k_anonymity."""
+    from data_misc_tools_spark.operators.profile import k_anonymity
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ev = ev.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return k_anonymity(ev, ["event_type", "day"], k=5, sensitive_col="user_id")
+
+
 ROWS_ONLY.add("pagerank_neardup_graph")
 
 

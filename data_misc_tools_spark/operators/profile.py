@@ -53,6 +53,46 @@ def profile_table(
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
 
 
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Re-identification risk report over quasi-identifier columns.
+
+    Groups the table by the quasi-identifier combination and reports
+    each equivalence class's size plus an ``at_risk`` flag (size < k —
+    the k-anonymity criterion: any record in a class smaller than k is
+    re-identifiable by linking on the quasi identifiers). With
+    ``sensitive_col`` the report adds ``l_diversity``, the number of
+    distinct sensitive values in the class — a class can be k-anonymous
+    yet leak the sensitive attribute outright when l = 1.
+
+    The release-gate pass a privacy-scrubbed training corpus needs
+    before export. Scale: ONE hash aggregate shuffled on the quasi
+    keys (map-side combined); the distinct count is state-bounded per
+    class, no second scan, no window.
+
+    Output: (*quasi_cols, class_size, at_risk[, l_diversity]).
+    """
+    aggs = [F.count("*").alias("class_size")]
+    tail = []
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("l_diversity"))
+        tail = ["l_diversity"]
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(*aggs)
+        .select(
+            *quasi_cols,
+            "class_size",
+            (F.col("class_size") < F.lit(k)).alias("at_risk"),
+            *tail,
+        )
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

@@ -114,3 +114,25 @@ def test_skew_report_counts_shares_and_tiebreak(spark):
     df2 = spark.createDataFrame([(k,) for k in ["y", "x", "z"]], "k string")
     out2 = skew_report(df2, "k", top=2).collect()
     assert [r.key_value for r in out2] == ["x", "y"]
+
+
+def test_k_anonymity_flags_small_classes_and_l_diversity(spark):
+    from data_misc_tools_spark.operators.profile import k_anonymity
+
+    rows = (
+        [("a", "x", u) for u in [1, 1, 2, 3]]          # size 4 < k, l=3
+        + [("a", "y", u) for u in [7] * 5]             # size 5, but l=1
+        + [("b", "x", u) for u in [1, 2, 3, 4, 5, 6]]  # size 6, l=6
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, user long")
+    out = {(r.q1, r.q2): r for r in
+           k_anonymity(df, ["q1", "q2"], k=5, sensitive_col="user").collect()}
+    assert out[("a", "x")].at_risk and out[("a", "x")].class_size == 4
+    assert out[("a", "x")].l_diversity == 3
+    assert not out[("a", "y")].at_risk and out[("a", "y")].l_diversity == 1
+    assert not out[("b", "x")].at_risk and out[("b", "x")].l_diversity == 6
+
+    # without a sensitive column the report has no l_diversity column
+    slim = k_anonymity(df, ["q1"], k=100)
+    assert slim.columns == ["q1", "class_size", "at_risk"]
+    assert all(r.at_risk for r in slim.collect())
