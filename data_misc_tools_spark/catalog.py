@@ -3787,6 +3787,51 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(ev, ["event_type", "day"], k=5, sensitive_col="user_id")
 
 
+@_q(
+    "corr_quantity_price",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*)::HUGEINT AS n,
+               sum(round(l_quantity)::BIGINT)::HUGEINT AS sx,
+               sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sy,
+               sum(round(l_quantity)::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sxy,
+               sum(round(l_quantity)::BIGINT
+                   * round(l_quantity)::BIGINT)::HUGEINT AS sxx,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round(l_extendedprice * 100)::BIGINT)::HUGEINT AS syy
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-02-01'
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n::BIGINT AS n_rows,
+           (n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)) AS corr
+    FROM s
+    """,
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson corr(quantity, price) on a one-month
+    slice, bit-exact across engines: integer sufficient statistics in
+    decimal(38,0), ONE IEEE closed-form float step, emitted unrounded
+    (the naive corr() would hash-mismatch on accumulation order). See
+    operators/profile.py:pearson_exact."""
+    from data_misc_tools_spark.operators.profile import pearson_exact
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    sl = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01"))
+    )
+    return pearson_exact(
+        sl, ["l_returnflag"], "l_quantity", "l_extendedprice", x_scale=1, y_scale=100
+    )
+
+
 ROWS_ONLY.add("pagerank_neardup_graph")
 
 

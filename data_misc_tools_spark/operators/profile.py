@@ -93,6 +93,60 @@ def k_anonymity(
     )
 
 
+def pearson_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Per-group Pearson correlation with an engine-portable result.
+
+    ``corr()`` is a classic oracle trap: both engines accumulate
+    centered doubles in engine-specific order, so the last bits differ.
+    Here the inputs are fixed-point decimals (x·x_scale and y·y_scale
+    are integers, e.g. cents), so every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer — accumulated as
+    decimal(38,0), which is order-independent. The single float step
+    is the closed form num/(√dxx·√dyy) over those exact integers:
+    int→double conversion, sqrt, multiply and divide are all IEEE
+    correctly-rounded, so two engines computing the same formula over
+    the same integers produce the bit-identical double, emitted
+    UNROUNDED (CLAUDE.md rounding invariant).
+
+    Scale: one map-side-combined hash aggregate; decimal(38,0) partials
+    are 16 bytes each — the same shuffle shape as a plain sum. Groups
+    with zero variance yield null (0/0).
+
+    Output: (*group_cols, n_rows, corr).
+    """
+    dec = "decimal(38,0)"
+    x = F.round(F.col(x_col) * F.lit(x_scale)).cast(dec)
+    y = F.round(F.col(y_col) * F.lit(y_scale)).cast(dec)
+    g = (
+        df.select(*group_cols, x.alias("__x"), y.alias("__y"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast(dec).alias("__n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+            F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        )
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    dxx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    dyy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return g.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n_rows"),
+        # try_divide: zero-variance groups are null, not an ANSI error
+        F.try_divide(num, F.sqrt(dxx) * F.sqrt(dyy)).alias("corr"),
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

@@ -136,3 +136,22 @@ def test_k_anonymity_flags_small_classes_and_l_diversity(spark):
     slim = k_anonymity(df, ["q1"], k=100)
     assert slim.columns == ["q1", "class_size", "at_risk"]
     assert all(r.at_risk for r in slim.collect())
+
+
+def test_pearson_exact_matches_numpy_and_handles_degenerate(spark):
+    import numpy as np
+
+    from data_misc_tools_spark.operators.profile import pearson_exact
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, 50, 400)
+    y = (x * 3.17 + rng.normal(0, 20, 400)).round(2)  # 2dp "prices"
+    rows = [("g", int(a), float(b)) for a, b in zip(x, y)]
+    rows += [("flat", i % 7 + 1, 5.0) for i in range(20)]  # zero y-variance
+    df = spark.createDataFrame(rows, "grp string, x long, y double")
+    out = {r.grp: r for r in
+           pearson_exact(df, ["grp"], "x", "y", x_scale=1, y_scale=100).collect()}
+    expected = np.corrcoef(x, (y * 100).round())[0, 1]
+    assert abs(out["g"].corr - expected) < 1e-9
+    assert out["g"].n_rows == 400
+    assert out["flat"].corr is None  # 0/0 -> null, not a crash
