@@ -3832,6 +3832,33 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIANGLE_ORACLE = f"""
+    WITH pairs AS ({_MINHASH_ORACLE.replace(_DOUBLED, "documents")})
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
+@_q("triangle_count_neardup", _TRIANGLE_ORACLE)
+def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash candidate-pair graph — the
+    boilerplate-cluster density check (template clusters are
+    near-cliques; isolated hash collisions close no triangles).
+    Degree-ordered compact-forward join, no n² step. See
+    operators/cluster.py:triangle_count."""
+    from data_misc_tools_spark.operators.cluster import triangle_count
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=4, k=5, portable_hash=True
+    )
+    return triangle_count(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
 ROWS_ONLY.add("pagerank_neardup_graph")
 
 

@@ -208,3 +208,36 @@ class TestIncrementalCC:
             for r in connected_components_incremental(lab, only_new).collect()
         }
         assert got == {1: 1, 2: 1, 10: 10, 11: 10, 30: 30, 31: 30}
+
+
+def test_triangle_count_known_graphs_and_random(spark):
+    from itertools import combinations
+    import random
+
+    from data_misc_tools_spark.operators.cluster import triangle_count
+
+    def run(edge_list):
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        return triangle_count(df).collect()[0].n_triangles
+
+    # K4: every 3-subset closes -> C(4,3) = 4
+    k4 = list(combinations(range(4), 2))
+    assert run(k4) == 4
+    # chain has none; duplicate/reversed/self edges must not inflate
+    assert run([(1, 2), (2, 3), (3, 4)]) == 0
+    assert run(k4 + [(b, a) for a, b in k4] + [(2, 2)]) == 4
+
+    rng = random.Random(11)
+    nodes, edges = 40, set()
+    while len(edges) < 150:
+        a, b = rng.sample(range(nodes), 2)
+        edges.add((min(a, b), max(a, b)))
+    adj = {n: set() for n in range(nodes)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = sum(
+        1 for a, b, c in combinations(range(nodes), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert run(sorted(edges)) == brute
