@@ -2231,6 +2231,57 @@ def text_clean_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_STRIP_ORACLE = """
+    WITH raw AS (
+        SELECT doc_id,
+               '<html><head><style>p{color:red}</style><!-- nav --></head>'
+               || '<body><h1>' || lang || '</h1><p>' || text
+               || ' &amp; more &lt;tags&gt;</p>'
+               || '<script type="text/javascript">var x = 1 < 2;</script>'
+               || '</body></html>' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g') AS t
+        FROM raw
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             '[ \t\n\r]+', ' ', 'g')) AS clean_text
+    FROM stripped
+"""
+
+
+@_q("html_strip_demo", _HTML_STRIP_ORACLE)
+def html_strip_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping for scraped-web corpora: each document is
+    wrapped in a deterministic HTML shell (style/script/comment/tags/
+    entities — the script body even contains a bare '<') and
+    strip_html must recover exactly 'lang text & more <tags>'.
+    Scan-local regexp chain, no UDF. See operators/text.py:strip_html."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style><!-- nav --></head><body><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(' &amp; more &lt;tags&gt;</p>'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              "</body></html>"),
+    )
+    return d.select("doc_id", T.strip_html(html).alias("clean_text"))
+
+
 _CUTOFF_ORACLE = (
     "WITH q AS (" + ORACLES["text_quality"] + ")"
     """

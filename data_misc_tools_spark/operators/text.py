@@ -698,3 +698,44 @@ def pii_scrub(
         .alias("n_phones"),
         redact_pii(t).alias("redacted"),
     )
+
+
+# HTML patterns valid in both Java regex (Spark) and RE2 (DuckDB):
+# inline (?is) modifiers + lazy quantifiers only — no lookaround.
+HTML_SCRIPT = "(?is)<script[^>]*>.*?</script>"
+HTML_STYLE = "(?is)<style[^>]*>.*?</style>"
+HTML_COMMENT = "(?s)<!--.*?-->"
+HTML_TAG = "<[^>]+>"
+
+
+def strip_html(text: Column | str) -> Column:
+    """Boilerplate-strip an HTML fragment to its visible text — the
+    first pass over scraped web corpora before any quality filter.
+
+    Removes <script>/<style> bodies (their CONTENT is not text),
+    comments, then all remaining tags; decodes the six ubiquitous
+    entities (&amp; deliberately LAST so '&amp;lt;' decodes to the
+    literal '&lt;', not '<'); collapses the whitespace the tag removal
+    leaves behind.
+
+    Pure scan-local JVM regexp_replace chain — zero shuffles, zero
+    Python, whole-stage-codegen friendly; the DuckDB twin is the same
+    chain with the 'g' flag. By design NOT a full HTML5 parser (no
+    entity table, no malformed-tag recovery): documents needing DOM
+    fidelity should go through a parser UDF instead.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, HTML_SCRIPT, " ")
+    t = F.regexp_replace(t, HTML_STYLE, " ")
+    t = F.regexp_replace(t, HTML_COMMENT, " ")
+    t = F.regexp_replace(t, HTML_TAG, " ")
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, "[ \\t\\n\\r]+", " "))

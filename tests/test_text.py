@@ -318,3 +318,23 @@ class TestBigramNll:
 
         want = round(round(-math.log(1 / 6) * 1e6) / 100) / 10000 * 1.0
         assert abs(out[2][1] - want) < 2e-4
+
+
+def test_strip_html_scripts_entities_and_order(spark):
+    from data_misc_tools_spark.operators.text import strip_html
+
+    cases = [
+        (1, '<p>hello <b>world</b></p>', "hello world"),
+        # script body with a bare '<' must vanish wholesale
+        (2, 'a<script>if (1 < 2) x();</script>b', "a b"),
+        (3, '<style media="x">p > a {}</style>text', "text"),
+        (4, 'keep<!-- <b>not this</b> -->me', "keep me"),
+        # &amp; decodes LAST: '&amp;lt;' is the literal string '&lt;'
+        (5, '&amp;lt; &lt; &quot;q&#39; &nbsp;', '&lt; < "q\''),
+        (6, 'multi   \n\t space', "multi space"),
+        (7, '<SCRIPT>upper</SCRIPT><P>case</P>', "case"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases], "i long, html string")
+    got = {r.i: r.t for r in df.select("i", strip_html("html").alias("t")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
