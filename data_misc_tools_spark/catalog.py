@@ -3883,6 +3883,48 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "changelog_compact_demo",
+    """
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type,
+           value      AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def changelog_compact_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (operators/cdc.py compact_changelog):
+    events as an upsert/delete log keyed by user — newest row wins
+    per key ((ts, event_id) total order), keys whose winning op is a
+    delete ('error' here) drop out. One key-hash Exchange + in-
+    partition sort, no global sort. last_value is a per-row double
+    both engines hold identically — emitted unrounded (invariant)."""
+    from data_misc_tools_spark.operators.cdc import compact_changelog
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = compact_changelog(
+        ev,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 _TRIANGLE_ORACLE = f"""
     WITH pairs AS ({_MINHASH_ORACLE.replace(_DOUBLED, "documents")})
     SELECT count(*)::BIGINT AS n_triangles

@@ -99,3 +99,40 @@ class TestScd2Intervals:
             (1, "a", 1, 3), (1, "a", 4, None), (1, "b", 3, 4),
             (2, "x", 1, None),
         ]
+
+
+def test_compact_changelog_latest_wins_and_deletes(spark):
+    from data_misc_tools_spark.operators.cdc import compact_changelog
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "a", "upsert"),
+            (1, 3, "a2", "upsert"),
+            (2, 2, "b", "upsert"),
+            (2, 5, None, "delete"),
+            (3, 4, "c", "delete"),
+            (3, 6, "c2", "upsert"),  # re-created after delete
+        ],
+        "k long, seq long, val string, op string",
+    )
+    out = {r.k: (r.seq, r.val) for r in
+           compact_changelog(log, ["k"], ["seq"], op_col="op").collect()}
+    assert out == {1: (3, "a2"), 3: (6, "c2")}
+    # without op semantics, the newest row survives regardless of op
+    raw = {r.k: r.seq for r in compact_changelog(log, ["k"], ["seq"]).collect()}
+    assert raw == {1: 3, 2: 5, 3: 6}
+
+
+def test_merge_snapshot_applies_changes_without_touching_rest(spark):
+    from data_misc_tools_spark.operators.cdc import merge_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, val string"
+    )
+    log = spark.createDataFrame(
+        [(2, 1, "b2", "upsert"), (3, 2, None, "delete"), (4, 3, "d", "upsert")],
+        "k long, seq long, val string, op string",
+    )
+    out = {r.k: r.val for r in
+           merge_snapshot(base, log, ["k"], ["seq"], op_col="op").collect()}
+    assert out == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 1 untouched

@@ -776,3 +776,106 @@ class TestIntervalJoinStream:
         }
         assert want  # fixture must produce matches
         assert got == want
+
+
+class TestUpsertSink:
+    """Streaming keep-latest snapshot (streaming/upsert.py)."""
+
+    CHUNKS = [
+        [(1, 1, "a", "u"), (2, 2, "b", "u"), (4, 1, "d0", "u")],
+        [(1, 3, "a2", "u"), (3, 4, "c", "u"), (4, 9, None, "d")],
+        # late OLDER update for 4 (after its delete) + stale delete for 3
+        [(2, 5, None, "d"), (3, 3, None, "d"), (4, 6, "late", "u")],
+    ]
+    SCHEMA = "k long, seq long, val string, op string"
+
+    def _feed(self, spark, tmp_path):
+        src = tmp_path / "changes"
+        src.mkdir()
+        for i, rows in enumerate(self.CHUNKS):
+            spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.parquet(
+                str(src / f"chunk{i}")
+            )
+        # register chunk files under one dir for the file source
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        import glob
+        import os
+
+        for i, f in enumerate(
+            sorted(glob.glob(str(src / "chunk*" / "*.parquet")))
+        ):
+            os.symlink(f, stage / f"{i}.parquet")
+        return stage
+
+    def _run(self, spark, stage, tmp_path, name):
+        from data_misc_tools_spark.streaming.upsert import upsert_stream
+
+        schema = spark.read.parquet(str(stage)).schema
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # force multi-batch
+            .parquet(str(stage))
+        )
+        q = upsert_stream(
+            changes,
+            str(tmp_path / "snap"),
+            key_cols=["k"],
+            order_cols=["seq"],
+            checkpoint=str(tmp_path / f"ckpt_{name}"),
+        )
+        q.awaitTermination(120)
+
+    def test_stream_equals_batch_compactor_and_tombstones(self, spark, tmp_path):
+        from data_misc_tools_spark.operators.cdc import compact_changelog
+        from data_misc_tools_spark.streaming.upsert import read_latest
+
+        stage = self._feed(spark, tmp_path)
+        self._run(spark, stage, tmp_path, "main")
+
+        live = {
+            r.k: (r.seq, r.val)
+            for r in read_latest(spark, str(tmp_path / "snap"), op_col="op").collect()
+        }
+        # 1 updated, 2 deleted, 3's delete was stale, 4's late update
+        # is OLDER than its delete -> tombstone wins, key stays dead
+        assert live == {1: (3, "a2"), 3: (4, "c")}
+
+        batch = compact_changelog(
+            spark.createDataFrame(
+                [r for c in self.CHUNKS for r in c], self.SCHEMA
+            ),
+            key_cols=["k"],
+            seq_cols=["seq"],
+            op_col="op",
+            delete_ops=("d",),
+        )
+        assert {r.k: (r.seq, r.val) for r in batch.collect()} == live
+
+        # raw snapshot retains tombstones (the merge-correctness rows)
+        raw = {r.k: r.op for r in
+               read_latest(spark, str(tmp_path / "snap")).collect()}
+        assert raw[2] == "d" and raw[4] == "d" and len(raw) == 4
+
+    def test_restart_with_same_checkpoint_is_a_noop(self, spark, tmp_path):
+        from data_misc_tools_spark.streaming.upsert import _current_version, read_latest
+
+        stage = self._feed(spark, tmp_path)
+        self._run(spark, stage, tmp_path, "same")
+        v1 = _current_version(str(tmp_path / "snap"))
+        rows1 = sorted(map(tuple, read_latest(spark, str(tmp_path / "snap")).collect()))
+        self._run(spark, stage, tmp_path, "same")  # same checkpoint: no new input
+        assert _current_version(str(tmp_path / "snap")) == v1
+        assert sorted(map(tuple, read_latest(spark, str(tmp_path / "snap")).collect())) == rows1
+
+    def test_torn_snapshot_directory_is_ignored(self, spark, tmp_path):
+        from data_misc_tools_spark.streaming.upsert import read_latest
+
+        stage = self._feed(spark, tmp_path)
+        snap = tmp_path / "snap"
+        # a crash mid-write leaves v=99 without _SUCCESS: never current
+        (snap / "v=99").mkdir(parents=True)
+        (snap / "v=99" / "part-torn.parquet").write_bytes(b"garbage")
+        self._run(spark, stage, tmp_path, "torn")
+        live = {r.k for r in read_latest(spark, str(snap), op_col="op").collect()}
+        assert live == {1, 3}
