@@ -97,6 +97,14 @@ HEADLINE = [
     "text_bigram_nll",
     "scd2_user_status",
     "snapshot_diff_demo",
+    # round-3 late additions: edit-distance verify, privacy gate,
+    # exact correlation, graph census, HTML strip, CDC compaction
+    "dedup_editdist_verify",
+    "k_anonymity_report",
+    "corr_quantity_price",
+    "triangle_count_neardup",
+    "html_strip_demo",
+    "changelog_compact_demo",
 ]
 
 

@@ -3925,8 +3925,36 @@ def changelog_compact_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIANGLE_ORACLE = f"""
-    WITH pairs AS ({_MINHASH_ORACLE.replace(_DOUBLED, "documents")})
+def _triangle_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    # 2 bands x 4 rows: stricter than the dedup queries' 4x2 — a band
+    # only collides when FOUR minhashes agree, so the pair graph stays
+    # sparse even on template-heavy corpora (see the query docstring)
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    )
     SELECT count(*)::BIGINT AS n_triangles
     FROM pairs e1
     JOIN pairs e2 ON e2.doc_a = e1.doc_b
@@ -3934,18 +3962,22 @@ _TRIANGLE_ORACLE = f"""
 """
 
 
-@_q("triangle_count_neardup", _TRIANGLE_ORACLE)
+@_q("triangle_count_neardup", _triangle_oracle())
 def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the MinHash candidate-pair graph — the
     boilerplate-cluster density check (template clusters are
     near-cliques; isolated hash collisions close no triangles).
-    Degree-ordered compact-forward join, no n² step. See
-    operators/cluster.py:triangle_count."""
+    Degree-ordered compact-forward join, no n² step. Uses 2 bands x 4
+    rows (stricter than the dedup queries' 4x2): at sf0.1 the looser
+    banding yields a 559k-edge avg-degree-224 near-clique graph whose
+    ~1.4e8-triangle census is mostly output volume — the strict graph
+    (5.4k edges) carries the same diagnostic signal for ~5x less
+    work. See operators/cluster.py:triangle_count."""
     from data_misc_tools_spark.operators.cluster import triangle_count
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=4, k=5, portable_hash=True
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
     )
     return triangle_count(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -380,6 +380,13 @@ def triangle_count(
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # the edge list feeds THREE consumers (degree agg + both join
+        # sides) whose plans differ, so ReusedExchange cannot kick in
+        # — without truncation an expensive upstream (e.g. the LSH
+        # band join) is recomputed per consumer. Same idiom as the
+        # iterative CC above; on a cluster prefer persist(DISK_ONLY)
+        # for a huge edge list.
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("node"))

@@ -338,3 +338,98 @@ def test_strip_html_scripts_entities_and_order(spark):
     got = {r.i: r.t for r in df.select("i", strip_html("html").alias("t")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+class TestBPE:
+    """Distributed BPE training vs a pure-Python reference (Sennrich
+    formulation: word-type counts, argmax adjacent pair, greedy
+    non-overlapping replacement)."""
+
+    CORPUS = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest"),
+        (4, "widest widest widest"),
+        (5, "low lower newest widest"),
+    ]
+
+    @staticmethod
+    def _ref_bpe(texts, n_merges, min_count=2):
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in t.split():
+                words[tuple(list(w.lower()) + ["</w>"])] += 1
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for syms, c in words.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            # (count desc, pair lexicographic asc) — the tiebreak the
+            # distributed version pins for determinism
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_count:
+                break
+            (a, b) = best[0]
+            merges.append((a, b))
+            new_words = Counter()
+            for syms, c in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_words[tuple(out)] += c
+            words = new_words
+        return merges
+
+    def test_train_matches_reference(self, spark):
+        from data_misc_tools_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = bpe_train(df, n_merges=12)
+        want = self._ref_bpe([t for _, t in self.CORPUS], 12)
+        assert got == want
+        assert len(got) >= 8  # corpus supports a real merge sequence
+
+    def test_train_matches_reference_on_documents_sample(self, spark, sf_dir):
+        from data_misc_tools_spark.operators.bpe import bpe_train
+        from data_misc_tools_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(80)
+        texts = [r.text for r in docs.collect()]
+        got = bpe_train(docs, n_merges=8)
+        assert got == self._ref_bpe(texts, 8)
+
+    def test_segment_consistent_with_training_state(self, spark):
+        from data_misc_tools_spark.operators.bpe import bpe_segment, bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        merges = bpe_train(df, n_merges=12)
+        seg = {r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+               for r in bpe_segment(df, merges).collect()}
+        toks, n = seg[1]
+        assert n == len(toks)
+        # 'low' appears 7 times corpus-wide -> fully merged to one unit
+        assert toks == ["low</w>"] * 5
+        # every word reassembles to its original characters
+        for doc_id, text in self.CORPUS:
+            joined = "".join(seg[doc_id][0]).replace("</w>", "")
+            assert joined == text.replace(" ", "")
+
+    def test_segment_unseen_words_fall_back_to_chars(self, spark):
+        from data_misc_tools_spark.operators.bpe import bpe_segment, bpe_train
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        merges = bpe_train(df, n_merges=12)
+        new = spark.createDataFrame([(9, "zqx low")], "doc_id long, text string")
+        (row,) = bpe_segment(new, merges).collect()
+        assert row.bpe_tokens[-1] == "low</w>"
+        assert row.bpe_tokens[:-1] == ["z", "q", "x", "</w>"]
