@@ -3984,6 +3984,29 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROWS_ONLY.add("bpe_segment_demo")
+
+
+@_q("bpe_segment_demo")
+def bpe_segment_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction end-to-end: learn 16 BPE merges from the
+    documents corpus (word-type statistics, driver sees one argmax
+    row per round) and segment the corpus with them. rows-only: the
+    merge loop is iterative and driver-coordinated — not expressible
+    as one SQL statement; training is pinned against a pure-Python
+    Sennrich reference in tests/test_text.py::TestBPE instead. See
+    operators/bpe.py."""
+    from data_misc_tools_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges = bpe_train(docs, n_merges=16, stats_partitions=1)
+    return (
+        bpe_segment(docs, merges)
+        .select("doc_id", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
 ROWS_ONLY.add("pagerank_neardup_graph")
 
 

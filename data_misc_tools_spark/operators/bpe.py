@@ -52,6 +52,7 @@ def bpe_train(
     n_merges: int = 50,
     min_count: int = 2,
     lowercase: bool = True,
+    stats_partitions: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from a corpus column.
 
@@ -59,9 +60,17 @@ def bpe_train(
     position. Stops early when the best remaining pair occurs fewer
     than ``min_count`` times. Deterministic: ties broken by pair
     lexicographic order, independent of partitioning.
+
+    ``stats_partitions``: partition count for the word-type table the
+    rounds iterate over. That table is usually orders of magnitude
+    smaller than the corpus; coalescing it keeps every round's two
+    jobs (pair agg + checkpoint) at a handful of tasks. On local[*]
+    the round cost is dominated by per-round plan analysis (~1 s/
+    round regardless), so this matters on real clusters, not demos.
     """
-    spark = df.sparkSession
     words = _word_counts(df, text_col, lowercase)
+    if stats_partitions is not None:
+        words = words.coalesce(stats_partitions)
     # word -> initial symbol array: chars + end-of-word marker
     sym = F.concat(
         F.transform(
