@@ -3984,6 +3984,29 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROWS_ONLY.add("pca_project_demo")
+
+
+@_q("pca_project_demo")
+def pca_project_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimensionality reduction: fit an 8-component PCA on
+    the corpus (one scan, per-partition Gram partials, driver-side
+    d×d eigh) and project every vector map-only. rows-only: the fit
+    is an eigendecomposition on the driver — not one SQL statement;
+    correctness is pinned against numpy (mean/eigenvalues/components/
+    projections, partitioning-invariance) in tests/test_linalg.py.
+    See operators/linalg.py."""
+    from data_misc_tools_spark.operators.linalg import pca_fit, pca_transform
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    model = pca_fit(emb, "embedding", k=8)
+    return (
+        pca_transform(emb, model, "embedding", out_col="pca")
+        .select("vec_id", "pca")
+        .orderBy("vec_id")
+    )
+
+
 ROWS_ONLY.add("bpe_segment_demo")
 
 
