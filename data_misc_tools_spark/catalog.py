@@ -3984,6 +3984,54 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "outlier_events_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           sum(CASE WHEN d.adev > 1.2 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers,
+           d.med AS med,
+           m.mad AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+)
+def outlier_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median/MAD thresholds
+    (k=1.2 — the fixture's value column is near-uniform, so a z-3
+    equivalent flags nothing by construction). Exact percentile is
+    bit-identical to DuckDB quantile_cont, so med/mad/flags need no
+    rounding at all. See operators/profile.py:mad_outliers."""
+    from data_misc_tools_spark.operators.profile import mad_outliers
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    flagged = mad_outliers(ev, ["event_type"], "value", k=1.2)
+    return flagged.groupBy("event_type", "__med", "__mad").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n",
+        "n_outliers",
+        F.col("__med").alias("med"),
+        F.col("__mad").alias("mad"),
+    )
+
+
 ROWS_ONLY.add("pca_project_demo")
 
 

@@ -147,6 +147,51 @@ def pearson_exact(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust per-group outlier flags: |x − median| > k·1.4826·MAD.
+
+    Median/MAD instead of mean/stddev because metric columns in ops
+    tables are heavy-tailed — a single spike inflates a stddev
+    threshold until nothing is an outlier; the median absolute
+    deviation barely moves (1.4826 rescales MAD to σ under normality,
+    so k keeps its usual z-score reading).
+
+    Two grouped percentile passes joined back broadcast (the group
+    table is small by construction), flag evaluated scan-local.
+    ``exact=True`` uses Spark's exact ``percentile`` — linear-
+    interpolated, bit-identical to DuckDB's quantile_cont (verified:
+    every catalog median matches exactly), but it buffers each
+    group's values in the aggregation state, so for 100 TB groups
+    use ``exact=False`` (percentile_approx, bounded state, no oracle).
+
+    Output: input columns + __med, __mad, is_outlier.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"{fn}({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.expr(f"{fn}(__adev, 0.5)").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_cols)
+        .withColumn(
+            "is_outlier",
+            F.col("__adev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+        )
+        .drop("__adev")
+    )
+
+
 def skew_report(
     df: DataFrame,
     key_col: str,

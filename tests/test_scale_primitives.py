@@ -155,3 +155,25 @@ def test_pearson_exact_matches_numpy_and_handles_degenerate(spark):
     assert abs(out["g"].corr - expected) < 1e-9
     assert out["g"].n_rows == 400
     assert out["flat"].corr is None  # 0/0 -> null, not a crash
+
+
+def test_mad_outliers_flags_spikes_not_uniform_noise(spark):
+    from data_misc_tools_spark.operators.profile import mad_outliers
+
+    rows = [("a", float(i % 10)) for i in range(100)]      # tight cluster
+    rows += [("a", 1000.0), ("a", -1000.0)]                # spikes
+    rows += [("b", float(i)) for i in range(50)]           # uniform ramp
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, ["g"], "v", k=3.0)
+    flagged = [(r.g, r.v) for r in out.filter("is_outlier").collect()]
+    assert sorted(flagged) == [("a", -1000.0), ("a", 1000.0)]
+    # the approx variant agrees on an easy case like this
+    approx = mad_outliers(df, ["g"], "v", k=3.0, exact=False)
+    assert sorted((r.g, r.v) for r in approx.filter("is_outlier").collect()) \
+        == sorted(flagged)
+    # robustness: a 400 spike sits under z=3 once the +/-1000 spikes
+    # have inflated sigma (~139), but the MAD threshold still flags it
+    df2 = spark.createDataFrame(rows[:-1] + [("a", 400.0)], "g string, v double")
+    out2 = [r.v for r in mad_outliers(df2, ["g"], "v", k=3.0)
+            .filter("is_outlier and g = 'a'").collect()]
+    assert 400.0 in out2 and 1000.0 in out2
