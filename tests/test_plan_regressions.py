@@ -223,3 +223,59 @@ def test_zorder_key_is_scan_local(spark, sf_dir):
     plan = _plan(spark, "zorder_key_demo", sf_dir)
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _n_exchanges(plan):
+    # formatted explain prints every node twice (tree + detail
+    # section); count the "(N) Exchange" detail headers only
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_html_strip_is_scan_local(spark, sf_dir):
+    """strip_html must stay one shuffle-free projection over the scan
+    (regexp chain in WholeStageCodegen, no Python, no Exchange)."""
+    plan = _plan(spark, "html_strip_demo", sf_dir)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_k_anonymity_is_one_hash_aggregate(spark, sf_dir):
+    """Quasi-identifier grouping: partial+final HashAggregate around a
+    single Exchange; the distinct count adds an Expand, never a Sort."""
+    plan = _plan(spark, "k_anonymity_report", sf_dir)
+    assert _n_exchanges(plan) <= 2  # distinct-agg keyed re-exchange
+    assert "SortAggregate" not in plan and "Python" not in plan
+
+
+def test_corr_exact_single_aggregate_no_python(spark, sf_dir):
+    plan = _plan(spark, "corr_quantity_price", sf_dir)
+    assert _n_exchanges(plan) == 1
+    assert "Python" not in plan
+    # filter must reach the parquet scan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_editdist_verify_joins_broadcast(spark, sf_dir):
+    """Candidate-pair verify attaches the two texts via joins that
+    must never fall back to SortMergeJoin on the small dim side."""
+    plan = _plan(spark, "dedup_editdist_verify", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_changelog_compact_one_exchange_window(spark, sf_dir):
+    """compact_changelog: ONE key Exchange feeding a partition-local
+    window sort — a global Sort would mean the rn=1 pick regressed."""
+    plan = _plan(spark, "changelog_compact_demo", sf_dir)
+    assert _n_exchanges(plan) == 1
+    assert "Window" in plan
+    assert "Python" not in plan
+
+
+def test_mad_outliers_group_stats_broadcast(spark, sf_dir):
+    """Both percentile-stat joins must broadcast (group table is tiny
+    by construction) — a SortMergeJoin would re-shuffle the events
+    table twice."""
+    plan = _plan(spark, "outlier_events_mad", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
