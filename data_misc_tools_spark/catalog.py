@@ -4032,6 +4032,42 @@ def outlier_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sample_weighted_docs",
+    """
+    WITH w AS (
+        SELECT doc_id, least(n_chars // 16 + 1, 48) AS wt FROM documents
+    ),
+    keyed AS (
+        SELECT w.doc_id, w.wt,
+               max(('0x' || substr(md5('ws_' || w.doc_id || '_' || g.x), 1, 8))::BIGINT)
+                   AS score
+        FROM w JOIN generate_series(1, 2048) g(x) ON g.x <= w.wt
+        GROUP BY w.doc_id, w.wt
+    )
+    SELECT doc_id, wt AS __w, score AS __score
+    FROM keyed
+    ORDER BY score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, integer-exact: 100 docs
+    drawn with probability ∝ length (Efraimidis-Spirakis via
+    max-of-w-hashes — the max of w uniforms IS the A-ES key u^(1/w),
+    but in integers, so DuckDB reproduces the selection bit-for-bit).
+    See operators/sampling.py:sample_weighted_portable; the libm-log
+    production variant sample_weighted has no oracle by design."""
+    from data_misc_tools_spark.operators.sampling import sample_weighted_portable
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", (F.floor(F.col("n_chars") / 16) + 1).alias("wt")
+    )
+    return sample_weighted_portable(
+        d, "doc_id", "wt", k=100, salt="ws_", max_weight=48
+    )
+
+
 ROWS_ONLY.add("pca_project_demo")
 
 

@@ -244,3 +244,80 @@ def training_order(
         with_shard.withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__h")
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): rank every row by ln(u)/w for a hashed uniform u
+    and keep the k largest — each row's inclusion probability is
+    proportional to its weight, with no sequential pass and no RNG
+    state (same determinism story as hash_sample).
+
+    Scan-local scoring + one TakeOrdered top-k: no global sort, no
+    shuffle of the losers. Rows with weight <= 0 or null never
+    selected. Output: (key_col, weight_col, __score) of the k winners.
+
+    The ln() makes scores engine-specific at the last ulp (libm log is
+    not cross-engine reproducible), so this variant has no DuckDB
+    oracle; :func:`sample_weighted_portable` is the integer-exact twin
+    used as the correctness anchor.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (_hash_u32(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(_HASH_SPACE))
+    score = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .select(F.col(key_col), F.col(weight_col), score.alias("__score"))
+        .orderBy(F.desc("__score"), key_col)
+        .limit(k)
+    )
+
+
+def sample_weighted_portable(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Integer-exact weighted sampling without replacement for INTEGER
+    weights: a row of weight w scores max of w independent 32-bit
+    hashes — distributionally identical to the A-ES key u^(1/w)
+    (max of w uniforms), but every comparison is integer, so any
+    engine reproduces the selection bit-for-bit.
+
+    Cost is O(sum of weights) explode — weights are clamped to
+    [1, max_weight], which keeps the blowup bounded and matches the
+    oracle's bounded generate_series join. Use the float variant when
+    weights are large or fractional and cross-engine exactness is not
+    required. Output: (key_col, weight clamp as __w, __score), the k
+    winners by (__score desc, key).
+    """
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)), F.lit(max_weight)
+    )
+    per_rep = df.select(F.col(key_col), w.alias("__w")).select(
+        F.col(key_col),
+        "__w",
+        F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__j"),
+    )
+    h = _hash_u32(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit("_"), F.col("__j").cast("string")
+        ),
+        salt,
+    )
+    return (
+        per_rep.select(F.col(key_col), "__w", h.alias("__h"))
+        .groupBy(key_col, "__w")
+        .agg(F.max("__h").alias("__score"))
+        .orderBy(F.desc("__score"), key_col)
+        .limit(k)
+    )

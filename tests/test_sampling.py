@@ -200,3 +200,35 @@ class TestSplitByCluster:
         s1 = {r.doc_id: r.split for r in SA.split_by_cluster(docs, e1).collect()}
         s2 = {r.doc_id: r.split for r in SA.split_by_cluster(docs, e2).collect()}
         assert all(s2[k] == v for k, v in s1.items() if k not in (30, 31))
+
+
+def test_sample_weighted_proportional_and_deterministic(spark):
+    from data_misc_tools_spark.operators.sampling import (
+        sample_weighted,
+        sample_weighted_portable,
+    )
+
+    rows = [(i, 9 if i < 1000 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    for fn in (sample_weighted, sample_weighted_portable):
+        sel = fn(df, "id", "w", k=400, salt="t1")
+        picked = [r.id for r in sel.collect()]
+        assert len(picked) == len(set(picked)) == 400
+        heavy = sum(1 for i in picked if i < 1000)
+        # weight-9 rows should dominate ~9:1; demand at least 3:1
+        assert heavy > 300, (fn.__name__, heavy)
+        # determinism: same salt -> identical selection, regardless of
+        # partitioning; different salt -> different selection
+        again = [r.id for r in fn(df.repartition(7), "id", "w", k=400,
+                                   salt="t1").collect()]
+        assert again == picked, fn.__name__
+        other = [r.id for r in fn(df, "id", "w", k=400, salt="t2").collect()]
+        assert other != picked, fn.__name__
+
+    # zero/negative weights: float path drops them, portable clamps to 1
+    dfz = spark.createDataFrame([(1, 0), (2, 5)], "id long, w long")
+    assert [r.id for r in sample_weighted(dfz, "id", "w", k=2).collect()] == [2]
+    got = {r.id: r["__w"] for r in
+           sample_weighted_portable(dfz, "id", "w", k=2).collect()}
+    assert got[1] == 1 and got[2] == 5
