@@ -4068,6 +4068,46 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "missing_intervals_demo",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+               -- date_trunc before epoch: Spark's unix_timestamp FLOORS
+               -- to the second while DuckDB's epoch()::BIGINT would
+               -- round a fractional part
+               epoch(date_trunc('second', ts))::BIGINT
+                 - epoch(date_trunc('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT
+                 AS gap_seconds
+        FROM events
+    )
+    SELECT user_id,
+           strftime(prev, '%Y-%m-%d %H:%M:%S') AS gap_start,
+           strftime(ts,   '%Y-%m-%d %H:%M:%S') AS gap_end,
+           gap_seconds
+    FROM g
+    WHERE gap_seconds > 43200
+    """,
+)
+def missing_intervals_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap mining: per-user silent periods over 12 h between
+    consecutive events — sessionization's complement, same single
+    key-partitioned window shape, integer epoch arithmetic. See
+    operators/temporal.py:missing_intervals."""
+    from data_misc_tools_spark.operators.temporal import missing_intervals
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = missing_intervals(ev, "user_id", "ts", min_gap_seconds=43200)
+    return out.select(
+        "user_id",
+        F.date_format("gap_start", "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
+        F.date_format("gap_end", "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
+        "gap_seconds",
+    )
+
+
 ROWS_ONLY.add("pca_project_demo")
 
 

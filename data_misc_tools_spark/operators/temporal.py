@@ -208,3 +208,39 @@ def cohort_retention(
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("cohort_period", "period_offset")
     )
+
+
+def missing_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Heartbeat-gap mining: for every entity, the silent periods
+    longer than ``min_gap_seconds`` between consecutive events — the
+    monitoring question ("which feeds went dark, when, for how long")
+    and the sessionizer's complement (a session BOUNDARY is exactly a
+    reported gap).
+
+    One key-partitioned window (lag), scan-local gap arithmetic —
+    identical shuffle shape to sessionization, no global sort. Gap
+    length is computed on epoch seconds (integer), so the output is
+    engine-exact.
+
+    Output: (key_col, gap_start, gap_end as timestamps, gap_seconds
+    bigint), one row per qualifying gap.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(prev)
+    return (
+        df.select(F.col(key_col), F.col(ts_col), prev.alias("__prev"),
+                  gap.alias("gap_seconds"))
+        .filter(F.col("gap_seconds") > min_gap_seconds)
+        .select(
+            key_col,
+            F.col("__prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            F.col("gap_seconds").cast("long").alias("gap_seconds"),
+        )
+    )

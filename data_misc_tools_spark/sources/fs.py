@@ -61,3 +61,12 @@ def ls(spark: SparkSession, path: str) -> list[dict]:
 def exists(spark: SparkSession, path: str) -> bool:
     fs, jpath, _ = _fs(spark, path)
     return fs.exists(jpath)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree; False when absent (reference:
+    HdfsHelper-style mutation helper, same Hadoop FileSystem API)."""
+    fs, jpath, _ = _fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return fs.delete(jpath, recursive)

@@ -38,10 +38,10 @@ retries matter.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from data_misc_tools_spark.sources import fs as _fsh
 
 
 def keep_latest(
@@ -63,17 +63,27 @@ def keep_latest(
     return packed.select(*key_cols, *[F.col(f"__row.{c}").alias(c) for c in others])
 
 
-def _current_version(path: str) -> int | None:
-    if not os.path.isdir(path):
-        return None
-    best = None
-    for name in os.listdir(path):
-        if name.startswith("v=") and os.path.exists(
-            os.path.join(path, name, "_SUCCESS")
+def _versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed snapshot versions, ascending — Hadoop FileSystem API,
+    so the store works on any supported FS (local, HDFS, S3A), not
+    just the driver's local disk."""
+    if not _fsh.exists(spark, path):
+        return []
+    out = []
+    for ent in _fsh.ls(spark, path):
+        name = ent["path"].rstrip("/").rsplit("/", 1)[-1]
+        if (
+            ent["is_dir"]
+            and name.startswith("v=")
+            and _fsh.exists(spark, ent["path"] + "/_SUCCESS")
         ):
-            n = int(name[2:])
-            best = n if best is None or n > best else best
-    return best
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def _current_version(spark: SparkSession, path: str) -> int | None:
+    vs = _versions(spark, path)
+    return vs[-1] if vs else None
 
 
 def read_latest(
@@ -88,10 +98,10 @@ def read_latest(
     is a delete) — the live-state view; omit it for the raw snapshot
     including tombstones (what the merge path reads).
     """
-    v = _current_version(path)
+    v = _current_version(spark, path)
     if v is None:
         return None
-    snap = spark.read.parquet(os.path.join(path, f"v={v}"))
+    snap = spark.read.parquet(f"{path}/v={v}")
     if op_col is not None:
         snap = snap.filter(~F.col(op_col).isin(list(delete_ops)))
     return snap
@@ -124,24 +134,16 @@ class ParquetUpsertSink:
         if current is not None:
             merged = current.select(*batch.columns).unionAll(batch)
         latest = keep_latest(merged, self.key_cols, self.order_cols)
-        next_v = (_current_version(self.path) or 0) + 1
-        latest.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"v={next_v}")
-        )
-        self._prune()
+        next_v = (_current_version(spark, self.path) or 0) + 1
+        latest.write.mode("overwrite").parquet(f"{self.path}/v={next_v}")
+        self._prune(spark)
 
-    def _prune(self) -> None:
-        import shutil
-
+    def _prune(self, spark: SparkSession) -> None:
         keep = self.keep_versions
-        versions = sorted(
-            int(n[2:])
-            for n in os.listdir(self.path)
-            if n.startswith("v=")
-            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
-        )
-        for v in versions[:-keep] if keep > 0 else []:
-            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+        if keep <= 0:
+            return
+        for v in _versions(spark, self.path)[:-keep]:
+            _fsh.delete(spark, f"{self.path}/v={v}")
 
 
 def upsert_stream(

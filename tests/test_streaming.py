@@ -862,10 +862,10 @@ class TestUpsertSink:
 
         stage = self._feed(spark, tmp_path)
         self._run(spark, stage, tmp_path, "same")
-        v1 = _current_version(str(tmp_path / "snap"))
+        v1 = _current_version(spark, str(tmp_path / "snap"))
         rows1 = sorted(map(tuple, read_latest(spark, str(tmp_path / "snap")).collect()))
         self._run(spark, stage, tmp_path, "same")  # same checkpoint: no new input
-        assert _current_version(str(tmp_path / "snap")) == v1
+        assert _current_version(spark, str(tmp_path / "snap")) == v1
         assert sorted(map(tuple, read_latest(spark, str(tmp_path / "snap")).collect())) == rows1
 
     def test_torn_snapshot_directory_is_ignored(self, spark, tmp_path):

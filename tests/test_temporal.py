@@ -164,3 +164,26 @@ class TestCohortRetention:
         by = {(r.cohort_period, r.period_offset): r.n_users for r in out}
         assert by[(0, 0)] == 10 and by[(1, 0)] == 10 and by[(2, 0)] == 10
         assert len(by) == 3  # nobody returns
+
+
+def test_missing_intervals_finds_only_long_gaps(spark):
+    from data_misc_tools_spark.operators.temporal import missing_intervals
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # 600 s — below threshold
+        (1, "2024-01-01 02:10:00"),   # 7200 s gap
+        (1, "2024-01-01 02:10:00"),   # duplicate ts -> zero gap, dropped
+        (2, "2024-01-01 00:00:00"),   # single event: no gap at all
+        (3, "2024-01-01 00:00:00"),
+        (3, "2024-01-02 00:00:00"),   # 86400 s gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    out = {(r.user_id): (str(r.gap_start), str(r.gap_end), r.gap_seconds)
+           for r in missing_intervals(df, "user_id", "ts", 3600).collect()}
+    assert out == {
+        1: ("2024-01-01 00:10:00", "2024-01-01 02:10:00", 7200),
+        3: ("2024-01-01 00:00:00", "2024-01-02 00:00:00", 86400),
+    }

@@ -51,6 +51,20 @@ STRESS = {
     "connected_components_runs": "linearithmic",
     "funnel_view_click_purchase": "linear",
     "cohort_retention_weekly": "linear",
+    # round-3 continuation: pair verify (linear in pairs; doc length
+    # fixed), privacy gate + exact corr (single hash aggs), strict-
+    # banded triangle census (copies are alphabet-rotated, so clusters
+    # and their triangles replicate linearly), scan-local HTML strip,
+    # CDC compaction + MAD outliers (key/group-partitioned sorts),
+    # weighted sampling (bounded explode + top-k)
+    "dedup_editdist_verify": "linear",
+    "k_anonymity_report": "linear",
+    "corr_quantity_price": "linear",
+    "triangle_count_neardup": "linear",
+    "html_strip_demo": "linear",
+    "changelog_compact_demo": "linearithmic",
+    "outlier_events_mad": "linearithmic",
+    "sample_weighted_docs": "linear",
 }
 
 
@@ -167,6 +181,13 @@ def main() -> int:
         "  sf1 (24.7 s vs 0.46 s). The expression variant exists for",
         "  engine-portable oracle checking; production throughput should use",
         "  cosine_neardup_pairs_gemm.",
+        "- **Edit-distance verify rides the envelope edge (11.8x at 10x",
+        "  pairs)**: levenshtein is O(len_a*len_b) per pair, and the copies'",
+        "  length distribution is identical, so the expected cost IS linear in",
+        "  pairs — the extra ~18% is the 47 s run outgrowing L2 on the wider",
+        "  working set, not an algorithmic term. At real corpus lengths use",
+        "  the `threshold` parameter (banded early-exit, O(t*len) per pair)",
+        "  before shipping 10^8 pairs through the exact form.",
     ]
     with open(os.path.join(repo, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
