@@ -105,6 +105,10 @@ HEADLINE = [
     "triangle_count_neardup",
     "html_strip_demo",
     "changelog_compact_demo",
+    "outlier_events_mad",
+    "sample_weighted_docs",
+    "missing_intervals_demo",
+    "hll_audience_overlap",
 ]
 
 

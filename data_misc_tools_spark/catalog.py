@@ -2520,6 +2520,50 @@ def distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROWS_ONLY.add("hll_audience_overlap")
+
+
+@_q("hll_audience_overlap")
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on mergeable sketches: estimated audience overlap
+    |A∩B| between every event-type pair via inclusion-exclusion
+    (|A|+|B|−|A∪B|) over per-type HLL sketches — the raw events are
+    touched ONCE to build 5 sketches; every pairwise overlap is then
+    sketch-only math (HLLs union natively; intersection falls out by
+    inclusion-exclusion, the standard audience-overlap estimator).
+    No oracle: sketch estimates are implementation-defined; rows-only
+    + an error pin vs exact intersections in tests/test_scale_io.py."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        .cast("long")
+        .alias("n_est"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_est").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_est").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    n_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).cast("long")
+    return (
+        pairs.select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - n_union).alias("n_overlap_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 ROWS_ONLY.add("hll_users_mergeable_rollup")
 
 

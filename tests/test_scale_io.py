@@ -156,3 +156,27 @@ def test_count_min_sketch_mergeable_frequencies(spark, sf_dir):
         est = merged.estimateCount(uid)
         assert est >= n  # CMS never undercounts
         assert est - n <= 0.001 * total + 1
+
+
+def test_hll_overlap_inclusion_exclusion_within_tolerance(spark, sf_dir):
+    """Pairwise audience overlap from sketches (|A|+|B|-|A∪B|) must
+    track the exact intersections — backs hll_audience_overlap.
+    Inclusion-exclusion compounds three estimator errors, so the
+    tolerance is wider than the single-sketch pin: ±10% of |A∪B|."""
+    from data_misc_tools_spark.catalog import QUERIES
+    from data_misc_tools_spark.session import load_tables
+
+    est = {(r.type_a, r.type_b): r.n_overlap_est
+           for r in QUERIES["hll_audience_overlap"](spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    users = {t: {r.user_id for r in rows}
+             for t, rows in (
+                 (t, ev.filter(F.col("event_type") == t)
+                       .select("user_id").distinct().collect())
+                 for t in {k for p in est for k in p}
+             )}
+    assert len(est) == 10  # C(5,2) type pairs
+    for (ta, tb), got in est.items():
+        exact = len(users[ta] & users[tb])
+        union = len(users[ta] | users[tb])
+        assert abs(got - exact) <= max(0.1 * union, 5), (ta, tb, got, exact)
