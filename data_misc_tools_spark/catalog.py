@@ -4113,6 +4113,53 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "contract_events",
+    """
+    SELECT r.rule,
+           CASE r.rule
+             WHEN 'value_non_negative' THEN
+               sum(CASE WHEN NOT coalesce(value >= 0, false) THEN 1 ELSE 0 END)
+             WHEN 'known_event_type' THEN
+               sum(CASE WHEN NOT coalesce(event_type IN
+                 ('signup','click','error','view','purchase'), false)
+                 THEN 1 ELSE 0 END)
+             WHEN 'user_id_present' THEN
+               sum(CASE WHEN NOT coalesce(user_id IS NOT NULL, false)
+                 THEN 1 ELSE 0 END)
+             WHEN 'ts_in_2024' THEN
+               sum(CASE WHEN NOT coalesce(
+                 ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01',
+                 false) THEN 1 ELSE 0 END)
+           END::BIGINT AS n_violations,
+           count(*) AS n_rows
+    FROM events
+    CROSS JOIN (SELECT unnest(['value_non_negative', 'known_event_type',
+                               'user_id_present', 'ts_in_2024']) AS rule) r
+    GROUP BY r.rule
+    """,
+)
+def contract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract gate over events: four named
+    predicates verified in ONE aggregate pass (stack-unpivoted to a
+    row per rule). See operators/profile.py:validate_contract."""
+    from data_misc_tools_spark.operators.profile import validate_contract
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return validate_contract(
+        ev,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "known_event_type": F.col("event_type").isin(
+                "signup", "click", "error", "view", "purchase"
+            ),
+            "user_id_present": F.col("user_id").isNotNull(),
+            "ts_in_2024": (F.col("ts") >= F.lit("2024-01-01"))
+            & (F.col("ts") < F.lit("2025-01-01")),
+        },
+    )
+
+
+@_q(
     "missing_intervals_demo",
     """
     WITH g AS (

@@ -147,6 +147,54 @@ def pearson_exact(
     )
 
 
+def validate_contract(
+    df: DataFrame,
+    rules: dict[str, "object"],
+) -> DataFrame:
+    """Data-contract gate: named row-level predicates → violation
+    counts, in ONE aggregate pass over the table.
+
+    ``rules`` maps rule name → boolean Column that is True when the
+    row SATISFIES the contract (nulls count as violations — an
+    unknown value cannot prove compliance). Every rule is evaluated
+    in the same scan; the output is one row per rule, so a 100-rule
+    contract over 100 TB is still a single map-side-combined
+    aggregate, not 100 scans.
+
+    Output: (rule, n_violations, n_rows) — a release gate passes when
+    max(n_violations) == 0; keeping the per-rule rows (instead of one
+    boolean) is what makes the failure actionable.
+
+    Referential rules (FK orphans) need a join, not a predicate — see
+    :func:`fk_violations`.
+    """
+    names = list(rules)
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(
+            (~F.coalesce(rules[n], F.lit(False))).cast("long")
+        ).alias(f"__v_{i}")
+        for i, n in enumerate(names)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', __v_{i}" for i, n in enumerate(names))
+    return one.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (rule, n_violations)",
+        "__n AS n_rows",
+    ).select("rule", "n_violations", "n_rows")
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Referential-integrity check: child rows whose key tuple has no
+    parent — LEFT ANTI join on the keys (broadcast when the parent is
+    a dimension; null keys are reported too, matching
+    validate_contract's unknown-is-violation stance)."""
+    return child.join(parent.select(*keys).distinct(), on=keys, how="left_anti")
+
+
 def mad_outliers(
     df: DataFrame,
     group_cols: list[str],

@@ -177,3 +177,35 @@ def test_mad_outliers_flags_spikes_not_uniform_noise(spark):
     out2 = [r.v for r in mad_outliers(df2, ["g"], "v", k=3.0)
             .filter("is_outlier and g = 'a'").collect()]
     assert 400.0 in out2 and 1000.0 in out2
+
+
+def test_validate_contract_counts_violations_including_nulls(spark):
+    from data_misc_tools_spark.operators.profile import (
+        fk_violations,
+        validate_contract,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "a"), (3, None, "b"), (4, 2.0, None)],
+        "id long, v double, cat string",
+    )
+    out = {r.rule: (r.n_violations, r.n_rows) for r in validate_contract(
+        df,
+        {
+            "v_non_negative": F.col("v") >= 0,        # -1 fails, null fails
+            "cat_known": F.col("cat").isin("a", "b"),  # null cat fails
+            "id_positive": F.col("id") > 0,            # all pass
+        },
+    ).collect()}
+    assert out == {
+        "v_non_negative": (2, 4),
+        "cat_known": (1, 4),
+        "id_positive": (0, 4),
+    }
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame(
+        [(1, "x"), (3, "y"), (None, "z")], "k long, payload string"
+    )
+    orphans = {r.payload for r in fk_violations(child, parent, ["k"]).collect()}
+    assert orphans == {"y", "z"}  # missing parent AND null key
