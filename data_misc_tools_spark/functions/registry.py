@@ -94,6 +94,31 @@ _SQL_UDFS: dict[str, str] = {
         "RETURNS STRING RETURN md5(array_join(array_sort(array_distinct("
         "filter(split(lower(s), ' '), x -> x != ''))), ' '))"
     ),
+    # SQL twin of operators/text.py:strip_html (same pattern chain and
+    # entity order; see that docstring for the semantics contract) —
+    # Catalyst-inlined, no Python
+    "html_strip": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION html_strip(s STRING) "
+        "RETURNS STRING RETURN trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(s, "
+        "'(?is)<script[^>]*>.*?</script>', ' '), "
+        "'(?is)<style[^>]*>.*?</style>', ' '), "
+        "'(?s)<!--.*?-->', ' '), "
+        "'<[^>]+>', ' '), "
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), "
+        "'&quot;', '\"'), '&#39;', ''''), '&amp;', '&'), "
+        "'[ \\\\t\\\\n\\\\r]+', ' '))"
+    ),
+    # normalized levenshtein similarity, 4dp half-up via the integer
+    # idiom (operators/dedup.py:editdist_pairs is the pair-join form)
+    "levenshtein_sim": (
+        "CREATE OR REPLACE TEMPORARY FUNCTION levenshtein_sim(a STRING, b STRING) "
+        "RETURNS DOUBLE RETURN ("
+        "(20000 * (greatest(length(a), length(b), 1) - levenshtein(a, b)) "
+        "+ greatest(length(a), length(b), 1)) "
+        "div (2 * greatest(length(a), length(b), 1))) / 10000.0D"
+    ),
     # max_with (argmax UDAF, reference:
     # hive-udfs/src/test/resources/tests.sql:79-83) is NOT registered
     # here: Spark SQL UDFs cannot wrap aggregates and Spark's built-in

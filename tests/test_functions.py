@@ -139,3 +139,35 @@ def test_sql_text_functions_match_operators(spark):
     api_fp = fingerprint(df).first().fingerprint
     assert sql_row.n == api_n == 4
     assert sql_row.fp == api_fp
+
+
+def test_html_strip_sql_matches_column_operator(spark):
+    """The SQL surface and operators/text.strip_html must implement
+    the SAME contract (pattern chain + entity order)."""
+    from data_misc_tools_spark.operators.text import strip_html
+
+    cases = [
+        '<p>hello <b>world</b></p>',
+        'a<script>if (1 < 2) x();</script>b',
+        '<style media="x">p > a {}</style>text',
+        'keep<!-- <b>no</b> -->me',
+        '&amp;lt; &lt; &quot;q&#39; &nbsp;',
+        '<SCRIPT>s</SCRIPT><P>case</P>',
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html string")
+    df.createOrReplaceTempView("t_html")
+    via_sql = [r.t for r in
+               spark.sql("select html_strip(html) as t from t_html").collect()]
+    via_col = [r.t for r in df.select(strip_html("html").alias("t")).collect()]
+    assert via_sql == via_col
+
+
+def test_levenshtein_sim_sql(spark):
+    rows = spark.sql(
+        "select levenshtein_sim('kitten', 'sitting') as a, "
+        "levenshtein_sim('same', 'same') as b, "
+        "levenshtein_sim('', 'xyz') as c"
+    ).collect()[0]
+    assert rows.a == round(1 - 3 / 7, 4)
+    assert rows.b == 1.0
+    assert rows.c == 0.0
