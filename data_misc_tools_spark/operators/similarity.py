@@ -487,6 +487,44 @@ def ivf_build_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
 
 
+def ivf_append_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted IVF index WITHOUT
+    retraining: each vector joins the existing (broadcast) centroid
+    table, takes its nearest center by squared Euclidean distance —
+    the same assignment rule Spark's KMeans.transform applies at
+    build time — and lands in that cell's partition via dynamic
+    partition append. The ingestion path of a production ANN index:
+    only the batch is touched; queries see old + new rows the moment
+    the append commits (same contract as dedup.py's
+    minhash_index_append). Retrain when drift makes cell sizes skew —
+    the centers table is the thing to monitor (skew_report on cell).
+    """
+    spark = batch.sparkSession
+    centers_df = spark.read.parquet(f"{path}/centers")
+    b = batch.select(F.col(id_col), F.col(vec_col))
+    dist2 = F.aggregate(
+        F.zip_with(
+            _dbl(F.col(vec_col)), F.col("center"), lambda a, c: (a - c) * (a - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell"))
+    assigned = (
+        b.crossJoin(F.broadcast(centers_df))
+        .select(id_col, vec_col, "cell", dist2.alias("__d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+
+
 def ivf_query_index(
     queries: DataFrame,
     path: str,

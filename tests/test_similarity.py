@@ -342,3 +342,47 @@ def test_neardup_ivf_blocks_subset_and_recall(spark, vectors):
     }
     assert ivf <= exact
     assert len(ivf) >= 0.5 * len(exact), (len(ivf), len(exact))
+
+
+def test_ivf_append_matches_kmeans_assignment_and_full_recall(
+    spark, sf_dir, tmp_path
+):
+    """Appending a batch must (a) place every vector in the SAME cell
+    KMeans.transform would pick (nearest center, Euclidean), and
+    (b) leave the index exact at full probe over old+new rows."""
+    import numpy as np
+
+    from data_misc_tools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_append_index,
+        ivf_build_index,
+        ivf_query_index,
+    )
+    from data_misc_tools_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    backlog = e.filter(F.col("vec_id") % 5 != 0).limit(200)
+    batch = e.filter(F.col("vec_id") % 5 == 0).limit(40)
+    idx = str(tmp_path / "ivf_app")
+    ivf_build_index(backlog, idx, n_clusters=8)
+    ivf_append_index(batch, idx)
+
+    centers = {r.cell: np.asarray(r.center) for r in
+               spark.read.parquet(f"{idx}/centers").collect()}
+    cells = spark.read.parquet(f"{idx}/cells")
+    batch_ids = {r.vec_id for r in batch.collect()}
+    appended = {r.vec_id: (r.cell, np.asarray(r.embedding, dtype=np.float64))
+                for r in cells.collect() if r.vec_id in batch_ids}
+    assert set(appended) == batch_ids  # every batch row landed
+    for vid, (cell, v) in appended.items():
+        d = {c: float(((v - ctr) ** 2).sum()) for c, ctr in centers.items()}
+        assert cell == min(sorted(d), key=lambda c: (d[c], c)), vid
+
+    # full-probe query over the appended index == brute force on union
+    union = backlog.unionAll(batch)
+    queries = e.limit(5)
+    want = {(r.query_id, r.vec_id) for r in
+            cosine_topk(queries, union, k=3).collect()}
+    got = {(r.query_id, r.vec_id) for r in
+           ivf_query_index(queries, idx, k=3, n_probe=8).collect()}
+    assert got == want
