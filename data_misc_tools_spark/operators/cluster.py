@@ -413,3 +413,59 @@ def triangle_count(
         wedges.join(closing, ["v1", "v2"])
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of the graph: iteratively peel nodes of degree < k
+    until none remain; returns the surviving canonical edge list
+    (a, b) with a < b.
+
+    On a near-dup candidate graph the 2-core separates real duplicate
+    clusters (every member supported by >=2 neighbors) from stray
+    hash-collision edges, and higher cores grade cluster density more
+    cheaply than a full triangle census — the standard pre-filter
+    before expensive pairwise verification.
+
+    Each round: one degree aggregate + two semi-joins (drop edges
+    touching a peeled node); rounds end when the edge count is stable.
+    Peeling converges in at most O(n) rounds but near-dup graphs
+    settle in a handful (cliques never peel, chains peel end-in).
+    The edge frame is localCheckpoint-ed per round — referenced by
+    degree agg AND both joins, same lineage-doubling hazard as the
+    iterative CC above.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    return e

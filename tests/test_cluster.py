@@ -241,3 +241,43 @@ def test_triangle_count_known_graphs_and_random(spark):
         if b in adj[a] and c in adj[a] and c in adj[b]
     )
     assert run(sorted(edges)) == brute
+
+
+def test_k_core_peels_to_reference(spark):
+    import random
+    from collections import defaultdict
+
+    from data_misc_tools_spark.operators.cluster import k_core
+
+    def ref_k_core(edge_list, k):
+        edges = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+        while True:
+            deg = defaultdict(int)
+            for a, b in edges:
+                deg[a] += 1
+                deg[b] += 1
+            dead = {n for n, d in deg.items() if d < k}
+            if not dead:
+                return edges
+            nxt = {e for e in edges if e[0] not in dead and e[1] not in dead}
+            if nxt == edges:
+                return edges
+            edges = nxt
+
+    def run(edge_list, k):
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        return {(r.a, r.b) for r in k_core(df, k).collect()}
+
+    # triangle with a pendant tail: 2-core keeps only the triangle
+    tri_tail = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert run(tri_tail, 2) == {(1, 2), (2, 3), (1, 3)}
+    # chain: 2-core is empty (cascading peel from both ends)
+    assert run([(1, 2), (2, 3), (3, 4)], 2) == set()
+
+    rng = random.Random(5)
+    edges = set()
+    while len(edges) < 160:
+        x, y = rng.sample(range(40), 2)
+        edges.add((min(x, y), max(x, y)))
+    for k in (2, 3, 4):
+        assert run(sorted(edges), k) == ref_k_core(edges, k), k
