@@ -109,6 +109,8 @@ HEADLINE = [
     "sample_weighted_docs",
     "missing_intervals_demo",
     "hll_audience_overlap",
+    # round-3 session-3 additions
+    "bm25_search_topk",
 ]
 
 

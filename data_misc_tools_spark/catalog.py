@@ -4612,6 +4612,69 @@ def pii_scrub_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(aug)
 
 
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "spark stream window"),
+    (2, "hash join merge sort"),
+    (3, "table scan batch dup"),
+]
+
+
+@_q(
+    "bm25_search_topk",
+    f"""
+    WITH qry(query_id, qtext) AS (
+        VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)}
+    ),
+    qterms AS (
+        SELECT DISTINCT query_id::BIGINT AS query_id, unnest(string_split(qtext, ' ')) AS tok
+        FROM qry
+    ),
+    toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    corpus AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len FROM dl),
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               round(ln(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1e6)::BIGINT AS idf_e6,
+               (10 * t.tf * c.total_len + 3 * c.total_len + 9 * d.dl * c.n_docs) AS den,
+               t.tf, c.total_len
+        FROM tf t
+        JOIN qterms q USING (tok)
+        JOIN dl d USING (doc_id)
+        JOIN dfreq f USING (tok)
+        CROSS JOIN corpus c
+    ),
+    sums AS (
+        SELECT query_id, doc_id,
+               sum((2 * idf_e6 * 22 * tf * total_len + den) // (2 * den))::BIGINT AS s_e6
+        FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rank, ((2 * s_e6 + 100) // 200) / 10000.0 AS bm25
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s_e6 DESC, doc_id)::BIGINT AS rank
+        FROM sums
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query at (k1=1.2, b=0.75), engine-exact:
+    with those rationals the per-term score is idf * 22*tf*L /
+    (10*tf*L + 3*L + 9*dl*N) — a BIGINT ratio — and each term
+    contributes a half-up integer division of e6-scaled Lucene idf
+    (always positive, so Spark `div` == DuckDB `//`). One corpus
+    explode feeds tf/dl/df (ReusedExchange); query terms and the
+    query-pruned df broadcast. See operators/retrieval.py."""
+    from data_misc_tools_spark.operators import retrieval as R
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = R.queries_df(spark, _BM25_QUERIES)
+    return R.bm25_topk(d, q, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-2 graded the core

@@ -1,0 +1,198 @@
+"""Full-text retrieval over document corpora: Okapi BM25 scoring.
+
+Beyond-reference capability (the reference delegates all querying to
+Hive SQL and has no ranked-retrieval operator): a training-data
+pipeline needs keyword retrieval for targeted corpus audits ("show me
+the docs a benchmark query would surface"), decontamination triage,
+and quality-probe sampling.
+
+Two paths:
+
+- :func:`bm25_topk` — engine-exact integer formulation at the standard
+  (k1=1.2, b=0.75), oracle-checkable hash-exactly against DuckDB.
+- :func:`bm25_scores` — double-precision scoring for arbitrary
+  (k1, b); the production path (same plan, no integer scaffolding).
+
+Scale design (100 TB corpus, handful-to-thousands of queries):
+
+- ONE corpus scan + explode produces the (doc, token) counts; dl / df
+  / tf all branch off that single exchange (ReusedExchange, the
+  unigram_nll_scores pattern in operators/text.py).
+- Query terms broadcast; tf is semi-join-pruned to query terms BEFORE
+  any per-doc scoring, so the scored relation is |matching (doc,term)|
+  rows, not |corpus tokens|.
+- df is reduced to query terms then broadcast (a handful of rows); the
+  corpus totals (N, L) broadcast as one row.
+- Top-k per query via a row_number window partitioned by query_id:
+  each query's candidate set shuffles to one task — fine for realistic
+  query counts; for huge query batches raise ``k`` partitions by
+  salting or pre-aggregate with a per-partition top-k first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["bm25_topk", "bm25_scores", "queries_df"]
+
+
+def queries_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """Tiny helper: build the (query_id, qtext) DataFrame from a list."""
+    return spark.createDataFrame(queries, "query_id long, qtext string")
+
+
+def _corpus_stats(docs: DataFrame, text_col: str, id_col: str):
+    """(tf-with-dl, corpus-totals, df) all branching off one explode.
+
+    The doc length rides along with every exploded token, so tf rows
+    already carry dl — no tf ⋈ dl join on doc_id later (that join
+    planned as a SortMergeJoin). dl-per-doc for the corpus totals is
+    one further agg over the same (doc, token) exchange.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("dl"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    dl_tbl = tf.groupBy(id_col).agg(F.max("dl").alias("dl"))
+    corpus = dl_tbl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    # distinct-doc count per term == row count of the (doc, term) relation
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    return tf, corpus, df_
+
+
+def _idf_e6(n_docs: Column, df: Column) -> Column:
+    """Lucene-style always-positive idf, e6-scaled to BIGINT.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — strictly positive, so the
+    downstream integer divisions never see a negative numerator (Spark
+    `div` truncates toward zero, DuckDB `//` floors; they only agree on
+    non-negatives). ln of a shared IEEE double e6-rounds identically in
+    both engines (transcendentals don't sit on decimal halves — the
+    established unigram-NLL idiom).
+    """
+    return F.round(
+        F.log(F.lit(1.0) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))) * 1e6
+    ).cast("long")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query under Okapi BM25 at (k1=1.2, b=0.75),
+    engine-exact: every cross-engine quantity is a BIGINT or a final
+    half-up integer division, so a DuckDB oracle matches hash-exactly.
+
+    With k1 = 6/5 and b = 3/4 the per-term score
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    becomes, after multiplying through by 10*L (avgdl = L/N, L = corpus
+    token count, N = doc count):
+
+        idf * 22*tf*L / (10*tf*L + 3*L + 9*dl*N)
+
+    an exact ratio of BIGINTs. Each term contributes the half-up
+    integer division
+
+        (2*idf_e6*22*tf*L + den) div (2*den),  den = 10*tf*L + 3*L + 9*dl*N
+
+    summed per (query, doc) — integer division is exact in both
+    engines, so no float accumulation exists anywhere. Duplicate query
+    terms count once (distinct query terms; query-tf weighting is a
+    ``bm25_scores`` option).
+
+    Output: (query_id, doc_id, rank, bm25) with bm25 = e6-sum half-up
+    rounded to 4 decimals, ties broken by doc_id.
+    """
+    tf, corpus, df_ = _corpus_stats(docs, text_col, id_col)
+    qterms = queries.select("query_id", F.explode(tokens("qtext")).alias("tok")).distinct()
+    df_q = df_.join(F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi")
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(df_q), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("idf_e6", _idf_e6(F.col("n_docs"), F.col("df")))
+        .withColumn(
+            "den",
+            F.lit(10) * F.col("tf") * F.col("total_len")
+            + F.lit(3) * F.col("total_len")
+            + F.lit(9) * F.col("dl") * F.col("n_docs"),
+        )
+        .withColumn(
+            "term_e6",
+            F.expr("(2 * idf_e6 * 22 * tf * total_len + den) div (2 * den)"),
+        )
+    )
+    sums = scored.groupBy("query_id", id_col).agg(
+        F.sum("term_e6").cast("long").alias("s_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_e6"), F.col(id_col))
+    return (
+        sums.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .selectExpr(
+            "query_id",
+            id_col,
+            "rank",
+            "((2 * s_e6 + 100) div 200) / 10000.0D AS bm25",
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_query_tf: bool = False,
+) -> DataFrame:
+    """Double-precision BM25 for arbitrary (k1, b) — the production
+    path; same single-scan / broadcast plan as :func:`bm25_topk`, no
+    integer scaffolding, so scores are plain doubles.
+
+    ``weight_query_tf=True`` multiplies each term's contribution by its
+    count in the query (long-query retrieval); default counts each
+    distinct query term once, matching :func:`bm25_topk`.
+    """
+    tf, corpus, df_ = _corpus_stats(docs, text_col, id_col)
+    qt = queries.select("query_id", F.explode(tokens("qtext")).alias("tok"))
+    if weight_query_tf:
+        qterms = qt.groupBy("query_id", "tok").agg(F.count("*").alias("qtf"))
+    else:
+        qterms = qt.distinct().withColumn("qtf", F.lit(1).cast("long"))
+    df_q = df_.join(F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi")
+    return (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(df_q), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("avgdl", F.col("total_len") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("contrib").alias("bm25"), F.count("*").cast("long").alias("n_terms"))
+    )

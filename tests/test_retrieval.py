@@ -1,0 +1,95 @@
+"""BM25 retrieval: hand-computed tiny case, integer/float path rank
+agreement, and plan shape (single corpus exchange, broadcast joins)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_misc_tools_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "cat sat on the mat"),
+        (2, "cat cat dog"),
+        (3, "dog runs fast"),
+        (4, "the mat is flat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_ref(docs: list[tuple[int, str]], qtoks: list[str], k1=1.2, b=0.75):
+    """Pure-python Okapi BM25 with Lucene idf (distinct query terms)."""
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        s = 0.0
+        for q in set(qtoks):
+            tf = tk.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for v in toks.values() if q in v)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            out[i] = s
+    return out
+
+
+def test_bm25_scores_match_reference(spark, tiny):
+    docs = [(r.doc_id, r.text) for r in tiny.collect()]
+    q = R.queries_df(spark, [(1, "cat mat")])
+    got = {r.doc_id: r.bm25 for r in R.bm25_scores(tiny, q).collect()}
+    want = _bm25_ref(docs, ["cat", "mat"])
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_bm25_topk_matches_float_ranks(spark, tiny):
+    q = R.queries_df(spark, [(1, "cat mat"), (2, "dog")])
+    exact = R.bm25_topk(tiny, q, k=10).collect()
+    flt = R.bm25_scores(tiny, q).collect()
+    by_q_exact = {}
+    for r in sorted(exact, key=lambda r: (r.query_id, r.rank)):
+        by_q_exact.setdefault(r.query_id, []).append(r.doc_id)
+    by_q_flt = {}
+    for r in flt:
+        by_q_flt.setdefault(r.query_id, []).append((-r.bm25, r.doc_id))
+    for qid, docs in by_q_flt.items():
+        assert by_q_exact[qid] == [d for _, d in sorted(docs)]
+    # integer half-up score is within 1e-4 of the float score
+    fmap = {(r.query_id, r.doc_id): r.bm25 for r in flt}
+    for r in exact:
+        assert r.bm25 == pytest.approx(fmap[(r.query_id, r.doc_id)], abs=2e-4)
+
+
+def test_bm25_query_tf_weighting(spark, tiny):
+    q = R.queries_df(spark, [(1, "cat cat mat")])
+    plain = {r.doc_id: r.bm25 for r in R.bm25_scores(tiny, q).collect()}
+    weighted = {
+        r.doc_id: r.bm25
+        for r in R.bm25_scores(tiny, q, weight_query_tf=True).collect()
+    }
+    # doc 2 has only 'cat' matches -> exactly doubled; doc 4 only 'mat' -> equal
+    assert weighted[2] == pytest.approx(2 * plain[2], rel=1e-12)
+    assert weighted[4] == pytest.approx(plain[4], rel=1e-12)
+
+
+def test_bm25_empty_query_terms_absent_from_corpus(spark, tiny):
+    q = R.queries_df(spark, [(1, "zebra")])
+    assert R.bm25_topk(tiny, q).count() == 0
+
+
+def test_bm25_plan_single_scan_and_broadcasts(spark, tiny):
+    q = R.queries_df(spark, [(1, "cat mat")])
+    plan = R.bm25_topk(tiny, q)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
