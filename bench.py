@@ -111,6 +111,7 @@ HEADLINE = [
     "hll_audience_overlap",
     # round-3 session-3 additions
     "bm25_search_topk",
+    "dedup_repeated_ngrams",
 ]
 
 

@@ -4612,6 +4612,63 @@ def pii_scrub_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_scrub(aug)
 
 
+@_q(
+    "dedup_repeated_ngrams",
+    """
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS arr
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, arr[i] AS tok, i - 1 AS pos
+        FROM base JOIN generate_series(1, 2048) g(i) ON i <= len(arr)
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(arr[i:i+7], ' ') AS gram
+        FROM base JOIN generate_series(1, 2048) g(i) ON i <= len(arr) - 7
+    ),
+    census AS (
+        SELECT gram, min(doc_id * 4096 + pos)::BIGINT AS keep_key
+        FROM grams GROUP BY gram HAVING count(*) >= 2
+    ),
+    removed_pos AS (
+        SELECT DISTINCT g.doc_id, g.pos + j.o AS pos
+        FROM grams g
+        JOIN census c USING (gram)
+        JOIN generate_series(0, 7) j(o) ON true
+        WHERE g.doc_id * 4096 + g.pos != c.keep_key
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM removed_pos r
+            WHERE r.doc_id = t.doc_id AND r.pos = t.pos
+        )
+    ),
+    rebuilt AS (
+        SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, len(b.arr)::BIGINT AS n_tokens,
+           (len(b.arr) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(r.cleaned_text, '') AS cleaned_text
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-gram removal (the token-granular
+    approximation of Lee et al. 2022 exact-substring dedup): every
+    8-token span occurring >= 2 times corpus-wide is deleted from all
+    occurrences except the globally first (min (doc_id, pos)), and
+    documents are rebuilt from the surviving tokens. Engine-exact via
+    the integer occurrence key doc_id*4096+pos. See
+    operators/dedup.py:repeated_ngram_removal for the scale shape."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return D.repeated_ngram_removal(d, n=8)
+
+
 _BM25_QUERIES: list[tuple[int, str]] = [
     (1, "spark stream window"),
     (2, "hash join merge sort"),

@@ -427,3 +427,96 @@ def minhash_index_query(
         .select("batch_id", "index_id")
         .distinct()
     )
+
+
+def repeated_ngram_removal(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_tokens: int = 4096,
+) -> DataFrame:
+    """Cross-document repeated n-gram removal — the token-granular
+    approximation of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    any token n-gram occurring >= min_count times in the corpus is
+    removed from every occurrence EXCEPT the globally first one
+    (minimum (doc_id, position)), and surviving tokens are re-joined
+    into the cleaned document.
+
+    Deterministic keeper rule: occurrences are keyed by
+    ``doc_id * max_tokens + pos`` (positions must stay below
+    ``max_tokens``; the fixture contract pins docs <= 2048 tokens), so
+    the survivor set is engine-exact and a DuckDB twin hashes
+    identically.
+
+    Scale shape (100 TB): n-gram construction is a narrow per-row
+    transform (slice + concat over the token array — no explode of
+    per-token rows until the occurrence relation). The duplicate
+    census is ONE shuffle on the gram string; occurrence filtering is
+    an equi-join back on gram (AQE handles boilerplate-gram skew);
+    covered-position expansion is a bounded explode (n rows per
+    removed occurrence); reassembly is a per-doc sort-free
+    array_sort(collect_list) — no window, no global sort. For very
+    large corpora swap the gram string for xxhash64(gram) to shrink
+    the shuffle (hash_grams=True; not oracle-portable).
+
+    Output: (id_col, n_tokens, n_removed, cleaned_text) — one row per
+    input document, empty string when everything was removed.
+    """
+    from data_misc_tools_spark.operators.text import tokens
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("arr"))
+    toks = base.select(
+        id_col, F.posexplode("arr").alias("pos", "tok")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("arr") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(arr) - {n}),"
+                    f" p -> struct(p AS pos, concat_ws(' ', slice(arr, p + 1, {n})) AS gram))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("o"),
+    ).select(id_col, F.col("o.pos").alias("pos"), F.col("o.gram").alias("gram"))
+    key = (F.col(id_col) * max_tokens + F.col("pos")).alias("okey")
+    census = (
+        grams.select("gram", key)
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"), F.min("okey").alias("keep_key"))
+        .where(F.col("cnt") >= min_count)
+    )
+    removed_occ = (
+        grams.withColumn("okey", key)
+        .join(census, "gram")
+        .where(F.col("okey") != F.col("keep_key"))
+    )
+    removed_pos = removed_occ.select(
+        id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos")
+    ).distinct()
+    kept = toks.join(removed_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select(id_col, F.size("arr").cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
