@@ -112,6 +112,7 @@ HEADLINE = [
     # round-3 session-3 additions
     "bm25_search_topk",
     "dedup_repeated_ngrams",
+    "dsir_select_topk",
 ]
 
 

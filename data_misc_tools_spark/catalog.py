@@ -4669,6 +4669,59 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_ngram_removal(d, n=8)
 
 
+@_q(
+    "dsir_select_topk",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS arr
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, lang, arr[i] AS feat
+        FROM base JOIN generate_series(1, 2048) g(i) ON i <= len(arr)
+    ),
+    bi AS (
+        SELECT doc_id, lang, arr[i] || ' ' || arr[i+1] AS feat
+        FROM base JOIN generate_series(1, 2048) g(i) ON i <= len(arr) - 1
+    ),
+    feats AS (
+        SELECT doc_id, (lang = 'en')::INT AS t_flag,
+               (('0x' || substr(md5('dsir:' || feat), 1, 8))::BIGINT % 1024) AS bucket
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    census AS (
+        SELECT bucket, count(*)::BIGINT AS r, sum(t_flag)::BIGINT AS t
+        FROM feats GROUP BY bucket
+    ),
+    tot AS (SELECT sum(r)::BIGINT AS R_, sum(t)::BIGINT AS T_ FROM census),
+    w AS (
+        SELECT bucket,
+               round(ln(((t + 1) * (R_ + 1024))::DOUBLE / ((r + 1) * (T_ + 1024))) * 1e6)::BIGINT AS w_e6
+        FROM census CROSS JOIN tot
+    ),
+    scores AS (
+        SELECT f.doc_id, count(*)::BIGINT AS n_feats, sum(w.w_e6)::BIGINT AS s_e6
+        FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats, s_e6 / 1000000.0 AS logw, rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY s_e6 DESC, doc_id)::BIGINT AS rank
+        FROM scores
+    ) WHERE rank <= 100
+    """,
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank the corpus by
+    hashed unigram+bigram importance weight ln(p_target/p_raw) toward
+    the lang='en' target domain and keep the top 100. Engine-exact:
+    md5-bucketed features, e6-scaled ln of an exact-integer-product
+    ratio, integer score sums. See operators/sampling.py:dsir_topk."""
+    from data_misc_tools_spark.operators.sampling import dsir_topk
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dsir_topk(d, target=F.col("lang") == "en", n_buckets=1024, k=100)
+
+
 _BM25_QUERIES: list[tuple[int, str]] = [
     (1, "spark stream window"),
     (2, "hash join merge sort"),

@@ -321,3 +321,108 @@ def sample_weighted_portable(
         .orderBy(F.desc("__score"), key_col)
         .limit(k)
     )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target,
+    n_buckets: int = 1024,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every document by its hashed-n-gram importance weight
+    log(p_target / p_raw) and keep the top-k — the cheap,
+    classifier-free way to skew a raw 100 TB crawl toward a target
+    domain.
+
+    ``target`` is a boolean Column marking the in-domain documents
+    (e.g. ``F.col("lang") == "en"``); the raw distribution is the
+    whole input. Features are word unigrams + bigrams hashed into
+    ``n_buckets`` buckets with the repo's engine-portable md5 idiom,
+    bucket probabilities are add-one smoothed, and each feature
+    occurrence contributes the e6-scaled BIGINT
+
+        w_e6 = round(ln( (t_b+1)(R+B) / ((r_b+1)(T+B)) ) * 1e6)
+
+    (the ratio argument is a quotient of exact < 2^53 integer products,
+    so both engines hold the same IEEE double; ln*1e6 rounds
+    identically — the unigram-NLL idiom). Per-doc scores are pure
+    integer sums; `logw` divides by 1e6 once at the end (exact-double
+    in, correctly-rounded division — no decimal-half hazard).
+
+    Scale shape: feature construction is narrow (explode + union);
+    the bucket census is ONE shuffle bounded at n_buckets rows with
+    map-side combine; the weight table (B rows) broadcasts; scoring is
+    one further doc-keyed aggregate. Two corpus scans total — persist
+    the feature relation to make it one if the input is not a cheap
+    parquet scan. Top-k is a rank window over doc scores —
+    WindowGroupLimit keeps it a per-partition partial top-k, not a
+    global sort.
+
+    Output: (doc_id, n_feats, logw, rank), rank 1..k by
+    (importance desc, doc_id).
+    """
+    from data_misc_tools_spark.operators.text import tokens
+
+    base = df.select(
+        F.col(id_col),
+        target.cast("int").alias("__t"),
+        tokens(text_col).alias("arr"),
+    )
+    uni = base.select(id_col, "__t", F.explode("arr").alias("feat"))
+    bi = base.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.when(
+                F.size("arr") >= 2,
+                F.expr("transform(sequence(1, size(arr) - 1), i -> concat(arr[i-1], ' ', arr[i]))"),
+            ).otherwise(F.expr("array()"))
+        ).alias("feat"),
+    )
+    feats = uni.unionAll(bi).select(
+        id_col,
+        "__t",
+        (_hash_u32(F.col("feat"), salt) % n_buckets).alias("bucket"),
+    )
+    census = feats.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("r"),
+        F.sum("__t").cast("long").alias("t"),
+    )
+    tot = census.agg(
+        F.sum("r").cast("long").alias("R_"), F.sum("t").cast("long").alias("T_")
+    )
+    w = (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("t") + 1) * (F.col("R_") + n_buckets)).cast("double")
+                    / ((F.col("r") + 1) * (F.col("T_") + n_buckets))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("w_e6"),
+        )
+    )
+    scores = (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_feats"), F.sum("w_e6").alias("s_e6"))
+    )
+    win = Window.orderBy(F.desc("s_e6"), F.col(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "n_feats",
+            (F.col("s_e6") / F.lit(1e6)).alias("logw"),
+            "rank",
+        )
+    )

@@ -232,3 +232,33 @@ def test_sample_weighted_proportional_and_deterministic(spark):
     got = {r.id: r["__w"] for r in
            sample_weighted_portable(dfz, "id", "w", k=2).collect()}
     assert got[1] == 1 and got[2] == 5
+
+
+def test_dsir_topk_prefers_target_domain(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.sampling import dsir_topk
+
+    med = ["heart dose patient trial blood", "dose trial patient heart scan",
+           "patient blood dose heart care", "trial scan care blood dose"]
+    web = ["click buy cheap deal offer", "offer deal click cheap shop",
+           "buy shop offer click deal", "cheap deal shop buy offer"]
+    rows = []
+    for i, t in enumerate(med):
+        rows.append((i, t, "med"))
+    for i, t in enumerate(web):
+        rows.append((100 + i, t, "web"))
+    # held-out candidates: one per domain, unlabeled as target
+    rows.append((500, "heart patient dose blood trial", "unk"))
+    rows.append((501, "click cheap buy offer deal", "unk"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = dsir_topk(df, target=F.col("src") == "med", n_buckets=256, k=10)
+    ranks = {r.doc_id: r.rank for r in out.collect()}
+    assert ranks[500] < ranks[501]
+    # all med docs outrank all web docs
+    assert max(ranks[i] for i in range(4)) < min(ranks[100 + i] for i in range(4))
+    # determinism under repartition
+    again = {r.doc_id: r.rank for r in
+             dsir_topk(df.repartition(5), target=F.col("src") == "med",
+                       n_buckets=256, k=10).collect()}
+    assert again == ranks
