@@ -113,6 +113,7 @@ HEADLINE = [
     "bm25_search_topk",
     "dedup_repeated_ngrams",
     "dsir_select_topk",
+    "mp4_meta_demo",
 ]
 
 

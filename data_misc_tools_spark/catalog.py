@@ -4722,6 +4722,60 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_topk(d, target=F.col("lang") == "en", n_buckets=1024, k=100)
 
 
+@_q(
+    "mp4_meta_demo",
+    """
+    SELECT doc_id,
+           'mp4' AS format,
+           (600 + (doc_id % 5) * 300)::BIGINT AS timescale,
+           (600 * (1 + doc_id % 240))::BIGINT AS duration,
+           (320 + 16 * (doc_id % 40))::BIGINT AS width,
+           (240 + 16 * (doc_id % 30))::BIGINT AS height,
+           ((2 * 1000 * (600 * (1 + doc_id % 240)) + (600 + (doc_id % 5) * 300))
+             // (2 * (600 + (doc_id % 5) * 300)))::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def mp4_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video plumbing round trip: fabricate a structurally-valid MP4
+    header per document (synthetic_mp4 — ftyp + moov(mvhd, trak(tkhd)),
+    pure Catalyst), then recover timescale/duration and the tkhd 16.16
+    track dimensions with the box-walk reader (mp4_video_meta, two
+    bounded aggregate folds, zero Python). duration_ms is the
+    half-up integer 1000*duration/timescale. The oracle recomputes the
+    expected values from the same doc_id formulas — the Spark side only
+    matches if writer AND reader are both correct."""
+    from data_misc_tools_spark.operators import multimodal as M
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    src = d.select(
+        "doc_id",
+        (600 + (F.col("doc_id") % 5) * 300).alias("ts"),
+        (600 * (1 + F.col("doc_id") % 240)).alias("dur"),
+        (320 + 16 * (F.col("doc_id") % 40)).alias("w"),
+        (240 + 16 * (F.col("doc_id") % 30)).alias("h"),
+    )
+    blob = src.select(
+        "doc_id",
+        M.synthetic_mp4(F.col("ts"), F.col("dur"), F.col("w"), F.col("h")).alias(
+            "payload"
+        ),
+    )
+    return blob.select(
+        "doc_id",
+        F.lit("mp4").alias("format"),
+        M.mp4_video_meta("payload").alias("m"),
+    ).selectExpr(
+        "doc_id",
+        "format",
+        "m.timescale AS timescale",
+        "m.duration AS duration",
+        "m.width AS width",
+        "m.height AS height",
+        "(2 * 1000 * m.duration + m.timescale) div (2 * m.timescale) AS duration_ms",
+    )
+
+
 _BM25_QUERIES: list[tuple[int, str]] = [
     (1, "spark stream window"),
     (2, "hash join merge sort"),

@@ -460,3 +460,144 @@ def synthetic_jpeg(width: Column, height: Column) -> Column:
             F.lit("FFD9"),                                  # EOI
         )
     )
+
+
+def mp4_video_meta(payload: Column | str, max_boxes: int = 8) -> Column:
+    """MP4/ISO-BMFF video metadata with ZERO Python: two bounded
+    Catalyst ``aggregate`` folds walk the box tree — the top-level
+    walk hops size-prefixed boxes until ``moov``; the child walk scans
+    moov's children reading ``mvhd`` (movie timescale + duration,
+    version-0 layout) and the first ``trak`` whose leading child is
+    ``tkhd`` (track width/height, 16.16 fixed point). The same
+    dynamic-offset substring + hex-compare idiom as
+    :func:`jpeg_dimensions`; ``max_boxes`` bounds both walks.
+
+    Assumptions (the overwhelmingly common layout, and what
+    :func:`synthetic_mp4` writes): version-0 mvhd/tkhd, tkhd first
+    inside trak. Version-1 boxes or deeper nesting yield null fields,
+    never a mis-read.
+
+    Returns struct(timescale, duration, width, height) — all null when
+    the payload is not an MP4 (no ``ftyp``) or moov isn't found.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def be32_at(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, F.lit(4))), 16, 10).cast("long")
+
+    def u8_at(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast("long")
+
+    def type_hex(pos: Column) -> Column:
+        return F.hex(F.substring(p, pos + 4, F.lit(4)))
+
+    MOOV, MVHD, TRAK, TKHD = "6D6F6F76", "6D766864", "7472616B", "746B6864"
+
+    def top_step(acc: Column, _: Column) -> Column:
+        pos = acc.getField("pos")
+        found = acc.getField("moov")
+        done = (found != F.lit(-1)) | (pos < F.lit(0))
+        size = be32_at(pos)
+        bad = (size < 8) | (pos + size > F.length(p) + 1)
+        nxt = F.struct(
+            F.when(bad | (type_hex(pos) == MOOV), F.lit(-1).cast("long"))
+            .otherwise(pos + size)
+            .alias("pos"),
+            F.when(~bad & (type_hex(pos) == MOOV), pos).otherwise(found).alias("moov"),
+        )
+        return F.when(done, acc).otherwise(nxt)
+
+    top_init = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit(-1).cast("long").alias("moov")
+    )
+    top = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), top_init, top_step)
+    moov_pos = top.getField("moov")
+    moov_end = moov_pos + be32_at(moov_pos)
+
+    def child_step(acc: Column, _: Column) -> Column:
+        pos = acc.getField("pos")
+        done = (pos < F.lit(0)) | (pos >= moov_end)
+        size = be32_at(pos)
+        bad = (size < 8) | (pos + size > moov_end)
+        t = type_hex(pos)
+        is_mvhd = (t == MVHD) & (u8_at(pos + 8) == 0)
+        tk = pos + 8  # first child of trak
+        is_trak = (t == TRAK) & (type_hex(tk) == TKHD) & (u8_at(tk + 8) == 0)
+        nxt = F.struct(
+            F.when(bad, F.lit(-1).cast("long")).otherwise(pos + size).alias("pos"),
+            F.when(is_mvhd, be32_at(pos + 20)).otherwise(acc.getField("ts")).alias("ts"),
+            F.when(is_mvhd, be32_at(pos + 24)).otherwise(acc.getField("dur")).alias("dur"),
+            F.when(
+                is_trak & acc.getField("w").isNull(),
+                F.shiftright(be32_at(tk + 84), 16),
+            ).otherwise(acc.getField("w")).alias("w"),
+            F.when(
+                is_trak & acc.getField("h").isNull(),
+                F.shiftright(be32_at(tk + 88), 16),
+            ).otherwise(acc.getField("h")).alias("h"),
+        )
+        return F.when(done, acc).otherwise(nxt)
+
+    child_init = F.struct(
+        (moov_pos + 8).alias("pos"),
+        F.lit(None).cast("long").alias("ts"),
+        F.lit(None).cast("long").alias("dur"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+    kids = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), child_init, child_step)
+    is_mp4 = (F.hex(F.substring(p, 5, 4)) == "66747970") & (moov_pos != -1)
+    return F.struct(
+        F.when(is_mp4, kids.getField("ts")).alias("timescale"),
+        F.when(is_mp4, kids.getField("dur")).alias("duration"),
+        F.when(is_mp4, kids.getField("w")).alias("width"),
+        F.when(is_mp4, kids.getField("h")).alias("height"),
+    )
+
+
+_UNITY_MATRIX_HEX = (
+    "00010000000000000000000000000000000100000000000000000000000000004000"
+    "0000"
+)
+
+
+def synthetic_mp4(
+    timescale: Column,
+    duration: Column,
+    width: Column,
+    height: Column,
+) -> Column:
+    """Build a minimal structurally-valid MP4 header blob entirely with
+    Catalyst expressions — the writer half of the video plumbing round
+    trip (:func:`mp4_video_meta` is the reader): ftyp(isom), then
+    moov( mvhd(timescale, duration), trak( tkhd(width, height) ) ) —
+    version-0 boxes, unity matrix, no mdat. A header fixture, not a
+    playable video."""
+    mvhd = F.concat(
+        F.lit("0000006C6D766864"),            # size 108, 'mvhd'
+        F.lit("00000000"),                    # version 0 + flags
+        F.lit("0000000000000000"),            # creation + modification
+        _be_bytes(timescale, 4),
+        _be_bytes(duration, 4),
+        F.lit("00010000"), F.lit("0100"),     # rate 1.0, volume 1.0
+        F.lit("0000"), F.lit("0000000000000000"),  # reserved
+        F.lit(_UNITY_MATRIX_HEX),
+        F.lit("00" * 24),                     # pre_defined
+        F.lit("00000002"),                    # next_track_id
+    )
+    tkhd = F.concat(
+        F.lit("0000005C746B6864"),            # size 92, 'tkhd'
+        F.lit("00000007"),                    # version 0 + enabled flags
+        F.lit("0000000000000000"),            # creation + modification
+        F.lit("00000001"), F.lit("00000000"),  # track_id, reserved
+        _be_bytes(duration, 4),
+        F.lit("00" * 8),                      # reserved
+        F.lit("0000" * 4),                    # layer, alt_group, volume, reserved
+        F.lit(_UNITY_MATRIX_HEX),
+        _be_bytes(width * 65536, 4),          # 16.16 fixed
+        _be_bytes(height * 65536, 4),
+    )
+    trak = F.concat(F.lit("000000647472616B"), tkhd)   # size 100, 'trak'
+    moov = F.concat(F.lit("000000D86D6F6F76"), mvhd, trak)  # size 216, 'moov'
+    ftyp = F.lit("000000146674797069736F6D0000020069736F6D")  # size 20
+    return F.unhex(F.concat(ftyp, moov))

@@ -217,3 +217,62 @@ class TestJpegDimensions:
         df = spark.createDataFrame(rows, "payload binary")
         for r in df.select(jpeg_dimensions("payload").alias("m")).collect():
             assert r.m.width is None and r.m.height is None
+
+
+def test_mp4_round_trip_and_rejects(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.multimodal import (
+        mp4_video_meta,
+        synthetic_mp4,
+    )
+
+    df = spark.range(8).select(
+        F.col("id"),
+        (1000 + F.col("id") * 111).alias("ts"),
+        (90000 + F.col("id") * 1234).alias("dur"),
+        (128 + F.col("id") * 8).alias("w"),
+        (96 + F.col("id") * 4).alias("h"),
+    )
+    out = df.select(
+        "id", "ts", "dur", "w", "h",
+        mp4_video_meta(synthetic_mp4(F.col("ts"), F.col("dur"), F.col("w"), F.col("h"))).alias("m"),
+    ).collect()
+    for r in out:
+        assert r.m.timescale == r.ts and r.m.duration == r.dur
+        assert r.m.width == r.w and r.m.height == r.h
+
+    # not an MP4 / truncated payload -> all-null struct, no error
+    bad = spark.createDataFrame(
+        [(1, b"RIFFxxxxWAVE"), (2, b"\x00\x00"), (3, b"")],
+        "id long, payload binary",
+    )
+    for r in bad.select(mp4_video_meta("payload").alias("m")).collect():
+        assert r.m.timescale is None and r.m.width is None
+
+    # ftyp present but moov missing within the walk bound -> nulls
+    no_moov = spark.range(1).select(
+        F.unhex(F.lit("000000146674797069736F6D0000020069736F6D" + "00000010667265650000000000000000")).alias("payload")
+    )
+    r = no_moov.select(mp4_video_meta("payload").alias("m")).collect()[0]
+    assert r.m.timescale is None and r.m.width is None
+
+
+def test_mp4_skips_leading_free_box(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.multimodal import (
+        mp4_video_meta,
+        synthetic_mp4,
+    )
+
+    # splice a 16-byte 'free' box between ftyp and moov: the top-level
+    # walk must hop over it to find moov.
+    blob = synthetic_mp4(F.lit(600), F.lit(1200), F.lit(320), F.lit(240))
+    spliced = F.concat(
+        F.substring(blob, 1, 20),
+        F.unhex(F.lit("0000001066726565" + "00" * 8)),
+        F.substring(blob, 21, 1000),
+    )
+    r = spark.range(1).select(mp4_video_meta(spliced).alias("m")).collect()[0]
+    assert (r.m.timescale, r.m.duration, r.m.width, r.m.height) == (600, 1200, 320, 240)
