@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_repeated_ngrams",
     "dsir_select_topk",
     "mp4_meta_demo",
+    "url_domain_quota",
 ]
 
 

@@ -4776,6 +4776,62 @@ def mp4_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "url_domain_quota",
+    """
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || (doc_id % 7)::VARCHAR || '.example-' || lang
+                   || '.com/page/' || doc_id::VARCHAR || '?ref=r' || (doc_id % 3)::VARCHAR AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+               regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                              '([^.]+\\.[^.]+)$', 1) AS domain,
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM urls
+    ),
+    kept AS (SELECT * FROM parsed WHERE domain != 'example-zh.com')
+    SELECT doc_id, host, domain, path, query, rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY ('0x' || substr(md5('domcap:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                            doc_id
+               )::BIGINT AS rank
+        FROM kept
+    ) WHERE rank <= 25
+    """,
+)
+def url_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL curation chain: decompose deterministic synthetic
+    URLs (host / last-two-label registrable domain / path / query) with
+    Java∩RE2 portable regexps, drop a blocklisted domain, then cap each
+    domain's contribution at 25 docs via the engine-portable md5
+    hash-rank (stable under any repartitioning). See
+    operators/web.py."""
+    from data_misc_tools_spark.operators import web as W
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example-"), F.col("lang"), F.lit(".com/page/"),
+            F.col("doc_id").cast("string"), F.lit("?ref=r"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("url"),
+    )
+    parsed = W.with_url_parts(urls)
+    kept = W.blocklist_filter(parsed, ["example-zh.com"])
+    return W.per_domain_cap(kept, cap=25).select(
+        "doc_id", "host", "domain", "path", "query", "rank"
+    )
+
+
 _BM25_QUERIES: list[tuple[int, str]] = [
     (1, "spark stream window"),
     (2, "hash join merge sort"),
