@@ -115,6 +115,7 @@ HEADLINE = [
     "dsir_select_topk",
     "mp4_meta_demo",
     "url_domain_quota",
+    "zipf_corpus_fit",
 ]
 
 

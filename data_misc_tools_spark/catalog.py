@@ -4832,6 +4832,52 @@ def url_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "zipf_corpus_fit",
+    """
+    WITH cnts AS (
+        SELECT tok, count(*)::BIGINT AS cnt
+        FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ),
+    ranked AS (
+        SELECT * FROM (
+            SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+            FROM cnts
+        ) WHERE rank <= 1000
+    ),
+    pts AS (
+        SELECT round(ln(rank::DOUBLE) * 1e6)::DECIMAL(38,0) AS x,
+               round(ln(cnt::DOUBLE) * 1e6)::DECIMAL(38,0) AS y
+        FROM ranked
+    ),
+    g AS (
+        SELECT count(*)::DECIMAL(38,0) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM pts
+    )
+    SELECT n::BIGINT AS n_terms,
+           (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope,
+           (sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS intercept_e6,
+           (n*sxy - sx*sy)::DOUBLE
+             / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)) AS corr
+    FROM g
+    """,
+)
+def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit on the top-1000 vocabulary: OLS slope /
+    intercept / correlation on (ln rank, ln count), bit-exact across
+    engines via e6-integer log points + decimal(38,0) sufficient
+    statistics + unrounded IEEE closed forms (the pearson_exact
+    idiom). See operators/profile.py:zipf_fit."""
+    from data_misc_tools_spark.operators.profile import zipf_fit
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return zipf_fit(d, top_k=1000)
+
+
 _BM25_QUERIES: list[tuple[int, str]] = [
     (1, "spark stream window"),
     (2, "hash join merge sort"),

@@ -272,3 +272,71 @@ def skew_report(
             "((2 * 10000 * n_rows + __t) div (2 * __t)) / 10000.0D AS share",
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency power-law fit over the corpus vocabulary —
+    the classic corpus-health diagnostic (natural language sits near
+    slope -1; machine-generated or template-heavy corpora deviate).
+
+    Fits OLS on (ln rank, ln count) over the ``top_k`` most frequent
+    terms (the standard practice — the long tail bends away from the
+    power law). Engine-exact like :func:`pearson_exact`: ln values are
+    e6-scaled BIGINTs (transcendentals never sit on decimal halves),
+    sufficient statistics accumulate in decimal(38,0), and slope /
+    intercept / corr are single closed-form IEEE steps over those
+    exact integers, emitted unrounded.
+
+    Scale: one token-count aggregate (map-side combined); the rank is
+    a global row_number whose WindowGroupLimit keeps only top_k rows
+    per partition before the single-partition final — k rows shuffle,
+    not the vocabulary.
+
+    Output: one row (n_terms, slope, intercept_e6, corr) —
+    intercept_e6 is in e6 log units (divide by 1e6 for ln-count
+    units; kept scaled so the value itself is a pure two-integer
+    division).
+    """
+    from pyspark.sql.window import Window
+
+    from data_misc_tools_spark.operators.text import tokens
+
+    dec = "decimal(38,0)"
+    cnts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("tok"))
+    ranked = cnts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6).cast(dec).alias("__x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast(dec).alias("__y"),
+    )
+    g = pts.agg(
+        F.count("*").cast(dec).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    dxx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    dyy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    inum = (
+        F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")
+    ).cast("double")
+    return g.select(
+        F.col("__n").cast("long").alias("n_terms"),
+        F.try_divide(num, dxx).alias("slope"),
+        F.try_divide(inum, dxx).alias("intercept_e6"),
+        F.try_divide(num, F.sqrt(dxx) * F.sqrt(dyy)).alias("corr"),
+    )

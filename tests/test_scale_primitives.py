@@ -209,3 +209,34 @@ def test_validate_contract_counts_violations_including_nulls(spark):
     )
     orphans = {r.payload for r in fk_violations(child, parent, ["k"]).collect()}
     assert orphans == {"y", "z"}  # missing parent AND null key
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    import math
+
+    import numpy as np
+
+    from data_misc_tools_spark.operators.profile import zipf_fit
+
+    # construct a corpus with exact counts: term i appears 1000//i times
+    words = []
+    for i in range(1, 51):
+        words += [f"w{i:03d}"] * (1000 // i)
+    # chunk into docs of 40 tokens
+    docs = [(j, " ".join(words[j * 40:(j + 1) * 40]))
+            for j in range((len(words) + 39) // 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = zipf_fit(df, top_k=50).collect()[0]
+    assert r.n_terms == 50
+    # numpy reference on the e6-rounded points (the operator's spec)
+    from collections import Counter
+    cnt = Counter(words)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = np.array([round(math.log(i + 1) * 1e6) for i in range(len(ranked))], dtype=float)
+    ys = np.array([round(math.log(c) * 1e6) for _, c in ranked], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert r.slope == pytest.approx(slope, rel=1e-9)
+    assert r.intercept_e6 == pytest.approx(intercept, rel=1e-9)
+    # near-perfect power law -> corr close to -1, slope near -1
+    assert r.corr < -0.99
+    assert -1.1 < r.slope < -0.9
