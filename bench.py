@@ -116,6 +116,7 @@ HEADLINE = [
     "mp4_meta_demo",
     "url_domain_quota",
     "zipf_corpus_fit",
+    "tar_shard_export_demo",
 ]
 
 

@@ -4878,6 +4878,45 @@ def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(d, top_k=1000)
 
 
+@_q(
+    "tar_shard_export_demo",
+    """
+    WITH m AS (
+        SELECT ('0x' || substr(md5('tarshard:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard_id,
+               strlen(text)::BIGINT AS sz
+        FROM documents
+    ),
+    g AS (
+        SELECT shard_id, count(*)::BIGINT AS n_members,
+               sum(((sz + 511) // 512) * 512)::BIGINT AS pad
+        FROM m GROUP BY shard_id
+    )
+    SELECT shard_id, n_members,
+           (((n_members * 512 + pad + 1024 + 10239) // 10240) * 10240)::BIGINT AS n_bytes
+    FROM g
+    """,
+)
+def tar_shard_export_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard export: hash-shard the corpus into 8
+    canonical USTAR archives (applyInPandas per shard) and report each
+    shard's member count and ACTUAL archive byte size. The oracle
+    recomputes the size from pure member arithmetic (512-byte headers,
+    512-padded payloads, 1024 end marker, 10240 record padding) — the
+    Spark side only matches if the assembled tar has exactly the
+    canonical layout. See operators/export.py:tar_shard_export."""
+    from data_misc_tools_spark.operators.export import tar_shard_export
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    src = d.select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return tar_shard_export(src, n_shards=8).select(
+        "shard_id", "n_members", "n_bytes"
+    )
+
+
 _BM25_QUERIES: list[tuple[int, str]] = [
     (1, "spark stream window"),
     (2, "hash join merge sort"),
