@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk", "bm25_scores", "queries_df"]
+__all__ = [
+    "bm25_topk",
+    "bm25_scores",
+    "queries_df",
+    "inverted_index_build",
+    "inverted_index_append",
+    "inverted_index_query",
+]
 
 
 def queries_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
@@ -195,4 +202,126 @@ def bm25_scores(
         )
         .groupBy("query_id", id_col)
         .agg(F.sum("contrib").alias("bm25"), F.count("*").cast("long").alias("n_terms"))
+    )
+
+
+def _bucket_of(tok: Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(tok), F.lit(n_buckets)).alias("bucket")
+
+
+def inverted_index_build(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist an inverted index so later query batches score BM25
+    WITHOUT re-tokenizing the corpus — the retrieval twin of
+    minhash_index_build / ivf_build_index.
+
+    Layout: ``{path}/postings`` = (tok, doc_id, tf, dl) parquet
+    partitioned by ``bucket = xxhash64(tok) % n_buckets`` — a query
+    touching 3 terms READS at most 3 of ``n_buckets`` partitions from
+    storage (partition pruning), not the whole index. Each posting
+    carries the doc length so scoring never joins a doc-side table;
+    ``{path}/doclens`` = (doc_id, dl) exists only for the corpus
+    totals (N, L) and incremental append.
+    """
+    tf, _, _ = _corpus_stats(docs, text_col, id_col)
+    tf.withColumn("bucket", _bucket_of(F.col("tok"), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    tf.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode("overwrite").parquet(
+        f"{path}/doclens"
+    )
+
+
+def inverted_index_append(
+    batch: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a new document batch to a persisted index: only the
+    batch is tokenized; postings land in their existing bucket
+    partitions. ``n_buckets`` must match the build."""
+    tf, _, _ = _corpus_stats(batch, text_col, id_col)
+    tf.withColumn("bucket", _bucket_of(F.col("tok"), n_buckets)).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    tf.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode("append").parquet(
+        f"{path}/doclens"
+    )
+
+
+def inverted_index_query(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k against a PERSISTED index — identical semantics (and
+    integer-exact scores) to :func:`bm25_topk` over the indexed
+    corpus, but the scan is pruned to the query terms' bucket
+    partitions. Query-term buckets are resolved with one tiny local
+    job (bounded by the distinct query terms) so the bucket predicate
+    is literal — Catalyst turns it into PartitionFilters, skipping
+    the other buckets' files entirely. Corpus totals come from the
+    (small) doclens table; per-term df comes from the pruned postings
+    themselves (a term's postings live wholly inside its bucket)."""
+    qterms = queries.select(
+        "query_id", F.explode(tokens("qtext")).alias("tok")
+    ).distinct()
+    term_buckets = (
+        qterms.select("tok")
+        .distinct()
+        .select("tok", _bucket_of(F.col("tok"), n_buckets))
+        .collect()
+    )
+    buckets = sorted({r.bucket for r in term_buckets})
+    terms = [r.tok for r in term_buckets]
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("tok").isin(terms))
+    )
+    doclens = spark.read.parquet(f"{path}/doclens")
+    corpus = doclens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    df_q = postings.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        postings.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(df_q), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("idf_e6", _idf_e6(F.col("n_docs"), F.col("df")))
+        .withColumn(
+            "den",
+            F.lit(10) * F.col("tf") * F.col("total_len")
+            + F.lit(3) * F.col("total_len")
+            + F.lit(9) * F.col("dl") * F.col("n_docs"),
+        )
+        .withColumn(
+            "term_e6",
+            F.expr("(2 * idf_e6 * 22 * tf * total_len + den) div (2 * den)"),
+        )
+    )
+    sums = scored.groupBy("query_id", id_col).agg(
+        F.sum("term_e6").cast("long").alias("s_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_e6"), F.col(id_col))
+    return (
+        sums.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .selectExpr(
+            "query_id",
+            id_col,
+            "rank",
+            "((2 * s_e6 + 100) div 200) / 10000.0D AS bm25",
+        )
     )

@@ -93,3 +93,47 @@ def test_bm25_plan_single_scan_and_broadcasts(spark, tiny):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_query_equals_bm25_topk(spark, tmp_path, tiny):
+    path = str(tmp_path / "invidx")
+    R.inverted_index_build(tiny, path, n_buckets=16)
+    q = R.queries_df(spark, [(1, "cat mat"), (2, "dog")])
+    direct = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in R.bm25_topk(tiny, q, k=10).collect()
+    )
+    via_index = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in R.inverted_index_query(spark, path, q, k=10, n_buckets=16).collect()
+    )
+    assert via_index == direct
+
+
+def test_inverted_index_append_equals_full_rebuild(spark, tmp_path):
+    rows1 = [(i, f"alpha beta w{i} gamma") for i in range(10)]
+    rows2 = [(100 + i, f"beta delta w{i} epsilon") for i in range(10)]
+    d1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    both = d1.unionAll(d2)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    R.inverted_index_build(d1, inc, n_buckets=8)
+    R.inverted_index_append(d2, inc, n_buckets=8)
+    R.inverted_index_build(both, full, n_buckets=8)
+    q = R.queries_df(spark, [(1, "beta delta"), (2, "alpha gamma")])
+    a = sorted(map(tuple, R.inverted_index_query(spark, inc, q, n_buckets=8).collect()))
+    b = sorted(map(tuple, R.inverted_index_query(spark, full, q, n_buckets=8).collect()))
+    direct = sorted(map(tuple, R.bm25_topk(both, q).collect()))
+    assert a == b == direct
+
+
+def test_inverted_index_scan_is_bucket_pruned(spark, tmp_path, tiny):
+    path = str(tmp_path / "pruned")
+    R.inverted_index_build(tiny, path, n_buckets=32)
+    q = R.queries_df(spark, [(1, "cat")])
+    plan = (
+        R.inverted_index_query(spark, path, q, n_buckets=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in seg
