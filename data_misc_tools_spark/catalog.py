@@ -4917,6 +4917,34 @@ def tar_shard_export_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROWS_ONLY.add("unigram_segment_demo")
+
+
+@_q("unigram_segment_demo")
+def unigram_segment_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer end-to-end: EM-train a
+    64-piece vocabulary on the documents corpus (word-type statistics;
+    vocab-bounded collects only) and Viterbi-segment the corpus with
+    it. rows-only: EM + pruning is an iterative driver-coordinated
+    loop — not one SQL statement; the DP itself is pinned by hand
+    cases and the EM-monotonicity property in tests/test_unigram_lm.py.
+    See operators/unigram_lm.py."""
+    from data_misc_tools_spark.operators.unigram_lm import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pieces = unigram_train(
+        docs, vocab_size=64, seed_size=256, em_iters=1, min_count=2
+    )
+    return (
+        unigram_segment(docs, pieces)
+        .select("doc_id", F.size("pieces").cast("long").alias("n_pieces"))
+        .orderBy("doc_id")
+    )
+
+
 _BM25_QUERIES: list[tuple[int, str]] = [
     (1, "spark stream window"),
     (2, "hash join merge sort"),
