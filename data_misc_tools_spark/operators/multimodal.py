@@ -515,16 +515,22 @@ def mp4_video_meta(payload: Column | str, max_boxes: int = 8) -> Column:
     moov_end = moov_pos + be32_at(moov_pos)
 
     def child_step(acc: Column, _: Column) -> Column:
+        # the moov end offset rides in the fold state: referencing the
+        # closure's moov_end here would re-evaluate the ENTIRE top-level
+        # fold expression on every child iteration (no CSE across
+        # lambda boundaries) — ~20x the parse cost for nothing
         pos = acc.getField("pos")
-        done = (pos < F.lit(0)) | (pos >= moov_end)
+        end = acc.getField("end")
+        done = (pos < F.lit(0)) | (pos >= end)
         size = be32_at(pos)
-        bad = (size < 8) | (pos + size > moov_end)
+        bad = (size < 8) | (pos + size > end)
         t = type_hex(pos)
         is_mvhd = (t == MVHD) & (u8_at(pos + 8) == 0)
         tk = pos + 8  # first child of trak
         is_trak = (t == TRAK) & (type_hex(tk) == TKHD) & (u8_at(tk + 8) == 0)
         nxt = F.struct(
             F.when(bad, F.lit(-1).cast("long")).otherwise(pos + size).alias("pos"),
+            end.alias("end"),
             F.when(is_mvhd, be32_at(pos + 20)).otherwise(acc.getField("ts")).alias("ts"),
             F.when(is_mvhd, be32_at(pos + 24)).otherwise(acc.getField("dur")).alias("dur"),
             F.when(
@@ -540,6 +546,7 @@ def mp4_video_meta(payload: Column | str, max_boxes: int = 8) -> Column:
 
     child_init = F.struct(
         (moov_pos + 8).alias("pos"),
+        moov_end.alias("end"),
         F.lit(None).cast("long").alias("ts"),
         F.lit(None).cast("long").alias("dur"),
         F.lit(None).cast("long").alias("w"),

@@ -358,9 +358,9 @@ def dsir_topk(
     map-side combine; the weight table (B rows) broadcasts; scoring is
     one further doc-keyed aggregate. Two corpus scans total — persist
     the feature relation to make it one if the input is not a cheap
-    parquet scan. Top-k is a rank window over doc scores —
-    WindowGroupLimit keeps it a per-partition partial top-k, not a
-    global sort.
+    parquet scan. Top-k is orderBy+limit (TakeOrderedAndProject:
+    per-partition partial top-k, merged on the driver) with the rank
+    assigned afterwards over the k survivors — never a global sort.
 
     Output: (doc_id, n_feats, logw, rank), rank 1..k by
     (importance desc, doc_id).
@@ -415,14 +415,15 @@ def dsir_topk(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_feats"), F.sum("w_e6").alias("s_e6"))
     )
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (per-
+    # partition partial top-k); a bare global rank window would sort
+    # the whole corpus in ONE partition. The rank window then runs
+    # over the k surviving rows only.
+    topk = scores.orderBy(F.desc("s_e6"), F.col(id_col)).limit(k)
     win = Window.orderBy(F.desc("s_e6"), F.col(id_col))
-    return (
-        scores.withColumn("rank", F.row_number().over(win).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(
-            id_col,
-            "n_feats",
-            (F.col("s_e6") / F.lit(1e6)).alias("logw"),
-            "rank",
-        )
+    return topk.withColumn("rank", F.row_number().over(win).cast("long")).select(
+        id_col,
+        "n_feats",
+        (F.col("s_e6") / F.lit(1e6)).alias("logw"),
+        "rank",
     )

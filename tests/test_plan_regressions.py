@@ -279,3 +279,53 @@ def test_mad_outliers_group_stats_broadcast(spark, sf_dir):
     plan = _plan(spark, "outlier_events_mad", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_single_token_exchange_and_broadcasts(spark, sf_dir):
+    """bm25_search_topk: dl rides the (doc, token) exchange (no
+    SortMergeJoin on doc_id); query terms / df / corpus totals all
+    broadcast; per-query top-k is a WindowGroupLimit, not a global
+    sort of all scores."""
+    plan = _plan(spark, "bm25_search_topk", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_repeated_ngrams_no_cartesian_no_python(spark, sf_dir):
+    """dedup_repeated_ngrams: gram census + coverage joins are hash
+    equi-joins; zero Python ops (all higher-order Catalyst)."""
+    plan = _plan(spark, "dedup_repeated_ngrams", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_dsir_weight_table_broadcast_and_partial_topk(spark, sf_dir):
+    """dsir_select_topk: the bucket weight table and totals broadcast;
+    scoring never shuffle-joins the feature relation; global top-k is
+    TakeOrderedAndProject (per-partition partial top-k), never a
+    corpus-wide single-partition rank sort."""
+    plan = _plan(spark, "dsir_select_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_vocab_topk_is_partial(spark, sf_dir):
+    plan = _plan(spark, "zipf_corpus_fit", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mp4_and_tar_shapes(spark, sf_dir):
+    """mp4_meta_demo stays pure Catalyst (no Python eval); the tar
+    export shuffles once on shard_id into applyInPandas."""
+    p1 = _plan(spark, "mp4_meta_demo", sf_dir)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in p1
+    p2 = _plan(spark, "tar_shard_export_demo", sf_dir)
+    assert "FlatMapGroupsInPandas" in p2
+    assert "SortMergeJoin" not in p2 and "CartesianProduct" not in p2
