@@ -15,14 +15,19 @@ Two paths:
 
 Scale design (100 TB corpus, handful-to-thousands of queries):
 
-- ONE corpus scan + explode produces the (doc, token) counts; dl / df
-  / tf all branch off that single exchange (ReusedExchange, the
-  unigram_nll_scores pattern in operators/text.py).
-- Query terms broadcast; tf is semi-join-pruned to query terms BEFORE
-  any per-doc scoring, so the scored relation is |matching (doc,term)|
-  rows, not |corpus tokens|.
-- df is reduced to query terms then broadcast (a handful of rows); the
-  corpus totals (N, L) broadcast as one row.
+- Query terms broadcast-join the exploded tokens BEFORE any
+  aggregation, so the only shuffle is over |matching (doc, term)|
+  rows — the full-corpus (doc, token) aggregate never materializes.
+  (Branching tf/df/corpus off one full aggregate looks cheaper but
+  is not: per-branch column pruning makes each branch's exchange
+  unique, defeating ReusedExchange — measured 3 full corpus
+  aggregations.)
+- Corpus totals (N, L) are a scan-local map-side aggregate over doc
+  lengths — zero shuffle — broadcast as one row; per-term df comes
+  from the tiny matched relation (a term's postings all survive the
+  term filter).
+- The persisted inverted index (below) amortizes even those scans
+  away for repeated query batches.
 - Top-k per query via a row_number window partitioned by query_id:
   each query's candidate set shuffles to one task — fine for realistic
   query counts; for huge query batches raise ``k`` partitions by
@@ -51,27 +56,40 @@ def queries_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame
     return spark.createDataFrame(queries, "query_id long, qtext string")
 
 
-def _corpus_stats(docs: DataFrame, text_col: str, id_col: str):
-    """(tf-with-dl, corpus-totals, df) all branching off one explode.
-
-    The doc length rides along with every exploded token, so tf rows
-    already carry dl — no tf ⋈ dl join on doc_id later (that join
-    planned as a SortMergeJoin). dl-per-doc for the corpus totals is
-    one further agg over the same (doc, token) exchange.
-    """
-    toks = docs.select(
+def _toks(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, dl, tok) exploded tokens with the doc length riding along
+    (so downstream aggregates never join a doc-side table)."""
+    return docs.select(
         F.col(id_col),
         F.size(tokens(text_col)).cast("long").alias("dl"),
         F.explode(tokens(text_col)).alias("tok"),
     )
-    tf = toks.groupBy(id_col, "tok").agg(
+
+
+def _corpus_totals(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(n_docs, total_len) over docs with >= 1 token: a scan-local
+    map-side aggregate — no explode, no shuffle."""
+    return (
+        docs.select(F.size(tokens(text_col)).cast("long").alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        )
+    )
+
+
+def _corpus_stats(docs: DataFrame, text_col: str, id_col: str):
+    """(tf-with-dl, corpus-totals, df) for FULL-corpus consumers (the
+    inverted index build). Ad-hoc scoring paths should NOT branch off
+    this — per-branch column pruning defeats ReusedExchange and the
+    corpus aggregates once per branch; they use the matched-tokens
+    formulation in :func:`bm25_topk` instead.
+    """
+    tf = _toks(docs, text_col, id_col).groupBy(id_col, "tok").agg(
         F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl")
     )
-    dl_tbl = tf.groupBy(id_col).agg(F.max("dl").alias("dl"))
-    corpus = dl_tbl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    )
+    corpus = _corpus_totals(docs, text_col, id_col)
     # distinct-doc count per term == row count of the (doc, term) relation
     df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     return tf, corpus, df_
@@ -125,12 +143,26 @@ def bm25_topk(
     Output: (query_id, doc_id, rank, bm25) with bm25 = e6-sum half-up
     rounded to 4 decimals, ties broken by doc_id.
     """
-    tf, corpus, df_ = _corpus_stats(docs, text_col, id_col)
     qterms = queries.select("query_id", F.explode(tokens("qtext")).alias("tok")).distinct()
-    df_q = df_.join(F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi")
+    qtok = qterms.select("tok").distinct()
+    # filter the exploded tokens FIRST (broadcast hash join at scan
+    # speed): everything downstream is |matching (doc, term)| sized
+    tf = (
+        _toks(docs, text_col, id_col)
+        .join(F.broadcast(qtok), "tok")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+    )
+    # df as a window over the matched relation: a branch-off
+    # aggregate would re-scan+re-explode the corpus (column pruning
+    # de-duplicates the shared exchange); the matched relation is
+    # query-term sized, so one more tok exchange is noise
+    tf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")).cast("long")
+    )
+    corpus = _corpus_totals(docs, text_col, id_col)
     scored = (
         tf.join(F.broadcast(qterms), "tok")
-        .join(F.broadcast(df_q), "tok")
         .crossJoin(F.broadcast(corpus))
         .withColumn("idf_e6", _idf_e6(F.col("n_docs"), F.col("df")))
         .withColumn(
@@ -177,16 +209,22 @@ def bm25_scores(
     count in the query (long-query retrieval); default counts each
     distinct query term once, matching :func:`bm25_topk`.
     """
-    tf, corpus, df_ = _corpus_stats(docs, text_col, id_col)
     qt = queries.select("query_id", F.explode(tokens("qtext")).alias("tok"))
     if weight_query_tf:
         qterms = qt.groupBy("query_id", "tok").agg(F.count("*").alias("qtf"))
     else:
         qterms = qt.distinct().withColumn("qtf", F.lit(1).cast("long"))
-    df_q = df_.join(F.broadcast(qterms.select("tok").distinct()), "tok", "left_semi")
+    qtok = qterms.select("tok").distinct()
+    tf = (
+        _toks(docs, text_col, id_col)
+        .join(F.broadcast(qtok), "tok")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+        .withColumn("df", F.count("*").over(Window.partitionBy("tok")).cast("long"))
+    )
+    corpus = _corpus_totals(docs, text_col, id_col)
     return (
         tf.join(F.broadcast(qterms), "tok")
-        .join(F.broadcast(df_q), "tok")
         .crossJoin(F.broadcast(corpus))
         .withColumn("avgdl", F.col("total_len") / F.col("n_docs"))
         .withColumn(
