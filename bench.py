@@ -117,6 +117,8 @@ HEADLINE = [
     "url_domain_quota",
     "zipf_corpus_fit",
     "tar_shard_export_demo",
+    "corpus_drift_report",
+    "bootstrap_value_ci",
 ]
 
 

@@ -4917,6 +4917,114 @@ def tar_shard_export_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "corpus_drift_report",
+    """
+    WITH ca AS (
+        SELECT tok, count(*)::BIGINT AS c FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ),
+    cb AS (
+        SELECT tok, count(*)::BIGINT AS c FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+            FROM documents WHERE n_chars >= 120
+        ) GROUP BY tok
+    ),
+    j AS (
+        SELECT coalesce(ca.tok, cb.tok) AS tok,
+               coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+    ),
+    tots AS (
+        SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb, count(*)::BIGINT AS v,
+               sum((ca > 0)::INT)::BIGINT AS vocab_a,
+               sum((cb > 0)::INT)::BIGINT AS vocab_b,
+               sum((ca = 0 AND cb > 0)::INT)::BIGINT AS n_new_terms,
+               sum((cb = 0 AND ca > 0)::INT)::BIGINT AS n_dead_terms
+        FROM j
+    )
+    SELECT ta AS n_tokens_a, tb AS n_tokens_b,
+           vocab_a, vocab_b, n_new_terms, n_dead_terms,
+           sum(cb * round(ln(((cb + 1) * (ta + v))::DOUBLE / ((ca + 1) * (tb + v))) * 1e6)::BIGINT)::BIGINT::DOUBLE
+             / tb / 1e6 AS kl_b_from_a
+    FROM j CROSS JOIN tots
+    GROUP BY ta, tb, vocab_a, vocab_b, n_new_terms, n_dead_terms
+    """,
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-impact audit: distribution drift between the full corpus
+    and its n_chars>=120 quality-filtered version — vocabulary churn
+    plus engine-exact smoothed KL(filtered ‖ full) (e6-ln integer
+    contributions, one unrounded double division chain). See
+    operators/profile.py:corpus_drift."""
+    from data_misc_tools_spark.operators.profile import corpus_drift
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return corpus_drift(d, d.where(F.col("n_chars") >= 120))
+
+
+def _bootstrap_oracle() -> str:
+    from data_misc_tools_spark.operators.profile import POISSON1_THRESHOLDS
+
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
+    ) + " ELSE 6 END"
+    return f"""
+    WITH base AS (
+        SELECT event_type, event_id::VARCHAR AS k,
+               round(value * 10000)::BIGINT AS x
+        FROM events
+    ),
+    rep AS (
+        SELECT event_type, k, x, r,
+               ('0x' || substr(md5('boot:' || k || ':' || r::VARCHAR), 1, 8))::BIGINT AS u
+        FROM base JOIN generate_series(0, 99) g(r) ON true
+    ),
+    reps AS (
+        SELECT event_type, r, sum(w)::BIGINT AS n, sum(w * x)::BIGINT AS s
+        FROM (SELECT event_type, r, x, {w_case} AS w FROM rep)
+        GROUP BY event_type, r HAVING sum(w) > 0
+    ),
+    ranked AS (
+        SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type ORDER BY m, r) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS b
+        FROM (SELECT event_type, r, s::DOUBLE / n / 10000 AS m FROM reps)
+    ),
+    ci AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (b * 25) // 1000 + 1 THEN m END) AS ci_lo,
+               max(CASE WHEN rn = b - (b * 25) // 1000 THEN m END) AS ci_hi
+        FROM ranked GROUP BY event_type
+    ),
+    pt AS (
+        SELECT event_type, count(*)::BIGINT AS n_rows,
+               sum(x)::BIGINT::DOUBLE / count(*) / 10000 AS mean
+        FROM base GROUP BY event_type
+    )
+    SELECT pt.event_type, n_rows, mean, ci_lo, ci_hi
+    FROM pt JOIN ci USING (event_type)
+    """
+
+
+@_q("bootstrap_value_ci", _bootstrap_oracle())
+def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for the mean event value per type,
+    via the deterministic online Poisson bootstrap (hash-derived
+    Poisson(1) multiplicities, 100 replicates in ONE bounded explode +
+    grouped agg). Engine-exact: e4-integer values, order-statistic CI
+    bounds, integer permille index arithmetic. See
+    operators/profile.py:bootstrap_ci_mean."""
+    from data_misc_tools_spark.operators.profile import bootstrap_ci_mean
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return bootstrap_ci_mean(
+        e, "value", "event_id", group_cols=["event_type"], n_boot=100
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 

@@ -340,3 +340,186 @@ def zipf_fit(
         F.try_divide(inum, dxx).alias("intercept_e6"),
         F.try_divide(num, F.sqrt(dxx) * F.sqrt(dyy)).alias("corr"),
     )
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distribution drift between two corpus versions — the audit a
+    pipeline runs after every filter/dedup step ("what did that stage
+    do to the token distribution?") and between crawl snapshots.
+
+    Reports vocabulary churn (terms that appeared/died) and the
+    KL divergence KL(B ‖ A) of the add-one-smoothed unigram
+    distributions over the union vocabulary. Engine-exact: per-term
+    log ratios are e6-scaled BIGINTs (ln of a quotient of exact
+    < 2^53 integer products — the dsir/NLL idiom), the weighted sum
+    Σ c_b·t is a pure integer aggregate, and the final
+    S/total_b/1e6 is two correctly-rounded double divisions both
+    engines execute identically (unrounded per the repo float
+    invariant; S may be negative so no integer half-up div).
+
+    Scale: one (token) count aggregate per side — full-outer-joined
+    on the term (vocabulary-sized shuffle) — then a single-row total.
+    Output: one row (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    n_new_terms, n_dead_terms, kl_b_from_a).
+    """
+    from data_misc_tools_spark.operators.text import tokens
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+
+    ca, cb = counts(a), counts(b)
+    j = ca.withColumnRenamed("c", "ca").join(
+        cb.withColumnRenamed("c", "cb"), "tok", "full_outer"
+    ).select(
+        "tok",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    tots = j.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("cb").cast("long").alias("tb"),
+        F.count("*").cast("long").alias("v"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("vocab_b"),
+        F.sum(((F.col("ca") == 0) & (F.col("cb") > 0)).cast("long")).alias("n_new_terms"),
+        F.sum(((F.col("cb") == 0) & (F.col("ca") > 0)).cast("long")).alias("n_dead_terms"),
+    )
+    contrib = j.crossJoin(F.broadcast(tots)).select(
+        "ta", "tb", "v", "vocab_a", "vocab_b", "n_new_terms", "n_dead_terms",
+        (
+            F.col("cb")
+            * F.round(
+                F.log(
+                    ((F.col("cb") + 1) * (F.col("ta") + F.col("v"))).cast("double")
+                    / ((F.col("ca") + 1) * (F.col("tb") + F.col("v")))
+                )
+                * 1e6
+            ).cast("long")
+        ).alias("w"),
+    )
+    return (
+        contrib.groupBy(
+            "ta", "tb", "vocab_a", "vocab_b", "n_new_terms", "n_dead_terms"
+        )
+        .agg(F.sum("w").alias("s"))
+        .select(
+            F.col("ta").alias("n_tokens_a"),
+            F.col("tb").alias("n_tokens_b"),
+            "vocab_a", "vocab_b", "n_new_terms", "n_dead_terms",
+            (F.col("s").cast("double") / F.col("tb") / F.lit(1e6)).alias("kl_b_from_a"),
+        )
+    )
+
+
+# Poisson(1) inverse-CDF thresholds on the 32-bit hash space:
+# floor(P(X <= k) * 2^32) for k = 0..5; weights above cap at 6.
+# exp(-1) * sum(1/i!) terms — identical literals in the SQL oracle.
+POISSON1_THRESHOLDS: list[int] = [
+    int(c * (1 << 32))
+    for c in (
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+        0.9994058151824183,
+    )
+]
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    scale: int = 10000,
+    salt: str = "boot:",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for a per-group mean,
+    via the ONLINE Poisson bootstrap (Chamandy et al. 2012 /
+    Owen & Eckles 2012): each row's multiplicity in replicate r is
+    Poisson(1)-distributed, derived DETERMINISTICALLY from
+    hash(key, r) by inverse CDF — no resampling pass per replicate, no
+    RNG state, reproducible under any partitioning (the repo's
+    hash-sampling invariant), and embarrassingly parallel: one bounded
+    explode (x n_boot) + one grouped aggregate.
+
+    Engine-exact: values fix to ``scale``-scaled BIGINTs, replicate
+    sums are integer, each replicate mean is the same two
+    correctly-rounded double divisions in both engines, and the CI
+    bounds are ORDER STATISTICS of those means (row_number selection
+    at floor(B·α/2)+1 and B−floor(B·α/2), ties broken by replicate
+    id) — never an interpolated percentile, which engines disagree on.
+
+    Scale: the explode multiplies the scanned slice by ``n_boot`` —
+    bootstrap an aggregated or sampled slice, not the raw 100 TB
+    table; everything downstream is |groups|·n_boot rows. Replicates
+    where every weight drew 0 (tiny groups) are dropped from the
+    order statistics.
+
+    Output: (*group_cols, n_rows, mean, ci_lo, ci_hi).
+    """
+    from pyspark.sql.window import Window
+
+    from data_misc_tools_spark.operators.sampling import _hash_u32
+
+    g = list(group_cols or [])
+    x = F.round(F.col(value_col) * scale).cast("long")
+    base = df.select(*g, F.col(key_col).cast("string").alias("__k"), x.alias("__x"))
+    point = base.groupBy(*g).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum("__x").cast("double") / F.count("*") / scale).alias("mean"),
+    )
+    rep = base.select(
+        *g, "__k", "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r"),
+    )
+    u = _hash_u32(
+        F.concat(F.col("__k"), F.lit(":"), F.col("__r").cast("string")), salt
+    )
+    w = F.lit(6)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < POISSON1_THRESHOLDS[k], k).otherwise(w)
+    reps = (
+        rep.withColumn("__w", w.cast("long"))
+        .groupBy(*g, "__r")
+        .agg(
+            F.sum("__w").alias("__n"),
+            F.sum(F.col("__w") * F.col("__x")).alias("__s"),
+        )
+        .where(F.col("__n") > 0)
+        .select(
+            *g, "__r",
+            (F.col("__s").cast("double") / F.col("__n") / scale).alias("__m"),
+        )
+    )
+    win = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    ranked = reps.select(
+        *g, "__m",
+        F.row_number().over(win.orderBy("__m", "__r")).alias("__rn"),
+        F.count("*").over(win).alias("__b"),
+    )
+    # integer permille arithmetic: floor(b * alpha/2) via (b*permille)
+    # div 1000 — a double multiply could land at x.4999…/x.5000…4 and
+    # floor differently across engines
+    permille = int(round(alpha / 2 * 1000))
+    lo_i = F.expr(f"(__b * {permille}) div 1000") + 1
+    hi_i = F.col("__b") - F.expr(f"(__b * {permille}) div 1000")
+    ci = ranked.groupBy(*g).agg(
+        F.max(F.when(F.col("__rn") == lo_i, F.col("__m"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rn") == hi_i, F.col("__m"))).alias("ci_hi"),
+    )
+    if g:
+        return point.join(ci, g).select(*g, "n_rows", "mean", "ci_lo", "ci_hi")
+    return point.crossJoin(ci).select("n_rows", "mean", "ci_lo", "ci_hi")

@@ -240,3 +240,57 @@ def test_zipf_fit_matches_numpy_ols(spark):
     # near-perfect power law -> corr close to -1, slope near -1
     assert r.corr < -0.99
     assert -1.1 < r.slope < -0.9
+
+
+def test_corpus_drift_identity_and_churn(spark):
+    import math
+
+    from data_misc_tools_spark.operators.profile import corpus_drift
+
+    a = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z")], "doc_id long, text string"
+    )
+    r = corpus_drift(a, a).collect()[0]
+    assert r.n_new_terms == 0 and r.n_dead_terms == 0
+    assert r.kl_b_from_a == pytest.approx(0.0, abs=1e-6)
+    assert r.vocab_a == r.vocab_b == 3 and r.n_tokens_a == r.n_tokens_b == 5
+
+    b = spark.createDataFrame([(1, "x x w")], "doc_id long, text string")
+    r2 = corpus_drift(a, b).collect()[0]
+    assert r2.n_new_terms == 1   # w
+    assert r2.n_dead_terms == 2  # y, z
+    # hand-computed smoothed KL over union vocab {x,y,z,w}:
+    ta, tb, v = 5, 3, 4
+    ca = {"x": 2, "y": 2, "z": 1, "w": 0}
+    cb = {"x": 2, "y": 0, "z": 0, "w": 1}
+    kl = sum(
+        cb[t] * round(math.log((cb[t] + 1) * (ta + v) / ((ca[t] + 1) * (tb + v))) * 1e6)
+        for t in ca
+    ) / tb / 1e6
+    assert r2.kl_b_from_a == pytest.approx(kl, abs=1e-9)
+
+
+def test_bootstrap_ci_sane_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.profile import bootstrap_ci_mean
+
+    # group a: values 0..999 (mean 499.5); group b: constant 42
+    rows = [(i, "a", float(i % 1000)) for i in range(2000)]
+    rows += [(10_000 + i, "b", 42.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    out = {r.grp: r for r in bootstrap_ci_mean(
+        df, "value", "event_id", group_cols=["grp"], n_boot=100
+    ).collect()}
+    a, b = out["a"], out["b"]
+    assert a.n_rows == 2000 and a.mean == pytest.approx(499.5)
+    assert a.ci_lo < a.mean < a.ci_hi
+    # CI half-width should be in the vicinity of 1.96*sd/sqrt(n) ~ 12.6
+    assert 5 < (a.ci_hi - a.ci_lo) / 2 < 30
+    # constant group: degenerate CI exactly at the mean
+    assert b.ci_lo == b.ci_hi == b.mean == pytest.approx(42.0)
+    # deterministic under repartition
+    again = {r.grp: r for r in bootstrap_ci_mean(
+        df.repartition(7), "value", "event_id", group_cols=["grp"], n_boot=100
+    ).collect()}
+    assert (again["a"].ci_lo, again["a"].ci_hi) == (a.ci_lo, a.ci_hi)

@@ -65,6 +65,18 @@ STRESS = {
     "changelog_compact_demo": "linearithmic",
     "outlier_events_mad": "linearithmic",
     "sample_weighted_docs": "linear",
+    # round-3 session-3: BM25 (2 scans + matched-size shuffle), gram
+    # census dedup (one gram shuffle, removal occurrences grow with
+    # duplication), DSIR (B-bounded census + broadcast scoring), MP4
+    # fold (map-only), URL quota (per-domain rank window), Zipf fit
+    # (vocab agg + fixed top-k), tar shards (per-shard assembly)
+    "bm25_search_topk": "linear",
+    "dedup_repeated_ngrams": "linear",
+    "dsir_select_topk": "linear",
+    "mp4_meta_demo": "linear",
+    "url_domain_quota": "linearithmic",
+    "zipf_corpus_fit": "linear",
+    "tar_shard_export_demo": "linear",
 }
 
 
