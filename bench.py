@@ -119,6 +119,7 @@ HEADLINE = [
     "tar_shard_export_demo",
     "corpus_drift_report",
     "bootstrap_value_ci",
+    "sequence_examples_export",
 ]
 
 

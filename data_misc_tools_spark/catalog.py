@@ -5025,6 +5025,39 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sequence_examples_export",
+    """
+    SELECT user_id, event_id,
+           array_to_string(ctx, '>') AS context,
+           label
+    FROM (
+        SELECT user_id, event_id, event_type AS label,
+               list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+               ) AS ctx
+        FROM events
+    ) WHERE len(ctx) >= 1
+    """,
+)
+def sequence_examples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction dataset export: per event, the previous
+    <=3 event types (frame-ordered, event_id tiebreak) as context and
+    the current type as label — the sessions-to-examples step of a
+    sequence-model pipeline. One entity-keyed window exchange, bounded
+    frame state. See operators/temporal.py:sequence_examples."""
+    from data_misc_tools_spark.operators.temporal import sequence_examples
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return sequence_examples(e, context=3).select(
+        "user_id",
+        "event_id",
+        F.array_join("context", ">").alias("context"),
+        "label",
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 

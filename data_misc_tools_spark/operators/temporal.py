@@ -244,3 +244,44 @@ def missing_intervals(
             F.col("gap_seconds").cast("long").alias("gap_seconds"),
         )
     )
+
+
+def sequence_examples(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    item_col: str = "event_type",
+    context: int = 3,
+    min_context: int = 1,
+) -> DataFrame:
+    """Next-item-prediction training examples from an event log: for
+    every event, emit (entity, context = up to ``context`` previous
+    items in order, label = this item) — the standard
+    sessions-to-examples export for sequence models / recommenders.
+
+    Deterministic: events order by ``order_cols`` (default
+    [ts, event_id]; MUST end in a unique tiebreaker or the context
+    arrays are engine-unspecified). Examples with fewer than
+    ``min_context`` previous items are dropped (the first event of
+    each entity predicts nothing).
+
+    Scale: ONE shuffle on the entity (the window exchange); the
+    context is collect_list over a bounded rowsBetween frame — state
+    per row is ``context`` items, not the whole history. Skewed
+    power-users are one partition each — AQE splits the exchange, and
+    the frame bound keeps per-row work constant.
+
+    Output: (entity_col, *order_cols, context array<item>, label).
+    """
+    order_cols = order_cols or ["ts", "event_id"]
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-context, -1)
+    )
+    return (
+        df.select(entity_col, *order_cols, F.col(item_col).alias("label"))
+        .withColumn("context", F.collect_list("label").over(w))
+        .where(F.size("context") >= min_context)
+        .select(entity_col, *order_cols, "context", "label")
+    )

@@ -187,3 +187,34 @@ def test_missing_intervals_finds_only_long_gaps(spark):
         1: ("2024-01-01 00:10:00", "2024-01-01 02:10:00", 7200),
         3: ("2024-01-01 00:00:00", "2024-01-02 00:00:00", 86400),
     }
+
+
+def test_sequence_examples_contexts(spark):
+    from data_misc_tools_spark.operators.temporal import sequence_examples
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 30, 3, "c"), (1, 40, 4, "d"),
+        (2, 10, 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    out = {r.event_id: r for r in sequence_examples(
+        df, order_cols=["ts", "event_id"], context=3
+    ).collect()}
+    # first event per user has no context -> dropped
+    assert 1 not in out and 5 not in out
+    assert out[2].context == ["a"] and out[2].label == "b"
+    assert out[3].context == ["a", "b"]
+    assert out[4].context == ["a", "b", "c"]
+    # context window slides: add a 5th event, context caps at 3
+    df2 = df.unionAll(spark.createDataFrame(
+        [(1, 50, 6, "e")], "user_id long, ts long, event_id long, event_type string"))
+    out2 = {r.event_id: r for r in sequence_examples(
+        df2, order_cols=["ts", "event_id"], context=3).collect()}
+    assert out2[6].context == ["b", "c", "d"]
+    # tie on ts broken by event_id deterministically
+    df3 = spark.createDataFrame(
+        [(3, 10, 1, "p"), (3, 10, 2, "q"), (3, 10, 3, "r")],
+        "user_id long, ts long, event_id long, event_type string")
+    out3 = {r.event_id: r for r in sequence_examples(
+        df3, order_cols=["ts", "event_id"], context=3).collect()}
+    assert out3[3].context == ["p", "q"]
