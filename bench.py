@@ -120,6 +120,7 @@ HEADLINE = [
     "corpus_drift_report",
     "bootstrap_value_ci",
     "sequence_examples_export",
+    "nb_language_confusion",
 ]
 
 

@@ -5058,6 +5058,86 @@ def sequence_examples_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "nb_language_confusion",
+    """
+    WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+    te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+    tg AS (
+        SELECT lang AS label, substr(text, i, 3) AS gram
+        FROM tr JOIN generate_series(1, 2048) g(i) ON i <= length(text) - 2
+    ),
+    cg AS (SELECT label, gram, count(*)::BIGINT AS c FROM tg GROUP BY label, gram),
+    v AS (SELECT count(DISTINCT gram)::BIGINT AS vn FROM cg),
+    cls0 AS (SELECT label, sum(c)::BIGINT AS t_c FROM cg GROUP BY label),
+    nd AS (SELECT lang AS label, count(*)::BIGINT AS n_docs FROM tr GROUP BY lang),
+    tot AS (SELECT count(*)::BIGINT AS n_total FROM tr),
+    cls AS (
+        SELECT c0.label, c0.t_c,
+               round(ln(n.n_docs::DOUBLE / t.n_total) * 1e6)::BIGINT AS prior_e6,
+               round(ln(1.0 / (c0.t_c + v.vn)) * 1e6)::BIGINT AS def_e6
+        FROM cls0 c0 JOIN nd n USING (label) CROSS JOIN tot t CROSS JOIN v
+    ),
+    w AS (
+        SELECT cg.label, cg.gram,
+               (round(ln((cg.c + 1)::DOUBLE / (cls.t_c + v.vn)) * 1e6)::BIGINT
+                 - cls.def_e6) AS diff_e6
+        FROM cg JOIN cls USING (label) CROSS JOIN v
+    ),
+    teg AS (
+        SELECT doc_id, substr(text, i, 3) AS gram
+        FROM te JOIN generate_series(1, 2048) g(i) ON i <= length(text) - 2
+    ),
+    vocab AS (SELECT DISTINCT gram FROM cg),
+    dt AS (
+        SELECT t.doc_id, t.gram, count(*)::BIGINT AS k
+        FROM teg t JOIN vocab USING (gram) GROUP BY t.doc_id, t.gram
+    ),
+    ndoc AS (SELECT doc_id, sum(k)::BIGINT AS n_d FROM dt GROUP BY doc_id),
+    seen AS (
+        SELECT dt.doc_id, w.label, sum(dt.k * w.diff_e6)::BIGINT AS s_seen
+        FROM dt JOIN w USING (gram) GROUP BY dt.doc_id, w.label
+    ),
+    scores AS (
+        SELECT n2.doc_id, c.label,
+               (c.prior_e6 + n2.n_d * c.def_e6 + coalesce(s.s_seen, 0))::BIGINT AS score
+        FROM ndoc n2 CROSS JOIN cls c
+        LEFT JOIN seen s ON s.doc_id = n2.doc_id AND s.label = c.label
+    ),
+    pred AS (
+        SELECT doc_id, label AS predicted FROM (
+            SELECT doc_id, label,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT te.lang, p.predicted, count(*)::BIGINT AS n
+    FROM te JOIN pred p USING (doc_id)
+    GROUP BY te.lang, p.predicted
+    """,
+)
+def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based filtering, trained ON Spark: multinomial naive
+    Bayes over character trigrams fit on the even-doc_id half of the
+    corpus (labels = lang), scored on the odd half, reported as the
+    (actual, predicted) confusion matrix. Engine-exact: e6-integer
+    log weights, integer score sums, label-tiebroken argmax. See
+    operators/classify.py."""
+    from data_misc_tools_spark.operators.classify import nb_predict, nb_train
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tr = d.where(F.col("doc_id") % 2 == 0)
+    te = d.where(F.col("doc_id") % 2 == 1)
+    cls, w = nb_train(tr, "lang")
+    pred = nb_predict(te, cls, w)
+    return (
+        te.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
