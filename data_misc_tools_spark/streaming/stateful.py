@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -374,4 +375,87 @@ def cohort_retention_from_stream(rows: DataFrame) -> DataFrame:
         rows.groupBy("cohort_period", "period_offset")
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("cohort_period", "period_offset")
+    )
+
+
+SEQ_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("context", ArrayType(StringType())),
+        StructField("label", StringType()),
+    ]
+)
+
+SEQ_STATE_SCHEMA = StructType(
+    [StructField("recent", ArrayType(StringType()))]
+)
+
+
+def _sequence_fn(context: int, min_context: int):
+    """Per-user sliding-context state machine (streaming twin of
+    operators/temporal.sequence_examples): state = the last
+    ``context`` item labels; each arriving event (sorted by
+    (ts, event_id) within the batch) emits (context-so-far, label) and
+    pushes its label into the window.
+
+    In-order contract (as the cohort/funnel trackers): a user's
+    events must not arrive in a later micro-batch than later events —
+    guaranteed by time-ordered availableNow replay or an in-order
+    per-user Kafka partition. State is bounded at ``context`` strings
+    per user regardless of history length.
+    """
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        (recent,) = state.get if state.exists else ([],)
+        recent = list(recent)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        for ev_id, label in zip(batch["event_id"], batch["event_type"]):
+            if len(recent) >= min_context:
+                rows.append((int(ev_id), list(recent), str(label)))
+            recent.append(str(label))
+            if len(recent) > context:
+                recent = recent[-context:]
+        state.update((recent,))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "context": [r[1] for r in rows],
+                    "label": [r[2] for r in rows],
+                }
+            )
+
+    return fn
+
+
+def sequence_stream(
+    events: DataFrame,
+    context: int = 3,
+    min_context: int = 1,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming next-event example generator: append-mode
+    (user_id, event_id, context, label) rows as events arrive, with
+    per-user state bounded at ``context`` labels. availableNow replay
+    equals the batch ``sequence_examples`` exactly (pinned in
+    tests/test_streaming.py)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sequence_fn(context, min_context),
+            outputStructType=SEQ_OUT_SCHEMA,
+            stateStructType=SEQ_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -879,3 +879,74 @@ class TestUpsertSink:
         self._run(spark, stage, tmp_path, "torn")
         live = {r.k for r in read_latest(spark, str(snap), op_col="op").collect()}
         assert live == {1, 3}
+
+
+class TestSequenceStream:
+    def test_sequence_fn_slides_and_bounds_state(self):
+        import pandas as pd
+
+        from data_misc_tools_spark.streaming.stateful import _sequence_fn
+
+        fn = _sequence_fn(context=2, min_context=1)
+        state = FakeState()
+        b = pd.DataFrame(
+            {"ts": [1, 2, 3, 4], "event_id": [1, 2, 3, 4],
+             "event_type": ["a", "b", "c", "d"]}
+        )
+        out = list(fn((7,), iter([b]), state))
+        rows = out[0][["event_id", "context", "label"]].values.tolist()
+        assert rows == [[2, ["a"], "b"], [3, ["a", "b"], "c"], [4, ["b", "c"], "d"]]
+        assert state.get == (["c", "d"],)
+        # next batch continues from state
+        b2 = pd.DataFrame({"ts": [5], "event_id": [5], "event_type": ["e"]})
+        out2 = list(fn((7,), iter([b2]), state))
+        assert out2[0][["context", "label"]].values.tolist() == [[["c", "d"], "e"]]
+
+    def test_availablenow_replay_equals_batch_operator(self, spark, sf_dir):
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as FF
+
+        from data_misc_tools_spark.operators.temporal import sequence_examples
+        from data_misc_tools_spark.session import (
+            nanos_ts_columns,
+            read_parquet_table,
+        )
+        from data_misc_tools_spark.streaming.stateful import sequence_stream
+
+        src = f"{sf_dir}/events.parquet"
+        stage_dir = tempfile.mkdtemp(prefix="seq_stage_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(stage_dir)
+        if "ts" in nanos_ts_columns(src):
+            stream = stream.withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+        stream = stream.select("user_id", "ts", "event_id", "event_type")
+        q = (
+            sequence_stream(stream, context=3)
+            .writeStream.format("memory")
+            .queryName("seq_test")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="seq_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert q.exception() is None
+        got = sorted(
+            (r.user_id, r.event_id, tuple(r.context), r.label)
+            for r in spark.table("seq_test").collect()
+        )
+        ev = read_parquet_table(spark, src)
+        want = sorted(
+            (r.user_id, r.event_id, tuple(r.context), r.label)
+            for r in sequence_examples(ev, context=3).collect()
+        )
+        assert got == want and len(got) > 0
