@@ -121,6 +121,8 @@ HEADLINE = [
     "bootstrap_value_ci",
     "sequence_examples_export",
     "nb_language_confusion",
+    "pmi_collocations_topk",
+    "hourly_anomaly_zscore",
 ]
 
 

@@ -5138,6 +5138,100 @@ def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pmi_collocations_topk",
+    """
+    WITH base AS (
+        SELECT list_filter(string_split(text, ' '), x -> x != '') AS arr FROM documents
+    ),
+    uni AS (
+        SELECT arr[i] AS tok, count(*)::BIGINT AS c
+        FROM base JOIN generate_series(1, 2048) g(i) ON i <= len(arr)
+        GROUP BY arr[i]
+    ),
+    bi AS (
+        SELECT arr[i] || ' ' || arr[i+1] AS bigram, arr[i] AS x, arr[i+1] AS y,
+               count(*)::BIGINT AS c_xy
+        FROM base JOIN generate_series(1, 2048) g(i) ON i <= len(arr) - 1
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 5
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS t FROM uni),
+    btot AS (SELECT sum(c_xy)::BIGINT AS b FROM bi),
+    scored AS (
+        SELECT bi.bigram, bi.c_xy,
+               (round(ln(bi.c_xy::DOUBLE) * 1e6)::BIGINT
+                + 2 * round(ln(tot.t::DOUBLE) * 1e6)::BIGINT
+                - round(ln(btot.b::DOUBLE) * 1e6)::BIGINT
+                - round(ln(ux.c::DOUBLE) * 1e6)::BIGINT
+                - round(ln(uy.c::DOUBLE) * 1e6)::BIGINT) AS pmi_e6
+        FROM bi
+        JOIN uni ux ON ux.tok = bi.x
+        JOIN uni uy ON uy.tok = bi.y
+        CROSS JOIN tot CROSS JOIN btot
+    )
+    SELECT bigram, c_xy, pmi_e6 / 1e6 AS pmi, rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi_e6 DESC, bigram)::BIGINT AS rank
+        FROM scored
+    ) WHERE rank <= 50
+    """,
+)
+def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information over
+    adjacent word pairs (min count 5) — phrase mining for tokenizer /
+    phrase-protection decisions. Engine-exact: PMI assembled from
+    per-quantity e6-rounded logs (a single-ratio formulation would
+    overflow exact-double products at corpus scale). See
+    operators/text.py:pmi_collocations."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.pmi_collocations(d, min_count=5, k=50)
+
+
+@_q(
+    "hourly_anomaly_zscore",
+    """
+    WITH cnt AS (
+        -- truncate BEFORE epoch: epoch(ts)::BIGINT ROUNDS fractional
+        -- seconds in DuckDB (the missing_intervals quirk), shifting
+        -- events near bucket edges
+        SELECT event_type AS entity,
+               epoch(date_trunc('hour', ts))::BIGINT // 3600 AS bucket,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT entity, bucket, n,
+               count(n) OVER w AS k,
+               sum(n) OVER w AS s,
+               sum(n * n) OVER w AS q
+        FROM cnt
+        WINDOW w AS (PARTITION BY entity ORDER BY bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT entity, strftime(to_timestamp(bucket * 3600), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n,
+           (k * n - s)::BIGINT::DOUBLE
+             / sqrt((k * q - s * s)::BIGINT::DOUBLE) AS z
+    FROM win WHERE k = 24 AND (k * q - s * s) > 0
+    """,
+)
+def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-monitoring anomaly scores: hourly event counts per type
+    scored against the trailing 24-hour window, z = (k·n − S) /
+    sqrt(k·Q − S²) over integer window sums — one IEEE closed form,
+    unrounded (pearson_exact idiom). Zero-variance windows are
+    excluded on both sides (Spark yields null z via try_divide; the
+    oracle filters the same rows arithmetically). See
+    operators/temporal.py:rolling_zscore_anomalies."""
+    from data_misc_tools_spark.operators.temporal import rolling_zscore_anomalies
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return rolling_zscore_anomalies(e).where(F.col("z").isNotNull()).select(
+        "entity", "bucket_start", "n", "z"
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 

@@ -285,3 +285,59 @@ def sequence_examples(
         .where(F.size("context") >= min_context)
         .select(entity_col, *order_cols, "context", "label")
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    window: int = 24,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Volume-anomaly detection on an event stream: bucket counts per
+    entity, then score each bucket against the TRAILING ``window``
+    buckets' mean/std — the standard ops-monitoring z-score, engine-
+    exact: the trailing sums S=Σn, Q=Σn² and count k are integer
+    window aggregates, and
+
+        z = (k·n − S) / sqrt(k·Q − S²)
+
+    is one closed-form IEEE step over exact integers (the
+    pearson_exact idiom), emitted unrounded. Only buckets with a FULL
+    trailing window score (k == window); constant windows (zero
+    variance) yield null z. ``threshold`` keeps only |z| >= threshold.
+
+    Scale: one bucket aggregate + one entity-keyed window — buckets
+    per entity are time-bounded, so state is tiny regardless of event
+    volume. Output: (entity, bucket_start, n, z).
+    """
+    b = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    cnt = (
+        df.select(F.col(entity_col).alias("entity"), b.alias("bucket"))
+        .groupBy("entity", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("bucket")
+        .rowsBetween(-window, -1)
+    )
+    scored = (
+        cnt.withColumn("k", F.count("n").over(w))
+        .withColumn("s", F.sum("n").over(w))
+        .withColumn("q", F.sum(F.col("n") * F.col("n")).over(w))
+        .where(F.col("k") == window)
+        .select(
+            "entity",
+            F.from_unixtime(F.col("bucket") * bucket_seconds).alias("bucket_start"),
+            "n",
+            F.try_divide(
+                (F.col("k") * F.col("n") - F.col("s")).cast("double"),
+                F.sqrt((F.col("k") * F.col("q") - F.col("s") * F.col("s")).cast("double")),
+            ).alias("z"),
+        )
+    )
+    if threshold is not None:
+        scored = scored.where(F.abs(F.col("z")) >= threshold)
+    return scored

@@ -739,3 +739,84 @@ def strip_html(text: Column | str) -> Column:
     ]:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, "[ \\t\\n\\r]+", " "))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information — the classic corpus phrase-mining pass (Church &
+    Hanks 1990); high-PMI pairs are multiword expressions worth
+    protecting from tokenizer splits.
+
+    PMI = ln p(xy) − ln p(x) − ln p(y) is computed as a SUM OF
+    per-quantity e6-rounded logs (ln c_xy + 2·ln T − ln B − ln c_x −
+    ln c_y, each rounded to an e6 BIGINT before summing): the naive
+    single-expression ratio c_xy·T²/(B·c_x·c_y) overflows exact-double
+    integer products at corpus scale, while per-term rounding keeps
+    every cross-engine value an integer at any scale.
+
+    Scale: one bigram count + one unigram count aggregate (same
+    explode family), unigram table joined twice — vocabulary-sized,
+    broadcast. Top-k via orderBy+limit (TakeOrderedAndProject).
+
+    Output: (bigram, c_xy, pmi, rank), rank by (pmi desc, bigram).
+    """
+    from pyspark.sql.window import Window
+
+    arr = tokens(text_col)
+    base = df.select(arr.alias("arr"))
+    uni = (
+        base.select(F.explode("arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.when(
+                    F.size("arr") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(arr) - 1),"
+                        " i -> struct(arr[i-1] AS x, arr[i] AS y))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("p")
+        )
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("t"))
+    btot = bi.agg(F.sum("c_xy").cast("long").alias("b"))
+
+    def ln_e6(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    scored = (
+        bi.join(F.broadcast(uni.withColumnRenamed("tok", "x").withColumnRenamed("c", "cx")), "x")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "y").withColumnRenamed("c", "cy")), "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            (
+                ln_e6(F.col("c_xy"))
+                + 2 * ln_e6(F.col("t"))
+                - ln_e6(F.col("b"))
+                - ln_e6(F.col("cx"))
+                - ln_e6(F.col("cy"))
+            ).alias("pmi_e6"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi_e6"), F.col("bigram")).limit(k)
+    w = Window.orderBy(F.desc("pmi_e6"), F.col("bigram"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "bigram", "c_xy",
+        (F.col("pmi_e6") / F.lit(1e6)).alias("pmi"),
+        "rank",
+    )

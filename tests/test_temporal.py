@@ -218,3 +218,31 @@ def test_sequence_examples_contexts(spark):
     out3 = {r.event_id: r for r in sequence_examples(
         df3, order_cols=["ts", "event_id"], context=3).collect()}
     assert out3[3].context == ["p", "q"]
+
+
+def test_rolling_zscore_flags_spike(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.temporal import rolling_zscore_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        # alternating 4/6 baseline (nonzero variance), spike at hour 27
+        n = (4 + 2 * (h % 2)) if h != 27 else 50
+        for _ in range(n):
+            rows.append((eid, "click", base + dt.timedelta(hours=h, minutes=30)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = rolling_zscore_anomalies(df, window=24, threshold=3.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.entity == "click" and r.n == 50 and r.z > 10
+    # normal hours score small |z|; all full-window hours present
+    allrows = rolling_zscore_anomalies(df, window=24).collect()
+    assert len(allrows) == 6  # hours 24..29
+    normal = [x for x in allrows if x.n <= 6]
+    assert normal and all(abs(x.z) < 3 for x in normal if x.z is not None)

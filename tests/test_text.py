@@ -433,3 +433,18 @@ class TestBPE:
         (row,) = bpe_segment(new, merges).collect()
         assert row.bpe_tokens[-1] == "low</w>"
         assert row.bpe_tokens[:-1] == ["z", "q", "x", "</w>"]
+
+
+def test_pmi_collocations_ranks_glued_pair_first(spark):
+    from data_misc_tools_spark.operators.text import pmi_collocations
+
+    # "san francisco" always adjacent; fillers independent
+    docs = [(i, "san francisco " + " ".join(
+        ["alpha", "beta", "gamma", "delta"][(i + j) % 4] for j in range(6)
+    )) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, k=10).collect()
+    assert out[0].bigram == "san francisco" and out[0].rank == 1
+    assert out[0].c_xy == 40
+    # PMI of the glued pair beats any filler pair
+    assert all(out[0].pmi > r.pmi for r in out[1:])
