@@ -123,6 +123,7 @@ HEADLINE = [
     "nb_language_confusion",
     "pmi_collocations_topk",
     "hourly_anomaly_zscore",
+    "dataset_fingerprint_orders",
 ]
 
 

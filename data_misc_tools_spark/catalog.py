@@ -5232,6 +5232,32 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dataset_fingerprint_orders",
+    """
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(('0x' || substr(md5('fp:' || coalesce(o_orderkey::VARCHAR, '\\N')
+                 || '|' || coalesce(o_custkey::VARCHAR, '\\N')
+                 || '|' || coalesce(o_orderstatus, '\\N')
+                 || '|' || coalesce(o_orderpriority, '\\N')), 1, 15))::BIGINT
+               ::DECIMAL(38,0))::VARCHAR AS fingerprint
+    FROM orders
+    """,
+)
+def dataset_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable order-insensitive table checksum over the
+    orders key columns — the cross-engine migration validator (a
+    data-misc-tools user can checksum the same table in Hive and
+    here and compare one row). 60-bit md5 row hashes summed exactly
+    in decimal(38,0). See operators/etl.py:dataset_fingerprint."""
+    from data_misc_tools_spark.operators.etl import dataset_fingerprint
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return dataset_fingerprint(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 

@@ -151,3 +151,41 @@ def scd2_intervals(
     return iv.withColumn("valid_to", F.lead("valid_from").over(w2)).select(
         key_col, state_col, "valid_from", "valid_to"
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    salt: str = "fp:",
+) -> DataFrame:
+    """Order-insensitive, engine-portable table checksum — the
+    migration validator: run it on the same logical table in two
+    engines (or before/after a rewrite, repartition, or format
+    conversion) and compare one row.
+
+    Each row hashes to a 60-bit integer via the repo's portable md5
+    idiom over a canonical '|'-joined rendering of ``cols`` (nulls
+    render as the sentinel '\\N'); the fingerprint is the EXACT sum of
+    those integers in decimal(38,0) — commutative, so any row order /
+    partitioning / engine yields the identical value. Collisions:
+    forging equality needs a matching 60-bit sum; corruption detection
+    (the use case) is effectively certain.
+
+    Caveat: only list ``cols`` with engine-stable string renderings
+    (integers, strings, dates). Floats format differently across
+    engines — round/scale them to integers first.
+
+    Scale: scan-local hashing + one map-side-combined global sum; the
+    shuffle is a handful of 16-byte partials. Output: one row
+    (n_rows, fingerprint) with the fingerprint as a digit string.
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), canon)), 1, 15), 16, 10
+    ).cast("long")
+    return df.select(h.alias("__h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+    )

@@ -136,3 +136,25 @@ def test_merge_snapshot_applies_changes_without_touching_rest(spark):
     out = {r.k: r.val for r in
            merge_snapshot(base, log, ["k"], ["seq"], op_col="op").collect()}
     assert out == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 1 untouched
+
+
+def test_dataset_fingerprint_order_insensitive_and_sensitive_to_data(spark):
+    from data_misc_tools_spark.operators.etl import dataset_fingerprint
+
+    rows = [(i, f"v{i % 7}", None if i % 5 == 0 else f"s{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    fp = dataset_fingerprint(df, ["id", "a", "b"]).collect()[0]
+    assert fp.n_rows == 100
+    # identical under any row order / partitioning
+    again = dataset_fingerprint(df.orderBy("a").repartition(13), ["id", "a", "b"]).collect()[0]
+    assert again.fingerprint == fp.fingerprint
+    # any single-value change moves the checksum
+    mut = spark.createDataFrame(
+        [(i, f"v{i % 7}", None if i % 5 == 0 else ("s999" if i == 3 else f"s{i}"))
+         for i in range(100)],
+        "id long, a string, b string")
+    assert dataset_fingerprint(mut, ["id", "a", "b"]).collect()[0].fingerprint != fp.fingerprint
+    # null vs literal backslash-N sentinel collision is the documented
+    # canonicalization; column order matters
+    other = dataset_fingerprint(df, ["a", "id", "b"]).collect()[0]
+    assert other.fingerprint != fp.fingerprint
