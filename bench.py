@@ -124,6 +124,8 @@ HEADLINE = [
     "pmi_collocations_topk",
     "hourly_anomaly_zscore",
     "dataset_fingerprint_orders",
+    "bm25_index_query",
+    "ab_lift_purchase_vs_click",
 ]
 
 

@@ -5258,6 +5258,91 @@ def dataset_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("bm25_index_query")
+def bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-inverted-index BM25 path end-to-end: build the
+    bucket-partitioned postings index into a temp dir, then answer the
+    SAME three queries through it. Oracle = the direct-BM25 SQL
+    (assigned below): the index path only matches if build, append
+    layout, bucket pruning, and scoring are all exactly equivalent to
+    scoring the raw corpus."""
+    import tempfile
+
+    from data_misc_tools_spark.operators import retrieval as R
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    R.inverted_index_build(d, path, n_buckets=32)
+    q = R.queries_df(spark, _BM25_QUERIES)
+    return R.inverted_index_query(spark, path, q, k=10, n_buckets=32)
+
+
+def _ab_lift_oracle() -> str:
+    from data_misc_tools_spark.operators.profile import POISSON1_THRESHOLDS
+
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
+    ) + " ELSE 6 END"
+    return f"""
+    WITH base AS (
+        SELECT event_id::VARCHAR AS k, (event_type = 'purchase') AS t,
+               round(value * 10000)::BIGINT AS x
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    pt AS (
+        SELECT sum((NOT t)::INT)::BIGINT AS n_control,
+               sum(t::INT)::BIGINT AS n_treatment,
+               sum(CASE WHEN t THEN x END)::BIGINT::DOUBLE / sum(t::INT) / 10000
+                 - sum(CASE WHEN NOT t THEN x END)::BIGINT::DOUBLE / sum((NOT t)::INT) / 10000
+                 AS lift
+        FROM base
+    ),
+    rep AS (
+        SELECT k, t, x, r,
+               ('0x' || substr(md5('boot:' || k || ':' || r::VARCHAR), 1, 8))::BIGINT AS u
+        FROM base JOIN generate_series(0, 99) g(r) ON true
+    ),
+    reps AS (
+        SELECT r,
+               sum(CASE WHEN t THEN w END)::BIGINT AS nt,
+               sum(CASE WHEN t THEN w * x END)::BIGINT AS st,
+               sum(CASE WHEN NOT t THEN w END)::BIGINT AS nc,
+               sum(CASE WHEN NOT t THEN w * x END)::BIGINT AS sc
+        FROM (SELECT r, t, x, {w_case} AS w FROM rep)
+        GROUP BY r
+        HAVING coalesce(sum(CASE WHEN t THEN w END), 0) > 0
+           AND coalesce(sum(CASE WHEN NOT t THEN w END), 0) > 0
+    ),
+    ranked AS (
+        SELECT d, row_number() OVER (ORDER BY d, r) AS rn, count(*) OVER () AS b
+        FROM (SELECT r, st::DOUBLE / nt / 10000 - sc::DOUBLE / nc / 10000 AS d FROM reps)
+    ),
+    ci AS (
+        SELECT max(CASE WHEN rn = (b * 25) // 1000 + 1 THEN d END) AS ci_lo,
+               max(CASE WHEN rn = b - (b * 25) // 1000 THEN d END) AS ci_hi
+        FROM ranked
+    )
+    SELECT n_control, n_treatment, lift, ci_lo, ci_hi FROM pt CROSS JOIN ci
+    """
+
+
+@_q("ab_lift_purchase_vs_click", _ab_lift_oracle())
+def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout machinery on the events table: bootstrap 95% CI for
+    the difference in mean value between two variants (purchase vs
+    click standing in for treatment/control). Deterministic Poisson
+    replicates resample both variants; the CI is order statistics of
+    per-replicate lifts — engine-exact end to end. See
+    operators/profile.py:bootstrap_ab_lift."""
+    from data_misc_tools_spark.operators.profile import bootstrap_ab_lift
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return bootstrap_ab_lift(
+        e, "value", "event_id", "event_type",
+        control="click", treatment="purchase", n_boot=100,
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
@@ -5398,6 +5483,9 @@ GRADED_FIRST: list[str] = [
     "embedding_sq_adc_topk", "chunk_documents", "dedup_keep_best",
 ]
 
+
+# the index path answers the same queries: share the direct-BM25 oracle
+ORACLES["bm25_index_query"] = ORACLES["bm25_search_topk"]
 
 def _reorder() -> None:
     global QUERIES

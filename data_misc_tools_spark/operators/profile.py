@@ -523,3 +523,92 @@ def bootstrap_ci_mean(
     if g:
         return point.join(ci, g).select(*g, "n_rows", "mean", "ci_lo", "ci_hi")
     return point.crossJoin(ci).select("n_rows", "mean", "ci_lo", "ci_hi")
+
+
+def bootstrap_ab_lift(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    control: str,
+    treatment: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    scale: int = 10000,
+    salt: str = "boot:",
+) -> DataFrame:
+    """Percentile-bootstrap CI for the LIFT (treatment mean − control
+    mean) between two variants — the A/B readout. Same deterministic
+    online Poisson machinery as :func:`bootstrap_ci_mean`; each
+    replicate resamples BOTH variants (independent hash-derived
+    weights), the per-replicate lift is a difference of two exact-
+    integer-ratio doubles, and the CI bounds are order statistics of
+    those lifts. Replicates where either variant drew all-zero
+    weights are dropped.
+
+    Output: one row (n_control, n_treatment, lift, ci_lo, ci_hi) —
+    the null hypothesis "no lift" is rejected at ``alpha`` when the
+    CI excludes 0.
+    """
+    from pyspark.sql.window import Window
+
+    from data_misc_tools_spark.operators.sampling import _hash_u32
+
+    x = F.round(F.col(value_col) * scale).cast("long")
+    base = df.where(F.col(group_col).isin([control, treatment])).select(
+        F.col(key_col).cast("string").alias("__k"),
+        (F.col(group_col) == treatment).alias("__t"),
+        x.alias("__x"),
+    )
+    point = base.agg(
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).cast("long").alias("n_control"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("n_treatment"),
+        (
+            F.sum(F.when(F.col("__t"), F.col("__x"))).cast("double")
+            / F.sum(F.when(F.col("__t"), 1)) / scale
+            - F.sum(F.when(~F.col("__t"), F.col("__x"))).cast("double")
+            / F.sum(F.when(~F.col("__t"), 1)) / scale
+        ).alias("lift"),
+    )
+    rep = base.select(
+        "__k", "__t", "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r"),
+    )
+    u = _hash_u32(
+        F.concat(F.col("__k"), F.lit(":"), F.col("__r").cast("string")), salt
+    )
+    w = F.lit(6)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < POISSON1_THRESHOLDS[k], k).otherwise(w)
+    reps = (
+        rep.withColumn("__w", w.cast("long"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.when(F.col("__t"), F.col("__w"))).cast("long").alias("nt"),
+            F.sum(F.when(F.col("__t"), F.col("__w") * F.col("__x"))).cast("long").alias("st"),
+            F.sum(F.when(~F.col("__t"), F.col("__w"))).cast("long").alias("nc"),
+            F.sum(F.when(~F.col("__t"), F.col("__w") * F.col("__x"))).cast("long").alias("sc"),
+        )
+        .where((F.coalesce(F.col("nt"), F.lit(0)) > 0) & (F.coalesce(F.col("nc"), F.lit(0)) > 0))
+        .select(
+            "__r",
+            (
+                F.col("st").cast("double") / F.col("nt") / scale
+                - F.col("sc").cast("double") / F.col("nc") / scale
+            ).alias("__d"),
+        )
+    )
+    win = Window.partitionBy(F.lit(1))
+    ranked = reps.select(
+        "__d",
+        F.row_number().over(win.orderBy("__d", "__r")).alias("__rn"),
+        F.count("*").over(win).alias("__b"),
+    )
+    permille = int(round(alpha / 2 * 1000))
+    lo_i = F.expr(f"(__b * {permille}) div 1000") + 1
+    hi_i = F.col("__b") - F.expr(f"(__b * {permille}) div 1000")
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rn") == lo_i, F.col("__d"))).alias("ci_lo"),
+        F.max(F.when(F.col("__rn") == hi_i, F.col("__d"))).alias("ci_hi"),
+    )
+    return point.crossJoin(ci)

@@ -294,3 +294,27 @@ def test_bootstrap_ci_sane_and_deterministic(spark):
         df.repartition(7), "value", "event_id", group_cols=["grp"], n_boot=100
     ).collect()}
     assert (again["a"].ci_lo, again["a"].ci_hi) == (a.ci_lo, a.ci_hi)
+
+
+def test_ab_lift_detects_true_difference(spark):
+    from data_misc_tools_spark.operators.profile import bootstrap_ab_lift
+
+    rows = [(i, "control", 10.0 + (i % 5)) for i in range(1000)]
+    rows += [(10_000 + i, "treatment", 13.0 + (i % 5)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    r = bootstrap_ab_lift(
+        df, "value", "event_id", "grp", control="control", treatment="treatment"
+    ).collect()[0]
+    assert r.n_control == r.n_treatment == 1000
+    assert r.lift == pytest.approx(3.0)
+    assert r.ci_lo < 3.0 < r.ci_hi
+    assert r.ci_lo > 0  # true lift: CI excludes zero
+    assert (r.ci_hi - r.ci_lo) < 1.0
+    # null experiment: identical distributions -> CI straddles zero
+    rows0 = [(i, "control", 10.0 + (i % 5)) for i in range(1000)]
+    rows0 += [(10_000 + i, "treatment", 10.0 + (i % 5)) for i in range(1000)]
+    df0 = spark.createDataFrame(rows0, "event_id long, grp string, value double")
+    r0 = bootstrap_ab_lift(
+        df0, "value", "event_id", "grp", control="control", treatment="treatment"
+    ).collect()[0]
+    assert r0.ci_lo < 0 < r0.ci_hi
