@@ -126,3 +126,51 @@ def test_pipeline_is_deterministic(spark, pipeline):
     )
     ids_b = sorted(r.doc_id for r in mixed.select("doc_id").collect())
     assert ids_a == ids_b
+
+
+def test_release_phase_audit_split_export(spark, pipeline):
+    """Release phase on the mixed corpus: drift audit vs the pre-mix
+    corpus, deterministic split, fingerprint conservation across the
+    split, and WebDataset tar export that reads back complete."""
+    import io
+    import tarfile
+
+    from data_misc_tools_spark.operators.etl import dataset_fingerprint
+    from data_misc_tools_spark.operators.export import tar_shard_export
+    from data_misc_tools_spark.operators.profile import corpus_drift
+
+    mixed = pipeline["mixed"]
+    deduped = pipeline["deduped"]
+
+    # 1. drift audit: resampling only removes docs, so the mixed token
+    # count shrinks; smoothed KL is non-negative (mod e6 rounding)
+    drift = corpus_drift(deduped, mixed).collect()[0]
+    assert drift.n_tokens_b < drift.n_tokens_a
+    assert drift.n_new_terms == 0  # mixing introduces no new vocab
+    assert drift.kl_b_from_a > -1e-4
+
+    # 2. split + fingerprint conservation: the three splits partition
+    # the corpus EXACTLY (checksum of the union == checksum of input)
+    split = SA.split_assign(mixed, "doc_id", salt="rel")
+    parts = [split.where(F.col("split") == s).drop("split")
+             for s in ("train", "val", "test")]
+    fp_all = dataset_fingerprint(mixed, ["doc_id", "text"]).collect()[0]
+    fp_union = dataset_fingerprint(
+        parts[0].unionAll(parts[1]).unionAll(parts[2]), ["doc_id", "text"]
+    ).collect()[0]
+    assert (fp_union.n_rows, fp_union.fingerprint) == (fp_all.n_rows, fp_all.fingerprint)
+
+    # 3. export the train split as tar shards; members read back 1:1
+    train = parts[0].select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")).alias("name"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    n_train = train.count()
+    shards = tar_shard_export(train, n_shards=4).collect()
+    seen = set()
+    for r in shards:
+        with tarfile.open(fileobj=io.BytesIO(bytes(r.tar))) as tf:
+            for m in tf.getmembers():
+                seen.add(int(m.name.split("_")[1].split(".")[0]))
+    assert len(seen) == n_train > 0
