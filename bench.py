@@ -126,6 +126,7 @@ HEADLINE = [
     "dataset_fingerprint_orders",
     "bm25_index_query",
     "ab_lift_purchase_vs_click",
+    "decayed_popularity_types",
 ]
 
 

@@ -5343,6 +5343,32 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "decayed_popularity_types",
+    """
+    WITH base AS (
+        SELECT event_type AS entity, epoch(date_trunc('second', ts))::BIGINT AS s
+        FROM events
+    ),
+    mx AS (SELECT max(s)::BIGINT AS m FROM base)
+    SELECT entity, count(*)::BIGINT AS n_events,
+           sum(round(pow(2.0, -((m - s)::DOUBLE / 604800)) * 1e6)::BIGINT)::BIGINT::DOUBLE
+             / 1e6 AS score
+    FROM base CROSS JOIN mx GROUP BY entity
+    """,
+)
+def decayed_popularity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity per event type (half-life 7 days,
+    anchored at the max event time): per-event 2^(-age/hl) weights
+    e6-rounded to BIGINTs, exact integer sums, one final /1e6 — the
+    trending score without the double-accumulation hash trap. See
+    operators/temporal.py:decayed_popularity."""
+    from data_misc_tools_spark.operators.temporal import decayed_popularity
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return decayed_popularity(e)
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 

@@ -341,3 +341,53 @@ def rolling_zscore_anomalies(
     if threshold is not None:
         scored = scored.where(F.abs(F.col("z")) >= threshold)
     return scored
+
+
+def decayed_popularity(
+    df: DataFrame,
+    entity_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_seconds: int = 604800,
+    as_of: str | None = None,
+) -> DataFrame:
+    """Recency-weighted popularity: each event contributes
+    2^(-age/half_life), summed per entity — the standard trending /
+    freshness score (a count where last week matters twice as much as
+    the week before).
+
+    Engine-exact: each event's weight rounds to an e6 BIGINT
+    (exp of a shared IEEE double — transcendental, never on a decimal
+    half), per-entity sums are pure integer, and the score divides by
+    1e6 once at the end. A naive sum of double weights would be
+    accumulation-order dependent and hash-unstable.
+
+    ``as_of`` (ISO timestamp string) anchors the age; default is the
+    max event time in the data (computed in the same aggregate pass,
+    broadcast back). Scale: one scan + one entity-keyed aggregate.
+
+    Output: (entity, n_events, score) — score unrounded double of an
+    exact integer / 1e6.
+    """
+    anchor = (
+        F.lit(as_of).cast("timestamp")
+        if as_of is not None
+        else None
+    )
+    base = df.select(F.col(entity_col).alias("entity"), F.col(ts_col).alias("__ts"))
+    if anchor is None:
+        mx = base.agg(F.max("__ts").alias("__mx"))
+        base = base.crossJoin(F.broadcast(mx))
+    else:
+        base = base.withColumn("__mx", anchor)
+    age = F.unix_timestamp("__mx") - F.unix_timestamp("__ts")
+    w_e6 = F.round(
+        F.pow(F.lit(2.0), -(age.cast("double") / half_life_seconds)) * 1e6
+    ).cast("long")
+    return (
+        base.withColumn("__w", w_e6)
+        .groupBy("entity")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum("__w").cast("double") / F.lit(1e6)).alias("score"),
+        )
+    )

@@ -246,3 +246,29 @@ def test_rolling_zscore_flags_spike(spark):
     assert len(allrows) == 6  # hours 24..29
     normal = [x for x in allrows if x.n <= 6]
     assert normal and all(abs(x.z) < 3 for x in normal if x.z is not None)
+
+
+def test_decayed_popularity_halves_per_half_life(spark):
+    import datetime as dt
+
+    from data_misc_tools_spark.operators.temporal import decayed_popularity
+
+    t0 = dt.datetime(2024, 1, 1)
+    hl = 3600
+    rows = [
+        (1, "a", t0),                               # age 2h -> 0.25
+        (2, "a", t0 + dt.timedelta(hours=1)),       # age 1h -> 0.5
+        (3, "a", t0 + dt.timedelta(hours=2)),       # age 0  -> 1.0
+        (4, "b", t0 + dt.timedelta(hours=2)),       # age 0  -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = {r.entity: r for r in decayed_popularity(df, half_life_seconds=hl).collect()}
+    assert got["a"].n_events == 3 and got["a"].score == pytest.approx(1.75)
+    assert got["b"].score == pytest.approx(1.0)
+    # explicit as_of one half-life later halves every weight
+    later = decayed_popularity(
+        df, half_life_seconds=hl, as_of="2024-01-01 03:00:00"
+    ).collect()
+    lmap = {r.entity: r.score for r in later}
+    assert lmap["a"] == pytest.approx(0.875)
+    assert lmap["b"] == pytest.approx(0.5)
