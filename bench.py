@@ -127,6 +127,7 @@ HEADLINE = [
     "bm25_index_query",
     "ab_lift_purchase_vs_click",
     "decayed_popularity_types",
+    "event_transition_matrix",
 ]
 
 

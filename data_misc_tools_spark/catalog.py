@@ -5369,6 +5369,35 @@ def decayed_popularity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_popularity(e)
 
 
+@_q(
+    "event_transition_matrix",
+    """
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_item,
+               event_type AS to_item
+        FROM events
+    ),
+    cnt AS (
+        SELECT from_item, to_item, count(*)::BIGINT AS n
+        FROM pairs WHERE from_item IS NOT NULL
+        GROUP BY from_item, to_item
+    )
+    SELECT from_item, to_item, n,
+           ((2 * n * 10000 + t) // (2 * t)) / 10000.0 AS p
+    FROM (SELECT *, sum(n) OVER (PARTITION BY from_item)::BIGINT AS t FROM cnt)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences ((ts, event_id) total order): counts plus half-up
+    integer-exact row-normalized probabilities. See
+    operators/temporal.py:transition_matrix."""
+    from data_misc_tools_spark.operators.temporal import transition_matrix
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return transition_matrix(e)
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 

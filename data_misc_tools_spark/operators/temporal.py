@@ -391,3 +391,39 @@ def decayed_popularity(
             (F.sum("__w").cast("double") / F.lit(1e6)).alias("score"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    item_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each
+    entity's event sequence — the behavior-model summary behind
+    next-action prediction baselines and anomaly rules.
+
+    Deterministic ordering by ``order_cols`` (default [ts, event_id];
+    must end in a unique tiebreaker). The probability is the integer
+    half-up ratio n(a→b)/n(a→*) at 4 decimals — engine-exact.
+
+    Scale: one entity-keyed lag window + one (from,to) aggregate;
+    the matrix is |alphabet|² rows. Output: (from_item, to_item,
+    n, p).
+    """
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    pairs = (
+        df.select(entity_col, *order_cols, F.col(item_col).alias("to_item"))
+        .withColumn("from_item", F.lag("to_item").over(w))
+        .where(F.col("from_item").isNotNull())
+        .groupBy("from_item", "to_item")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("from_item")
+    return pairs.withColumn("__t", F.sum("n").over(tot)).selectExpr(
+        "from_item",
+        "to_item",
+        "n",
+        "((2 * n * 10000 + __t) div (2 * __t)) / 10000.0D AS p",
+    )

@@ -272,3 +272,22 @@ def test_decayed_popularity_halves_per_half_life(spark):
     lmap = {r.entity: r.score for r in later}
     assert lmap["a"] == pytest.approx(0.875)
     assert lmap["b"] == pytest.approx(0.5)
+
+
+def test_transition_matrix_hand_case(spark):
+    from data_misc_tools_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (1, 1, 1, "a"), (1, 2, 2, "b"), (1, 3, 3, "a"), (1, 4, 4, "b"),
+        (2, 1, 5, "a"), (2, 2, 6, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    got = {(r.from_item, r.to_item): (r.n, r.p)
+           for r in transition_matrix(df).collect()}
+    # a->b twice (user 1), a->a once (user 2): p(a->b)=2/3, p(a->a)=1/3
+    assert got[("a", "b")] == (2, 0.6667)
+    assert got[("a", "a")] == (1, 0.3333)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("b", "b") not in got
+    # rows per from_item sum to ~1
+    assert abs(got[("a", "b")][1] + got[("a", "a")][1] - 1.0) < 2e-4
