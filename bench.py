@@ -128,6 +128,7 @@ HEADLINE = [
     "ab_lift_purchase_vs_click",
     "decayed_popularity_types",
     "event_transition_matrix",
+    "conversion_lag_quantiles",
 ]
 
 

@@ -5398,6 +5398,54 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(e)
 
 
+@_q(
+    "conversion_lag_quantiles",
+    """
+    WITH v AS (
+        SELECT user_id, min(epoch(date_trunc('second', ts))::BIGINT) AS t
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, min(epoch(date_trunc('second', ts))::BIGINT) AS t
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    lag_ AS (
+        SELECT p.t - v.t AS lag_s
+        FROM v JOIN p USING (user_id) WHERE p.t >= v.t
+    )
+    SELECT count(*)::BIGINT AS n_converters,
+           round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(lag_s, 0.9), 4) AS p90_s,
+           round(quantile_cont(lag_s, 0.99), 4) AS p99_s
+    FROM lag_
+    """,
+)
+def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from FIRST view
+    to FIRST purchase (converters only, purchase not before view);
+    exact interpolated percentiles on integer seconds (Spark
+    `percentile` == DuckDB `quantile_cont`, proven bit-identical by
+    the MAD op). Two filtered min-aggregates + one user-keyed join —
+    co-partitioned, no window."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    sec = F.unix_timestamp("ts")
+    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(sec).alias("tv")
+    )
+    p = e.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min(sec).alias("tp")
+    )
+    lag = v.join(p, "user_id").where(F.col("tp") >= F.col("tv")).select(
+        (F.col("tp") - F.col("tv")).alias("lag_s")
+    )
+    return lag.agg(
+        F.count("*").cast("long").alias("n_converters"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(lag_s, 0.99)"), 4).alias("p99_s"),
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
