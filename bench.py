@@ -129,6 +129,7 @@ HEADLINE = [
     "decayed_popularity_types",
     "event_transition_matrix",
     "conversion_lag_quantiles",
+    "corpus_distinct_n",
 ]
 
 

@@ -5446,6 +5446,61 @@ def conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "corpus_distinct_n",
+    """
+    WITH base AS (
+        SELECT list_filter(string_split(text, ' '), x -> x != '') AS arr FROM documents
+    ),
+    g AS (
+        SELECT n, array_to_string(arr[i:i+n-1], ' ') AS gram
+        FROM base
+        JOIN generate_series(1, 4) s(n) ON true
+        JOIN generate_series(1, 2048) t(i) ON i <= len(arr) - n + 1
+    ),
+    agg AS (
+        SELECT n, count(*)::BIGINT AS total, count(DISTINCT gram)::BIGINT AS uniq
+        FROM g GROUP BY n
+    )
+    SELECT n::BIGINT AS n, total, uniq,
+           ((2 * uniq * 10000 + total) // (2 * total)) / 10000.0 AS distinct_ratio
+    FROM agg
+    """,
+)
+def corpus_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity via distinct-n (Li et al. 2016): for n=1..4,
+    the share of n-gram occurrences that are unique — low distinct-n
+    flags template/boilerplate-heavy (or machine-generated) corpora.
+    One n-gram explode per n off the same scan; half-up integer-exact
+    ratios."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = d.select(T.tokens("text").alias("arr"))
+    grams = base.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 4), n ->"
+                " CASE WHEN size(arr) >= n THEN"
+                "   transform(sequence(1, size(arr) - n + 1),"
+                "     i -> struct(n AS n, concat_ws(' ', slice(arr, i, n)) AS gram))"
+                " ELSE array() END))"
+            )
+        ).alias("g")
+    ).select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    return (
+        grams.groupBy("n")
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.count_distinct("gram").cast("long").alias("uniq"),
+        )
+        .selectExpr(
+            "cast(n AS bigint) AS n",
+            "total",
+            "uniq",
+            "((2 * uniq * 10000 + total) div (2 * total)) / 10000.0D AS distinct_ratio",
+        )
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
