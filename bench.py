@@ -130,6 +130,7 @@ HEADLINE = [
     "event_transition_matrix",
     "conversion_lag_quantiles",
     "corpus_distinct_n",
+    "item_cooccurrence_jaccard",
 ]
 
 

@@ -5501,6 +5501,66 @@ def corpus_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "item_cooccurrence_jaccard",
+    """
+    WITH ui AS (
+        SELECT DISTINCT user_id, json_extract_string(props, '$.k')::BIGINT AS item
+        FROM events
+    ),
+    deg AS (SELECT item, count(*)::BIGINT AS d FROM ui GROUP BY item),
+    co AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS co_users
+        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING count(*) >= 5
+    )
+    SELECT item_a, item_b, co_users,
+           ((2 * co_users * 10000 + (da.d + db.d - co_users))
+             // (2 * (da.d + db.d - co_users))) / 10000.0 AS jaccard
+    FROM co
+    JOIN deg da ON da.item = co.item_a
+    JOIN deg db ON db.item = co.item_b
+    """,
+)
+def item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering item similarity: items (props.k) that
+    share users, scored by Jaccard over their user sets (min 5
+    co-users), half-up integer-exact. One distinct (user, item)
+    relation feeds the degree agg and the user-keyed self-join —
+    AQE splits hot users; at 100 TB cap per-user item lists (hot-user
+    pruning) before the pair join, as power users dominate the
+    quadratic term."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    ui = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).distinct()
+    deg = ui.groupBy("item").agg(F.count("*").cast("long").alias("d"))
+    a = ui.select(F.col("user_id"), F.col("item").alias("item_a"))
+    b = ui.select(F.col("user_id"), F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("co_users"))
+        .where(F.col("co_users") >= 5)
+    )
+    da = deg.select(F.col("item").alias("item_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("item").alias("item_b"), F.col("d").alias("db"))
+    return (
+        co.join(F.broadcast(da), "item_a")
+        .join(F.broadcast(db), "item_b")
+        .selectExpr(
+            "item_a",
+            "item_b",
+            "co_users",
+            "((2 * co_users * 10000 + (da + db - co_users))"
+            " div (2 * (da + db - co_users))) / 10000.0D AS jaccard",
+        )
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
