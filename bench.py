@@ -131,6 +131,7 @@ HEADLINE = [
     "conversion_lag_quantiles",
     "corpus_distinct_n",
     "item_cooccurrence_jaccard",
+    "event_value_histogram",
 ]
 
 

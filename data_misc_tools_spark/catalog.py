@@ -5561,6 +5561,44 @@ def item_cooccurrence_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "event_value_histogram",
+    """
+    WITH ext AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               least(floor((value - lo) / ((hi - lo) / 10))::BIGINT, 9) AS bin
+        FROM events CROSS JOIN ext
+    )
+    SELECT event_type, bin, count(*)::BIGINT AS n
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin value histogram per event type (global
+    min/max extent, top bin closed). Engine-exact without integer
+    scaffolding: bin = floor((v-lo)/w) where v, lo, hi, and the
+    division chain are the SAME IEEE doubles in both engines — floor
+    of identical doubles needs no rounding guard. One tiny extent agg
+    broadcast into a scan-local binning + one grouped count."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    ext = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        e.crossJoin(F.broadcast(ext))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
+                F.lit(9),
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
