@@ -132,6 +132,7 @@ HEADLINE = [
     "corpus_distinct_n",
     "item_cooccurrence_jaccard",
     "event_value_histogram",
+    "trimmed_mean_events",
 ]
 
 

@@ -5599,6 +5599,49 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "trimmed_mean_events",
+    """
+    WITH b AS (
+        SELECT event_type, quantile_cont(value, 0.05) AS p5,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    ),
+    kept AS (
+        SELECT e.event_type, round(e.value * 10000)::BIGINT AS x
+        FROM events e JOIN b USING (event_type)
+        WHERE e.value >= b.p5 AND e.value <= b.p95
+    )
+    SELECT event_type, count(*)::BIGINT AS n_kept,
+           ((2 * sum(x)::BIGINT + count(*)) // (2 * count(*))) / 10000.0 AS trimmed_mean
+    FROM kept GROUP BY event_type
+    """,
+)
+def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of event value per type — the robust
+    location estimate that survives fat tails. Exact interpolated
+    percentile bounds (bit-identical across engines, the MAD-op
+    proof), then an e4-integer half-up mean over the kept rows. Two
+    passes: one grouped percentile agg broadcast back into a
+    scan-local range filter + one grouped sum."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p5"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    kept = (
+        e.join(F.broadcast(b), "event_type")
+        .where((F.col("value") >= F.col("p5")) & (F.col("value") <= F.col("p95")))
+        .select("event_type", F.round(F.col("value") * 10000).cast("long").alias("x"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.expr("((2 * sum(x) + count(*)) div (2 * count(*))) / 10000.0D").alias(
+            "trimmed_mean"
+        ),
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
