@@ -133,6 +133,8 @@ HEADLINE = [
     "item_cooccurrence_jaccard",
     "event_value_histogram",
     "trimmed_mean_events",
+    "text_char_entropy",
+    "cohort_retention_rates",
 ]
 
 

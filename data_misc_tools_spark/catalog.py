@@ -5642,6 +5642,105 @@ def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, substr(text, i, 1) AS ch
+        FROM documents JOIN generate_series(1, 2048) g(i) ON i <= length(text)
+    ),
+    cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch),
+    dl AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id,
+           dl.n AS n_chars,
+           sum(cc.c * round(ln(dl.n::DOUBLE / cc.c) * 1e6)::BIGINT)::BIGINT::DOUBLE
+             / dl.n / 1e6 AS entropy_nats
+    FROM cc JOIN dl USING (doc_id)
+    GROUP BY cc.doc_id, dl.n
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) —
+    the cheap gibberish/repetition signal (near-zero = one repeated
+    char; natural text sits ~2.5-3.2). Engine-exact: per-(doc,char)
+    e6-rounded ln(n/c) terms, integer weighted sums, one final double
+    division chain. One explode + two doc-keyed aggs."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "(?!^)")).alias("ch")
+    ).where(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count("*").cast("long").alias("c"))
+    dl = cc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cc.join(dl, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum(
+                F.col("c")
+                * F.round(F.log(F.col("n").cast("double") / F.col("c")) * 1e6).cast(
+                    "long"
+                )
+            ).cast("long").alias("__s")
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            (F.col("__s").cast("double") / F.col("n") / F.lit(1e6)).alias(
+                "entropy_nats"
+            ),
+        )
+    )
+
+
+@_q(
+    "cohort_retention_rates",
+    """
+    WITH act AS (
+        SELECT user_id, epoch(date_trunc('day', ts))::BIGINT // 604800 AS period
+        FROM events GROUP BY user_id, period
+    ),
+    coh AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY user_id),
+    cell AS (
+        SELECT c.cohort, a.period - c.cohort AS offs, count(*)::BIGINT AS n_users
+        FROM act a JOIN coh c USING (user_id)
+        GROUP BY c.cohort, a.period - c.cohort
+    ),
+    base AS (SELECT cohort, n_users AS size FROM cell WHERE offs = 0)
+    SELECT cell.cohort, cell.offs AS period_offset, cell.n_users,
+           ((2 * cell.n_users * 10000 + base.size) // (2 * base.size)) / 10000.0 AS rate
+    FROM cell JOIN base USING (cohort)
+    """,
+)
+def cohort_retention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention as RATES: weekly activity cells normalized by
+    each cohort's size (offset-0 cell), half-up integer-exact. The
+    day-truncate-before-epoch guard keeps bucket edges identical
+    across engines."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    period = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / F.lit(604800)
+    ).cast("long")
+    act = e.select("user_id", period.alias("period")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("period").alias("cohort"))
+    cell = (
+        act.join(coh, "user_id")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("offs"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    base = cell.where(F.col("offs") == 0).select(
+        "cohort", F.col("n_users").alias("size")
+    )
+    return (
+        cell.join(F.broadcast(base), "cohort")
+        .selectExpr(
+            "cohort",
+            "offs AS period_offset",
+            "n_users",
+            "((2 * n_users * 10000 + size) div (2 * size)) / 10000.0D AS rate",
+        )
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
