@@ -135,6 +135,8 @@ HEADLINE = [
     "trimmed_mean_events",
     "text_char_entropy",
     "cohort_retention_rates",
+    "engagement_gini",
+    "event_path_trigrams",
 ]
 
 

@@ -5741,6 +5741,91 @@ def cohort_retention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "engagement_gini",
+    """
+    WITH pc AS (SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id)::BIGINT AS i FROM pc
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(i * x)::BIGINT AS six
+        FROM ranked
+    )
+    SELECT n AS n_users, sx AS n_events,
+           (2 * six)::DOUBLE / (n::DOUBLE * sx) - (n + 1)::DOUBLE / n AS gini
+    FROM agg
+    """,
+)
+def engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of activity across users as the Gini coefficient
+    (0 = uniform, ->1 = a few power users dominate) — the skew summary
+    that decides whether per-user capping is needed. Exact: integer
+    rank-weighted sums over (count, user_id)-ordered users, one IEEE
+    closed form, unrounded. The rank window is user-count sized; for
+    1e9 users substitute the binned approximation."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    pc = e.groupBy("user_id").agg(F.count("*").cast("long").alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = pc.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    ).selectExpr(
+        "n AS n_users",
+        "sx AS n_events",
+        "cast(2 * six AS double) / (cast(n AS double) * sx)"
+        " - cast(n + 1 AS double) / n AS gini",
+    )
+
+
+@_q(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+        SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*)::BIGINT AS n
+        FROM seq WHERE p2 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY n DESC, path)::BIGINT AS rank FROM tri
+    ) WHERE rank <= 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavior paths (per-user consecutive
+    event-type trigrams, (ts, event_id) total order) — the sequence
+    patterns funnel definitions are mined from. One entity window +
+    one path aggregate; top-20 by (count, path)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.col("event_type"),
+    ).where(F.col("p2").isNotNull())
+    tri = (
+        seq.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    topk = tri.orderBy(F.desc("n"), F.col("path")).limit(20)
+    w2 = Window.orderBy(F.desc("n"), F.col("path"))
+    return topk.withColumn("rank", F.row_number().over(w2).cast("long")).select(
+        "path", "n", "rank"
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
