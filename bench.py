@@ -137,6 +137,8 @@ HEADLINE = [
     "cohort_retention_rates",
     "engagement_gini",
     "event_path_trigrams",
+    "coordinated_sample_join",
+    "nation_revenue_share",
 ]
 
 

@@ -5826,6 +5826,96 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "coordinated_sample_join",
+    """
+    WITH so AS (
+        SELECT * FROM orders
+        WHERE ('0x' || substr(md5('coord:' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+              < (0.1 * 4294967296)::BIGINT
+    ),
+    sl AS (
+        SELECT * FROM lineitem
+        WHERE ('0x' || substr(md5('coord:' || l_orderkey::VARCHAR), 1, 8))::BIGINT
+              < (0.1 * 4294967296)::BIGINT
+    )
+    SELECT count(DISTINCT so.o_orderkey)::BIGINT AS n_orders,
+           count(*)::BIGINT AS n_lineitems,
+           sum((sl.l_orderkey IS NULL)::INT)::BIGINT AS n_orphan_orders
+    FROM so LEFT JOIN sl ON so.o_orderkey = sl.l_orderkey
+    """,
+)
+def coordinated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated sampling across tables: hash-sample orders AND
+    lineitem at 10% by the SAME salted key rule (the order key), then
+    join — every sampled order keeps ALL its lineitems (zero orphans
+    beyond genuinely childless orders), which independent per-table
+    sampling cannot guarantee. The decision is scan-local on both
+    sides (operators/sampling.py:hash_sample)."""
+    from data_misc_tools_spark.operators.sampling import hash_sample
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    so = hash_sample(t["orders"], "o_orderkey", 0.1, salt="coord:")
+    sl = hash_sample(t["lineitem"], "l_orderkey", 0.1, salt="coord:")
+    j = so.join(sl, so["o_orderkey"] == sl["l_orderkey"], "left")
+    return j.agg(
+        F.count_distinct(so["o_orderkey"]).cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum(sl["l_orderkey"].isNull().cast("long")).cast("long").alias(
+            "n_orphan_orders"
+        ),
+    )
+
+
+@_q(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)::BIGINT AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, round(cents / 100.0, 4) AS revenue,
+           ((2 * cents * 10000 + sum(cents) OVER (PARTITION BY region))
+             // (2 * sum(cents) OVER (PARTITION BY region)))::BIGINT / 10000.0 AS share
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the classic contribution-analysis window. Revenue fixed to exact
+    cents before the window sum, share via the half-up integer
+    pattern. Dimension joins broadcast; ONE region-keyed window."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"]
+    )
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.withColumn("__t", F.sum("cents").over(w)).selectExpr(
+        "region",
+        "nation",
+        "round(cents / 100.0D, 4) AS revenue",
+        "cast((2 * cents * 10000 + __t) div (2 * __t) AS bigint) / 10000.0D AS share",
+    )
+
+
 ROWS_ONLY.add("unigram_segment_demo")
 
 
