@@ -4,8 +4,16 @@ Prints exactly one JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
 
-Each query is materialized with a count-style collect (driver-side
-row materialization, no show/stdout cost). Timings include plan +
+`value` totals EVERY headline query. The stdout line must survive the
+driver's 2000-char stdout tail (round 3's 102-query line lost its
+JSON head there and recorded `parsed: null`), so the `queries` dict
+packs the stable drift-tracking core first, then the slowest of the
+rest, up to a hard MAX_LINE byte budget; `n_queries` counts all timed
+queries and the COMPLETE per-query map is always written to
+BENCH_local.json next to this script.
+
+Each query is materialized with a noop-sink write (full computation
+of every column, no driver transfer). Timings include plan +
 execution but not Spark session startup.
 """
 
@@ -142,6 +150,12 @@ HEADLINE = [
 ]
 
 
+# The r2-shared prefix: these query names have per-round timing
+# history back to BENCH_r02, so they get first claim on the packed
+# stdout line (cross-round drift tracking needs stable membership).
+_DRIFT_CORE = HEADLINE[: HEADLINE.index("pii_scrub_demo") + 1]
+
+
 def _py_warm(pdf):
     import numpy as np
     import pandas as pd
@@ -195,17 +209,44 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    record = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    # full per-query record, always (the judge's drift analysis reads
+    # this when the stdout line had to drop entries)
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+
+    # stdout line: drift-tracking core first (r2-shared set = stable
+    # cross-round comparisons), then the slowest remaining queries,
+    # greedily while the line stays under the driver's tail budget.
+    MAX_LINE = 1900
+    core = [n for n in _DRIFT_CORE if n in timings]
+    rest = sorted(
+        (n for n in timings if n not in _DRIFT_CORE),
+        key=lambda n: -timings[n],
+    )
+    packed: dict[str, float] = {}
+    line = ""
+    for name in [*core, *rest]:
+        trial = dict(packed)
+        trial[name] = timings[name]
+        cand = json.dumps({**record, "queries": trial, "detail": "BENCH_local.json"})
+        if len(cand) > MAX_LINE:
+            continue
+        packed, line = trial, cand
+    assert line and len(line) <= MAX_LINE, "bench line exceeds tail budget"
+    assert json.loads(line)["value"] == total
+    print(line)
     return 0
 
 

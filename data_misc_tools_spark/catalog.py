@@ -5972,7 +5972,8 @@ _BM25_QUERIES: list[tuple[int, str]] = [
     scored AS (
         SELECT q.query_id, t.doc_id,
                round(ln(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1e6)::BIGINT AS idf_e6,
-               (10 * t.tf * c.total_len + 3 * c.total_len + 9 * d.dl * c.n_docs) AS den,
+               (10::HUGEINT * t.tf * c.total_len + 3::HUGEINT * c.total_len
+                + 9::HUGEINT * d.dl * c.n_docs) AS den,
                t.tf, c.total_len
         FROM tf t
         JOIN qterms q USING (tok)
@@ -5982,7 +5983,7 @@ _BM25_QUERIES: list[tuple[int, str]] = [
     ),
     sums AS (
         SELECT query_id, doc_id,
-               sum((2 * idf_e6 * 22 * tf * total_len + den) // (2 * den))::BIGINT AS s_e6
+               sum((2::HUGEINT * idf_e6 * 22 * tf * total_len + den) // (2 * den))::BIGINT AS s_e6
         FROM scored GROUP BY query_id, doc_id
     )
     SELECT query_id, doc_id, rank, ((2 * s_e6 + 100) // 200) / 10000.0 AS bm25
@@ -6009,51 +6010,54 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
-# entries of queries(), in insertion order. Rounds 1-2 graded the core
-# 50 (CORRECTNESS_r01/r02: every slot green in r2), leaving 53 queries
-# with only local-gate evidence. Round 3 rotates the ENTIRE window: all
-# 50 r2 veterans already hold official driver rows, so every slot now
-# goes to a query that has never been driver-graded — 47 oracle-checked
-# (the full TPC-H remainder, set ops, rollup/cube, sampling, scalar
-# demos, pydatasource/reflect connector demos, cohort/profile/skew/
-# training-export pipeline ops) plus 3 rows-only twins. The strict
-# local gate (tools/check.py, dtype-family-strict since r2) is the
-# regression net for the demoted veterans: local green == driver green.
+# entries of queries(), in insertion order. Rounds 1-3 rotated the
+# window so 102 distinct oracle-paired queries now hold official driver
+# rows (r3: 50/50 green, all first-time). Round 4 finishes the story:
+# the window holds the LAST 47 never-driver-graded oracle queries (the
+# bm25 pair, repeated-ngram dedup, DSIR, mp4/jpeg byte-walks, gopher,
+# bigram-NLL, bootstrap/ab-lift, CDC/SCD2, z-order, triangle census,
+# and the session-3 analytics batch) plus 3 never-graded rows-only
+# twins (HLL rollup/overlap, unigram-LM segmentation) — after this
+# round EVERY oracle query in the repo has an official CORRECTNESS
+# row. The strict local gate (tools/check.py, dtype-family-strict
+# since r2) remains the regression net for all demoted veterans:
+# local green == driver green.
 # ---------------------------------------------------------------------------
 
 GRADED_FIRST: list[str] = [
-    # TPC-H remainder (r2 additions, local-green, never driver-graded)
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_parts",
-    "q12_priority_class", "q15_top_supplier", "q16_supplier_cnt",
-    "q19_discounted_revenue", "q20_part_promotion_suppliers",
-    "q21_waiting_suppliers",
-    # argmax family: the argmin direction never had its own row
-    "argmin_supplier_by_nation",
-    # anti-join / set ops
-    "customers_without_orders", "custkeys_in_both_statuses",
-    "custkeys_only_open", "acctbal_union_all",
-    # multi-dim grouping + windows
-    "orders_rollup", "orders_cube", "running_daily_revenue",
-    "event_transitions", "event_percent_rank_low", "distinct_users_daily",
-    "event_value_bands",
-    # scalar / built-in surface (reference §2.4 demos)
-    "word_topk", "scalar_idioms_demo", "url_encode_demo", "su_strip_demo",
-    "tp_format_demo", "json_results_explode_demo", "text_clean_demo",
-    "text_token_count",
-    # multimodal + streaming sliding twin
-    "multimodal_meta", "streaming_sliding_rollup",
-    # deterministic sampling / split / quartile (exact-ntile twin)
-    "sample_documents_hash", "sample_stratified_lang",
-    "sample_per_group_reservoir", "split_assign_demo",
-    "quality_quartile_ntile",
-    # round-2 pipeline ops that never earned a driver row
-    "cohort_retention_weekly", "text_bpe_token_estimate",
-    "zktree_source_demo", "rediskeys_source_demo", "profile_documents",
-    "reflect_bridge_demo", "training_order_export", "skew_report_users",
-    # round-3 oracle-checked additions (SQ-ADC compressed ANN scoring,
-    # context-window chunking, quality-aware dedup survivor policy)
-    "embedding_sq_adc_topk", "chunk_documents", "dedup_keep_best",
+    # dedup / near-dup family
+    "dedup_editdist_verify", "dedup_repeated_ngrams", "triangle_count_neardup",
+    # CDC / slowly-changing / snapshots
+    "scd2_user_status", "snapshot_diff_demo", "changelog_compact_demo",
+    # temporal joins / intervals / anomalies
+    "interval_join_attribution", "missing_intervals_demo",
+    "hourly_anomaly_zscore", "conversion_lag_quantiles",
+    "event_transition_matrix", "event_path_trigrams",
+    "decayed_popularity_types", "cohort_retention_rates",
+    # layout / splits / sampling
+    "zorder_key_demo", "split_by_cluster_demo", "sample_weighted_docs",
+    "coordinated_sample_join", "dsir_select_topk",
+    # profiling / statistics
+    "k_anonymity_report", "corr_quantity_price", "outlier_events_mad",
+    "contract_events", "zipf_corpus_fit", "corpus_drift_report",
+    "bootstrap_value_ci", "ab_lift_purchase_vs_click",
+    "dataset_fingerprint_orders", "trimmed_mean_events",
+    "event_value_histogram", "engagement_gini",
+    # text / corpus quality
+    "html_strip_demo", "gopher_filter_demo", "text_bigram_nll",
+    "text_char_entropy", "corpus_distinct_n", "pmi_collocations_topk",
+    "url_domain_quota", "nb_language_confusion",
+    # retrieval / export pipelines
+    "bm25_search_topk", "bm25_index_query", "tar_shard_export_demo",
+    "sequence_examples_export", "item_cooccurrence_jaccard",
+    # multimodal byte-walks
+    "jpeg_meta_demo", "mp4_meta_demo",
+    # relational remainder
+    "nation_revenue_share",
+    # never-graded rows-only twins (weaker rows-only driver check, but
+    # first-time official rows: sketch algebra + unigram-LM tokenizer)
+    "hll_users_mergeable_rollup", "hll_audience_overlap",
+    "unigram_segment_demo",
 ]
 
 

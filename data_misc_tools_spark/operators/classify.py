@@ -132,7 +132,15 @@ def nb_predict(
     n: int = 3,
 ) -> DataFrame:
     """Score and argmax: (id_col, predicted, score_e6). Deterministic —
-    integer scores, ties broken by smaller label string."""
+    integer scores, ties broken by smaller label string.
+
+    Drop contract: documents whose text contains ZERO in-vocab
+    n-grams produce NO output row (they never enter ``n_d``, so the
+    argmax has nothing to rank — pinned by
+    test_nb_prior_dominates_empty_overlap). Callers that must keep
+    every input row should left-join the predictions back onto the
+    input ids and treat NULL as "no evidence" (a prior-only argmax is
+    a one-liner on ``cls``: the label with the max ``prior_e6``)."""
     toks = df.select(
         F.col(id_col), F.explode(_grams(F.col(text_col), n)).alias("gram")
     )

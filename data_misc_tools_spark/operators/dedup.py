@@ -446,10 +446,12 @@ def repeated_ngram_removal(
     into the cleaned document.
 
     Deterministic keeper rule: occurrences are keyed by
-    ``doc_id * max_tokens + pos`` (positions must stay below
-    ``max_tokens``; the fixture contract pins docs <= 2048 tokens), so
-    the survivor set is engine-exact and a DuckDB twin hashes
-    identically.
+    ``doc_id * max_tokens + pos``, so the survivor set is engine-exact
+    and a DuckDB twin hashes identically. Positions >= ``max_tokens``
+    would collide keys across documents — the key expression raises
+    at runtime if one appears (only possible for docs with
+    >= max_tokens + n tokens), so oversized corpora fail loudly
+    instead of electing wrong survivors.
 
     Scale shape (100 TB): n-gram construction is a narrow per-row
     transform (slice + concat over the token array — no explode of
@@ -483,7 +485,22 @@ def repeated_ngram_removal(
             ).otherwise(F.expr("array()"))
         ).alias("o"),
     ).select(id_col, F.col("o.pos").alias("pos"), F.col("o.gram").alias("gram"))
-    key = (F.col(id_col) * max_tokens + F.col("pos")).alias("okey")
+    # keys from different documents collide iff a position reaches
+    # max_tokens (pos <= size-n, so only docs with >= max_tokens + n
+    # tokens can collide) — guard in the key itself so the plan fails
+    # loudly instead of silently electing a wrong "first" survivor
+    key = F.when(
+        F.col("pos") < F.lit(max_tokens),
+        F.col(id_col) * max_tokens + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "repeated_ngram_removal: token position %s exceeds "
+                f"max_tokens={max_tokens}; raise max_tokens or pre-chunk documents",
+                F.col("pos"),
+            )
+        )
+    ).alias("okey")
     census = (
         grams.select("gram", key)
         .groupBy("gram")

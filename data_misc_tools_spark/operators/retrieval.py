@@ -110,6 +110,37 @@ def _idf_e6(n_docs: Column, df: Column) -> Column:
     ).cast("long")
 
 
+def _den_dec() -> Column:
+    """Per-term denominator 10*tf*L + 3*L + 9*dl*N in decimal(38,0).
+
+    The integer-exact BM25 path multiplies idf_e6(~2e7) * 22 * tf * L:
+    in BIGINT that product overflows past a ~1e9-token corpus at
+    tf~100 (ANSI Spark errors; non-ANSI wraps silently, DuckDB errors
+    — three different behaviors). decimal(38,0) on the Spark side and
+    HUGEINT on the DuckDB side keep the arithmetic exact (and
+    identical) up to ~1e38 — i.e. corpora up to ~1e27 tokens — which
+    is the documented bound for the integer path; beyond it Spark's
+    decimal overflow raises (ANSI) or NULLs (non-ANSI) rather than
+    mis-ranking. For arbitrary (k1, b) or astronomically large L use
+    :func:`bm25_scores` (double path)."""
+    return (
+        F.lit(10) * F.col("tf").cast("decimal(38,0)") * F.col("total_len")
+        + F.lit(3) * F.col("total_len").cast("decimal(38,0)")
+        + F.lit(9) * F.col("dl").cast("decimal(38,0)") * F.col("n_docs")
+    )
+
+
+def _term_e6() -> Column:
+    """Half-up integer division of the e6-scaled per-term score;
+    idf_e6 is widened to decimal(38,0) so the numerator never exceeds
+    64 bits' range silently (see _den_dec). `div` on decimals returns
+    BIGINT in Spark; DuckDB's HUGEINT `//` floors, equal on the
+    non-negative operands Lucene-idf guarantees."""
+    return F.expr(
+        "(2 * cast(idf_e6 as decimal(38,0)) * 22 * tf * total_len + den) div (2 * den)"
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -136,7 +167,12 @@ def bm25_topk(
         (2*idf_e6*22*tf*L + den) div (2*den),  den = 10*tf*L + 3*L + 9*dl*N
 
     summed per (query, doc) — integer division is exact in both
-    engines, so no float accumulation exists anywhere. Duplicate query
+    engines, so no float accumulation exists anywhere. The numerator
+    and denominator are carried in decimal(38,0) (HUGEINT in the
+    DuckDB twin) so the path stays exact to ~1e38 — corpora to ~1e27
+    tokens — instead of overflowing BIGINT past ~1e9 tokens at
+    tf~100; beyond that bound Spark raises (ANSI) / NULLs (non-ANSI)
+    rather than mis-ranking (see _den_dec). Duplicate query
     terms count once (distinct query terms; query-tf weighting is a
     ``bm25_scores`` option).
 
@@ -165,16 +201,8 @@ def bm25_topk(
         tf.join(F.broadcast(qterms), "tok")
         .crossJoin(F.broadcast(corpus))
         .withColumn("idf_e6", _idf_e6(F.col("n_docs"), F.col("df")))
-        .withColumn(
-            "den",
-            F.lit(10) * F.col("tf") * F.col("total_len")
-            + F.lit(3) * F.col("total_len")
-            + F.lit(9) * F.col("dl") * F.col("n_docs"),
-        )
-        .withColumn(
-            "term_e6",
-            F.expr("(2 * idf_e6 * 22 * tf * total_len + den) div (2 * den)"),
-        )
+        .withColumn("den", _den_dec())
+        .withColumn("term_e6", _term_e6())
     )
     sums = scored.groupBy("query_id", id_col).agg(
         F.sum("term_e6").cast("long").alias("s_e6")
@@ -338,16 +366,8 @@ def inverted_index_query(
         .join(F.broadcast(df_q), "tok")
         .crossJoin(F.broadcast(corpus))
         .withColumn("idf_e6", _idf_e6(F.col("n_docs"), F.col("df")))
-        .withColumn(
-            "den",
-            F.lit(10) * F.col("tf") * F.col("total_len")
-            + F.lit(3) * F.col("total_len")
-            + F.lit(9) * F.col("dl") * F.col("n_docs"),
-        )
-        .withColumn(
-            "term_e6",
-            F.expr("(2 * idf_e6 * 22 * tf * total_len + den) div (2 * den)"),
-        )
+        .withColumn("den", _den_dec())
+        .withColumn("term_e6", _term_e6())
     )
     sums = scored.groupBy("query_id", id_col).agg(
         F.sum("term_e6").cast("long").alias("s_e6")

@@ -308,6 +308,17 @@ def rolling_zscore_anomalies(
     trailing window score (k == window); constant windows (zero
     variance) yield null z. ``threshold`` keeps only |z| >= threshold.
 
+    Gap semantics: the ROWS frame spans the trailing ``window``
+    NON-EMPTY buckets, not wall-clock time — zero-count buckets are
+    absent from the bucket relation, so after a quiet gap (e.g. an
+    outage) the "trailing 24h" baseline reaches back past the gap to
+    the last active buckets; a post-outage burst is scored against
+    that stale (typically busier) baseline, which DAMPS, not
+    inflates, its z. For strict wall-clock baselines, zero-fill per
+    entity first (join against sequence(min_bucket, max_bucket)) and
+    feed the filled relation in — left out of the default because the
+    fill densifies sparse entities quadratically in their idle span.
+
     Scale: one bucket aggregate + one entity-keyed window — buckets
     per entity are time-bounded, so state is tiny regardless of event
     volume. Output: (entity, bucket_start, n, z).

@@ -178,7 +178,11 @@ def unigram_train(
     ``ll_trace`` (optional list) collects the corpus log-likelihood
     before each M-step — within one EM phase it is non-decreasing
     (the EM guarantee; pruning between phases may drop it).
+    ``em_iters`` must be >= 1: the pruning step consumes the expected
+    counts produced by the EM inner loop.
     """
+    if em_iters < 1:
+        raise ValueError(f"em_iters must be >= 1, got {em_iters}")
     words = _word_types(df, text_col, lowercase).where(
         F.col("cnt") >= min_count
     ).localCheckpoint()

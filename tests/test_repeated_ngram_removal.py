@@ -59,3 +59,24 @@ def test_min_count_threshold(spark):
     got = _run(spark, [(1, text), (2, text), (3, text)], n=4, min_count=3)
     assert got[2].n_removed == 4 and got[3].n_removed == 4
     assert got[1].n_removed == 0
+
+
+def test_position_overflow_raises_not_corrupts(spark):
+    # 20 tokens with max_tokens=16 -> positions reach 16 (= max_tokens)
+    # for n=4, which would collide keys across documents; the key
+    # expression must raise instead of silently electing wrong
+    # survivors (ADVICE r3).
+    long_text = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, long_text)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="max_tokens"):
+        repeated_ngram_removal(df, n=4, max_tokens=16).collect()
+
+
+def test_doc_slightly_over_max_tokens_cannot_collide(spark):
+    # size = max_tokens + 2 with n = 4: max pos = size - n = 14 <
+    # max_tokens, so no collision is possible and the run succeeds.
+    text = " ".join(f"u{i}" for i in range(18))
+    got = _run(spark, [(1, text)], n=4, max_tokens=16)
+    assert got[1].n_removed == 0 and got[1].cleaned_text == text

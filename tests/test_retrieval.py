@@ -137,3 +137,24 @@ def test_inverted_index_scan_is_bucket_pruned(spark, tmp_path, tiny):
     )
     seg = plan.split("PartitionFilters")[1].split("]")[0]
     assert "bucket" in seg
+
+
+def test_term_e6_exact_beyond_int64(spark):
+    """The per-term score arithmetic is decimal(38,0)-wide: products
+    like 44 * idf_e6 * tf * total_len that overflow BIGINT (ANSI Spark
+    would raise; non-ANSI would wrap) must still evaluate exactly
+    (ADVICE r3). Compare against Python big-int half-up division."""
+    cases = [
+        # (idf_e6, tf, total_len, dl, n_docs) — last two exceed 2^63 products
+        (20_000_000, 3, 1_000, 10, 5),
+        (20_000_000, 100, 10**9, 500, 10**6),
+        (45_000_000, 1_000, 10**12, 2_000, 10**9),
+    ]
+    df = spark.createDataFrame(
+        cases, "idf_e6 long, tf long, total_len long, dl long, n_docs long"
+    ).withColumn("den", R._den_dec()).withColumn("term_e6", R._term_e6())
+    got = {tuple(r[:5]): r.term_e6 for r in df.collect()}
+    for idf_e6, tf, total_len, dl, n_docs in cases:
+        den = 10 * tf * total_len + 3 * total_len + 9 * dl * n_docs
+        want = (2 * idf_e6 * 22 * tf * total_len + den) // (2 * den)
+        assert got[(idf_e6, tf, total_len, dl, n_docs)] == want

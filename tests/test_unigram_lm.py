@@ -78,3 +78,9 @@ def test_segment_covers_text_and_is_deterministic(spark):
     a = {r.doc_id: r.pieces for r in out}
     b = {r.doc_id: r.pieces for r in again}
     assert a == b
+
+
+def test_unigram_train_rejects_zero_em_iters(spark):
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="em_iters"):
+        unigram_train(df, em_iters=0)
