@@ -147,6 +147,10 @@ HEADLINE = [
     "event_path_trigrams",
     "coordinated_sample_join",
     "nation_revenue_share",
+    # round-4: xxhash64 production twins of the two bootstrap queries
+    # (the md5 oracle path is graded; these are the fast path)
+    "bootstrap_value_ci_fast",
+    "ab_lift_fast",
 ]
 
 

@@ -15,7 +15,7 @@ the distinct-count state bounded instead of shuffling every value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -436,6 +436,38 @@ POISSON1_THRESHOLDS: list[int] = [
 ]
 
 
+def _boot_u(salt: str, portable: bool):
+    """Uniform u32 of (key, replicate) for the Poisson bootstrap.
+
+    portable=True: md5-derived (engine-portable; a DuckDB oracle can
+    reproduce every replicate weight bit-exactly) — but md5 per
+    (row x n_boot) dominates the bootstrap's runtime (the suite's two
+    slowest queries at sf0.1, ~19 s / ~9 s). portable=False: one
+    JVM-native xxhash64 over the raw (key, replicate) columns — same
+    online-Poisson estimator, different (still deterministic,
+    partitioning-independent) replicate draws, ~4-6x faster. The
+    dedup_minhash_lsh / _fast precedent: grade the md5 path, run the
+    xxhash64 path in production."""
+    from data_misc_tools_spark.operators.sampling import _hash_u32
+
+    if portable:
+        return _hash_u32(
+            F.concat(F.col("__k"), F.lit(":"), F.col("__r").cast("string")), salt
+        )
+    return F.pmod(
+        F.xxhash64(F.lit(salt), F.col("__k"), F.col("__r")), F.lit(1 << 32)
+    )
+
+
+def _poisson1_w(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) multiplicity of a uniform u32 (capped
+    at 6; P[X>6] < 6e-4 is folded into the cap)."""
+    w = F.lit(6)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < POISSON1_THRESHOLDS[k], k).otherwise(w)
+    return w
+
+
 def bootstrap_ci_mean(
     df: DataFrame,
     value_col: str,
@@ -445,6 +477,7 @@ def bootstrap_ci_mean(
     alpha: float = 0.05,
     scale: int = 10000,
     salt: str = "boot:",
+    portable: bool = True,
 ) -> DataFrame:
     """Percentile bootstrap confidence interval for a per-group mean,
     via the ONLINE Poisson bootstrap (Chamandy et al. 2012 /
@@ -468,11 +501,15 @@ def bootstrap_ci_mean(
     where every weight drew 0 (tiny groups) are dropped from the
     order statistics.
 
+    ``portable=False`` swaps the md5-derived replicate draws for
+    JVM-native xxhash64 (see :func:`_boot_u`): identical estimator and
+    CI machinery, different (equally deterministic) draws, ~4-6x
+    faster — the production path; keep the default for oracle-graded
+    runs.
+
     Output: (*group_cols, n_rows, mean, ci_lo, ci_hi).
     """
     from pyspark.sql.window import Window
-
-    from data_misc_tools_spark.operators.sampling import _hash_u32
 
     g = list(group_cols or [])
     x = F.round(F.col(value_col) * scale).cast("long")
@@ -485,14 +522,8 @@ def bootstrap_ci_mean(
         *g, "__k", "__x",
         F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r"),
     )
-    u = _hash_u32(
-        F.concat(F.col("__k"), F.lit(":"), F.col("__r").cast("string")), salt
-    )
-    w = F.lit(6)
-    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
-        w = F.when(u < POISSON1_THRESHOLDS[k], k).otherwise(w)
     reps = (
-        rep.withColumn("__w", w.cast("long"))
+        rep.withColumn("__w", _poisson1_w(_boot_u(salt, portable)).cast("long"))
         .groupBy(*g, "__r")
         .agg(
             F.sum("__w").alias("__n"),
@@ -536,6 +567,7 @@ def bootstrap_ab_lift(
     alpha: float = 0.05,
     scale: int = 10000,
     salt: str = "boot:",
+    portable: bool = True,
 ) -> DataFrame:
     """Percentile-bootstrap CI for the LIFT (treatment mean − control
     mean) between two variants — the A/B readout. Same deterministic
@@ -548,11 +580,10 @@ def bootstrap_ab_lift(
 
     Output: one row (n_control, n_treatment, lift, ci_lo, ci_hi) —
     the null hypothesis "no lift" is rejected at ``alpha`` when the
-    CI excludes 0.
+    CI excludes 0. ``portable=False`` = xxhash64 production draws
+    (see :func:`bootstrap_ci_mean`).
     """
     from pyspark.sql.window import Window
-
-    from data_misc_tools_spark.operators.sampling import _hash_u32
 
     x = F.round(F.col(value_col) * scale).cast("long")
     base = df.where(F.col(group_col).isin([control, treatment])).select(
@@ -574,14 +605,8 @@ def bootstrap_ab_lift(
         "__k", "__t", "__x",
         F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r"),
     )
-    u = _hash_u32(
-        F.concat(F.col("__k"), F.lit(":"), F.col("__r").cast("string")), salt
-    )
-    w = F.lit(6)
-    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
-        w = F.when(u < POISSON1_THRESHOLDS[k], k).otherwise(w)
     reps = (
-        rep.withColumn("__w", w.cast("long"))
+        rep.withColumn("__w", _poisson1_w(_boot_u(salt, portable)).cast("long"))
         .groupBy("__r")
         .agg(
             F.sum(F.when(F.col("__t"), F.col("__w"))).cast("long").alias("nt"),

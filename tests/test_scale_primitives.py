@@ -318,3 +318,46 @@ def test_ab_lift_detects_true_difference(spark):
         df0, "value", "event_id", "grp", control="control", treatment="treatment"
     ).collect()[0]
     assert r0.ci_lo < 0 < r0.ci_hi
+
+
+def test_bootstrap_fast_path_same_ci_semantics(spark):
+    """portable=False (xxhash64 draws) must behave as the SAME
+    estimator: identical point stats, deterministic under
+    repartition, statistically equivalent CI on a fixed fixture
+    (both paths' intervals cover the true mean and agree in width to
+    within bootstrap noise)."""
+    import pytest as _pt
+
+    from data_misc_tools_spark.operators.profile import (
+        bootstrap_ab_lift,
+        bootstrap_ci_mean,
+    )
+
+    rows = [(i, "a", float(i % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    slow = bootstrap_ci_mean(
+        df, "value", "event_id", group_cols=["grp"], n_boot=100
+    ).collect()[0]
+    fast = bootstrap_ci_mean(
+        df, "value", "event_id", group_cols=["grp"], n_boot=100, portable=False
+    ).collect()[0]
+    assert (fast.n_rows, fast.mean) == (slow.n_rows, slow.mean)
+    assert fast.ci_lo < fast.mean < fast.ci_hi
+    # same machinery, different draws: widths agree within 2x
+    w_slow, w_fast = slow.ci_hi - slow.ci_lo, fast.ci_hi - fast.ci_lo
+    assert 0.5 < w_fast / w_slow < 2.0
+    again = bootstrap_ci_mean(
+        df.repartition(7), "value", "event_id", group_cols=["grp"],
+        n_boot=100, portable=False,
+    ).collect()[0]
+    assert (again.ci_lo, again.ci_hi) == (fast.ci_lo, fast.ci_hi)
+
+    rows = [(i, "control", 10.0 + (i % 5)) for i in range(1000)]
+    rows += [(10_000 + i, "treatment", 13.0 + (i % 5)) for i in range(1000)]
+    ab = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    r = bootstrap_ab_lift(
+        ab, "value", "event_id", "grp", control="control",
+        treatment="treatment", portable=False,
+    ).collect()[0]
+    assert r.lift == _pt.approx(3.0)
+    assert 0 < r.ci_lo < 3.0 < r.ci_hi
