@@ -32,8 +32,15 @@ from pyspark.sql import SparkSession
 
 RECORD_SCHEMA = (
     "path string, script_type string, started_at bigint, finished_at bigint, "
-    "status string, result string"
+    "status string, result string, src_sha string"
 )
+
+# Normalized script-source snapshots (reference: records/ScriptSrc.scala:8-24
+# persists script CONTENT + metadata per version as a CLOB): one row per
+# distinct (path, sha256-of-content); execution records reference the sha,
+# so a post-mortem can recover EXACTLY which version of a hot-reloaded
+# script each run executed without storing the text once per run.
+SRC_SCHEMA = "src_sha string, path string, content string, first_seen_ms bigint"
 
 
 def parse_iso_duration(s: str) -> float:
@@ -68,6 +75,16 @@ class ScriptTask:
     @property
     def script_type(self) -> str:
         return "sql" if self.path.endswith(".sql") else "py"
+
+    def source_snapshot(self) -> tuple[str, str]:
+        """(sha256-hex, content) of the script file as it is NOW —
+        taken at run start so the record pins the exact hot-reload
+        version that executed (reference: ScriptSrc.scala:8-24)."""
+        import hashlib
+
+        with open(self.path, encoding="utf-8") as f:
+            content = f.read()
+        return hashlib.sha256(content.encode("utf-8")).hexdigest(), content
 
     def _load(self) -> Any:
         """mtime-cached load; reload only on modification (reference:
@@ -132,9 +149,18 @@ class Runner:
         self.records_jdbc_url = records_jdbc_url
         self.records_table = records_table
         self.jdbc_properties = dict(jdbc_properties or {})
+        self.src_path = records_path.rstrip("/") + "_src"
+        self.src_table = records_table + "_src"
         self.last_result: dict[str, Any] = {}
         self.last_started: dict[str, float] = {}
+        self._known_src: set[str] = set()
         self._stop = False
+        try:
+            self._known_src = {
+                r.src_sha for r in self.script_sources().select("src_sha").collect()
+            }
+        except Exception:
+            pass  # no source snapshots yet
         # Recover last-start times from the records table so interval
         # throttling survives runner restarts (reference looks up the
         # last execution record: records/RecordDao.scala:85-90,
@@ -156,7 +182,8 @@ class Runner:
 
     # -- records ---------------------------------------------------------
     def _record(
-        self, task: ScriptTask, started: float, finished: float, status: str, result: Any
+        self, task: ScriptTask, started: float, finished: float, status: str,
+        result: Any, src_sha: str | None = None,
     ) -> None:
         self._append_row(
             task.path,
@@ -165,13 +192,14 @@ class Runner:
             int(finished * 1000),
             status,
             str(result)[:4000],
+            src_sha,
         )
 
     def _append_row(
         self, path: str, script_type: str, started_ms: int, finished_ms: int,
-        status: str, result: str,
+        status: str, result: str, src_sha: str | None = None,
     ) -> None:
-        row = [(path, script_type, started_ms, finished_ms, status, result)]
+        row = [(path, script_type, started_ms, finished_ms, status, result, src_sha)]
         df = self.spark.createDataFrame(row, RECORD_SCHEMA).coalesce(1)
         if self.records_jdbc_url is not None:
             from data_misc_tools_spark.sources.jdbc import df_to_jdbc
@@ -192,7 +220,45 @@ class Runner:
                 f"SELECT * FROM {self.records_table}",
                 properties=self.jdbc_properties,
             )
-        return self.spark.read.parquet(self.records_path)
+        # mergeSchema: pre-src_sha records tables lack the column;
+        # mixed files must still read as one relation
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.records_path
+        )
+
+    def script_sources(self):
+        """The (src_sha, path, content, first_seen_ms) snapshot table:
+        join records.src_sha against it to recover the exact script
+        text any run executed."""
+        if self.records_jdbc_url is not None:
+            from data_misc_tools_spark.sources.jdbc import jdbc_to_df
+
+            return jdbc_to_df(
+                self.spark, self.records_jdbc_url,
+                f"SELECT * FROM {self.src_table}",
+                properties=self.jdbc_properties,
+            )
+        return self.spark.read.parquet(self.src_path)
+
+    def _snapshot_source(self, task: ScriptTask) -> str:
+        """Persist the current script content once per distinct sha;
+        returns the sha for the execution record."""
+        sha, content = task.source_snapshot()
+        if sha in self._known_src:
+            return sha
+        row = [(sha, task.path, content, int(time.time() * 1000))]
+        df = self.spark.createDataFrame(row, SRC_SCHEMA).coalesce(1)
+        if self.records_jdbc_url is not None:
+            from data_misc_tools_spark.sources.jdbc import df_to_jdbc
+
+            df_to_jdbc(
+                df, self.records_jdbc_url, self.src_table,
+                mode="append", properties=self.jdbc_properties,
+            )
+        else:
+            df.write.mode("append").parquet(self.src_path)
+        self._known_src.add(sha)
+        return sha
 
     def _fail_orphans(self) -> None:
         """Mark crash-orphaned runs failed: a 'running' start row with
@@ -208,7 +274,7 @@ class Runner:
         )
         orphans = (
             recs.filter(recs.status == "running")
-            .select("path", "script_type", "started_at")
+            .select("path", "script_type", "started_at", "src_sha")
             .join(done, ["path", "started_at"], "left_anti")
             .collect()
         )
@@ -217,6 +283,7 @@ class Runner:
             self._append_row(
                 o.path, o.script_type, o.started_at, now_ms,
                 "failed", "crashed: no completion record (runner restart)",
+                o.src_sha,
             )
 
     # -- scheduling ------------------------------------------------------
@@ -235,12 +302,20 @@ class Runner:
             return self.last_result.get(task.path)
         started = time.time()
         self.last_started[task.path] = started
+        # Snapshot the script source BEFORE running (reference persists
+        # ScriptSrc per version): the sha on both records pins exactly
+        # which hot-reload version this run executed, even if the file
+        # changes again mid-run.
+        try:
+            src_sha = self._snapshot_source(task)
+        except OSError:
+            src_sha = None  # unreadable file: _load will record the failure
         # Start record FIRST (reference writes the execution record at
         # task start and finalizes it at finish): a crash mid-task
         # leaves this 'running' row behind, so the restarted runner
         # both throttles the slot and marks the run failed
         # (_fail_orphans).
-        self._record(task, started, 0, "running", "")
+        self._record(task, started, 0, "running", "", src_sha)
         try:
             fn = task._load()
             result = fn(self.spark, self.last_result.get(task.path))
@@ -249,7 +324,7 @@ class Runner:
             result = traceback.format_exc()
             status = "failed"
         finished = time.time()
-        self._record(task, started, finished, status, result)
+        self._record(task, started, finished, status, result, src_sha)
         if status == "succeeded":
             self.last_result[task.path] = result
             return result

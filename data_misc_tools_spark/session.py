@@ -96,6 +96,7 @@ def build_session(
 
 
 _shipped_sessions: set[int] = set()
+_registered_sessions: set[int] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -141,9 +142,18 @@ def register_all(spark: SparkSession) -> SparkSession:
     from data_misc_tools_spark.functions.registry import register_functions
     from data_misc_tools_spark.sources.pydatasource import register_python_datasources
 
+    # Memoized per session (the ship_package idiom): catalog queries
+    # call this on every invocation, and re-registering ~15 SQL UDFs +
+    # 2 Python data sources per query is a measurable per-query fixed
+    # cost (the r3 bench drift on shared queries: +0.2-0.4 s each in
+    # 158-query sessions).
+    key = id(spark)
+    if key in _registered_sessions:
+        return spark
     ship_package(spark)
     register_functions(spark)
     register_python_datasources(spark)
+    _registered_sessions.add(key)
     return spark
 
 
@@ -190,11 +200,20 @@ def read_parquet_table(spark: SparkSession, path: str):
     return df
 
 
+_table_cache: dict[tuple[int, str, str], object] = {}
+_view_dir: dict[tuple[int, str], str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; returns dict of DataFrames.
 
     Reads are plain ``spark.read.parquet`` so Catalyst gets column
-    pruning + filter pushdown on every query.
+    pruning + filter pushdown on every query. The returned DataFrames
+    are memoized per (session, dir, table): a DataFrame is an
+    immutable logical plan, and rebuilding it costs a parquet footer
+    read + a schema-inference RPC (~0.1 s/table) on EVERY catalog
+    query — the dominant per-query fixed cost in multi-query sessions
+    (the r3 bench drift).
     """
     names = names or [
         "region",
@@ -210,7 +229,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     ]
     out = {}
     for name in names:
-        df = read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
-        df.createOrReplaceTempView(name)
+        key = (id(spark), sf_dir, name)
+        df = _table_cache.get(key)
+        if df is None:
+            df = read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
+            _table_cache[key] = df
+        # the shared temp view always tracks the most recent load —
+        # sessions that alternate sf_dirs (tests) must not see a
+        # stale view on a cache hit
+        if _view_dir.get((id(spark), name)) != sf_dir:
+            df.createOrReplaceTempView(name)
+            _view_dir[(id(spark), name)] = sf_dir
         out[name] = df
     return out

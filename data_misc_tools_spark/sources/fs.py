@@ -42,6 +42,38 @@ def write_text(spark: SparkSession, path: str, content: str, overwrite: bool = T
         stream.close()
 
 
+def append_text(spark: SparkSession, path: str, content: str) -> None:
+    """Create-or-append + hflush (reference: HdfsHelper.scala:45-65):
+    append to an existing file, create it when absent, and hflush so
+    concurrent readers see the bytes before close.
+
+    Local-filesystem caveat: Hadoop's ``file://`` is a
+    ChecksumFileSystem, which does not implement append — here the
+    call drops to the raw local filesystem. Raw creates write no .crc
+    sidecar, so files created BY THIS FUNCTION read back fine through
+    either layer; appending to a file that ``write_text`` created
+    (with a checksum sidecar) leaves the sidecar stale, so on
+    ``file://`` pick one writer per file. Real HDFS (and object-store
+    connectors that support append) take the native path, no caveat.
+    """
+    fs, jpath, _ = _fs(spark, path)
+    try:
+        # ChecksumFileSystem (file://) -> unwrap; others raise and
+        # keep the native filesystem
+        fs = fs.getRawFileSystem()
+    except Exception:
+        pass
+    if fs.exists(jpath):
+        stream = fs.append(jpath)
+    else:
+        stream = fs.create(jpath, False)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+        stream.hflush()
+    finally:
+        stream.close()
+
+
 def ls(spark: SparkSession, path: str) -> list[dict]:
     """Directory listing with size/mtime (reference: HdfsHelper.scala:67-77)."""
     fs, jpath, _ = _fs(spark, path)
