@@ -1112,6 +1112,52 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(e, threshold=0.3, block_col="label")
 
 
+@_q(
+    "semdedup_embeddings",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    codes AS (
+        SELECT vec_id, emb, list_transform(emb, x -> floor(x * 64)) AS c
+        FROM v
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, c AS sc
+        FROM codes ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+        SELECT vec_id, emb, cluster_id FROM (
+            SELECT co.vec_id, co.emb, s.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY list_dot_product(co.c, s.sc) DESC, s.cluster_id
+                   ) AS rn
+            FROM codes co CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.3
+        GROUP BY b.vec_id
+    )
+    SELECT a.vec_id, a.cluster_id::BIGINT AS cluster_id,
+           d.dup_of IS NULL AS keep, d.dup_of
+    FROM assigned a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic-seed cluster
+    assignment (integer SQ-code dot argmax — engine-exact), then
+    keep-first cosine pruning WITHIN clusters only; ``dup_of`` names
+    each casualty's surviving near-duplicate. The cluster pass is what
+    makes semantic dedup tractable at corpus scale: pairs are scored
+    inside clusters, never across the corpus. See
+    operators/similarity.py:semantic_dedup."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.semantic_dedup(e, k_clusters=16, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Additional relational / ETL coverage (round 1 widening)
 # ---------------------------------------------------------------------------
@@ -5254,6 +5300,54 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hourly_anomaly_zscore_filled",
+    """
+    WITH cnt AS (
+        SELECT event_type AS entity,
+               epoch(date_trunc('hour', ts))::BIGINT // 3600 AS bucket,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT entity, min(bucket) AS mn, max(bucket) AS mx FROM cnt GROUP BY entity),
+    axis AS (
+        SELECT s.entity, s.mn + g.i AS bucket
+        FROM span s JOIN generate_series(0, 8192) g(i) ON s.mn + g.i <= s.mx
+    ),
+    filled AS (
+        SELECT a.entity, a.bucket, coalesce(c.n, 0)::BIGINT AS n
+        FROM axis a LEFT JOIN cnt c USING (entity, bucket)
+    ),
+    win AS (
+        SELECT entity, bucket, n,
+               count(n) OVER w AS k,
+               sum(n) OVER w AS s,
+               sum(n * n) OVER w AS q
+        FROM filled
+        WINDOW w AS (PARTITION BY entity ORDER BY bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT entity, strftime(to_timestamp(bucket * 3600), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n,
+           (k * n - s)::BIGINT::DOUBLE
+             / sqrt((k * q - s * s)::BIGINT::DOUBLE) AS z
+    FROM win WHERE k = 24 AND (k * q - s * s) > 0
+    """,
+)
+def hourly_anomaly_zscore_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zero_fill=True twin of hourly_anomaly_zscore: the bucket axis
+    is densified per entity (zero-count hours included), so the
+    trailing 24-bucket frame is strict WALL-CLOCK 24 hours — the gap
+    semantics ADVICE r3 flagged, as an opt-in. Zero-filled buckets
+    score too (n=0 against the trailing baseline)."""
+    from data_misc_tools_spark.operators.temporal import rolling_zscore_anomalies
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return rolling_zscore_anomalies(e, zero_fill=True).where(
+        F.col("z").isNotNull()
+    ).select("entity", "bucket_start", "n", "z")
+
+
+@_q(
     "dataset_fingerprint_orders",
     """
     SELECT count(*)::BIGINT AS n_rows,
@@ -5396,6 +5490,154 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "value", "event_id", "event_type",
         control="click", treatment="purchase", n_boot=100,
     )
+
+
+@_q(
+    "url_canonical_dedup",
+    """
+    WITH urls AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://site' || (doc_id % 100)::VARCHAR
+                     || '.example.com/p/' || (doc_id % 100)::VARCHAR
+                 WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id % 100)::VARCHAR
+                     || '.EXAMPLE.COM:443/p/' || (doc_id % 100)::VARCHAR || '/'
+                 WHEN 2 THEN 'https://site' || (doc_id % 100)::VARCHAR
+                     || '.example.com/p/' || (doc_id % 100)::VARCHAR
+                     || '?utm_source=feed&fbclid=zz'
+                 ELSE 'https://site' || (doc_id % 100)::VARCHAR
+                     || '.example.com/p/' || (doc_id % 100)::VARCHAR || '?b=2&a=1#sec'
+               END AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS rawpath,
+               regexp_extract(url, '\\?([^#]*)', 1) AS q
+        FROM urls
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               scheme || '://' ||
+               regexp_replace(
+                   CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                        ELSE hp END,
+                   '^www\\.', '') ||
+               CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '/+$', '') END ||
+               -- array_to_string of an EMPTY list is NULL in DuckDB
+               -- (Spark's array_join gives ''): coalesce both uses
+               CASE WHEN coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                         x -> x != '' AND NOT regexp_matches(x,
+                             '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref|igshid)='))), '&'), '') = ''
+                    THEN ''
+                    ELSE '?' || coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+                         x -> x != '' AND NOT regexp_matches(x,
+                             '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref|igshid)='))), '&'), '')
+               END AS canon
+        FROM parts
+    )
+    SELECT doc_id, url, canon,
+           count(*) OVER (PARTITION BY canon)::BIGINT AS n_variants
+    FROM canon
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for exact URL-level dedup (the first pass
+    of web-crawl curation): case-folded scheme/host, default ports and
+    www. stripped, fragments and tracking params dropped, remaining
+    query params sorted, trailing slashes trimmed. Four messy
+    synthetic variants per URL family collapse to one canonical form;
+    ``n_variants`` counts the collapse. See
+    operators/web.py:canonical_url."""
+    from data_misc_tools_spark.operators.web import canonical_url
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    k = (F.col("doc_id") % 100).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://site"), k, F.lit(".example.com/p/"), k),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.SITE"), k, F.lit(".EXAMPLE.COM:443/p/"), k, F.lit("/")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://site"), k, F.lit(".example.com/p/"), k,
+                F.lit("?utm_source=feed&fbclid=zz"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), k, F.lit(".example.com/p/"), k,
+                F.lit("?b=2&a=1#sec"),
+            )
+        )
+        .alias("url"),
+    )
+    from pyspark.sql import Window as _W
+
+    out = urls.select("doc_id", "url", canonical_url("url").alias("canon"))
+    return out.withColumn(
+        "n_variants", F.count("*").over(_W.partitionBy("canon")).cast("long")
+    )
+
+
+@_q(
+    "pii_card_luhn",
+    """
+    WITH c AS (
+        SELECT o_orderkey,
+               '4' || lpad((o_orderkey % 1000000000)::VARCHAR, 9, '0')
+                   || lpad((o_custkey % 1000000)::VARCHAR, 6, '0') AS card
+        FROM orders
+    ),
+    s AS (
+        SELECT c.o_orderkey, c.card,
+               sum(CASE WHEN g.i % 2 = 1
+                    THEN ascii(substr(card, length(card) - g.i + 1, 1)) - 48
+                    ELSE CASE
+                        WHEN (ascii(substr(card, length(card) - g.i + 1, 1)) - 48) * 2 > 9
+                        THEN (ascii(substr(card, length(card) - g.i + 1, 1)) - 48) * 2 - 9
+                        ELSE (ascii(substr(card, length(card) - g.i + 1, 1)) - 48) * 2
+                    END END)::BIGINT AS chk
+        FROM c JOIN generate_series(1, 19) g(i) ON g.i <= length(card)
+        GROUP BY c.o_orderkey, c.card
+    )
+    SELECT o_orderkey, card, (chk % 10 = 0) AS luhn FROM s
+    """,
+)
+def pii_card_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card detection with Luhn mod-10 validation — the
+    precision upgrade over bare digit-run PII regexes (~90% of random
+    digit runs fail the checksum, so order ids stop mass-flagging).
+    Card-like strings are synthesized from orders keys (the
+    jpeg/mp4_meta_demo pattern: deterministic inputs built in-query),
+    embedded in separator-formatted text, then recovered by
+    card_scan's RE2-safe candidate regex + pure-Catalyst Luhn fold.
+    See operators/text.py:luhn_valid."""
+    from data_misc_tools_spark.operators.text import card_scan
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    doc = o.selectExpr(
+        "o_orderkey",
+        "concat('4', lpad(cast(o_orderkey % 1000000000 as string), 9, '0'),"
+        " lpad(cast(o_custkey % 1000000 as string), 6, '0')) AS c",
+    ).selectExpr(
+        "o_orderkey",
+        "concat('order paid with ', substr(c, 1, 4), ' ', substr(c, 5, 4),"
+        " ' ', substr(c, 9, 4), ' ', substr(c, 13, 4), ' thanks') AS text",
+    )
+    return card_scan(doc, id_col="o_orderkey")
 
 
 ROWS_ONLY.add("ab_lift_fast")

@@ -294,6 +294,7 @@ def rolling_zscore_anomalies(
     bucket_seconds: int = 3600,
     window: int = 24,
     threshold: float | None = None,
+    zero_fill: bool = False,
 ) -> DataFrame:
     """Volume-anomaly detection on an event stream: bucket counts per
     entity, then score each bucket against the TRAILING ``window``
@@ -314,10 +315,14 @@ def rolling_zscore_anomalies(
     outage) the "trailing 24h" baseline reaches back past the gap to
     the last active buckets; a post-outage burst is scored against
     that stale (typically busier) baseline, which DAMPS, not
-    inflates, its z. For strict wall-clock baselines, zero-fill per
-    entity first (join against sequence(min_bucket, max_bucket)) and
-    feed the filled relation in — left out of the default because the
-    fill densifies sparse entities quadratically in their idle span.
+    inflates, its z. ``zero_fill=True`` densifies each entity's
+    bucket axis (explodes sequence(min_bucket, max_bucket) per
+    entity, zero-count buckets included) so the trailing frame is
+    strict wall-clock; zero-filled buckets score too (n=0 against the
+    baseline). Off by default: the fill materializes one row per
+    entity per bucket in its ACTIVE SPAN, which for a sparse entity
+    alive across the whole history is span/bucket_seconds rows of
+    overhead.
 
     Scale: one bucket aggregate + one entity-keyed window — buckets
     per entity are time-bounded, so state is tiny regardless of event
@@ -329,6 +334,18 @@ def rolling_zscore_anomalies(
         .groupBy("entity", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )
+    if zero_fill:
+        axis = (
+            cnt.groupBy("entity")
+            .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+            .select(
+                "entity",
+                F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("bucket"),
+            )
+        )
+        cnt = axis.join(cnt, ["entity", "bucket"], "left").select(
+            "entity", "bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+        )
     w = (
         Window.partitionBy("entity")
         .orderBy("bucket")

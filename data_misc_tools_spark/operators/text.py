@@ -820,3 +820,63 @@ def pmi_collocations(
         (F.col("pmi_e6") / F.lit(1e6)).alias("pmi"),
         "rank",
     )
+
+
+# Payment-card candidate: 13-19 digits allowing single space/dash
+# separators. No lookaround (RE2-compatible); greedy, so a longer
+# digit run yields its leftmost 19 digits — identical in Java regex
+# and RE2.
+PII_CARD_CANDIDATE = "[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn mod-10 checksum over a digits-only string — TRUE iff the
+    string is a structurally valid payment-card number. One Catalyst
+    fold right-to-left (i=1 is the check digit, undoubled; every
+    second digit doubles, minus 9 above 9): pure integer expressions,
+    engine-exact, no UDF. The precision upgrade over a bare digit-run
+    regex: ~90% of random digit runs fail the checksum, so card
+    redaction stops mass-flagging order ids and timestamps."""
+    return (
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(digits)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 1,
+                F.ascii(F.substring(digits, F.length(digits) - i + 1, F.lit(1))) - 48,
+            ).otherwise(
+                F.when(
+                    (F.ascii(F.substring(digits, F.length(digits) - i + 1, F.lit(1))) - 48) * 2 > 9,
+                    (F.ascii(F.substring(digits, F.length(digits) - i + 1, F.lit(1))) - 48) * 2 - 9,
+                ).otherwise(
+                    (F.ascii(F.substring(digits, F.length(digits) - i + 1, F.lit(1))) - 48) * 2
+                )
+            ),
+        )
+        % 10
+        == 0
+    )
+
+
+def card_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scan text for payment-card numbers with Luhn validation: one
+    row per candidate digit run (13-19 digits, separators stripped)
+    with its checksum verdict. Narrow per-row transform + bounded
+    explode — scan-local at any corpus size.
+
+    Output: (id_col, card string, luhn boolean).
+    """
+    cand = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PII_CARD_CANDIDATE), F.lit(0))
+        ).alias("__raw"),
+    ).select(
+        id_col, F.regexp_replace(F.col("__raw"), "[ -]", "").alias("card")
+    )
+    return cand.filter(F.length("card").between(13, 19)).select(
+        id_col, "card", luhn_valid(F.col("card")).alias("luhn")
+    )

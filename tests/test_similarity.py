@@ -386,3 +386,42 @@ def test_ivf_append_matches_kmeans_assignment_and_full_recall(
     got = {(r.query_id, r.vec_id) for r in
            ivf_query_index(queries, idx, k=3, n_probe=8).collect()}
     assert got == want
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    from data_misc_tools_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal families; ids 1,2 are the seeds (k_clusters=2).
+    # 1,3,4 are near-identical (x-axis); 5 is x-family but far;
+    # 2,6 near-identical (y-axis).
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.999, 0.01, 0.0]),
+        (4, [0.998, 0.02, 0.0]),
+        (5, [0.6, 0.0, 0.8]),
+        (6, [0.0, 0.995, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in semantic_dedup(
+        df, k_clusters=2, threshold=0.95
+    ).collect()}
+    assert len(got) == 6
+    # seeds keep themselves
+    assert got[1].keep and got[1].dup_of is None
+    assert got[2].keep and got[2].dup_of is None
+    # near-dups of the smallest id in their cluster are dropped,
+    # attributed to the keep-first survivor
+    assert not got[3].keep and got[3].dup_of == 1
+    assert not got[4].keep and got[4].dup_of == 1
+    assert not got[6].keep and got[6].dup_of == 2
+    # far member of the x cluster survives
+    assert got[5].keep and got[5].dup_of is None
+    # same cluster labels for the x family
+    assert got[1].cluster_id == got[3].cluster_id == got[4].cluster_id
+    assert got[2].cluster_id == got[6].cluster_id
+    # deterministic under repartition
+    again = {r.vec_id: (r.keep, r.dup_of) for r in semantic_dedup(
+        df.repartition(5), k_clusters=2, threshold=0.95
+    ).collect()}
+    assert again == {k: (v.keep, v.dup_of) for k, v in got.items()}

@@ -291,3 +291,46 @@ def test_transition_matrix_hand_case(spark):
     assert ("b", "b") not in got
     # rows per from_item sum to ~1
     assert abs(got[("a", "b")][1] + got[("a", "a")][1] - 1.0) < 2e-4
+
+
+def test_rolling_zscore_zero_fill_gap_semantics(spark):
+    from data_misc_tools_spark.operators.temporal import rolling_zscore_anomalies
+
+    # entity with steady traffic for 30 hours, then 30 quiet hours
+    # (one event every 3rd hour), then one busy hour. Default
+    # (non-empty buckets only) reaches back past the quiet stretch
+    # into the busy era, DAMPING the spike's z; zero_fill scores it
+    # against the true trailing 24 wall-clock hours (mostly zeros)
+    # -> huge z. (A totally silent gap would give zero variance and
+    # null z on the filled axis — variance needs at least one
+    # non-constant bucket.)
+    rows = []
+    base = 1_600_000_000
+    for h in range(30):
+        for i in range(10):  # 10 events/hour
+            rows.append(("a", base + h * 3600 + i))
+    for h in range(30, 60, 3):
+        rows.append(("a", base + h * 3600))  # sparse: 1 event / 3 h
+    for i in range(10):      # hour 60: back with 10 events
+        rows.append(("a", base + 60 * 3600 + i))
+    df = spark.createDataFrame(rows, "event_type string, sec long").selectExpr(
+        "event_type", "timestamp_seconds(sec) AS ts"
+    )
+    plain = {r.bucket_start: r.z for r in rolling_zscore_anomalies(df).collect()}
+    filled = {r.bucket_start: r.z for r in rolling_zscore_anomalies(
+        df, zero_fill=True
+    ).collect()}
+    # locate the post-quiet spike bucket
+    from datetime import datetime, timezone
+    key = datetime.fromtimestamp((base // 3600 + 60) * 3600, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    # default: the trailing 24 NON-EMPTY buckets include 14 busy
+    # (n=10) pre-quiet hours -> high-mean baseline damps the spike
+    assert key in plain and plain[key] < 2
+    # zero-filled: trailing 24 wall-clock hours are 8 ones + 16 zeros
+    # -> the spike is a screaming anomaly
+    assert key in filled and filled[key] > 10
+    assert filled[key] > plain[key] + 5
+    # filled axis scores the zero buckets as negative-z dips
+    assert any(z is not None and z < 0 for z in filled.values())

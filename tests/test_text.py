@@ -448,3 +448,44 @@ def test_pmi_collocations_ranks_glued_pair_first(spark):
     assert out[0].c_xy == 40
     # PMI of the glued pair beats any filler pair
     assert all(out[0].pmi > r.pmi for r in out[1:])
+
+
+def test_card_scan_luhn(spark):
+    from data_misc_tools_spark.operators.text import card_scan
+
+    rows = [
+        (1, "pay with 4539 1488 0343 6467 today"),   # valid (16, spaced)
+        (2, "ref 4539 1488 0343 6468 is wrong"),      # bad check digit
+        (3, "amex 3782 822463 10005 ok"),             # valid (15)
+        (4, "no digits here"),
+        (5, "short 1234 5678 run"),                   # 8 digits: below 13, skipped
+        (6, "dash 6011-0009-9013-9424 discover"),     # valid (dashes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.card): r.luhn for r in card_scan(df).collect()}
+    assert got == {
+        (1, "4539148803436467"): True,
+        (2, "4539148803436468"): False,
+        (3, "378282246310005"): True,
+        (6, "6011000990139424"): True,
+    }
+
+
+def test_luhn_valid_expression(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.text import luhn_valid
+
+    # python reference implementation
+    def ref(d):
+        tot = 0
+        for i, ch in enumerate(reversed(d), start=1):
+            v = int(ch)
+            tot += v if i % 2 == 1 else (v * 2 - 9 if v * 2 > 9 else v * 2)
+        return tot % 10 == 0
+
+    cases = ["4111111111111111", "79927398713", "79927398710", "1234567890123",
+             "4539148803436467", "378282246310005"]
+    df = spark.createDataFrame([(c,) for c in cases], "card string")
+    got = {r.card: r.ok for r in df.select("card", luhn_valid(F.col("card")).alias("ok")).collect()}
+    assert got == {c: ref(c) for c in cases}

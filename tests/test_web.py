@@ -42,3 +42,30 @@ def test_blocklist_and_cap_deterministic(spark):
              for r in W.per_domain_cap(kept.repartition(13), cap=10).collect()}
     for r in out:
         assert again[(r.domain, r.rank)] == r.doc_id
+
+
+def test_canonical_url(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.web import canonical_url
+
+    cases = [
+        ("https://www.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("HTTP://HOST.example.com:80/", "http://host.example.com/"),
+        ("http://host.example.com:8080/x", "http://host.example.com:8080/x"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/p?fbclid=only", "https://example.com/p"),
+        ("https://example.com/p?z=1&utm_campaign=c&y=2",
+         "https://example.com/p?y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.canon for r in df.select(
+        "url", canonical_url("url").alias("canon")
+    ).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+    # strip_www=False keeps the www. label
+    df2 = spark.createDataFrame([("https://www.a.com/x",)], "url string")
+    keep = df2.select(canonical_url("url", strip_www=False).alias("c")).collect()[0].c
+    assert keep == "https://www.a.com/x"
