@@ -5492,6 +5492,138 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stationary_oracle(iters: int = 10) -> str:
+    """Unrolled power-iteration twin of stationary_distribution: one
+    CTE per round, same half-up integer routing — DuckDB 1.0's
+    recursive CTEs disallow the aggregate in the recursive term, so
+    the fixed iteration count is unrolled at oracle-build time."""
+    steps = []
+    for k in range(iters):
+        # ONE reference to v{k} per level: DuckDB inlines CTEs, so a
+        # twice-referenced previous level doubles the inlined plan per
+        # round (2^iters copies of the event scan hang the oracle) —
+        # the LEFT JOIN form routes and passes dangling mass through
+        # in a single pass
+        steps.append(f"""
+    v{k + 1} AS (
+        SELECT state, sum(v)::BIGINT AS v FROM (
+            SELECT coalesce(t.j, v.state) AS state,
+                   CASE WHEN t.i IS NULL THEN v.v
+                        ELSE (2 * v.v * t.n + t.r) // (2 * t.r) END AS v
+            FROM v{k} v LEFT JOIN t ON v.state = t.i
+        ) GROUP BY state
+    )""")
+    return f"""
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+               event_type AS j
+        FROM events
+    ),
+    cnt AS (
+        SELECT i, j, count(*)::BIGINT AS n FROM pairs
+        WHERE i IS NOT NULL GROUP BY i, j
+    ),
+    t AS (SELECT *, sum(n) OVER (PARTITION BY i)::BIGINT AS r FROM cnt),
+    states AS (SELECT DISTINCT i AS state FROM t UNION SELECT DISTINCT j AS state FROM t),
+    ns AS (SELECT count(*)::BIGINT AS n FROM states),
+    v0 AS (SELECT state, (1000000 // (SELECT n FROM ns))::BIGINT AS v FROM states),
+    {",".join(steps)}
+    SELECT state, v AS v_e6, v::DOUBLE / 1000000 AS p FROM v{iters}
+    """
+
+
+@_q("markov_stationary_events", _stationary_oracle(10))
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: 10
+    rounds of engine-exact integer power iteration (e6-scaled mass,
+    half-up routing across transition counts, absorbing dangling
+    states) — the long-run attention share per event type. Oracle =
+    the identical formula unrolled into 10 CTEs. See
+    operators/temporal.py:stationary_distribution."""
+    from data_misc_tools_spark.operators.temporal import stationary_distribution
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return stationary_distribution(e, iters=10)
+
+
+@_q(
+    "salted_join_revenue",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               length(event_type)::BIGINT AS type_weight
+        FROM events
+    )
+    SELECT e.event_type,
+           count(*)::BIGINT AS n,
+           sum(round(e.value * 10000)::BIGINT * d.type_weight)::BIGINT AS weighted_e4
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/etl.py:salted_skew_join):
+    events joined to a per-type dimension on the SKEWED event_type key
+    with the dimension replicated across 8 salts, then aggregated.
+    The oracle is the PLAIN join — salting must change distribution,
+    never results. Weighted sum in e4 integers (no float
+    accumulation)."""
+    from data_misc_tools_spark.operators.etl import salted_skew_join
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    dim = e.select("event_type").distinct().select(
+        "event_type", F.length("event_type").cast("long").alias("type_weight")
+    )
+    joined = salted_skew_join(
+        e.select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 10000).cast("long").alias("v_e4"),
+        ),
+        dim,
+        key="event_type",
+        n_salts=8,
+        dist_col="event_id",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v_e4") * F.col("type_weight")).cast("long").alias("weighted_e4"),
+    )
+
+
+@_q(
+    "semantic_contamination_flags",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    e AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+    t AS (SELECT * FROM v WHERE vec_id % 50 != 0),
+    scored AS (
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+               round(list_cosine_similarity(t.emb, e.emb), 4) AS sim
+        FROM t CROSS JOIN e
+    ),
+    hits AS (SELECT * FROM scored WHERE sim >= 0.3)
+    SELECT train_id, eval_id, sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY train_id ORDER BY sim DESC, eval_id
+        ) AS rn FROM hits
+    ) WHERE rn = 1
+    """,
+)
+def semantic_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: train vectors whose cosine to
+    any eval vector (every 50th embedding standing in for a benchmark)
+    meets the threshold, with the closest eval item attributed —
+    catches paraphrased benchmark leakage that n-gram
+    eval_contamination misses. Eval side broadcasts; one pass over the
+    corpus. See operators/contamination.py:semantic_contamination."""
+    from data_misc_tools_spark.operators.contamination import semantic_contamination
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    ev = emb.where(F.col("vec_id") % 50 == 0)
+    tr = emb.where(F.col("vec_id") % 50 != 0)
+    return semantic_contamination(tr, ev, threshold=0.3)
+
+
 @_q(
     "url_canonical_dedup",
     """

@@ -111,3 +111,52 @@ def decontaminate(
         train, eval_df, n, threshold_times, text_col, id_col
     ).select(F.col("train_doc").alias(id_col)).distinct()
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: a training vector is flagged
+    when its cosine similarity to ANY eval vector meets ``threshold``
+    — the semantic complement of n-gram :func:`contamination_pairs`
+    (paraphrased or reformatted benchmark leakage survives n-gram
+    checks but not an embedding match; both passes together are the
+    current hygiene standard).
+
+    Plan: eval embeddings BROADCAST into one pass over the training
+    corpus (eval sets are KBs-MBs; the corpus is the big side), argmax
+    via max_by over the 4dp-rounded cosine with ties to the smaller
+    eval id — no shuffle wider than |train|. Cosines round to 4dp in
+    the proven cosine_neardup_pairs oracle idiom.
+
+    Output: one row per TRAIN vector that matched —
+    (id_col, eval_id, sim, contaminated=true is implicit in presence);
+    callers left-anti-join to scrub. eval rows never appear as train.
+    """
+    from data_misc_tools_spark.operators.similarity import dot, l2_normalize
+
+    t = train.select(
+        F.col(id_col).alias("train_id"), l2_normalize(F.col(vec_col)).alias("__tv")
+    )
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"), l2_normalize(F.col(vec_col)).alias("__ev")
+    )
+    scored = (
+        t.join(F.broadcast(e))
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(dot(F.col("__tv"), F.col("__ev")), 4).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return scored.groupBy("train_id").agg(
+        F.min_by(
+            F.col("eval_id"), F.struct((-F.col("sim")).alias("s"), F.col("eval_id"))
+        ).alias("eval_id"),
+        F.max("sim").alias("sim"),
+    )

@@ -189,3 +189,44 @@ def dataset_fingerprint(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("fingerprint"),
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    dist_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by key salting: the classic manual remedy
+    when one join key holds a disproportionate share of the BIG side
+    (a mega-domain, a bot user) and a single reducer would own the
+    whole key. The big side's rows spread over ``n_salts`` sub-keys;
+    the small side REPLICATES once per salt; the join runs on
+    (key, salt), so the hot key's rows land on n_salts reducers
+    instead of one. Output rows are exactly the plain join's —
+    salting changes the physical distribution only.
+
+    ``dist_col``: a roughly-unique big-side column (an event id) that
+    deterministically spreads rows via xxhash64; falls back to
+    spark_partition_id() (still correct — ANY assignment is — but
+    then row placement varies across runs/retries).
+
+    Spark-4 note: AQE's skewedJoin handles sort-merge skew
+    automatically at runtime; this operator is for the cases AQE
+    can't see (pre-shuffle aggregation keys, bucketed tables, or
+    engines/configs without AQE) and as the explicit, plannable form.
+    ``how`` supports inner/left (the small side must stay the
+    replicated side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_skew_join supports inner/left, got {how!r}")
+    salt_src = (
+        F.xxhash64(F.col(dist_col)) if dist_col else F.spark_partition_id()
+    )
+    b = big.withColumn("__salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, [key, "__salt"], how).drop("__salt")

@@ -455,3 +455,74 @@ def transition_matrix(
         "n",
         "((2 * n * 10000 + __t) div (2 * __t)) / 10000.0D AS p",
     )
+
+
+def stationary_distribution(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    item_col: str = "event_type",
+    iters: int = 10,
+) -> DataFrame:
+    """Stationary distribution of the first-order behavior Markov
+    chain (the long-run share of attention each state captures —
+    PageRank's ancestor), by ``iters`` rounds of engine-exact integer
+    power iteration over :func:`transition_matrix` counts.
+
+    Mass is carried as e6-scaled BIGINTs: v0 = 1e6 div n_states per
+    state; each round routes v_i across i's outgoing edges with the
+    half-up integer ratio (2*v_i*c_ij + r_i) div (2*r_i) — no float
+    accumulation anywhere, so a DuckDB twin (the same formula
+    unrolled) matches hash-exactly. States without outgoing edges
+    hold their mass (absorbing self-loop). Truncation drift leaves
+    sum(v) within iters*n_states of 1e6 — report the raw integers,
+    not a renormalized float.
+
+    Scale: each round is one broadcast-size join (the chain alphabet
+    is small) over the |alphabet|² count matrix — iterations cost
+    |edges| work, not |events|; the event scan happens once in
+    transition_matrix. The counts frame is cached AND the mass vector
+    localCheckpoints every round: v is referenced twice per round
+    (routed + dangling), so an uncheckpointed lineage doubles per
+    iteration — 2^iters plan nodes chokes Catalyst long before the
+    data does (the cluster.py lesson).
+
+    Output: (state, v_e6 BIGINT, p DOUBLE = v_e6/1e6).
+    """
+    t = transition_matrix(df, entity_col, order_cols, item_col).select(
+        F.col("from_item").alias("i"), F.col("to_item").alias("j"), "n"
+    )
+    t = t.withColumn(
+        "r", F.sum("n").over(Window.partitionBy("i")).cast("long")
+    ).cache()
+    states = (
+        t.select(F.col("i").alias("state"))
+        .union(t.select(F.col("j").alias("state")))
+        .distinct()
+    )
+    n_states = states.count()
+    v = states.select(
+        "state", F.lit(1_000_000 // n_states).cast("long").alias("v")
+    )
+    for _ in range(iters):
+        # one reference to v per round (routed mass and dangling
+        # pass-through in a single LEFT JOIN): a twice-referenced v
+        # doubles the lineage per iteration; with the checkpoint this
+        # keeps each round's plan constant-size
+        v = (
+            v.join(t, v["state"] == t["i"], "left")
+            .select(
+                F.coalesce(F.col("j"), v["state"]).alias("state"),
+                F.when(
+                    F.col("i").isNull(), v["v"]
+                ).otherwise(F.expr("(2 * v * n + r) div (2 * r)")).alias("__m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("__m").cast("long").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        "state",
+        F.col("v").alias("v_e6"),
+        (F.col("v") / F.lit(1_000_000.0)).alias("p"),
+    )

@@ -65,3 +65,35 @@ def test_eval_side_is_broadcast(corpora):
     train, ev = corpora
     plan = C.contamination_pairs(train, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_contamination_flags_paraphrase(spark):
+    from data_misc_tools_spark.operators.contamination import semantic_contamination
+
+    # train 10,11 are near-copies of eval 1; train 12 orthogonal;
+    # train 13 is a near-copy of eval 2
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, [0.999, 0.02, 0.0]),
+            (11, [0.998, 0.03, 0.0]),
+            (12, [0.0, 0.0, 1.0]),
+            (13, [0.01, 0.997, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.train_id: (r.eval_id, r.sim) for r in semantic_contamination(
+        tr, ev, threshold=0.95
+    ).collect()}
+    assert set(got) == {10, 11, 13}
+    assert got[10][0] == 1 and got[11][0] == 1 and got[13][0] == 2
+    assert all(s >= 0.95 for _, s in got.values())
+    # scrub = left-anti join on the flags
+    flags = semantic_contamination(tr, ev, threshold=0.95).select(
+        "train_id"
+    ).withColumnRenamed("train_id", "vec_id")
+    clean = tr.join(flags, "vec_id", "left_anti").collect()
+    assert [r.vec_id for r in clean] == [12]

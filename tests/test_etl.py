@@ -158,3 +158,39 @@ def test_dataset_fingerprint_order_insensitive_and_sensitive_to_data(spark):
     # canonicalization; column order matters
     other = dataset_fingerprint(df, ["a", "id", "b"]).collect()[0]
     assert other.fingerprint != fp.fingerprint
+
+
+def test_salted_skew_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.etl import salted_skew_join
+
+    # heavy skew: key 'hot' holds 90% of the big side
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", i * 2) for i in range(1000)],
+        "row_id long, k string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 100), ("cold", 1), ("absent", 7)], "k string, w long"
+    )
+    got = salted_skew_join(big, small, key="k", n_salts=8, dist_col="row_id")
+    plain = big.join(small, "k")
+    assert got.count() == plain.count() == 1000
+    a = got.groupBy("k").agg(F.sum(F.col("v") * F.col("w")).alias("s")).collect()
+    b = plain.groupBy("k").agg(F.sum(F.col("v") * F.col("w")).alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the hot key really spreads across salts
+    n_salts_used = (
+        big.withColumn("__salt", F.pmod(F.xxhash64("row_id"), F.lit(8)))
+        .where("k = 'hot'").select("__salt").distinct().count()
+    )
+    assert n_salts_used == 8
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([(9999, "nokey", 0)], big.schema))
+    left = salted_skew_join(big2, small, key="k", n_salts=4, dist_col="row_id")
+    assert left.where("k = 'nokey'").count() == 0  # inner drops it
+    left2 = salted_skew_join(
+        big2, small, key="k", n_salts=4, dist_col="row_id", how="left"
+    )
+    assert left2.count() == 1001
+    assert left2.where("k = 'nokey'").collect()[0].w is None

@@ -334,3 +334,55 @@ def test_rolling_zscore_zero_fill_gap_semantics(spark):
     assert filled[key] > plain[key] + 5
     # filled axis scores the zero buckets as negative-z dips
     assert any(z is not None and z < 0 for z in filled.values())
+
+
+def test_stationary_distribution_known_chain(spark):
+    from data_misc_tools_spark.operators.temporal import stationary_distribution
+
+    # 2-event users give exact transition counts: P(a->a)=.5,
+    # P(a->b)=.5, P(b->a)=1 -> stationary (2/3, 1/3)
+    rows = []
+    eid = 0
+    def pair(u, x, y):
+        nonlocal eid
+        rows.append((u, eid, 1_600_000_000, x)); eid += 1
+        rows.append((u, eid, 1_600_000_100, y)); eid += 1
+    for u in range(5):
+        pair(u, "a", "a")
+    for u in range(5, 10):
+        pair(u, "a", "b")
+    for u in range(10, 20):
+        pair(u, "b", "a")
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long, event_type string"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(sec) AS ts", "event_type")
+    got = {r.state: r for r in stationary_distribution(df, iters=12).collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(got["a"].p - 2 / 3) < 0.01
+    assert abs(got["b"].p - 1 / 3) < 0.01
+    # integer mass approximately conserved (truncation drift only)
+    total = got["a"].v_e6 + got["b"].v_e6
+    assert abs(total - 1_000_000) < 100
+    # deterministic under repartition
+    again = {r.state: r.v_e6 for r in stationary_distribution(
+        df.repartition(7), iters=12
+    ).collect()}
+    assert again == {k: v.v_e6 for k, v in got.items()}
+
+
+def test_stationary_distribution_absorbing_state(spark):
+    from data_misc_tools_spark.operators.temporal import stationary_distribution
+
+    # c only receives: it's absorbing, so iteration drains mass into it
+    rows = [
+        (1, 1, 1_600_000_000, "a"), (1, 2, 1_600_000_100, "c"),
+        (2, 3, 1_600_000_000, "a"), (2, 4, 1_600_000_100, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long, event_type string"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(sec) AS ts", "event_type")
+    got = {r.state: r for r in stationary_distribution(df, iters=8).collect()}
+    assert set(got) == {"a", "c"}
+    assert got["c"].v_e6 > got["a"].v_e6  # mass accumulates in the sink
+    total = got["a"].v_e6 + got["c"].v_e6
+    assert abs(total - 1_000_000) < 100  # conserved, never lost
