@@ -155,6 +155,16 @@ HEADLINE = [
     "bootstrap_value_ci_fast",
     "ab_lift_fast",
     "bm25_index_serve",
+    # round-4 operators: semantic dedup/contamination, Luhn PII,
+    # URL canonicalization, skew-salted join, Markov fixed point,
+    # wall-clock-filled anomaly scores
+    "semdedup_embeddings",
+    "semantic_contamination_flags",
+    "pii_card_luhn",
+    "url_canonical_dedup",
+    "salted_join_revenue",
+    "markov_stationary_events",
+    "hourly_anomaly_zscore_filled",
 ]
 
 

@@ -329,3 +329,39 @@ def test_mp4_and_tar_shapes(spark, sf_dir):
     p2 = _plan(spark, "tar_shard_export_demo", sf_dir)
     assert "FlatMapGroupsInPandas" in p2
     assert "SortMergeJoin" not in p2 and "CartesianProduct" not in p2
+
+
+def test_semdedup_stays_blocked_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, "semdedup_embeddings", sf_dir)
+    # seed assignment: tiny seed table broadcast into the corpus scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the pair pass must be the cluster-keyed equi-join, never a
+    # corpus-wide cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_contamination_eval_side_broadcasts(spark, sf_dir):
+    plan = _plan(spark, "semantic_contamination_flags", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_salts_the_small_side(spark, sf_dir):
+    plan = _plan(spark, "salted_join_revenue", sf_dir)
+    assert "Generate" in plan and "explode(" in plan  # small side replicated per salt
+    assert "xxhash64" in plan          # deterministic big-side spread
+
+
+def test_new_scan_local_ops_have_no_python(spark, sf_dir):
+    for name in ["url_canonical_dedup", "pii_card_luhn"]:
+        plan = _plan(spark, name, sf_dir)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, (name, marker)
+
+
+def test_bootstrap_fast_path_is_md5_free(spark, sf_dir):
+    plan = _plan(spark, "bootstrap_value_ci_fast", sf_dir)
+    assert "md5" not in plan
+    assert "xxhash64" in plan
+    # the graded twin keeps the portable hash
+    assert "md5" in _plan(spark, "bootstrap_value_ci", sf_dir)
