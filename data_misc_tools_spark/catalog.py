@@ -5492,6 +5492,49 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "contrastive_negatives",
+    """
+    WITH pos AS (SELECT doc_id % 50 AS query_id, doc_id AS pos_id FROM documents),
+    n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    q AS (SELECT DISTINCT query_id FROM pos),
+    cand AS (
+        SELECT q.query_id, g.j,
+               ('0x' || substr(md5('neg:' || q.query_id::VARCHAR || ':' || g.j::VARCHAR), 1, 8))::BIGINT
+                   % (SELECT n FROM n) AS neg_id
+        FROM q CROSS JOIN generate_series(1, 12) g(j)
+    ),
+    dedup AS (
+        SELECT c.query_id, c.neg_id, min(c.j) AS j
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p
+            WHERE p.query_id = c.query_id AND p.pos_id = c.neg_id
+        )
+        GROUP BY c.query_id, c.neg_id
+    )
+    SELECT query_id, rank, neg_id FROM (
+        SELECT query_id, neg_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY j, neg_id)::BIGINT AS rank
+        FROM dedup
+    ) WHERE rank <= 4
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 4
+    negatives per query drawn directly as hash(query, j) % n_items —
+    NO pass over the item corpus (|queries| x 12 candidate rows
+    total), positives excluded, md5-portable and repartition-stable.
+    See operators/sampling.py:negative_samples."""
+    from data_misc_tools_spark.operators.sampling import negative_samples
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pos = d.select(
+        (F.col("doc_id") % 50).alias("query_id"), F.col("doc_id").alias("pos_id")
+    )
+    return negative_samples(pos, n_items=d.count(), k=4, margin=8)
+
+
 def _stationary_oracle(iters: int = 10) -> str:
     """Unrolled power-iteration twin of stationary_distribution: one
     CTE per round, same half-up integer routing — DuckDB 1.0's

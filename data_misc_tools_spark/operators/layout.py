@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -134,3 +134,53 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance chore every
+    long-running ingestion needs: streaming sinks and incremental
+    appends leave thousands of KB-sized files whose per-file open +
+    footer + task-scheduling overhead eventually dominates scans.
+    Rewrites the dataset into ceil(bytes / target_file_mb) files.
+
+    ``sort_cols``: optional — range-partition + sort by these columns
+    while compacting (clustered layout for free, since the data is
+    being rewritten anyway; combine with zorder_key for multi-column
+    skipping). Without them, repartition(n) round-robins for even
+    file sizes.
+
+    Returns {files_before, files_after, bytes, rows} for the
+    maintenance log. Content equality is the caller's contract —
+    pair with etl.dataset_fingerprint (order-invariant) to audit.
+
+    Scale: one full read + write, shuffle only for the repartition;
+    the byte size comes from the FileSystem API, not a data scan.
+    """
+    from data_misc_tools_spark.sources.fs import ls
+
+    entries = [e for e in ls(spark, in_path) if e["path"].endswith(".parquet")]
+    total_bytes = sum(e["size"] for e in entries)
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    after = [
+        e for e in ls(spark, out_path) if e["path"].endswith(".parquet")
+    ]
+    return {
+        "files_before": len(entries),
+        "files_after": len(after),
+        "bytes": total_bytes,
+        "rows": spark.read.parquet(out_path).count(),
+    }

@@ -427,3 +427,71 @@ def dsir_topk(
         (F.col("s_e6") / F.lit(1e6)).alias("logw"),
         "rank",
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    n_items: int,
+    k: int = 4,
+    margin: int = 8,
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+    salt: str = "neg:",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every query in ``positives`` (query_col, pos_col — multiple
+    positives per query allowed), draw ``k`` pseudo-random negative
+    item ids from the DENSE id space [0, n_items), excluding every one
+    of that query's positives.
+
+    Candidates are derived directly — neg = hash(query, j) % n_items
+    for j in 1..k+margin — so the cost is |queries| x (k+margin) rows
+    joined against nothing but the positives themselves: NO pass over
+    the corpus, which is what makes this shape survive a 100 TB item
+    table (an alternative "rank all items per query by hash" plan is
+    |queries| x |corpus|). Draws are md5-portable (the hash_sample
+    idiom), reproducible under any partitioning, and identical in the
+    DuckDB twin. Collisions (duplicate draws, positive hits) consume
+    margin; statistically k+margin=12 covers k=4 for any n_items
+    >= ~50 — callers with tiny item spaces or many positives per
+    query should raise ``margin``.
+
+    Non-dense id spaces: map ids through a dense index first
+    (row_number over the item table — one sort, amortized across
+    every training epoch that reuses it).
+
+    Output: (query_col, rank 1..k, neg_id), rank ordered by draw
+    index then neg_id.
+    """
+    q = positives.select(query_col).distinct()
+    cand = (
+        q.select(
+            query_col,
+            F.explode(F.sequence(F.lit(1), F.lit(k + margin))).alias("__j"),
+        )
+        .withColumn(
+            "neg_id",
+            _hash_u32(
+                F.concat(
+                    F.col(query_col).cast("string"), F.lit(":"),
+                    F.col("__j").cast("string"),
+                ),
+                salt,
+            )
+            % n_items,
+        )
+    )
+    pos = positives.select(
+        F.col(query_col), F.col(pos_col).alias("neg_id")
+    ).distinct()
+    dedup = (
+        cand.join(pos, [query_col, "neg_id"], "left_anti")
+        .groupBy(query_col, "neg_id")
+        .agg(F.min("__j").alias("__j"))
+    )
+    w = Window.partitionBy(query_col).orderBy("__j", "neg_id")
+    return (
+        dedup.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", "neg_id")
+    )

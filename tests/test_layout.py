@@ -126,3 +126,51 @@ def test_zorder_layout_skips_files_on_any_dimension(spark, sf_dir, tmp_path):
     qstats = [s for s in _file_stats(qpath) if s]
     assert _admitted(qstats, val_box) <= len(qstats) // 2
     assert _admitted(qstats, usr_box) <= 3 * len(qstats) // 4
+
+
+def test_compact_parquet_reduces_files_preserves_content(spark, tmp_path):
+    from data_misc_tools_spark.operators.etl import dataset_fingerprint
+    from data_misc_tools_spark.operators.layout import compact_parquet
+
+    src = f"file://{tmp_path}/frag"
+    dst = f"file://{tmp_path}/compact"
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS k", "cast(id AS string) AS s")
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    stats = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1  # well under one 128MB target
+    assert stats["rows"] == 10_000
+    # order-invariant content equality
+    fp_a = dataset_fingerprint(spark.read.parquet(src), ["id", "k", "s"]).collect()
+    fp_b = dataset_fingerprint(spark.read.parquet(dst), ["id", "k", "s"]).collect()
+    assert [tuple(r) for r in fp_a] == [tuple(r) for r in fp_b]
+
+
+def test_compact_parquet_sorted_layout_skips(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from data_misc_tools_spark.operators.layout import compact_parquet
+
+    src = f"file://{tmp_path}/frag2"
+    dst = f"file://{tmp_path}/sorted"
+    spark.range(40_000).selectExpr("id", "id % 1000 AS k").repartition(
+        16
+    ).write.parquet(src)
+    # force >1 output file by a tiny target? 40k rows is small; instead
+    # verify the sort-cols path produces non-overlapping k ranges per file
+    compact_parquet(spark, src, dst, target_file_mb=1, sort_cols=["k"])
+    files = sorted(
+        str(p) for p in (tmp_path / "sorted").glob("*.parquet")
+    )
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # range-partitioned: files do not overlap on k

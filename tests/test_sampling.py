@@ -262,3 +262,29 @@ def test_dsir_topk_prefers_target_domain(spark):
              dsir_topk(df.repartition(5), target=F.col("src") == "med",
                        n_buckets=256, k=10).collect()}
     assert again == ranks
+
+
+def test_negative_samples_exclude_positives_and_are_stable(spark):
+    from data_misc_tools_spark.operators.sampling import negative_samples
+
+    # query 1 holds HALF the item space as positives: draws must
+    # dodge all of them and still fill k from the margin
+    pos_rows = [(1, i) for i in range(0, 50)] + [(2, 7)]
+    pos = spark.createDataFrame(pos_rows, "query_id long, pos_id long")
+    out = negative_samples(pos, n_items=100, k=4, margin=20).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4]
+        negs = {r.neg_id for r in rows}
+        assert len(negs) == 4  # no duplicate negatives
+        assert all(0 <= n < 100 for n in negs)
+    assert all(r.neg_id >= 50 for r in by_q[1])  # positives excluded
+    assert all(r.neg_id != 7 for r in by_q[2])
+    # deterministic under repartition
+    again = negative_samples(
+        pos.repartition(5), n_items=100, k=4, margin=20
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

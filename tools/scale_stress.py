@@ -77,6 +77,26 @@ STRESS = {
     "url_domain_quota": "linearithmic",
     "zipf_corpus_fit": "linear",
     "tar_shard_export_demo": "linear",
+    # round-4: Luhn fold (map-only), URL canon (one canon-keyed
+    # window), salted join (same shuffle as plain join), Markov fixed
+    # point (iterations cost |alphabet|^2, scan linear), filled
+    # z-score (axis rows ~ span, window linearithmic), xxhash64
+    # bootstrap twins (bounded explode + agg), BM25 serve (pruned
+    # postings read; best-of-2 takes the warm serve).
+    # EXCLUDED by design, documented in SCALING.md: semdedup_embeddings
+    # (demo pins k_clusters=16, so within-cluster pairs grow
+    # quadratically when n grows under fixed k — production scales k
+    # with n) and semantic_contamination_flags (the demo's eval set is
+    # a 1/50 slice, so BOTH join sides grow with sf; production eval
+    # sets are fixed-size benchmarks).
+    "pii_card_luhn": "linear",
+    "url_canonical_dedup": "linearithmic",
+    "salted_join_revenue": "linear",
+    "markov_stationary_events": "linear",
+    "hourly_anomaly_zscore_filled": "linearithmic",
+    "bootstrap_value_ci_fast": "linear",
+    "ab_lift_fast": "linear",
+    "bm25_index_serve": "linear",
 }
 
 
