@@ -165,6 +165,8 @@ HEADLINE = [
     "salted_join_revenue",
     "markov_stationary_events",
     "hourly_anomaly_zscore_filled",
+    "contrastive_negatives",
+    "png_pipeline_demo",
 ]
 
 

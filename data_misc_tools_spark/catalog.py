@@ -5493,6 +5493,53 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "png_pipeline_demo",
+    """
+    WITH p AS (
+        SELECT doc_id, 8 + doc_id % 32 AS w, 8 + doc_id % 16 AS h,
+               doc_id % 256 AS s
+        FROM documents
+    ),
+    px AS (
+        SELECT p.doc_id, p.w, p.h,
+               ((p.s + 31 * gx.x + 17 * gy.y) % 256)::BIGINT AS v
+        FROM p
+        JOIN generate_series(0, 63) gy(y) ON gy.y < p.h
+        JOIN generate_series(0, 63) gx(x) ON gx.x < p.w
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           (w * h)::BIGINT AS n_pixels,
+           (sum(v) * 10000 // (w * h))::BIGINT AS mean_pixel_e4,
+           min(v)::INT AS min_pixel, max(v)::INT AS max_pixel
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def png_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image pipeline: encode deterministic grayscale
+    PNGs (stdlib zlib, correct CRCs) as a binary column, then DECODE
+    them back in an Arrow-batched mapInPandas pass and extract pixel
+    features. The oracle never sees a PNG — it recomputes the features
+    from the pixel formula — so a hash match proves the encoder,
+    binary round-trip, and decoder are all bit-faithful. The one
+    Python-side catalog query that earns its mapInPandas: codecs are
+    inherently Python/native here. See
+    operators/multimodal.py:png_encode_batches/png_decode_features."""
+    from data_misc_tools_spark.operators.multimodal import (
+        png_decode_features,
+        png_encode_batches,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    src = d.select(
+        "doc_id",
+        (8 + F.col("doc_id") % 32).cast("int").alias("width"),
+        (8 + F.col("doc_id") % 16).cast("int").alias("height"),
+        (F.col("doc_id") % 256).cast("int").alias("seed"),
+    )
+    return png_decode_features(png_encode_batches(src))
+
+
+@_q(
     "contrastive_negatives",
     """
     WITH pos AS (SELECT doc_id % 50 AS query_id, doc_id AS pos_id FROM documents),

@@ -608,3 +608,200 @@ def synthetic_mp4(
     moov = F.concat(F.lit("000000D86D6F6F76"), mvhd, trak)  # size 216, 'moov'
     ftyp = F.lit("000000146674797069736F6D0000020069736F6D")  # size 20
     return F.unhex(F.concat(ftyp, moov))
+
+
+# ---------------------------------------------------------------------------
+# Real (stdlib-only) grayscale PNG codec: the one image format this
+# environment CAN decode for real — PNG's container is zlib + CRC32,
+# both in the Python standard library. This upgrades the decode path
+# from "stubbed" to a working end-to-end pipeline (encode → store as
+# binary column → decode → feature-extract → resize → re-encode) with
+# bit-exact tests; production swaps the per-batch codec for
+# PIL/libvips/ffmpeg behind the same mapInPandas shape.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_gray8_bytes(width: int, height: int, seed: int) -> bytes:
+    """One REAL 8-bit grayscale PNG (IHDR/IDAT/IEND, filter-0 rows,
+    zlib-deflated, correct CRC32s). Deterministic pixels:
+    pixel(x, y) = (seed + 31*x + 17*y) % 256."""
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        for x in range(width):
+            raw.append((seed + 31 * x + 17 * y) % 256)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray8_bytes(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, pixels row-major) from an 8-bit grayscale PNG
+    with filter-0 rows (what :func:`png_encode_gray8_bytes` and most
+    synthetic/scientific writers emit). Raises on other color types /
+    filters — loud, never wrong."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat = 8, b""
+    width = height = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if (depth, ctype) != (8, 0):
+                raise ValueError(f"unsupported PNG (depth={depth}, color={ctype})")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    raw = _z.decompress(idat)
+    stride = width + 1
+    out = bytearray()
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError(f"unsupported PNG filter {row[0]}")
+        out += row[1:]
+    return width, height, bytes(out)
+
+
+def png_encode_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """mapInPandas encoder: (id, width, height, seed) → (id, payload)
+    of real grayscale PNGs. Map-only (no shuffle at any scale)."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                png_encode_gray8_bytes(int(w), int(h), int(s))
+                for w, h, s in zip(pdf[width_col], pdf[height_col], pdf[seed_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": payloads})
+
+    return df.select(id_col, width_col, height_col, seed_col).mapInPandas(
+        run, schema=schema
+    )
+
+
+def png_decode_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas REAL decode + feature extraction: (id, payload) →
+    (id, width, height, n_pixels, mean_pixel_e4, min_pixel, max_pixel).
+    mean is e4-scaled integer (exact: sum*10000 div count) so results
+    are engine/accumulation-order exact."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_pixels", LongType()),
+            StructField("mean_pixel_e4", LongType()),
+            StructField("min_pixel", IntegerType()),
+            StructField("max_pixel", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = png_decode_gray8_bytes(bytes(payload))
+                n = w * h
+                rows.append(
+                    (
+                        int(i), w, h, n,
+                        (sum(px) * 10000) // n if n else 0,
+                        min(px) if n else 0,
+                        max(px) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_pixels",
+                    "mean_pixel_e4", "min_pixel", "max_pixel",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def png_resize_nearest(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mapInPandas nearest-neighbor resize: decode, sample the source
+    grid at floor(x*sw/ow), floor(y*sh/oh), re-encode — a REAL resize
+    with stdlib only. (id, payload) → (id, payload) at the new size."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import struct
+        import zlib as _z
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                sw, sh, px = png_decode_gray8_bytes(bytes(payload))
+                raw = bytearray()
+                for y in range(out_height):
+                    raw.append(0)
+                    sy = y * sh // out_height
+                    base = sy * sw
+                    for x in range(out_width):
+                        raw.append(px[base + x * sw // out_width])
+                ihdr = struct.pack(">IIBBBBB", out_width, out_height, 8, 0, 0, 0, 0)
+                out.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+                    + _png_chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": out})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
