@@ -917,11 +917,12 @@ def cosine_neardup_pairs_ivf(
 
 def semantic_dedup(
     df: DataFrame,
-    k_clusters: int = 16,
+    k_clusters: int | None = 16,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 64,
+    target_block: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark semantic near-duplicates WITHIN each
@@ -944,17 +945,22 @@ def semantic_dedup(
 
     Scale: seeds broadcast (k rows); assignment is one narrow
     crossJoin (n x k integer dots, no shuffle of the corpus); the
-    pair join shuffles once on cluster_id. Size k_clusters ~
-    n/target_block so within-cluster blocks stay bounded; for
-    corpora without useful small-id diversity, pass a curated seed
-    sample instead (any deterministic seed set keeps the oracle
-    property). reference parity: none (the reference has no
-    embedding operators); this extends the dedup family of
-    dedup.py / cosine_neardup_pairs.
+    pair join shuffles once on cluster_id. ``k_clusters=None``
+    auto-sizes k = ceil(n / target_block) (one count job) so
+    within-cluster blocks stay ~target_block as the corpus grows —
+    the quadratic term is then bounded at n*target_block pair
+    evaluations regardless of n. For corpora without useful small-id
+    diversity, pass a curated seed sample instead (any deterministic
+    seed set keeps the oracle property). reference parity: none (the
+    reference has no embedding operators); this extends the dedup
+    family of dedup.py / cosine_neardup_pairs.
 
     Output: (vec_id, cluster_id, keep boolean, dup_of nullable).
     """
     base = df.select(F.col(id_col), F.col(vec_col))
+    if k_clusters is None:
+        n = base.count()
+        k_clusters = max(1, -(-n // target_block))
     w_seed = Window.orderBy(id_col)
     seeds = (
         base.orderBy(id_col)

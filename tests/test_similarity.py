@@ -425,3 +425,18 @@ def test_semantic_dedup_keep_first_within_cluster(spark):
         df.repartition(5), k_clusters=2, threshold=0.95
     ).collect()}
     assert again == {k: (v.keep, v.dup_of) for k, v in got.items()}
+
+
+def test_semantic_dedup_auto_k(spark):
+    from data_misc_tools_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 30 rows, target_block=10 -> k=3 clusters
+    out = semantic_dedup(df, k_clusters=None, target_block=10, threshold=0.99)
+    clusters = {r.cluster_id for r in out.collect()}
+    assert clusters == {0, 1, 2}
+    # identical one-hot vectors within a cluster: only the smallest id keeps
+    kept = sorted(r.vec_id for r in out.collect() if r.keep)
+    assert kept == [0, 1, 2]
