@@ -220,6 +220,16 @@ def main() -> int:
         "  working set, not an algorithmic term. At real corpus lengths use",
         "  the `threshold` parameter (banded early-exit, O(t*len) per pair)",
         "  before shipping 10^8 pairs through the exact form.",
+        "- **Round-4 demos excluded by design**: `semdedup_embeddings` pins",
+        "  `k_clusters=16` for its oracle, so within-cluster pairs grow",
+        "  quadratically when n grows under FIXED k — production auto-sizes",
+        "  k = ceil(n/target_block) (`semantic_dedup(k_clusters=None)`),",
+        "  bounding pair work at n*target_block. `semantic_contamination_flags`",
+        "  slices its eval set as 1/50 of the corpus, so BOTH join sides grow",
+        "  with sf; real eval sets are fixed-size benchmarks and the pass is",
+        "  linear in the corpus. Both shapes are measured implicitly: the",
+        "  assignment/scoring kernels are the embedding_cosine_topk /",
+        "  embedding_neardup kernels already in the table.",
     ]
     with open(os.path.join(repo, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
