@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -455,6 +456,116 @@ def sequence_stream(
             _sequence_fn(context, min_context),
             outputStructType=SEQ_OUT_SCHEMA,
             stateStructType=SEQ_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ZSCORE_OUT_SCHEMA = (
+    "entity string, bucket_start string, n long, z double"
+)
+ZSCORE_STATE_SCHEMA = (
+    "hist_counts array<long>, cur_bucket long, cur_n long"
+)
+
+
+def _zscore_fn(bucket_seconds: int, window: int):
+    """Per-entity trailing-window z-score state machine (streaming twin
+    of operators/temporal.rolling_zscore_anomalies, default non-filled
+    semantics: the frame is the trailing ``window`` NON-EMPTY buckets).
+
+    State = (counts of the last ``window`` CLOSED non-empty buckets,
+    the open bucket, its running count). A bucket closes when a LATER
+    bucket's first event arrives; closing scores it against the
+    history with the batch twin's exact closed form
+    z = (k·n − S)/sqrt(k·Q − S²) (k == window gate, null z on zero
+    variance) and pushes it into the history.
+
+    In-order contract (the cohort_stream trade): events for an
+    already-closed bucket are dropped, not retro-corrected — batches
+    must be time-ordered per entity (availableNow file replay, an
+    in-order Kafka partition). The final open bucket never closes, so
+    a drained stream's output equals the batch operator on all
+    buckets EXCEPT each entity's last — pinned in
+    tests/test_streaming.py. State is O(window) per entity.
+    """
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        from datetime import datetime, timezone
+
+        import pandas as pd
+
+        (entity,) = key
+        hist, cur_bucket, cur_n = (
+            state.get if state.exists else ([], None, 0)
+        )
+        hist = list(hist)
+        batch_counts: dict[int, int] = {}
+        for pdf in pdfs:
+            secs = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000_000
+            for b, c in (secs // bucket_seconds).value_counts().items():
+                batch_counts[int(b)] = batch_counts.get(int(b), 0) + int(c)
+        out_rows = []
+
+        def close(bucket: int, n: int) -> None:
+            if len(hist) >= window:
+                k = window
+                tail = hist[-window:]
+                s = sum(tail)
+                q = sum(c * c for c in tail)
+                denom = k * q - s * s
+                z = (k * n - s) / denom**0.5 if denom > 0 else None
+                out_rows.append(
+                    (
+                        entity,
+                        datetime.fromtimestamp(
+                            bucket * bucket_seconds, tz=timezone.utc
+                        ).strftime("%Y-%m-%d %H:%M:%S"),
+                        n,
+                        z,
+                    )
+                )
+            hist.append(n)
+            del hist[:-window]
+
+        for b in sorted(batch_counts):
+            c = batch_counts[b]
+            if cur_bucket is None:
+                cur_bucket, cur_n = b, c
+            elif b == cur_bucket:
+                cur_n += c
+            elif b > cur_bucket:
+                close(cur_bucket, cur_n)
+                cur_bucket, cur_n = b, c
+            # b < cur_bucket: closed-bucket stragglers dropped (contract)
+        state.update((hist, cur_bucket, int(cur_n)))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["entity", "bucket_start", "n", "z"]
+            )
+
+    return fn
+
+
+def zscore_stream(
+    events: DataFrame,
+    entity_col: str = "event_type",
+    bucket_seconds: int = 3600,
+    window: int = 24,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming volume-anomaly z-scores: one row per CLOSED bucket
+    with a full trailing window (see ``_zscore_fn`` for the in-order
+    contract and the last-open-bucket caveat)."""
+    return (
+        events.select(F.col(entity_col).alias("entity"), "ts")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("entity")
+        .applyInPandasWithState(
+            _zscore_fn(bucket_seconds, window),
+            outputStructType=ZSCORE_OUT_SCHEMA,
+            stateStructType=ZSCORE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -950,3 +950,97 @@ class TestSequenceStream:
             for r in sequence_examples(ev, context=3).collect()
         )
         assert got == want and len(got) > 0
+
+
+class TestZscoreStream:
+    def test_state_machine_unit(self):
+        """Unit-drive _zscore_fn: closing scores against the trailing
+        window; last bucket stays open; out-of-order drops."""
+        import pandas as pd
+
+        from data_misc_tools_spark.streaming.stateful import _zscore_fn
+
+        fn = _zscore_fn(bucket_seconds=3600, window=3)
+        state = FakeState()
+
+        def batch(pairs):  # (bucket, count)
+            ts = []
+            for b, c in pairs:
+                ts += [pd.Timestamp(b * 3600, unit="s")] * c
+            return pd.DataFrame({"ts": ts})
+
+        # buckets 0..3 with counts 2,2,2,5: closing 3 needs window=3
+        # full -> emitted only for bucket 3 (trailing 2,2,2 -> zero
+        # variance -> z null); bucket 4 opens, never closes
+        out = list(fn(("a",), iter([batch([(0, 2), (1, 2), (2, 2), (3, 5), (4, 1)])]), state))
+        rows = out[0].values.tolist()
+        assert len(rows) == 1
+        ent, bs, n, z = rows[0]
+        assert (ent, n) == ("a", 5) and z is None or pd.isna(z)
+        # next batch: bucket 5 closes bucket 4 (n=1) against (2,2,5)
+        out2 = list(fn(("a",), iter([batch([(5, 1)])]), state))
+        rows2 = out2[0].values.tolist()
+        k, tail = 3, [2, 2, 5]
+        s, q = sum(tail), sum(c * c for c in tail)
+        want_z = (k * 1 - s) / (k * q - s * s) ** 0.5
+        assert abs(rows2[0][3] - want_z) < 1e-12
+        # straggler for closed bucket 0: dropped, no emission
+        assert list(fn(("a",), iter([batch([(0, 9)])]), state)) == []
+
+    def test_replay_equals_batch_except_open_buckets(self, spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from data_misc_tools_spark.operators.temporal import (
+            rolling_zscore_anomalies,
+        )
+        from data_misc_tools_spark.session import (
+            nanos_ts_columns,
+            read_parquet_table,
+        )
+        from data_misc_tools_spark.streaming.stateful import zscore_stream
+
+        src = f"{sf_dir}/events.parquet"
+        stage_dir = tempfile.mkdtemp(prefix="zscore_stage_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(stage_dir)
+        if "ts" in nanos_ts_columns(src):
+            stream = stream.withColumn("ts", FF.expr("timestamp_micros(ts div 1000)"))
+        q = (
+            zscore_stream(stream.select("event_type", "ts"))
+            .writeStream.format("memory")
+            .queryName("zscore_test")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="zscore_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert q.exception() is None
+        got = {
+            (r.entity, r.bucket_start): (r.n, r.z)
+            for r in spark.table("zscore_test").collect()
+        }
+        ev = read_parquet_table(spark, src)
+        batch_rows = rolling_zscore_anomalies(ev).collect()
+        # the stream can never close each entity's LAST bucket
+        last = {}
+        for r in batch_rows:
+            if r.entity not in last or r.bucket_start > last[r.entity]:
+                last[r.entity] = r.bucket_start
+        want = {
+            (r.entity, r.bucket_start): (r.n, r.z)
+            for r in batch_rows
+            if r.bucket_start != last[r.entity]
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            a, b = got[k][1], want[k][1]
+            assert (a is None and b is None) or abs(a - b) < 1e-12
