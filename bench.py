@@ -167,6 +167,7 @@ HEADLINE = [
     "hourly_anomaly_zscore_filled",
     "contrastive_negatives",
     "png_pipeline_demo",
+    "warc_source_demo",
 ]
 
 

@@ -5492,6 +5492,58 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARC_DEMO_CACHE: dict[tuple[int, str], str] = {}
+
+
+@_q(
+    "warc_source_demo",
+    """
+    SELECT 'https://corpus/doc/' || doc_id::VARCHAR AS target_uri,
+           'response' AS warc_type,
+           octet_length(encode(text))::BIGINT AS content_length
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def warc_source_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl ingestion through the WARC planner source: 100
+    documents are written as a real (gzipped) WARC/1.0 shard — the
+    Common Crawl container format — then scanned back with
+    ``spark.read.format("warc")``. The oracle recomputes the rows from
+    the documents table directly, so a hash match proves writer,
+    per-record framing, gzip round-trip, and the DataSource scan are
+    all byte-faithful (UTF-8 content lengths included — zh documents
+    are multi-byte). See sources/warc.py."""
+    import tempfile
+
+    from data_misc_tools_spark.sources.warc import warc_write_records
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    key = (id(spark), sf_dir)
+    path = _WARC_DEMO_CACHE.get(key)
+    if path is None:
+        rows = (
+            d.where(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )  # bounded fixture write (100 rows), the bm25-index pattern
+        tmp = tempfile.mkdtemp(prefix="warc_demo_")
+        path = f"{tmp}/shard.warc.gz"
+        warc_write_records(
+            path,
+            [
+                ("response", f"https://corpus/doc/{r.doc_id}", r.text.encode("utf-8"))
+                for r in rows
+            ],
+        )
+        _WARC_DEMO_CACHE[key] = path
+    return (
+        spark.read.format("warc")
+        .load(path)
+        .select("target_uri", "warc_type", "content_length")
+    )
+
+
 @_q(
     "png_pipeline_demo",
     """

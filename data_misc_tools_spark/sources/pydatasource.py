@@ -147,5 +147,8 @@ class RedisKeysReader(DataSourceReader):
 
 def register_python_datasources(spark) -> None:
     """Install the custom sources on this session (idempotent)."""
+    from data_misc_tools_spark.sources.warc import WarcDataSource
+
     spark.dataSource.register(ZKTreeDataSource)
     spark.dataSource.register(RedisKeysDataSource)
+    spark.dataSource.register(WarcDataSource)
