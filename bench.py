@@ -168,6 +168,7 @@ HEADLINE = [
     "contrastive_negatives",
     "png_pipeline_demo",
     "warc_source_demo",
+    "rfm_user_segments",
 ]
 
 

@@ -5492,6 +5492,68 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rfm_user_segments",
+    """
+    WITH mx AS (SELECT max(epoch(date_trunc('second', ts))::BIGINT) AS m FROM events),
+    base AS (
+        SELECT user_id,
+               ((SELECT m FROM mx) - max(epoch(date_trunc('second', ts))::BIGINT))
+                   // 86400 AS rec_days,
+               count(*)::BIGINT AS freq,
+               sum(round(value * 10000)::BIGINT)::BIGINT AS mon_e4
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, rec_days::BIGINT AS rec_days, freq, mon_e4,
+           r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q,
+           (r_q * 100 + f_q * 10 + m_q)::BIGINT AS rfm
+    FROM (
+        SELECT *,
+               ntile(4) OVER (ORDER BY rec_days, user_id) AS r_q,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+               ntile(4) OVER (ORDER BY mon_e4 DESC, user_id) AS m_q
+        FROM base
+    )
+    """,
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic engagement-value grid:
+    per user, days since last event (R), event count (F), summed
+    e4-integer value (M), each quartiled with a unique (metric,
+    user_id) total order so ntile is engine-exact; segment code =
+    R*100 + F*10 + M with quartile 1 best on every axis. Recency is
+    anchored to the corpus max timestamp (deterministic), integer
+    day floors. Single-partition global ntile is the small-data
+    formulation — at scale swap each axis for the histogram-cutoff
+    quartile assignment (quality_quartile_filter's shape)."""
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    base = (
+        e.select("user_id", F.unix_timestamp("ts").alias("s"),
+                 F.round(F.col("value") * 10000).cast("long").alias("v_e4"))
+        .groupBy("user_id")
+        .agg(
+            F.max("s").alias("last_s"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum("v_e4").cast("long").alias("mon_e4"),
+        )
+        .crossJoin(F.broadcast(e.agg(F.max(F.unix_timestamp("ts")).alias("mx"))))
+        .select(
+            "user_id",
+            F.expr("(mx - last_s) div 86400").alias("rec_days"),
+            "freq",
+            "mon_e4",
+        )
+    )
+    return base.select(
+        "user_id", "rec_days", "freq", "mon_e4",
+        F.ntile(4).over(Window.orderBy("rec_days", "user_id")).cast("long").alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id")).cast("long").alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("mon_e4"), "user_id")).cast("long").alias("m_q"),
+    ).withColumn(
+        "rfm", (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("long")
+    )
+
+
 _WARC_DEMO_CACHE: dict[tuple[int, str], str] = {}
 
 
