@@ -521,8 +521,13 @@ def stationary_distribution(
             .agg(F.sum("__m").cast("long").alias("v"))
             .localCheckpoint(eager=True)
         )
-    return v.select(
+    out = v.select(
         "state",
         F.col("v").alias("v_e6"),
         (F.col("v") / F.lit(1_000_000.0)).alias("p"),
     )
+    # v is localCheckpointed (materialized), so the cached counts frame
+    # can be released — long sessions run many catalog queries and
+    # would otherwise accumulate one cached matrix per call
+    t.unpersist()
+    return out
