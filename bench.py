@@ -169,6 +169,7 @@ HEADLINE = [
     "png_pipeline_demo",
     "warc_source_demo",
     "rfm_user_segments",
+    "dedup_ppjoin",
 ]
 
 

@@ -5493,6 +5493,61 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_ppjoin",
+    """
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[g.i : g.i + 2], ' ') AS tok
+        FROM w JOIN generate_series(1, 2048) g(i) ON g.i <= len(ws) - 2
+    ),
+    freq AS (SELECT tok, count(*)::BIGINT AS f FROM toks GROUP BY tok),
+    docs AS (
+        SELECT t.doc_id, list(t.tok ORDER BY fr.f, t.tok) AS arr,
+               count(*)::BIGINT AS sz
+        FROM toks t JOIN freq fr USING (tok) GROUP BY t.doc_id
+    ),
+    pref AS (
+        SELECT doc_id, sz,
+               unnest(arr[1 : (sz - (5 * sz + 9) // 10 + 1)::INT]) AS ptok
+        FROM docs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sz AS sz_a, b.sz AS sz_b
+        FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+        WHERE 5 * a.sz <= 10 * b.sz AND 5 * b.sz <= 10 * a.sz
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, count(*)::BIGINT AS inter
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, inter, sz_a, sz_b,
+           ((20000 * inter + (sz_a + sz_b - inter))
+             // (2 * (sz_a + sz_b - inter))) / 10000.0 AS jaccard
+    FROM inter WHERE 10 * inter >= 5 * (sz_a + sz_b - inter)
+    """,
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the
+    SSJoin/PPJoin family): all document pairs with word-3-gram-set
+    Jaccard >= 0.5, no LSH false negatives — candidates come only from
+    equi-joins on each document's rarest-first prefix tokens (the
+    prefix-filter theorem bounds where a qualifying pair can hide).
+    Completeness proven against the quadratic ground truth in
+    test_dedup. See operators/dedup.py:set_similarity_join."""
+    from data_misc_tools_spark.operators.dedup import set_similarity_join
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return set_similarity_join(d, num=5, den=10, gram_n=3)
+
+
+@_q(
     "rfm_user_segments",
     """
     WITH mx AS (SELECT max(epoch(date_trunc('second', ts))::BIGINT) AS m FROM events),

@@ -537,3 +537,110 @@ def repeated_ngram_removal(
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    num: int = 7,
+    den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 1,
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (SSJoin /
+    PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2011): every
+    pair of documents whose distinct-word-set Jaccard >= num/den, with
+    no LSH false negatives and no all-pairs blowup.
+
+    The prefix-filter theorem: order each document's tokens by a
+    GLOBAL canonical order (ascending document frequency, ties by
+    token — rarest first); if J(a, b) >= t, then a and b must share a
+    token inside each side's first |d| - ceil(t*|d|) + 1 tokens.
+    Candidates therefore come from an equi-join on PREFIX tokens only
+    — and prefixes hold the rarest tokens, so candidate lists are
+    sparse by construction (the frequency order is what makes the
+    theorem useful, not just correct). A length filter
+    (num*|a| <= den*|b| and vice versa) prunes before verification;
+    exact intersection counting via the token equi-join settles each
+    survivor. The threshold is an integer ratio, so every filter and
+    the final verdict are cross-multiplies — engine-exact, and the
+    4dp jaccard is the half_up_ratio4 idiom.
+
+    vs MinHash-LSH (minhash_lsh_candidates): LSH trades recall for a
+    fixed banding cost; prefix filtering is exact and needs no tuning,
+    at the price of a frequency pass + one candidate join whose size
+    tracks actual similarity structure. Scale: two token-keyed
+    shuffles (frequency join, candidate join) + one pair-keyed verify
+    join; hot tokens never enter prefixes unless a document is
+    almost all-common-words.
+
+    Output: (doc_a, doc_b, inter, sz_a, sz_b, jaccard) — doc_a < doc_b.
+    """
+    from data_misc_tools_spark.operators.text import tokens
+    from data_misc_tools_spark.operators.util import half_up_ratio4
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    if gram_n > 1:
+        # word n-gram set elements: small shared vocabularies make raw
+        # word sets near-identical across documents; n-grams restore
+        # distinctiveness (gram_n=1 == plain word sets)
+        elems = F.when(
+            F.size("__w") >= gram_n,
+            F.expr(
+                f"transform(sequence(1, size(__w) - {gram_n - 1}),"
+                f" i -> concat_ws(' ', slice(__w, i, {gram_n})))"
+            ),
+        ).otherwise(F.expr("array()"))
+    else:
+        elems = F.col("__w")
+    toks = base.select(
+        F.col(id_col), F.explode(elems).alias("tok")
+    ).distinct()
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "tok"))),
+                lambda s: s["tok"],
+            ).alias("arr"),
+            F.count("*").cast("long").alias("sz"),
+        )
+        .withColumn(
+            "plen",
+            (F.col("sz") - F.expr(f"({num} * sz + {den} - 1) div {den}") + 1).cast("int"),
+        )
+    )
+    pref = ordered.select(
+        F.col(id_col), "sz", F.explode(F.expr("slice(arr, 1, plen)")).alias("ptok")
+    )
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"), "ptok"
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"), "ptok"
+    )
+    cand = (
+        a.join(b, "ptok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (num * F.col("sz_a") <= den * F.col("sz_b"))
+            & (num * F.col("sz_b") <= den * F.col("sz_a"))
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return inter.where(den * F.col("inter") >= num * union).select(
+        "doc_a", "doc_b", "inter", "sz_a", "sz_b",
+        half_up_ratio4(F.col("inter"), union).alias("jaccard"),
+    )

@@ -221,3 +221,83 @@ def test_editdist_pairs_exact_and_thresholded(spark):
          D.editdist_pairs(pairs, docs, threshold=3).collect()}
     assert t[(1, 2)].edit_dist == 3 and t[(1, 2)].edit_sim is not None
     assert t[(1, 4)].edit_dist == -1 and t[(1, 4)].edit_sim is None
+
+
+def test_set_similarity_join_equals_brute_force(spark):
+    """Prefix filtering must lose NOTHING: output == all-pairs exact
+    Jaccard at the threshold (the prefix-filter theorem), on a corpus
+    with ties, subsets, and disjoint docs."""
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.dedup import set_similarity_join
+    from data_misc_tools_spark.operators.text import tokens
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),          # J(1,2) = 4/6
+        (3, "a b c d e"),          # identical to 1
+        (4, "x y z"),              # disjoint
+        (5, "a b c"),              # subset of 1: J = 3/5
+        (6, "p q r s t u v w"),
+        (7, "p q r s t u v"),      # J(6,7) = 7/8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in set_similarity_join(df, num=6, den=10).collect()
+    }
+    # brute force over all pairs
+    toks = df.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
+    sets = {r.doc_id: set() for r in df.collect()}
+    for r in toks.collect():
+        sets[r.doc_id].add(r.tok)
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 10 * inter >= 6 * union:
+                want[(a, b)] = (2 * 10000 * inter + union) // (2 * union) / 10000.0
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (6, 7) in got
+    assert (1, 2) in got          # 0.666... >= 0.6
+    assert (1, 5) in got          # 3/5 = 0.6 meets the threshold exactly
+    assert not any(4 in pair for pair in got)  # disjoint doc matches nothing
+
+
+def test_set_similarity_join_completeness_on_fixture_corpus(spark, sf_dir):
+    """On the documents table (3-word-gram sets): prefix-filtered
+    output equals the quadratic all-pairs ground truth."""
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.dedup import set_similarity_join
+    from data_misc_tools_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in set_similarity_join(d, num=5, den=10, gram_n=3).collect()
+    }
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        ).alias("g"),
+    ).select("doc_id", F.array_distinct("g").alias("g"))
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    brute = (
+        a.crossJoin(b)
+        .where("doc_a < doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ga", "gb")).alias("i"),
+            (F.size("ga") + F.size("gb")).alias("s"),
+        )
+        .where("10 * i >= 5 * (s - i) and i > 0")
+    )
+    want = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    assert got == want and len(got) > 0
