@@ -184,3 +184,61 @@ def compact_parquet(
         "bytes": total_bytes,
         "rows": spark.read.parquet(out_path).count(),
     }
+
+
+def clusteredness_report(spark: SparkSession, path: str, column: str) -> dict:
+    """Layout audit: how well is a parquet dataset clustered on
+    ``column``? Reads ONLY file footers (pyarrow, driver-side — no
+    data scan) and reports:
+
+    - ``files``: parquet file count;
+    - ``avg_overlap``: mean fraction of OTHER files whose [min, max]
+      range on ``column`` overlaps each file's — 0.0 = perfectly
+      disjoint (range-partitioned: an equality/range predicate prunes
+      to ~1 file), ~1.0 = every file spans the whole domain (round-
+      robin writes: nothing prunes);
+    - ``admit_fraction_mid``: fraction of files a point-lookup at the
+      domain midpoint would admit — the skipping a real filter gets.
+
+    The number to watch after compact_parquet/zorder_write: if
+    avg_overlap stays ~1.0, the rewrite bought nothing for pruning.
+    Driver cost is O(files) footer reads — bounded metadata, the
+    probe-cell-list convention.
+    """
+    import pyarrow.parquet as pq
+
+    from data_misc_tools_spark.sources.fs import ls
+
+    files = [
+        e["path"] for e in ls(spark, path) if e["path"].endswith(".parquet")
+    ]
+    ranges = []
+    for f in files:
+        local = f.removeprefix("file:")
+        md = pq.read_metadata(local)
+        idx = md.schema.names.index(column)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"no min/max stats for {column} in {f}")
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    n = len(ranges)
+    if n <= 1:
+        return {"files": n, "avg_overlap": 0.0, "admit_fraction_mid": 1.0 if n else 0.0}
+    overlaps = 0
+    for i, (lo1, hi1) in enumerate(ranges):
+        for j, (lo2, hi2) in enumerate(ranges):
+            if i != j and lo1 <= hi2 and lo2 <= hi1:
+                overlaps += 1
+    lo_all = min(r[0] for r in ranges)
+    hi_all = max(r[1] for r in ranges)
+    mid = lo_all + (hi_all - lo_all) / 2 if not isinstance(lo_all, str) else lo_all
+    admit = sum(1 for lo, hi in ranges if lo <= mid <= hi)
+    return {
+        "files": n,
+        "avg_overlap": round(overlaps / (n * (n - 1)), 4),
+        "admit_fraction_mid": round(admit / n, 4),
+    }

@@ -174,3 +174,30 @@ def test_compact_parquet_sorted_layout_skips(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # range-partitioned: files do not overlap on k
+
+
+def test_clusteredness_report_discriminates_layouts(spark, tmp_path):
+    from data_misc_tools_spark.operators.layout import (
+        clusteredness_report,
+        compact_parquet,
+    )
+
+    frag = f"file://{tmp_path}/rr"
+    # md5 payload: incompressible bytes so the 1MB target yields
+    # multiple output files after compaction
+    df = spark.range(200_000).selectExpr(
+        "id", "id % 1000 AS k", "md5(cast(id AS string)) AS pad"
+    )
+    # round-robin: every file spans the whole k domain
+    df.repartition(8).write.parquet(frag)
+    rr = clusteredness_report(spark, frag, "k")
+    assert rr["files"] == 8
+    assert rr["avg_overlap"] > 0.9
+    assert rr["admit_fraction_mid"] == 1.0
+    # range-partitioned rewrite: disjoint files, midpoint admits few
+    compact_parquet(spark, frag, f"file://{tmp_path}/sorted",
+                    target_file_mb=1, sort_cols=["k"])
+    cl = clusteredness_report(spark, f"file://{tmp_path}/sorted", "k")
+    assert cl["files"] > 1
+    assert cl["avg_overlap"] < 0.2
+    assert cl["admit_fraction_mid"] <= 2 / cl["files"] + 1e-9
