@@ -170,6 +170,7 @@ HEADLINE = [
     "warc_source_demo",
     "rfm_user_segments",
     "dedup_ppjoin",
+    "text_nfc_demo",
 ]
 
 

@@ -5493,6 +5493,41 @@ def ab_lift_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_nfc_demo",
+    """
+    SELECT doc_id,
+           nfc_normalize('Cafe' || chr(769) || ' #' || doc_id::VARCHAR
+                         || ' A' || chr(778) || 'ngstro' || chr(776) || 'm '
+                         || substr(text, 1, 16)) AS nfc,
+           length(nfc_normalize('Cafe' || chr(769) || ' #' || doc_id::VARCHAR
+                         || ' A' || chr(778) || 'ngstro' || chr(776) || 'm '
+                         || substr(text, 1, 16)))::BIGINT AS n_chars
+    FROM documents
+    """,
+)
+def text_nfc_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization demo: decomposed sequences (e +
+    COMBINING ACUTE, A + COMBINING RING, o + COMBINING DIAERESIS) are
+    synthesized around per-document content, normalized by the Arrow-
+    batched stdlib UDF, and must match DuckDB's nfc_normalize
+    byte-for-byte — canonical composition is exactly the step that
+    keeps exact-dedup hashes stable across composed/decomposed
+    sources. See operators/text.py:nfc_normalize."""
+    from data_misc_tools_spark.operators.text import nfc_normalize
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    raw = F.concat(
+        F.lit("Cafe\u0301 #"), F.col("doc_id").cast("string"),
+        F.lit(" A\u030angstro\u0308m "), F.substring("text", 1, 16),
+    )
+    return d.select(
+        "doc_id",
+        nfc_normalize(raw).alias("nfc"),
+        F.length(nfc_normalize(raw)).cast("long").alias("n_chars"),
+    )
+
+
+@_q(
     "dedup_ppjoin",
     """
     WITH w AS (

@@ -880,3 +880,40 @@ def card_scan(
     return cand.filter(F.length("card").between(13, 19)).select(
         id_col, "card", luhn_valid(F.col("card")).alias("luhn")
     )
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — the canonical-composition pass every
+    multilingual corpus needs before hashing/dedup (the SAME visible
+    string can arrive composed ('é' U+00E9) or decomposed
+    ('e' + U+0301), and every exact-dedup hash in this repo would
+    treat them as different documents).
+
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` (the JVM has
+    no normalizer exposed through Spark SQL); at ~1 GB/s/core this is
+    one of the few justified Python hot-path ops, and it composes
+    BEFORE the Catalyst-only pipeline so everything downstream stays
+    JVM-side. DuckDB twin: ``nfc_normalize`` (oracle-checked in
+    text_nfc_demo). NFKC (compatibility folding — ligatures, width)
+    is intentionally NOT applied: it is lossy and a corpus-policy
+    decision; pass text through ``unicodedata.normalize('NFKC', .)``
+    in the same UDF shape if the policy wants it.
+    """
+    import pandas as pd  # noqa: F401 — resolves the stringified hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_impl(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # `from __future__ import annotations` stringifies hints and
+    # pandas_udf resolves them against the function's globals, where
+    # a function-local `pd` is invisible — set concrete annotations
+    # directly instead
+    _nfc_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf("string")(_nfc_impl)
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)

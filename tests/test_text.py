@@ -489,3 +489,21 @@ def test_luhn_valid_expression(spark):
     df = spark.createDataFrame([(c,) for c in cases], "card string")
     got = {r.card: r.ok for r in df.select("card", luhn_valid(F.col("card")).alias("ok")).collect()}
     assert got == {c: ref(c) for c in cases}
+
+
+def test_nfc_normalize_composes_and_keeps_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.text import nfc_normalize
+
+    rows = [(1, "Café"), (2, "Café"), (3, None), (4, "Å")]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", nfc_normalize("s").alias("n")
+    ).collect()}
+    assert got[1] == got[2] == "Café"   # composed == already-composed
+    assert got[3] is None
+    assert got[4] == "Å"                 # A + ring -> Å
+    # the dedup motivation: identical visible strings hash identically
+    # only AFTER normalization
+    assert "Café" != "Café" and len(got[1]) == 4
