@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_misc_tools_spark.session import load_tables
+from data_misc_tools_spark.session import load_tables, session_cache
 from data_misc_tools_spark.functions.aggregates import max_with, min_with
 from data_misc_tools_spark.functions.scalar import su_strip, url_encode
 from data_misc_tools_spark.operators import contamination as C
@@ -4291,28 +4291,91 @@ def bpe_segment_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ROWS_ONLY.add("pagerank_neardup_graph")
+def _pagerank_oracle(iters: int = 5, damping_pct: int = 85) -> str:
+    """Unrolled integer-PageRank twin of cluster.pagerank_exact over
+    the portable-MinHash candidate graph. The symmetrized graph has
+    no dangling nodes, so each round references v{k} exactly ONCE
+    (the stationary_distribution CTE rule — a second reference would
+    double DuckDB's inlined plan per level)."""
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    d = damping_pct
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+    v{k + 1} AS (
+        SELECT node, p.base + (2 * s * {d} + 100) // 200 AS v
+        FROM (
+            SELECT e.b AS node, sum((2 * v.v + e.deg) // (2 * e.deg))::BIGINT AS s
+            FROM v{k} v JOIN ew e ON v.node = e.a
+            GROUP BY e.b
+        ) CROSS JOIN params p
+    )""")
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    deg AS (SELECT a, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+    ew AS (SELECT e.a, e.b, d.deg FROM edges e JOIN deg d USING (a)),
+    params AS (
+        SELECT n, (2 * {100 - d} * 1000000 + 100 * n) // (200 * n) AS base
+        FROM (SELECT count(*)::BIGINT AS n FROM deg)
+    ),
+    v0 AS (
+        SELECT d.a AS node, (1000000 // p.n)::BIGINT AS v
+        FROM deg d CROSS JOIN params p
+    ),
+    {",".join(steps)}
+    SELECT node, v AS v_e6 FROM v{iters} ORDER BY v DESC, node LIMIT 20
+    """
 
 
-@_q("pagerank_neardup_graph")
+@_q("pagerank_neardup_graph", _pagerank_oracle(5))
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-hub ranking: PageRank over the MinHash candidate-
     pair graph — documents sharing buckets with many others rank high
     (template/boilerplate sources worth inspecting before dedup).
-    rows-only: power iteration accumulates doubles over engine-
-    specific orders; the update rule is pinned against a pure-Python
-    reference in tests/test_cluster.py."""
-    from data_misc_tools_spark.operators.cluster import pagerank
+    Oracle-exact since r5: cluster.pagerank_exact runs the
+    markov_stationary_events integer idiom (e6 mass, half-up routing,
+    no float accumulation), and the symmetrized candidate graph has
+    no dangling nodes so the uniform-redistribution term — the one
+    thing that would force a second per-round reference to v —
+    vanishes by construction. Float pagerank() remains for general
+    graphs (pinned vs a pure-Python reference in tests/test_cluster)."""
+    from data_misc_tools_spark.operators.cluster import pagerank_exact
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(docs, num_perm=8, bands=4, k=5)
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=4, k=5, portable_hash=True
+    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return (
-        pagerank(both, max_iter=5)
-        .orderBy(F.desc("rank"), "node")
+        pagerank_exact(both, max_iter=5)
+        .orderBy(F.desc("v_e6"), "node")
         .limit(20)
     )
 
@@ -5309,6 +5372,10 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     span AS (SELECT entity, min(bucket) AS mn, max(bucket) AS mx FROM cnt GROUP BY entity),
+    -- fixture contract: per-entity hourly span <= 8192 buckets (~341
+    -- days); the Spark side fills the full min..max span, so a wider
+    -- fixture would silently diverge. Pinned by
+    -- test_catalog_contract.test_fixture_hourly_span_fits_series_bound.
     axis AS (
         SELECT s.entity, s.mn + g.i AS bucket
         FROM span s JOIN generate_series(0, 8192) g(i) ON s.mn + g.i <= s.mx
@@ -5373,9 +5440,6 @@ def dataset_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_INDEX_CACHE: dict[tuple[int, str], str] = {}
-
-
 def _bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build the bucket-partitioned postings index once per
     (session, sf_dir) into a temp dir; later calls reuse it. Lets the
@@ -5386,13 +5450,13 @@ def _bm25_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from data_misc_tools_spark.operators import retrieval as R
 
-    key = (id(spark), sf_dir)
-    path = _BM25_INDEX_CACHE.get(key)
+    cache = session_cache(spark, "bm25_index")
+    path = cache.get(sf_dir)
     if path is None:
         d = load_tables(spark, sf_dir, ["documents"])["documents"]
         path = tempfile.mkdtemp(prefix="bm25_idx_")
         R.inverted_index_build(d, path, n_buckets=32)
-        _BM25_INDEX_CACHE[key] = path
+        cache[sf_dir] = path
     return path
 
 
@@ -5644,9 +5708,6 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WARC_DEMO_CACHE: dict[tuple[int, str], str] = {}
-
-
 @_q(
     "warc_source_demo",
     """
@@ -5670,8 +5731,8 @@ def warc_source_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.sources.warc import warc_write_records
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    key = (id(spark), sf_dir)
-    path = _WARC_DEMO_CACHE.get(key)
+    cache = session_cache(spark, "warc_demo")
+    path = cache.get(sf_dir)
     if path is None:
         rows = (
             d.where(F.col("doc_id") < 100)
@@ -5688,7 +5749,7 @@ def warc_source_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in rows
             ],
         )
-        _WARC_DEMO_CACHE[key] = path
+        cache[sf_dir] = path
     return (
         spark.read.format("warc")
         .load(path)
@@ -6750,54 +6811,48 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
-# entries of queries(), in insertion order. Rounds 1-3 rotated the
-# window so 102 distinct oracle-paired queries now hold official driver
-# rows (r3: 50/50 green, all first-time). Round 4 finishes the story:
-# the window holds the LAST 47 never-driver-graded oracle queries (the
-# bm25 pair, repeated-ngram dedup, DSIR, mp4/jpeg byte-walks, gopher,
-# bigram-NLL, bootstrap/ab-lift, CDC/SCD2, z-order, triangle census,
-# and the session-3 analytics batch) plus 3 never-graded rows-only
-# twins (HLL rollup/overlap, unigram-LM segmentation) — after this
-# round EVERY oracle query in the repo has an official CORRECTNESS
-# row. The strict local gate (tools/check.py, dtype-family-strict
-# since r2) remains the regression net for all demoted veterans:
-# local green == driver green.
+# entries of queries(), in insertion order. Rounds 1-4 rotated the
+# window so 152 distinct queries now hold official driver rows (r4:
+# 50/50 green). Round 5 completes the sweep: the window holds ALL 22
+# remaining never-driver-graded entries — the 14 round-4 oracle
+# queries (semdedup, ppjoin, markov, luhn, warc, png, bm25-serve, nfc,
+# rfm, salted join, url-canonical, contamination flags, zero-filled
+# z-score, contrastive negatives) plus the 8 rows-only leftovers
+# (fast bootstrap/ab-lift twins, approx sketches, PCA, BPE segmenter,
+# pagerank, PQ top-k) — after which EVERY catalog entry has an
+# official CORRECTNESS row. The other 28 slots re-pin veterans graded
+# in r1-r3, spanning every operator family, as drift sentinels; new
+# round-5 operators swap in for re-pins as they land. The strict
+# local gate (tools/check.py, dtype-family-strict since r2) remains
+# the regression net for all demoted veterans: local green == driver
+# green.
 # ---------------------------------------------------------------------------
 
 GRADED_FIRST: list[str] = [
-    # dedup / near-dup family
-    "dedup_editdist_verify", "dedup_repeated_ngrams", "triangle_count_neardup",
-    # CDC / slowly-changing / snapshots
-    "scd2_user_status", "snapshot_diff_demo", "changelog_compact_demo",
-    # temporal joins / intervals / anomalies
-    "interval_join_attribution", "missing_intervals_demo",
-    "hourly_anomaly_zscore", "conversion_lag_quantiles",
-    "event_transition_matrix", "event_path_trigrams",
-    "decayed_popularity_types", "cohort_retention_rates",
-    # layout / splits / sampling
-    "zorder_key_demo", "split_by_cluster_demo", "sample_weighted_docs",
-    "coordinated_sample_join", "dsir_select_topk",
-    # profiling / statistics
-    "k_anonymity_report", "corr_quantity_price", "outlier_events_mad",
-    "contract_events", "zipf_corpus_fit", "corpus_drift_report",
-    "bootstrap_value_ci", "ab_lift_purchase_vs_click",
-    "dataset_fingerprint_orders", "trimmed_mean_events",
-    "event_value_histogram", "engagement_gini",
-    # text / corpus quality
-    "html_strip_demo", "gopher_filter_demo", "text_bigram_nll",
-    "text_char_entropy", "corpus_distinct_n", "pmi_collocations_topk",
-    "url_domain_quota", "nb_language_confusion",
-    # retrieval / export pipelines
-    "bm25_search_topk", "bm25_index_query", "tar_shard_export_demo",
-    "sequence_examples_export", "item_cooccurrence_jaccard",
-    # multimodal byte-walks
-    "jpeg_meta_demo", "mp4_meta_demo",
-    # relational remainder
-    "nation_revenue_share",
-    # never-graded rows-only twins (weaker rows-only driver check, but
-    # first-time official rows: sketch algebra + unigram-LM tokenizer)
-    "hll_users_mergeable_rollup", "hll_audience_overlap",
-    "unigram_segment_demo",
+    # --- the 22 never-driver-graded entries (first official rows) ---
+    "semdedup_embeddings", "semantic_contamination_flags",
+    "dedup_ppjoin", "url_canonical_dedup", "pii_card_luhn",
+    "salted_join_revenue", "markov_stationary_events",
+    "hourly_anomaly_zscore_filled", "contrastive_negatives",
+    "bm25_index_serve", "png_pipeline_demo", "warc_source_demo",
+    "rfm_user_segments", "text_nfc_demo",
+    # rows-only leftovers (weaker rows-only driver check, first rows)
+    "bootstrap_value_ci_fast", "ab_lift_fast",
+    "distinct_users_daily_approx", "event_value_quantiles_approx",
+    "pca_project_demo", "bpe_segment_demo", "pagerank_neardup_graph",
+    "embedding_pq_topk",
+    # --- 28 re-pins: r1-r3 veterans across every family ---
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+    "q6_forecast_revenue", "q18_large_orders",
+    "orders_rollup", "lineitem_grouping_sets", "window_rank_orders",
+    "events_pivot_by_type", "asof_purchase_prior_click",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_incremental_index", "dedup_keep_best",
+    "embedding_cosine_topk", "embedding_sq_adc_topk", "embedding_neardup",
+    "text_quality", "text_language_id", "text_token_count",
+    "chunk_documents", "tfidf_topk_terms",
+    "sample_stratified_lang", "pack_token_batches",
+    "connected_components_runs", "sessionize_events",
 ]
 
 

@@ -120,7 +120,14 @@ def nb_train(
             ).alias("diff_e6"),
         )
     )
-    return cls, weights
+    # materialize the finished model too: nb_predict references
+    # weights twice (vocab + scoring join) and cls twice (scoring +
+    # any caller-side confusion/report branch), and although cg is
+    # checkpointed, each reference still re-runs the join/log above —
+    # measured 29 exchanges on the train+predict+confusion demo plan.
+    # Both tables are model-sized (|classes| and |classes| x |vocab|),
+    # so the checkpoint is a broadcast-scale materialization.
+    return cls.localCheckpoint(eager=True), weights.localCheckpoint(eager=True)
 
 
 def nb_predict(

@@ -350,6 +350,64 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Engine-exact integer PageRank over a graph with NO dangling
+    nodes (every node has >= 1 out-edge — true for any symmetrized
+    edge list, where out-nodes == in-nodes == all nodes).
+
+    The stationary_distribution idiom (temporal.py): mass rides as
+    e6-scaled BIGINTs, every division is the half-up integer pattern
+    ``(2*A + B) div (2*B)``, so a DuckDB twin (the same recurrence
+    unrolled into one CTE per round) matches hash-exactly — no float
+    accumulation order anywhere. Per round:
+
+        share(a)   = half_up(v_a / deg_a)          (same for each out-edge)
+        in(b)      = sum of incoming shares        (plain integer SUM)
+        v'(b)      = base + half_up(d * in(b) / 100)
+        base       = half_up((100-d) * 1e6 / (100*n))
+
+    No dangling term: with a symmetrized graph the uniform
+    redistribution never fires, which is what keeps every round a
+    SINGLE reference to v (the cluster.py/DuckDB plan-doubling rule).
+
+    Scale shape: one groupBy(dst) shuffle of the edge-share stream
+    per round; ranks localCheckpoint each round (referenced once, but
+    the chain would still deepen the lineage linearly and re-run all
+    prior rounds on each action without it). Output: (node, v_e6).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    deg = e.groupBy("a").agg(F.count("*").cast("long").alias("__deg"))
+    ew = e.join(deg, "a").localCheckpoint(eager=True)
+    nodes = ew.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()
+    # half_up(A/B) with A = (100-d)*1e6, B = 100*n
+    base = (2 * (100 - damping_pct) * 1_000_000 + 100 * n) // (200 * n)
+    d = damping_pct
+    v = nodes.select("node", F.lit(1_000_000 // n).cast("long").alias("v"))
+    for _ in range(max_iter):
+        v = (
+            ew.join(v, ew["a"] == v["node"])
+            .select(
+                F.col("b"),
+                F.expr("(2 * v + __deg) div (2 * __deg)").alias("__s"),
+            )
+            .groupBy("b")
+            .agg(F.sum("__s").cast("long").alias("__in"))
+            .select(
+                F.col("b").alias("node"),
+                (F.lit(base) + F.expr(f"(2 * __in * {d} + 100) div 200")).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select("node", F.col("v").alias("v_e6"))
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

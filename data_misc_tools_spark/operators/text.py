@@ -273,6 +273,7 @@ def score_cutoff(
     score_col: str = "quality_score",
     lower_num: int = 3,
     lower_den: int = 4,
+    max_distinct: int = 100_000,
 ) -> float:
     """Exact quantile boundary of a ROUNDED score column, computed the
     100 TB-safe way: the scores are rounded (4dp -> at most ~10k
@@ -283,12 +284,27 @@ def score_cutoff(
     count(score <= s) * lower_den >= lower_num * n — all-integer
     arithmetic, engine-portable (DuckDB twin: min(s) over the same
     windowed-count inequality).
+
+    The driver fetch is guarded: a CONTINUOUS score column would make
+    the distinct-score histogram approach n rows and OOM the driver,
+    so the collect is LIMIT-bounded at ``max_distinct`` + 1 and raises
+    instead of flooding. Pre-round such scores (``F.round(s, 3)``)
+    or use the exact-ntile twin.
     """
-    counts = sorted(
-        (r[0], r[1])
-        for r in df.groupBy(score_col).agg(F.count("*").alias("cnt")).collect()
-        if r[0] is not None
+    rows = (
+        df.groupBy(score_col)
+        .agg(F.count("*").alias("cnt"))
+        .limit(max_distinct + 1)
+        .collect()
     )
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"score_cutoff: more than {max_distinct} distinct values in "
+            f"{score_col!r} — the histogram walk is for rounded/integral "
+            "scores; pre-bucket the column (e.g. round(score, 3)) or use "
+            "the window-based exact-ntile filter instead"
+        )
+    counts = sorted((r[0], r[1]) for r in rows if r[0] is not None)
     n = sum(c for _, c in counts)
     cum = 0
     for s, c in counts:

@@ -79,12 +79,17 @@ class ScriptTask:
     def source_snapshot(self) -> tuple[str, str]:
         """(sha256-hex, content) of the script file as it is NOW —
         taken at run start so the record pins the exact hot-reload
-        version that executed (reference: ScriptSrc.scala:8-24)."""
+        version that executed (reference: ScriptSrc.scala:8-24).
+
+        Hashes the RAW bytes and decodes with errors='replace': a
+        script with a stray non-UTF-8 byte must still snapshot (a
+        UnicodeDecodeError here would escape run_once and kill the
+        scheduler loop before any record is written)."""
         import hashlib
 
-        with open(self.path, encoding="utf-8") as f:
-            content = f.read()
-        return hashlib.sha256(content.encode("utf-8")).hexdigest(), content
+        with open(self.path, "rb") as f:
+            raw = f.read()
+        return hashlib.sha256(raw).hexdigest(), raw.decode("utf-8", errors="replace")
 
     def _load(self) -> Any:
         """mtime-cached load; reload only on modification (reference:
@@ -155,6 +160,9 @@ class Runner:
         self.last_started: dict[str, float] = {}
         self._known_src: set[str] = set()
         self._stop = False
+        self._jdbc_src_sha_ok = False
+        if self.records_jdbc_url is not None:
+            self._ensure_jdbc_src_sha()
         try:
             self._known_src = {
                 r.src_sha for r in self.script_sources().select("src_sha").collect()
@@ -181,6 +189,36 @@ class Runner:
             pass  # no records yet
 
     # -- records ---------------------------------------------------------
+    def _ensure_jdbc_src_sha(self) -> None:
+        """Upgrade a pre-src_sha JDBC records table in place.
+
+        The parquet path handles schema drift with mergeSchema, but a
+        JDBC table created before the src_sha column existed would
+        fail both the widened 7-column append and _fail_orphans'
+        ``select('src_sha')``. ALTER TABLE ADD COLUMN once on first
+        touch (Derby and MySQL syntax agree); a missing table means
+        the first append creates it already widened."""
+        if self._jdbc_src_sha_ok:
+            return
+        from data_misc_tools_spark.sources.jdbc import exec_update, jdbc_to_df
+
+        try:
+            cols = jdbc_to_df(
+                self.spark, self.records_jdbc_url,
+                f"SELECT * FROM {self.records_table} WHERE 1=0",
+                properties=self.jdbc_properties,
+            ).columns
+        except Exception:
+            self._jdbc_src_sha_ok = True  # no table yet
+            return
+        if "src_sha" not in {c.lower() for c in cols}:
+            exec_update(
+                self.spark, self.records_jdbc_url,
+                f"ALTER TABLE {self.records_table} ADD COLUMN src_sha VARCHAR(64)",
+                properties=self.jdbc_properties,
+            )
+        self._jdbc_src_sha_ok = True
+
     def _record(
         self, task: ScriptTask, started: float, finished: float, status: str,
         result: Any, src_sha: str | None = None,
@@ -308,7 +346,7 @@ class Runner:
         # changes again mid-run.
         try:
             src_sha = self._snapshot_source(task)
-        except OSError:
+        except (OSError, ValueError):
             src_sha = None  # unreadable file: _load will record the failure
         # Start record FIRST (reference writes the execution record at
         # task start and finalizes it at finish): a crash mid-task

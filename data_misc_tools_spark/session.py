@@ -95,8 +95,17 @@ def build_session(
     return spark
 
 
-_shipped_sessions: set[int] = set()
-_registered_sessions: set[int] = set()
+def session_cache(spark: SparkSession, name: str) -> dict:
+    """A named per-session memoization dict stored ON the session
+    object itself. An ``id(spark)``-keyed module dict can false-hit
+    when a stopped session is GC'd and a new one reuses the address,
+    and it leaks entries forever (ADVICE r4); an attribute dies with
+    the session and can never collide."""
+    st = getattr(spark, "_dmt_state", None)
+    if st is None:
+        st = {}
+        spark._dmt_state = st
+    return st.setdefault(name, {})
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -109,8 +118,8 @@ def ship_package(spark: SparkSession) -> None:
     it is the standard way a PySpark library ships itself — it works
     identically on local mode and a 1000-executor cluster.
     """
-    key = id(spark)
-    if key in _shipped_sessions:
+    cache = session_cache(spark, "shipped")
+    if cache.get("done"):
         return
     import tempfile
     import zipfile
@@ -128,7 +137,7 @@ def ship_package(spark: SparkSession) -> None:
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         z.write(full, rel)
     spark.sparkContext.addPyFile(zpath)
-    _shipped_sessions.add(key)
+    cache["done"] = True
 
 
 def register_all(spark: SparkSession) -> SparkSession:
@@ -147,13 +156,13 @@ def register_all(spark: SparkSession) -> SparkSession:
     # 2 Python data sources per query is a measurable per-query fixed
     # cost (the r3 bench drift on shared queries: +0.2-0.4 s each in
     # 158-query sessions).
-    key = id(spark)
-    if key in _registered_sessions:
+    cache = session_cache(spark, "registered")
+    if cache.get("done"):
         return spark
     ship_package(spark)
     register_functions(spark)
     register_python_datasources(spark)
-    _registered_sessions.add(key)
+    cache["done"] = True
     return spark
 
 
@@ -200,10 +209,6 @@ def read_parquet_table(spark: SparkSession, path: str):
     return df
 
 
-_table_cache: dict[tuple[int, str, str], object] = {}
-_view_dir: dict[tuple[int, str], str] = {}
-
-
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the driver's parquet tables as temp views; returns dict of DataFrames.
 
@@ -227,18 +232,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "documents",
         "embeddings",
     ]
+    table_cache = session_cache(spark, "tables")
     out = {}
     for name in names:
-        key = (id(spark), sf_dir, name)
-        df = _table_cache.get(key)
+        key = (sf_dir, name)
+        df = table_cache.get(key)
         if df is None:
             df = read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
-            _table_cache[key] = df
-        # the shared temp view always tracks the most recent load —
-        # sessions that alternate sf_dirs (tests) must not see a
-        # stale view on a cache hit
-        if _view_dir.get((id(spark), name)) != sf_dir:
-            df.createOrReplaceTempView(name)
-            _view_dir[(id(spark), name)] = sf_dir
+            table_cache[key] = df
+        # Re-pointing the temp view is a driver-side catalog map put
+        # (no footer read, no RPC) — always doing it keeps sessions
+        # that alternate sf_dirs correct AND restores a view some
+        # other code dropped (ADVICE r4); the expensive part, the
+        # DataFrame build, stays memoized above.
+        df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -53,6 +53,27 @@ def test_fixture_docs_fit_series_bound(sf_dir):
     assert n_long == 0
 
 
+def test_fixture_hourly_span_fits_series_bound(sf_dir):
+    """hourly_anomaly_zscore_filled's oracle builds the zero-filled
+    bucket axis with a bounded `JOIN generate_series(0, 8192)` per
+    entity, while the Spark operator fills the full min..max span —
+    an entity spanning more hourly buckets would silently diverge
+    (ADVICE r4). Pin the fixture contract like the 2048-token one."""
+    con = duckdb.connect()
+    worst = con.execute(
+        f"""
+        SELECT coalesce(max(mx - mn), 0) FROM (
+            SELECT event_type,
+                   min(epoch(date_trunc('hour', ts))::BIGINT // 3600) AS mn,
+                   max(epoch(date_trunc('hour', ts))::BIGINT // 3600) AS mx
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY event_type
+        )
+        """
+    ).fetchone()[0]
+    assert worst <= 8192
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -150,6 +150,50 @@ class TestPageRank:
         assert all(abs(r - 0.25) < 1e-12 for r in got)
 
 
+class TestPageRankExact:
+    def _reference(self, edges, d=85, iters=5):
+        """Pure-Python integer twin of cluster.pagerank_exact: e6 mass,
+        half-up divisions, no dangling (edges must be symmetrized)."""
+
+        def half_up(a, b):
+            return (2 * a + b) // (2 * b)
+
+        e = set(edges)
+        out = {}
+        for a, b in e:
+            out.setdefault(a, set()).add(b)
+        nodes = sorted(out)
+        n = len(nodes)
+        base = half_up((100 - d) * 1_000_000, 100 * n)
+        v = {x: 1_000_000 // n for x in nodes}
+        for _ in range(iters):
+            inc = {}
+            for a, targets in out.items():
+                s = half_up(v[a], len(targets))
+                for b in targets:
+                    inc[b] = inc.get(b, 0) + s
+            v = {b: base + half_up(d * s, 100) for b, s in inc.items()}
+        return v
+
+    def test_matches_integer_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        raw = {(rng.randrange(12), rng.randrange(12)) for _ in range(30)}
+        edges = [(a, b) for a, b in raw if a != b]
+        both = edges + [(b, a) for a, b in edges]
+        df = spark.createDataFrame(both, "src long, dst long")
+        got = {r.node: r.v_e6 for r in C.pagerank_exact(df, max_iter=5).collect()}
+        assert got == self._reference(both)
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        both = cyc + [(b, a) for a, b in cyc]
+        df = spark.createDataFrame(both, "src long, dst long")
+        got = {r.v_e6 for r in C.pagerank_exact(df, max_iter=5).collect()}
+        assert got == {250_000}
+
+
 class TestIncrementalCC:
     def test_matches_full_recompute_on_random_split(self, spark):
         """Split a random edge set into two batches: CC(batch1) merged

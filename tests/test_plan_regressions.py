@@ -365,3 +365,26 @@ def test_bootstrap_fast_path_is_md5_free(spark, sf_dir):
     assert "xxhash64" in plan
     # the graded twin keeps the portable hash
     assert "md5" in _plan(spark, "bootstrap_value_ci", sf_dir)
+
+
+def test_nb_confusion_reuses_one_trained_model(spark, sf_dir):
+    """nb_train materializes cls/weights (localCheckpoint): the
+    predict and confusion branches must reuse ONE train computation —
+    before the checkpoint the demo plan re-derived the weight join
+    per branch (29 exchanges; now ~half). Scans of the checkpointed
+    RDDs show up, exchanges stay bounded."""
+    df = QUERIES["nb_language_confusion"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 18
+    assert "Scan ExistingRDD" in plan  # the checkpointed model tables
+
+
+def test_pagerank_exact_rounds_are_constant_size(spark, sf_dir):
+    """pagerank_exact localCheckpoints per round: the final plan must
+    not contain the unrolled 5-round lineage (a non-checkpointed loop
+    inlines every previous round; with the checkpoint the visible
+    plan is one round + top-k)."""
+    df = QUERIES["pagerank_neardup_graph"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 4

@@ -257,6 +257,13 @@ def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
 
 
 def _protobuf_ok():
+    """r5 unfix proof: google.protobuf is not merely broken here, it
+    is ABSENT (no module anywhere under site-packages/dist-packages),
+    the sandbox has no network for `pip download protobuf`, and
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python cannot help — that
+    flag selects the pure-python backend INSIDE an installed protobuf
+    package, it doesn't conjure the package. The e2e unskips the
+    moment the env ships any protobuf distribution."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -507,3 +507,21 @@ def test_nfc_normalize_composes_and_keeps_nulls(spark):
     # the dedup motivation: identical visible strings hash identically
     # only AFTER normalization
     assert "Café" != "Café" and len(got[1]) == 4
+
+
+class TestScoreCutoffGuard:
+    def test_continuous_score_raises_instead_of_flooding_driver(self, spark):
+        """A continuous double score (distinct count ~ n) must refuse
+        the histogram walk (ADVICE r4): the collect is LIMIT-bounded,
+        so the driver never materializes more than max_distinct+1
+        rows before the error."""
+        import pytest
+
+        df = spark.range(200).selectExpr("id", "id * 0.123456789 AS s")
+        with pytest.raises(ValueError, match="distinct"):
+            T.score_cutoff(df, "s", max_distinct=50)
+
+    def test_rounded_score_still_exact_through_guard(self, spark):
+        df = spark.range(100).selectExpr("(id % 10) * 1.0 AS s")
+        # 75th percentile of 0..9 uniform: smallest s with cum*4 >= 3*n
+        assert T.score_cutoff(df, "s", max_distinct=50) == 7.0
