@@ -172,8 +172,16 @@ HEADLINE = [
     "dedup_ppjoin",
     "text_nfc_demo",
     # round-5: oracle-exact integer PageRank over the portable-hash
-    # MinHash candidate graph (was rows-only with the fast hash)
+    # MinHash candidate graph (was rows-only with the fast hash),
+    # engine-exact Lloyd k-means, MMR diversified rerank, dictionary
+    # domain tagging, rendezvous sharding
     "pagerank_neardup_graph",
+    "kmeans_embeddings",
+    "mmr_diverse_topk",
+    "dictionary_tag_topics",
+    "rendezvous_shard_assign",
+    "ccnet_perplexity_buckets",
+    "exact_stratified_split_langs",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

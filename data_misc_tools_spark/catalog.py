@@ -1095,6 +1095,140 @@ def embedding_sq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sq_adc_topk(e.filter(F.col("vec_id") < 5), e, k=10)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd twin of similarity.kmeans_lloyd_e6: one
+    assignment CTE + one centroid CTE per round, every chain CTE
+    referenced ONCE per level (q/c are leaves; a_r feeds only c_{r+1})
+    — the stationary_distribution plan-size rule. Distances are BIGINT
+    sums over a bounded generate_series(1, dim) join (NOT
+    list_inner_product: e6-scaled products reach ~1e18, past the 2^53
+    exact-double range)."""
+    steps = []
+    for r in range(iters):
+        steps.append(f"""
+    a{r} AS (
+        SELECT vec_id, cluster_id, d2 FROM (
+            SELECT t.*, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cluster_id) AS rn
+            FROM (
+                SELECT q.vec_id, c.cluster_id,
+                       sum((q.qc[g.i] * 1000000 - c.cc[g.i])
+                           * (q.qc[g.i] * 1000000 - c.cc[g.i]))::BIGINT AS d2
+                FROM q CROSS JOIN c{r} c
+                JOIN generate_series(1, {dim}) g(i) ON true
+                GROUP BY q.vec_id, c.cluster_id
+            ) t
+        ) WHERE rn = 1
+    )""")
+        if r < iters - 1:
+            steps.append(f"""
+    c{r + 1} AS (
+        SELECT cluster_id, list((2 * s * 1000000 + n) // (2 * n) ORDER BY i) AS cc
+        FROM (
+            SELECT a.cluster_id, g.i, sum(q.qc[g.i])::BIGINT AS s,
+                   count(*)::BIGINT AS n
+            FROM a{r} a JOIN q USING (vec_id)
+            JOIN generate_series(1, {dim}) g(i) ON true
+            GROUP BY a.cluster_id, g.i
+        ) GROUP BY cluster_id
+    )""")
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS qc
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+               list_transform(qc, x -> x * 1000000) AS cc
+        FROM (SELECT vec_id, qc FROM q ORDER BY vec_id LIMIT {k})
+    ),
+    {",".join(steps)}
+    SELECT vec_id, cluster_id, d2 FROM a{iters - 1}
+    """
+
+
+@_q("kmeans_embeddings", _kmeans_oracle(8, 3))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL distributed Lloyd k-means (k=8, 3 rounds) over the
+    embeddings table, engine-exact: integer SQ codes, e6 centroids,
+    half-up centroid means, argmin ties to the smaller cluster —
+    semantic_dedup's fixed-seed blocking upgraded to genuine iterative
+    centroid refinement, still hash-reproducible by the unrolled
+    DuckDB twin. See operators/similarity.py:kmeans_lloyd_e6."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.kmeans_lloyd_e6(e, k=8, iters=3)
+
+
+def _mmr_oracle(k: int = 10, n_cand: int = 50, lam: int = 70) -> str:
+    """Unrolled greedy-MMR twin of similarity.mmr_rerank: the selected
+    set rides as ONE single-row CTE holding (ids LIST, codes LIST) —
+    each level references s{r} exactly once (cross join against the
+    candidate window), so the inlined plan grows linearly in k. Dots
+    are integer-valued doubles ≤ scale²·dim ≈ 2.6e5, far inside the
+    2^53 exact range, so list_inner_product is exact."""
+    steps = []
+    for r in range(k - 1):
+        steps.append(f"""
+    s{r + 1} AS (
+        SELECT list_append(ids, vec_id) AS ids, list_append(codes, qc) AS codes
+        FROM (
+            SELECT s.ids, s.codes, c.vec_id, c.qc,
+                   row_number() OVER (ORDER BY
+                       {lam} * c.rel - {100 - lam} * list_max(
+                           list_transform(s.codes,
+                               sc -> list_inner_product(c.qc::DOUBLE[],
+                                                        sc::DOUBLE[])::BIGINT)
+                       ) DESC, c.vec_id) AS rn
+            FROM cand c CROSS JOIN s{r} s
+            WHERE NOT list_contains(s.ids, c.vec_id)
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH qv AS (
+        SELECT list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS qc
+        FROM embeddings WHERE vec_id = 0
+    ),
+    allc AS (
+        SELECT e.vec_id,
+               list_transform(e.embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS qc
+        FROM embeddings e WHERE e.vec_id != 0
+    ),
+    reld AS (
+        SELECT a.vec_id, a.qc,
+               list_inner_product(a.qc::DOUBLE[], q.qc::DOUBLE[])::BIGINT AS rel
+        FROM allc a CROSS JOIN qv q
+    ),
+    cand AS (
+        SELECT vec_id, qc, rel FROM (
+            SELECT *, row_number() OVER (ORDER BY rel DESC, vec_id) AS rn FROM reld
+        ) WHERE rn <= {n_cand}
+    ),
+    s0 AS (
+        SELECT [vec_id] AS ids, [qc] AS codes
+        FROM (SELECT vec_id, qc FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+    ),
+    {",".join(steps)}
+    SELECT g.i::BIGINT AS rank, s.ids[g.i] AS vec_id, c.rel
+    FROM s{k - 1} s
+    JOIN generate_series(1, {k}) g(i) ON g.i <= len(s.ids)
+    JOIN cand c ON c.vec_id = s.ids[g.i]
+    """
+
+
+@_q("mmr_diverse_topk", _mmr_oracle(10, 50, 70))
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy-aware retrieval: MMR top-10 for query vector 0 over
+    a 50-candidate rerank window (λ=0.70) — greedy integer-exact
+    marginal-relevance selection, the reranker that keeps a RAG or
+    data-selection shortlist from being k near-copies of one hit.
+    Relevance scoring + window prefilter are distributed (TakeOrdered,
+    one corpus scan); the greedy phase runs on the bounded collected
+    window. See operators/similarity.py:mmr_rerank."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.mmr_rerank(e, query_id=0, k=10, n_candidates=50, lam_pct=70)
+
+
 @_q(
     "embedding_neardup",
     """
@@ -3425,6 +3559,103 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ccnet_perplexity_buckets",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+    ), total AS (SELECT sum(cnt) AS t FROM freq),
+    model AS (
+        SELECT tok, round(-ln(cnt / t.t) * 1e6)::BIGINT AS nll_e6
+        FROM freq, total t
+    ),
+    scored AS (
+        SELECT s.doc_id, count(*)::BIGINT AS n_tokens,
+               ((2 * sum(m.nll_e6)::BIGINT + 100 * count(*))
+                  // (200 * count(*))) / 10000.0 AS avg_nll
+        FROM toks s JOIN model m ON m.tok = s.tok
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT d.lang, s.n_tokens,
+               ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_nll, s.doc_id)
+                   AS tile
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens
+    FROM b GROUP BY lang, tile
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): score
+    every document with the corpus unigram-LM NLL, then split EACH
+    LANGUAGE into head/middle/tail perplexity tertiles — the bucket
+    labels CCNet uses to keep the well-written third and drop or
+    downweight the tail. ntile(3) over (avg_nll, doc_id) is
+    deterministic in both engines (equal split, remainder to the
+    first tiles; the NLL doubles are bit-identical integer-division
+    results). Composition of unigram_nll_scores + one per-lang
+    window + a grouped count."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    scored = T.unigram_nll_scores(d)
+    b = scored.join(d.select("doc_id", "lang"), "doc_id").withColumn(
+        "tile",
+        F.ntile(3).over(W.partitionBy("lang").orderBy("avg_nll", "doc_id")),
+    )
+    return b.groupBy(
+        "lang",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@_q(
+    "exact_stratified_split_langs",
+    """
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                            doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk * 100 <= n * 80 THEN 'train'
+                WHEN rk * 100 <= n * 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def exact_stratified_split_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 80/10/10 split within every language: rank-cut at integer
+    boundaries, so each stratum's proportions are exact (not merely
+    expected, like the hash-bucket split_assign carve — the two ends
+    of the exactness-vs-version-stability trade; see both docstrings).
+    See operators/sampling.py:exact_stratified_split."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return SA.exact_stratified_split(
+        d, strata_col="lang", key_col="doc_id",
+        splits={"train": 80, "val": 10, "test": 10},
+    ).select("doc_id", "lang", "split")
+
+
+@_q(
     "mixture_resample_langs",
     """
     WITH n AS (
@@ -4289,6 +4520,76 @@ def bpe_segment_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bpe_tokens")
         .orderBy("doc_id")
     )
+
+
+_TAG_DICT: list[tuple[str, str]] = [
+    ("join", "joins"), ("merge", "joins"), ("hash", "joins"),
+    ("stream", "streaming"), ("window", "streaming"), ("batch", "streaming"),
+    ("table", "storage"), ("scan", "storage"), ("column", "storage"),
+    ("row", "storage"),
+    ("fast", "perf"), ("slow", "perf"),
+    # multi-topic term: 'sort' counts for BOTH joins and perf
+    ("sort", "joins"), ("sort", "perf"),
+]
+
+
+@_q(
+    "dictionary_tag_topics",
+    f"""
+    WITH dict(term, topic) AS (VALUES
+        {", ".join(f"('{t}', '{p}')" for t, p in _TAG_DICT)}
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+        FROM documents
+    )
+    SELECT t.doc_id, d.topic, count(*)::BIGINT AS n_hits
+    FROM tok t JOIN dict d USING (term)
+    GROUP BY t.doc_id, d.topic
+    """,
+)
+def dictionary_tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlashText-style domain tagging: label documents by a broadcast
+    (term, topic) keyword dictionary — the cheap domain classifier
+    run ahead of mixture balancing and eval-slice construction; a
+    term may vote for several topics ('sort' counts for joins AND
+    perf here). One explode + broadcast join + (doc, topic) count.
+    See operators/text.py:dictionary_tag."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    terms = spark.createDataFrame(_TAG_DICT, "term string, topic string")
+    return T.dictionary_tag(d, terms)
+
+
+@_q(
+    "rendezvous_shard_assign",
+    """
+    WITH shards(shard) AS (VALUES ('s1'), ('s2'), ('s3'), ('s4'), ('s5')),
+    w AS (
+        SELECT d.doc_id, s.shard,
+               ('0x' || substr(md5('hrw:' || s.shard || ':' || d.doc_id::VARCHAR), 1, 8))::BIGINT AS w
+        FROM documents d CROSS JOIN shards s
+    )
+    SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard DESC) AS rn
+        FROM w
+    ) WHERE rn = 1
+    """,
+)
+def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent corpus placement: rendezvous-hash every document
+    onto a 5-shard fleet — adding/removing a shard moves only that
+    shard's share of keys (the HRW stability property, pinned in
+    tests/test_etl.py), vs hash%n moving nearly everything. Map-only
+    in-row argmax, zero shuffles. See operators/etl.py:
+    rendezvous_assign."""
+    from data_misc_tools_spark.operators.etl import rendezvous_assign
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return rendezvous_assign(
+        d, ["s1", "s2", "s3", "s4", "s5"], "doc_id"
+    ).select("doc_id", "shard")
 
 
 def _pagerank_oracle(iters: int = 5, damping_pct: int = 85) -> str:
@@ -6843,15 +7144,16 @@ GRADED_FIRST: list[str] = [
     "embedding_pq_topk",
     # --- 28 re-pins: r1-r3 veterans across every family ---
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "q6_forecast_revenue", "q18_large_orders",
+    "rendezvous_shard_assign", "q18_large_orders",
     "orders_rollup", "lineitem_grouping_sets", "window_rank_orders",
     "events_pivot_by_type", "asof_purchase_prior_click",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
     "dedup_ngram_jaccard", "dedup_incremental_index", "dedup_keep_best",
-    "embedding_cosine_topk", "embedding_sq_adc_topk", "embedding_neardup",
-    "text_quality", "text_language_id", "text_token_count",
+    # round-5 new operators take the two embedding re-pin slots
+    "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
+    "text_quality", "text_language_id", "dictionary_tag_topics",
     "chunk_documents", "tfidf_topk_terms",
-    "sample_stratified_lang", "pack_token_batches",
+    "exact_stratified_split_langs", "pack_token_batches",
     "connected_components_runs", "sessionize_events",
 ]
 

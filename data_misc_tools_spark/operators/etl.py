@@ -230,3 +230,40 @@ def salted_skew_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return b.join(s, [key, "__salt"], how).drop("__salt")
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[str],
+    key_col: str,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding: each key goes to
+    the shard with the largest hash(shard, key) — the consistent-
+    placement scheme for routing corpus keys to a fixed serving/
+    storage fleet. The HRW property is the point: adding a shard
+    moves ONLY the keys the new shard now wins (~1/(n+1) of them),
+    and removing one redistributes only ITS keys — no global
+    reshuffle, unlike ``hash(key) % n`` where changing n moves
+    (n-1)/n of the corpus (pinned by tests/test_etl.py).
+
+    Map-only: weights are the repo's engine-portable md5-derived u32
+    per (shard, key), the winner an ``array_max`` over a |shards|-
+    element in-row struct array — zero shuffles, no shard table join;
+    DuckDB twin = argmax over a CROSS JOIN with the shard list
+    (ties: larger weight, then larger shard name, both engines).
+    """
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    from data_misc_tools_spark.operators.sampling import _hash_u32
+
+    arr = F.array(
+        *[
+            F.struct(
+                _hash_u32(F.col(key_col), f"hrw:{s}:").alias("w"),
+                F.lit(s).alias("shard"),
+            )
+            for s in sorted(shards)
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(arr)["shard"])

@@ -123,6 +123,58 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def exact_stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test split with EXACT per-stratum counts: within each
+    stratum, rows are ranked by (md5 hash, key) and the rank axis is
+    cut at floor(n·cum_pct/100) boundaries — a 1000-doc language gets
+    exactly 800/100/100 under 80/10/10, where :func:`split_assign`'s
+    hash-bucket carve is only proportional in expectation (a small
+    stratum can easily land 83/6/11). The price of exactness: adding
+    rows to a stratum can move existing keys between splits (ranks
+    shift), so use split_assign when cross-version stability matters
+    more than exact proportions — the two operators are the two ends
+    of that trade and share the same portable hash order.
+
+    ``splits`` maps name -> integer percent (must sum to 100; order
+    matters: earlier entries take the low ranks). All comparisons are
+    integer cross-multiplication (rank·100 vs n·cum_pct — no float
+    boundaries), so a DuckDB twin matches hash-exactly.
+
+    Scale: one rank window + one count window per stratum partition —
+    a single shuffle on the strata column; strata are the parallelism
+    unit, and a skewed giant stratum is the same single-partition-sort
+    hazard as any per-key window (pre-shard giant strata if needed).
+
+    Output: input columns + ``split``.
+    """
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_u32(F.col(key_col), salt), F.col(key_col)
+    )
+    wn = Window.partitionBy(strata_col)
+    ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(wn)
+    )
+    expr = None
+    cum = 0
+    items = list(splits.items())
+    for name, pct in items[:-1]:
+        cum += pct
+        cond = F.col("__rk") * 100 <= F.col("__n") * cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return ranked.withColumn("split", expr).drop("__rk", "__n")
+
+
 def split_by_cluster(
     df: DataFrame,
     pairs: DataFrame,

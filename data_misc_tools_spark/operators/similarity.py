@@ -1006,3 +1006,180 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def kmeans_lloyd_e6(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Distributed Lloyd k-means with ENGINE-EXACT integer arithmetic
+    — real centroid updates (unlike :func:`semantic_dedup`'s fixed
+    seed blocking), yet still hash-reproducible by a DuckDB twin.
+
+    The stationary_distribution idiom applied to clustering:
+
+    - codes ``q_d = floor(x_d * scale)`` (power-of-two scale: exact in
+      IEEE double), centroids carried e6-scaled per dimension;
+    - assignment = argmin over Σ_d (q_d·1e6 − c_d)² — BIGINT sums
+      (max ~1e18 at |x|<=1, dim<=64: inside int64), ties to the
+      smaller cluster id;
+    - update: c'_d = half_up(Σ_members q_d · 1e6, n_members) via the
+      ``(2A + B) div (2B)`` integer pattern;
+    - initial centroids = the k smallest-id vectors (deterministic; a
+      curated seed frame can replace them without losing exactness);
+    - clusters that lose every member are DROPPED (never revived):
+      keeping a stale centroid would need a second per-round
+      reference to the centroid chain, which doubles an unrolled
+      SQL twin's inlined plan per level (the DuckDB CTE rule).
+
+    Scale shape per round: assignment is one narrow crossJoin of the
+    corpus against the BROADCAST k×dim centroid table (no corpus
+    shuffle) + a per-vector argmin; the update is one posexplode
+    shuffle keyed (cluster, dim) — |corpus|·dim rows, the same width
+    as the corpus itself. Centroids localCheckpoint each round (the
+    k-row table is driver-tiny; the checkpoint keeps the lineage from
+    re-running every prior round per action).
+
+    Output: (id_col, cluster_id, d2) for the FINAL assignment, d2 the
+    exact integer squared distance to the winning centroid.
+    """
+    q = df.select(
+        F.col(id_col).alias("__vid"), sq_quantize(F.col(vec_col), scale).alias("__qc")
+    ).localCheckpoint(eager=True)
+    w_seed = Window.orderBy("__vid")
+    cent = (
+        q.orderBy("__vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_seed) - 1).cast("long").alias("cluster_id"),
+            F.transform("__qc", lambda x: x * F.lit(1_000_000)).alias("__cc"),
+        )
+    )
+    assigned = None
+    for r in range(iters):
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "__vid",
+                "cluster_id",
+                F.aggregate(
+                    F.zip_with(
+                        "__qc",
+                        "__cc",
+                        lambda a, b: (a * 1_000_000 - b) * (a * 1_000_000 - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+            .groupBy("__vid")
+            .agg(F.min(F.struct("d2", "cluster_id")).alias("__m"))
+            .select("__vid", F.col("__m.cluster_id").alias("cluster_id"),
+                    F.col("__m.d2").alias("d2"))
+        )
+        if r < iters - 1:
+            cent = (
+                assigned.join(q, "__vid")
+                .select("cluster_id", F.posexplode("__qc").alias("__i", "__v"))
+                .groupBy("cluster_id", "__i")
+                .agg(F.sum("__v").alias("__s"), F.count("*").alias("__n"))
+                .groupBy("cluster_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "__i",
+                                F.expr(
+                                    "(2 * __s * 1000000 + __n) div (2 * __n)"
+                                ).alias("c"),
+                            )
+                        )
+                    ).alias("__p")
+                )
+                .select(
+                    "cluster_id",
+                    F.transform("__p", lambda p: p["c"]).alias("__cc"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assigned.select(F.col("__vid").alias(id_col), "cluster_id", "d2")
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    lam_pct: int = 70,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick the item maximizing
+    ``lam·rel(q, x) − (1−lam)·max_{s∈S} sim(x, s)`` — the standard
+    redundancy-aware reranker for retrieval-augmented training-data
+    selection (pure top-k returns k near-copies of the best hit; MMR
+    trades relevance for coverage).
+
+    Engine-exact integer variant: rel and sim are BIGINT dot products
+    of the fixed floor(x·scale) SQ codes (products ≤ scale²·dim — far
+    inside both int64 and the 2^53 exact-double range a SQL twin's
+    list_inner_product uses), the score is ``lam_pct·rel −
+    (100−lam_pct)·maxsim``, ties go to the smaller id.
+
+    Scale shape: relevance scoring + the top-``n_candidates``
+    prefilter run DISTRIBUTED (one corpus scan, TakeOrdered — no
+    global sort); the greedy selection then runs on the collected
+    rerank window, which is bounded METADATA (N ≤ ~10³ rows of codes,
+    the codebook-collect class — MMR is O(k·N) serial by nature, and
+    every production deployment reranks a bounded window, never the
+    corpus). Output: (rank 1..k, id_col, rel).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("__vid"), sq_quantize(F.col(vec_col), scale).alias("__qc")
+    )
+    qrow = base.where(F.col("__vid") == query_id).head()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found in corpus")
+    qc = list(qrow["__qc"])
+    qlit = F.array(*[F.lit(int(x)) for x in qc])
+    cand = (
+        base.where(F.col("__vid") != query_id)
+        .select(
+            "__vid",
+            "__qc",
+            F.aggregate(
+                F.zip_with("__qc", qlit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("__vid"))
+        .limit(n_candidates)
+        .collect()
+    )  # bounded rerank window (n_candidates rows), the codebook-collect class
+    pool = [(int(r["__vid"]), list(r["__qc"]), int(r["rel"])) for r in cand]
+    picked: list[tuple[int, list[int], int]] = []
+    for _ in range(min(k, len(pool))):
+        best = None
+        for vid, code, rel in pool:
+            if any(vid == p[0] for p in picked):
+                continue
+            maxsim = max(
+                (sum(a * b for a, b in zip(code, p[1])) for p in picked),
+                default=0,
+            )
+            score = lam_pct * rel - (100 - lam_pct) * maxsim
+            if best is None or (score, -vid) > (best[3], -best[0]):
+                best = (vid, code, rel, score)
+        picked.append((best[0], best[1], best[2]))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, vid, rel) for i, (vid, _, rel) in enumerate(picked)],
+        f"rank long, {id_col} long, rel long",
+    )

@@ -933,3 +933,31 @@ def nfc_normalize(col: Column | str) -> Column:
     _nfc = pandas_udf("string")(_nfc_impl)
 
     return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def dictionary_tag(
+    df: DataFrame,
+    terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FlashText-style dictionary tagging: label every document with
+    the topics whose keyword lists it mentions — the cheap domain
+    classifier used ahead of mixture balancing (tag -> count ->
+    resample by domain) and for building targeted eval slices.
+
+    ``terms`` is the (term, topic) dictionary; a term may map to
+    several topics. Matching is lowercase whitespace-token equality
+    (the corpus idiom of word_topk); tagging is one explode + one
+    BROADCAST join + a (doc, topic) count — the dictionary is
+    vocabulary-sized, the corpus is never shuffled wider than its
+    matched tokens. Output: (id_col, topic, n_hits) for topics with
+    at least one hit; untagged documents produce no rows (left-join
+    the ids back for an 'untagged' bucket).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("term")
+    )
+    return toks.join(F.broadcast(terms), "term").groupBy(id_col, "topic").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )

@@ -194,3 +194,55 @@ def test_salted_skew_join_equals_plain_join(spark):
     )
     assert left2.count() == 1001
     assert left2.where("k = 'nokey'").collect()[0].w is None
+
+
+class TestRendezvousAssign:
+    def test_adding_a_shard_moves_only_keys_it_wins(self, spark):
+        """The HRW contract: going from n to n+1 shards, every key
+        either stays put or moves TO the new shard — never between
+        old shards (hash%n would scramble nearly all of them)."""
+        from data_misc_tools_spark.operators.etl import rendezvous_assign
+
+        df = spark.range(300).withColumnRenamed("id", "k")
+        before = {
+            r.k: r.shard
+            for r in rendezvous_assign(df, ["a", "b", "c"], "k").collect()
+        }
+        after = {
+            r.k: r.shard
+            for r in rendezvous_assign(df, ["a", "b", "c", "d"], "k").collect()
+        }
+        moved = {k for k in before if before[k] != after[k]}
+        assert all(after[k] == "d" for k in moved)
+        # and the new shard takes roughly 1/4 of the keys
+        assert 40 <= len(moved) <= 110
+
+    def test_removing_a_shard_redistributes_only_its_keys(self, spark):
+        from data_misc_tools_spark.operators.etl import rendezvous_assign
+
+        df = spark.range(300).withColumnRenamed("id", "k")
+        full = {
+            r.k: r.shard
+            for r in rendezvous_assign(df, ["a", "b", "c"], "k").collect()
+        }
+        without_b = {
+            r.k: r.shard
+            for r in rendezvous_assign(df, ["a", "c"], "k").collect()
+        }
+        for k, s in full.items():
+            if s != "b":
+                assert without_b[k] == s, k  # non-b keys never move
+
+    def test_shard_order_does_not_matter(self, spark):
+        from data_misc_tools_spark.operators.etl import rendezvous_assign
+
+        df = spark.range(50).withColumnRenamed("id", "k")
+        x = rendezvous_assign(df, ["a", "b", "c"], "k").collect()
+        y = rendezvous_assign(df, ["c", "a", "b"], "k").collect()
+        assert sorted(map(tuple, x)) == sorted(map(tuple, y))
+
+    def test_empty_shards_raise(self, spark):
+        from data_misc_tools_spark.operators.etl import rendezvous_assign
+
+        with pytest.raises(ValueError):
+            rendezvous_assign(spark.range(1), [], "id")

@@ -388,3 +388,24 @@ def test_pagerank_exact_rounds_are_constant_size(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") <= 4
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Each Lloyd round joins the corpus against the BROADCAST k-row
+    centroid table — the corpus must never shuffle for assignment,
+    and rounds are cut by localCheckpoint (constant-size final plan)."""
+    plan = _plan(spark, "kmeans_embeddings", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dictionary_tag_broadcasts_the_dictionary(spark, sf_dir):
+    plan = _plan(spark, "dictionary_tag_topics", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rendezvous_assign_is_scan_local(spark, sf_dir):
+    plan = _plan(spark, "rendezvous_shard_assign", sf_dir)
+    assert "Exchange" not in plan  # in-row argmax: zero shuffles

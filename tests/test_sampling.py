@@ -288,3 +288,43 @@ def test_negative_samples_exclude_positives_and_are_stable(spark):
         pos.repartition(5), n_items=100, k=4, margin=20
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+class TestExactStratifiedSplit:
+    def test_exact_counts_per_stratum(self, spark):
+        rows = [(i, "en" if i < 100 else "de") for i in range(130)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = SA.exact_stratified_split(
+            df, "lang", "doc_id", {"train": 80, "val": 10, "test": 10}
+        )
+        counts = {
+            (r.lang, r.split): r.n
+            for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+        }
+        # en: 100 docs -> exactly 80/10/10; de: 30 -> 24/3/3
+        assert counts[("en", "train")] == 80
+        assert counts[("en", "val")] == 10
+        assert counts[("en", "test")] == 10
+        assert counts[("de", "train")] == 24
+        assert counts[("de", "val")] == 3
+        assert counts[("de", "test")] == 3
+
+    def test_deterministic_and_partition_stable(self, spark):
+        rows = [(i, "x") for i in range(57)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        a = sorted(
+            (r.doc_id, r.split)
+            for r in SA.exact_stratified_split(df, "lang", "doc_id").collect()
+        )
+        b = sorted(
+            (r.doc_id, r.split)
+            for r in SA.exact_stratified_split(
+                df.repartition(7), "lang", "doc_id"
+            ).collect()
+        )
+        assert a == b
+
+    def test_bad_percents_raise(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+        with pytest.raises(ValueError, match="sum to 100"):
+            SA.exact_stratified_split(df, "lang", "doc_id", {"train": 70, "val": 10})

@@ -440,3 +440,108 @@ def test_semantic_dedup_auto_k(spark):
     # identical one-hot vectors within a cluster: only the smallest id keeps
     kept = sorted(r.vec_id for r in out.collect() if r.keep)
     assert kept == [0, 1, 2]
+
+
+class TestKMeansLloydE6:
+    def _reference(self, vecs, k, iters, scale=64):
+        """Pure-Python integer Lloyd twin: floor-quantize, e6
+        centroids, half-up means, argmin ties to smaller cluster,
+        empty clusters dropped."""
+        import math as _m
+
+        def half_up(a, b):
+            return (2 * a + b) // (2 * b)
+
+        q = {i: [_m.floor(x * scale) for x in v] for i, v in vecs.items()}
+        seeds = sorted(q)[:k]
+        cent = {c: [x * 1_000_000 for x in q[vid]] for c, vid in enumerate(seeds)}
+        assign = {}
+        for r in range(iters):
+            assign = {}
+            for vid, code in q.items():
+                best = None
+                for c in sorted(cent):
+                    d2 = sum((a * 1_000_000 - b) ** 2 for a, b in zip(code, cent[c]))
+                    if best is None or (d2, c) < best[:2]:
+                        best = (d2, c)
+                assign[vid] = (best[1], best[0])
+            if r < iters - 1:
+                members = {}
+                for vid, (c, _) in assign.items():
+                    members.setdefault(c, []).append(vid)
+                cent = {
+                    c: [
+                        half_up(sum(q[v][d] for v in vs) * 1_000_000, len(vs))
+                        for d in range(len(next(iter(q.values()))))
+                    ]
+                    for c, vs in members.items()
+                }
+        return {vid: c for vid, (c, _) in assign.items()}
+
+    def test_matches_integer_reference(self, spark):
+        rng = random.Random(11)
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(40)
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.vec_id: r.cluster_id
+            for r in S.kmeans_lloyd_e6(df, k=4, iters=3).collect()
+        }
+        assert got == self._reference(vecs, k=4, iters=3)
+
+    def test_one_round_assigns_to_nearest_seed(self, spark):
+        # 2 tight blobs, seeds = ids 0 and 1 (one in each blob)
+        pts = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [0.05, 0.05]), (3, [0.95, 0.9])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        got = {r.vec_id: r.cluster_id for r in S.kmeans_lloyd_e6(df, k=2, iters=1).collect()}
+        assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+class TestMMRRerank:
+    def test_diversifies_away_from_near_copy(self, spark):
+        """Plain top-2 would return the near-copy of the best hit;
+        MMR's redundancy penalty must pick the distinct item second."""
+        rows = [
+            (0, [1.0, 0.0, 0.0]),        # query
+            (1, [0.99, 0.01, 0.0]),      # best hit
+            (2, [0.98, 0.012, 0.0]),     # near-copy of 1
+            (3, [0.6, 0.6, 0.0]),        # relevant but distinct
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = [r.vec_id for r in S.mmr_rerank(
+            df, query_id=0, k=2, n_candidates=3, lam_pct=30
+        ).orderBy("rank").collect()]
+        assert got[0] == 1        # relevance still picks the best hit first
+        assert got[1] == 3        # diversity beats the near-copy
+        # sanity: pure relevance order would have been [1, 2]
+        rel = {r.vec_id: r.rel for r in S.mmr_rerank(
+            df, query_id=0, k=3, n_candidates=3, lam_pct=100
+        ).collect()}
+        assert sorted(rel, key=lambda v: -rel[v])[:2] == [1, 2]
+
+    def test_lam_100_is_pure_relevance_topk(self, spark):
+        import random as _r
+
+        rng = _r.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = [r.vec_id for r in S.mmr_rerank(
+            df, query_id=0, k=5, n_candidates=29, lam_pct=100
+        ).orderBy("rank").collect()]
+        rel = {r.vec_id: r.rel for r in S.mmr_rerank(
+            df, query_id=0, k=29, n_candidates=29, lam_pct=100
+        ).collect()}
+        want = sorted(rel, key=lambda v: (-rel[v], v))[:5]
+        assert got == want
+
+    def test_missing_query_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="query id"):
+            S.mmr_rerank(df, query_id=99)

@@ -97,6 +97,54 @@ STRESS = {
     "bootstrap_value_ci_fast": "linear",
     "ab_lift_fast": "linear",
     "bm25_index_serve": "linear",
+    # round-5 sweep of the remaining round-4 operators (VERDICT r4 #2):
+    # ppjoin's prefix-filter candidate volume is the corpus-sensitive
+    # one to watch (judged against rows ratio like the LSH families);
+    # png pipeline is a map-only Python codec; warc + contrastive are
+    # fixed-size demos (flat by construction — included to prove the
+    # cost does NOT scale with the corpus); rfm is three quartile
+    # windows over |users|; pagerank is per-round linear in candidate
+    # edges (LSH-luck-dominated like the minhash rows above).
+    "dedup_ppjoin": "linear",
+    "png_pipeline_demo": "linear",
+    "warc_source_demo": "linear",
+    "rfm_user_segments": "linearithmic",
+    "contrastive_negatives": "linear",
+    "pagerank_neardup_graph": "linear",
+}
+
+
+def _semdedup_scaled_k(spark, sf_dir):
+    """The production SemDeDup shape: k_clusters=None auto-sizes
+    k = ceil(n / target_block), bounding pair work at n*target_block —
+    the scaling rule the fixed-k=16 oracle demo deliberately ignores."""
+    from data_misc_tools_spark.catalog import load_tables
+    from data_misc_tools_spark.operators import similarity as S
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.semantic_dedup(e, k_clusters=None, threshold=0.3, target_block=256)
+
+
+def _contamination_fixed_eval(spark, sf_dir):
+    """The production decontamination shape: the eval set is a FIXED
+    200-vector benchmark (not the demo's 1/50 corpus slice), so the
+    broadcast side is constant and the pass is linear in the corpus."""
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.catalog import load_tables
+    from data_misc_tools_spark.operators.contamination import semantic_contamination
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    ev = e.where(F.col("vec_id") < 200)
+    tr = e.where(F.col("vec_id") >= 200)
+    return semantic_contamination(tr, ev, threshold=0.5)
+
+
+# Production-shape twins of the two demos excluded from STRESS (their
+# catalog forms pin oracle-friendly but scale-hostile parameters).
+EXTRA = {
+    "semdedup_scaled_k": ("linear", _semdedup_scaled_k),
+    "semantic_contamination_fixed_eval": ("linear", _contamination_fixed_eval),
 }
 
 
@@ -108,13 +156,14 @@ def bench_dir(
     out: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
+        fn = EXTRA[name][1] if name in EXTRA else QUERIES[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
-        rows[name] = QUERIES[name](spark, sf_dir).count()
+        rows[name] = fn(spark, sf_dir).count()
         print(f"# {os.path.basename(sf_dir)} {name}: {out[name]}s "
               f"({rows[name]} rows)", file=sys.stderr)
     return out, rows
@@ -140,7 +189,8 @@ def main() -> int:
         lambda pdf: pdf.head(1), schema=region.schema
     ).collect()
 
-    names = list(STRESS)
+    designs = {**STRESS, **{k: v[0] for k, v in EXTRA.items()}}
+    names = list(designs)
     t_small, r_small = bench_dir(spark, small, names)
     t_big, r_big = bench_dir(spark, big, names)
 
@@ -168,7 +218,7 @@ def main() -> int:
         "|---|---|---|---|---|---|---|",
     ]
     worst: list[tuple[str, float]] = []
-    for name, design in STRESS.items():
+    for name, design in designs.items():
         a, b = t_small[name], t_big[name]
         ratio = round(b / a, 2) if a > 0 else float("inf")
         rr = round(r_big[name] / max(r_small[name], 1), 2)
@@ -220,16 +270,20 @@ def main() -> int:
         "  working set, not an algorithmic term. At real corpus lengths use",
         "  the `threshold` parameter (banded early-exit, O(t*len) per pair)",
         "  before shipping 10^8 pairs through the exact form.",
-        "- **Round-4 demos excluded by design**: `semdedup_embeddings` pins",
-        "  `k_clusters=16` for its oracle, so within-cluster pairs grow",
-        "  quadratically when n grows under FIXED k — production auto-sizes",
-        "  k = ceil(n/target_block) (`semantic_dedup(k_clusters=None)`),",
-        "  bounding pair work at n*target_block. `semantic_contamination_flags`",
-        "  slices its eval set as 1/50 of the corpus, so BOTH join sides grow",
-        "  with sf; real eval sets are fixed-size benchmarks and the pass is",
-        "  linear in the corpus. Both shapes are measured implicitly: the",
-        "  assignment/scoring kernels are the embedding_cosine_topk /",
-        "  embedding_neardup kernels already in the table.",
+        "- **Round-4 demos measured via production twins**: the catalog forms",
+        "  of `semdedup_embeddings` (k_clusters pinned at 16 for the oracle)",
+        "  and `semantic_contamination_flags` (eval set = 1/50 corpus slice)",
+        "  deliberately scale badly — fixed k makes within-cluster pairs grow",
+        "  quadratically, and a corpus-proportional eval set grows both join",
+        "  sides. The table instead carries their production shapes:",
+        "  `semdedup_scaled_k` (k_clusters=None auto-sizing, pair work bounded",
+        "  at n*target_block) and `semantic_contamination_fixed_eval` (fixed",
+        "  200-vector benchmark broadcast), both expected linear.",
+        "- **Flat-by-construction demos** (`warc_source_demo`,",
+        "  `contrastive_negatives`): their work is bounded by a fixed fixture",
+        "  (100-doc shard; 50 queries x 12 candidates) regardless of corpus",
+        "  size — included to prove the cost does NOT scale with sf (ratio",
+        "  ~1 is the pass condition, not ~factor).",
     ]
     with open(os.path.join(repo, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
