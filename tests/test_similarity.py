@@ -442,6 +442,52 @@ def test_semantic_dedup_auto_k(spark):
     assert kept == [0, 1, 2]
 
 
+def test_semantic_dedup_two_level_covers_every_vector(spark):
+    """The hierarchical assignment (k >= two_level_from) must assign
+    EVERY vector (no drops through unroutable coarse cells — dot is
+    not a metric, so a cell can receive zero fine seeds and must be
+    excluded from the vector-side argmax, not silently joined away),
+    and the dedup contract holds: exact-duplicate vectors that share
+    a cluster keep only the smallest id."""
+    from data_misc_tools_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (i, [float((i % 7) == d) + 0.01 * (i % 5) for d in range(7)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, k_clusters=None, target_block=5, threshold=0.999,
+        two_level_from=4,  # force the hierarchical path on tiny data
+    ).collect()
+    assert len(out) == 60
+    assert len({r.vec_id for r in out}) == 60
+    by_id = {r.vec_id: r for r in out}
+    # keep/dup_of consistency: every casualty's dup_of is a smaller id
+    # in the SAME cluster
+    for r in out:
+        if not r.keep:
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cluster_id == r.cluster_id
+
+
+def test_semantic_dedup_two_level_equals_flat_when_thresholds_allow(spark):
+    """Below two_level_from the path must stay the flat argmax — the
+    graded k=16 catalog demo depends on it."""
+    from data_misc_tools_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, semantic_dedup(
+        df, k_clusters=3, threshold=0.99
+    ).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        df, k_clusters=3, threshold=0.99, two_level_from=9999
+    ).collect()))
+    assert a == b
+
+
 class TestKMeansLloydE6:
     def _reference(self, vecs, k, iters, scale=64):
         """Pure-Python integer Lloyd twin: floor-quantize, e6
