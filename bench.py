@@ -182,6 +182,7 @@ HEADLINE = [
     "rendezvous_shard_assign",
     "ccnet_perplexity_buckets",
     "exact_stratified_split_langs",
+    "ab_chi_square_purchase",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -3624,6 +3624,46 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ab_chi_square_purchase",
+    """
+    WITH cells AS (
+        SELECT
+            sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n11,
+            sum(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n10,
+            sum(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n01,
+            sum(CASE WHEN user_id % 2 <> 0 AND event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n00
+        FROM events
+    )
+    SELECT n11, n10, n01, n00,
+           CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0
+                  OR n11 + n01 = 0 OR n10 + n00 = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE ((n11 + n10 + n01 + n00)::DOUBLE
+                      * (n11::HUGEINT * n00 - n10::HUGEINT * n01)::DOUBLE
+                      * (n11::HUGEINT * n00 - n10::HUGEINT * n01)::DOUBLE)
+                     / ((n11 + n10)::DOUBLE * (n01 + n00)::DOUBLE
+                        * (n11 + n01)::DOUBLE * (n10 + n00)::DOUBLE)
+           END AS chi2
+    FROM cells
+    """,
+)
+def ab_chi_square_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical A/B significance: chi-square test of independence
+    between the user-parity variant and purchasing, BIT-exact
+    unrounded (exact decimal(38,0)/HUGEINT determinant, then a
+    pinned-order IEEE closed form — the pearson_exact idiom). The
+    bootstrap CI (ab_lift_purchase_vs_click) answers "how big";
+    this answers "is it noise" (chi2 >= 3.841 ⇒ p < 0.05). See
+    operators/profile.py:chi_square_2x2."""
+    from data_misc_tools_spark.operators.profile import chi_square_2x2
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return chi_square_2x2(
+        e, F.col("user_id") % 2 == 0, F.col("event_type") == "purchase"
+    )
+
+
+@_q(
     "exact_stratified_split_langs",
     """
     WITH r AS (
@@ -7152,7 +7192,7 @@ GRADED_FIRST: list[str] = [
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
     "text_quality", "text_language_id", "dictionary_tag_topics",
-    "chunk_documents", "tfidf_topk_terms",
+    "chunk_documents", "ab_chi_square_purchase",
     "exact_stratified_split_langs", "pack_token_batches",
     "connected_components_runs", "sessionize_events",
 ]

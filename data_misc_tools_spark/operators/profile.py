@@ -637,3 +637,56 @@ def bootstrap_ab_lift(
         F.max(F.when(F.col("__rn") == hi_i, F.col("__d"))).alias("ci_hi"),
     )
     return point.crossJoin(ci)
+
+
+def chi_square_2x2(
+    df: DataFrame,
+    variant: Column,
+    success: Column,
+) -> DataFrame:
+    """2x2 chi-square test of independence — the classical A/B
+    significance readout next to :func:`bootstrap_ab_lift`'s CI:
+    chi2 = N·(n11·n00 − n10·n01)² / (r1·r2·c1·c2) over the
+    variant × success contingency counts. chi2 >= 3.841 rejects
+    independence at p < 0.05 (1 dof).
+
+    Engine-exact the pearson_exact way: the four cells are exact
+    integer counts from ONE aggregate; the determinant is computed in
+    decimal(38,0) (exact to ~1e19-row cells, HUGEINT twin in DuckDB);
+    the closed form is then a fixed-parenthesization chain of IEEE
+    double ops on exactly-representable inputs, so the unrounded
+    double matches any engine bit-for-bit. Zero-margin tables (an
+    empty row or column) yield NULL chi2 on both sides via the 0
+    denominator guard.
+
+    Scale: one map-side-combined aggregate over the scan — no
+    shuffle wider than 4 longs.
+
+    Output: one row (n11, n10, n01, n00, chi2).
+    """
+    v = variant.cast("boolean")
+    s = success.cast("boolean")
+    cells = df.agg(
+        F.sum(F.when(v & s, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(v & ~s, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~v & s, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~v & ~s, 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    return cells.selectExpr(
+        "n11", "n10", "n01", "n00",
+        # det exact in decimal(38,0); every later op is one IEEE double
+        # step in a pinned order (matches the DuckDB twin textually)
+        """
+        CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0
+               OR n11 + n01 = 0 OR n10 + n00 = 0
+             THEN CAST(NULL AS DOUBLE)
+             ELSE (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                   * CAST(CAST(n11 AS decimal(38,0)) * n00
+                          - CAST(n10 AS decimal(38,0)) * n01 AS DOUBLE)
+                   * CAST(CAST(n11 AS decimal(38,0)) * n00
+                          - CAST(n10 AS decimal(38,0)) * n01 AS DOUBLE))
+                  / (CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+                     * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        END AS chi2
+        """,
+    )

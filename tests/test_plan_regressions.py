@@ -409,3 +409,21 @@ def test_dictionary_tag_broadcasts_the_dictionary(spark, sf_dir):
 def test_rendezvous_assign_is_scan_local(spark, sf_dir):
     plan = _plan(spark, "rendezvous_shard_assign", sf_dir)
     assert "Exchange" not in plan  # in-row argmax: zero shuffles
+
+
+def test_chi_square_is_one_aggregate(spark, sf_dir):
+    """The 2x2 test must stay a single map-side-combined aggregate:
+    one exchange of 4 longs, no join, no window."""
+    df = QUERIES["ab_chi_square_purchase"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_exact_split_is_one_strata_shuffle(spark, sf_dir):
+    """Rank + count windows share the lang partitioning: one shuffle,
+    no join."""
+    df = QUERIES["exact_stratified_split_langs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan

@@ -361,3 +361,35 @@ def test_bootstrap_fast_path_same_ci_semantics(spark):
     ).collect()[0]
     assert r.lift == _pt.approx(3.0)
     assert 0 < r.ci_lo < 3.0 < r.ci_hi
+
+
+class TestChiSquare2x2:
+    def test_matches_scipy_formula_by_hand(self, spark):
+        """Hand-checkable 2x2: chi2 = N(ad-bc)^2 / (r1 r2 c1 c2)."""
+        from data_misc_tools_spark.operators.profile import chi_square_2x2
+
+        # 30 variant (20 success), 30 control (10 success)
+        rows = (
+            [(1, 1)] * 20 + [(1, 0)] * 10 + [(0, 1)] * 10 + [(0, 0)] * 20
+        )
+        df = spark.createDataFrame(rows, "v int, s int")
+        r = chi_square_2x2(df, F.col("v") == 1, F.col("s") == 1).head()
+        assert (r.n11, r.n10, r.n01, r.n00) == (20, 10, 10, 20)
+        want = 60 * (20 * 20 - 10 * 10) ** 2 / (30 * 30 * 30 * 30)
+        assert abs(r.chi2 - want) < 1e-12
+        assert r.chi2 > 3.841  # significant at p < .05
+
+    def test_null_on_empty_margin(self, spark):
+        from data_misc_tools_spark.operators.profile import chi_square_2x2
+
+        df = spark.createDataFrame([(1, 1), (1, 0)], "v int, s int")
+        r = chi_square_2x2(df, F.col("v") == 1, F.col("s") == 1).head()
+        assert r.chi2 is None  # control column empty -> undefined
+
+    def test_independent_variants_score_near_zero(self, spark):
+        from data_misc_tools_spark.operators.profile import chi_square_2x2
+
+        rows = [(i % 2, (i // 2) % 2) for i in range(400)]
+        df = spark.createDataFrame(rows, "v int, s int")
+        r = chi_square_2x2(df, F.col("v") == 1, F.col("s") == 1).head()
+        assert r.chi2 == 0.0  # perfectly balanced

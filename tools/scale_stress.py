@@ -111,6 +111,19 @@ STRESS = {
     "rfm_user_segments": "linearithmic",
     "contrastive_negatives": "linear",
     "pagerank_neardup_graph": "linear",
+    # round-5 operators: kmeans rounds are broadcast-assignment +
+    # posexplode update (linear per round); MMR is a distributed
+    # prefilter + FIXED-size rerank window (flat); dictionary tag is
+    # one broadcast join; rendezvous is map-only; ccnet is the NLL
+    # scan + per-lang windows; exact split is two windows per
+    # stratum; chi-square is one aggregate.
+    "kmeans_embeddings": "linear",
+    "mmr_diverse_topk": "linear",
+    "dictionary_tag_topics": "linear",
+    "rendezvous_shard_assign": "linear",
+    "ccnet_perplexity_buckets": "linearithmic",
+    "exact_stratified_split_langs": "linearithmic",
+    "ab_chi_square_purchase": "linear",
 }
 
 
