@@ -183,6 +183,8 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "exact_stratified_split_langs",
     "ab_chi_square_purchase",
+    "lpa_communities_neardup",
+    "retrieval_eval_embeddings",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

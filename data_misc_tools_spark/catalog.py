@@ -4692,6 +4692,174 @@ def _pagerank_oracle(iters: int = 5, damping_pct: int = 85) -> str:
     """
 
 
+@_q(
+    "retrieval_eval_embeddings",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS qc
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS cc
+        FROM embeddings
+    ),
+    s AS (
+        SELECT q.query_id, c.vec_id,
+               list_inner_product(qc::DOUBLE[], cc::DOUBLE[])::BIGINT AS score
+        FROM q, c WHERE c.vec_id != q.query_id
+    ),
+    run AS (
+        SELECT query_id, vec_id, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 10
+    ),
+    qrels AS (
+        SELECT q.query_id, c.vec_id, 1::BIGINT AS gain
+        FROM q JOIN c ON c.label = q.qlabel AND c.vec_id != q.query_id
+    ),
+    hits AS (
+        SELECT run.query_id, run.rank, coalesce(qr.gain, 0) AS g
+        FROM run LEFT JOIN qrels qr
+          ON qr.query_id = run.query_id AND qr.vec_id = run.vec_id
+    ),
+    perq AS (
+        SELECT query_id,
+               min(CASE WHEN g > 0 THEN rank END) AS fr,
+               sum(round(g * 1000000.0 / log2(rank + 1))::BIGINT)::BIGINT AS dcg_e6
+        FROM hits GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT query_id,
+               sum(round(gain * 1000000.0 / log2(ir + 1))::BIGINT)::BIGINT AS idcg_e6
+        FROM (
+            SELECT query_id, gain,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY gain DESC, vec_id) AS ir
+            FROM qrels WHERE gain > 0
+        ) WHERE ir <= 10 GROUP BY query_id
+    )
+    SELECT p.query_id,
+           CASE WHEN fr IS NULL THEN 0::BIGINT
+                ELSE (2 * 1000000 + fr) // (2 * fr) END AS rr_e6,
+           dcg_e6,
+           coalesce(i.idcg_e6, 0::BIGINT) AS idcg_e6,
+           CASE WHEN i.idcg_e6 IS NULL OR i.idcg_e6 = 0 THEN NULL::BIGINT
+                ELSE (2 * dcg_e6 * 10000 + i.idcg_e6) // (2 * i.idcg_e6)
+           END AS ndcg_e4
+    FROM perq p LEFT JOIN ideal i USING (query_id)
+    """,
+)
+def retrieval_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY metrics, engine-exact: score the SQ-ADC ANN
+    run (5 queries, k=10) against label-match relevance — reciprocal
+    rank of the first same-label hit and nDCG@10 via e6-rounded
+    log-discount terms (integer sums, half-up ratios). The evaluation
+    half of the retrieval suite: bm25/ANN produce runs, ir_metrics
+    grades them. See operators/retrieval.py:ir_metrics."""
+    from data_misc_tools_spark.operators import retrieval as R
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5)
+    run = S.sq_adc_topk(queries, e, k=10)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    run = run.withColumn("rank", F.row_number().over(w)).select(
+        "query_id", "vec_id", "rank"
+    )
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    qrels = (
+        qlab.join(e.select("vec_id", "label"), F.col("label") == F.col("__ql"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.lit(1).cast("long").alias("gain"))
+    )
+    return R.ir_metrics(run, qrels, k=10, doc_col="vec_id")
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled synchronous label-propagation twin over the portable
+    MinHash candidate graph (same graph CTEs as _pagerank_oracle).
+    One reference to l{k} per level — the plan-size rule."""
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+    l{k + 1} AS (
+        SELECT node, label FROM (
+            SELECT e.a AS node, l.label,
+                   row_number() OVER (PARTITION BY e.a
+                                      ORDER BY count(*) DESC, l.label) AS rn
+            FROM edges e JOIN l{k} l ON e.b = l.node
+            GROUP BY e.a, l.label
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),
+    {",".join(steps)}
+    SELECT label AS community, count(*)::BIGINT AS n_members,
+           min(node) AS min_member
+    FROM l{iters} GROUP BY label
+    """
+
+
+@_q("lpa_communities_neardup", _lpa_oracle(4))
+def lpa_communities_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure INSIDE the near-dup graph: synchronous
+    label propagation (4 rounds, ties to smaller label) — where
+    connected components answers "which docs touch at all", LPA
+    splits a big blob into densely-knit template families worth
+    reviewing as units. Reported as one row per surviving community
+    (size + smallest member). See operators/cluster.py:
+    label_propagation."""
+    from data_misc_tools_spark.operators.cluster import label_propagation
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=4, k=5, portable_hash=True
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        label_propagation(both, max_iter=4)
+        .groupBy(F.col("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("node").alias("min_member"),
+        )
+    )
+
+
 @_q("pagerank_neardup_graph", _pagerank_oracle(5))
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-hub ranking: PageRank over the MinHash candidate-
@@ -7188,13 +7356,13 @@ GRADED_FIRST: list[str] = [
     "orders_rollup", "lineitem_grouping_sets", "window_rank_orders",
     "events_pivot_by_type", "asof_purchase_prior_click",
     "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
-    "dedup_ngram_jaccard", "dedup_incremental_index", "dedup_keep_best",
+    "retrieval_eval_embeddings", "dedup_incremental_index", "dedup_keep_best",
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
     "text_quality", "text_language_id", "dictionary_tag_topics",
     "chunk_documents", "ab_chi_square_purchase",
     "exact_stratified_split_langs", "pack_token_batches",
-    "connected_components_runs", "sessionize_events",
+    "lpa_communities_neardup", "sessionize_events",
 ]
 
 

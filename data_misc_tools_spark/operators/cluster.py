@@ -527,3 +527,55 @@ def k_core(
             break
         e, n_edges = e2, n2
     return e
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007), deterministic variant: every node starts as its own label;
+    each round it adopts the MOST FREQUENT label among its neighbors,
+    ties to the smallest label. Where connected components answer
+    "which nodes touch at all", LPA finds densely-knit groups inside
+    a component — e.g. template families inside one big near-dup
+    blob. Engine-exact: labels are ids, votes are integer counts, the
+    argmax tie-breaks on the label — an unrolled SQL twin matches
+    hash-exactly.
+
+    Pass a SYMMETRIZED edge list (for undirected semantics) — the
+    operator votes along src→dst as given. A fixed ``max_iter`` keeps
+    the unrolled oracle bounded; synchronous LPA can two-cycle on
+    bipartite-ish structure, so a fixed small round count is also the
+    STABLE choice, not just the cheap one.
+
+    Scale shape per round: one join of the edge list against the
+    label frame (labels shuffle on node id; co-partitioned across
+    rounds), one (node, label) count aggregate, one per-node argmax
+    window. Labels localCheckpoint per round — referenced once per
+    round, but an uncut lineage re-runs all prior rounds per action.
+
+    Output: (node, community).
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
+    for _ in range(max_iter):
+        labels = (
+            e.join(labels, e["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").cast("long").alias("__c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

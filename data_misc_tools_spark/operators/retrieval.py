@@ -383,3 +383,85 @@ def inverted_index_query(
             "((2 * s_e6 + 100) div 200) / 10000.0D AS bm25",
         )
     )
+
+
+def ir_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """Ranked-retrieval quality metrics per query — the evaluation
+    half of the retrieval suite (bm25_topk / sq_adc_topk produce
+    runs; this scores them): reciprocal rank of the first relevant
+    hit and nDCG@k, both ENGINE-EXACT integers.
+
+    ``run``: (query_col, doc_col, rank_col 1-based). ``qrels``:
+    (query_col, doc_col, gain_col integer >= 0; missing pairs = 0).
+
+    The e6-log idiom: each ranked hit contributes
+    round(gain·1e6 / log2(rank+1)) — log2 of an integer is either
+    exact (powers of two: the quotient is an exact integer/half whose
+    numerator is a multiple of 1e6, never a rounding half) or
+    irrational (the quotient never lands on .5), so the per-term
+    rounds agree across engines and DCG/IDCG are plain integer SUMs.
+    IDCG ranks the query's own gains descending (order among equal
+    gains doesn't change the sum). Outputs:
+
+        rr_e6   = half_up(1e6 / first_relevant_rank), 0 if none
+        dcg_e6, idcg_e6, and ndcg_e4 = half_up(dcg·1e4 / idcg)
+                  (NULL when the query has no relevant docs at all)
+
+    Scale: two (query)-keyed joins/aggregates + one window over the
+    per-query qrels — every shuffle is keyed on the query id; no
+    per-doc state beyond the run itself.
+    """
+    r = run.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("long").alias("__r"),
+    ).where(F.col(rank_col) <= k)
+    g = qrels.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(gain_col).cast("long").alias("__g"),
+    )
+    hits = r.join(g, ["__q", "__d"], "left").select(
+        "__q", "__r", F.coalesce("__g", F.lit(0)).alias("__g")
+    )
+    per_q = hits.groupBy("__q").agg(
+        F.min(F.when(F.col("__g") > 0, F.col("__r"))).alias("__fr"),
+        F.sum(
+            F.round(F.col("__g") * F.lit(1_000_000.0) / F.log2(F.col("__r") + 1))
+            .cast("long")
+        ).alias("dcg_e6"),
+    )
+    w = Window.partitionBy("__q").orderBy(F.desc("__g"), F.asc("__d"))
+    ideal = (
+        g.where(F.col("__g") > 0)
+        .withColumn("__ir", F.row_number().over(w))
+        .where(F.col("__ir") <= k)
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("__g") * F.lit(1_000_000.0) / F.log2(F.col("__ir") + 1)
+                ).cast("long")
+            ).alias("idcg_e6")
+        )
+    )
+    return (
+        per_q.join(ideal, "__q", "left")
+        .selectExpr(
+            f"__q AS {query_col}",
+            "CASE WHEN __fr IS NULL THEN CAST(0 AS bigint)"
+            " ELSE (2 * 1000000 + __fr) div (2 * __fr) END AS rr_e6",
+            "dcg_e6",
+            "coalesce(idcg_e6, CAST(0 AS bigint)) AS idcg_e6",
+            "CASE WHEN idcg_e6 IS NULL OR idcg_e6 = 0 THEN CAST(NULL AS bigint)"
+            " ELSE (2 * dcg_e6 * 10000 + idcg_e6) div (2 * idcg_e6) END AS ndcg_e4",
+        )
+    )

@@ -325,3 +325,46 @@ def test_k_core_peels_to_reference(spark):
         edges.add((min(x, y), max(x, y)))
     for k in (2, 3, 4):
         assert run(sorted(edges), k) == ref_k_core(edges, k), k
+
+
+class TestLabelPropagation:
+    def _sym(self, spark, edges):
+        both = edges + [(b, a) for a, b in edges]
+        return spark.createDataFrame(both, "src long, dst long")
+
+    def test_two_cliques_with_a_bridge_split(self, spark):
+        """Two 4-cliques joined by one edge: CC sees one component,
+        LPA must recover the two dense families."""
+        k1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        k2 = [(a + 10, b + 10) for a, b in k1]
+        df = self._sym(spark, k1 + k2 + [(3, 10)])
+        got = {r.node: r.community for r in C.label_propagation(df, max_iter=4).collect()}
+        left = {got[n] for n in range(4)}
+        right = {got[n + 10] for n in range(4)}
+        assert len(left) == 1 and len(right) == 1
+        assert left != right
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        rng = random.Random(5)
+        raw = {(rng.randrange(14), rng.randrange(14)) for _ in range(40)}
+        edges = [(a, b) for a, b in raw if a != b]
+        both = edges + [(b, a) for a, b in edges]
+        df = spark.createDataFrame(both, "src long, dst long")
+        got = {r.node: r.community for r in C.label_propagation(df, max_iter=3).collect()}
+        # pure-python synchronous LPA, same tie rule
+        nbrs = {}
+        for a, b in set(both):
+            nbrs.setdefault(a, []).append(b)
+        label = {v: v for v in nbrs}
+        for _ in range(3):
+            new = {}
+            for v, ns in nbrs.items():
+                votes = {}
+                for u in ns:
+                    votes[label[u]] = votes.get(label[u], 0) + 1
+                best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[v] = best
+            label = new
+        assert got == label

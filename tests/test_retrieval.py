@@ -158,3 +158,53 @@ def test_term_e6_exact_beyond_int64(spark):
         den = 10 * tf * total_len + 3 * total_len + 9 * dl * n_docs
         want = (2 * idf_e6 * 22 * tf * total_len + den) // (2 * den)
         assert got[(idf_e6, tf, total_len, dl, n_docs)] == want
+
+
+class TestIRMetrics:
+    def test_hand_computed_case(self, spark):
+        """3 ranked docs, docs 2 and 3 relevant (gain 1):
+        RR = 1/2; DCG = 1/log2(3) + 1/log2(4); IDCG = 1/1 + 1/log2(3)."""
+        import math
+
+        from data_misc_tools_spark.operators.retrieval import ir_metrics
+
+        run = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, doc_id long, rank long"
+        )
+        qrels = spark.createDataFrame(
+            [(1, 20, 1), (1, 30, 1)], "query_id long, doc_id long, gain long"
+        )
+        r = ir_metrics(run, qrels, k=10).head()
+        assert r.rr_e6 == (2 * 1_000_000 + 2) // (2 * 2)  # half_up(1e6/2)
+        dcg = round(1_000_000 / math.log2(3)) + round(1_000_000 / math.log2(4))
+        idcg = 1_000_000 + round(1_000_000 / math.log2(3))
+        assert r.dcg_e6 == dcg
+        assert r.idcg_e6 == idcg
+        assert r.ndcg_e4 == (2 * dcg * 10_000 + idcg) // (2 * idcg)
+
+    def test_perfect_ranking_is_ndcg_10000(self, spark):
+        from data_misc_tools_spark.operators.retrieval import ir_metrics
+
+        run = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank long"
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10, 2), (1, 20, 1)], "query_id long, doc_id long, gain long"
+        )
+        r = ir_metrics(run, qrels, k=10).head()
+        assert r.ndcg_e4 == 10_000    # ideal order achieved
+        assert r.rr_e6 == 1_000_000   # first hit relevant
+
+    def test_no_relevant_docs_yields_zero_rr_null_ndcg(self, spark):
+        from data_misc_tools_spark.operators.retrieval import ir_metrics
+
+        run = spark.createDataFrame(
+            [(1, 10, 1)], "query_id long, doc_id long, rank long"
+        )
+        qrels = spark.createDataFrame(
+            [(2, 99, 1)], "query_id long, doc_id long, gain long"
+        )
+        r = ir_metrics(run, qrels, k=10).head()
+        assert r.rr_e6 == 0
+        assert r.dcg_e6 == 0
+        assert r.ndcg_e4 is None

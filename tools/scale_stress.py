@@ -129,6 +129,11 @@ STRESS = {
     "ccnet_perplexity_buckets": "linearithmic",
     "exact_stratified_split_langs": "linearithmic",
     "ab_chi_square_purchase": "linear",
+    # LPA is per-round one edge-label join (linear in candidate
+    # edges, LSH-luck-dominated like pagerank); IR metrics are
+    # query-keyed joins over a fixed 5-query run (flat).
+    "lpa_communities_neardup": "linear",
+    "retrieval_eval_embeddings": "linear",
 }
 
 
