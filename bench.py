@@ -185,6 +185,7 @@ HEADLINE = [
     "ab_chi_square_purchase",
     "lpa_communities_neardup",
     "retrieval_eval_embeddings",
+    "personalized_pagerank_seeds",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -4860,6 +4860,96 @@ def lpa_communities_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(iters: int = 5, damping_pct: int = 85) -> str:
+    """Unrolled personalized-PageRank twin: the pagerank_exact chain
+    with teleport mass restricted to the seed CTE (seeds = graph
+    nodes with doc_id < 10). One v{k} reference per level; sd/params
+    are leaves re-inlined linearly."""
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    d = damping_pct
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+    v{k + 1} AS (
+        SELECT node, sum(v)::BIGINT AS v FROM (
+            SELECT node, (2 * s * {d} + 100) // 200 AS v FROM (
+                SELECT e.b AS node,
+                       sum((2 * v.v + e.deg) // (2 * e.deg))::BIGINT AS s
+                FROM v{k} v JOIN ew e ON v.node = e.a
+                GROUP BY e.b
+            )
+            UNION ALL
+            SELECT sd.node, p.base AS v FROM sd CROSS JOIN params p
+        ) GROUP BY node
+    )""")
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
+        UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
+        UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    deg AS (SELECT a, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+    ew AS (SELECT e.a, e.b, d.deg FROM edges e JOIN deg d USING (a)),
+    sd AS (SELECT a AS node FROM deg WHERE a < 10),
+    params AS (
+        SELECT ns, (2 * {100 - d} * 1000000 + 100 * ns) // (200 * ns) AS base
+        FROM (SELECT count(*)::BIGINT AS ns FROM sd)
+    ),
+    v0 AS (
+        SELECT sd.node, (1000000 // p.ns)::BIGINT AS v
+        FROM sd CROSS JOIN params p
+    ),
+    {",".join(steps)}
+    SELECT node, v AS v_e6 FROM v{iters} ORDER BY v DESC, node LIMIT 20
+    """
+
+
+@_q("personalized_pagerank_seeds", _ppr_oracle(5))
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-biased relevance propagation: personalized PageRank from
+    the 10 smallest doc_ids over the MinHash candidate graph — the
+    "documents related to this seed set" ranking (scores decay with
+    graph distance; teleport returns only to seeds). Same integer-
+    exact machinery as pagerank_neardup_graph. See
+    operators/cluster.py:personalized_pagerank_exact."""
+    from data_misc_tools_spark.operators.cluster import personalized_pagerank_exact
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=4, k=5, portable_hash=True
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = docs.select("doc_id").where(F.col("doc_id") < 10)
+    return (
+        personalized_pagerank_exact(both, seeds, max_iter=5)
+        .orderBy(F.desc("v_e6"), "node")
+        .limit(20)
+    )
+
+
 @_q("pagerank_neardup_graph", _pagerank_oracle(5))
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-hub ranking: PageRank over the MinHash candidate-
@@ -7354,7 +7444,7 @@ GRADED_FIRST: list[str] = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
     "rendezvous_shard_assign", "q18_large_orders",
     "orders_rollup", "lineitem_grouping_sets", "window_rank_orders",
-    "events_pivot_by_type", "asof_purchase_prior_click",
+    "events_pivot_by_type", "personalized_pagerank_seeds",
     "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
     "retrieval_eval_embeddings", "dedup_incremental_index", "dedup_keep_best",
     # round-5 new operators take the two embedding re-pin slots

@@ -368,3 +368,69 @@ class TestLabelPropagation:
                 new[v] = best
             label = new
         assert got == label
+
+
+class TestPersonalizedPageRankExact:
+    def _reference(self, edges, seeds, d=85, iters=5):
+        def half_up(a, b):
+            return (2 * a + b) // (2 * b)
+
+        out = {}
+        for a, b in set(edges):
+            out.setdefault(a, set()).add(b)
+        sd = sorted(set(seeds) & set(out))
+        ns = len(sd)
+        base = half_up((100 - d) * 1_000_000, 100 * ns)
+        v = {x: 1_000_000 // ns for x in sd}
+        for _ in range(iters):
+            inc = {}
+            for a, va in v.items():
+                s = half_up(va, len(out[a]))
+                for b in out[a]:
+                    inc[b] = inc.get(b, 0) + s
+            nv = {b: half_up(d * s, 100) for b, s in inc.items()}
+            for x in sd:
+                nv[x] = nv.get(x, 0) + base
+            v = nv
+        return v
+
+    def test_matches_integer_reference(self, spark):
+        import random
+
+        rng = random.Random(13)
+        raw = {(rng.randrange(15), rng.randrange(15)) for _ in range(40)}
+        edges = [(a, b) for a, b in raw if a != b]
+        both = edges + [(b, a) for a, b in edges]
+        df = spark.createDataFrame(both, "src long, dst long")
+        seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+        got = {
+            r.node: r.v_e6
+            for r in C.personalized_pagerank_exact(df, seeds, max_iter=5).collect()
+        }
+        assert got == self._reference(both, [0, 1, 2])
+
+    def test_seed_dominates_and_far_end_gets_least(self, spark):
+        """Chain 0-1-2-3-4 symmetrized, seed {0}: the seed holds the
+        most mass and the far end the least. (Strict monotone decay
+        is NOT asserted — synchronous power iteration on a path has
+        odd/even parity oscillation at finite round counts.)"""
+        chain = [(i, i + 1) for i in range(4)]
+        both = chain + [(b, a) for a, b in chain]
+        df = spark.createDataFrame(both, "src long, dst long")
+        seeds = spark.createDataFrame([(0,)], "node long")
+        got = {
+            r.node: r.v_e6
+            for r in C.personalized_pagerank_exact(df, seeds, max_iter=8).collect()
+        }
+        assert got[0] == max(got.values())
+        # far pair (3,4) below near pair (1,2) — parity decides WITHIN
+        # each pair, distance decides BETWEEN them
+        assert min(got[1], got[2]) > max(got[3], got[4])
+
+    def test_absent_seeds_raise(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        seeds = spark.createDataFrame([(99,)], "node long")
+        import pytest
+
+        with pytest.raises(ValueError, match="seed"):
+            C.personalized_pagerank_exact(df, seeds)

@@ -134,6 +134,7 @@ STRESS = {
     # query-keyed joins over a fixed 5-query run (flat).
     "lpa_communities_neardup": "linear",
     "retrieval_eval_embeddings": "linear",
+    "personalized_pagerank_seeds": "linear",
 }
 
 
