@@ -4831,6 +4831,30 @@ def _lpa_oracle(iters: int = 4) -> str:
     """
 
 
+def _neardup_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized portable-MinHash candidate edges, memoized per
+    (session, sf_dir) as a localCheckpointed frame: three graph
+    queries (pagerank / personalized pagerank / LPA) walk the SAME
+    deterministic graph, and re-hashing the corpus per query is pure
+    repeat work (the _bm25_index_path precedent). The frame is
+    deterministic, so memoization cannot change any result."""
+    cache = session_cache(spark, "neardup_graph")
+    both = cache.get(sf_dir)
+    if both is None:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        pairs = D.minhash_candidate_pairs(
+            docs, num_perm=8, bands=4, k=5, portable_hash=True
+        )
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        both = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
+        cache[sf_dir] = both
+    return both
+
+
 @_q("lpa_communities_neardup", _lpa_oracle(4))
 def lpa_communities_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community structure INSIDE the near-dup graph: synchronous
@@ -4842,14 +4866,7 @@ def lpa_communities_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_propagation."""
     from data_misc_tools_spark.operators.cluster import label_propagation
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=4, k=5, portable_hash=True
-    )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    both = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    both = _neardup_graph_edges(spark, sf_dir)
     return (
         label_propagation(both, max_iter=4)
         .groupBy(F.col("community"))
@@ -4935,13 +4952,7 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import personalized_pagerank_exact
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=4, k=5, portable_hash=True
-    )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    both = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    both = _neardup_graph_edges(spark, sf_dir)
     seeds = docs.select("doc_id").where(F.col("doc_id") < 10)
     return (
         personalized_pagerank_exact(both, seeds, max_iter=5)
@@ -4964,14 +4975,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs (pinned vs a pure-Python reference in tests/test_cluster)."""
     from data_misc_tools_spark.operators.cluster import pagerank_exact
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=4, k=5, portable_hash=True
-    )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    both = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    both = _neardup_graph_edges(spark, sf_dir)
     return (
         pagerank_exact(both, max_iter=5)
         .orderBy(F.desc("v_e6"), "node")

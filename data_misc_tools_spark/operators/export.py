@@ -110,3 +110,30 @@ def tar_shard_export(
         )
 
     return src.groupBy("shard_id").applyInPandas(build, schema=out_schema)
+
+
+def shard_manifest(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Manifest of an exported shard directory — (file, bytes,
+    sha256), the lineage record a training job pins next to its data
+    (did the shards change since the run that read them?).
+
+    DISTRIBUTED hashing via the built-in ``binaryFile`` source: one
+    task per file reads the bytes and computes sha2-256 JVM-side — no
+    driver-side reads, no Python, scales to any shard count. Order-
+    insensitive by construction (a manifest row per file; compare as
+    sets or join on file name).
+
+    ``glob`` filters file names (e.g. ``*.tar``). Caveat from the
+    source itself: binaryFile loads each file's content as ONE row,
+    so it is for shard-sized artifacts (MBs-GBs), not a substitute
+    for a record format.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+        F.col("length").cast("long").alias("bytes"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("sha256"),
+    )

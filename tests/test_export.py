@@ -54,3 +54,27 @@ def test_tar_size_matches_formula(spark):
     padded = sum((s + 511) // 512 * 512 for s in sizes)
     raw = 10 * 512 + padded + 1024
     assert r.n_bytes == (raw + 10239) // 10240 * 10240
+
+
+def test_shard_manifest_hashes_match_hashlib(spark, tmp_path):
+    """The binaryFile-source manifest must agree byte-for-byte with a
+    local hashlib pass, and the glob must filter."""
+    import hashlib
+
+    from data_misc_tools_spark.operators.export import shard_manifest
+
+    (tmp_path / "a.tar").write_bytes(b"alpha" * 100)
+    (tmp_path / "b.tar").write_bytes(b"beta")
+    (tmp_path / "notes.txt").write_text("ignore me")
+    got = {
+        r.file: (r.bytes, r.sha256)
+        for r in shard_manifest(spark, str(tmp_path), glob="*.tar").collect()
+    }
+    want = {
+        name: (
+            len((tmp_path / name).read_bytes()),
+            hashlib.sha256((tmp_path / name).read_bytes()).hexdigest(),
+        )
+        for name in ["a.tar", "b.tar"]
+    }
+    assert got == want  # and notes.txt filtered out
