@@ -136,3 +136,39 @@ def test_funnel_state_machine_is_batch_split_invariant(types, data):
     one_state, one_rows = run([events] if events else [])
     assert split_state == one_state
     assert split_rows == one_rows
+
+
+@given(
+    st.integers(min_value=0, max_value=10**18),
+    st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=500)
+def test_half_up_integer_pattern_matches_fraction_rounding(a, b):
+    """The repo-wide engine-portable rounding idiom: (2A + B) div (2B)
+    must equal round-half-up(A/B) EXACTLY — pinned against exact
+    Fraction arithmetic, since every oracle-checked ratio (q1 shares,
+    stationary mass routing, pagerank, kmeans centroids, nDCG) leans
+    on this identity."""
+    from fractions import Fraction
+
+    got = (2 * a + b) // (2 * b)
+    frac = Fraction(a, b)
+    whole = frac.numerator // frac.denominator
+    want = whole + (1 if frac - whole >= Fraction(1, 2) else 0)
+    assert got == want
+
+
+@given(st.integers(min_value=1, max_value=100_000))
+@settings(max_examples=500)
+def test_exact_split_rank_cut_boundaries_partition_every_n(n):
+    """exact_stratified_split's 80/10/10 rank-cut boundaries must
+    partition any stratum size exactly, with each bucket within one
+    item of its target proportion."""
+    b80 = n * 80 // 100
+    b90 = n * 90 // 100
+    counts = (b80, b90 - b80, n - b90)
+    assert sum(counts) == n
+    assert all(c >= 0 for c in counts)
+    assert abs(counts[0] - 0.8 * n) < 1
+    assert abs(counts[1] - 0.1 * n) < 1
+    assert abs(counts[2] - 0.1 * n) <= 1  # takes both remainders
