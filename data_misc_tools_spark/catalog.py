@@ -7412,6 +7412,213 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bm25_topk(d, q, k=10)
 
 
+
+
+def _adamic_adar_oracle(top_k: int = 50) -> str:
+    """Wedge-census Adamic-Adar twin over the SAME strict 2x4-banded
+    MinHash graph as _triangle_oracle: AA enumerates sum-of-deg^2
+    wedges by nature, so it needs the sparse graph (the 4x2 dedup
+    banding's near-clique family at sf0.1 would explode the census —
+    see triangle_count_neardup's docstring)."""
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    ctr AS (
+        SELECT a AS node, round(1000000.0 / ln(deg))::BIGINT AS term_e6
+        FROM (SELECT a, count(*)::BIGINT AS deg FROM edges GROUP BY a)
+        WHERE deg >= 2
+    ),
+    wed AS (
+        SELECT e1.b AS u, e2.b AS v, c.term_e6
+        FROM edges e1
+        JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN ctr c ON c.node = e1.a
+    ),
+    open_w AS (
+        SELECT u, v, term_e6 FROM wed
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = wed.u AND p.b = wed.v)
+    ),
+    scored AS (
+        SELECT u AS node_a, v AS node_b, count(*)::BIGINT AS n_common,
+               sum(term_e6)::BIGINT AS aa_e6
+        FROM open_w GROUP BY u, v
+    )
+    SELECT node_a, node_b, n_common, aa_e6
+    FROM scored ORDER BY aa_e6 DESC, node_a, node_b LIMIT {top_k}
+    """
+
+
+@_q("linkpred_adamic_adar", _adamic_adar_oracle(50))
+def linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-link prediction on the strict near-dup graph: top-50
+    NON-adjacent document pairs by Adamic-Adar score (sum over common
+    neighbors of 1/ln(degree)) — the pairs that share most of a
+    template family yet never collided in any MinHash band, i.e. the
+    highest-yield candidates for a second, stricter dedup verify
+    pass. Engine-exact: e6-rounded integer log terms (the pmi/nDCG
+    idiom), BIGINT sums, TakeOrdered top-k. Uses the same sparse
+    2-bands-x-4-rows graph as triangle_count_neardup (wedge work is
+    sum-of-deg^2 — the strict banding is the scale lever). See
+    operators/cluster.py:adamic_adar."""
+    from data_misc_tools_spark.operators.cluster import adamic_adar
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    return adamic_adar(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        top_k=50,
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy farthest-point twin of similarity.
+    kcenter_select: the selected set rides as ONE single-row CTE of
+    (ids, codes, pick-distances) per level — each level references
+    s{{r}} exactly once (the MMR list-state rule), pool is a leaf.
+    Distances are integer-valued doubles <= 4*scale^2*dim ~ 4e6, far
+    inside the 2^53 exact range, so list_inner_product is exact."""
+    steps = []
+    for r in range(1, k):
+        steps.append(f"""
+    s{r + 1} AS (
+        SELECT list_append(ids, vec_id) AS ids,
+               list_append(codes, qc) AS codes,
+               list_append(d2s, mind) AS d2s
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY mind DESC, vec_id) AS rn
+            FROM (
+                SELECT s.ids, s.codes, s.d2s, p.vec_id, p.qc,
+                       list_min(list_transform(s.codes, sc ->
+                           (list_inner_product(p.qc, p.qc)
+                            + list_inner_product(sc, sc)
+                            - 2 * list_inner_product(p.qc, sc))::BIGINT
+                       )) AS mind
+                FROM pool p CROSS JOIN s{r} s
+                WHERE NOT list_contains(s.ids, p.vec_id)
+            )
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH pool AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(x::DOUBLE * 64)) AS qc
+        FROM embeddings
+    ),
+    s1 AS (
+        SELECT [vec_id] AS ids, [qc] AS codes, [0::BIGINT] AS d2s
+        FROM (SELECT vec_id, qc FROM pool ORDER BY vec_id LIMIT 1)
+    ),
+    {",".join(steps)}
+    SELECT g.i::BIGINT AS rank, s.ids[g.i] AS vec_id, s.d2s[g.i] AS d2
+    FROM s{k} s
+    JOIN generate_series(1, {k}) g(i) ON g.i <= len(s.ids)
+    """
+
+
+@_q("kcenter_coreset_embeddings", _kcenter_oracle(8))
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-first coreset selection: greedy k-center
+    (farthest-point, k=8) over the embeddings table — where top-k by
+    score returns k near-copies, k-center returns k spread-out
+    exemplars, and the emitted pick-time distance sequence is the
+    coverage-radius curve. Integer-exact SQ-code distances, one
+    broadcast min-distance update pass per round, argmax collect is
+    one row (bounded metadata). See operators/similarity.py:
+    kcenter_select."""
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return S.kcenter_select(e, k=8)
+
+
+@_q(
+    "welch_ttest_value",
+    """
+    WITH cells AS (
+        SELECT
+            sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::HUGEINT AS na,
+            sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::HUGEINT AS nb,
+            sum(CASE WHEN user_id % 2 = 0
+                     THEN round(value * 100)::BIGINT ELSE 0 END)::HUGEINT AS sa,
+            sum(CASE WHEN user_id % 2 <> 0
+                     THEN round(value * 100)::BIGINT ELSE 0 END)::HUGEINT AS sb,
+            sum(CASE WHEN user_id % 2 = 0
+                     THEN round(value * 100)::BIGINT * round(value * 100)::BIGINT
+                     ELSE 0 END)::HUGEINT AS qa,
+            sum(CASE WHEN user_id % 2 <> 0
+                     THEN round(value * 100)::BIGINT * round(value * 100)::BIGINT
+                     ELSE 0 END)::HUGEINT AS qb
+        FROM events WHERE event_type = 'purchase'
+    ),
+    se AS (
+        SELECT na, nb, sa, sb, qa, qb,
+               (na * qa - sa * sa)::DOUBLE / (na * (na - 1))::DOUBLE
+                   / na::DOUBLE AS se2a,
+               (nb * qb - sb * sb)::DOUBLE / (nb * (nb - 1))::DOUBLE
+                   / nb::DOUBLE AS se2b
+        FROM cells
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           sa::DOUBLE / na::DOUBLE / 100::DOUBLE AS mean_a,
+           sb::DOUBLE / nb::DOUBLE / 100::DOUBLE AS mean_b,
+           CASE WHEN na < 2 OR nb < 2
+                  OR (na * qa - sa * sa = 0 AND nb * qb - sb * sb = 0)
+                THEN CAST(NULL AS DOUBLE)
+                ELSE (sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE)
+                     / sqrt(se2a + se2b)
+           END AS t_stat,
+           CASE WHEN na < 2 OR nb < 2
+                  OR (na * qa - sa * sa = 0 AND nb * qb - sb * sb = 0)
+                THEN CAST(NULL AS DOUBLE)
+                ELSE ((se2a + se2b) * (se2a + se2b))
+                     / (se2a * se2a / (na - 1)::DOUBLE
+                        + se2b * se2b / (nb - 1)::DOUBLE)
+           END AS df_welch
+    FROM se
+    """,
+)
+def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test on purchase VALUE between the user-parity A/B
+    variants — the "is the average order value different" readout
+    next to ab_chi_square_purchase's rate test and ab_lift's CI.
+    BIT-exact unrounded: exact decimal(38,0)/HUGEINT sufficient
+    statistics (cents), then a pinned-order IEEE closed form for t
+    and the Welch-Satterthwaite df (the pearson_exact idiom). See
+    operators/profile.py:welch_ttest."""
+    from data_misc_tools_spark.operators.profile import welch_ttest
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return welch_ttest(
+        e.filter(F.col("event_type") == "purchase"),
+        F.col("user_id") % 2 == 0,
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -7446,8 +7653,13 @@ GRADED_FIRST: list[str] = [
     "embedding_pq_topk",
     # --- 28 re-pins: r1-r3 veterans across every family ---
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
-    "rendezvous_shard_assign", "q18_large_orders",
-    "orders_rollup", "lineitem_grouping_sets", "window_rank_orders",
+    "rendezvous_shard_assign",
+    # round-5 session-2 new operators take three relational re-pin
+    # slots (q18 / grouping-sets / window-rank stay under the strict
+    # local gate, all graded r1-r3)
+    "linkpred_adamic_adar", "kcenter_coreset_embeddings",
+    "welch_ttest_value",
+    "orders_rollup",
     "events_pivot_by_type", "personalized_pagerank_seeds",
     "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
     "retrieval_eval_embeddings", "dedup_incremental_index", "dedup_keep_best",

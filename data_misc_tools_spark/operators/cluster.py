@@ -646,3 +646,92 @@ def personalized_pagerank_exact(
             .localCheckpoint(eager=True)
         )
     return v.select("node", F.col("v").alias("v_e6"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int | None = None,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    NON-adjacent pair (u, v) with at least one common neighbor, score
+    AA(u, v) = sum over common neighbors w of 1/ln(deg(w)) — the
+    classic "which links are missing" ranking (Adamic & Adar 2003,
+    Liben-Nowell & Kleinberg 2007). On a near-dup candidate graph the
+    top pairs are documents that share most of a template family yet
+    never collided in any band — exactly the pairs a second, stricter
+    dedup pass should verify first.
+
+    Engine-exact: each neighbor contributes the e6-rounded integer
+    term round(1e6 / ln(deg_w)) and the pair score is the BIGINT sum
+    of those terms (the pmi/nDCG per-quantity-rounded-log idiom; a
+    wedge center has deg >= 2 by construction, so ln > 0). Rounding
+    is .5-boundary-safe: tests/test_cluster.py scans every degree up
+    to 1e6 and pins the minimum distance of 1e6/ln(d) from a rounding
+    boundary at >> the few-ulp cross-libm disagreement window.
+
+    Scale shape: wedge enumeration is sum-of-deg^2 work — inherent to
+    the score, NOT an implementation shortcut — so hub nodes dominate
+    cost. ``max_degree`` drops wedge CENTERS above a degree cap (the
+    standard production mitigation: a w with deg 10^5 contributes
+    ~1/11.5 per pair to 10^10 pairs nobody will review); the e6 terms,
+    degrees and adjacency all flow through equi-joins and one
+    (u, v)-keyed aggregate. ``top_k`` returns the best pairs via
+    TakeOrderedAndProject (never a global sort).
+
+    Output: (node_a, node_b, n_common, aa_e6), node_a < node_b.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # feeds the symmetrized neighbor list, the degree agg and the
+        # adjacency anti-join — three consumers, same truncation idiom
+        # as triangle_count (ReusedExchange cannot cover all three).
+        .localCheckpoint()
+    )
+    nbrs = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = nbrs.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    # a wedge center needs >= 2 neighbors; filtering here also keeps
+    # the term expression off deg-1 nodes (ln(1) = 0 — a SQL twin
+    # would fault casting the infinite ratio, Spark would just carry
+    # a dead Long.MaxValue through rows that can never form a wedge)
+    centers = deg.filter(F.col("deg") >= 2)
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    # per-center e6 term rides the neighbor rows: one join, no recompute
+    terms = nbrs.join(
+        centers.select(
+            F.col("node").alias("a"),
+            F.round(F.lit(1_000_000.0) / F.log(F.col("deg")))
+            .cast("long")
+            .alias("term_e6"),
+        ),
+        "a",
+    )
+    w1 = terms.select(F.col("a").alias("w"), F.col("b").alias("u"), "term_e6")
+    w2 = terms.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    wedges = w1.join(w2, "w").filter(F.col("u") < F.col("v"))
+    open_wedges = wedges.join(
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = open_wedges.groupBy(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b")
+    ).agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum("term_e6").cast("long").alias("aa_e6"),
+    )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.desc("aa_e6"), "node_a", "node_b"
+        ).limit(top_k)
+    return scored

@@ -690,3 +690,87 @@ def chi_square_2x2(
         END AS chi2
         """,
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant: Column,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on a fixed-point
+    metric column — the "is the average different" companion to
+    :func:`chi_square_2x2`'s rate test and :func:`bootstrap_ab_lift`'s
+    CI: t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b), with the
+    Welch–Satterthwaite degrees of freedom emitted beside it
+    (|t| >= ~1.96 at large df rejects equal means at p < 0.05).
+
+    Engine-exact the pearson_exact way: ``value·scale`` is an exact
+    integer per row (cents), so every sufficient statistic
+    (n, Σx, Σx²) accumulates exactly in decimal(38,0) (HUGEINT twin);
+    the closed form is then a fixed-parenthesization chain of IEEE
+    correctly-rounded double ops over those exact integers, so t and
+    df match any engine bit-for-bit UNROUNDED. Degenerate inputs
+    (a group smaller than 2, or both groups zero-variance) yield NULL
+    t/df on both sides via integer-exact CASE guards.
+
+    Scale: one map-side-combined aggregate over the scan — the
+    shuffle is six 16-byte decimals, nothing else.
+
+    Output: one row (n_a, n_b, mean_a, mean_b, t_stat, df_welch);
+    means are back in original units (exactly two IEEE divisions).
+    """
+    v = variant.cast("boolean")
+    dec = "decimal(38,0)"
+    x = F.round(F.col(value_col) * F.lit(scale)).cast(dec)
+    zero = F.lit(0).cast(dec)
+    cells = df.select(v.alias("__v"), x.alias("__x")).agg(
+        F.sum(F.when(F.col("__v"), 1).otherwise(0)).cast(dec).alias("na"),
+        F.sum(F.when(~F.col("__v"), 1).otherwise(0)).cast(dec).alias("nb"),
+        F.sum(F.when(F.col("__v"), F.col("__x")).otherwise(zero)).alias("sa"),
+        F.sum(F.when(~F.col("__v"), F.col("__x")).otherwise(zero)).alias("sb"),
+        F.sum(
+            F.when(F.col("__v"), F.col("__x") * F.col("__x")).otherwise(zero)
+        ).alias("qa"),
+        F.sum(
+            F.when(~F.col("__v"), F.col("__x") * F.col("__x")).otherwise(zero)
+        ).alias("qb"),
+    )
+    # s²/n per group: exact-integer numerators, then a pinned chain of
+    # two IEEE divisions (textually mirrored by the DuckDB twin).
+    # try_divide == / bit-for-bit on nonzero divisors; it only differs
+    # on the degenerate n<2 groups (NULL instead of an ANSI error),
+    # which the output CASE guards turn into NULL t/df anyway.
+    mid = cells.selectExpr(
+        "na", "nb", "sa", "sb", "qa", "qb",
+        "try_divide(try_divide(CAST(na * qa - sa * sa AS DOUBLE),"
+        " CAST(na * (na - 1) AS DOUBLE)), CAST(na AS DOUBLE)) AS se2a",
+        "try_divide(try_divide(CAST(nb * qb - sb * sb AS DOUBLE),"
+        " CAST(nb * (nb - 1) AS DOUBLE)), CAST(nb AS DOUBLE)) AS se2b",
+    )
+    guard = (
+        "na < 2 OR nb < 2"
+        " OR (na * qa - sa * sa = 0 AND nb * qb - sb * sb = 0)"
+    )
+    return mid.selectExpr(
+        "CAST(na AS LONG) AS n_a",
+        "CAST(nb AS LONG) AS n_b",
+        f"try_divide(CAST(sa AS DOUBLE), CAST(na AS DOUBLE))"
+        f" / CAST({scale} AS DOUBLE) AS mean_a",
+        f"try_divide(CAST(sb AS DOUBLE), CAST(nb AS DOUBLE))"
+        f" / CAST({scale} AS DOUBLE) AS mean_b",
+        f"""
+        CASE WHEN {guard} THEN CAST(NULL AS DOUBLE)
+             ELSE (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                  / sqrt(se2a + se2b)
+        END AS t_stat
+        """,
+        f"""
+        CASE WHEN {guard} THEN CAST(NULL AS DOUBLE)
+             ELSE ((se2a + se2b) * (se2a + se2b))
+                  / (se2a * se2a / CAST(na - 1 AS DOUBLE)
+                     + se2b * se2b / CAST(nb - 1 AS DOUBLE))
+        END AS df_welch
+        """,
+    )

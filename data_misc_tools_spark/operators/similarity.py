@@ -1262,3 +1262,83 @@ def mmr_rerank(
         [(i + 1, vid, rel) for i, (vid, _, rel) in enumerate(picked)],
         f"rank long, {id_col} long, rel long",
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez 1985) coreset
+    selection over an embedding column: start from the smallest id,
+    then k-1 times pick the point FARTHEST from everything selected so
+    far — the 2-approximation to the optimal covering radius, and the
+    standard diversity-first selector for training-data coresets
+    (where top-k-by-score returns k near-copies, k-center returns k
+    spread-out exemplars; the pick-time distance sequence doubles as
+    the coverage-radius curve for choosing k).
+
+    Engine-exact: distances are BIGINT squared L2 over the fixed
+    floor(x*scale) SQ codes (max term scale^2*dim*4 ~ 4e6 — exact in
+    both int64 and a SQL twin's double list_inner_product), argmax
+    ties go to the smaller id, the seed's distance is defined 0.
+
+    Scale shape: the per-point min-distance-to-selected state is a
+    DataFrame column updated by ONE broadcast-1-row pass per round
+    (least(mind, d2-to-new-center)) — never a k-way crossJoin — and
+    each round collects exactly ONE row (the argmax; bounded metadata,
+    the codebook-collect class). k rounds = k linear passes, the
+    textbook distributed greedy k-center. State localCheckpoints per
+    round (it feeds both the argmax and the next update — the
+    iterative-loop plan-doubling rule).
+
+    Output: (rank 1..k, id_col, d2) in pick order; d2 is the exact
+    integer squared distance from the pick to the previously selected
+    set (non-increasing up to ties — the coverage radius sequence).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = df.select(
+        F.col(id_col).alias("__vid"), sq_quantize(F.col(vec_col), scale).alias("__qc")
+    ).localCheckpoint(eager=True)
+    seed = q.orderBy("__vid").limit(1).collect()
+    if not seed:
+        raise ValueError("empty input")
+    picked: list[tuple[int, int, int]] = [(1, int(seed[0]["__vid"]), 0)]
+    code = [int(x) for x in seed[0]["__qc"]]
+
+    def d2_to(c: list[int]):
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with("__qc", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    state = (
+        q.where(F.col("__vid") != picked[0][1])
+        .select("__vid", "__qc", d2_to(code).alias("__mind"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        top = state.orderBy(F.desc("__mind"), "__vid").limit(1).collect()
+        if not top:
+            break  # fewer distinct points than k
+        vid = int(top[0]["__vid"])
+        picked.append((r, vid, int(top[0]["__mind"])))
+        code = [int(x) for x in top[0]["__qc"]]
+        if r < k:
+            state = (
+                state.where(F.col("__vid") != vid)
+                .select(
+                    "__vid",
+                    "__qc",
+                    F.least(F.col("__mind"), d2_to(code)).alias("__mind"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return df.sparkSession.createDataFrame(
+        picked, f"rank long, {id_col} long, d2 long"
+    )

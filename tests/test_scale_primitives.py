@@ -393,3 +393,63 @@ class TestChiSquare2x2:
         df = spark.createDataFrame(rows, "v int, s int")
         r = chi_square_2x2(df, F.col("v") == 1, F.col("s") == 1).head()
         assert r.chi2 == 0.0  # perfectly balanced
+
+
+class TestWelchTTest:
+    def test_matches_pinned_ieee_reference(self, spark):
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.profile import welch_ttest
+
+        random.seed(5)
+        rows = [(i, round(random.uniform(1, 300), 2)) for i in range(400)]
+        df = spark.createDataFrame(rows, "user_id long, value double")
+        r = welch_ttest(df, F.col("user_id") % 2 == 0, "value").head()
+        a = [round(v * 100) for i, v in rows if i % 2 == 0]
+        b = [round(v * 100) for i, v in rows if i % 2 != 0]
+        na, nb = len(a), len(b)
+        sa, sb = sum(a), sum(b)
+        qa, qb = sum(x * x for x in a), sum(x * x for x in b)
+        se2a = float(na * qa - sa * sa) / float(na * (na - 1)) / float(na)
+        se2b = float(nb * qb - sb * sb) / float(nb * (nb - 1)) / float(nb)
+        t = (float(sa) / float(na) - float(sb) / float(nb)) / math.sqrt(
+            se2a + se2b
+        )
+        dfw = ((se2a + se2b) * (se2a + se2b)) / (
+            se2a * se2a / float(na - 1) + se2b * se2b / float(nb - 1)
+        )
+        # BIT-exact: the whole point of the closed form (no tolerance)
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.t_stat == t
+        assert r.df_welch == dfw
+        assert r.mean_a == float(sa) / float(na) / 100.0
+
+    def test_null_on_tiny_group(self, spark):
+        from data_misc_tools_spark.operators.profile import welch_ttest
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 2.0), (3, 3.0)], "user_id long, value double"
+        )
+        r = welch_ttest(df, F.col("user_id") % 2 == 0, "value").head()
+        assert r.n_a == 1 and r.t_stat is None and r.df_welch is None
+
+    def test_null_on_zero_variance_both(self, spark):
+        from data_misc_tools_spark.operators.profile import welch_ttest
+
+        rows = [(i, 5.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "user_id long, value double")
+        r = welch_ttest(df, F.col("user_id") % 2 == 0, "value").head()
+        assert r.t_stat is None and r.df_welch is None
+        assert r.mean_a == 5.0 and r.mean_b == 5.0
+
+    def test_sign_follows_means(self, spark):
+        from data_misc_tools_spark.operators.profile import welch_ttest
+
+        rows = [(i, 10.0 + (i % 3)) for i in range(0, 100, 2)]
+        rows += [(i, 1.0 + (i % 3)) for i in range(1, 100, 2)]
+        df = spark.createDataFrame(rows, "user_id long, value double")
+        r = welch_ttest(df, F.col("user_id") % 2 == 0, "value").head()
+        assert r.mean_a > r.mean_b and r.t_stat > 0
+        # huge separation vs within-group spread: clearly significant
+        assert r.t_stat > 10

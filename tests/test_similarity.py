@@ -591,3 +591,73 @@ class TestMMRRerank:
 
         with pytest.raises(ValueError, match="query id"):
             S.mmr_rerank(df, query_id=99)
+
+
+class TestKCenterSelect:
+    def _ref(self, vecs, k):
+        import math
+        import struct
+
+        def f32(x):
+            return struct.unpack("f", struct.pack("f", x))[0]
+
+        codes = {i: [math.floor(f32(x) * 64) for x in v] for i, v in vecs}
+
+        def d2(a, b):
+            return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+        seed = min(codes)
+        out = [(1, seed, 0)]
+        mind = {i: d2(codes[i], codes[seed]) for i in codes if i != seed}
+        for r in range(2, k + 1):
+            if not mind:
+                break
+            pick = max(mind, key=lambda i: (mind[i], -i))
+            out.append((r, pick, mind[pick]))
+            del mind[pick]
+            for i in mind:
+                mind[i] = min(mind[i], d2(codes[i], codes[pick]))
+        return out, codes
+
+    def test_matches_python_greedy_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.similarity import kcenter_select
+
+        random.seed(3)
+        vecs = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        got = [(r.rank, r.vec_id, r.d2) for r in kcenter_select(df, k=6).collect()]
+        want, _ = self._ref(vecs, 6)
+        assert got == want
+
+    def test_pick_distances_non_increasing(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.similarity import kcenter_select
+
+        random.seed(11)
+        vecs = [(i, [random.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        d2s = [r.d2 for r in kcenter_select(df, k=8).collect()][1:]
+        # farthest-point invariant: the coverage radius never grows
+        assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+
+    def test_k_exceeding_population_stops_early(self, spark):
+        from data_misc_tools_spark.operators.similarity import kcenter_select
+
+        vecs = [(i, [float(i), 0.0]) for i in range(3)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        rows = kcenter_select(df, k=10).collect()
+        assert len(rows) == 3
+        assert [r.rank for r in rows] == [1, 2, 3]
+
+    def test_spread_beats_topk_redundancy(self, spark):
+        from data_misc_tools_spark.operators.similarity import kcenter_select
+
+        # two tight clusters far apart: picks 1 and 2 must straddle them
+        vecs = [(i, [0.0 + i * 0.001, 0.0]) for i in range(5)]
+        vecs += [(10 + i, [1.0 + i * 0.001, 1.0]) for i in range(5)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        rows = kcenter_select(df, k=2).collect()
+        assert rows[0].vec_id < 5 and rows[1].vec_id >= 10
