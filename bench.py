@@ -186,6 +186,10 @@ HEADLINE = [
     "lpa_communities_neardup",
     "retrieval_eval_embeddings",
     "personalized_pagerank_seeds",
+    "linkpred_adamic_adar",
+    "kcenter_coreset_embeddings",
+    "welch_ttest_value",
+    "pca_power_embeddings",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -7619,6 +7619,92 @@ def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _pca_power_oracle(iters: int = 3, dim: int = 64, top_k: int = 20) -> str:
+    """Unrolled integer-power-iteration twin of linalg.
+    pca_top_component_e6 + pca_power_scores_topk: the scatter matrix
+    is a leaf re-inlined linearly per level; each normalization level
+    references the previous vector exactly ONCE (the max-|w| rides as
+    a full-frame window function, not a second CTE reference — the
+    plan-doubling rule)."""
+    steps = []
+    for r in range(iters):
+        steps.append(f"""
+    v{r + 1} AS (
+        SELECT i,
+               CASE WHEN w * 1000000 < 0
+                    THEN -((2 * (-(w * 1000000)) + mx) // (2 * mx))
+                    ELSE (2 * (w * 1000000) + mx) // (2 * mx) END AS v
+        FROM (
+            SELECT i, w, max(abs(w)) OVER () AS mx
+            FROM (
+                SELECT m.i, sum(m.s * v.v)::BIGINT AS w
+                FROM sm m JOIN v{r} v ON m.j = v.i GROUP BY m.i
+            )
+        ) WHERE mx > 0
+    )""")
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT) AS qc
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, g.i - 1 AS i, qc[g.i] AS qi
+        FROM q JOIN generate_series(1, {dim}) g(i) ON true
+    ),
+    t AS (SELECT i, sum(qi)::BIGINT AS t, count(*)::BIGINT AS n FROM ex GROUP BY i),
+    cm AS (
+        SELECT i, t, n,
+               CASE WHEN t < 0 THEN -((2 * (-t) + n) // (2 * n))
+                    ELSE (2 * t + n) // (2 * n) END AS c
+        FROM t
+    ),
+    gm AS (
+        SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi)::BIGINT AS g
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+    ),
+    sf AS (
+        SELECT g.i, g.j,
+               (g.g - ca.c * cb.t - cb.c * ca.t + ca.n * ca.c * cb.c)::BIGINT AS s
+        FROM gm g JOIN cm ca ON ca.i = g.i JOIN cm cb ON cb.i = g.j
+    ),
+    sm AS (
+        SELECT i, j, s FROM sf
+        UNION ALL SELECT j AS i, i AS j, s FROM sf WHERE i <> j
+    ),
+    v0 AS (SELECT i, 1000000::BIGINT AS v FROM cm),
+    {",".join(steps)},
+    sc AS (
+        SELECT e.vec_id, sum((e.qi - c.c) * v.v)::BIGINT AS score
+        FROM ex e JOIN cm c ON c.i = e.i JOIN v{iters} v ON v.i = e.i
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT {top_k}
+    """
+
+
+@_q("pca_power_embeddings", _pca_power_oracle(3, 64, 20))
+def pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents along the corpus's dominant principal
+    direction, by ENGINE-EXACT integer power iteration — the
+    pagerank_exact promotion pattern applied to linear algebra
+    (pca_project_demo's numpy eigh path stays the production
+    all-k-components twin; this one is hash-reproducible by DuckDB).
+    Pipeline: SQ codes -> half-up integer dim means -> centered
+    scatter via the raw-sums expansion (ONE double-posexplode
+    aggregate, constant <= dim^2-key shuffle) -> 3 matvec rounds with
+    signed half-up L-infinity normalization -> exact BIGINT
+    projections, TakeOrdered top-20. See operators/linalg.py:
+    pca_top_component_e6 / pca_power_scores_topk."""
+    from data_misc_tools_spark.operators.linalg import pca_power_scores_topk
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return pca_power_scores_topk(e, iters=3, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -7658,8 +7744,7 @@ GRADED_FIRST: list[str] = [
     # slots (q18 / grouping-sets / window-rank stay under the strict
     # local gate, all graded r1-r3)
     "linkpred_adamic_adar", "kcenter_coreset_embeddings",
-    "welch_ttest_value",
-    "orders_rollup",
+    "welch_ttest_value", "pca_power_embeddings",
     "events_pivot_by_type", "personalized_pagerank_seeds",
     "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
     "retrieval_eval_embeddings", "dedup_incremental_index", "dedup_keep_best",

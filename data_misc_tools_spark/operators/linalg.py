@@ -149,3 +149,168 @@ def pca_transform(
         return pd.Series(out)
 
     return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def _signed_half_up(num: str, den: str) -> str:
+    """SQL for sign-split round-half-away-from-zero integer division:
+    the repo's (2A + B) div (2B) half-up pattern extended to signed
+    numerators (Spark `div` truncates toward zero while DuckDB `//`
+    floors, so the pattern is only engine-portable on nonnegative
+    operands — split the sign out first). ``den`` must be positive."""
+    return (
+        f"CASE WHEN {num} < 0"
+        f" THEN -((2 * (-({num})) + {den}) div (2 * ({den})))"
+        f" ELSE (2 * ({num}) + {den}) div (2 * ({den})) END"
+    )
+
+
+def _pca_power_parts(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    scale: int,
+):
+    """Shared plumbing for the exact power-iteration PCA: returns
+    (q, cmean, component) frames — SQ codes, half-up integer dim
+    means, and the L∞-normalized e6 top component."""
+    from pyspark.sql.window import Window
+
+    from data_misc_tools_spark.operators.similarity import sq_quantize
+
+    q = df.select(
+        F.col(id_col).alias("__vid"),
+        sq_quantize(F.col(vec_col), scale).alias("__qc"),
+    ).localCheckpoint(eager=True)
+    ex = q.select("__vid", F.posexplode("__qc").alias("__i", "__qi"))
+    t = ex.groupBy("__i").agg(
+        F.sum("__qi").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n"),
+    )
+    cmean = t.selectExpr(
+        "__i", "t", "n", _signed_half_up("t", "n") + " AS c"
+    ).localCheckpoint(eager=True)
+    # Gram over the upper triangle: the double-posexplode emits
+    # dim*(dim+1)/2 rows per vector that collapse map-side into
+    # <= 2080 keys — the shuffle is CONSTANT-width however many rows
+    # scan (the scatter matrix is the only thing that moves).
+    pairs = (
+        q.select("__qc")
+        .select(F.posexplode("__qc").alias("__i", "__qi"), "__qc")
+        .select("__i", "__qi", F.posexplode("__qc").alias("__j", "__qj"))
+        .filter(F.col("__j") >= F.col("__i"))
+    )
+    gm = pairs.groupBy("__i", "__j").agg(
+        F.sum(F.col("__qi") * F.col("__qj")).cast("long").alias("g")
+    )
+    ca = cmean.select(
+        F.col("__i").alias("__i"), F.col("c").alias("ca"),
+        F.col("t").alias("ta"), F.col("n").alias("n"),
+    )
+    cb = cmean.select(
+        F.col("__i").alias("__j"), F.col("c").alias("cb"),
+        F.col("t").alias("tb"),
+    )
+    # centered scatter from raw sums: S = G − cᵢTⱼ − cⱼTᵢ + n·cᵢcⱼ
+    # (c is the half-up integer mean — exact arithmetic, documented
+    # quantized centering)
+    sfull = (
+        gm.join(ca, "__i")
+        .join(cb, "__j")
+        .select(
+            "__i", "__j",
+            (
+                F.col("g") - F.col("ca") * F.col("tb")
+                - F.col("cb") * F.col("ta") + F.col("n") * F.col("ca") * F.col("cb")
+            ).cast("long").alias("s"),
+        )
+    )
+    smat = sfull.unionByName(
+        sfull.filter(F.col("__i") != F.col("__j")).select(
+            F.col("__j").alias("__i"), F.col("__i").alias("__j"), F.col("s")
+        )
+    ).localCheckpoint(eager=True)
+    v = cmean.select("__i", F.lit(1_000_000).cast("long").alias("v"))
+    # dim rows: single-partition by design (the constant key quiets
+    # WindowExec's no-partition warning without changing the plan)
+    w_all = Window.partitionBy(F.lit(0))
+    for _ in range(iters):
+        mv = (
+            smat.join(v.select(F.col("__i").alias("__j"), "v"), "__j")
+            .groupBy("__i")
+            .agg(F.sum(F.col("s") * F.col("v")).cast("long").alias("w"))
+            .select("__i", "w", F.max(F.abs(F.col("w"))).over(w_all).alias("mx"))
+            .filter(F.col("mx") > 0)
+        )
+        v = mv.selectExpr(
+            "__i", _signed_half_up("w * 1000000", "mx") + " AS v"
+        ).localCheckpoint(eager=True)
+    return q, cmean, v
+
+
+def pca_top_component_e6(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    scale: int = 64,
+) -> DataFrame:
+    """Top principal direction by ENGINE-EXACT integer power iteration
+    — the oracle-checkable twin of :func:`pca_fit`'s top component
+    (pca_fit stays the production path: numpy ``eigh`` gives all k
+    components at float precision; this one is hash-reproducible by a
+    SQL engine, the pagerank_exact promotion pattern applied to
+    linear algebra).
+
+    Pipeline, all exact integers: SQ codes floor(x·scale) → per-dim
+    half-up integer means (quantized centering, documented) → centered
+    scatter matrix via the raw-sums expansion S = G − cᵢTⱼ − cⱼTᵢ +
+    n·cᵢcⱼ (G from ONE double-posexplode aggregate whose shuffle is a
+    constant ≤ dim² keys) → ``iters`` rounds of matvec + signed
+    half-up L∞ normalization (max |w| via a single-partition window
+    over the dim-row frame, so each round references the previous
+    vector exactly ONCE — the unrolled-CTE plan rule). Sign-split
+    half-up keeps Spark ``div`` == DuckDB ``//`` on the signed
+    components.
+
+    Overflow bound: |matvec| <= n·(2·scale)²·1e6·dim — inside int64 up
+    to n ~ 2e6 rows at scale=64, dim=64; shrink ``scale`` (or drop the
+    e6 to e3) beyond that.
+
+    Output: (dim_i 0-based, v_e6) — L∞-normalized (max |v| = 1e6).
+    """
+    _, _, v = _pca_power_parts(df, id_col, vec_col, iters, scale)
+    return v.select(F.col("__i").alias("dim_i"), F.col("v").alias("v_e6"))
+
+
+def pca_power_scores_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    scale: int = 64,
+    top_k: int = 20,
+) -> DataFrame:
+    """Project every vector onto the exact power-iteration top
+    component (:func:`pca_top_component_e6`) and return the ``top_k``
+    most-positive scores — "the documents most aligned with the
+    corpus's dominant direction of variation", a standard curation
+    diagnostic (the dominant direction is usually a language/template
+    axis worth inspecting). Scores are exact BIGINTs:
+    Σ_d (q_d − c_d)·v_d over centered integer codes; top-k is
+    TakeOrderedAndProject. Output: (id_col, score)."""
+    q, cmean, v = _pca_power_parts(df, id_col, vec_col, iters, scale)
+    ex = q.select("__vid", F.posexplode("__qc").alias("__i", "__qi"))
+    return (
+        ex.join(cmean.select("__i", "c"), "__i")
+        .join(v.select("__i", "v"), "__i")
+        .groupBy("__vid")
+        .agg(
+            F.sum((F.col("__qi") - F.col("c")) * F.col("v"))
+            .cast("long")
+            .alias("score")
+        )
+        .orderBy(F.desc("score"), "__vid")
+        .limit(top_k)
+        .select(F.col("__vid").alias(id_col), "score")
+    )

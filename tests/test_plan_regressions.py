@@ -459,3 +459,13 @@ def test_kcenter_updates_broadcast_one_row_per_round(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert df.count() == 8
+
+
+def test_pca_power_scatter_shuffle_is_constant_width(spark, sf_dir):
+    """The scatter-matrix aggregate must keep its map-side combine
+    (partial_sum before the exchange — the shuffle is <= dim² keys no
+    matter how many rows scan) and the top-k must be TakeOrdered."""
+    plan = _plan(spark, "pca_power_embeddings", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+    assert "Cartesian" not in plan
