@@ -190,6 +190,7 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     "welch_ttest_value",
     "pca_power_embeddings",
+    "containment_quotes",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

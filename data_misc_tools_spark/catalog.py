@@ -7705,6 +7705,71 @@ def pca_power_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_power_scores_topk(e, iters=3, top_k=20)
 
 
+
+
+@_q(
+    "containment_quotes",
+    """
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[g.i : g.i + 2], ' ') AS tok
+        FROM w JOIN generate_series(1, 2048) g(i) ON g.i <= len(ws) - 2
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+    freq AS (SELECT tok, count(*)::BIGINT AS f FROM toks GROUP BY tok),
+    docs AS (
+        SELECT t.doc_id, list(t.tok ORDER BY fr.f, t.tok) AS arr,
+               count(*)::BIGINT AS sz
+        FROM toks t JOIN freq fr USING (tok) GROUP BY t.doc_id
+    ),
+    pref AS (
+        SELECT doc_id, sz,
+               unnest(arr[1 : (sz - (8 * sz + 9) // 10 + 1)::INT]) AS ptok
+        FROM docs
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS doc_inner, o.doc_id AS doc_outer,
+               i.sz AS sz_inner, o.sz AS sz_outer
+        FROM pref i
+        JOIN (SELECT t.doc_id, t.tok, s.sz
+              FROM toks t JOIN sizes s USING (doc_id)) o
+          ON o.tok = i.ptok AND o.doc_id <> i.doc_id
+        WHERE 10 * o.sz >= 8 * i.sz
+    ),
+    inter AS (
+        SELECT c.doc_inner, c.doc_outer, c.sz_inner, c.sz_outer,
+               count(*)::BIGINT AS inter
+        FROM cand c
+        JOIN toks ti ON ti.doc_id = c.doc_inner
+        JOIN toks tob ON tob.doc_id = c.doc_outer AND tob.tok = ti.tok
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_inner, doc_outer, inter, sz_inner, sz_outer,
+           ((20000 * inter + sz_inner) // (2 * sz_inner)) / 10000.0
+               AS containment
+    FROM inter WHERE 10 * inter >= 8 * sz_inner
+    """,
+)
+def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directional containment join: every ordered document
+    pair where >= 80% of the inner document's word-3-gram set lives
+    inside the outer document — the quotes/excerpt/subset-boilerplate
+    detector Jaccard misses (a paragraph embedded in a 100x-larger
+    page has containment 1.0, Jaccard ~0.01). One-sided prefix
+    filter: candidates come from the inner side's rarest-first prefix
+    against the FULL outer token index (containment puts no upper
+    bound on |outer|); integer cross-multiply threshold, completeness
+    proven vs the quadratic truth in test_dedup. See
+    operators/dedup.py:containment_join."""
+    from data_misc_tools_spark.operators.dedup import containment_join
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return containment_join(d, num=8, den=10, gram_n=3)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -7744,8 +7809,8 @@ GRADED_FIRST: list[str] = [
     # slots (q18 / grouping-sets / window-rank stay under the strict
     # local gate, all graded r1-r3)
     "linkpred_adamic_adar", "kcenter_coreset_embeddings",
-    "welch_ttest_value", "pca_power_embeddings",
-    "events_pivot_by_type", "personalized_pagerank_seeds",
+    "welch_ttest_value", "pca_power_embeddings", "containment_quotes",
+    "personalized_pagerank_seeds",
     "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
     "retrieval_eval_embeddings", "dedup_incremental_index", "dedup_keep_best",
     # round-5 new operators take the two embedding re-pin slots

@@ -576,26 +576,12 @@ def set_similarity_join(
 
     Output: (doc_a, doc_b, inter, sz_a, sz_b, jaccard) — doc_a < doc_b.
     """
-    from data_misc_tools_spark.operators.text import tokens
     from data_misc_tools_spark.operators.util import half_up_ratio4
 
-    base = df.select(F.col(id_col), tokens(text_col).alias("__w"))
-    if gram_n > 1:
-        # word n-gram set elements: small shared vocabularies make raw
-        # word sets near-identical across documents; n-grams restore
-        # distinctiveness (gram_n=1 == plain word sets)
-        elems = F.when(
-            F.size("__w") >= gram_n,
-            F.expr(
-                f"transform(sequence(1, size(__w) - {gram_n - 1}),"
-                f" i -> concat_ws(' ', slice(__w, i, {gram_n})))"
-            ),
-        ).otherwise(F.expr("array()"))
-    else:
-        elems = F.col("__w")
-    toks = base.select(
-        F.col(id_col), F.explode(elems).alias("tok")
-    ).distinct()
+    # word n-gram set elements: small shared vocabularies make raw
+    # word sets near-identical across documents; n-grams restore
+    # distinctiveness (gram_n=1 == plain word sets)
+    toks = _gram_set_tokens(df, text_col, id_col, gram_n)
     freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
     ordered = (
         toks.join(freq, "tok")
@@ -643,4 +629,115 @@ def set_similarity_join(
     return inter.where(den * F.col("inter") >= num * union).select(
         "doc_a", "doc_b", "inter", "sz_a", "sz_b",
         half_up_ratio4(F.col("inter"), union).alias("jaccard"),
+    )
+
+
+def _gram_set_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_n: int,
+) -> DataFrame:
+    """Distinct word-n-gram set elements per document — the shared
+    front end of :func:`set_similarity_join` and
+    :func:`containment_join` (gram_n=1 == plain word sets)."""
+    from data_misc_tools_spark.operators.text import tokens
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    if gram_n > 1:
+        elems = F.when(
+            F.size("__w") >= gram_n,
+            F.expr(
+                f"transform(sequence(1, size(__w) - {gram_n - 1}),"
+                f" i -> concat_ws(' ', slice(__w, i, {gram_n})))"
+            ),
+        ).otherwise(F.expr("array()"))
+    else:
+        elems = F.col("__w")
+    return base.select(F.col(id_col), F.explode(elems).alias("tok")).distinct()
+
+
+def containment_join(
+    df: DataFrame,
+    num: int = 8,
+    den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 1,
+) -> DataFrame:
+    """EXACT directional set-CONTAINMENT join: every ordered pair
+    (inner, outer), inner != outer, with |I ∩ O| / |I| >= num/den —
+    "document I is mostly contained in O", the asymmetric sibling of
+    :func:`set_similarity_join`'s Jaccard. Containment is what finds
+    quotes, excerpts, and subset boilerplate that Jaccard misses: a
+    paragraph fully embedded in a 100x-larger page has containment
+    1.0 but Jaccard ~0.01.
+
+    Prefix-filter theorem, one-sided: if |I ∩ O| >= ceil(t·|I|) then
+    at most |I| − ceil(t·|I|) of I's tokens are absent from O, so I
+    shares a token with O inside I's FIRST |I| − ceil(t·|I|) + 1
+    tokens in the global rarest-first canonical order. The candidate
+    join is therefore I-prefix tokens against O's FULL token index
+    (containment puts no upper bound on |O|, so the outer side cannot
+    be prefix-pruned — only the probe side shrinks). The length
+    filter den·|O| >= num·|I| prunes before verification; the exact
+    intersection join settles each survivor. Integer cross-multiply
+    threshold throughout; the 4dp containment is half_up_ratio4.
+
+    Scale: candidate volume = Σ over inner prefixes of df(token) —
+    prefixes hold each document's rarest tokens, which is what keeps
+    the full outer index affordable; the verify join is pair-keyed.
+    Output: (doc_inner, doc_outer, inter, sz_inner, sz_outer,
+    containment).
+    """
+    from data_misc_tools_spark.operators.util import half_up_ratio4
+
+    toks = _gram_set_tokens(df, text_col, id_col, gram_n)
+    sizes = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "tok"))),
+                lambda s: s["tok"],
+            ).alias("arr"),
+            F.count("*").cast("long").alias("sz"),
+        )
+        .withColumn(
+            "plen",
+            (
+                F.col("sz")
+                - F.expr(f"({num} * sz + {den} - 1) div {den}")
+                + 1
+            ).cast("int"),
+        )
+    )
+    pref = ordered.select(
+        F.col(id_col).alias("doc_inner"),
+        F.col("sz").alias("sz_inner"),
+        F.explode(F.expr("slice(arr, 1, plen)")).alias("tok"),
+    )
+    outer_index = toks.join(sizes, id_col).select(
+        F.col(id_col).alias("doc_outer"), F.col("sz").alias("sz_outer"), "tok"
+    )
+    cand = (
+        pref.join(outer_index, "tok")
+        .where(F.col("doc_inner") != F.col("doc_outer"))
+        .where(den * F.col("sz_outer") >= num * F.col("sz_inner"))
+        .select("doc_inner", "doc_outer", "sz_inner", "sz_outer")
+        .distinct()
+    )
+    ti = toks.select(F.col(id_col).alias("doc_inner"), "tok")
+    to = toks.select(F.col(id_col).alias("doc_outer"), "tok")
+    inter = (
+        cand.join(ti, "doc_inner")
+        .join(to, ["doc_outer", "tok"])
+        .groupBy("doc_inner", "doc_outer", "sz_inner", "sz_outer")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return inter.where(den * F.col("inter") >= num * F.col("sz_inner")).select(
+        "doc_inner", "doc_outer", "inter", "sz_inner", "sz_outer",
+        half_up_ratio4(F.col("inter"), F.col("sz_inner")).alias("containment"),
     )

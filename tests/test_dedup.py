@@ -301,3 +301,80 @@ def test_set_similarity_join_completeness_on_fixture_corpus(spark, sf_dir):
     )
     want = {(r.doc_a, r.doc_b) for r in brute.collect()}
     assert got == want and len(got) > 0
+
+
+def test_containment_join_equals_brute_force(spark):
+    """One-sided prefix filtering must lose NOTHING: output == all
+    ordered pairs with |I∩O|/|I| >= t, including asymmetric cases
+    Jaccard misses (a small doc fully inside a big one)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.dedup import containment_join
+    from data_misc_tools_spark.operators.text import tokens
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d"),              # fully inside 0
+        (2, "a b c d x"),            # 4/5 = 0.8 in 0
+        (3, "q r s t"),
+        (4, "a q r s t u v w y z"),  # 3 is 4/4 inside 4
+        (5, "a b"),                  # inside 0, 1, 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_inner, r.doc_outer): (r.inter, r.containment)
+        for r in containment_join(df, num=8, den=10).collect()
+    }
+    toks = df.select("doc_id", F.explode(tokens("text")).alias("tok")).distinct()
+    sets = {r.doc_id: set() for r in df.collect()}
+    for r in toks.collect():
+        sets[r.doc_id].add(r.tok)
+    want = {}
+    for i, o in itertools.permutations(sorted(sets), 2):
+        inter = len(sets[i] & sets[o])
+        if 10 * inter >= 8 * len(sets[i]):
+            c = (20000 * inter + len(sets[i])) // (2 * len(sets[i])) / 10000.0
+            want[(i, o)] = (inter, c)
+    assert got == want
+    assert got[(1, 0)][1] == 1.0           # full containment
+    assert (0, 1) not in got               # direction matters
+    assert got[(2, 0)][1] == 0.8           # threshold met exactly
+    assert (3, 4) in got and (4, 3) not in got
+
+
+def test_containment_join_completeness_on_fixture_corpus(spark, sf_dir):
+    """On the documents table (3-word-gram sets): one-sided prefix
+    output equals the quadratic ordered-pairs ground truth."""
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.dedup import containment_join
+    from data_misc_tools_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    got = {
+        (r.doc_inner, r.doc_outer)
+        for r in containment_join(d, num=8, den=10, gram_n=3).collect()
+    }
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        ).alias("g"),
+    ).select("doc_id", F.array_distinct("g").alias("g"))
+    i_ = base.select(F.col("doc_id").alias("doc_inner"), F.col("g").alias("gi"))
+    o_ = base.select(F.col("doc_id").alias("doc_outer"), F.col("g").alias("go"))
+    brute = (
+        i_.crossJoin(o_)
+        .where("doc_inner != doc_outer")
+        .select(
+            "doc_inner", "doc_outer",
+            F.size(F.array_intersect("gi", "go")).alias("x"),
+            F.size("gi").alias("szi"),
+        )
+        .where("10 * x >= 8 * szi and x > 0")
+    )
+    want = {(r.doc_inner, r.doc_outer) for r in brute.collect()}
+    assert got == want and len(got) > 0

@@ -469,3 +469,11 @@ def test_pca_power_scatter_shuffle_is_constant_width(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "partial_sum" in plan
     assert "Cartesian" not in plan
+
+
+def test_containment_join_candidates_stay_equi_joined(spark, sf_dir):
+    """The containment candidate step must be the prefix-token
+    equi-join (no cartesian anywhere), with the verify step a
+    pair-keyed aggregate."""
+    plan = _plan(spark, "containment_quotes", sf_dir)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

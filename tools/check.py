@@ -124,6 +124,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name used to match NOTHING and print "all green"
+        # over zero checked queries — fail loudly instead
+        print(f"UNKNOWN query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -145,6 +145,9 @@ STRESS = {
     # scatter matrix: linear scan, constant dim^2-key shuffle; rounds
     # are fixed-size matvecs on dim-row frames.
     "pca_power_embeddings": "linear",
+    # candidate volume = sum over inner prefixes of df(token) —
+    # corpus-shape-sensitive like ppjoin; judge by candidate ratio.
+    "containment_quotes": "linear",
 }
 
 
