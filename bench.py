@@ -191,6 +191,8 @@ HEADLINE = [
     "welch_ttest_value",
     "pca_power_embeddings",
     "containment_quotes",
+    "ql_dirichlet_search",
+    "hybrid_rrf_search",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

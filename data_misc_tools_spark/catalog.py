@@ -7770,6 +7770,157 @@ def containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(d, num=8, den=10, gram_n=3)
 
 
+
+
+def _ql_ctes() -> str:
+    """Shared CTE prefix for the QL-Dirichlet twins: query terms,
+    full-corpus tf/dl/totals (identical text to the BM25 oracle), the
+    query-matched tf relation, collection term frequencies, candidate
+    docs and the per-(query, doc, term) grid with background terms
+    (the left join)."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+    qry(query_id, qtext) AS (VALUES {vals}),
+    qterms AS (
+        SELECT DISTINCT query_id::BIGINT AS query_id,
+               unnest(string_split(qtext, ' ')) AS tok
+        FROM qry
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    corpus AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len FROM dl),
+    tfm AS (
+        SELECT t.doc_id, t.tok, t.tf
+        FROM tf t JOIN (SELECT DISTINCT tok FROM qterms) qt USING (tok)
+    ),
+    ctf AS (SELECT tok, sum(tf)::BIGINT AS ctf FROM tfm GROUP BY tok),
+    cand AS (SELECT DISTINCT q.query_id, t.doc_id FROM tfm t JOIN qterms q USING (tok)),
+    grid AS (
+        SELECT c.query_id, c.doc_id, q.tok, d.dl,
+               coalesce(t.tf, 0)::BIGINT AS tf, x.ctf, co.total_len
+        FROM cand c
+        JOIN qterms q ON q.query_id = c.query_id
+        JOIN ctf x ON x.tok = q.tok
+        JOIN dl d ON d.doc_id = c.doc_id
+        LEFT JOIN tfm t ON t.doc_id = c.doc_id AND t.tok = q.tok
+        CROSS JOIN corpus co
+    ),
+    qsums AS (
+        SELECT query_id, doc_id,
+               sum(round(ln((tf * total_len + 2000 * ctf)::DOUBLE
+                            / (total_len * (dl + 2000))::DOUBLE)
+                         * 1e6)::BIGINT)::BIGINT AS ql_e6
+        FROM grid GROUP BY query_id, doc_id
+    )"""
+
+
+def _ql_oracle(k: int = 10) -> str:
+    return f"""
+    WITH {_ql_ctes()}
+    SELECT query_id, doc_id, rank, ql_e6
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ql_e6 DESC, doc_id)::BIGINT AS rank
+        FROM qsums
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("ql_dirichlet_search", _ql_oracle(10))
+def ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001), top-10 per query at mu=2000 — the classic language-model
+    retriever next to bm25_search_topk, engine-exact: each term is
+    the e6-rounded ln of an exact-integer ratio (the dsir/pmi idiom),
+    matched docs pay the background cost for query terms they lack,
+    OOV query terms drop. See operators/retrieval.py:
+    ql_dirichlet_topk."""
+    from data_misc_tools_spark.operators import retrieval as R
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = R.queries_df(spark, _BM25_QUERIES)
+    return R.ql_dirichlet_topk(d, q, k=10)
+
+
+def _hybrid_rrf_oracle(leg_k: int = 20, top_k: int = 10) -> str:
+    return f"""
+    WITH {_ql_ctes()},
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    bscored AS (
+        SELECT q.query_id, t.doc_id,
+               round(ln(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1e6)::BIGINT AS idf_e6,
+               (10::HUGEINT * t.tf * c.total_len + 3::HUGEINT * c.total_len
+                + 9::HUGEINT * d.dl * c.n_docs) AS den,
+               t.tf, c.total_len
+        FROM tf t
+        JOIN qterms q USING (tok)
+        JOIN dl d USING (doc_id)
+        JOIN dfreq f USING (tok)
+        CROSS JOIN corpus c
+    ),
+    bsums AS (
+        SELECT query_id, doc_id,
+               sum((2::HUGEINT * idf_e6 * 22 * tf * total_len + den) // (2 * den))::BIGINT AS s_e6
+        FROM bscored GROUP BY query_id, doc_id
+    ),
+    branked AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s_e6 DESC, doc_id)::BIGINT AS rank
+            FROM bsums
+        ) WHERE rank <= {leg_k}
+    ),
+    qranked AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ql_e6 DESC, doc_id)::BIGINT AS rank
+            FROM qsums
+        ) WHERE rank <= {leg_k}
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               (2 * 1000000 + (60 + rank)) // (2 * (60 + rank)) AS term
+        FROM (SELECT * FROM branked UNION ALL SELECT * FROM qranked)
+    ),
+    agg AS (
+        SELECT query_id, doc_id, sum(term)::BIGINT AS rrf_e6,
+               count(*)::BIGINT AS n_lists
+        FROM fused GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rank, rrf_e6, n_lists
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e6 DESC, doc_id)::BIGINT AS rank
+        FROM agg
+    ) WHERE rank <= {top_k}
+    """
+
+
+@_q("hybrid_rrf_search", _hybrid_rrf_oracle(20, 10))
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    2009): BM25 and QL-Dirichlet each contribute their top-20 per
+    query, fused by the FULLY-integer half-up 1e6/(60+rank) terms
+    (engine-exact by construction — no float enters the fusion), top
+    10 emitted. The score-free combiner every hybrid lexical+dense
+    stack uses; here both legs are lexical because the fixture has no
+    aligned query embeddings, and rrf_fuse takes any number of
+    (query_id, doc_id, rank) lists. See operators/retrieval.py:
+    rrf_fuse."""
+    from data_misc_tools_spark.operators import retrieval as R
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = R.queries_df(spark, _BM25_QUERIES)
+    b = R.bm25_topk(d, q, k=20).select("query_id", "doc_id", "rank")
+    l = R.ql_dirichlet_topk(d, q, k=20).select("query_id", "doc_id", "rank")
+    return R.rrf_fuse([b, l], k_rrf=60, top_k=10)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -7803,7 +7954,8 @@ GRADED_FIRST: list[str] = [
     "pca_project_demo", "bpe_segment_demo", "pagerank_neardup_graph",
     "embedding_pq_topk",
     # --- 28 re-pins: r1-r3 veterans across every family ---
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_volume",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "ql_dirichlet_search", "hybrid_rrf_search",
     "rendezvous_shard_assign",
     # round-5 session-2 new operators take three relational re-pin
     # slots (q18 / grouping-sets / window-rank stay under the strict
@@ -7812,7 +7964,7 @@ GRADED_FIRST: list[str] = [
     "welch_ttest_value", "pca_power_embeddings", "containment_quotes",
     "personalized_pagerank_seeds",
     "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
-    "retrieval_eval_embeddings", "dedup_incremental_index", "dedup_keep_best",
+    "retrieval_eval_embeddings", "dedup_keep_best",
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
     "text_quality", "text_language_id", "dictionary_tag_topics",

@@ -48,6 +48,8 @@ __all__ = [
     "inverted_index_build",
     "inverted_index_append",
     "inverted_index_query",
+    "ql_dirichlet_topk",
+    "rrf_fuse",
 ]
 
 
@@ -464,4 +466,152 @@ def ir_metrics(
             "CASE WHEN idcg_e6 IS NULL OR idcg_e6 = 0 THEN CAST(NULL AS bigint)"
             " ELSE (2 * dcg_e6 * 10000 + idcg_e6) div (2 * idcg_e6) END AS ndcg_e4",
         )
+    )
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    mu: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs per query under the Dirichlet-smoothed query
+    likelihood model (Zhai & Lafferty 2001) — the classic
+    language-model retriever next to BM25, and the second leg the
+    :func:`rrf_fuse` hybrid needs:
+
+        score(q, d) = Σ_{t ∈ q} ln( (tf + μ·ctf_t/C) / (dl + μ) )
+
+    Engine-exact: each term is the e6-rounded ln of the exact-integer
+    ratio (tf·C + μ·ctf) / (C·(dl + μ)) — the dsir/pmi
+    per-quantity-rounded-log idiom — summed as BIGINTs, so a DuckDB
+    twin matches hash-exactly. Exactness requires the integer
+    numerator/denominator below 2^53 for the lossless int→double
+    step: C·(dl + μ) < 2^53 bounds corpora at ~4e12 tokens (μ=2000,
+    dl ≤ 2048); widen to decimal beyond, like BM25's _den_dec.
+
+    Semantics pinned: distinct query terms; docs scored only if they
+    match ≥ 1 query term (pure-background ranking of non-matching
+    docs is noise); terms the corpus has never seen are dropped
+    (ctf = 0 would be −∞); a matched doc still pays the background
+    cost ln(μ·ctf/C·(dl+μ)) for the query terms it LACKS (the left
+    join below) — that is what makes QL a real second opinion
+    instead of a BM25 re-weighting.
+
+    Scale shape: one corpus explode filtered by broadcast query
+    terms (everything downstream is |matching (doc, term)| sized,
+    the bm25_topk lesson); ctf/qterms/corpus totals broadcast; one
+    left join against the matched tf relation.
+
+    Output: (query_id, id_col, rank, ql_e6) — ql_e6 the exact BIGINT
+    e6-scaled log-likelihood (always ≤ 0), ties broken by doc id.
+    """
+    qterms = queries.select(
+        "query_id", F.explode(tokens("qtext")).alias("tok")
+    ).distinct()
+    qtok = qterms.select("tok").distinct()
+    tfm = (
+        _toks(docs, text_col, id_col)
+        .join(F.broadcast(qtok), "tok")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+    )
+    ctf = tfm.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctf"))
+    corpus = _corpus_totals(docs, text_col, id_col)
+    cand = (
+        tfm.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", id_col)
+        .agg(F.max("dl").alias("dl"))
+    )
+    grid = (
+        cand.join(F.broadcast(qterms), "query_id")
+        .join(F.broadcast(ctf), "tok")
+        .join(
+            tfm.select(id_col, "tok", "tf"), [id_col, "tok"], "left"
+        )
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.round(
+                    F.log(
+                        (
+                            F.coalesce(F.col("tf"), F.lit(0)) * F.col("total_len")
+                            + F.lit(mu) * F.col("ctf")
+                        ).cast("double")
+                        / (F.col("total_len") * (F.col("dl") + F.lit(mu))).cast(
+                            "double"
+                        )
+                    )
+                    * F.lit(1_000_000.0)
+                )
+            ).cast("long").alias("term_e6"),
+        )
+    )
+    sums = grid.groupBy("query_id", id_col).agg(
+        F.sum("term_e6").cast("long").alias("ql_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ql_e6"), F.col(id_col))
+    return (
+        sums.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "ql_e6")
+    )
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k_rrf: int = 60,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): fuse any number
+    of (query_id, id, rank) result lists by
+
+        rrf(d) = Σ_lists 1 / (k_rrf + rank_d)
+
+    — the standard score-free hybrid-retrieval combiner (lexical +
+    dense, or BM25 + QL as in the catalog demo): it needs no score
+    calibration between retrievers, only ranks, and k_rrf=60 is the
+    published default.
+
+    FULLY integer: each term is the half-up integer division
+    (2·1e6 + (k_rrf + rank)) div (2·(k_rrf + rank)) — no float enters
+    anywhere, so the fusion is engine-exact by construction, not by
+    boundary analysis. A doc missing from a list contributes 0
+    (union-all, not a join — lists stay independent). Scale: the
+    inputs are already top-k bounded per query; fusion is one
+    (query, doc)-keyed aggregate over their union.
+
+    Output: (query_id, id_col, rank, rrf_e6, n_lists) — n_lists the
+    number of input lists that returned the doc, ties by doc id.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    legs = [
+        df.select("query_id", id_col, F.col("rank").alias("__r")) for df in lists
+    ]
+    allr = legs[0]
+    for leg in legs[1:]:
+        allr = allr.unionByName(leg)
+    fused = allr.select(
+        "query_id",
+        id_col,
+        F.expr(
+            f"(2 * 1000000 + ({k_rrf} + __r)) div (2 * ({k_rrf} + __r))"
+        ).alias("term"),
+    ).groupBy("query_id", id_col).agg(
+        F.sum("term").cast("long").alias("rrf_e6"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_e6"), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", id_col, "rank", "rrf_e6", "n_lists")
     )

@@ -477,3 +477,20 @@ def test_containment_join_candidates_stay_equi_joined(spark, sf_dir):
     pair-keyed aggregate."""
     plan = _plan(spark, "containment_quotes", sf_dir)
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ql_dirichlet_filters_before_aggregating(spark, sf_dir):
+    """The QL path must keep the bm25_topk lesson: the corpus explode
+    is filtered by the broadcast query-term set BEFORE any aggregate,
+    and the small sides (qterms/ctf/corpus) broadcast."""
+    plan = _plan(spark, "ql_dirichlet_search", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_hybrid_rrf_fusion_is_one_aggregate_over_bounded_legs(spark, sf_dir):
+    """No non-broadcast cartesian anywhere; the only cross joins are
+    the by-design 1-row corpus-totals broadcasts each leg inherits
+    from bm25_topk/ql_dirichlet_topk."""
+    plan = _plan(spark, "hybrid_rrf_search", sf_dir)
+    assert "CartesianProduct" not in plan

@@ -208,3 +208,143 @@ class TestIRMetrics:
         assert r.rr_e6 == 0
         assert r.dcg_e6 == 0
         assert r.ndcg_e4 is None
+
+
+class TestQLDirichlet:
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from data_misc_tools_spark.operators.retrieval import (
+            ql_dirichlet_topk,
+            queries_df,
+        )
+
+        docs = [
+            (0, "spark stream window join"),
+            (1, "spark spark batch"),
+            (2, "window window window stream"),
+            (3, "hash join merge"),
+            (4, "totally unrelated words here"),
+        ]
+        qs = [(1, "spark window"), (2, "join oov_term")]
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            (r.query_id, r.doc_id, r.rank, r.ql_e6)
+            for r in ql_dirichlet_topk(
+                ddf, queries_df(spark, qs), k=10, mu=2000
+            ).collect()
+        )
+        tokd = {i: t.split() for i, t in docs}
+        big_c = sum(len(v) for v in tokd.values())
+        ctf = Counter(t for v in tokd.values() for t in v)
+
+        def hup(x):
+            return int(Decimal(x).quantize(0, rounding=ROUND_HALF_UP))
+
+        ref = []
+        for qid, qtext in qs:
+            terms = [t for t in sorted(set(qtext.split())) if ctf[t] > 0]
+            cands = sorted(
+                i for i in tokd if any(t in tokd[i] for t in terms)
+            )
+            scored = sorted(
+                (
+                    -sum(
+                        hup(
+                            math.log(
+                                (tokd[d].count(t) * big_c + 2000 * ctf[t])
+                                / (big_c * (len(tokd[d]) + 2000))
+                            )
+                            * 1e6
+                        )
+                        for t in terms
+                    ),
+                    d,
+                )
+                for d in cands
+            )
+            ref += [(qid, d, r, -s) for r, (s, d) in enumerate(scored, 1)]
+        assert got == sorted(ref)
+        # semantics pins: OOV term dropped (query 2 still returns docs);
+        # non-matching doc 4 never ranked
+        assert any(q == 2 for q, *_ in got)
+        assert all(d != 4 for _, d, *_ in got)
+
+    def test_background_cost_separates_partial_matches(self, spark):
+        """A doc matching both query terms must outrank an equal-length
+        doc matching one term with the same tf (the background term for
+        the missing word is the penalty)."""
+        from data_misc_tools_spark.operators.retrieval import (
+            ql_dirichlet_topk,
+            queries_df,
+        )
+
+        docs = [
+            (0, "alpha beta filler filler"),
+            (1, "alpha alpha filler filler"),
+        ]
+        qdf = queries_df(spark, [(1, "alpha beta")])
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r.doc_id: r.rank for r in ql_dirichlet_topk(ddf, qdf).collect()}
+        assert rows[0] == 1 and rows[1] == 2
+
+
+class TestRRFFuse:
+    def test_pure_integer_terms_and_missing_doc_zero(self, spark):
+        from data_misc_tools_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank long"
+        )
+        got = {
+            r.doc_id: (r.rrf_e6, r.n_lists, r.rank)
+            for r in rrf_fuse([a, b], k_rrf=60, top_k=10).collect()
+        }
+
+        def term(r):
+            return (2 * 1_000_000 + (60 + r)) // (2 * (60 + r))
+
+        assert got[11] == (term(2) + term(1), 2, 1)  # in both lists: wins
+        assert got[10] == (term(1), 1, 2)
+        assert got[12] == (term(2), 1, 3)
+
+    def test_requires_at_least_one_list(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.retrieval import rrf_fuse
+
+        with _pytest.raises(ValueError):
+            rrf_fuse([])
+
+    def test_fusion_promotes_cross_list_consensus(self, spark, sf_dir):
+        """On the fixture corpus: every fused top-10 doc that appears
+        in BOTH legs' top-20 must outrank any doc appearing in one."""
+        from data_misc_tools_spark.operators import retrieval as R
+        from data_misc_tools_spark.session import load_tables
+
+        d = load_tables(spark, sf_dir, ["documents"])["documents"]
+        q = R.queries_df(spark, [(1, "spark stream window")])
+        b = R.bm25_topk(d, q, k=20).select("query_id", "doc_id", "rank")
+        l = R.ql_dirichlet_topk(d, q, k=20).select("query_id", "doc_id", "rank")
+        rows = R.rrf_fuse([b, l], top_k=20).collect()
+        worst_both = min(
+            (r.rank for r in rows if r.n_lists == 2), default=None
+        )
+        best_single = max(
+            (r.rank for r in rows if r.n_lists == 1), default=None
+        )
+        if worst_both is not None and best_single is not None:
+            # ranks: every 2-list doc above every 1-list doc is not
+            # guaranteed in general (a rank-20+rank-20 pair can lose to
+            # rank-1-single)... but with k_rrf=60, term(1)=16393 <
+            # term(20)+term(20)=25000: consensus always wins. Pin it.
+            assert all(
+                r2.rank < r1.rank
+                for r2 in rows if r2.n_lists == 2
+                for r1 in rows if r1.n_lists == 1
+            )

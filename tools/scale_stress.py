@@ -148,6 +148,10 @@ STRESS = {
     # candidate volume = sum over inner prefixes of df(token) —
     # corpus-shape-sensitive like ppjoin; judge by candidate ratio.
     "containment_quotes": "linear",
+    # matched-(doc, term) sized after the broadcast term filter, like
+    # bm25; fusion is an aggregate over two top-k-bounded legs.
+    "ql_dirichlet_search": "linear",
+    "hybrid_rrf_search": "linear",
 }
 
 
