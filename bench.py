@@ -193,6 +193,7 @@ HEADLINE = [
     "containment_quotes",
     "ql_dirichlet_search",
     "hybrid_rrf_search",
+    "winnowing_match_pairs",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -7921,6 +7921,55 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.rrf_fuse([b, l], k_rrf=60, top_k=10)
 
 
+
+
+@_q(
+    "winnowing_match_pairs",
+    """
+    WITH sh AS (
+        SELECT doc_id, g.x AS pos,
+               ('0x' || substr(md5(substr(text, g.x, 5)), 1, 8))::BIGINT * 65536
+                   + (65535 - g.x) AS c
+        FROM documents
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(text) - 4
+        WHERE length(text) >= 12
+    ),
+    wins AS (
+        SELECT doc_id, pos,
+               min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mc,
+               count(*) OVER (PARTITION BY doc_id) AS np
+        FROM sh
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, mc // 65536 AS fp
+        FROM wins WHERE pos <= np - 7
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50
+    """,
+)
+def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) match candidates: top-50 document pairs by
+    shared selected-fingerprint count — the plagiarism/quote detector
+    with a GUARANTEE MinHash can't give (any shared substring of
+    w+k-1 = 12+ chars produces an identical fingerprint in both docs;
+    matching is detection, not estimation). Spark-side selection is
+    map-only array math — the rightmost-min rule is one integer min
+    over h*65536 + (65535-pos); the DuckDB twin runs the same key
+    through a ROWS window. See operators/dedup.py:
+    winnowing_fingerprints / winnowing_match_pairs."""
+    from data_misc_tools_spark.operators.dedup import winnowing_match_pairs as wmp
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return wmp(d, k=5, w=8, top_k=50)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -7964,7 +8013,7 @@ GRADED_FIRST: list[str] = [
     "welch_ttest_value", "pca_power_embeddings", "containment_quotes",
     "personalized_pagerank_seeds",
     "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
-    "retrieval_eval_embeddings", "dedup_keep_best",
+    "retrieval_eval_embeddings", "winnowing_match_pairs",
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
     "text_quality", "text_language_id", "dictionary_tag_topics",

@@ -378,3 +378,98 @@ def test_containment_join_completeness_on_fixture_corpus(spark, sf_dir):
     )
     want = {(r.doc_inner, r.doc_outer) for r in brute.collect()}
     assert got == want and len(got) > 0
+
+
+class TestWinnowing:
+    @staticmethod
+    def _ref_fps(text, k=5, w=8):
+        import hashlib
+
+        n = len(text) - k + 1
+        if n < w:
+            return set()
+        comb = [
+            int(hashlib.md5(text[p - 1:p - 1 + k].encode()).hexdigest()[:8], 16)
+            * 65536 + (65535 - p)
+            for p in range(1, n + 1)
+        ]
+        sels = {min(comb[s:s + w]) for s in range(0, n - w + 1)}
+        return {(65535 - c % 65536, c // 65536) for c in sels}
+
+    def test_selection_matches_python_reference(self, spark):
+        import random
+        import string
+
+        from data_misc_tools_spark.operators.dedup import winnowing_fingerprints
+
+        random.seed(9)
+        docs = [
+            (i, "".join(random.choice(string.ascii_lowercase + " ")
+                        for _ in range(120)))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {}
+        for r in winnowing_fingerprints(df).collect():
+            got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+        for i, t in docs:
+            assert got.get(i, set()) == self._ref_fps(t), i
+
+    def test_shared_substring_guarantee(self, spark):
+        """The winnowing contract: ANY pair sharing a substring of
+        w + k − 1 characters shares at least one selected fingerprint
+        VALUE — detection, not estimation."""
+        import itertools
+        import random
+        import string
+
+        from data_misc_tools_spark.operators.dedup import winnowing_match_pairs
+
+        random.seed(9)
+        shared = "the quick brown fox jumps over the lazy dog"
+        docs = []
+        for i in range(12):
+            body = "".join(random.choice(string.ascii_lowercase + " ")
+                           for _ in range(120))
+            if i % 3 == 0:
+                body = body[:40] + shared + body[40:]
+            docs.append((i, body))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        pairs = {
+            (r.doc_a, r.doc_b): r.n_shared
+            for r in winnowing_match_pairs(df).collect()
+        }
+        sharing = [i for i, t in docs if shared in t]
+        for a, b in itertools.combinations(sharing, 2):
+            assert pairs.get((a, b), 0) >= 1, (a, b)
+
+    def test_short_docs_yield_nothing_and_long_docs_raise(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.dedup import winnowing_fingerprints
+
+        short = spark.createDataFrame(
+            [(0, "tiny"), (1, "elevenchars")], "doc_id long, text string"
+        )
+        assert winnowing_fingerprints(short).count() == 0  # < k + w − 1
+        big = spark.createDataFrame(
+            [(0, "x" * 70_000)], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="65535"):
+            winnowing_fingerprints(big)
+
+    def test_density_is_roughly_two_over_w(self, spark):
+        """Sanity on the selection rate: ~2/(w+1) of positions selected
+        on random text (Schleimer et al. §4) — pin a generous band."""
+        import random
+        import string
+
+        from data_misc_tools_spark.operators.dedup import winnowing_fingerprints
+
+        random.seed(4)
+        text = "".join(random.choice(string.ascii_lowercase) for _ in range(2000))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        n_positions = len(text) - 4
+        n_selected = winnowing_fingerprints(df, k=5, w=8).count()
+        rate = n_selected / n_positions
+        assert 0.1 < rate < 0.4, rate

@@ -494,3 +494,13 @@ def test_hybrid_rrf_fusion_is_one_aggregate_over_bounded_legs(spark, sf_dir):
     from bm25_topk/ql_dirichlet_topk."""
     plan = _plan(spark, "hybrid_rrf_search", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_selection_is_map_only(spark, sf_dir):
+    """Fingerprint selection must stay per-document array math: no
+    Window exchange, no explode-then-aggregate — the first shuffle in
+    the plan belongs to the cross-doc match join, nothing earlier.
+    Pin: no Window operator at all, no CartesianProduct."""
+    plan = _plan(spark, "winnowing_match_pairs", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -152,6 +152,9 @@ STRESS = {
     # bm25; fusion is an aggregate over two top-k-bounded legs.
     "ql_dirichlet_search": "linear",
     "hybrid_rrf_search": "linear",
+    # map-only selection; the fp-keyed match join is collision-
+    # driven like LSH (hash-luck-dominated on template corpora).
+    "winnowing_match_pairs": "linear",
 }
 
 
