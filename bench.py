@@ -194,6 +194,7 @@ HEADLINE = [
     "ql_dirichlet_search",
     "hybrid_rrf_search",
     "winnowing_match_pairs",
+    "snm_blocking_pairs",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -7970,6 +7970,37 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wmp(d, k=5, w=8, top_k=50)
 
 
+
+
+@_q(
+    "snm_blocking_pairs",
+    """
+    WITH keyed AS (
+        SELECT doc_id, substr(text, 1, 24) AS key FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY key, doc_id)::BIGINT AS r
+        FROM keyed
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, (b.r - a.r)::BIGINT AS gap
+    FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 3
+    """,
+)
+def snm_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): candidate
+    pairs within a 4-wide sliding window over the corpus sorted by
+    24-char text prefix — the guaranteed-linear-budget blocking family
+    beside LSH (collision-driven) and prefix filtering (similarity-
+    driven). The global sort position comes from etl.global_rank
+    (range partition + per-partition rank + broadcast offsets — never
+    a single-reducer window), and the neighbor pairing is an equi-join
+    on rank buckets. See operators/dedup.py:snm_candidate_pairs."""
+    from data_misc_tools_spark.operators.dedup import snm_candidate_pairs
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return snm_candidate_pairs(d, F.substring("text", 1, 24), window=4)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8012,7 +8043,7 @@ GRADED_FIRST: list[str] = [
     "linkpred_adamic_adar", "kcenter_coreset_embeddings",
     "welch_ttest_value", "pca_power_embeddings", "containment_quotes",
     "personalized_pagerank_seeds",
-    "dedup_exact", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
+    "snm_blocking_pairs", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
     "retrieval_eval_embeddings", "winnowing_match_pairs",
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",

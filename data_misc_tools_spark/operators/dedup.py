@@ -838,3 +838,71 @@ def winnowing_match_pairs(
     if top_k is not None:
         pairs = pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(top_k)
     return pairs
+
+
+def snm_candidate_pairs(
+    df: DataFrame,
+    key,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    third classic candidate-generation family beside MinHash-LSH and
+    prefix filtering: sort the corpus by a blocking key, pair every
+    record with its ``window − 1`` successors in sort order. SNM is
+    what catches near-duplicates whose SIMILARITY lives in the sort
+    key (shared prefixes, near-identical titles/URLs) at a guaranteed
+    linear candidate budget n·(window−1), where LSH's collision count
+    is corpus-shape-dependent.
+
+    Scale shape: the global sort position comes from
+    :func:`~data_misc_tools_spark.operators.etl.global_rank`
+    (range-partition + per-partition rank + broadcast offsets — never
+    a single-reducer window), and the neighbor pairing is an
+    EQUI-join: bucket = rank div window on the left, each right row
+    exploded into (bucket, bucket − 1) — any pair within window − 1
+    positions shares a bucket edge — then the exact distance filter.
+    ``key`` is a Column (e.g. ``F.substring("text", 1, 24)``); ties
+    break by id, so the order is total and the output deterministic.
+
+    Output: (doc_a, doc_b, gap) with doc_a the earlier record in sort
+    order and gap = rank_b − rank_a ∈ [1, window−1]. Feed survivors to
+    a verify stage (editdist_pairs / set_similarity_join) like any
+    blocking output.
+    """
+    from data_misc_tools_spark.operators.etl import global_rank
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    ranked = global_rank(
+        df.select(F.col(id_col), key.alias("__key")),
+        [F.col("__key"), F.col(id_col)],
+        out_col="__rank",
+    ).select(id_col, "__rank")
+    a = ranked.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("__rank").alias("ra"),
+        F.expr(f"__rank div {window}").alias("__b"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("__rank").alias("rb"),
+        F.explode(
+            F.array(
+                F.expr(f"__rank div {window}"),
+                F.expr(f"__rank div {window} - 1"),
+            )
+        ).alias("__b"),
+    )
+    return (
+        a.join(b, "__b")
+        .where(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") - F.col("ra") <= window - 1)
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("rb") - F.col("ra")).cast("long").alias("gap"),
+        )
+        .distinct()
+    )

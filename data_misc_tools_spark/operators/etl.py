@@ -267,3 +267,50 @@ def rendezvous_assign(
         ]
     )
     return df.withColumn(out_col, F.array_max(arr)["shard"])
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list,
+    out_col: str = "grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic 1-based GLOBAL rank over a total order — without
+    the classic scale-killer (`row_number() OVER (ORDER BY ...)` with
+    no partition key funnels the whole table through ONE reducer).
+
+    The distributed recipe: range-partition on the order keys, rank
+    within each partition, then add per-partition offsets computed
+    from a partition-count collect — bounded metadata (#partitions
+    rows), the codebook-collect class. The result is invariant to
+    where the range boundaries land (sampling noise moves rows between
+    partitions, never their global rank), PROVIDED ``order_by`` is a
+    total order — pass a unique tiebreaker as the last key, or equal
+    keys straddling a boundary would rank nondeterministically.
+
+    Output: the input columns + ``out_col`` (1-based bigint).
+    """
+    from pyspark.sql.window import Window
+
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    pid = parts.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    ranked = pid.withColumn("__r", F.row_number().over(w).cast("long"))
+    counts = sorted(
+        (r["__pid"], r["__n"])
+        for r in ranked.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+    )
+    offs, acc = [], 0
+    for p, n in counts:
+        offs.append((p, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(offs, "__pid int, __off long")
+    return (
+        ranked.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__r") + F.col("__off"))
+        .drop("__pid", "__r", "__off")
+    )

@@ -473,3 +473,51 @@ class TestWinnowing:
         n_selected = winnowing_fingerprints(df, k=5, w=8).count()
         rate = n_selected / n_positions
         assert 0.1 < rate < 0.4, rate
+
+
+class TestSortedNeighborhood:
+    def test_pairs_equal_brute_force_sliding_window(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.dedup import snm_candidate_pairs
+
+        random.seed(2)
+        rows = [
+            (i, "".join(random.choice("ab") for _ in range(4)))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, key string").repartition(7)
+        got = {
+            (r.doc_a, r.doc_b, r.gap)
+            for r in snm_candidate_pairs(df, F.col("key"), window=4).collect()
+        }
+        order = [i for i, k in sorted(rows, key=lambda t: (t[1], t[0]))]
+        ref = {
+            (order[i], order[i + g], g)
+            for i in range(len(order))
+            for g in range(1, 4)
+            if i + g < len(order)
+        }
+        assert got == ref
+        assert len(got) == 3 * len(rows) - 6  # exact linear budget
+
+    def test_window_2_is_adjacent_pairs_and_tiny_window_raises(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.dedup import snm_candidate_pairs
+
+        rows = [(i, str(9 - i)) for i in range(10)]  # key reverses id order
+        df = spark.createDataFrame(rows, "doc_id long, key string")
+        got = sorted(
+            (r.doc_a, r.doc_b)
+            for r in snm_candidate_pairs(df, F.col("key"), window=2).collect()
+        )
+        # sort order is ids 9..0 (key reverses), so each pair's doc_a
+        # is the HIGHER id: (9,8)...(1,0), sorted ascending
+        assert got == [(i + 1, i) for i in range(9)]
+        with _pytest.raises(ValueError):
+            snm_candidate_pairs(df, F.col("key"), window=1)

@@ -246,3 +246,50 @@ class TestRendezvousAssign:
 
         with pytest.raises(ValueError):
             rendezvous_assign(spark.range(1), [], "id")
+
+
+class TestGlobalRank:
+    def test_equals_single_window_rank_with_heavy_ties(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.etl import global_rank
+
+        random.seed(2)
+        rows = [
+            (i, "".join(random.choice("ab") for _ in range(4)))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, key string").repartition(7)
+        got = {
+            r.doc_id: r.grank
+            for r in global_rank(df, [F.col("key"), F.col("doc_id")]).collect()
+        }
+        ref = {
+            i: r + 1
+            for r, (i, k) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert got == ref
+
+    def test_rank_is_partitioning_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.etl import global_rank
+
+        rows = [(i, i % 5) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, key long")
+        a = {
+            r.doc_id: r.grank
+            for r in global_rank(
+                df.repartition(3), [F.col("key"), F.col("doc_id")]
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.grank
+            for r in global_rank(
+                df.repartition(11), [F.col("key"), F.col("doc_id")],
+                num_partitions=5,
+            ).collect()
+        }
+        assert a == b

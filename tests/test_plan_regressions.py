@@ -504,3 +504,12 @@ def test_winnowing_selection_is_map_only(spark, sf_dir):
     plan = _plan(spark, "winnowing_match_pairs", sf_dir)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snm_global_rank_never_single_reducer_windows(spark, sf_dir):
+    """The SNM sort position must come from the range-partitioned
+    global_rank: the plan must contain a rangepartitioning exchange
+    and NO empty-partition-spec window (the single-reducer trap)."""
+    plan = _plan(spark, "snm_blocking_pairs", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan

@@ -155,6 +155,9 @@ STRESS = {
     # map-only selection; the fp-keyed match join is collision-
     # driven like LSH (hash-luck-dominated on template corpora).
     "winnowing_match_pairs": "linear",
+    # n*(window-1) candidate budget by construction; the global rank
+    # is one range exchange + bounded-metadata offsets.
+    "snm_blocking_pairs": "linearithmic",
 }
 
 
