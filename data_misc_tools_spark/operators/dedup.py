@@ -693,7 +693,6 @@ def containment_join(
     from data_misc_tools_spark.operators.util import half_up_ratio4
 
     toks = _gram_set_tokens(df, text_col, id_col, gram_n)
-    sizes = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
     freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
     ordered = (
         toks.join(freq, "tok")
@@ -719,7 +718,9 @@ def containment_join(
         F.col("sz").alias("sz_inner"),
         F.explode(F.expr("slice(arr, 1, plen)")).alias("tok"),
     )
-    outer_index = toks.join(sizes, id_col).select(
+    # the outer index reuses `ordered`'s per-doc size instead of a
+    # second size aggregate over the token relation
+    outer_index = toks.join(ordered.select(id_col, "sz"), id_col).select(
         F.col(id_col).alias("doc_outer"), F.col("sz").alias("sz_outer"), "tok"
     )
     cand = (
