@@ -7941,10 +7941,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER (PARTITION BY doc_id) AS np
         FROM sh
     ),
-    fps AS (
+    fps0 AS (
         SELECT DISTINCT doc_id, mc // 65536 AS fp
         FROM wins WHERE pos <= np - 7
     ),
+    keep AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 100),
+    fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN keep USING (fp)),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -7962,12 +7964,16 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching is detection, not estimation). Spark-side selection is
     map-only array math — the rightmost-min rule is one integer min
     over h*65536 + (65535-pos); the DuckDB twin runs the same key
-    through a ROWS window. See operators/dedup.py:
-    winnowing_fingerprints / winnowing_match_pairs."""
+    through a ROWS window. Fingerprints shared by > 100 documents are
+    dropped before pairing (max_df — shared boilerplate contributes
+    df² reviewer-worthless pairs; 3.0e8 -> 4.7e5 candidates at sf0.1
+    on this small-vocabulary corpus; the triangle-banding lesson).
+    See operators/dedup.py: winnowing_fingerprints /
+    winnowing_match_pairs."""
     from data_misc_tools_spark.operators.dedup import winnowing_match_pairs as wmp
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return wmp(d, k=5, w=8, top_k=50)
+    return wmp(d, k=5, w=8, top_k=50, max_df=100)
 
 
 

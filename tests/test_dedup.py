@@ -521,3 +521,27 @@ class TestSortedNeighborhood:
         assert got == [(i + 1, i) for i in range(9)]
         with _pytest.raises(ValueError):
             snm_candidate_pairs(df, F.col("key"), window=1)
+
+
+def test_winnowing_max_df_drops_only_hot_fingerprints(spark):
+    """max_df must drop pairs owed ONLY to corpus-wide boilerplate:
+    with the boilerplate fingerprint capped out, the unique-substring
+    pair survives and the boilerplate-only pairs disappear."""
+    from data_misc_tools_spark.operators.dedup import winnowing_match_pairs
+
+    boiler = "common boilerplate header every document carries along"
+    secret = "zq wvx kjy plm unique stolen passage xo"
+    docs = [(i, boiler + f" body {i} " + ("x" * 30)) for i in range(8)]
+    docs += [(100, boiler + " " + secret), (101, secret + " " + boiler)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_match_pairs(df).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_match_pairs(df, max_df=3).collect()
+    }
+    assert (100, 101) in exact and (100, 101) in capped  # df-2 fps survive
+    assert capped < exact  # boilerplate-only pairs dropped
+    assert all(not (a < 100 and b < 100) for a, b in capped)
