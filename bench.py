@@ -195,6 +195,7 @@ HEADLINE = [
     "hybrid_rrf_search",
     "winnowing_match_pairs",
     "snm_blocking_pairs",
+    "ngram_novelty_scores",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

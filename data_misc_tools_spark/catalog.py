@@ -8007,6 +8007,42 @@ def snm_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snm_candidate_pairs(d, F.substring("text", 1, 24), window=4)
 
 
+
+
+@_q(
+    "ngram_novelty_scores",
+    """
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[g.i : g.i + 2], ' ') AS gram
+        FROM base JOIN generate_series(1, 2048) g(i) ON g.i <= len(ws) - 2
+    ),
+    census AS (SELECT gram, count(*)::BIGINT AS df_ FROM grams GROUP BY gram),
+    per_doc AS (
+        SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN c.df_ = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        FROM grams g JOIN census c USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           ((20000 * n_novel + n_grams) // (2 * n_grams)) / 10000.0 AS novelty
+    FROM per_doc
+    """,
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-3-gram novelty: the share of each document's
+    distinct 3-grams occurring in NO other document — the inverse
+    boilerplate signal a curation pass sorts on before deciding what
+    repeated_ngram_removal should delete. One distinct (doc, gram)
+    relation feeds census + rollup; integer counts, half-up 4dp
+    ratio. See operators/text.py:ngram_novelty_scores."""
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return T.ngram_novelty_scores(d, n=3)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8053,7 +8089,7 @@ GRADED_FIRST: list[str] = [
     "retrieval_eval_embeddings", "winnowing_match_pairs",
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
-    "text_quality", "text_language_id", "dictionary_tag_topics",
+    "text_quality", "ngram_novelty_scores", "dictionary_tag_topics",
     "chunk_documents", "ab_chi_square_purchase",
     "exact_stratified_split_langs", "pack_token_batches",
     "lpa_communities_neardup", "sessionize_events",

@@ -961,3 +961,61 @@ def dictionary_tag(
     return toks.join(F.broadcast(terms), "term").groupBy(id_col, "topic").agg(
         F.count("*").cast("long").alias("n_hits")
     )
+
+
+def ngram_novelty_scores(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a document's distinct
+    word n-grams that occur in NO other document — the inverse of the
+    boilerplate share, and the scoring companion to
+    ``dedup.repeated_ngram_removal`` (that one deletes repeated spans;
+    this one ranks documents by how much of them is corpus-unique, the
+    signal a curation pass sorts on before deciding what to delete).
+
+    Engine-exact: counts are integers and the ratio is half_up_ratio4.
+    Scale shape: one distinct (doc, gram) relation feeds both the gram
+    census (how many docs carry each gram — map-side combined) and the
+    per-doc rollup; the census joins back gram-keyed. Grams, not raw
+    words, because tiny shared vocabularies make word sets
+    near-identical across documents (the set_similarity_join note).
+
+    Output: (id_col, n_grams, n_novel, novelty) — novelty in [0, 1],
+    4dp; documents shorter than n words emit nothing.
+    """
+    from data_misc_tools_spark.operators.util import half_up_ratio4
+
+    grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("__w") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(__w) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(__w, i, {n})))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    census = grams.groupBy("gram").agg(F.count("*").cast("long").alias("df_"))
+    per_doc = (
+        grams.join(census, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df_") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col, "n_grams", "n_novel",
+        half_up_ratio4(F.col("n_novel"), F.col("n_grams")).alias("novelty"),
+    )

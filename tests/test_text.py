@@ -525,3 +525,38 @@ class TestScoreCutoffGuard:
         df = spark.range(100).selectExpr("(id % 10) * 1.0 AS s")
         # 75th percentile of 0..9 uniform: smallest s with cum*4 >= 3*n
         assert T.score_cutoff(df, "s", max_distinct=50) == 7.0
+
+
+class TestNgramNovelty:
+    def test_counts_and_ratio(self, spark):
+        from data_misc_tools_spark.operators.text import ngram_novelty_scores
+
+        docs = [
+            (0, "a b c d e"),
+            (1, "a b c x y"),
+            (2, "p q r s t"),
+            (3, "a b"),  # shorter than n -> no row
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+            for r in ngram_novelty_scores(df, n=3).collect()
+        }
+
+        def h4(a, b):
+            return (20000 * a + b) // (2 * b) / 10000.0
+
+        assert got == {
+            0: (3, 2, h4(2, 3)),  # "a b c" shared with doc 1
+            1: (3, 2, h4(2, 3)),
+            2: (3, 3, 1.0),       # fully novel
+        }
+        assert 3 not in got
+
+    def test_exact_duplicates_score_zero(self, spark):
+        from data_misc_tools_spark.operators.text import ngram_novelty_scores
+
+        docs = [(0, "x y z w v u"), (1, "x y z w v u")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.novelty for r in ngram_novelty_scores(df, n=3).collect()}
+        assert got == {0: 0.0, 1: 0.0}

@@ -158,6 +158,8 @@ STRESS = {
     # n*(window-1) candidate budget by construction; the global rank
     # is one range exchange + bounded-metadata offsets.
     "snm_blocking_pairs": "linearithmic",
+    # one gram-keyed census join over the distinct (doc, gram) set.
+    "ngram_novelty_scores": "linear",
 }
 
 
