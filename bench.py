@@ -196,6 +196,7 @@ HEADLINE = [
     "winnowing_match_pairs",
     "snm_blocking_pairs",
     "ngram_novelty_scores",
+    "fd_profile_orders",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -8043,6 +8043,69 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.ngram_novelty_scores(d, n=3)
 
 
+
+
+@_q(
+    "fd_profile_orders",
+    """
+        SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+               count(*)::BIGINT AS n_groups,
+               sum((d > 1)::INT)::BIGINT AS n_violating_groups,
+               sum(CASE WHEN d > 1 THEN n ELSE 0 END)::BIGINT AS n_violating_rows,
+               max(d)::BIGINT AS max_distinct_rhs
+        FROM (SELECT o_orderkey, count(DISTINCT o_custkey)::BIGINT AS d,
+                     count(*)::BIGINT AS n
+              FROM orders GROUP BY o_orderkey) UNION ALL 
+        SELECT 'o_custkey' AS lhs, 'o_orderpriority' AS rhs,
+               count(*)::BIGINT AS n_groups,
+               sum((d > 1)::INT)::BIGINT AS n_violating_groups,
+               sum(CASE WHEN d > 1 THEN n ELSE 0 END)::BIGINT AS n_violating_rows,
+               max(d)::BIGINT AS max_distinct_rhs
+        FROM (SELECT o_custkey, count(DISTINCT o_orderpriority)::BIGINT AS d,
+                     count(*)::BIGINT AS n
+              FROM orders GROUP BY o_custkey) UNION ALL 
+        SELECT 'l_orderkey,l_linenumber' AS lhs, 'l_partkey' AS rhs,
+               count(*)::BIGINT AS n_groups,
+               sum((d > 1)::INT)::BIGINT AS n_violating_groups,
+               sum(CASE WHEN d > 1 THEN n ELSE 0 END)::BIGINT AS n_violating_rows,
+               max(d)::BIGINT AS max_distinct_rhs
+        FROM (SELECT l_orderkey, l_linenumber, count(DISTINCT l_partkey)::BIGINT AS d,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY l_orderkey, l_linenumber) UNION ALL 
+        SELECT 'l_orderkey' AS lhs, 'l_returnflag' AS rhs,
+               count(*)::BIGINT AS n_groups,
+               sum((d > 1)::INT)::BIGINT AS n_violating_groups,
+               sum(CASE WHEN d > 1 THEN n ELSE 0 END)::BIGINT AS n_violating_rows,
+               max(d)::BIGINT AS max_distinct_rhs
+        FROM (SELECT l_orderkey, count(DISTINCT l_returnflag)::BIGINT AS d,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY l_orderkey)
+    """,
+)
+def fd_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profile over orders/lineitem: is
+    o_orderkey really a key for o_custkey (yes), does a customer
+    determine order priority (no), is (l_orderkey, l_linenumber) a
+    line key for l_partkey (NO in this synthetic data — the generator
+    reuses line numbers, exactly the kind of broken-key surprise this
+    report exists to catch), does an order determine returnflag (no).
+    One LHS-keyed aggregate per dependency, exact integer counts +
+    repair cost (rows inside violating groups). See
+    operators/profile.py:fd_violation_report."""
+    from data_misc_tools_spark.operators.profile import fd_violation_report
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = fd_violation_report(t["orders"], [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+    ])
+    li = fd_violation_report(t["lineitem"], [
+        (["l_orderkey", "l_linenumber"], "l_partkey"),
+        ("l_orderkey", "l_returnflag"),
+    ])
+    return o.unionByName(li)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8090,7 +8153,7 @@ GRADED_FIRST: list[str] = [
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
     "text_quality", "ngram_novelty_scores", "dictionary_tag_topics",
-    "chunk_documents", "ab_chi_square_purchase",
+    "fd_profile_orders", "ab_chi_square_purchase",
     "exact_stratified_split_langs", "pack_token_batches",
     "lpa_communities_neardup", "sessionize_events",
 ]

@@ -774,3 +774,54 @@ def welch_ttest(
         END AS df_welch
         """,
     )
+
+
+def fd_violation_report(
+    df: DataFrame,
+    deps: list,
+) -> DataFrame:
+    """Functional-dependency profiling (the Metanome-family check):
+    for each candidate dependency ``LHS -> rhs``, does every LHS group
+    determine exactly one rhs value? The workhorse of schema
+    discovery, key validation, and denormalization audits — "is
+    o_orderkey really a key", "does customer determine nation" — and
+    the report a data-contract gate reads before trusting a join key.
+
+    ``deps`` is a list of (lhs_cols: list[str] | str, rhs_col: str).
+    For each dependency ONE hash aggregate computes per-LHS-group
+    distinct-rhs counts (map-side combined — the shuffle is LHS-keyed
+    groups, never rows), then one tiny rollup: group counts, how many
+    groups VIOLATE (>1 distinct rhs), how many rows sit inside
+    violating groups (the repair cost), and the worst group's distinct
+    count. Dependencies are unioned into one report frame; all counts
+    exact BIGINTs.
+
+    Output: (lhs, rhs, n_groups, n_violating_groups, n_violating_rows,
+    max_distinct_rhs) — a dependency HOLDS iff n_violating_groups = 0.
+    """
+    if not deps:
+        raise ValueError("deps must name at least one candidate dependency")
+    out = None
+    for lhs, rhs in deps:
+        lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+        g = (
+            df.groupBy(*lhs_cols)
+            .agg(
+                F.countDistinct(rhs).cast("long").alias("__d"),
+                F.count("*").cast("long").alias("__n"),
+            )
+            .agg(
+                F.lit(",".join(lhs_cols)).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("__d") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_groups"),
+                F.sum(F.when(F.col("__d") > 1, F.col("__n")).otherwise(0))
+                .cast("long")
+                .alias("n_violating_rows"),
+                F.max("__d").cast("long").alias("max_distinct_rhs"),
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

@@ -513,3 +513,10 @@ def test_snm_global_rank_never_single_reducer_windows(spark, sf_dir):
     plan = _plan(spark, "snm_blocking_pairs", sf_dir)
     assert "rangepartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fd_profile_is_per_dependency_aggregates_only(spark, sf_dir):
+    """Each dependency is one LHS-keyed aggregate + one rollup: no
+    join anywhere, no window, no cartesian."""
+    plan = _plan(spark, "fd_profile_orders", sf_dir)
+    assert "Join" not in plan and "Window" not in plan

@@ -453,3 +453,36 @@ class TestWelchTTest:
         assert r.mean_a > r.mean_b and r.t_stat > 0
         # huge separation vs within-group spread: clearly significant
         assert r.t_stat > 10
+
+
+class TestFDViolationReport:
+    def test_holding_and_violated_dependencies(self, spark):
+        from data_misc_tools_spark.operators.profile import fd_violation_report
+
+        rows = [
+            (1, "a", "x"), (1, "a", "y"),   # 1 -> col2 holds; 1 -> col3 breaks
+            (2, "b", "z"), (2, "b", "z"),
+            (3, "c", "w"),
+        ]
+        df = spark.createDataFrame(rows, "k long, v string, s string")
+        rep = {
+            (r.lhs, r.rhs): (
+                r.n_groups, r.n_violating_groups,
+                r.n_violating_rows, r.max_distinct_rhs,
+            )
+            for r in fd_violation_report(
+                df, [("k", "v"), ("k", "s"), (["k", "v"], "s")]
+            ).collect()
+        }
+        assert rep[("k", "v")] == (3, 0, 0, 1)            # holds
+        assert rep[("k", "s")] == (3, 1, 2, 2)            # group 1 breaks
+        assert rep[("k,v", "s")] == (3, 1, 2, 2)          # compound LHS
+
+    def test_empty_deps_raise(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import fd_violation_report
+
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with _pytest.raises(ValueError):
+            fd_violation_report(df, [])

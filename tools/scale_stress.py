@@ -160,6 +160,8 @@ STRESS = {
     "snm_blocking_pairs": "linearithmic",
     # one gram-keyed census join over the distinct (doc, gram) set.
     "ngram_novelty_scores": "linear",
+    # one LHS-keyed aggregate per dependency, map-side combined.
+    "fd_profile_orders": "linear",
 }
 
 
