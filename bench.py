@@ -197,6 +197,7 @@ HEADLINE = [
     "snm_blocking_pairs",
     "ngram_novelty_scores",
     "fd_profile_orders",
+    "pareto_docs_skyline",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -8106,6 +8106,55 @@ def fd_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unionByName(li)
 
 
+
+
+@_q(
+    "pareto_docs_skyline",
+    """
+    WITH m AS (
+        SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+               ((20000 * len(list_distinct(ws)) + len(ws))
+                 // (2 * len(ws)))::BIGINT AS distinct_e4
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS ws
+              FROM documents)
+        WHERE len(ws) > 0
+    )
+    SELECT a.doc_id, a.n_tokens, a.distinct_e4
+    FROM m a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m b
+        WHERE b.n_tokens >= a.n_tokens AND b.distinct_e4 >= a.distinct_e4
+          AND (b.n_tokens > a.n_tokens OR b.distinct_e4 > a.distinct_e4)
+    )
+    """,
+)
+def pareto_docs_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline operator (Borzsonyi et al. 2001) over the documents
+    length-vs-diversity trade-off: the Pareto frontier of (n_tokens,
+    half-up e4 distinct-token ratio) — long documents repeat more, so
+    neither objective alone finds these rows; the skyline keeps every
+    best trade-off. Spark side grid-prunes cells wholly dominated by a
+    nonempty better cell before the exact broadcast theta-check among
+    survivors (pruning is answer-preserving by dominance transitivity
+    — the oracle is the plain quadratic NOT EXISTS). See
+    operators/etl.py:pareto_skyline."""
+    from data_misc_tools_spark.operators.etl import pareto_skyline
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    m = d.select(
+        "doc_id", T.tokens("text").alias("__w")
+    ).select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.expr(
+            "(20000 * size(array_distinct(__w)) + size(__w))"
+            " div (2 * size(__w))"
+        ).cast("long").alias("distinct_e4"),
+    ).where(F.col("n_tokens") > 0)
+    return pareto_skyline(m, ["n_tokens", "distinct_e4"], id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8153,7 +8202,7 @@ GRADED_FIRST: list[str] = [
     # round-5 new operators take the two embedding re-pin slots
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
     "text_quality", "ngram_novelty_scores", "dictionary_tag_topics",
-    "fd_profile_orders", "ab_chi_square_purchase",
+    "fd_profile_orders", "pareto_docs_skyline",
     "exact_stratified_split_langs", "pack_token_batches",
     "lpa_communities_neardup", "sessionize_events",
 ]

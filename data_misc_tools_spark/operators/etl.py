@@ -314,3 +314,88 @@ def global_rank(
         .withColumn(out_col, F.col("__r") + F.col("__off"))
         .drop("__pid", "__r", "__off")
     )
+
+
+def pareto_skyline(
+    df: DataFrame,
+    dims: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    max_candidates: int = 100_000,
+) -> DataFrame:
+    """EXACT Pareto skyline (Börzsönyi et al. 2001 "The Skyline
+    Operator"): rows not dominated by any other row — dominator means
+    >= in EVERY ``dims`` column and > in at least one (all dims
+    maximized; negate a column to minimize it). The multi-objective
+    "best trade-offs" selector: top-k by one score keeps near-copies
+    of one extreme, the skyline keeps the whole frontier.
+
+    Scale shape — grid pruning before the quadratic step: each dim is
+    width-bucketed over its min/max (ONE min/max aggregate, driver-
+    bounded), cells counted, and a cell wholly dominated by any
+    nonempty cell one-or-more buckets above it in EVERY dim is
+    discarded with all its points (a bucket-(c+1) value is provably >
+    any bucket-c value). Pruning NEVER changes the answer — dominance
+    is transitive, so every pruned point is dominated by a SURVIVING
+    point, and the exact pairwise check runs only among survivors.
+    The cell-dominance join touches <= n_buckets^len(dims) rows; the
+    final check is one broadcast theta-join over the survivors, whose
+    count is asserted <= ``max_candidates`` (raise, never a silent n²
+    — the cosine_neardup_pairs guard idiom; raise ``n_buckets`` or
+    pre-filter when it fires). Uniform buckets prune less on skewed
+    dims, but only cost — not correctness — suffers.
+
+    Output: (id_col, *dims) — the skyline rows, exact.
+    """
+    if not dims:
+        raise ValueError("dims must name at least one column to maximize")
+    pts = df.select(F.col(id_col), *[F.col(d).cast("long") for d in dims])
+    stats = pts.agg(
+        *[F.min(d).alias(f"__lo_{d}") for d in dims],
+        *[F.max(d).alias(f"__hi_{d}") for d in dims],
+    ).head()
+    cellc = []
+    for d in dims:
+        lo, hi = stats[f"__lo_{d}"], stats[f"__hi_{d}"]
+        if lo is None:
+            raise ValueError(f"dim {d} is all-null")
+        if hi == lo:
+            cellc.append(F.lit(1).alias(f"__c_{d}"))
+        else:
+            cellc.append(
+                F.width_bucket(F.col(d), F.lit(lo), F.lit(hi + 1), n_buckets)
+                .alias(f"__c_{d}")
+            )
+    coded = pts.select(id_col, *dims, *cellc)
+    cells = coded.groupBy(*[f"__c_{d}" for d in dims]).count().drop("count")
+    ca = cells.select(*[F.col(f"__c_{d}").alias(f"__a_{d}") for d in dims])
+    cb = cells.select(*[F.col(f"__c_{d}").alias(f"__b_{d}") for d in dims])
+    dom_cond = None
+    for d in dims:
+        c = F.col(f"__b_{d}") >= F.col(f"__a_{d}") + 1
+        dom_cond = c if dom_cond is None else (dom_cond & c)
+    dominated_cells = (
+        ca.join(F.broadcast(cb), dom_cond, "left_semi")
+        .select(*[F.col(f"__a_{d}").alias(f"__c_{d}") for d in dims])
+    )
+    survivors = coded.join(
+        F.broadcast(dominated_cells), [f"__c_{d}" for d in dims], "left_anti"
+    ).select(id_col, *dims)
+    n_cand = survivors.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"pareto_skyline: {n_cand} candidates survive grid pruning "
+            f"(> {max_candidates}); raise n_buckets or pre-filter"
+        )
+    a = survivors
+    b = survivors.select(
+        *[F.col(c).alias(f"__o_{c}") for c in survivors.columns]
+    )
+    geq = None
+    strict = None
+    for d in dims:
+        ge = F.col(f"__o_{d}") >= F.col(d)
+        gt = F.col(f"__o_{d}") > F.col(d)
+        geq = ge if geq is None else (geq & ge)
+        strict = gt if strict is None else (strict | gt)
+    return a.join(F.broadcast(b), geq & strict, "left_anti")

@@ -293,3 +293,64 @@ class TestGlobalRank:
             ).collect()
         }
         assert a == b
+
+
+class TestParetoSkyline:
+    def test_equals_brute_force_3d(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.etl import pareto_skyline
+
+        random.seed(6)
+        rows = [
+            (i, random.randint(0, 1000), random.randint(0, 1000),
+             random.randint(0, 1000))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, x long, y long, z long"
+        ).repartition(5)
+        got = {r.doc_id for r in pareto_skyline(df, ["x", "y", "z"]).collect()}
+
+        def dominated(p, q):
+            return all(qa >= pa for qa, pa in zip(q[1:], p[1:])) and any(
+                qa > pa for qa, pa in zip(q[1:], p[1:])
+            )
+
+        ref = {
+            p[0]
+            for p in rows
+            if not any(dominated(p, q) for q in rows if q is not p)
+        }
+        assert got == ref
+
+    def test_tied_points_survive_together(self, spark):
+        from data_misc_tools_spark.operators.etl import pareto_skyline
+
+        dup = spark.createDataFrame(
+            [(0, 5, 5), (1, 5, 5), (2, 1, 9), (3, 9, 1), (4, 1, 1)],
+            "doc_id long, x long, y long",
+        )
+        got = {r.doc_id for r in pareto_skyline(dup, ["x", "y"]).collect()}
+        # equal points don't dominate each other; (1,1) is dominated
+        assert got == {0, 1, 2, 3}
+
+    def test_candidate_guard_raises(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.etl import pareto_skyline
+
+        # anti-chain: x + y constant -> nothing dominates anything,
+        # pruning removes nothing, guard must fire
+        rows = [(i, i, 100 - i) for i in range(101)]
+        df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+        with _pytest.raises(ValueError, match="candidates"):
+            pareto_skyline(df, ["x", "y"], max_candidates=50)
+
+    def test_constant_dim_is_harmless(self, spark):
+        from data_misc_tools_spark.operators.etl import pareto_skyline
+
+        rows = [(0, 7, 1), (1, 7, 2), (2, 7, 2)]
+        df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+        got = {r.doc_id for r in pareto_skyline(df, ["x", "y"]).collect()}
+        assert got == {1, 2}

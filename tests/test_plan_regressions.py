@@ -520,3 +520,12 @@ def test_fd_profile_is_per_dependency_aggregates_only(spark, sf_dir):
     join anywhere, no window, no cartesian."""
     plan = _plan(spark, "fd_profile_orders", sf_dir)
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_skyline_theta_join_is_broadcast_over_survivors(spark, sf_dir):
+    """The quadratic dominance check must run only among grid-pruned
+    survivors and as a BROADCAST nested loop (the survivor set is
+    guard-bounded) — no shuffle-side cartesian."""
+    plan = _plan(spark, "pareto_docs_skyline", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

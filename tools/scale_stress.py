@@ -162,6 +162,9 @@ STRESS = {
     "ngram_novelty_scores": "linear",
     # one LHS-keyed aggregate per dependency, map-side combined.
     "fd_profile_orders": "linear",
+    # grid prune is one min/max agg + a cells-sized join; the exact
+    # check is guard-bounded survivors only.
+    "pareto_docs_skyline": "linear",
 }
 
 
