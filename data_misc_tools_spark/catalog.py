@@ -8204,7 +8204,9 @@ GRADED_FIRST: list[str] = [
     "text_quality", "ngram_novelty_scores", "dictionary_tag_topics",
     "fd_profile_orders", "pareto_docs_skyline",
     "exact_stratified_split_langs", "pack_token_batches",
-    "lpa_communities_neardup", "sessionize_events",
+    # ab_chi_square is a round-5 op with NO prior driver row — it keeps
+    # its slot; sessionize_events (graded r1+r2) yields the re-pin.
+    "lpa_communities_neardup", "ab_chi_square_purchase",
 ]
 
 
