@@ -8155,6 +8155,105 @@ def pareto_docs_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_skyline(m, ["n_tokens", "distinct_e4"], id_col="doc_id")
 
 
+@_q(
+    "mannwhitney_u_value",
+    """
+    WITH g AS (
+        SELECT round(value * 100)::BIGINT AS v,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS cb,
+               count(*)::BIGINT AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    cg AS (
+        SELECT ca, cb, c,
+               (sum(c) OVER (ORDER BY v))::BIGINT - c AS s
+        FROM g
+    ),
+    a AS (
+        SELECT sum(ca)::HUGEINT AS na, sum(cb)::HUGEINT AS nb,
+               sum(ca::HUGEINT * (2 * s + c + 1))::HUGEINT AS r2a,
+               sum(c::HUGEINT * c * c - c)::HUGEINT AS t
+        FROM cg
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           (r2a - na * (na + 1))::DOUBLE / 2 AS u_a,
+           CASE WHEN na = 0 OR nb = 0
+                  OR (na + nb + 1) * (na + nb) * (na + nb - 1) - t = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE ((r2a - na * (na + 1) - na * nb)::DOUBLE / 2)
+                     / sqrt((na * nb * ((na + nb + 1) * (na + nb)
+                                        * (na + nb - 1) - t))::DOUBLE
+                            / (12 * (na + nb) * (na + nb - 1))::DOUBLE)
+           END AS z_stat
+    FROM a
+    """,
+)
+def mannwhitney_u_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on purchase value between the
+    user-parity A/B variants — the distribution-free third leg next to
+    welch_ttest_value (means) and ab_chi_square_purchase (rates),
+    robust to the heavy tails a means test can't survive. BIT-exact
+    unrounded: tied ranks double exactly in cents (2*avgrank = 2s+c+1
+    integers), sufficient statistics in decimal(38,0)/HUGEINT, pinned
+    IEEE closed form for U and the tie-corrected z. Prefix counts ride
+    operators/etl.py:global_cumsum (range-partitioned, never a
+    single-reducer window). See operators/profile.py:mannwhitney_u."""
+    from data_misc_tools_spark.operators.profile import mannwhitney_u
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return mannwhitney_u(
+        e.filter(F.col("event_type") == "purchase"),
+        F.col("user_id") % 2 == 0,
+        "value",
+    )
+
+
+@_q(
+    "ks_purchase_click_value",
+    """
+    WITH g AS (
+        SELECT round(value * 100)::BIGINT AS v,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+    ),
+    c AS (
+        SELECT v,
+               (sum(ca) OVER (ORDER BY v))::BIGINT AS cua,
+               (sum(cb) OVER (ORDER BY v))::BIGINT AS cub
+        FROM g
+    ),
+    n AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM g),
+    d AS (
+        SELECT v, na, nb, abs(cua * nb - cub * na)::BIGINT AS dn
+        FROM c, n
+    )
+    SELECT na AS n_a, nb AS n_b, dn AS d_num,
+           dn::DOUBLE / (na * nb)::DOUBLE AS d_stat,
+           v::DOUBLE / 100 AS at_value
+    FROM d ORDER BY dn DESC, v LIMIT 1
+    """,
+)
+def ks_purchase_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    click value distributions — the whole-distribution drift gate (did
+    this feature shift between variants/versions), where welch/U test
+    only location. BIT-exact: D's numerator is the exact-integer
+    cross-multiplied max |cum_a*n_b - cum_b*n_a| over pooled distinct
+    cent-values, D one IEEE division; argmax value deterministic by
+    (diff DESC, value ASC) via TakeOrdered. See
+    operators/profile.py:ks_2sample."""
+    from data_misc_tools_spark.operators.profile import ks_2sample
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return ks_2sample(
+        e.filter(F.col("event_type").isin("purchase", "click")),
+        F.col("event_type") == "purchase",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8187,8 +8286,10 @@ GRADED_FIRST: list[str] = [
     "distinct_users_daily_approx", "event_value_quantiles_approx",
     "pca_project_demo", "bpe_segment_demo", "pagerank_neardup_graph",
     "embedding_pq_topk",
-    # --- 28 re-pins: r1-r3 veterans across every family ---
-    "q1_pricing_summary", "q3_shipping_priority",
+    # --- re-pins: r1-r3 veterans across every family; round-5
+    # session-3 rank statistics take the q1/q3 relational re-pin slots
+    # (both graded r1+r2, still under the strict local gate) ---
+    "mannwhitney_u_value", "ks_purchase_click_value",
     "ql_dirichlet_search", "hybrid_rrf_search",
     "rendezvous_shard_assign",
     # round-5 session-2 new operators take three relational re-pin

@@ -316,6 +316,67 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_by: list,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Distributed INCLUSIVE prefix sums over a total order — the
+    running-total twin of :func:`global_rank`, replacing the
+    single-reducer ``SUM(x) OVER (ORDER BY ...)`` window (an
+    unpartitioned window funnels every row through one task).
+
+    Recipe: range-partition on the order keys, window-cumsum within
+    each partition, then add per-partition grand totals collected to
+    the driver — one row per partition (bounded metadata, the
+    codebook-collect class) — as broadcast exclusive offsets. Like
+    global_rank, ``order_by`` must be a TOTAL order (unique keys, or a
+    tiebreaker last), or equal keys straddling a range boundary would
+    accumulate nondeterministically.
+
+    Output: input columns + ``<prefix><col>`` (inclusive prefix sum,
+    long) for each ``sum_cols`` entry.
+    """
+    from pyspark.sql.window import Window
+
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    pid = parts.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pid
+    for c in sum_cols:
+        cum = cum.withColumn(
+            prefix + c, F.sum(F.col(c).cast("long")).over(w)
+        )
+    totals = sorted(
+        (r["__pid"], *[r["__t_" + c] for c in sum_cols])
+        for r in cum.groupBy("__pid")
+        .agg(*[F.sum(F.col(c).cast("long")).alias("__t_" + c) for c in sum_cols])
+        .collect()
+    )
+    offs, acc = [], [0] * len(sum_cols)
+    for row in totals:
+        offs.append((row[0], *acc))
+        acc = [a + (t or 0) for a, t in zip(acc, row[1:])]
+    schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
+    off_df = df.sparkSession.createDataFrame(offs, schema)
+    out = cum.join(F.broadcast(off_df), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            prefix + c, F.col(prefix + c) + F.col("__off_" + c)
+        ).drop("__off_" + c)
+    return out.drop("__pid")
+
+
 def pareto_skyline(
     df: DataFrame,
     dims: list[str],

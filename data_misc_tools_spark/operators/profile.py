@@ -776,6 +776,149 @@ def welch_ttest(
     )
 
 
+def _rank_groups(
+    df: DataFrame,
+    variant: Column,
+    value_col: str,
+    scale: int,
+) -> DataFrame:
+    """Shared per-distinct-value frame for the rank statistics: group
+    the fixed-point metric into distinct values with per-variant
+    counts, then attach distributed inclusive prefix counts over the
+    value order via :func:`etl.global_cumsum` (never a single-reducer
+    global window). Distinct fixed-point values bound the frame —
+    cents of a bounded metric, the quantile-histogram class — so the
+    cumsum's per-partition offset collect stays bounded metadata.
+
+    Output: one row per distinct value v with (ca, cb, c, cum_ca,
+    cum_cb, cum_c) — counts long, prefixes inclusive.
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    x = df.select(
+        variant.cast("boolean").alias("__v"),
+        F.round(F.col(value_col) * F.lit(scale)).cast("long").alias("v"),
+    )
+    g = x.groupBy("v").agg(
+        F.sum(F.when(F.col("__v"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("__v"), 1).otherwise(0)).cast("long").alias("cb"),
+        F.count("*").cast("long").alias("c"),
+    )
+    return global_cumsum(g, [F.col("v")], ["ca", "cb", "c"])
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    variant: Column,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test — the distribution-free companion
+    to :func:`welch_ttest`: "does variant A stochastically dominate
+    B", robust to the heavy tails and outliers that wreck a means
+    test. U_A counts pairs (a, b) with a > b (ties half); the
+    tie-corrected normal approximation z = (U − n_a·n_b/2) / sqrt(Var)
+    with Var = n_a·n_b·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)) is
+    emitted beside it (|z| ≥ ~1.96 rejects at p < 0.05).
+
+    Engine-exact the pearson_exact way: ``value·scale`` is an exact
+    integer per row, so tied-rank arithmetic doubles exactly —
+    2·avgrank of a tie group = 2·(count before) + (group size) + 1 —
+    and every sufficient statistic (n_a, n_b, 2·R_A = Σ ca·(2s+c+1),
+    tie term T = Σ c³−c) accumulates exactly in decimal(38,0)
+    (HUGEINT twin). The closed form is then a pinned-parenthesization
+    chain of IEEE doubles over those exact integers — U and z match
+    any engine bit-for-bit UNROUNDED. Degenerate inputs (an empty
+    variant, or every value tied) yield NULL z via integer guards.
+
+    Scale: one groupBy on the fixed-point value (map-side combined),
+    one range-partitioned prefix sum over the distinct-value frame,
+    one single-row aggregate. No global window, no collect beyond the
+    cumsum's per-partition offsets.
+
+    Output: one row (n_a, n_b, u_a, z_stat); u_a in half-unit-exact
+    doubles (ties make U half-integral).
+    """
+    dec = "decimal(38,0)"
+    cg = _rank_groups(df, variant, value_col, scale)
+    # s = exclusive prefix of the pooled count; 2*avgrank = 2s + c + 1.
+    agg = cg.selectExpr(
+        "ca", "cb", "c", "cum_c - c AS s"
+    ).agg(
+        F.sum("ca").cast(dec).alias("na"),
+        F.sum("cb").cast(dec).alias("nb"),
+        F.sum(
+            (F.col("ca") * (2 * F.col("s") + F.col("c") + 1)).cast(dec)
+        ).alias("r2a"),
+        F.sum(
+            (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast(dec)
+        ).alias("t"),
+    )
+    guard = (
+        "na = 0 OR nb = 0"
+        " OR (na + nb + 1) * (na + nb) * (na + nb - 1) - t = 0"
+    )
+    return agg.selectExpr(
+        "CAST(na AS LONG) AS n_a",
+        "CAST(nb AS LONG) AS n_b",
+        "CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_a",
+        f"""
+        CASE WHEN {guard} THEN CAST(NULL AS DOUBLE)
+             ELSE (CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) / 2)
+                  / sqrt(CAST(na * nb *
+                              ((na + nb + 1) * (na + nb) * (na + nb - 1) - t)
+                              AS DOUBLE)
+                         / CAST(12 * (na + nb) * (na + nb - 1) AS DOUBLE))
+        END AS z_stat
+        """,
+    )
+
+
+def ks_2sample(
+    df: DataFrame,
+    variant: Column,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance — the whole-distribution
+    drift test next to :func:`mannwhitney_u`'s location test:
+    D = sup_x |F_A(x) − F_B(x)|, the classic gate for "did this
+    feature's distribution shift between dataset versions". Both
+    ECDFs are step functions jumping only at pooled sample points, so
+    the sup is attained at a distinct value of the pooled sample.
+
+    Engine-exact by integer cross-multiplication (the split-boundary
+    idiom): at each distinct value, |cum_a·n_b − cum_b·n_a| is an
+    exact integer, its max an exact integer, and D is ONE IEEE
+    division of exact integers — bit-exact unrounded in any engine.
+    The argmax value is made deterministic by (diff DESC, value ASC).
+
+    Scale: groupBy on the fixed-point value, range-partitioned prefix
+    sums, then top-1 by the integer diff (TakeOrdered — never a
+    global sort).
+
+    Output: one row (n_a, n_b, d_num, d_stat, at_value): d_stat =
+    d_num / (n_a·n_b), at_value the smallest value attaining it.
+    """
+    cg = _rank_groups(df, variant, value_col, scale)
+    tot = cg.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    d = cg.crossJoin(F.broadcast(tot)).selectExpr(
+        "v", "na", "nb",
+        "abs(cum_ca * nb - cum_cb * na) AS dn",
+    )
+    top = d.orderBy(F.desc("dn"), F.asc("v")).limit(1)
+    return top.selectExpr(
+        "na AS n_a",
+        "nb AS n_b",
+        "dn AS d_num",
+        "CAST(dn AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d_stat",
+        f"CAST(v AS DOUBLE) / {scale} AS at_value",
+    )
+
+
 def fd_violation_report(
     df: DataFrame,
     deps: list,

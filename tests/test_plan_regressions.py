@@ -529,3 +529,25 @@ def test_skyline_theta_join_is_broadcast_over_survivors(spark, sf_dir):
     plan = _plan(spark, "pareto_docs_skyline", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mannwhitney_cumsum_is_range_partitioned(spark, sf_dir):
+    """The rank prefix sums must ride global_cumsum's range-partitioned
+    windows — a rangepartitioning exchange and NO empty-partition-spec
+    single-reducer window; the final statistic is one tiny aggregate,
+    no join beyond the broadcast offset table."""
+    plan = _plan(spark, "mannwhitney_u_value", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the offset attach
+
+
+def test_ks_top1_is_take_ordered(spark, sf_dir):
+    """The argmax distinct value must be TakeOrderedAndProject (top-1
+    by integer diff), never a global sort; totals attach as a
+    broadcast single row."""
+    plan = _plan(spark, "ks_purchase_click_value", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan

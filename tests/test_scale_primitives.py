@@ -486,3 +486,167 @@ class TestFDViolationReport:
         df = spark.createDataFrame([(1, 2)], "a long, b long")
         with _pytest.raises(ValueError):
             fd_violation_report(df, [])
+
+
+class TestGlobalCumsum:
+    def test_matches_python_prefix_sums(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.etl import global_cumsum
+
+        random.seed(11)
+        rows = [(k, random.randint(0, 9), random.randint(0, 5))
+                for k in random.sample(range(10_000), 500)]
+        df = spark.createDataFrame(rows, "k long, a long, b long")
+        got = {
+            r.k: (r.cum_a, r.cum_b)
+            for r in global_cumsum(
+                df, [F.col("k")], ["a", "b"], num_partitions=7
+            ).collect()
+        }
+        ca = cb = 0
+        for k, a, b in sorted(rows):
+            ca += a
+            cb += b
+            assert got[k] == (ca, cb)
+
+    def test_partition_count_invariance(self, spark):
+        from data_misc_tools_spark.operators.etl import global_cumsum
+
+        rows = [(i, 1) for i in range(100)]
+        df = spark.createDataFrame(rows, "k long, c long")
+        for nparts in (1, 3, 16):
+            out = {
+                r.k: r.cum_c
+                for r in global_cumsum(
+                    df, [F.col("k")], ["c"], num_partitions=nparts
+                ).collect()
+            }
+            assert out == {i: i + 1 for i in range(100)}
+
+
+class TestMannWhitneyU:
+    def _reference(self, rows):
+        """Pinned IEEE reference over python bigints: same closed form,
+        same parenthesization as the operator and its DuckDB twin."""
+        import math
+
+        a = sorted(round(v * 100) for i, v in rows if i % 2 == 0)
+        b = sorted(round(v * 100) for i, v in rows if i % 2 != 0)
+        na, nb = len(a), len(b)
+        # brute-force U_A: pairs a > b count 1, ties count 1/2
+        u2 = sum(
+            2 if x > y else (1 if x == y else 0) for x in a for y in b
+        )  # 2*U_A
+        from collections import Counter
+
+        t = sum(c * c * c - c for c in Counter(a + b).values())
+        n = na + nb
+        varnum = na * nb * ((n + 1) * n * (n - 1) - t)
+        varden = 12 * n * (n - 1)
+        z = (float(u2 - na * nb) / 2) / math.sqrt(
+            float(varnum) / float(varden)
+        )
+        return na, nb, float(u2) / 2, z
+
+    def test_matches_bigint_reference_with_ties(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import mannwhitney_u
+
+        random.seed(7)
+        # values from a small grid -> lots of ties, exercising the
+        # tie-corrected variance and half-integer U
+        rows = [(i, random.choice([1.25, 2.5, 2.5, 3.75, 9.99]))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "user_id long, value double")
+        r = mannwhitney_u(df, F.col("user_id") % 2 == 0, "value").head()
+        na, nb, ua, z = self._reference(rows)
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.u_a == ua          # BIT-exact, half-integer ties
+        assert r.z_stat == z        # pinned IEEE chain, no tolerance
+
+    def test_continuous_values_no_ties(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import mannwhitney_u
+
+        random.seed(13)
+        rows = [(i, round(random.uniform(1, 500), 2)) for i in range(250)]
+        df = spark.createDataFrame(rows, "user_id long, value double")
+        r = mannwhitney_u(df, F.col("user_id") % 2 == 0, "value").head()
+        na, nb, ua, z = self._reference(rows)
+        assert r.u_a == ua and r.z_stat == z
+
+    def test_shifted_distribution_is_significant(self, spark):
+        from data_misc_tools_spark.operators.profile import mannwhitney_u
+
+        rows = [(2 * i, 10.0 + (i % 7)) for i in range(100)]
+        rows += [(2 * i + 1, 1.0 + (i % 7)) for i in range(100)]
+        df = spark.createDataFrame(rows, "user_id long, value double")
+        r = mannwhitney_u(df, F.col("user_id") % 2 == 0, "value").head()
+        assert r.u_a > 100 * 100 * 0.9  # A nearly always wins
+        assert r.z_stat > 10
+
+    def test_null_z_when_all_tied_or_one_sided(self, spark):
+        from data_misc_tools_spark.operators.profile import mannwhitney_u
+
+        tied = spark.createDataFrame(
+            [(i, 5.0) for i in range(10)], "user_id long, value double"
+        )
+        r = mannwhitney_u(tied, F.col("user_id") % 2 == 0, "value").head()
+        assert r.z_stat is None and r.u_a == 5 * 5 / 2  # all half-ties
+
+        onesided = spark.createDataFrame(
+            [(0, 1.0), (2, 2.0)], "user_id long, value double"
+        )
+        r = mannwhitney_u(onesided, F.col("user_id") % 2 == 0, "value").head()
+        assert r.n_b == 0 and r.z_stat is None
+
+
+class TestKS2Sample:
+    def _reference(self, rows):
+        a = sorted(round(v * 100) for g, v in rows if g)
+        b = sorted(round(v * 100) for g, v in rows if not g)
+        na, nb = len(a), len(b)
+        pooled = sorted(set(a) | set(b))
+        best = (-1, None)
+        for v in pooled:
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            dn = abs(ca * nb - cb * na)
+            if dn > best[0]:
+                best = (dn, v)
+        return na, nb, best[0], best[1]
+
+    def test_matches_bruteforce_ecdf_max(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import ks_2sample
+
+        random.seed(3)
+        rows = [(i % 3 == 0, round(random.gauss(50 + (10 if i % 3 == 0 else 0), 15), 2))
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "g boolean, value double")
+        r = ks_2sample(df, F.col("g"), "value").head()
+        na, nb, dn, v = self._reference(rows)
+        assert (r.n_a, r.n_b, r.d_num) == (na, nb, dn)
+        assert r.d_stat == float(dn) / float(na * nb)  # one IEEE division
+        assert r.at_value == float(v) / 100
+
+    def test_identical_samples_zero_distance(self, spark):
+        from data_misc_tools_spark.operators.profile import ks_2sample
+
+        rows = [(bool(g), float(v)) for v in range(20) for g in (0, 1)]
+        df = spark.createDataFrame(rows, "g boolean, value double")
+        r = ks_2sample(df, F.col("g"), "value").head()
+        assert r.d_num == 0 and r.d_stat == 0.0
+
+    def test_disjoint_supports_distance_one(self, spark):
+        from data_misc_tools_spark.operators.profile import ks_2sample
+
+        rows = [(True, float(v)) for v in range(10)]
+        rows += [(False, float(v) + 100) for v in range(10)]
+        df = spark.createDataFrame(rows, "g boolean, value double")
+        r = ks_2sample(df, F.col("g"), "value").head()
+        assert r.d_stat == 1.0 and r.at_value == 9.0
