@@ -8254,6 +8254,97 @@ def ks_purchase_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "assoc_rules_brands",
+    """
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM b),
+    s AS (SELECT it, count(*)::BIGINT AS supp FROM b GROUP BY it),
+    pr AS (
+        SELECT a.it AS item_a, c.it AS item_b, count(*)::BIGINT AS support_ab
+        FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, support_ab, sa.supp AS support_a,
+           sb.supp AS support_b, n.n_baskets,
+           support_ab::DOUBLE / sa.supp::DOUBLE AS confidence,
+           (n.n_baskets * support_ab)::DOUBLE
+             / (sa.supp * sb.supp)::DOUBLE AS lift
+    FROM pr JOIN s sa ON pr.item_a = sa.it
+            JOIN s sb ON pr.item_b = sb.it CROSS JOIN n
+    ORDER BY support_ab DESC, item_a, item_b LIMIT 25
+    """,
+)
+def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (the A-priori 2-itemset pass)
+    over order baskets of part brands: which brands sell together, with
+    exact support / confidence / lift. Baskets pair via a self
+    equi-join ON THE ORDER KEY (candidates = Σ|basket|², never n²);
+    supports join back broadcast; confidence and lift are single
+    pinned IEEE divisions of exact integer counts, emitted UNROUNDED
+    (the q2/pearson_exact invariant). Top 25 by (support_ab DESC,
+    brands) — integer-deterministic. See
+    operators/recommend.py:association_rules_pairs."""
+    from data_misc_tools_spark.operators.recommend import (
+        association_rules_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    baskets = t["lineitem"].join(
+        F.broadcast(t["part"]),
+        t["lineitem"]["l_partkey"] == t["part"]["p_partkey"],
+    ).select("l_orderkey", "p_brand")
+    rules = association_rules_pairs(baskets, "l_orderkey", "p_brand")
+    return rules.orderBy(
+        F.desc("support_ab"), "item_a", "item_b"
+    ).limit(25)
+
+
+@_q(
+    "item_cf_events",
+    """
+    WITH r AS (
+        SELECT user_id AS u, json_extract_string(props, '$.k')::BIGINT AS it,
+               count(*)::BIGINT AS rt
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    norms AS (SELECT it, sum(rt * rt)::BIGINT AS n2 FROM r GROUP BY it),
+    p AS (
+        SELECT a.it AS item_a, c.it AS item_b,
+               sum(a.rt * c.rt)::BIGINT AS dot, count(*)::BIGINT AS n_common
+        FROM r a JOIN r c ON a.u = c.u AND a.it < c.it GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, dot, n_common, na.n2 AS n2_a, nb.n2 AS n2_b,
+           dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+             AS cosine
+    FROM p JOIN norms na ON p.item_a = na.it
+           JOIN norms nb ON p.item_b = nb.it
+    ORDER BY dot DESC, item_a, item_b LIMIT 20
+    """,
+)
+def item_cf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the events stream's item
+    field (props.k): cosine similarity between items' implicit-feedback
+    count vectors — the classic "users who touched X touched Y"
+    recommender primitive. Pairs census via self equi-join ON USER;
+    integer dot products and squared norms; cosine = one pinned IEEE
+    chain over exact integers, UNROUNDED. Top 20 by (dot DESC, items)
+    — integer-deterministic. See
+    operators/recommend.py:item_item_cosine."""
+    from data_misc_tools_spark.operators.recommend import item_item_cosine
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    cf = item_item_cosine(
+        e,
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long"),
+    )
+    return cf.orderBy(F.desc("dot"), "item_a", "item_b").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8301,10 +8392,13 @@ GRADED_FIRST: list[str] = [
     "snm_blocking_pairs", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
     "retrieval_eval_embeddings", "winnowing_match_pairs",
     # round-5 new operators take the two embedding re-pin slots
+    # round-5 session-3 co-occurrence ops take the text_quality /
+    # pack_token_batches re-pin slots (both graded r1-r3, still under
+    # the strict local gate)
     "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
-    "text_quality", "ngram_novelty_scores", "dictionary_tag_topics",
+    "assoc_rules_brands", "ngram_novelty_scores", "dictionary_tag_topics",
     "fd_profile_orders", "pareto_docs_skyline",
-    "exact_stratified_split_langs", "pack_token_batches",
+    "exact_stratified_split_langs", "item_cf_events",
     # ab_chi_square is a round-5 op with NO prior driver row — it keeps
     # its slot; sessionize_events (graded r1+r2) yields the re-pin.
     "lpa_communities_neardup", "ab_chi_square_purchase",

@@ -551,3 +551,22 @@ def test_ks_top1_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_supports_attach_broadcast(spark, sf_dir):
+    """The pair census shuffles on the basket key once; the per-item
+    support table and the scalar total attach BROADCAST (BHJ + BNLJ),
+    and top-25 is TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "assoc_rules_brands", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_item_cf_norms_attach_broadcast(spark, sf_dir):
+    """Same shape as assoc rules: one user-keyed pair-census shuffle,
+    broadcast norm tables, TakeOrdered top-k."""
+    plan = _plan(spark, "item_cf_events", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
