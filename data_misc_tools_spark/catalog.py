@@ -8345,6 +8345,51 @@ def item_cf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cf.orderBy(F.desc("dot"), "item_a", "item_b").limit(20)
 
 
+@_q(
+    "cusum_changepoint_daily",
+    """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS d,
+               sum(round(value * 100)::BIGINT)::BIGINT AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+        SELECT d, v,
+               (sum(v) OVER (ORDER BY d))::BIGINT AS s_k,
+               (row_number() OVER (ORDER BY d))::BIGINT AS k
+        FROM d
+    ),
+    t AS (SELECT sum(v)::BIGINT AS s_n, count(*)::BIGINT AS n FROM d)
+    SELECT strftime(c.d, '%Y-%m-%d') AS day_str, k, s_k,
+           abs(n * s_k - k * s_n)::BIGINT AS dev_num,
+           abs(n * s_k - k * s_n)::DOUBLE / (n * s_n)::DOUBLE AS dev_frac
+    FROM c, t ORDER BY day_str
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint curve over daily purchase revenue: dev_k =
+    |n·S_k − k·S_n| per day (Page's cumulative-sum deviation from the
+    no-change line, cross-multiplied integer-exact in cents), the
+    standard "did the level shift, and when" monitor over a revenue
+    series. Whole curve emitted; the argmax day is the changepoint.
+    dev_frac is ONE IEEE division of exact integers, UNROUNDED. Prefix
+    sums ride the range-partitioned global_cumsum; totals attach
+    broadcast. See operators/temporal.py:cusum_deviation."""
+    from data_misc_tools_spark.operators.temporal import cusum_deviation
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("__d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("__cents"))
+    )
+    curve = cusum_deviation(daily, "__d", "__cents")
+    return curve.select(
+        F.date_format("__d", "yyyy-MM-dd").alias("day_str"),
+        "k", "s_k", "dev_num", "dev_frac",
+    ).orderBy("day_str")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8395,7 +8440,7 @@ GRADED_FIRST: list[str] = [
     # round-5 session-3 co-occurrence ops take the text_quality /
     # pack_token_batches re-pin slots (both graded r1-r3, still under
     # the strict local gate)
-    "kmeans_embeddings", "mmr_diverse_topk", "embedding_neardup",
+    "kmeans_embeddings", "mmr_diverse_topk", "cusum_changepoint_daily",
     "assoc_rules_brands", "ngram_novelty_scores", "dictionary_tag_topics",
     "fd_profile_orders", "pareto_docs_skyline",
     "exact_stratified_split_langs", "item_cf_events",

@@ -531,3 +531,57 @@ def stationary_distribution(
     # would otherwise accumulate one cached matrix per call
     t.unpersist()
     return out
+
+
+def cusum_deviation(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM changepoint curve over an ordered series of exact-integer
+    values: for each position k, the scaled deviation of the prefix sum
+    from the no-change line, dev_k = |n·S_k − k·S_n| (Page's CUSUM with
+    the mean estimated over the whole series, cleared of division:
+    |S_k − (k/n)·S_n| cross-multiplied by n so it stays integer-exact).
+    The argmax over k is the classic single-changepoint locator; the
+    whole curve is emitted so callers can threshold, argmax, or plot.
+
+    Engine-exact: the cross-multiplied deviation accumulates in
+    decimal(38,0) (HUGEINT twin) and exits as BIGINT; ``dev_frac`` =
+    dev_k / (n·S_n) is ONE IEEE division of exact integers, emitted
+    UNROUNDED. Prefix sums ride :func:`...etl.global_cumsum`
+    (range-partitioned + broadcast offsets — never a single-reducer
+    window); totals attach as a broadcast single row.
+
+    Input: one row per series position; ``value_col`` must already be
+    an exact integer (fixed-point your floats first — the MWU/KS
+    idiom). Output: (order_col, k, s_k, dev_num, dev_frac), one row per
+    input row. dev_num must fit BIGINT: |dev| ≤ n·S_n, so guard
+    n·S_n < 2^63 (a 10^5-bucket series of 10^13-cent totals overflows
+    DuckDB loudly, never silently — Spark computes in decimal(38,0)).
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    base = df.select(
+        order_col, F.col(value_col).cast("long").alias("__v")
+    ).withColumn("__one", F.lit(1))
+    cum = global_cumsum(base, [order_col], ["__v", "__one"])
+    totals = base.agg(
+        F.sum("__v").cast("long").alias("__s_n"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            order_col,
+            "cum___one AS k",
+            "cum___v AS s_k",
+            f"CAST(abs(CAST(__n AS {dec}) * cum___v"
+            f"          - CAST(cum___one AS {dec}) * __s_n) AS LONG)"
+            " AS dev_num",
+            f"CAST(abs(CAST(__n AS {dec}) * cum___v"
+            f"          - CAST(cum___one AS {dec}) * __s_n) AS DOUBLE)"
+            f" / CAST(CAST(__n AS {dec}) * __s_n AS DOUBLE) AS dev_frac",
+        )
+    )

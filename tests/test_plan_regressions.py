@@ -570,3 +570,13 @@ def test_item_cf_norms_attach_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_prefix_sums_are_range_partitioned(spark, sf_dir):
+    """The CUSUM curve's prefix sums must ride global_cumsum: a
+    rangepartitioning exchange, no empty-partition-spec single-reducer
+    window beyond it, totals attached broadcast, no cartesian."""
+    plan = _plan(spark, "cusum_changepoint_daily", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -386,3 +386,31 @@ def test_stationary_distribution_absorbing_state(spark):
     assert got["c"].v_e6 > got["a"].v_e6  # mass accumulates in the sink
     total = got["a"].v_e6 + got["c"].v_e6
     assert abs(total - 1_000_000) < 100  # conserved, never lost
+
+
+def test_cusum_deviation_locates_a_level_shift(spark):
+    from data_misc_tools_spark.operators.temporal import cusum_deviation
+
+    # flat 100 for 20 buckets, then flat 200: changepoint at k=20
+    vals = [100] * 20 + [200] * 10
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos int, v int"
+    )
+    out = {r.k: r for r in cusum_deviation(df, "pos", "v").collect()}
+    n, s_n = len(vals), sum(vals)
+    # bit-exact against the python reference at every position
+    s = 0
+    for k1, v in enumerate(vals, start=1):
+        s += v
+        assert out[k1].s_k == s
+        assert out[k1].dev_num == abs(n * s - k1 * s_n)
+        assert out[k1].dev_frac == abs(n * s - k1 * s_n) / (n * s_n)
+    best = max(out.values(), key=lambda r: (r.dev_num, -r.k))
+    assert best.k == 20  # the true changepoint
+    # a constant series has zero deviation everywhere
+    flat = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "pos int, v int"
+    )
+    assert all(
+        r.dev_num == 0 for r in cusum_deviation(flat, "pos", "v").collect()
+    )
