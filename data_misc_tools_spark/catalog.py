@@ -8390,6 +8390,50 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day_str")
 
 
+@_q(
+    "margin_mine_pairs",
+    """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 64)) AS c
+        FROM embeddings
+    ),
+    d AS (
+        SELECT a.vec_id AS x, b.vec_id AS y,
+               list_dot_product(a.c, b.c)::BIGINT AS dot
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    s AS (
+        SELECT x, sum(dot)::BIGINT AS sumk FROM (
+            SELECT x, dot,
+                   row_number() OVER (PARTITION BY x ORDER BY dot DESC, y) AS rn
+            FROM d
+        ) WHERE rn <= 4 GROUP BY x
+    ),
+    p AS (SELECT x AS vec_a, y AS vec_b, dot FROM d WHERE x < y AND dot > 0)
+    SELECT vec_a, vec_b, dot, (sa.sumk + sb.sumk)::BIGINT AS den,
+           ((2 * (8 * dot) * 1000000 + (sa.sumk + sb.sumk))
+             // (2 * (sa.sumk + sb.sumk)))::BIGINT AS margin_e6
+    FROM p JOIN s sa ON p.vec_a = sa.x JOIN s sb ON p.vec_b = sb.x
+    WHERE sa.sumk + sb.sumk > 0
+    ORDER BY margin_e6 DESC, vec_a, vec_b LIMIT 20
+    """,
+)
+def margin_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019 — the CCMatrix
+    criterion): rank candidate pairs by similarity RELATIVE to each
+    endpoint's average top-k similarity, demoting hub vectors that are
+    near everything. Fully integer: SQ-code dots, denominator-cleared
+    margin = 2k·dot/(sumK_a+sumK_b), half-up e6 by the (2A+B) div 2B
+    pattern; positive-operand filters keep Spark div == DuckDB //.
+    Top 20 by (margin_e6 DESC, ids). See
+    operators/similarity.py:margin_topk_pairs."""
+    from data_misc_tools_spark.operators.similarity import margin_topk_pairs
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return margin_topk_pairs(e, k_nn=4, top_pairs=20)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -8434,12 +8478,12 @@ GRADED_FIRST: list[str] = [
     "linkpred_adamic_adar", "kcenter_coreset_embeddings",
     "welch_ttest_value", "pca_power_embeddings", "containment_quotes",
     "personalized_pagerank_seeds",
-    "snm_blocking_pairs", "dedup_minhash_lsh", "ccnet_perplexity_buckets",
+    "snm_blocking_pairs", "margin_mine_pairs", "ccnet_perplexity_buckets",
     "retrieval_eval_embeddings", "winnowing_match_pairs",
     # round-5 new operators take the two embedding re-pin slots
-    # round-5 session-3 co-occurrence ops take the text_quality /
-    # pack_token_batches re-pin slots (both graded r1-r3, still under
-    # the strict local gate)
+    # round-5 session-3 ops take the text_quality / pack_token_batches
+    # / embedding_neardup / dedup_minhash_lsh re-pin slots (all graded
+    # r1-r3, still under the strict local gate)
     "kmeans_embeddings", "mmr_diverse_topk", "cusum_changepoint_daily",
     "assoc_rules_brands", "ngram_novelty_scores", "dictionary_tag_topics",
     "fd_profile_orders", "pareto_docs_skyline",

@@ -1342,3 +1342,101 @@ def kcenter_select(
     return df.sparkSession.createDataFrame(
         picked, f"rank long, {id_col} long, d2 long"
     )
+
+
+def margin_topk_pairs(
+    df: DataFrame,
+    k_nn: int = 4,
+    top_pairs: int = 20,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows_unblocked: int | None = 100_000,
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk 2019, the CCMatrix
+    bitext-mining criterion): score a candidate pair not by raw
+    similarity but by its RATIO to each endpoint's average top-k
+    similarity — margin(x,y) = sim(x,y) / ((avgK(x) + avgK(y)) / 2).
+    Hubs (vectors near everything) have high avgK, so their pairs are
+    demoted; genuinely isolated-but-matching pairs float to the top.
+    This is the aligned-pair miner for parallel-corpus construction.
+
+    Engine-exact: sims are INTEGER dot products of fixed power-of-two
+    SQ codes (:func:`sq_quantize`); avgK stays a sum (denominator
+    cleared: margin = 2k·dot / (sumK_x + sumK_y)), and the margin is
+    half-up-e6'd by the integer pattern (2A + B) div 2B — no float
+    anywhere. Pairs with non-positive dot or denominator are dropped
+    (div/floor parity across engines needs positive operands — the PCA
+    sign lesson; margins of anti-correlated vectors are meaningless
+    for mining anyway).
+
+    Plan: ONE directed dot frame (broadcast codes × codes scan) feeds
+    both the per-id top-k sums (per-id keyed window — never global)
+    and the canonical i<j pair list; the |ids|-row sumK table joins
+    back broadcast; top pairs by (margin_e6 DESC, a, b) is
+    TakeOrderedAndProject. ``max_rows_unblocked`` refuses to plan the
+    unblocked n² above the limit — at corpus scale, pre-block with the
+    IVF cell or LSH band exactly like cosine_neardup_pairs and mine
+    within blocks.
+
+    Output: (vec_a, vec_b, dot, den, margin_e6), top ``top_pairs``.
+    """
+    if max_rows_unblocked is not None:
+        n = df.count()
+        if n > max_rows_unblocked:
+            raise ValueError(
+                f"margin_topk_pairs would plan an all-pairs cartesian over "
+                f"{n} rows (> max_rows_unblocked={max_rows_unblocked}). "
+                f"Block the corpus (IVF cells, LSH bands) and mine within "
+                f"blocks, or set max_rows_unblocked=None."
+            )
+    codes = df.select(
+        F.col(id_col).alias("__id"),
+        sq_quantize(F.col(vec_col), scale).alias("__c"),
+    )
+    directed = (
+        F.broadcast(codes.withColumnsRenamed({"__id": "__x", "__c": "__cx"}))
+        .crossJoin(codes.withColumnsRenamed({"__id": "__y", "__c": "__cy"}))
+        .filter(F.col("__x") != F.col("__y"))
+        .select(
+            "__x",
+            "__y",
+            F.aggregate(
+                F.zip_with(F.col("__cx"), F.col("__cy"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("__x").orderBy(F.desc("dot"), F.asc("__y"))
+    sumk = (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_nn)
+        .groupBy("__x")
+        .agg(F.sum("dot").cast("long").alias("__sumk"))
+    )
+    pairs = directed.filter(
+        (F.col("__x") < F.col("__y")) & (F.col("dot") > 0)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sumk.withColumnsRenamed({"__x": "__x", "__sumk": "__ska"})),
+            "__x",
+        )
+        .join(
+            F.broadcast(
+                sumk.withColumnsRenamed({"__x": "__y", "__sumk": "__skb"})
+            ),
+            "__y",
+        )
+        .filter(F.col("__ska") + F.col("__skb") > 0)
+        .selectExpr(
+            "__x AS vec_a",
+            "__y AS vec_b",
+            "dot",
+            "__ska + __skb AS den",
+            f"(2 * ({2 * k_nn} * dot) * 1000000 + (__ska + __skb))"
+            " div (2 * (__ska + __skb)) AS margin_e6",
+        )
+    )
+    return out.orderBy(F.desc("margin_e6"), "vec_a", "vec_b").limit(top_pairs)

@@ -580,3 +580,13 @@ def test_cusum_prefix_sums_are_range_partitioned(spark, sf_dir):
     assert "rangepartitioning" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_margin_mining_single_dot_frame_broadcast(spark, sf_dir):
+    """One broadcast-codes × corpus dot frame feeds both the per-id
+    top-k window (keyed, never global) and the pair list; sumK tables
+    attach broadcast; the final top-20 is TakeOrderedAndProject."""
+    plan = _plan(spark, "margin_mine_pairs", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan

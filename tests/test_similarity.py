@@ -661,3 +661,49 @@ class TestKCenterSelect:
         df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
         rows = kcenter_select(df, k=2).collect()
         assert rows[0].vec_id < 5 and rows[1].vec_id >= 10
+
+
+def test_margin_mining_demotes_hubs(spark):
+    from data_misc_tools_spark.operators.similarity import margin_topk_pairs
+
+    # A hub (v0) moderately similar to everything; an isolated matched
+    # pair (v5, v6) whose raw dot is LOWER than the hub's best dot but
+    # whose neighborhoods are empty — margin must rank (5,6) first.
+    import math
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    hub = unit(1, 1, 1, 1)
+    rows = [
+        (0, hub),
+        (1, unit(1, 1, 1, 0.5)),
+        (2, unit(1, 1, 0.5, 1)),
+        (3, unit(1, 0.5, 1, 1)),
+        (4, unit(0.5, 1, 1, 1)),
+        # matched isolated pair, orthogonal-ish to the hub cluster
+        (5, unit(1, -1, 1, -1)),
+        (6, unit(1, -1, 0.3, -1)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = margin_topk_pairs(df, k_nn=2, top_pairs=5).collect()
+    assert (out[0].vec_a, out[0].vec_b) == (5, 6)
+    # raw similarity alone would NOT put (5,6) first
+    by_dot = max(out, key=lambda r: (r.dot, -r.vec_a))
+    assert (by_dot.vec_a, by_dot.vec_b) != (5, 6)
+    # margins are half-up e6 of 2k*dot/den, checked exactly
+    for r in out:
+        num = 2 * 2 * r.dot * 1_000_000
+        assert r.margin_e6 == (2 * num + r.den) // (2 * r.den)
+
+
+def test_margin_mining_unblocked_guard(spark):
+    from data_misc_tools_spark.operators.similarity import margin_topk_pairs
+    import pytest as _pt
+
+    df = spark.range(10).selectExpr(
+        "id AS vec_id", "array(CAST(id AS DOUBLE), 1.0D) AS embedding"
+    )
+    with _pt.raises(ValueError, match="max_rows_unblocked"):
+        margin_topk_pairs(df, max_rows_unblocked=5)
