@@ -8434,6 +8434,47 @@ def margin_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_topk_pairs(e, k_nn=4, top_pairs=20)
 
 
+@_q(
+    "tfidf_top_terms_docs",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+    dfv AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+    s AS (
+        SELECT doc_id, tok AS term, tf, df,
+               (tf * round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                           * 1e6)::BIGINT)::BIGINT AS score_e6
+        FROM tf JOIN dfv USING (tok) CROSS JOIN n
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_e6 DESC, term
+        ) AS rnk
+        FROM s
+    )
+    SELECT doc_id, term, tf, df, score_e6, rnk::BIGINT AS rank
+    FROM r WHERE rnk <= 3 ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by exact-integer
+    TF-IDF (tf · e6-rounded Lucene idf — the always-positive
+    retrieval.py idf idiom, BIGINT ranking, term-text ties). The tf
+    relation is localCheckpointed so its three consumers share ONE
+    tokenize-explode (the nb_train/BM25 branch lesson — without it the
+    plan runs three full corpus explodes). See
+    operators/retrieval.py:tfidf_top_terms."""
+    from data_misc_tools_spark.operators.retrieval import tfidf_top_terms
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -348,3 +348,41 @@ class TestRRFFuse:
                 for r2 in rows if r2.n_lists == 2
                 for r1 in rows if r1.n_lists == 1
             )
+
+
+def test_tfidf_top_terms_python_reference(spark):
+    import math
+
+    from data_misc_tools_spark.operators.retrieval import tfidf_top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana cherry"),
+        (3, "durian cherry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    # python reference with the same e6-rounded Lucene idf
+    from collections import Counter
+
+    tfs = {d: Counter(t.split()) for d, t in docs}
+    dfs = Counter(w for c in tfs.values() for w in c)
+    n = len(docs)
+
+    def idf_e6(dfx):
+        return round(math.log(1 + (n - dfx + 0.5) / (dfx + 0.5)) * 1e6)
+
+    for r in out:
+        assert r.tf == tfs[r.doc_id][r.term]
+        assert r.df == dfs[r.term]
+        assert r.score_e6 == r.tf * idf_e6(r.df)
+    # rank-1 terms: the distinctive ones, not the common 'cherry'
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    assert top1 == {1: "apple", 2: "banana", 3: "durian"}
+    # exactly k rows per doc, ranks contiguous
+    from collections import defaultdict
+
+    ranks = defaultdict(list)
+    for r in out:
+        ranks[r.doc_id].append(r.rank)
+    assert all(sorted(v) == [1, 2] for v in ranks.values())
