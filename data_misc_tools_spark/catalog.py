@@ -8475,6 +8475,46 @@ def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
 
 
+@_q(
+    "phrase_search_docs",
+    """
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, ws[i.i] AS tok, (i.i - 1)::BIGINT AS pos
+        FROM d JOIN generate_series(1, 2048) i(i) ON i.i <= len(ws)
+    ),
+    p AS (SELECT * FROM (VALUES (0::BIGINT, 'table'), (1::BIGINT, 'scan'),
+                                (2::BIGINT, 'merge')) v(slot, term)),
+    m AS (
+        SELECT t.doc_id, t.pos - p.slot AS anchor
+        FROM t JOIN p ON t.tok = p.term
+        WHERE t.pos - p.slot >= 0
+        GROUP BY 1, 2 HAVING count(DISTINCT p.slot) = 3
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_matches, min(anchor)::BIGINT AS first_pos
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table scan merge" as CONSECUTIVE tokens)
+    via positional postings — the retrieval feature bag-of-words BM25
+    cannot express. Single-join anchor-vote plan: each phrase slot
+    broadcast-joins its term's postings and votes for anchor = pos −
+    slot; an anchor with all 3 distinct slots is a match (overlapping
+    matches counted, repeated phrase terms handled as distinct slots).
+    The join itself filters the corpus to the phrase's postings before
+    any shuffle. The oracle reconstructs positions with a bounded
+    generate_series join (the documents fixture is pinned ≤ 2048
+    tokens). See operators/retrieval.py:phrase_search."""
+    from data_misc_tools_spark.operators.retrieval import phrase_search
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return phrase_search(d, ["table", "scan", "merge"]).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -673,3 +673,58 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score_e6", "rank")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over positional postings — the retrieval
+    feature BM25's bag-of-words scoring cannot express ("table scan
+    merge" as consecutive tokens, not three floating terms).
+
+    The classic positional-index formulation needs m−1 adjacency
+    self-joins; this is the single-join anchor-vote form instead: each
+    phrase slot (i, term_i) broadcast-joins the postings of term_i,
+    votes for anchor = pos − i, and an anchor where ALL m distinct
+    slots voted is a match (repeated phrase terms are distinct slots,
+    so "the cat the" is handled). One broadcast join + one (doc,
+    anchor) groupBy — the postings frame is filtered to the phrase's
+    terms BY the join itself (tiny fraction of the corpus ever
+    shuffles; the BM25 filter-before-aggregate discipline). Counting
+    all anchors also counts OVERLAPPING matches, which substring
+    scanners miss.
+
+    Output: (id_col, n_matches, first_pos), matching docs only;
+    positions 0-based.
+    """
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    m = len(phrase)
+    slots = docs.sparkSession.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "slot long, term string"
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    votes = (
+        toks.join(F.broadcast(slots), F.col("tok") == F.col("term"))
+        .select(
+            F.col(id_col),
+            (F.col("pos") - F.col("slot")).cast("long").alias("anchor"),
+            "slot",
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    anchors = (
+        votes.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("slot").alias("__hits"))
+        .filter(F.col("__hits") == m)
+    )
+    return anchors.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )

@@ -386,3 +386,31 @@ def test_tfidf_top_terms_python_reference(spark):
     for r in out:
         ranks[r.doc_id].append(r.rank)
     assert all(sorted(v) == [1, 2] for v in ranks.values())
+
+
+def test_phrase_search_overlaps_and_repeats(spark):
+    from data_misc_tools_spark.operators.retrieval import phrase_search
+
+    docs = [
+        (1, "a a a b"),          # "a a" overlaps: anchors 0 and 1
+        (2, "the cat the dog"),  # repeated term in phrase
+        (3, "cat the"),          # partial only
+        (4, "x y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in phrase_search(df, ["a", "a"]).collect()}
+    assert out.keys() == {1}
+    assert (out[1].n_matches, out[1].first_pos) == (2, 0)
+    out = {
+        r.doc_id: r for r in phrase_search(df, ["the", "cat", "the"]).collect()
+    }
+    assert out.keys() == {2}
+    assert (out[2].n_matches, out[2].first_pos) == (1, 0)
+    # single-term phrase degrades to term lookup with counts
+    out = {r.doc_id: r for r in phrase_search(df, ["the"]).collect()}
+    assert (out[2].n_matches, out[2].first_pos) == (2, 0)
+    assert (out[3].n_matches, out[3].first_pos) == (1, 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phrase_search(df, [])
