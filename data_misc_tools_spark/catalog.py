@@ -8515,6 +8515,82 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(d, ["table", "scan", "merge"]).orderBy("doc_id")
 
 
+def _lcc_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import (
+        _MINHASH_A,
+        _MINHASH_B,
+        MINHASH_P,
+    )
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    # same strict 2-bands-x-4-rows graph as triangle_count_neardup
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+    tcnt AS (SELECT node, count(*)::BIGINT AS t FROM corners GROUP BY node),
+    deg AS (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+            SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY node
+    )
+    SELECT d.node, d.deg, coalesce(t.t, 0)::BIGINT AS n_triangles,
+           CASE WHEN d.deg < 2 THEN 0.0
+                ELSE (2 * coalesce(t.t, 0))::DOUBLE
+                     / (d.deg * (d.deg - 1))::DOUBLE END AS lcc
+    FROM deg d LEFT JOIN tcnt t USING (node)
+    """
+
+
+@_q("lcc_neardup_nodes", _lcc_oracle())
+def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the strict 2x4
+    MinHash candidate graph: c_v = 2·T_v/(deg·(deg−1)) — the
+    node-level triage refinement of triangle_count_neardup (c≈1 =
+    inside a template-family clique, c≈0 = star of independent hash
+    collisions). Compact-forward wedge join finds each triangle once;
+    corners explode into per-node counts; lcc is one IEEE division of
+    exact integers, UNROUNDED. See
+    operators/cluster.py:local_clustering_coefficients."""
+    from data_misc_tools_spark.operators.cluster import (
+        local_clustering_coefficients,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    return local_clustering_coefficients(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

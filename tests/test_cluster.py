@@ -520,3 +520,34 @@ class TestAdamicAdar:
             for d in range(2, 200_001)
         )
         assert worst > 1e-6, worst
+
+
+def test_local_clustering_coefficients(spark):
+    from data_misc_tools_spark.operators.cluster import (
+        local_clustering_coefficients,
+    )
+
+    # K4 on {1..4} plus a pendant 5-1 and an isolated edge 6-7
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 1),
+        (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.node: r for r in local_clustering_coefficients(df).collect()}
+    # inside K4 (nodes 2,3,4): deg 3, in 3 triangles, lcc = 1
+    for n in (2, 3, 4):
+        assert (out[n].deg, out[n].n_triangles, out[n].lcc) == (3, 3, 1.0)
+    # node 1: deg 4 (K4 + pendant), still 3 triangles -> 6/12
+    assert (out[1].deg, out[1].n_triangles, out[1].lcc) == (4, 3, 0.5)
+    # pendant and isolated-edge nodes: deg 1, lcc 0
+    for n in (5, 6, 7):
+        assert (out[n].deg, out[n].n_triangles, out[n].lcc) == (1, 0, 0.0)
+    # duplicate + reversed edges collapse before counting
+    noisy = df.unionAll(
+        spark.createDataFrame([(2, 1), (1, 2)], "src int, dst int")
+    )
+    out2 = {
+        r.node: r for r in local_clustering_coefficients(noisy).collect()
+    }
+    assert out2[1].deg == 4 and out2[1].n_triangles == 3
