@@ -8591,6 +8591,50 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "theil_sen_daily_trend",
+    """
+    WITH d AS (
+        SELECT (floor(epoch(date_trunc('day', ts)))::BIGINT // 86400)::BIGINT AS x,
+               sum(round(value * 100)::BIGINT)::BIGINT AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    p AS (
+        SELECT a.x AS x1, b.x AS x2,
+               (b.v - a.v)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+        FROM d a JOIN d b ON a.x < b.x
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_pairs FROM p),
+    r AS (SELECT slope, x1, x2,
+                 row_number() OVER (ORDER BY slope, x1, x2) AS rn
+          FROM p)
+    SELECT n.n_pairs, r.slope, r.x1, r.x2
+    FROM r, n WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily purchase revenue (cents/day):
+    the median of all pairwise day-slopes — a single outlier day moves
+    OLS arbitrarily but not this. Runs on the |days|-row rollup (the
+    bounded-preaggregate contract: the pair frame is days², never raw
+    events); each slope is one IEEE division of exact integers, the
+    lower median picked at a deterministic (slope, x1, x2) rank. See
+    operators/profile.py:theil_sen_slope."""
+    from data_misc_tools_spark.operators.profile import theil_sen_slope
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    return theil_sen_slope(daily, "x", "v")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

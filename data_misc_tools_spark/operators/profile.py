@@ -968,3 +968,51 @@ def fd_violation_report(
         )
         out = g if out is None else out.unionByName(g)
     return out
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend estimator: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) — the slope estimate with a 29.3%
+    breakdown point, immune to the outlier days that wreck OLS (the
+    robust companion to :func:`zipf_fit`-style exact OLS).
+
+    Caller contract: ``df`` is a BOUNDED pre-aggregate (a daily/hourly
+    rollup — the pair frame is n(n−1)/2 rows and the median window is
+    global; both are fine for series of thousands of points, which is
+    what a rollup produces at any corpus scale — never feed raw
+    events). x and y must be exact integers.
+
+    Engine-exact: each slope is ONE IEEE division of exact integers
+    (bit-identical in any engine); the lower median is selected by
+    deterministic order (slope, x1, x2) at rank (n_pairs+1) div 2, so
+    even duplicate slope values pick the same row. Emitted UNROUNDED.
+
+    Output: one row (n_pairs, slope, x1, x2) — the selected median
+    pair rides along as determinism evidence.
+    """
+    a = df.select(F.col(x_col).cast("long").alias("x1"),
+                  F.col(y_col).cast("long").alias("y1"))
+    b = df.select(F.col(x_col).cast("long").alias("x2"),
+                  F.col(y_col).cast("long").alias("y2"))
+    pairs = a.join(b, F.col("x1") < F.col("x2")).select(
+        "x1",
+        "x2",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+    )
+    from pyspark.sql.window import Window
+
+    n = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    w = Window.orderBy("slope", "x1", "x2")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("__rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("n_pairs", "slope", "x1", "x2")
+    )

@@ -172,3 +172,26 @@ def test_exact_split_rank_cut_boundaries_partition_every_n(n):
     assert abs(counts[0] - 0.8 * n) < 1
     assert abs(counts[1] - 0.1 * n) < 1
     assert abs(counts[2] - 0.1 * n) <= 1  # takes both remainders
+
+
+def test_theil_sen_ignores_outliers(spark):
+    from data_misc_tools_spark.operators.profile import theil_sen_slope
+
+    # perfect trend y = 10x + spike at x=5
+    rows = [(x, 10 * x if x != 5 else 100000) for x in range(11)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = theil_sen_slope(df, "x", "y").collect()[0]
+    assert r.n_pairs == 55
+    assert r.slope == 10.0  # the outlier's 10 pair-slopes are outvoted
+    # python reference on a scrambled series: exact lower median
+    import itertools
+
+    rows = [(0, 7), (1, 3), (2, 9), (4, 1), (7, 8)]
+    slopes = sorted(
+        ((y2 - y1) / (x2 - x1), x1, x2)
+        for (x1, y1), (x2, y2) in itertools.combinations(rows, 2)
+    )
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = theil_sen_slope(df, "x", "y").collect()[0]
+    assert (r.slope, r.x1, r.x2) == want
