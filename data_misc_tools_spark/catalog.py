@@ -8635,6 +8635,72 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_slope(daily, "x", "v")
 
 
+@_q(
+    "lag_crosscorr_purchase_click",
+    """
+    WITH d AS (
+        SELECT (floor(epoch(date_trunc('day', ts)))::BIGINT // 86400)::BIGINT AS t,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+    ),
+    l AS (SELECT i.i::BIGINT AS lag FROM generate_series(-3, 3) i(i)),
+    j AS (
+        SELECT l.lag, a.x AS x, b.y AS y
+        FROM d a CROSS JOIN l JOIN d b ON b.t = a.t + l.lag
+    ),
+    s AS (
+        SELECT lag, count(*)::HUGEINT AS n,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * y)::HUGEINT AS sxy,
+               sum(x::HUGEINT * x)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y)::HUGEINT AS syy
+        FROM j GROUP BY lag
+    )
+    SELECT lag, n::BIGINT AS n_rows,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE (n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE)) END AS corr
+    FROM s ORDER BY lag
+    """,
+)
+def lag_crosscorr_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily purchase revenue and
+    daily click count at lags −3..+3 days — the lead/lag detector
+    ("do clicks predict purchases N days out"). The two series are
+    zero-filled into ONE daily frame (gap semantics owned here, the
+    z-score lesson), shifted by a broadcast lag frame, and each lag's
+    correlation is pearson_exact — exact decimal sufficient
+    statistics, one IEEE closed form, bit-identical unrounded,
+    zero-variance lags NULL via try_divide. See
+    operators/temporal.py:lag_crosscorr."""
+    from data_misc_tools_spark.operators.temporal import lag_crosscorr
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("t")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                (F.col("event_type") == "click").cast("long")
+            ).alias("y"),
+        )
+    )
+    return lag_crosscorr(daily, "t", "x", "y", max_lag=3).orderBy("lag")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

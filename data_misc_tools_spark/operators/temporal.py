@@ -585,3 +585,49 @@ def cusum_deviation(
             f" / CAST(CAST(__n AS {dec}) * __s_n AS DOUBLE) AS dev_frac",
         )
     )
+
+
+def lag_crosscorr(
+    df: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function: Pearson corr(x_t, y_{t+lag}) for
+    every lag in [−max_lag, max_lag] — the "does clicking today
+    predict buying in two days" lead/lag detector; the argmax lag is
+    the response delay between two metrics.
+
+    Caller contract: ``df`` is one row per time bucket with BOTH
+    series as exact integers, zero-filled on the buckets where a
+    series is silent (gap semantics belong to the caller — the
+    rolling_zscore lesson). Buckets multiply by the tiny broadcast
+    lag frame (2·max_lag+1 rows) and self-join at t+lag, so each lag
+    correlates over the aligned overlap; everything downstream is
+    :func:`...profile.pearson_exact` — exact decimal(38,0) sufficient
+    statistics, one IEEE closed-form step, bit-identical across
+    engines, zero-variance lags NULL.
+
+    Output: (lag, n_rows, corr), 2·max_lag+1 rows.
+    """
+    from data_misc_tools_spark.operators.profile import pearson_exact
+
+    spark = df.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = df.select(
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(x_col).cast("long").alias("__x"),
+    )
+    b = df.select(
+        F.col(t_col).cast("long").alias("__t2"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("__t2", F.col("__t") + F.col("lag"))
+        .join(b, "__t2")
+    )
+    return pearson_exact(j, ["lag"], "__x", "__y")

@@ -414,3 +414,31 @@ def test_cusum_deviation_locates_a_level_shift(spark):
     assert all(
         r.dev_num == 0 for r in cusum_deviation(flat, "pos", "v").collect()
     )
+
+
+def test_lag_crosscorr_finds_the_planted_lead(spark):
+    from data_misc_tools_spark.operators.temporal import lag_crosscorr
+
+    # y is x shifted forward by exactly 2: corr at lag=+2 must be 1.0
+    import random
+
+    rng = random.Random(11)
+    xs = [rng.randint(0, 100) for _ in range(40)]
+    rows = [
+        (t, xs[t], xs[t - 2] if t >= 2 else 0) for t in range(40)
+    ]
+    df = spark.createDataFrame(rows, "t int, x int, y int")
+    out = {r.lag: r for r in lag_crosscorr(df, "t", "x", "y", 3).collect()}
+    assert set(out) == set(range(-3, 4))
+    assert abs(out[2].corr - 1.0) < 1e-12  # IEEE sqrt-product ulp
+    assert all(abs(out[l].corr) < 0.5 for l in out if l != 2)
+    # overlap shrinks by |lag|
+    assert out[3].n_rows == 37 and out[-3].n_rows == 37 and out[0].n_rows == 40
+    # constant series -> NULL corr, not an error
+    flat = spark.createDataFrame(
+        [(t, 5, t) for t in range(10)], "t int, x int, y int"
+    )
+    assert all(
+        r.corr is None
+        for r in lag_crosscorr(flat, "t", "x", "y", 1).collect()
+    )
