@@ -8701,6 +8701,64 @@ def lag_crosscorr_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_crosscorr(daily, "t", "x", "y", max_lag=3).orderBy("lag")
 
 
+def _hits_oracle(rounds: int = 3) -> str:
+    body = ""
+    prev_h = "h0"
+    for r in range(1, rounds + 1):
+        body += f"""
+    a{r}r AS (
+        SELECT e.it, sum(h.v)::BIGINT AS s
+        FROM e JOIN {prev_h} h USING (u) GROUP BY e.it
+    ),
+    a{r} AS (
+        SELECT it, ((2 * s::HUGEINT * 1000000 + max(s) OVER ())
+                     // (2 * max(s) OVER ()))::BIGINT AS v
+        FROM a{r}r
+    ),
+    h{r}r AS (
+        SELECT e.u, sum(a.v)::BIGINT AS s
+        FROM e JOIN a{r} a USING (it) GROUP BY e.u
+    ),
+    h{r} AS (
+        SELECT u, ((2 * s::HUGEINT * 1000000 + max(s) OVER ())
+                     // (2 * max(s) OVER ()))::BIGINT AS v
+        FROM h{r}r
+    ),"""
+        prev_h = f"h{r}"
+    return f"""
+    WITH e AS (
+        SELECT DISTINCT user_id AS u,
+               json_extract_string(props, '$.k')::BIGINT AS it
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    h0 AS (SELECT DISTINCT u, 1000000::BIGINT AS v FROM e),{body[:-1]}
+    SELECT 'hub' AS kind, u AS node, v AS score_e6 FROM h{rounds}
+    UNION ALL
+    SELECT 'authority', it, v FROM a{rounds}
+    """
+
+
+@_q("hits_users_items", _hits_oracle(3))
+def hits_users_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the bipartite user→item
+    interaction graph (events props.k): authority ranks items endorsed
+    by good hubs, hub ranks users who touch good items — the
+    mutually-reinforcing pair a single PageRank score can't separate.
+    3 engine-exact e6 integer rounds, max-normalized with the (2A+B)
+    div 2B half-up pattern over an unpartitioned window (ONE reference
+    per round's frame — the plan-doubling rule; oracle = the same
+    recurrence unrolled one CTE per half-round). See
+    operators/cluster.py:hits_scores."""
+    from data_misc_tools_spark.operators.cluster import hits_scores
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    edges = e.select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("it"),
+    ).filter(F.col("it").isNotNull())
+    return hits_scores(edges, "u", "it", max_iter=3)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

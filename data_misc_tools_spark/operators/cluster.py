@@ -807,3 +807,77 @@ def adamic_adar(
             F.desc("aa_e6"), "node_a", "node_b"
         ).limit(top_k)
     return scored
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed
+    (typically bipartite) graph — on a user→item interaction graph,
+    authority ranks items endorsed by good hubs and hub ranks users
+    who touch good items; the mutually-reinforcing pair PageRank's
+    single score can't separate.
+
+    Engine-exact integer rounds (the pagerank_exact idiom): scores
+    ride as e6 BIGINTs; each half-round is one edge join + one
+    integer SUM, then max-normalization — score = half_up(1e6·s /
+    max(s)) with the (2A+B) div 2B pattern, products widened to
+    decimal(38,0) (HUGEINT twin) so 1e6·s never overflows silently.
+    Max-normalization replaces the classical L2 norm (same ranking
+    fixed point, but max is exact where an L2 norm is an accumulated
+    float); it rides an UNPARTITIONED window so each round's frame is
+    referenced ONCE (the plan-doubling rule both engines need — the
+    pca_power max|w| idiom; the window's single-reducer pass is over
+    the |nodes| score frame, acceptable through ~10^8 nodes — swap in
+    a broadcast-agg max at the cost of a second reference past that).
+    Frames localCheckpoint per half-round (lineage rule).
+
+    Output: (kind 'hub'|'authority', node, score_e6).
+    """
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("it"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    half_up = (
+        "CAST((2 * CAST(s AS decimal(38,0)) * 1000000 + m)"
+        " div (2 * m) AS LONG) AS v"
+    )
+    w = Window.partitionBy()
+    h = e.select("u").distinct().select(
+        "u", F.lit(1_000_000).cast("long").alias("v")
+    )
+    a = None
+    for _ in range(max_iter):
+        a = (
+            e.join(h, "u")
+            .groupBy("it")
+            .agg(F.sum("v").cast("long").alias("s"))
+            .withColumn("m", F.max("s").over(w))
+            .selectExpr("it", half_up)
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            e.join(a, "it")
+            .groupBy("u")
+            .agg(F.sum("v").cast("long").alias("s"))
+            .withColumn("m", F.max("s").over(w))
+            .selectExpr("u", half_up)
+            .localCheckpoint(eager=True)
+        )
+    return h.select(
+        F.lit("hub").alias("kind"),
+        F.col("u").alias("node"),
+        F.col("v").alias("score_e6"),
+    ).unionByName(
+        a.select(
+            F.lit("authority").alias("kind"),
+            F.col("it").alias("node"),
+            F.col("v").alias("score_e6"),
+        )
+    )

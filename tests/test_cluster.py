@@ -551,3 +551,38 @@ def test_local_clustering_coefficients(spark):
         r.node: r for r in local_clustering_coefficients(noisy).collect()
     }
     assert out2[1].deg == 4 and out2[1].n_triangles == 3
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    from data_misc_tools_spark.operators.cluster import hits_scores
+
+    # star bipartite graph: user 1 touches items 10,20,30; users 2,3
+    # each touch only item 10. Item 10 has most endorsements ->
+    # top authority; user 1 touches the most good items -> top hub.
+    edges = [(1, 10), (1, 20), (1, 30), (2, 10), (3, 10)]
+    df = spark.createDataFrame(edges, "u int, it int")
+    out = hits_scores(df, "u", "it", max_iter=3).collect()
+    hubs = {r.node: r.score_e6 for r in out if r.kind == "hub"}
+    auth = {r.node: r.score_e6 for r in out if r.kind == "authority"}
+    assert max(hubs, key=hubs.get) == 1
+    assert max(auth, key=auth.get) == 10
+    assert hubs[1] == 1_000_000 and auth[10] == 1_000_000  # max-normalized
+    assert hubs[2] == hubs[3]  # symmetric users tie exactly
+    assert auth[20] == auth[30]
+    # python reference of the same integer recurrence
+    def half_up(a, b):
+        return (2 * a * 1_000_000 + b) // (2 * b)
+
+    h = {1: 10**6, 2: 10**6, 3: 10**6}
+    for _ in range(3):
+        ar = {}
+        for u, it in edges:
+            ar[it] = ar.get(it, 0) + h[u]
+        m = max(ar.values())
+        a = {it: half_up(s, m) for it, s in ar.items()}
+        hr = {}
+        for u, it in edges:
+            hr[u] = hr.get(u, 0) + a[it]
+        m = max(hr.values())
+        h = {u: half_up(s, m) for u, s in hr.items()}
+    assert hubs == h and auth == a
