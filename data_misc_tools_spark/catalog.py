@@ -8759,6 +8759,46 @@ def hits_users_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(edges, "u", "it", max_iter=3)
 
 
+@_q(
+    "benford_audit_prices",
+    """
+    WITH obs AS (
+        SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)::INT
+                   AS digit,
+               count(*)::BIGINT AS n_obs
+        FROM orders WHERE round(o_totalprice * 100)::BIGINT > 0 GROUP BY 1
+    ),
+    e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                                (4, 96910), (5, 79181), (6, 66947),
+                                (7, 57992), (8, 51153), (9, 45757))
+          v(digit, expected_e6)),
+    n AS (SELECT sum(n_obs)::BIGINT AS n_total FROM obs)
+    SELECT e.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs, n.n_total,
+           e.expected_e6::BIGINT AS expected_e6,
+           ((1000000 * coalesce(o.n_obs, 0)::HUGEINT
+             - n.n_total::HUGEINT * e.expected_e6)
+            * (1000000 * coalesce(o.n_obs, 0)::HUGEINT
+               - n.n_total::HUGEINT * e.expected_e6))::DOUBLE
+           / (1000000 * n.n_total::HUGEINT * e.expected_e6)::DOUBLE
+             AS chi2_term
+    FROM e LEFT JOIN obs o USING (digit) CROSS JOIN n ORDER BY e.digit
+    """,
+)
+def benford_audit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data detector (TPC-H's uniform price generator FAILS it
+    loudly, which is exactly what the report should show on synthetic
+    money). First digit from the decimal STRING of exact cents (no
+    float log10); expected shares are fixed e6 constants summing to
+    exactly 1e6; each digit's chi-square contribution is one IEEE
+    division of exact decimal integers, per-row so no float-sum order
+    exists. See operators/profile.py:benford_first_digit."""
+    from data_misc_tools_spark.operators.profile import benford_first_digit
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return benford_first_digit(o, "o_totalprice", scale=100).orderBy("digit")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

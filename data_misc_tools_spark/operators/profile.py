@@ -1016,3 +1016,73 @@ def theil_sen_slope(
         .filter(F.col("__rn") == F.expr("(n_pairs + 1) div 2"))
         .select("n_pairs", "slope", "x1", "x2")
     )
+
+
+# log10(1 + 1/d) e6-scaled; sums to exactly 1_000_000
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data
+    detector for money-like columns: naturally-occurring amounts put
+    ~30.1% of first digits on 1, fabricated or unit-mixed data does
+    not. Emits the per-digit observed count against the expected
+    Benford share and that digit's chi-square contribution; a release
+    gate thresholds max/sum of the contributions.
+
+    Engine-exact: the first digit comes from the DECIMAL STRING of the
+    fixed-point integer (no log10 — a float log on a power of 10 can
+    land 2.9999...); expected shares are fixed e6 integer constants
+    (summing to exactly 1e6); each contribution
+    (1e6·obs − n·exp)² / (1e6·n·exp) is ONE IEEE division of exact
+    decimal(38,0) integers (HUGEINT twin), per-digit per-row so no
+    cross-row float summation order exists. One map-side-combined
+    groupBy over 9 keys.
+
+    Output: (digit, n_obs, n_total, expected_e6, chi2_term), digits
+    with zero observations included (expected counts still penalize).
+    """
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_E6.items()), "digit int, expected_e6 long"
+    )
+    cents = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    obs = (
+        df.select(cents.alias("__v"))
+        .filter(F.col("__v") > 0)
+        .select(
+            F.substring(F.col("__v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    n = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    dec = "decimal(38,0)"
+    return (
+        F.broadcast(exp)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "digit",
+            "coalesce(n_obs, 0L) AS n_obs",
+            "n_total",
+            "expected_e6",
+            f"""
+            CAST((1000000 * CAST(coalesce(n_obs, 0L) AS {dec})
+                  - CAST(n_total AS {dec}) * expected_e6)
+                 * (1000000 * CAST(coalesce(n_obs, 0L) AS {dec})
+                    - CAST(n_total AS {dec}) * expected_e6) AS DOUBLE)
+            / CAST(1000000 * CAST(n_total AS {dec}) * expected_e6 AS DOUBLE)
+            AS chi2_term
+            """,
+        )
+    )

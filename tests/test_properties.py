@@ -195,3 +195,33 @@ def test_theil_sen_ignores_outliers(spark):
     df = spark.createDataFrame(rows, "x int, y int")
     r = theil_sen_slope(df, "x", "y").collect()[0]
     assert (r.slope, r.x1, r.x2) == want
+
+
+def test_benford_first_digit_audit(spark):
+    from data_misc_tools_spark.operators.profile import (
+        _BENFORD_E6,
+        benford_first_digit,
+    )
+
+    assert sum(_BENFORD_E6.values()) == 1_000_000
+    # a perfect Benford sample: counts proportional to the e6 shares
+    rows = [
+        (float(d * 10 ** (i % 3)),)
+        for d, share in _BENFORD_E6.items()
+        for i in range(share // 45757)
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_first_digit(df, "v", scale=1).collect()}
+    assert set(out) == set(range(1, 10))
+    n = sum(r.n_obs for r in out.values())
+    assert all(out[d].n_total == n for d in out)
+    # python reference for every chi2 term
+    for d, r in out.items():
+        a = 1_000_000 * r.n_obs - n * _BENFORD_E6[d]
+        assert r.chi2_term == (a * a) / (1_000_000 * n * _BENFORD_E6[d])
+    # a constant column concentrates all mass on one digit: its term
+    # dominates and zero-observation digits still carry penalty rows
+    flat = spark.createDataFrame([(5.0,)] * 100, "v double")
+    out2 = {r.digit: r for r in benford_first_digit(flat, "v").collect()}
+    assert out2[5].n_obs == 100 and out2[1].n_obs == 0
+    assert out2[5].chi2_term > out2[1].chi2_term > 0
