@@ -198,6 +198,23 @@ HEADLINE = [
     "ngram_novelty_scores",
     "fd_profile_orders",
     "pareto_docs_skyline",
+    # round-5 session-3: rank statistics over range-partitioned prefix
+    # sums, co-occurrence analytics, changepoint/trend/lead-lag
+    # statistics, margin mining, positional phrase search, per-node
+    # clustering coefficients, HITS, TF-IDF keywords, Benford audit
+    "mannwhitney_u_value",
+    "ks_purchase_click_value",
+    "assoc_rules_brands",
+    "item_cf_events",
+    "cusum_changepoint_daily",
+    "margin_mine_pairs",
+    "tfidf_top_terms_docs",
+    "phrase_search_docs",
+    "lcc_neardup_nodes",
+    "theil_sen_daily_trend",
+    "lag_crosscorr_purchase_click",
+    "hits_users_items",
+    "benford_audit_prices",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -8394,14 +8394,14 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "margin_mine_pairs",
     """
     WITH v AS (
-        SELECT vec_id,
+        SELECT vec_id, label,
                list_transform(embedding::DOUBLE[], x -> floor(x * 64)) AS c
         FROM embeddings
     ),
     d AS (
         SELECT a.vec_id AS x, b.vec_id AS y,
                list_dot_product(a.c, b.c)::BIGINT AS dot
-        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
     ),
     s AS (
         SELECT x, sum(dot)::BIGINT AS sumk FROM (
@@ -8426,12 +8426,16 @@ def margin_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near everything. Fully integer: SQ-code dots, denominator-cleared
     margin = 2k·dot/(sumK_a+sumK_b), half-up e6 by the (2A+B) div 2B
     pattern; positive-operand filters keep Spark div == DuckDB //.
+    Mining runs WITHIN label blocks (the production shape — candidates
+    and neighborhoods per shard, the CCMatrix/FAISS-shard discipline;
+    blocked == per-block exact is pinned in test_similarity, and the
+    unblocked form at sf0.1 is a deliberate 2000² = 50 s non-plan).
     Top 20 by (margin_e6 DESC, ids). See
     operators/similarity.py:margin_topk_pairs."""
     from data_misc_tools_spark.operators.similarity import margin_topk_pairs
 
     e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return margin_topk_pairs(e, k_nn=4, top_pairs=20)
+    return margin_topk_pairs(e, k_nn=4, top_pairs=20, block_col="label")
 
 
 @_q(

@@ -1352,6 +1352,7 @@ def margin_topk_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows_unblocked: int | None = 100_000,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Margin-based pair mining (Artetxe & Schwenk 2019, the CCMatrix
     bitext-mining criterion): score a candidate pair not by raw
@@ -1374,39 +1375,48 @@ def margin_topk_pairs(
     both the per-id top-k sums (per-id keyed window — never global)
     and the canonical i<j pair list; the |ids|-row sumK table joins
     back broadcast; top pairs by (margin_e6 DESC, a, b) is
-    TakeOrderedAndProject. ``max_rows_unblocked`` refuses to plan the
-    unblocked n² above the limit — at corpus scale, pre-block with the
-    IVF cell or LSH band exactly like cosine_neardup_pairs and mine
-    within blocks.
+    TakeOrderedAndProject.
+
+    Scale path: pass ``block_col`` (an IVF cell, LSH band, language
+    key — the cosine_neardup discipline) and both the candidate dots
+    AND each endpoint's top-k neighborhood are computed WITHIN the
+    block via a plain self equi-join on the key — the within-shard
+    approximation every production miner makes (CCMatrix mines inside
+    FAISS shards). Without a block, ``max_rows_unblocked`` refuses to
+    plan the n² above the limit.
 
     Output: (vec_a, vec_b, dot, den, margin_e6), top ``top_pairs``.
     """
-    if max_rows_unblocked is not None:
+    if block_col is None and max_rows_unblocked is not None:
         n = df.count()
         if n > max_rows_unblocked:
             raise ValueError(
                 f"margin_topk_pairs would plan an all-pairs cartesian over "
                 f"{n} rows (> max_rows_unblocked={max_rows_unblocked}). "
-                f"Block the corpus (IVF cells, LSH bands) and mine within "
+                f"Pass block_col (IVF cells, LSH bands) to mine within "
                 f"blocks, or set max_rows_unblocked=None."
             )
+    blk = [block_col] if block_col else []
     codes = df.select(
+        *blk,
         F.col(id_col).alias("__id"),
         sq_quantize(F.col(vec_col), scale).alias("__c"),
     )
-    directed = (
-        F.broadcast(codes.withColumnsRenamed({"__id": "__x", "__c": "__cx"}))
-        .crossJoin(codes.withColumnsRenamed({"__id": "__y", "__c": "__cy"}))
-        .filter(F.col("__x") != F.col("__y"))
-        .select(
-            "__x",
-            "__y",
-            F.aggregate(
-                F.zip_with(F.col("__cx"), F.col("__cy"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("dot"),
-        )
+    left = codes.withColumnsRenamed({"__id": "__x", "__c": "__cx"})
+    right = codes.withColumnsRenamed({"__id": "__y", "__c": "__cy"})
+    joined = (
+        left.join(right, block_col)
+        if block_col
+        else F.broadcast(left).crossJoin(right)
+    )
+    directed = joined.filter(F.col("__x") != F.col("__y")).select(
+        "__x",
+        "__y",
+        F.aggregate(
+            F.zip_with(F.col("__cx"), F.col("__cy"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
     )
     w = Window.partitionBy("__x").orderBy(F.desc("dot"), F.asc("__y"))
     sumk = (

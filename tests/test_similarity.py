@@ -707,3 +707,38 @@ def test_margin_mining_unblocked_guard(spark):
     )
     with _pt.raises(ValueError, match="max_rows_unblocked"):
         margin_topk_pairs(df, max_rows_unblocked=5)
+
+
+def test_margin_mining_blocked_equals_exact_within_blocks(spark):
+    """With a block key, dots AND neighborhoods are within-block: the
+    result equals running the exact miner on each block separately."""
+    from data_misc_tools_spark.operators.similarity import margin_topk_pairs
+
+    import math
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    rows = [
+        (i, unit(1, 1, i / 10, 1), "b1") for i in range(6)
+    ] + [
+        (i + 10, unit(-1, 1, -1, i / 10), "b2") for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    blocked = margin_topk_pairs(
+        df, k_nn=2, top_pairs=100, block_col="label"
+    ).collect()
+    per_block = []
+    for lbl in ("b1", "b2"):
+        sub = df.filter(F.col("label") == lbl)
+        per_block += margin_topk_pairs(sub, k_nn=2, top_pairs=100).collect()
+    key = lambda r: (r.vec_a, r.vec_b)
+    assert sorted(map(key, blocked)) == sorted(map(key, per_block))
+    bm = {key(r): (r.dot, r.den, r.margin_e6) for r in blocked}
+    pm = {key(r): (r.dot, r.den, r.margin_e6) for r in per_block}
+    assert bm == pm
+    # no cross-block pair leaked
+    assert all((a < 10) == (b < 10) for a, b in bm)

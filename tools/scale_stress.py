@@ -162,10 +162,45 @@ STRESS = {
     "ngram_novelty_scores": "linear",
     # one LHS-keyed aggregate per dependency, map-side combined.
     "fd_profile_orders": "linear",
+    # round-5 session-3 operators: rank statistics are one fixed-point
+    # groupBy + range-partitioned cumsum; assoc rules / item CF pair
+    # work is sum-of-group-size^2 (basket/user fan-out fixed by the
+    # generator -> linear); cusum / theil-sen / lag-xcorr / benford run
+    # on bounded rollups (flat by construction — included to prove the
+    # cost does NOT scale); tfidf/phrase are one explode + keyed
+    # aggregates; LCC follows the strict-graph triangle census; HITS is
+    # per-round edge joins. margin_mine_pairs is deliberately ABSENT:
+    # the demo is the exact all-pairs form (quadratic, guarded by
+    # max_rows_unblocked) — at scale it runs inside LSH/IVF blocks like
+    # cosine_neardup, which the blocked families above already measure.
+    "mannwhitney_u_value": "linear",
+    "ks_purchase_click_value": "linear",
+    "assoc_rules_brands": "linear",
+    "item_cf_events": "linear",
+    "cusum_changepoint_daily": "linear",
+    "tfidf_top_terms_docs": "linear",
+    "phrase_search_docs": "linear",
+    "lcc_neardup_nodes": "linear",
+    "theil_sen_daily_trend": "linear",
+    "lag_crosscorr_purchase_click": "linear",
+    "hits_users_items": "linear",
+    "benford_audit_prices": "linear",
     # grid prune is one min/max agg + a cells-sized join; the exact
     # check is guard-bounded survivors only.
     "pareto_docs_skyline": "linear",
 }
+
+
+def _margin_mine_blocked(spark, sf_dir):
+    """The production margin-mining shape: mine within label blocks
+    (block sizes FIXED by the generator, block count grows with the
+    corpus — pair work linear in rows), not the demo's exact all-pairs
+    form (quadratic, guarded by max_rows_unblocked)."""
+    from data_misc_tools_spark.catalog import load_tables
+    from data_misc_tools_spark.operators.similarity import margin_topk_pairs
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return margin_topk_pairs(e, k_nn=4, top_pairs=20, block_col="label")
 
 
 def _semdedup_scaled_k(spark, sf_dir):
@@ -199,6 +234,7 @@ def _contamination_fixed_eval(spark, sf_dir):
 EXTRA = {
     "semdedup_scaled_k": ("linear", _semdedup_scaled_k),
     "semantic_contamination_fixed_eval": ("linear", _contamination_fixed_eval),
+    "margin_mine_blocked": ("linear", _margin_mine_blocked),
 }
 
 
