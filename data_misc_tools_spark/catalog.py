@@ -8803,6 +8803,40 @@ def benford_audit_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(o, "o_totalprice", scale=100).orderBy("digit")
 
 
+@_q(
+    "systematic_sample_orders",
+    """
+    WITH r AS (
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               row_number() OVER (ORDER BY o_orderdate, o_orderkey)::BIGINT
+                   AS grank
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, order_date, grank
+    FROM r WHERE (grank - 1 - 3) % 37 = 0 ORDER BY grank
+    """,
+)
+def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic every-37th-order sample over the (date, key) total
+    order — even coverage across time, which a hash sample only gives
+    in expectation. Rank rides the range-partitioned global_rank
+    (never a single-reducer window; the oracle's plain window is the
+    semantics, not the plan). See
+    operators/sampling.py:systematic_sample."""
+    from data_misc_tools_spark.operators.sampling import systematic_sample
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+    return systematic_sample(
+        base, ["order_date", "o_orderkey"], step=37, offset=3
+    ).orderBy("grank")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -547,3 +547,33 @@ def negative_samples(
         .filter(F.col("rank") <= k)
         .select(query_col, "rank", "neg_id")
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_by: list,
+    step: int,
+    offset: int = 0,
+) -> DataFrame:
+    """Systematic (every k-th row) sampling over a TOTAL order — the
+    estimator survey methodology reaches for when coverage must be
+    even across the ordering dimension (time, key space): a hash
+    sample can cluster by chance, a systematic sample cannot.
+
+    Rank rides :func:`...etl.global_rank` (range partition + broadcast
+    offsets — never a single-reducer window); rows where
+    (rank − 1 − offset) mod step == 0 survive, so the sample is exactly
+    ceil((n − offset)/step) rows, deterministic for any engine.
+    ``order_by`` must be a total order (unique key last).
+
+    Output: input columns + ``grank`` (the 1-based global rank of each
+    kept row — the inclusion evidence).
+    """
+    from data_misc_tools_spark.operators.etl import global_rank
+
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    if not 0 <= offset < step:
+        raise ValueError("offset must be in [0, step)")
+    ranked = global_rank(df, order_by)
+    return ranked.filter((F.col("grank") - 1 - offset) % step == 0)

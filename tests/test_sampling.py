@@ -328,3 +328,20 @@ class TestExactStratifiedSplit:
         df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
         with pytest.raises(ValueError, match="sum to 100"):
             SA.exact_stratified_split(df, "lang", "doc_id", {"train": 70, "val": 10})
+
+
+def test_systematic_sample_even_coverage(spark):
+    import pytest as _pt
+
+    from data_misc_tools_spark.operators.sampling import systematic_sample
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = systematic_sample(df, ["id"], step=10, offset=4).collect()
+    assert sorted(r.id for r in out) == list(range(4, 100, 10))
+    assert all(r.grank == r.id + 1 for r in out)
+    # offset 0, step 1 = identity
+    assert systematic_sample(df, ["id"], step=1).count() == 100
+    with _pt.raises(ValueError):
+        systematic_sample(df, ["id"], step=0)
+    with _pt.raises(ValueError):
+        systematic_sample(df, ["id"], step=5, offset=5)
