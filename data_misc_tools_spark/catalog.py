@@ -8837,6 +8837,75 @@ def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grank")
 
 
+@_q(
+    "attribution_ushape_credit",
+    """
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    pairs AS (
+        SELECT p.user_id, floor(epoch(p.ts))::BIGINT AS purchase_ts,
+               floor(epoch(c.ts))::BIGINT AS click_ts, c.event_id AS click_id
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id, purchase_ts
+                                  ORDER BY click_ts, click_id)::BIGINT AS pos,
+               count(*) OVER (PARTITION BY user_id, purchase_ts)::BIGINT
+                   AS n_touches
+        FROM pairs
+    )
+    SELECT user_id, purchase_ts, click_ts, click_id, n_touches, pos,
+           CASE WHEN n_touches = 1 THEN 1000
+                WHEN n_touches = 2 THEN 500
+                WHEN pos = 1 THEN 400
+                WHEN pos = n_touches THEN 400
+                ELSE (2 * 200 + (n_touches - 2)) // (2 * (n_touches - 2))
+           END::BIGINT AS credit_permille
+    FROM r
+    """,
+)
+def attribution_ushape_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based, 40/20/40) multi-touch attribution:
+    each purchase's credit split over the clicks in its prior 24 h —
+    400‰ to the first touch, 400‰ to the last, the middle 200‰ split
+    half-up over the interior (1-touch → 1000, 2-touch → 500/500).
+    Pairs from the user-keyed interval join; positions from
+    per-conversion keyed windows (tiebreak by click event_id — equal
+    timestamps must not rank nondeterministically); all credits
+    integer permille. See
+    operators/temporal.py:attribution_position_credit."""
+    from data_misc_tools_spark.operators.temporal import (
+        attribution_position_credit,
+    )
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), F.col("ts").alias("__pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("__cu"),
+        F.unix_timestamp("ts").alias("click_ts"),
+        F.col("ts").alias("__cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("__cu"))
+        & (F.col("__cts") <= F.col("__pts"))
+        & (F.col("__cts") >= F.col("__pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("user_id", "purchase_ts", "click_ts", "click_id")
+    return attribution_position_credit(
+        pairs,
+        conv_keys=["user_id", "purchase_ts"],
+        order_by=["click_ts", "click_id"],
+    ).select(
+        "user_id", "purchase_ts", "click_ts", "click_id",
+        "n_touches", "pos", "credit_permille",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -631,3 +631,54 @@ def lag_crosscorr(
         .join(b, "__t2")
     )
     return pearson_exact(j, ["lag"], "__x", "__y")
+
+
+def attribution_position_credit(
+    df: DataFrame,
+    conv_keys: list[str],
+    order_by: list[str],
+    first_permille: int = 400,
+    last_permille: int = 400,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: split each
+    conversion's credit across its touchpoints — ``first_permille`` to
+    the first touch, ``last_permille`` to the last, the remainder
+    split evenly over the interior (the 40/20/40 industry standard).
+    One touch takes 1000; two touches split half-up.
+
+    Input: one row per (conversion, touch) pair — e.g. the output of
+    the 30-minute interval join. ``conv_keys`` identify the
+    conversion; ``order_by`` must TOTALLY order touches within it
+    (tiebreak by a unique id last, or equal-timestamp touches would
+    rank nondeterministically).
+
+    All integer: positions from keyed windows (partitioned per
+    conversion — never global), interior credit = half_up(mid/(n−2))
+    permille via (2A+B) div 2B. Per-touch credits are half-up permille
+    of the true share, so an n-touch conversion's total may differ
+    from 1000 by rounding units — the per-touch figure is the
+    deliverable, exact in any engine.
+
+    Output: input columns + (n_touches, pos, credit_permille).
+    """
+    mid_total = 1000 - first_permille - last_permille
+    if mid_total < 0:
+        raise ValueError("first_permille + last_permille must be <= 1000")
+    w = Window.partitionBy(*conv_keys).orderBy(*order_by)
+    wn = Window.partitionBy(*conv_keys)
+    ranked = df.withColumn("pos", F.row_number().over(w).cast("long")).withColumn(
+        "n_touches", F.count("*").over(wn).cast("long")
+    )
+    two_split = (1000 + 1) // 2  # half-up of 1000/2
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1000))
+        .when(F.col("n_touches") == 2, F.lit(two_split))
+        .when(F.col("pos") == 1, F.lit(first_permille))
+        .when(F.col("pos") == F.col("n_touches"), F.lit(last_permille))
+        .otherwise(
+            F.expr(
+                f"(2 * {mid_total} + (n_touches - 2)) div (2 * (n_touches - 2))"
+            )
+        )
+    )
+    return ranked.withColumn("credit_permille", credit.cast("long"))

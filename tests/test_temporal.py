@@ -442,3 +442,40 @@ def test_lag_crosscorr_finds_the_planted_lead(spark):
         r.corr is None
         for r in lag_crosscorr(flat, "t", "x", "y", 1).collect()
     )
+
+
+def test_attribution_ushape_credit_positions(spark):
+    from data_misc_tools_spark.operators.temporal import (
+        attribution_position_credit,
+    )
+
+    # one conversion with 5 touches, one with 2, one with 1; a tied
+    # timestamp pair ordered by the unique touch id
+    rows = (
+        [(1, 100, t, i) for i, t in enumerate([10, 20, 20, 30, 40])]
+        + [(2, 200, 5, 0), (2, 200, 9, 1)]
+        + [(3, 300, 7, 0)]
+    )
+    df = spark.createDataFrame(
+        rows, "user int, conv int, touch_ts int, touch_id int"
+    )
+    out = attribution_position_credit(
+        df, ["user", "conv"], ["touch_ts", "touch_id"]
+    ).collect()
+    by = {(r.user, r.pos): r for r in out}
+    # 5 touches: 400 / 67 / 67 / 67 / 400  (200/3 half-up = 67)
+    assert [by[(1, p)].credit_permille for p in range(1, 6)] == [
+        400, 67, 67, 67, 400,
+    ]
+    assert by[(1, 1)].touch_ts == 10 and by[(1, 5)].touch_ts == 40
+    # tie at ts=20 broken by touch_id
+    assert by[(1, 2)].touch_id == 1 and by[(1, 3)].touch_id == 2
+    assert [by[(2, p)].credit_permille for p in (1, 2)] == [500, 500]
+    assert by[(3, 1)].credit_permille == 1000
+    assert all(r.n_touches in (1, 2, 5) for r in out)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        attribution_position_credit(
+            df, ["user"], ["touch_ts"], first_permille=600, last_permille=600
+        )
