@@ -215,6 +215,10 @@ HEADLINE = [
     "lag_crosscorr_purchase_click",
     "hits_users_items",
     "benford_audit_prices",
+    "systematic_sample_orders",
+    "attribution_ushape_credit",
+    "cluster_medoids_embeddings",
+    "rtbf_cascade_report",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -8906,6 +8906,107 @@ def attribution_ushape_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cluster_medoids_embeddings",
+    """
+    WITH c AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 64)) AS q
+        FROM embeddings
+    ),
+    n2 AS (
+        SELECT vec_id, label, q,
+               list_sum(list_transform(q, v -> v * v))::BIGINT AS sq
+        FROM c
+    ),
+    st AS (SELECT label, count(*)::BIGINT AS bn, sum(sq)::BIGINT AS sn2
+           FROM n2 GROUP BY label),
+    s AS (
+        SELECT label, i.i AS d, sum(q[i.i])::BIGINT AS sv
+        FROM c JOIN generate_series(1, 64) i(i) ON i.i <= len(q)
+        GROUP BY 1, 2
+    ),
+    xs AS (
+        SELECT c.label, c.vec_id, sum(c.q[s.d] * s.sv)::BIGINT AS xs
+        FROM c JOIN s ON c.label = s.label GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT n2.label, n2.vec_id,
+               (st.bn * n2.sq + st.sn2 - 2 * xs.xs)::BIGINT AS cost
+        FROM n2 JOIN xs ON n2.label = xs.label AND n2.vec_id = xs.vec_id
+                JOIN st ON n2.label = st.label
+    )
+    SELECT label::BIGINT AS label, vec_id AS medoid_id, cost
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY cost, vec_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def cluster_medoids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label medoid (the REAL member minimizing total
+    squared distance to its cluster) — computed LINEARLY, never a pair
+    join: sum_y ||x-y||^2 = B*||x||^2 + sum||y||^2 - 2*x*S with the
+    block vector-sum S riding a (block, dim)-keyed integer aggregate.
+    All BIGINT over SQ codes; argmin ties to the smaller id. See
+    operators/similarity.py:cluster_medoids."""
+    from data_misc_tools_spark.operators.similarity import cluster_medoids
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return cluster_medoids(e).withColumn(
+        "label", F.col("label").cast("long")
+    ).select("label", "medoid_id", "cost")
+
+
+@_q(
+    "rtbf_cascade_report",
+    """
+    WITH subj AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < -500),
+    dc AS (SELECT * FROM customer WHERE c_custkey IN (SELECT k FROM subj)),
+    do_ AS (SELECT * FROM orders WHERE o_custkey IN (SELECT k FROM subj)),
+    dl AS (SELECT * FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer)::BIGINT AS n_rows,
+           (SELECT count(*) FROM dc)::BIGINT AS n_deleted,
+           ((SELECT count(*) FROM customer)
+            - (SELECT count(*) FROM dc))::BIGINT AS n_kept
+    UNION ALL
+    SELECT 'orders', (SELECT count(*) FROM orders)::BIGINT,
+           (SELECT count(*) FROM do_)::BIGINT,
+           ((SELECT count(*) FROM orders)
+            - (SELECT count(*) FROM do_))::BIGINT
+    UNION ALL
+    SELECT 'lineitem', (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM dl)::BIGINT,
+           ((SELECT count(*) FROM lineitem)
+            - (SELECT count(*) FROM dl))::BIGINT
+    """,
+)
+def rtbf_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten blast-radius report: erase the deep-debit
+    customers (the deterministic stand-in for an erasure batch) and
+    cascade customer → orders → lineitem through the FK chain — one
+    semi + one anti join per table, doomed ∪ kept a partition by
+    construction, kept frames returned for atomic write-back. See
+    operators/etl.py:cascade_purge."""
+    from data_misc_tools_spark.operators.etl import cascade_purge
+
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    subjects = (
+        t["customer"].filter(F.col("c_acctbal") < -500).select("c_custkey")
+    )
+    report, _kept = cascade_purge(
+        subjects,
+        [
+            ("customer", t["customer"], "c_custkey", "c_custkey"),
+            ("orders", t["orders"], "o_custkey", "o_orderkey"),
+            ("lineitem", t["lineitem"], "l_orderkey", None),
+        ],
+    )
+    return report
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -839,6 +839,8 @@ def hits_scores(
     """
     from pyspark.sql.window import Window
 
+    if max_iter < 1:
+        raise ValueError("hits_scores needs max_iter >= 1")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("it"))
         .distinct()

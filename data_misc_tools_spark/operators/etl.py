@@ -460,3 +460,60 @@ def pareto_skyline(
         geq = ge if geq is None else (geq & ge)
         strict = gt if strict is None else (strict | gt)
     return a.join(F.broadcast(b), geq & strict, "left_anti")
+
+
+def cascade_purge(
+    subjects: DataFrame,
+    levels: list[tuple[str, DataFrame, str, str | None]],
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Right-to-be-forgotten cascade: delete every row reachable from
+    the subject keys through a foreign-key chain, and report the blast
+    radius per table — the compliance primitive behind GDPR/CCPA
+    erasure over a star/snowflake layout.
+
+    ``subjects`` is a one-column frame of root keys. ``levels`` is the
+    FK chain walked in order: (table_name, df, key_col, next_key_col)
+    — level i's doomed rows are its rows whose ``key_col`` SEMI-joins
+    the previous level's doomed keys; ``next_key_col`` (None for the
+    last level) projects the keys the next level is matched on.
+    Survivors come from the mirrored ANTI join, so doomed ∪ kept is a
+    partition of the table by construction.
+
+    Scale: one semi + one anti join per table on its own key (both
+    broadcast when the doomed key set is small — the typical erasure
+    batch); nothing is collected, the purge report is one 3-column row
+    per table, and the KEPT frames are returned for the caller to
+    write back atomically.
+
+    Output: (report_df(table_name, n_rows, n_deleted, n_kept),
+    {table_name: kept_df}).
+    """
+    spark = subjects.sparkSession
+    keys = subjects.toDF("__k").distinct()
+    reports = []
+    kept: dict[str, DataFrame] = {}
+    for name, df, key_col, next_key in levels:
+        doomed = df.join(
+            keys.select(F.col("__k").alias(key_col)), key_col, "semi"
+        )
+        kept[name] = df.join(
+            keys.select(F.col("__k").alias(key_col)), key_col, "anti"
+        )
+        reports.append(
+            df.agg(F.count("*").cast("long").alias("n_rows"))
+            .crossJoin(
+                doomed.agg(F.count("*").cast("long").alias("n_deleted"))
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_deleted",
+                (F.col("n_rows") - F.col("n_deleted")).alias("n_kept"),
+            )
+        )
+        if next_key is not None:
+            keys = doomed.select(F.col(next_key).alias("__k")).distinct()
+    report = reports[0]
+    for r in reports[1:]:
+        report = report.unionByName(r)
+    return report, kept

@@ -1450,3 +1450,79 @@ def margin_topk_pairs(
         )
     )
     return out.orderBy(F.desc("margin_e6"), "vec_a", "vec_b").limit(top_pairs)
+
+
+def cluster_medoids(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Exact medoid (the member minimizing total squared L2 distance
+    to its cluster) per block — the representative-exemplar selector
+    that follows any clustering: centroids are synthetic, medoids are
+    REAL rows you can ship as the cluster's face.
+
+    The naive medoid is a within-block pair join (|block|² dots). This
+    is the LINEAR form instead, from the identity
+
+        Σ_y ‖x − y‖² = B·‖x‖² + Σ_y ‖y‖² − 2·x·S,   S = Σ_y y
+
+    so one pass computes the per-block aggregates (B, Σ‖y‖², S — the
+    vector sum rides a (block, dim)-keyed integer aggregate) and a
+    second linear pass scores every member against its block's S via
+    one posexplode join on (block, dim). No pair join anywhere; all
+    arithmetic is BIGINT over the fixed SQ codes, so the argmin —
+    ties to the smaller id — is engine-exact.
+
+    Output: (block_col, medoid_id, cost) — cost the exact integer
+    Σ‖x−y‖² of the winner (self-distance 0 included, which shifts
+    every candidate equally and cannot change the argmin).
+    """
+    codes = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        sq_quantize(F.col(vec_col), scale).alias("__c"),
+    )
+    sq_norm = F.aggregate(
+        "__c", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    base = codes.withColumn("__n2", sq_norm)
+    stats = base.groupBy("__blk").agg(
+        F.count("*").cast("long").alias("__bn"),
+        F.sum("__n2").cast("long").alias("__sn2"),
+    )
+    dim_sums = (
+        codes.select("__blk", F.posexplode("__c").alias("__d", "__v"))
+        .groupBy("__blk", "__d")
+        .agg(F.sum("__v").cast("long").alias("__s"))
+    )
+    dots = (
+        codes.select(
+            "__blk", "__id", F.posexplode("__c").alias("__d", "__v")
+        )
+        .join(dim_sums, ["__blk", "__d"])
+        .groupBy("__blk", "__id")
+        .agg(F.sum(F.col("__v") * F.col("__s")).cast("long").alias("__xs"))
+    )
+    scored = (
+        base.select("__blk", "__id", "__n2")
+        .join(dots, ["__blk", "__id"])
+        .join(F.broadcast(stats), "__blk")
+        .selectExpr(
+            "__blk",
+            "__id",
+            "__bn * __n2 + __sn2 - 2 * __xs AS cost",
+        )
+    )
+    w = Window.partitionBy("__blk").orderBy(F.asc("cost"), F.asc("__id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__blk").alias(block_col),
+            F.col("__id").alias("medoid_id"),
+            F.col("cost"),
+        )
+    )

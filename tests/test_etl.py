@@ -354,3 +354,37 @@ class TestParetoSkyline:
         df = spark.createDataFrame(rows, "doc_id long, x long, y long")
         got = {r.doc_id for r in pareto_skyline(df, ["x", "y"]).collect()}
         assert got == {1, 2}
+
+
+def test_cascade_purge_partitions_every_level(spark):
+    from data_misc_tools_spark.operators.etl import cascade_purge
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "ck int")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], "ok int, ck int"
+    )
+    items = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (11, "c"), (12, "d"), (13, "e")],
+        "ok int, sku string",
+    )
+    subjects = spark.createDataFrame([(1,), (99,)], "ck int")  # 99 unknown
+    report, kept = cascade_purge(
+        subjects,
+        [
+            ("cust", cust, "ck", "ck"),
+            ("orders", orders, "ck", "ok"),
+            ("items", items, "ok", None),
+        ],
+    )
+    rep = {r.table_name: (r.n_rows, r.n_deleted, r.n_kept) for r in report.collect()}
+    assert rep == {
+        "cust": (3, 1, 2),
+        "orders": (4, 2, 2),     # orders 10, 11
+        "items": (5, 3, 2),      # items of orders 10, 11
+    }
+    assert {r.ck for r in kept["cust"].collect()} == {2, 3}
+    assert {r.ok for r in kept["orders"].collect()} == {12, 13}
+    assert {r.sku for r in kept["items"].collect()} == {"d", "e"}
+    # doomed ∪ kept is a partition: kept + deleted == rows at each level
+    for name in rep:
+        assert rep[name][1] + rep[name][2] == rep[name][0]

@@ -590,3 +590,37 @@ def test_margin_mining_single_dot_frame_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_systematic_sample_rank_is_range_partitioned(spark, sf_dir):
+    plan = _plan(spark, "systematic_sample_orders", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_windows_are_conversion_keyed(spark, sf_dir):
+    """Positions come from per-conversion keyed windows: the plan
+    shuffles on (user_id, purchase_ts) and contains no single-reducer
+    SinglePartition window exchange."""
+    plan = _plan(spark, "attribution_ushape_credit", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cluster_medoids_is_linear_no_pair_join(spark, sf_dir):
+    """The medoid identity avoids the within-block pair join: no
+    cartesian, and the only joins are the (block, dim) sum attach and
+    the broadcast stats attach."""
+    plan = _plan(spark, "cluster_medoids_embeddings", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rtbf_purge_semi_anti_only(spark, sf_dir):
+    """The cascade is semi joins per level (the report side), never an
+    inner multiplication of fact rows."""
+    plan = _plan(spark, "rtbf_cascade_report", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -742,3 +742,47 @@ def test_margin_mining_blocked_equals_exact_within_blocks(spark):
     assert bm == pm
     # no cross-block pair leaked
     assert all((a < 10) == (b < 10) for a, b in bm)
+
+
+def test_cluster_medoids_equals_brute_force(spark):
+    """The linear-identity medoid must equal the O(block^2) brute
+    force on every block, including the argmin id tiebreak."""
+    import numpy as np
+
+    from data_misc_tools_spark.operators.similarity import cluster_medoids
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)], i % 4) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r.label: (r.medoid_id, r.cost)
+        for r in cluster_medoids(df, scale=64).collect()
+    }
+    import collections
+
+    blocks = collections.defaultdict(list)
+    for vid, emb, lbl in rows:
+        code = np.floor(np.array(emb) * 64).astype(np.int64)
+        blocks[lbl].append((vid, code))
+    for lbl, members in blocks.items():
+        best = min(
+            (sum(int(((x - y) ** 2).sum()) for _, y in members), vid)
+            for vid, x in members
+        )
+        assert got[lbl] == (best[1], best[0]), lbl
+
+
+def test_cluster_medoids_plan_has_no_pair_join(spark):
+    from data_misc_tools_spark.operators.similarity import cluster_medoids
+
+    df = spark.range(20).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS DOUBLE) / 20, 1.0D) AS embedding",
+        "CAST(id % 2 AS INT) AS label",
+    )
+    plan = cluster_medoids(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -185,6 +185,14 @@ STRESS = {
     "lag_crosscorr_purchase_click": "linear",
     "hits_users_items": "linear",
     "benford_audit_prices": "linear",
+    # rank via range partition; per-conversion keyed windows over the
+    # user-keyed interval join; medoids are LINEAR by the B|x|^2 +
+    # sum|y|^2 - 2xS identity (no pair join); purge is one semi+anti
+    # join per level.
+    "systematic_sample_orders": "linear",
+    "attribution_ushape_credit": "linear",
+    "cluster_medoids_embeddings": "linear",
+    "rtbf_cascade_report": "linear",
     # grid prune is one min/max agg + a cells-sized join; the exact
     # check is guard-bounded survivors only.
     "pareto_docs_skyline": "linear",
@@ -280,16 +288,27 @@ def main() -> int:
     ).collect()
 
     designs = {**STRESS, **{k: v[0] for k, v in EXTRA.items()}}
+    # --only a,b,c  -> run just those queries and APPEND an addendum
+    # section to SCALING.md instead of rewriting the full report
+    only: list[str] | None = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        missing = [n for n in only if n not in designs]
+        if missing:
+            print(f"unknown --only names: {missing}", file=sys.stderr)
+            return 2
+        designs = {n: designs[n] for n in only}
     names = list(designs)
     t_small, r_small = bench_dir(spark, small, names)
     t_big, r_big = bench_dir(spark, big, names)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
-        f.write(json.dumps({
-            "metric": "scale_stress_total", "value": round(sum(t_big.values()), 3),
-            "unit": "sec", "queries": t_big, "sf": 1.0,
-        }) + "\n")
+    if only is None:
+        with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
+            f.write(json.dumps({
+                "metric": "scale_stress_total", "value": round(sum(t_big.values()), 3),
+                "unit": "sec", "queries": t_big, "sf": 1.0,
+            }) + "\n")
 
     lines = [
         "# SCALING — sf0.1 vs sf1 (10x rows, tools/gen_scale.py replica)",
@@ -326,6 +345,18 @@ def main() -> int:
         lines.append(
             f"| {name} | {design} | {a} | {b} | {ratio} | {rr} | {verdict} |"
         )
+    if only is not None:
+        addendum = [
+            "",
+            "## Targeted addendum (--only run, appended after the full sweep)",
+            "",
+            "| query | design | sf0.1 s | sf1 s | ratio | rows ratio | verdict |",
+            "|---|---|---|---|---|---|---|",
+        ] + lines[lines.index("|---|---|---|---|---|---|---|") + 1:]
+        with open(os.path.join(repo, "SCALING.md"), "a") as f:
+            f.write("\n".join(addendum) + "\n")
+        print(json.dumps({"super_linear": worst}))
+        return 1 if worst else 0
     lines += [
         "",
         f"Total: sf0.1 {round(sum(t_small.values()), 3)} s -> sf1 "
