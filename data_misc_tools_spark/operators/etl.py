@@ -517,3 +517,69 @@ def cascade_purge(
     for r in reports[1:]:
         report = report.unionByName(r)
     return report, kept
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization: map every group's value distribution
+    onto the POOLED distribution (y = F_pool⁻¹(F_g(x))) — the
+    batch-effect corrector used when per-source score scales disagree
+    (classifier scores per shard, engagement values per platform) but
+    ranks are trusted.
+
+    Engine-exact integer construction: within-group ranks come from a
+    keyed window ordered by (value, id) — the unique id makes tied
+    values rank identically in any engine; the pooled order statistics
+    come from :func:`global_rank` over the same total order
+    (range-partitioned, never a single-reducer window); each row maps
+    to pooled index ceil(rank_g · n_pool / n_g) = (rank_g·n_pool +
+    n_g − 1) div n_g — exact integer ceiling, quantile-faithful at
+    both ends (rank 1 → ceil(n_pool/n_g), rank n_g → n_pool) — and
+    takes the pooled value at that index by one equi-join.
+
+    Scale: one keyed window, one global_rank, one int-keyed join; the
+    group sizes attach broadcast. ``value_col`` must be exact
+    integers (fixed-point first).
+
+    Output: input (id, group, value) + (grp_rank, n_group, pool_idx,
+    normalized) — ``normalized`` the pooled order statistic.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    wg = Window.partitionBy("__g").orderBy("__v", "__id")
+    ranked = base.withColumn(
+        "grp_rank", F.row_number().over(wg).cast("long")
+    )
+    sizes = base.groupBy("__g").agg(F.count("*").cast("long").alias("n_group"))
+    pooled = global_rank(base, ["__v", "__id"], out_col="__pool_rank").select(
+        F.col("__pool_rank").alias("pool_idx"),
+        F.col("__v").alias("normalized"),
+    )
+    n_pool = base.agg(F.count("*").cast("long").alias("__n_pool"))
+    return (
+        ranked.join(F.broadcast(sizes), "__g")
+        .crossJoin(F.broadcast(n_pool))
+        .withColumn(
+            "pool_idx",
+            F.expr("(grp_rank * __n_pool + n_group - 1) div n_group"),
+        )
+        .join(pooled, "pool_idx")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(value_col),
+            "grp_rank",
+            "n_group",
+            "pool_idx",
+            "normalized",
+        )
+    )

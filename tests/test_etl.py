@@ -388,3 +388,30 @@ def test_cascade_purge_partitions_every_level(spark):
     # doomed ∪ kept is a partition: kept + deleted == rows at each level
     for name in rep:
         assert rep[name][1] + rep[name][2] == rep[name][0]
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    from data_misc_tools_spark.operators.etl import quantile_normalize
+
+    # group A = 1..10, group B = 100x A: after normalization both map
+    # onto the pooled order statistics at the same quantiles
+    rows = [(i, "a", i) for i in range(1, 11)] + [
+        (100 + i, "b", 100 * i) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v int")
+    out = {r.id: r for r in quantile_normalize(df, "g", "v", "id").collect()}
+    pooled = sorted(v for _, _, v in rows)
+    n_pool, n_g = 20, 10
+    for rid, g, v in rows:
+        r = out[rid]
+        # python reference of the exact mapping
+        grp_rank = sorted(x for i2, g2, x in rows if g2 == g).index(v) + 1
+        idx = -(-grp_rank * n_pool // n_g)  # ceil
+        assert (r.grp_rank, r.n_group, r.pool_idx) == (grp_rank, n_g, idx)
+        assert r.normalized == pooled[idx - 1]
+    # equal-rank rows in different groups normalize to the SAME value
+    a = [out[i] for i in range(1, 11)]
+    b = [out[100 + i] for i in range(1, 11)]
+    for ra, rb in zip(sorted(a, key=lambda r: r.grp_rank),
+                      sorted(b, key=lambda r: r.grp_rank)):
+        assert ra.normalized == rb.normalized
