@@ -9058,6 +9058,75 @@ def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cuped_purchase_by_clicks",
+    """
+    WITH u AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' AND day(ts) <= 15
+                        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+                        THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+               sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * y)::HUGEINT AS sxy,
+               sum(x::HUGEINT * x)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y)::HUGEINT AS syy
+        FROM u
+    )
+    SELECT n::BIGINT AS n_rows,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (n * sxy - sx * sy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE END AS theta,
+           CASE WHEN n = 0 THEN NULL
+                ELSE (n * syy - sy * sy)::DOUBLE / (n * n)::DOUBLE
+           END AS var_y,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ((n * sxx - sx * sx) * (n * syy - sy * sy)
+                      - (n * sxy - sx * sy) * (n * sxy - sx * sy))::DOUBLE
+                     / (n * n * (n * sxx - sx * sx))::DOUBLE
+           END AS var_y_adj,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))::DOUBLE
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE
+           END AS r2
+    FROM s
+    """,
+)
+def cuped_purchase_by_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust per-user
+    second-half purchase revenue by first-half click value — the
+    experimentation staple that shrinks metric variance (and so the
+    detectable effect size) using only pre-period data. One exact
+    decimal sufficient-statistics aggregate; theta / var(Y) /
+    var(Y_adj) / r2 each ONE IEEE division of exact integers,
+    UNROUNDED; degenerate variances NULL via try_divide. See
+    operators/profile.py:cuped_report."""
+    from data_misc_tools_spark.operators.profile import cuped_report
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.dayofmonth("ts") <= 15),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.dayofmonth("ts") > 15),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("y"),
+    )
+    return cuped_report(u, "x", "y")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

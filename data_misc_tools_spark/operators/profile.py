@@ -1086,3 +1086,61 @@ def benford_first_digit(
             """,
         )
     )
+
+
+def cuped_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the
+    experimentation-platform staple: adjust the experiment metric Y by
+    a pre-period covariate X (Y_adj = Y − θ·(X − X̄), θ =
+    cov(X,Y)/var(X)) and report how much metric variance the
+    adjustment removes — smaller variance ⇒ smaller detectable effect
+    at the same sample size.
+
+    Engine-exact the pearson_exact way: one map-side-combined
+    aggregate collects the exact decimal(38,0) sufficient statistics
+    (inputs must be exact integers — fixed-point first), then
+
+        θ        = dxy / dxx
+        var(Y)   = dyy / n²
+        var(Yadj)= (dxx·dyy − dxy²) / (n²·dxx)
+        r²       = dxy² / (dxx·dyy)     (the variance-reduction share)
+
+    with d·· = n·Σ·· − Σ·Σ· — every numerator and denominator an exact
+    decimal product (bounds: |d··| ≲ n·Σ·², so the dxx·dyy products
+    stay inside decimal(38,0) up to ~1e19-scale sums), each emitted
+    value ONE IEEE division, UNROUNDED. Zero-variance X or Y yields
+    NULLs via try_divide, never an ANSI error.
+
+    Output: one row (n_rows, theta, var_y, var_y_adj, r2).
+    """
+    dec = "decimal(38,0)"
+    g = df.select(
+        F.col(x_col).cast("long").cast(dec).alias("__x"),
+        F.col(y_col).cast("long").cast(dec).alias("__y"),
+    ).agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    return g.selectExpr(
+        "CAST(n AS LONG) AS n_rows",
+        "try_divide(CAST(n * sxy - sx * sy AS DOUBLE),"
+        "           CAST(n * sxx - sx * sx AS DOUBLE)) AS theta",
+        "try_divide(CAST(n * syy - sy * sy AS DOUBLE),"
+        "           CAST(n * n AS DOUBLE)) AS var_y",
+        "try_divide(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)"
+        "                - (n * sxy - sx * sy) * (n * sxy - sx * sy)"
+        "                AS DOUBLE),"
+        "           CAST(n * n * (n * sxx - sx * sx) AS DOUBLE))"
+        " AS var_y_adj",
+        "try_divide(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE),"
+        "           CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))"
+        " AS r2",
+    )

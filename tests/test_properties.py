@@ -225,3 +225,35 @@ def test_benford_first_digit_audit(spark):
     out2 = {r.digit: r for r in benford_first_digit(flat, "v").collect()}
     assert out2[5].n_obs == 100 and out2[1].n_obs == 0
     assert out2[5].chi2_term > out2[1].chi2_term > 0
+
+
+def test_cuped_report_matches_numpy_and_reduces_variance(spark):
+    import numpy as np
+
+    from data_misc_tools_spark.operators.profile import cuped_report
+
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 1000, 200)
+    y = (3 * x + rng.randint(0, 500, 200)).astype(np.int64)  # correlated
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], "x long, y long"
+    )
+    r = cuped_report(df, "x", "y").collect()[0]
+    n = len(x)
+    dxx = n * int((x.astype(object) ** 2).sum()) - int(x.sum()) ** 2
+    dyy = n * int((y.astype(object) ** 2).sum()) - int(y.sum()) ** 2
+    dxy = n * int((x.astype(object) * y).sum()) - int(x.sum()) * int(y.sum())
+    assert r.n_rows == n
+    # the engines convert each exact side to double FIRST, then divide
+    assert r.theta == float(dxy) / float(dxx)
+    assert r.var_y == float(dyy) / float(n * n)
+    assert r.var_y_adj == float(dxx * dyy - dxy * dxy) / float(n * n * dxx)
+    assert r.r2 == float(dxy * dxy) / float(dxx * dyy)
+    # strongly correlated covariate -> big reduction
+    assert r.var_y_adj < 0.2 * r.var_y
+    # identity: var_y_adj = var_y * (1 - r2) up to IEEE ulps
+    assert abs(r.var_y_adj - r.var_y * (1 - r.r2)) < 1e-6 * r.var_y
+    # zero-variance covariate -> NULL theta, var_y intact
+    flat = spark.createDataFrame([(7, i) for i in range(10)], "x long, y long")
+    r0 = cuped_report(flat, "x", "y").collect()[0]
+    assert r0.theta is None and r0.var_y is not None
