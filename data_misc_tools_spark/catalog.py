@@ -9127,6 +9127,69 @@ def cuped_purchase_by_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_report(u, "x", "y")
 
 
+@_q(
+    "image_dhash_neardup",
+    """
+    WITH d AS (
+        SELECT doc_id, 12 + doc_id % 7 AS w, 12 + doc_id % 5 AS h,
+               (doc_id % 25) * 3 AS seed
+        FROM documents WHERE doc_id < 200
+    ),
+    bits AS (
+        SELECT doc_id, i.i AS bit,
+               CASE WHEN (seed + 31 * ((((i.i % 8) + 1) * w) // 9)
+                          + 17 * (((i.i // 8) * h) // 8)) % 256
+                         > (seed + 31 * (((i.i % 8) * w) // 9)
+                            + 17 * (((i.i // 8) * h) // 8)) % 256
+                    THEN 1 ELSE 0 END AS v
+        FROM d CROSS JOIN generate_series(0, 63) i(i)
+    ),
+    b AS (
+        SELECT doc_id,
+               sum(CASE WHEN bit // 16 = 0 THEN v << (bit % 16) ELSE 0 END)::BIGINT AS b0,
+               sum(CASE WHEN bit // 16 = 1 THEN v << (bit % 16) ELSE 0 END)::BIGINT AS b1,
+               sum(CASE WHEN bit // 16 = 2 THEN v << (bit % 16) ELSE 0 END)::BIGINT AS b2,
+               sum(CASE WHEN bit // 16 = 3 THEN v << (bit % 16) ELSE 0 END)::BIGINT AS b3
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           (bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+            + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)))::BIGINT
+               AS hamming
+    FROM b a JOIN b c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.b0, c.b0)) + bit_count(xor(a.b1, c.b1))
+          + bit_count(xor(a.b2, c.b2)) + bit_count(xor(a.b3, c.b3)) <= 3
+    """,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs end-to-end through the REAL codec:
+    encode 200 deterministic grayscale PNGs (stdlib zlib, correct
+    CRCs), dHash each (real decode, 9×8 nearest grid, adjacent-pixel
+    bits packed as 4×16-bit bands), then banded pair search — hamming
+    ≤ 3 is EXACT by pigeonhole (≤3 flipped bits over 4 bands leave one
+    band identical), verified with 4 JVM XOR popcounts per candidate.
+    The oracle derives every hash arithmetically from the synthesis
+    formula, so a single wrong byte anywhere in encode → decode →
+    sample → pack → join fails the hash. See
+    operators/multimodal.py:image_dhash_bands / dhash_neardup_pairs."""
+    from data_misc_tools_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash_bands,
+        png_encode_batches,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    spec = d.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        (F.lit(12) + F.col("doc_id") % 7).cast("int").alias("width"),
+        (F.lit(12) + F.col("doc_id") % 5).cast("int").alias("height"),
+        ((F.col("doc_id") % 25) * 3).cast("int").alias("seed"),
+    )
+    blobs = png_encode_batches(spec)
+    hashes = image_dhash_bands(blobs)
+    return dhash_neardup_pairs(hashes, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -805,3 +805,121 @@ def png_resize_nearest(
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "payload": out})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def image_dhash_bands(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of grayscale PNGs — the
+    image near-duplicate signature: REAL decode (stdlib zlib),
+    nearest-neighbor sample onto the canonical 9×8 grid (the same
+    floor(x·sw/9) map as :func:`png_resize_nearest`), one bit per
+    adjacent-pixel comparison p[x+1,y] > p[x,y]. Crops, re-encodes and
+    brightness shifts move few bits; unrelated images differ in ~32.
+
+    The 64 bits are packed as FOUR 16-bit band values (b0..b3, bit
+    i = y·8+x lands in band i div 16 at offset i mod 16) rather than
+    one int64 — the bands are the LSH join key downstream (and dodge
+    signed-overflow at bit 63 portably). Map-only, Arrow-batched; no
+    shuffle at any scale.
+
+    Output: (id_col, b0, b1, b2, b3) smallint-ranged longs.
+    """
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + [StructField(f"b{k}", LongType()) for k in range(4)]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sw, sh, px = png_decode_gray8_bytes(bytes(payload))
+                grid = [
+                    px[(y * sh // 8) * sw + (x * sw // 9)]
+                    for y in range(8)
+                    for x in range(9)
+                ]
+                bits = [
+                    1 if grid[y * 9 + x + 1] > grid[y * 9 + x] else 0
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                bands = [
+                    sum(bits[16 * k + j] << j for j in range(16))
+                    for k in range(4)
+                ]
+                rows.append((int(rid), *bands))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs from dHash band signatures: hamming
+    distance ≤ ``max_hamming`` over the 64 bits, found EXACTLY for
+    ``max_hamming`` ≤ 3 — with ≤ 3 differing bits spread over 4
+    16-bit bands, the pigeonhole principle guarantees at least one
+    band matches verbatim, so the banded equi-join (the SimHash trick)
+    loses nothing. Candidates = band-value collisions, never n²; the
+    verify step is 4 integer XOR popcounts per candidate, JVM-side.
+    ``max_hamming`` > 3 raises (recall would silently drop below 1).
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "dhash_neardup_pairs is exact only for max_hamming <= 3 "
+            "(4 bands); re-band with more bands for looser thresholds"
+        )
+    b = hashes.select(
+        F.col(id_col).alias("__id"), "b0", "b1", "b2", "b3"
+    )
+    legs = []
+    for k in range(4):
+        legs.append(
+            b.select(
+                "__id",
+                F.lit(k).alias("__band"),
+                F.col(f"b{k}").alias("__bv"),
+            )
+        )
+    bands = legs[0]
+    for leg in legs[1:]:
+        bands = bands.unionByName(leg)
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bv") == F.col("r.__bv"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    la = b.select(*[F.col(c).alias(f"{c}_a") for c in b.columns])
+    lb = b.select(*[F.col(c).alias(f"{c}_b") for c in b.columns])
+    ham = sum(
+        F.bit_count(
+            F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b"))
+        ).cast("long")
+        for k in range(4)
+    )
+    return (
+        cand.join(la, cand["id_a"] == la["__id_a"])
+        .join(lb, cand["id_b"] == lb["__id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

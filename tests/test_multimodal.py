@@ -343,3 +343,65 @@ def test_png_resize_nearest(spark):
     _, _, px = png_decode_gray8_bytes(payload)
     want = [(3 + 31 * (4 * x) + 17 * (4 * y)) % 256 for y in range(4) for x in range(4)]
     assert list(px) == want
+
+
+def test_image_dhash_end_to_end_and_banding_exactness(spark):
+    from data_misc_tools_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash_bands,
+        png_encode_batches,
+    )
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    # identical images -> hamming 0; a slightly different seed -> few
+    # bits; a very different seed -> many bits (dropped by the gate)
+    spec = spark.createDataFrame(
+        [
+            (1, 16, 16, 10),
+            (2, 16, 16, 10),    # exact duplicate of 1
+            (3, 16, 16, 11),    # near: +1 brightness shifts few bits
+            (4, 16, 16, 137),   # unrelated
+        ],
+        "doc_id long, width int, height int, seed int",
+    )
+    hashes = image_dhash_bands(png_encode_batches(spec))
+    hs = {r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in hashes.collect()}
+    assert hs[1] == hs[2]
+    assert all(0 <= v < 65536 for t in hs.values() for v in t)
+    # python reference of the dhash over the known synthesis formula
+    def ref(seed, w, h):
+        grid = [
+            (seed + 31 * (x * w // 9) + 17 * (y * h // 8)) % 256
+            for y in range(8)
+            for x in range(9)
+        ]
+        bits = [
+            1 if grid[y * 9 + x + 1] > grid[y * 9 + x] else 0
+            for y in range(8)
+            for x in range(8)
+        ]
+        return tuple(
+            sum(bits[16 * k + j] << j for j in range(16)) for k in range(4)
+        )
+
+    assert hs[1] == ref(10, 16, 16)
+    assert hs[4] == ref(137, 16, 16)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # banded result == quadratic ground truth at the exact threshold
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    truth = {
+        (a, b): ham(hs[a], hs[b])
+        for a in hs
+        for b in hs
+        if a < b and ham(hs[a], hs[b]) <= 3
+    }
+    assert pairs == truth
+    with _pt.raises(ValueError, match="max_hamming"):
+        dhash_neardup_pairs(hashes, max_hamming=4)
