@@ -219,6 +219,9 @@ HEADLINE = [
     "attribution_ushape_credit",
     "cluster_medoids_embeddings",
     "rtbf_cascade_report",
+    "quantile_normalize_values",
+    "cuped_purchase_by_clicks",
+    "image_dhash_neardup",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

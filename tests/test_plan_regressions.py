@@ -624,3 +624,23 @@ def test_rtbf_purge_semi_anti_only(spark, sf_dir):
     plan = _plan(spark, "rtbf_cascade_report", sf_dir)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_pool_stats_range_partitioned(spark, sf_dir):
+    """Pooled order statistics must ride global_rank (rangepartitioning
+    + broadcast offsets); group sizes attach broadcast."""
+    plan = _plan(spark, "quantile_normalize_values", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_is_one_aggregate(spark, sf_dir):
+    plan = _plan(spark, "cuped_purchase_by_clicks", sf_dir)
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_dhash_pairs_banded_not_quadratic(spark, sf_dir):
+    """The pair search must be the banded equi-join: no cartesian, and
+    the only Python ops are the two real-codec mapInPandas stages."""
+    plan = _plan(spark, "image_dhash_neardup", sf_dir)
+    assert "CartesianProduct" not in plan

@@ -193,6 +193,12 @@ STRESS = {
     "attribution_ushape_credit": "linear",
     "cluster_medoids_embeddings": "linear",
     "rtbf_cascade_report": "linear",
+    # quantile normalize: one keyed window + global_rank + int join;
+    # cuped is one aggregate; dhash is a fixed-200-image demo (flat by
+    # construction, included to prove cost does NOT scale with sf).
+    "quantile_normalize_values": "linearithmic",
+    "cuped_purchase_by_clicks": "linear",
+    "image_dhash_neardup": "linear",
     # grid prune is one min/max agg + a cells-sized join; the exact
     # check is guard-bounded survivors only.
     "pareto_docs_skyline": "linear",
