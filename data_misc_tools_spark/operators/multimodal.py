@@ -880,9 +880,13 @@ def dhash_neardup_pairs(
             "dhash_neardup_pairs is exact only for max_hamming <= 3 "
             "(4 bands); re-band with more bands for looser thresholds"
         )
+    # the signature frame fans out SIX ways (4 band legs + both verify
+    # sides); localCheckpoint so an upstream decode/hash pipeline runs
+    # ONCE, not per consumer (the nb_train/tfidf branch lesson —
+    # measured 20 Python stages without it)
     b = hashes.select(
         F.col(id_col).alias("__id"), "b0", "b1", "b2", "b3"
-    )
+    ).localCheckpoint(eager=True)
     legs = []
     for k in range(4):
         legs.append(
