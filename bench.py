@@ -222,6 +222,7 @@ HEADLINE = [
     "quantile_normalize_values",
     "cuped_purchase_by_clicks",
     "image_dhash_neardup",
+    "mann_kendall_daily_trend",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -9190,6 +9190,56 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(hashes, max_hamming=3)
 
 
+@_q(
+    "mann_kendall_daily_trend",
+    """
+    WITH d AS (
+        SELECT (floor(epoch(date_trunc('day', ts)))::BIGINT // 86400)::BIGINT AS x,
+               sum(round(value * 100)::BIGINT)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+        SELECT sum(sign(b.y - a.y))::HUGEINT AS s
+        FROM d a JOIN d b ON a.x < b.x
+    ),
+    n AS (SELECT count(*)::HUGEINT AS n FROM d),
+    t AS (
+        SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::HUGEINT AS tt
+        FROM (SELECT count(*)::HUGEINT AS t FROM d GROUP BY y)
+    )
+    SELECT n::BIGINT AS n_points, s::BIGINT AS s_stat,
+           CASE WHEN n * (n - 1) * (2 * n + 5) - tt = 0 THEN NULL
+                WHEN s = 0 THEN 0.0
+                ELSE (s - sign(s::DOUBLE)::HUGEINT)::DOUBLE
+                     / sqrt((n * (n - 1) * (2 * n + 5) - tt)::DOUBLE / 18.0)
+           END AS z_stat
+    FROM s, n, t
+    """,
+)
+def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on daily purchase revenue —
+    the significance gate beside theil_sen_daily_trend's slope
+    estimate: S counts concordant minus discordant day pairs, the
+    tie-corrected z with continuity correction says whether the trend
+    is distinguishable from noise. Exact integer S and tie term in
+    decimal(38,0)/HUGEINT; z one pinned IEEE chain, UNROUNDED. Same
+    bounded-rollup contract (the pair frame is days²). See
+    operators/profile.py:mann_kendall_test."""
+    from data_misc_tools_spark.operators.profile import mann_kendall_test
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("x")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    )
+    return mann_kendall_test(daily, "x", "y")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -1144,3 +1144,67 @@ def cuped_report(
         "           CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))"
         " AS r2",
     )
+
+
+def mann_kendall_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test — the significance companion to
+    :func:`theil_sen_slope`: S = Σ_{i<j} sign(y_j − y_i) counts
+    concordant minus discordant pairs over the time order; the
+    tie-corrected normal approximation z = (S ∓ 1)/√Var with
+    Var = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 rejects "no trend" at
+    |z| ≥ ~1.96. Nonparametric: a single outlier moves S by at most
+    n−1, where it moves an OLS slope arbitrarily.
+
+    Same bounded-preaggregate contract as Theil–Sen (the pair frame is
+    n(n−1)/2 over a rollup, never raw events; x must be a total order,
+    y exact integers). Engine-exact: S and the tie term are exact
+    integer sums in decimal(38,0); z is a pinned IEEE chain over those
+    integers with the standard continuity correction (S>0 → S−1,
+    S<0 → S+1, S=0 → z=0), NULL on degenerate variance.
+
+    Output: one row (n_points, s_stat, z_stat).
+    """
+    dec = "decimal(38,0)"
+    a = df.select(F.col(x_col).cast("long").alias("x1"),
+                  F.col(y_col).cast("long").alias("y1"))
+    b = df.select(F.col(x_col).cast("long").alias("x2"),
+                  F.col(y_col).cast("long").alias("y2"))
+    s = (
+        a.join(b, F.col("x1") < F.col("x2"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("y2") - F.col("y1")).cast("double")
+                ).cast("long")
+            ).cast(dec).alias("s")
+        )
+    )
+    n = df.agg(F.count("*").cast(dec).alias("n"))
+    ties = (
+        df.groupBy(F.col(y_col).cast("long").alias("__y"))
+        .agg(F.count("*").cast(dec).alias("t"))
+        .agg(
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).cast(dec).alias("tt")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "CAST(n AS LONG) AS n_points",
+            "CAST(s AS LONG) AS s_stat",
+            """
+            CASE WHEN n * (n - 1) * (2 * n + 5) - tt = 0 THEN CAST(NULL AS DOUBLE)
+                 WHEN s = 0 THEN 0.0D
+                 ELSE CAST(s - CAST(sign(CAST(s AS DOUBLE)) AS {d}) AS DOUBLE)
+                      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0D)
+            END AS z_stat
+            """.replace("{d}", "decimal(38,0)"),
+        )
+    )

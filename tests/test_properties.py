@@ -257,3 +257,38 @@ def test_cuped_report_matches_numpy_and_reduces_variance(spark):
     flat = spark.createDataFrame([(7, i) for i in range(10)], "x long, y long")
     r0 = cuped_report(flat, "x", "y").collect()[0]
     assert r0.theta is None and r0.var_y is not None
+
+
+def test_mann_kendall_detects_monotone_trend(spark):
+    import math
+
+    from data_misc_tools_spark.operators.profile import mann_kendall_test
+
+    # strictly increasing: S = n(n-1)/2, max z
+    up = spark.createDataFrame([(i, 10 * i) for i in range(20)], "x int, y int")
+    r = mann_kendall_test(up, "x", "y").collect()[0]
+    n = 20
+    assert (r.n_points, r.s_stat) == (n, n * (n - 1) // 2)
+    var = n * (n - 1) * (2 * n + 5) / 18
+    assert r.z_stat == (r.s_stat - 1) / math.sqrt(var)
+    assert r.z_stat > 1.96
+    # scrambled python reference with ties
+    import itertools
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    df = spark.createDataFrame(list(enumerate(vals)), "x int, y int")
+    s = sum(
+        (a < b) - (a > b)
+        for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2)
+    )
+    from collections import Counter
+
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values())
+    m = len(vals)
+    var = (m * (m - 1) * (2 * m + 5) - tt) / 18
+    want_z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    r = mann_kendall_test(df, "x", "y").collect()[0]
+    assert (r.s_stat, r.z_stat) == (s, want_z)
+    # constant series: zero variance -> NULL
+    flat = spark.createDataFrame([(i, 7) for i in range(5)], "x int, y int")
+    assert mann_kendall_test(flat, "x", "y").collect()[0].z_stat is None

@@ -199,6 +199,7 @@ STRESS = {
     "quantile_normalize_values": "linearithmic",
     "cuped_purchase_by_clicks": "linear",
     "image_dhash_neardup": "linear",
+    "mann_kendall_daily_trend": "linear",
     # grid prune is one min/max agg + a cells-sized join; the exact
     # check is guard-bounded survivors only.
     "pareto_docs_skyline": "linear",
