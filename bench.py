@@ -223,6 +223,11 @@ HEADLINE = [
     "cuped_purchase_by_clicks",
     "image_dhash_neardup",
     "mann_kendall_daily_trend",
+    # round-6: float production twins for the two e6 power-iteration
+    # graded rows (VERDICT r5 ask — the bootstrap_value_ci_fast
+    # treatment)
+    "markov_stationary_fast",
+    "pagerank_neardup_fast",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production
@@ -236,6 +241,9 @@ ORACLE_PORTABLE_TWINS = {
     "bm25_index_query": "bm25_index_serve",  # includes the index BUILD
     "dedup_minhash_lsh": "dedup_minhash_lsh_fast",
     "embedding_neardup": "embedding_neardup_gemm",
+    # r6 (VERDICT r5 ask): the two e6 power-iteration graded rows
+    "markov_stationary_events": "markov_stationary_fast",
+    "pagerank_neardup_graph": "pagerank_neardup_fast",
 }
 
 

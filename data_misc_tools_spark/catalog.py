@@ -4527,16 +4527,19 @@ def pca_project_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an eigendecomposition on the driver — not one SQL statement;
     correctness is pinned against numpy (mean/eigenvalues/components/
     projections, partitioning-invariance) in tests/test_linalg.py.
-    See operators/linalg.py."""
+    The projection is emitted as SCALAR columns p0..p7 (not
+    array<double>): the driver's rows-only canonicalizer lexsorts in
+    pandas, and list-valued cells are unhashable there — the one red
+    row of CORRECTNESS_r05. See operators/linalg.py."""
     from data_misc_tools_spark.operators.linalg import pca_fit, pca_transform
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     model = pca_fit(emb, "embedding", k=8)
-    return (
-        pca_transform(emb, model, "embedding", out_col="pca")
-        .select("vec_id", "pca")
-        .orderBy("vec_id")
-    )
+    proj = pca_transform(emb, model, "embedding", out_col="pca")
+    return proj.select(
+        "vec_id",
+        *[F.col("pca")[i].alias(f"p{i}") for i in range(8)],
+    ).orderBy("vec_id")
 
 
 ROWS_ONLY.add("bpe_segment_demo")
@@ -4979,6 +4982,29 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pagerank_exact(both, max_iter=5)
         .orderBy(F.desc("v_e6"), "node")
+        .limit(20)
+    )
+
+
+ROWS_ONLY.add("pagerank_neardup_fast")
+
+
+@_q("pagerank_neardup_fast")
+def pagerank_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of pagerank_neardup_graph (VERDICT r5 ask):
+    float power iteration via cluster.pagerank_fast — same graph,
+    same 5 rounds, but ONE lazy plan (no per-round eager
+    localCheckpoint, no e6 integer scaffolding). rows-only: float
+    accumulation order is not engine-portable; parity with the
+    integer-exact graded twin is pinned in tests/test_cluster.py.
+    bench labels the graded row `oracle_portable_graded` pointing
+    here."""
+    from data_misc_tools_spark.operators.cluster import pagerank_fast
+
+    both = _neardup_graph_edges(spark, sf_dir)
+    return (
+        pagerank_fast(both, max_iter=5)
+        .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
 
@@ -6502,6 +6528,27 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ["events"])["events"]
     return stationary_distribution(e, iters=10)
+
+
+ROWS_ONLY.add("markov_stationary_fast")
+
+
+@_q("markov_stationary_fast")
+def markov_stationary_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of markov_stationary_events (VERDICT r5 ask):
+    the transition matrix is bounded metadata (|event-type alphabet|²
+    rows), so the power iteration runs driver-side in float after ONE
+    distributed scan — no per-round Spark job, no e6 scaffolding.
+    rows-only: float math is not engine-portable; parity with the
+    integer-exact graded twin is pinned in tests/test_temporal.py.
+    bench labels the graded row `oracle_portable_graded` pointing
+    here. See operators/temporal.py:stationary_distribution_fast."""
+    from data_misc_tools_spark.operators.temporal import (
+        stationary_distribution_fast,
+    )
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return stationary_distribution_fast(e, iters=10)
 
 
 @_q(
@@ -8270,8 +8317,8 @@ def ks_purchase_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT item_a, item_b, support_ab, sa.supp AS support_a,
            sb.supp AS support_b, n.n_baskets,
            support_ab::DOUBLE / sa.supp::DOUBLE AS confidence,
-           (n.n_baskets * support_ab)::DOUBLE
-             / (sa.supp * sb.supp)::DOUBLE AS lift
+           (n.n_baskets::HUGEINT * support_ab)::DOUBLE
+             / (sa.supp::HUGEINT * sb.supp)::DOUBLE AS lift
     FROM pr JOIN s sa ON pr.item_a = sa.it
             JOIN s sb ON pr.item_b = sb.it CROSS JOIN n
     ORDER BY support_ab DESC, item_a, item_b LIMIT 25
@@ -8840,23 +8887,26 @@ def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "attribution_ushape_credit",
     """
-    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
     c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
     pairs AS (
         SELECT p.user_id, floor(epoch(p.ts))::BIGINT AS purchase_ts,
+               p.event_id AS purchase_id,
                floor(epoch(c.ts))::BIGINT AS click_ts, c.event_id AS click_id
         FROM p JOIN c ON p.user_id = c.user_id
                      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
     ),
     r AS (
         SELECT *,
-               row_number() OVER (PARTITION BY user_id, purchase_ts
+               row_number() OVER (PARTITION BY user_id, purchase_ts, purchase_id
                                   ORDER BY click_ts, click_id)::BIGINT AS pos,
-               count(*) OVER (PARTITION BY user_id, purchase_ts)::BIGINT
-                   AS n_touches
+               count(*) OVER (PARTITION BY user_id, purchase_ts, purchase_id)
+                   ::BIGINT AS n_touches
         FROM pairs
     )
-    SELECT user_id, purchase_ts, click_ts, click_id, n_touches, pos,
+    SELECT user_id, purchase_ts, purchase_id, click_ts, click_id,
+           n_touches, pos,
            CASE WHEN n_touches = 1 THEN 1000
                 WHEN n_touches = 2 THEN 500
                 WHEN pos = 1 THEN 400
@@ -8874,7 +8924,10 @@ def attribution_ushape_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs from the user-keyed interval join; positions from
     per-conversion keyed windows (tiebreak by click event_id — equal
     timestamps must not rank nondeterministically); all credits
-    integer permille. See
+    integer permille. Conversions are keyed by the purchase EVENT_ID
+    (ADVICE r5): keying by (user, second) alone would merge two
+    same-second purchases by one user into a single conversion with a
+    doubled touch list. See
     operators/temporal.py:attribution_position_credit."""
     from data_misc_tools_spark.operators.temporal import (
         attribution_position_credit,
@@ -8882,7 +8935,10 @@ def attribution_ushape_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_tables(spark, sf_dir, ["events"])["events"]
     p = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), F.col("ts").alias("__pts")
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_ts"),
+        F.col("ts").alias("__pts"),
+        F.col("event_id").alias("purchase_id"),
     )
     c = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("__cu"),
@@ -8895,13 +8951,13 @@ def attribution_ushape_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") == F.col("__cu"))
         & (F.col("__cts") <= F.col("__pts"))
         & (F.col("__cts") >= F.col("__pts") - F.expr("INTERVAL 24 HOURS")),
-    ).select("user_id", "purchase_ts", "click_ts", "click_id")
+    ).select("user_id", "purchase_ts", "purchase_id", "click_ts", "click_id")
     return attribution_position_credit(
         pairs,
-        conv_keys=["user_id", "purchase_ts"],
+        conv_keys=["user_id", "purchase_ts", "purchase_id"],
         order_by=["click_ts", "click_id"],
     ).select(
-        "user_id", "purchase_ts", "click_ts", "click_id",
+        "user_id", "purchase_ts", "purchase_id", "click_ts", "click_id",
         "n_touches", "pos", "credit_permille",
     )
 

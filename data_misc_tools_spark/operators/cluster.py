@@ -408,6 +408,61 @@ def pagerank_exact(
     return v.select("node", F.col("v").alias("v_e6"))
 
 
+def pagerank_fast(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Production twin of :func:`pagerank_exact`: float power
+    iteration over a NO-DANGLING graph (every node has ≥1 out-edge —
+    true for any symmetrized edge list), returning (node, rank DOUBLE).
+
+    What the exact form pays for engine-portable grading, this drops:
+    no e6 integer mass, no half-up div exprs, and — the real cost —
+    no eager localCheckpoint per round. With no dangling term the
+    ranks frame is referenced ONCE per round, so the lineage grows
+    linearly (never the 2^iters doubling that forces the exact form's
+    per-round materialization), and the whole iteration compiles to a
+    SINGLE lazy plan: one Spark job with max_iter shuffle stages
+    instead of max_iter separate checkpoint jobs. ``checkpoint_every``
+    bounds lineage depth for large iteration counts (lazy checkpoint,
+    so nothing materializes at construction time).
+
+    rows-only by design: float accumulation order is not
+    engine-portable — grading belongs to pagerank_exact, production
+    runs this (the bootstrap_value_ci_fast precedent). Per-round
+    semantics otherwise match pagerank_exact: share = rank/deg,
+    rank' = (1-d)/n + d·Σ in-shares.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    deg = e.groupBy("a").agg(F.count("*").cast("long").alias("__deg"))
+    ew = e.join(deg, "a").localCheckpoint(eager=True)
+    nodes = ew.select(F.col("a").alias("node")).distinct()
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    v = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(max_iter):
+        v = (
+            ew.join(v, ew["a"] == v["node"])
+            .select(
+                F.col("b"),
+                (F.col("rank") / F.col("__deg")).alias("__s"),
+            )
+            .groupBy("b")
+            .agg(F.sum("__s").alias("__in"))
+            .select(
+                F.col("b").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("__in")).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < max_iter:
+            v = v.localCheckpoint(eager=False)
+    return v
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

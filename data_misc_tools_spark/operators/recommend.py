@@ -49,6 +49,12 @@ def association_rules_pairs(
       n·support_ab / (support_a·support_b): single pinned IEEE
       divisions of exact integers — emitted UNROUNDED (engine-exact;
       int→double conversion is correctly rounded in every engine).
+      The lift products are widened to decimal(38,0) before the
+      double cast (HUGEINT in the DuckDB twin) — two BIGINT counts
+      multiply past 2^63 at ~3·10^9 baskets, well inside 100 TB
+      scale, and ANSI Spark would raise rather than answer (ADVICE
+      r5; same widening as the r4 BM25 fix, decimal→double is
+      correctly rounded so the twin stays bit-exact to ~1e38).
     - ``max_basket_size`` DROPS baskets above the cap before pairing
       (a 10k-item basket alone contributes 5·10^7 pairs); None keeps
       exactness for oracle-checked runs. Dropping, not trimming, keeps
@@ -98,8 +104,9 @@ def association_rules_pairs(
             "n_baskets",
             "CAST(support_ab AS DOUBLE) / CAST(support_a AS DOUBLE)"
             " AS confidence",
-            "CAST(n_baskets * support_ab AS DOUBLE)"
-            " / CAST(support_a * support_b AS DOUBLE) AS lift",
+            "CAST(CAST(n_baskets AS DECIMAL(38,0)) * support_ab AS DOUBLE)"
+            " / CAST(CAST(support_a AS DECIMAL(38,0)) * support_b AS DOUBLE)"
+            " AS lift",
         )
     )
 
@@ -131,6 +138,19 @@ def item_item_cosine(
     Output: (item_a, item_b, dot, n_common, n2_a, n2_b, cosine) with
     item_a < item_b, pairs sharing fewer than ``min_common_users``
     users dropped.
+
+    BIGINT bound (ADVICE r5): ``dot`` and ``n2`` are exact-count sums
+    pinned to BIGINT by the output schema (the oracle twin is also
+    BIGINT; HUGEINT outputs always flag in the type-strict gate).
+    They overflow only past 9.2·10^18 — i.e. a single item pair
+    accumulating ~10^19 interaction-count product mass, which needs
+    per-(user,item) counts ≳3·10^9 THROUGH one pair; the
+    ``max_items_per_user`` bot guard is the production lever before
+    that. Unlike lift's product-of-two-supports (widened above at
+    ~3·10^9), this bound is the full 2^63, so BIGINT is kept; ANSI
+    Spark and DuckDB both raise loudly rather than wrap if it is ever
+    hit. ``cosine``'s denominator takes sqrt of each norm BEFORE
+    multiplying (doubles), so it has no integer product at all.
     """
     item = F.col(item_col) if isinstance(item_col, str) else item_col
     r = (

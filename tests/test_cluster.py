@@ -194,6 +194,54 @@ class TestPageRankExact:
         assert got == {250_000}
 
 
+class TestPageRankFast:
+    """The float production twin (VERDICT r5 ask): on the symmetrized
+    graphs it is specified for, it must agree with the dangling-aware
+    float pagerank to machine precision AND track the integer-exact
+    graded twin to e6 truncation tolerance."""
+
+    def _random_symmetrized(self, seed=7, n=12, m=30):
+        import random
+
+        rng = random.Random(seed)
+        raw = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        edges = [(a, b) for a, b in raw if a != b]
+        return edges + [(b, a) for a, b in edges]
+
+    def test_matches_float_pagerank_on_symmetrized_graph(self, spark):
+        both = self._random_symmetrized()
+        df = spark.createDataFrame(both, "src long, dst long")
+        fast = {r.node: r.rank for r in C.pagerank_fast(df, max_iter=5).collect()}
+        full = {r.node: r.rank for r in C.pagerank(df, max_iter=5).collect()}
+        assert set(fast) == set(full)
+        for v in full:
+            # identical update rule, no dangling mass on a symmetrized
+            # graph: only float association order can differ
+            assert abs(fast[v] - full[v]) < 1e-12, v
+
+    def test_tracks_integer_exact_twin(self, spark):
+        both = self._random_symmetrized(seed=11)
+        df = spark.createDataFrame(both, "src long, dst long")
+        fast = {r.node: r.rank for r in C.pagerank_fast(df, max_iter=5).collect()}
+        exact = {r.node: r.v_e6 for r in C.pagerank_exact(df, max_iter=5).collect()}
+        assert set(fast) == set(exact)
+        n = len(exact)
+        for v in exact:
+            # e6 truncation drifts ~1 unit per half-up per round
+            assert abs(fast[v] - exact[v] / 1e6) < 5 * 5 * n / 1e6, v
+
+    def test_checkpoint_cadence_does_not_change_results(self, spark):
+        both = self._random_symmetrized(seed=3)
+        df = spark.createDataFrame(both, "src long, dst long")
+        a = {r.node: r.rank for r in C.pagerank_fast(
+            df, max_iter=6, checkpoint_every=2
+        ).collect()}
+        b = {r.node: r.rank for r in C.pagerank_fast(
+            df, max_iter=6, checkpoint_every=0
+        ).collect()}
+        assert a == b
+
+
 class TestIncrementalCC:
     def test_matches_full_recompute_on_random_split(self, spark):
         """Split a random edge set into two batches: CC(batch1) merged

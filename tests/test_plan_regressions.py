@@ -587,7 +587,12 @@ def test_margin_mining_single_dot_frame_broadcast(spark, sf_dir):
     top-k window (keyed, never global) and the pair list; sumK tables
     attach broadcast; the final top-20 is TakeOrderedAndProject."""
     plan = _plan(spark, "margin_mine_pairs", sf_dir)
-    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    # ADVICE r5: the old `BNLJ in plan or Cartesian not in plan` was
+    # vacuous whenever the broadcast form was present. Independent
+    # assertions: the block-mined demo joins on the label block key
+    # (BroadcastHashJoin), and a cartesian must NEVER appear.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
 

@@ -388,6 +388,58 @@ def test_stationary_distribution_absorbing_state(spark):
     assert abs(total - 1_000_000) < 100  # conserved, never lost
 
 
+def test_stationary_fast_matches_exact_twin(spark):
+    """The driver-side float twin (VERDICT r5 ask) must agree with the
+    integer-exact distributed form to e6 truncation tolerance, and hit
+    the known chain's closed form to float precision."""
+    from data_misc_tools_spark.operators.temporal import (
+        stationary_distribution,
+        stationary_distribution_fast,
+    )
+
+    rows = []
+    eid = 0
+
+    def pair(u, x, y):
+        nonlocal eid
+        rows.append((u, eid, 1_600_000_000, x)); eid += 1
+        rows.append((u, eid, 1_600_000_100, y)); eid += 1
+
+    for u in range(5):
+        pair(u, "a", "a")
+    for u in range(5, 10):
+        pair(u, "a", "b")
+    for u in range(10, 20):
+        pair(u, "b", "a")
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long, event_type string"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(sec) AS ts", "event_type")
+    fast = {r.state: r.p for r in stationary_distribution_fast(df, iters=12).collect()}
+    assert set(fast) == {"a", "b"}
+    assert abs(fast["a"] - 2 / 3) < 1e-4  # float convergence, 12 rounds
+    assert abs(fast["b"] - 1 / 3) < 1e-4
+    assert abs(sum(fast.values()) - 1.0) < 1e-12  # no truncation loss
+    exact = {r.state: r.p for r in stationary_distribution(df, iters=12).collect()}
+    for s in exact:
+        assert abs(fast[s] - exact[s]) < 1e-3, s
+
+
+def test_stationary_fast_max_states_guard(spark):
+    from data_misc_tools_spark.operators.temporal import (
+        stationary_distribution_fast,
+    )
+
+    rows = [
+        (1, 1, 1_600_000_000, "a"), (1, 2, 1_600_000_100, "b"),
+        (1, 3, 1_600_000_200, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long, event_type string"
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(sec) AS ts", "event_type")
+    with pytest.raises(ValueError, match="max_states"):
+        stationary_distribution_fast(df, max_states=2)
+
+
 def test_cusum_deviation_locates_a_level_shift(spark):
     from data_misc_tools_spark.operators.temporal import cusum_deviation
 
