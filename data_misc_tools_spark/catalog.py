@@ -9316,43 +9316,48 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GRADED_FIRST: list[str] = [
-    # --- the 22 never-driver-graded entries (first official rows) ---
-    "semdedup_embeddings", "semantic_contamination_flags",
-    "dedup_ppjoin", "url_canonical_dedup", "pii_card_luhn",
-    "salted_join_revenue", "markov_stationary_events",
-    "hourly_anomaly_zscore_filled", "contrastive_negatives",
-    "bm25_index_serve", "png_pipeline_demo", "warc_source_demo",
-    "rfm_user_segments", "text_nfc_demo",
-    # rows-only leftovers (weaker rows-only driver check, first rows)
-    "bootstrap_value_ci_fast", "ab_lift_fast",
-    "distinct_users_daily_approx", "event_value_quantiles_approx",
-    "pca_project_demo", "bpe_segment_demo", "pagerank_neardup_graph",
-    "embedding_pq_topk",
-    # --- re-pins: r1-r3 veterans across every family; round-5
-    # session-3 rank statistics take the q1/q3 relational re-pin slots
-    # (both graded r1+r2, still under the strict local gate) ---
-    "mannwhitney_u_value", "ks_purchase_click_value",
-    "ql_dirichlet_search", "hybrid_rrf_search",
-    "rendezvous_shard_assign",
-    # round-5 session-2 new operators take three relational re-pin
-    # slots (q18 / grouping-sets / window-rank stay under the strict
-    # local gate, all graded r1-r3)
-    "linkpred_adamic_adar", "kcenter_coreset_embeddings",
-    "welch_ttest_value", "pca_power_embeddings", "containment_quotes",
-    "personalized_pagerank_seeds",
-    "snm_blocking_pairs", "margin_mine_pairs", "ccnet_perplexity_buckets",
-    "retrieval_eval_embeddings", "winnowing_match_pairs",
-    # round-5 new operators take the two embedding re-pin slots
-    # round-5 session-3 ops take the text_quality / pack_token_batches
-    # / embedding_neardup / dedup_minhash_lsh re-pin slots (all graded
-    # r1-r3, still under the strict local gate)
-    "kmeans_embeddings", "mmr_diverse_topk", "cusum_changepoint_daily",
-    "assoc_rules_brands", "ngram_novelty_scores", "dictionary_tag_topics",
-    "fd_profile_orders", "pareto_docs_skyline",
-    "exact_stratified_split_langs", "item_cf_events",
-    # ab_chi_square is a round-5 op with NO prior driver row — it keeps
-    # its slot; sessionize_events (graded r1+r2) yields the re-pin.
-    "lpa_communities_neardup", "ab_chi_square_purchase",
+    # --- round 6: the FINAL first-row batch. 15 round-5 session-3
+    # oracle queries that landed after the r5 window froze, the 2 new
+    # r6 float production twins (rows-only), and pca_project_demo's
+    # re-grade with the flattened scalar output (its r5 slot errored
+    # in the driver's list-column canonicalizer). After this round,
+    # EVERY catalog entry has an official driver row. ---
+    "tfidf_top_terms_docs", "phrase_search_docs", "lcc_neardup_nodes",
+    "theil_sen_daily_trend", "lag_crosscorr_purchase_click",
+    "hits_users_items", "benford_audit_prices",
+    "systematic_sample_orders", "attribution_ushape_credit",
+    "cluster_medoids_embeddings", "rtbf_cascade_report",
+    "quantile_normalize_values", "cuped_purchase_by_clicks",
+    "image_dhash_neardup", "mann_kendall_daily_trend",
+    "markov_stationary_fast", "pagerank_neardup_fast",
+    "pca_project_demo",
+    # --- 32 re-pins: the strongest veterans, spanning every family
+    # and every grading round (all oracle-exact under the strict
+    # local gate; family in brackets) ---
+    # [relational / TPC-H shapes]
+    "q1_pricing_summary", "q2_min_cost_supplier", "q5_region_volume",
+    "q18_large_orders", "lineitem_grouping_sets", "window_rank_orders",
+    "events_pivot_by_type", "orders_rollup",
+    # [dedup]
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
+    "dedup_keep_best",
+    # [embedding / similarity]
+    "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
+    "margin_mine_pairs",
+    # [retrieval]
+    "bm25_search_topk", "ql_dirichlet_search",
+    "retrieval_eval_embeddings",
+    # [text curation]
+    "text_quality", "gopher_filter_demo", "chunk_documents",
+    "ngram_novelty_scores",
+    # [temporal / statistics]
+    "sessionize_events", "funnel_view_click_purchase",
+    "cusum_changepoint_daily", "welch_ttest_value",
+    # [sampling / etl]
+    "dsir_select_topk", "exact_stratified_split_langs",
+    "rfm_user_segments",
+    # [multimodal / web]
+    "png_pipeline_demo", "url_domain_quota",
 ]
 
 
