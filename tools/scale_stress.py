@@ -116,6 +116,12 @@ STRESS = {
     "rfm_user_segments": "linearithmic",
     "contrastive_negatives": "linear",
     "pagerank_neardup_graph": "linear",
+    # r6 float production twins: same graph / same scan, minus the
+    # per-round checkpoint (pagerank) and minus the distributed
+    # iteration entirely (markov — driver-side over the bounded
+    # alphabet matrix)
+    "pagerank_neardup_fast": "linear",
+    "markov_stationary_fast": "linear",
     # round-5 operators: kmeans rounds are broadcast-assignment +
     # posexplode update (linear per round); MMR is a distributed
     # prefilter + FIXED-size rerank window (flat); dictionary tag is
