@@ -131,6 +131,112 @@ def t_kf_push(
     writer.save()
 
 
+def plan_rate_limited_backfill(
+    start_offsets: dict[tuple[str, int], int],
+    end_offsets: dict[tuple[str, int], int],
+    max_offsets_per_trigger: int,
+) -> list[dict[tuple[str, int], tuple[int, int]]]:
+    """Deterministic trigger plan for a rate-limited Kafka backfill —
+    the offline twin of Spark's ``maxOffsetsPerTrigger`` proration
+    (reference throttles the same way via backpressure +
+    max.poll.records, Configs.scala:52-64; Spark's KafkaMicroBatchStream
+    prorates each trigger's budget across partitions by lag share).
+
+    Input: per topic-partition ``(topic, partition) -> offset`` maps
+    for the range [start, end), and the per-trigger offset budget.
+    Output: a list of triggers, each mapping the partition to its
+    ``(from_offset, until_offset)`` window (until exclusive).
+
+    Contract (stricter than Spark's, so it is testable exactly):
+    - per-trigger total = min(budget, remaining lag) EXACTLY — the
+      fractional shares are floored and the remainder is assigned one
+      offset at a time to the laggiest partitions (ties by partition
+      key), where Spark's rounding may drift around the cap;
+    - progress every trigger (budget >= 1), so the plan always
+      terminates in ceil(total_lag / budget) triggers;
+    - concatenating a partition's windows over all triggers
+      reconstructs [start, end) with no gaps or overlaps.
+
+    Use the plan to drive bounded ``kf_pull``-shaped batch reads
+    (startingOffsets/endingOffsets JSON per trigger), or to audit what
+    a streaming backfill with ``maxOffsetsPerTrigger`` will do before
+    launching it. Pure metadata: |partitions| work per trigger.
+    """
+    if max_offsets_per_trigger < 1:
+        raise ValueError("max_offsets_per_trigger must be >= 1")
+    if set(start_offsets) != set(end_offsets):
+        raise ValueError("start and end offset maps cover different partitions")
+    cur = dict(start_offsets)
+    for p, e in end_offsets.items():
+        if e < cur[p]:
+            raise ValueError(f"end offset below start for {p}")
+    triggers: list[dict[tuple[str, int], tuple[int, int]]] = []
+    while True:
+        lags = {p: end_offsets[p] - cur[p] for p in cur if end_offsets[p] > cur[p]}
+        total = sum(lags.values())
+        if total == 0:
+            return triggers
+        budget = min(max_offsets_per_trigger, total)
+        shares = {p: budget * lag // total for p, lag in lags.items()}
+        rem = budget - sum(shares.values())
+        if rem:
+            # laggiest-first (ties by key) keeps the plan deterministic
+            # and drains skewed partitions fastest
+            for p in sorted(lags, key=lambda p: (-(lags[p] - shares[p]), p)):
+                if rem == 0:
+                    break
+                if shares[p] < lags[p]:
+                    shares[p] += 1
+                    rem -= 1
+        step = {
+            p: (cur[p], cur[p] + take)
+            for p, take in sorted(shares.items())
+            if take > 0
+        }
+        triggers.append(step)
+        for p, (_, until) in step.items():
+            cur[p] = until
+
+
+def kafka_backfill_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    max_offsets_per_trigger: int,
+    starting_offsets: str = "earliest",
+    ending_offsets: str | None = None,
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Rate-limited streaming backfill reader: the online form of
+    :func:`plan_rate_limited_backfill`. Builds a ``readStream`` over
+    Kafka with ``maxOffsetsPerTrigger`` so a Trigger.AvailableNow run
+    drains the topic in bounded batches instead of one giant first
+    micro-batch (the 100 TB posture: an unbounded first batch shuffles
+    the whole retention window at once). Records surface in the
+    reference's ``(t, ct, k, v)`` shape. Requires the Kafka connector
+    and broker; plan construction itself touches neither."""
+    if max_offsets_per_trigger < 1:
+        raise ValueError("max_offsets_per_trigger must be >= 1")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    )
+    if ending_offsets is not None:
+        reader = reader.option("endingOffsets", ending_offsets)
+    for key, val in (extra_options or {}).items():
+        reader = reader.option(key, val)
+    raw = reader.load()
+    return raw.select(
+        F.col("topic").alias("t"),
+        F.unix_millis(F.col("timestamp")).alias("ct"),
+        F.col("key").cast("string").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    )
+
+
 def _to_millis(ts: str) -> int:
     """Parse 'yyyy-MM-dd HH:mm:ss[.f]' or ISO-8601 to epoch millis (UTC)."""
     from datetime import datetime, timezone

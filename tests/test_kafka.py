@@ -49,3 +49,77 @@ def test_default_cfgs_match_reference():
     p = K.producer_defaults()
     assert p["compression.type"] == "gzip"
     assert p["request.timeout.ms"] == "1000"          # UDTFKafkaPush.java:41
+
+
+class TestRateLimitedBackfillPlan:
+    """plan_rate_limited_backfill: the offline twin of Spark's
+    maxOffsetsPerTrigger proration (reference throttles via
+    backpressure + max.poll.records, Configs.scala:52-64)."""
+
+    def _reconstruct(self, plan):
+        """Concatenate each partition's windows across triggers."""
+        seen: dict = {}
+        for step in plan:
+            for p, (frm, until) in step.items():
+                assert until > frm, "empty window emitted"
+                if p in seen:
+                    assert frm == seen[p], f"gap/overlap at {p}"
+                seen[p] = until
+        return seen
+
+    def test_exact_coverage_and_cap(self):
+        start = {("t", 0): 100, ("t", 1): 0, ("u", 0): 5}
+        end = {("t", 0): 1100, ("t", 1): 37, ("u", 0): 5}
+        plan = K.plan_rate_limited_backfill(start, end, 100)
+        total_lag = sum(end[p] - start[p] for p in start)
+        # every trigger takes exactly min(cap, remaining)
+        takes = [sum(u - f for f, u in step.values()) for step in plan]
+        assert takes == [100] * (total_lag // 100) + (
+            [total_lag % 100] if total_lag % 100 else []
+        )
+        ends = self._reconstruct(plan)
+        assert ends == {p: e for p, e in end.items() if e > start[p]}
+        # the zero-lag partition never appears
+        assert all(("u", 0) not in step for step in plan)
+
+    def test_proportional_to_lag(self):
+        start = {("t", 0): 0, ("t", 1): 0}
+        end = {("t", 0): 900, ("t", 1): 100}
+        step = K.plan_rate_limited_backfill(start, end, 100)[0]
+        assert step[("t", 0)] == (0, 90)
+        assert step[("t", 1)] == (0, 10)
+
+    def test_budget_smaller_than_partition_count_still_progresses(self):
+        start = {("t", i): 0 for i in range(8)}
+        end = {("t", i): 3 for i in range(8)}
+        plan = K.plan_rate_limited_backfill(start, end, 2)
+        assert len(plan) == 12  # 24 offsets / 2 per trigger
+        assert all(sum(u - f for f, u in s.values()) == 2 for s in plan)
+        self._reconstruct(plan)
+
+    def test_deterministic(self):
+        start = {("t", i): i * 7 for i in range(5)}
+        end = {("t", i): i * 7 + 13 * (i + 1) for i in range(5)}
+        a = K.plan_rate_limited_backfill(start, end, 17)
+        b = K.plan_rate_limited_backfill(start, end, 17)
+        assert a == b
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="max_offsets_per_trigger"):
+            K.plan_rate_limited_backfill({}, {}, 0)
+        with pytest.raises(ValueError, match="different partitions"):
+            K.plan_rate_limited_backfill({("t", 0): 0}, {}, 1)
+        with pytest.raises(ValueError, match="below start"):
+            K.plan_rate_limited_backfill({("t", 0): 5}, {("t", 0): 4}, 1)
+
+    def test_single_giant_partition(self):
+        plan = K.plan_rate_limited_backfill(
+            {("t", 0): 0}, {("t", 0): 10_000}, 999
+        )
+        assert len(plan) == 11
+        assert self._reconstruct(plan) == {("t", 0): 10_000}
+
+
+def test_kafka_backfill_stream_validates_budget(spark):
+    with pytest.raises(ValueError, match="max_offsets_per_trigger"):
+        K.kafka_backfill_stream(spark, "broker:9092", "topic_a", 0)

@@ -124,3 +124,98 @@ def test_hive_catalog_roundtrip_subprocess(tmp_path):
         pytest.skip("Hive classes unavailable in this environment")
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "HIVE_ROUNDTRIP_OK" in proc.stdout
+
+
+def test_hive_partition_management_subprocess(tmp_path):
+    """Partition lifecycle against the Hive-metastore catalog — the
+    reference's production tables are partitioned Hive tables managed
+    by exactly these idioms (README.md:183-219 insert-overwrite ETL;
+    HiveBeeLine-driven DDL): dynamic-partition INSERT OVERWRITE,
+    SHOW PARTITIONS, ALTER TABLE ADD PARTITION at an external
+    LOCATION, MSCK REPAIR discovery of dropped-in partition dirs, and
+    DROP PARTITION. Also proves partition PRUNING: a dt-filtered scan
+    reads only its partition. Subprocess for the same reason as the
+    CTAS round-trip (catalogImplementation is first-session sticky)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import os, sys
+        sys.path.insert(0, "/root/repo")
+        d = {str(tmp_path)!r}
+        os.environ["SPARK_GRAFT_CPUS"] = "2"
+        from data_misc_tools_spark.session import build_session
+
+        spark = build_session(
+            app_name="hive-partitions",
+            hive=True,
+            extra_conf={{
+                "spark.sql.warehouse.dir": os.path.join(d, "warehouse"),
+                "spark.driver.extraJavaOptions": f"-Dderby.system.home={{d}}",
+                "hive.exec.dynamic.partition.mode": "nonstrict",
+            }},
+        )
+        assert spark.conf.get("spark.sql.catalogImplementation") == "hive", (
+            "hive support not active"
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.sql("CREATE DATABASE IF NOT EXISTS part_rt")
+        spark.sql("USE part_rt")
+        spark.sql(
+            "CREATE TABLE ev (user_id BIGINT, v DOUBLE) "
+            "PARTITIONED BY (dt STRING) STORED AS ORC"
+        )
+        spark.range(100).selectExpr(
+            "id AS user_id", "id * 1.5 AS v",
+            "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS dt",
+        ).createOrReplaceTempView("src")
+        # dynamic-partition insert-overwrite: both partitions from one insert
+        spark.sql("INSERT OVERWRITE TABLE ev PARTITION (dt) SELECT * FROM src")
+        parts = sorted(r.partition for r in spark.sql("SHOW PARTITIONS ev").collect())
+        assert parts == ["dt=2024-01-01", "dt=2024-01-02"], parts
+        # partition pruning: the filtered scan must read ONE partition
+        q = spark.sql("SELECT count(*) AS n FROM ev WHERE dt = '2024-01-01'")
+        assert q.first().n == 50
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "2024-01-02" not in plan, "pruning failed: other partition scanned"
+        # overwrite ONE partition, the other is untouched
+        spark.sql(
+            "INSERT OVERWRITE TABLE ev PARTITION (dt='2024-01-01') "
+            "SELECT user_id, v FROM src WHERE user_id < 10"
+        )
+        assert spark.sql("SELECT count(*) AS n FROM ev").first().n == 10 + 50
+        # external partition dir: write ORC out-of-band, ADD PARTITION on it
+        ext = os.path.join(d, "ext", "dt=2024-01-03")
+        spark.range(7).selectExpr("id AS user_id", "id * 1.0 AS v").write.orc(ext)
+        spark.sql(f"ALTER TABLE ev ADD PARTITION (dt='2024-01-03') LOCATION '{{ext}}'")
+        assert spark.sql(
+            "SELECT count(*) AS n FROM ev WHERE dt='2024-01-03'"
+        ).first().n == 7
+        # MSCK REPAIR discovers a partition dir dropped under the table root
+        loc = spark.sql("DESCRIBE FORMATTED ev").filter(
+            "col_name = 'Location'"
+        ).first().data_type.removeprefix("file:")
+        dropin = os.path.join(loc, "dt=2024-01-04")
+        spark.range(3).selectExpr("id AS user_id", "id * 2.0 AS v").write.orc(dropin)
+        spark.sql("MSCK REPAIR TABLE ev")
+        parts = sorted(r.partition for r in spark.sql("SHOW PARTITIONS ev").collect())
+        assert "dt=2024-01-04" in parts, parts
+        assert spark.sql("SELECT count(*) AS n FROM ev").first().n == 10 + 50 + 7 + 3
+        # drop a partition: rows gone, others intact
+        spark.sql("ALTER TABLE ev DROP PARTITION (dt='2024-01-02')")
+        assert spark.sql("SELECT count(*) AS n FROM ev").first().n == 10 + 7 + 3
+        spark.sql("DROP TABLE ev")
+        spark.sql("DROP DATABASE part_rt")
+        print("HIVE_PARTITIONS_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300,
+    )
+    if "hive support not active" in proc.stdout + proc.stderr:
+        pytest.skip("Hive classes unavailable in this environment")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "HIVE_PARTITIONS_OK" in proc.stdout
