@@ -81,6 +81,21 @@ def test_entry_smoke(spark):
     assert df.columns == ["n_name", "top_customer", "top_acctbal"]
 
 
+def test_rows_only_outputs_survive_driver_canonicalization(spark, sf_dir):
+    """The driver's rows-only check lexsorts the collected frame in
+    pandas (sort_values over every column) — a cell holding a list or
+    any other unhashable type throws `unhashable type` there and burns
+    the query's official row, which is exactly how pca_project_demo's
+    array<double> column died in CORRECTNESS_r05. Replicate that
+    canonicalization for EVERY rows-only entry so the failure mode is
+    caught at commit time, not at grading time."""
+    from data_misc_tools_spark.catalog import ROWS_ONLY
+
+    for name in sorted(ROWS_ONLY):
+        pdf = QUERIES[name](spark, sf_dir).limit(50).toPandas()
+        pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs_and_matches_oracle_columns(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
