@@ -1208,3 +1208,89 @@ def mann_kendall_test(
             """.replace("{d}", "decimal(38,0)"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator with right-censoring — the
+    standard nonparametric answer to "how long until a user churns /
+    a job fails / the next purchase lands" when some spells are still
+    open at observation end (Kaplan & Meier 1958).
+
+    Input: one row per spell with an integer ``duration`` and
+    ``event`` = 1 if the terminal event was observed, 0 if the spell
+    is right-censored at ``duration``. At each distinct duration t the
+    at-risk count is n_t = Σ_{u≥t} (events_u + censored_u) and the
+    product-limit estimate multiplies (1 − d_t/n_t) over event times
+    ≤ t. Engine-portable output: the curve is emitted as
+    ``log_surv_e6`` = Σ e6-rounded ln((n_t − d_t)/n_t) — each term is
+    ln of a quotient of exact BIGINTs (both engines hold the same
+    IEEE double; the dsir/pmi idiom), summed as exact integers, so
+    S(t) = exp(log_surv_e6 / 1e6) is recoverable without any
+    cross-engine float accumulation. After an absorbing time
+    (d_t = n_t, survival hits exactly 0) ``log_surv_e6`` is NULL.
+
+    Scale shape: one groupBy(duration) aggregate (map-side combine),
+    then two range-partitioned prefix sums via
+    :func:`data_misc_tools_spark.operators.etl.global_cumsum` — the
+    at-risk suffix sum and the log-survival running sum — never an
+    unpartitioned ``ORDER BY`` window (single-reducer). The total-row
+    scalar broadcasts. Distinct durations are typically bounded
+    (days/hours), but nothing here assumes it.
+
+    Output: (duration, n_risk, n_event, n_censored, log_surv_e6),
+    one row per distinct duration.
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    ev = F.col(event_col).cast("long")
+    per = (
+        df.select(
+            F.col(duration_col).cast("long").alias("duration"),
+            ev.alias("__e"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.sum("__e").cast("long").alias("n_event"),
+            (F.count("*") - F.sum("__e")).cast("long").alias("n_censored"),
+            F.count("*").cast("long").alias("n_at"),
+        )
+    )
+    tot = per.agg(F.sum("n_at").cast("long").alias("__n"))
+    risk = (
+        global_cumsum(per, ["duration"], ["n_at"], num_partitions)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "duration", "n_event", "n_censored",
+            (F.col("__n") - F.col("cum_n_at") + F.col("n_at")).alias("n_risk"),
+        )
+    )
+    terms = risk.select(
+        "duration", "n_risk", "n_event", "n_censored",
+        F.when(
+            (F.col("n_event") > 0) & (F.col("n_risk") > F.col("n_event")),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("n_event")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("__term"),
+        (
+            (F.col("n_event") > 0) & (F.col("n_risk") == F.col("n_event"))
+        ).cast("long").alias("__ab"),
+    )
+    out = global_cumsum(terms, ["duration"], ["__term", "__ab"], num_partitions)
+    return out.select(
+        "duration", "n_risk", "n_event", "n_censored",
+        F.when(F.col("cum___ab") > 0, F.lit(None).cast("long"))
+        .otherwise(F.col("cum___term"))
+        .alias("log_surv_e6"),
+    )

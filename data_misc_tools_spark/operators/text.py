@@ -1019,3 +1019,157 @@ def ngram_novelty_scores(
         id_col, "n_grams", "n_novel",
         half_up_ratio4(F.col("n_novel"), F.col("n_grams")).alias("novelty"),
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade level per document —
+    the classic readability gate a curation pipeline runs beside
+    length/stopword quality rules (Flesch 1948; Kincaid et al. 1975):
+
+        ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Counts are pure-regex and engine-portable: sentences = runs of
+    [.!?], words = runs of non-whitespace, syllables ≈ vowel-group
+    runs [aeiouy]+ (the standard dictionary-free approximation; real
+    syllabification needs a lexicon). A punctuation-free document
+    counts as ONE sentence (both counts clamp to ≥1 so the ratios are
+    total). Engine-exact output: each coefficient·ratio is half-up
+    rounded to an e3 integer with the (2a+b) div (2b) pattern — never
+    a float round — and the final scores are pinned IEEE divisions of
+    exact ints by 1000.0, bit-identical across engines.
+
+    Scale: map-only (three regexp_count per row, whole-stage codegen,
+    no shuffle at all); filters/projections push straight through.
+
+    Output: (id, n_sentences, n_words, n_syllables, flesch, fk_grade).
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit("[.!?]+")).cast("long").alias("n_sentences"),
+        F.regexp_count(t, F.lit("\\S+")).cast("long").alias("n_words"),
+        F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long").alias(
+            "n_syllables"
+        ),
+    ).selectExpr(
+        id_col,
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        # clamped-to-total ratios as half-up e3 integers, then one
+        # pinned IEEE division each (exact ints in -> bit-identical)
+        """
+        (206835
+         - (2 * 1015 * greatest(n_words, 1L) + greatest(n_sentences, 1L))
+           div (2 * greatest(n_sentences, 1L))
+         - (2 * 84600 * n_syllables + greatest(n_words, 1L))
+           div (2 * greatest(n_words, 1L))
+        ) / 1000.0D AS flesch
+        """,
+        """
+        ((2 * 390 * greatest(n_words, 1L) + greatest(n_sentences, 1L))
+          div (2 * greatest(n_sentences, 1L))
+         + (2 * 11800 * n_syllables + greatest(n_words, 1L))
+           div (2 * greatest(n_words, 1L))
+         - 15590
+        ) / 1000.0D AS fk_grade
+        """,
+    )
+
+
+def keyness_llr(
+    df: DataFrame,
+    focus: Column,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-comparison keyness by Dunning's log-likelihood ratio
+    (Dunning 1993) — which terms are over-represented in a focus
+    subcorpus vs the rest, the standard "what makes this slice
+    different" pass (domain drift, style probes, keyword extraction
+    against a background corpus). Far better behaved than PMI on low
+    counts because observed counts weight the log terms.
+
+    G² = 2·Σ_{x∈{a,b}} x·ln(x/E_x) with expectations from the pooled
+    margin. Engine-exact at any scale: each ln is decomposed into
+    PER-QUANTITY e6-rounded logs of exact BIGINTs (ln x + ln N −
+    ln N_side − ln(a+b), the pmi overflow-safe idiom — a single-ratio
+    argument would overflow exact-double integer products on a
+    trillion-token corpus), and the x·(Σln) products ride in
+    decimal(38,0) (HUGEINT twin) like the BM25/assoc-rules widening.
+    ``enriched`` says which side the term leans by the exact integer
+    cross-multiply a·N vs N_focus·(a+b).
+
+    Scale: one explode → vocab-sized term census (map-side combine);
+    corpus totals come from a second NARROW scan of per-doc token
+    counts (no second explode shuffle) and broadcast. Top-k via
+    orderBy+limit (TakeOrderedAndProject), rank assigned over the k
+    survivors.
+
+    Output: (term, c_focus, c_rest, enriched, llr, rank), rank by
+    (llr desc, term).
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        focus.cast("long").alias("__f"), tokens(text_col).alias("arr")
+    )
+    cnt = (
+        base.select("__f", F.explode("arr").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum("__f").cast("long").alias("a"),
+            (F.count("*") - F.sum("__f")).cast("long").alias("b"),
+        )
+        .where(F.col("a") + F.col("b") >= min_count)
+    )
+    tot = base.select("__f", F.size("arr").alias("n")).agg(
+        F.sum(F.when(F.col("__f") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("__f") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+
+    def ln_e6(c):
+        return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+    n_all = F.col("na") + F.col("nb")
+    n_term = F.col("a") + F.col("b")
+    bra = ln_e6(F.col("a")) + ln_e6(n_all) - ln_e6(F.col("na")) - ln_e6(n_term)
+    brb = ln_e6(F.col("b")) + ln_e6(n_all) - ln_e6(F.col("nb")) - ln_e6(n_term)
+    scored = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.col("a").alias("c_focus"),
+        F.col("b").alias("c_rest"),
+        F.when(
+            F.col("a").cast(dec) * n_all > F.col("na").cast(dec) * n_term,
+            F.lit("focus"),
+        )
+        .otherwise(F.lit("rest"))
+        .alias("enriched"),
+        (
+            F.lit(2).cast(dec)
+            * (
+                F.when(F.col("a") > 0, F.col("a").cast(dec) * bra)
+                .otherwise(F.lit(0).cast(dec))
+                + F.when(F.col("b") > 0, F.col("b").cast(dec) * brb)
+                .otherwise(F.lit(0).cast(dec))
+            )
+        ).alias("llr_e6"),
+    )
+    topk = scored.orderBy(F.desc("llr_e6"), F.col("term")).limit(k)
+    w = Window.orderBy(F.desc("llr_e6"), F.col("term"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "term", "c_focus", "c_rest", "enriched",
+        (F.col("llr_e6").cast("double") / F.lit(1e6)).alias("llr"),
+        "rank",
+    )

@@ -649,3 +649,43 @@ def test_dhash_pairs_banded_not_quadratic(spark, sf_dir):
     the only Python ops are the two real-codec mapInPandas stages."""
     plan = _plan(spark, "image_dhash_neardup", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_curve_is_range_partitioned(spark, sf_dir):
+    """Both KM prefix sums (at-risk suffix, log-survival running sum)
+    must ride global_cumsum's rangepartitioning — never a
+    single-reducer unpartitioned window; the per-user lead window is
+    user-partitioned; totals/end-of-data scalars attach broadcast."""
+    plan = _plan(spark, "purchase_gap_survival_km", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the only window specs: per-user lead + the within-partition
+    # cumsums (both keyed) -- no empty partition spec anywhere
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in KM plan: " + spec
+        )
+
+
+def test_readability_is_map_only(spark, sf_dir):
+    """Readability is three regexp counts per row: zero exchanges,
+    zero windows, whole-stage codegen end to end."""
+    plan = _plan(spark, "readability_docs", sf_dir)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "codegen id" in plan
+
+
+def test_keyness_totals_broadcast_topk_take_ordered(spark, sf_dir):
+    """Keyness: vocab census is one hashpartitioning exchange with
+    map-side partial aggregation; corpus totals attach broadcast (no
+    shuffle join); top-k is TakeOrderedAndProject, with the rank
+    window running over the k survivors only."""
+    plan = _plan(spark, "keyness_llr_en_docs", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # scalar totals crossJoin
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial_sum") >= 1  # map-side combine on the census

@@ -292,3 +292,51 @@ def test_mann_kendall_detects_monotone_trend(spark):
     # constant series: zero variance -> NULL
     flat = spark.createDataFrame([(i, 7) for i in range(5)], "x int, y int")
     assert mann_kendall_test(flat, "x", "y").collect()[0].z_stat is None
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from data_misc_tools_spark.operators.profile import kaplan_meier
+
+    # (duration, event): observed deaths + right-censored spells
+    spells = [
+        (1, 1), (1, 1), (1, 0), (2, 1), (3, 0), (3, 1), (3, 1),
+        (5, 1), (5, 0), (7, 0), (7, 1), (9, 0), (9, 0), (12, 1),
+    ]
+    df = spark.createDataFrame(spells, "duration int, event int")
+    got = {r.duration: r for r in kaplan_meier(df).collect()}
+
+    deaths = Counter(d for d, e in spells if e == 1)
+    cens = Counter(d for d, e in spells if e == 0)
+    durs = sorted(set(d for d, _ in spells))
+    log_s = 0
+    absorbed = False
+    for t in durs:
+        n_risk = sum(deaths[u] + cens[u] for u in durs if u >= t)
+        d = deaths[t]
+        if d and d == n_risk:
+            absorbed = True  # survival hits exactly 0 -> log undefined
+        elif d:
+            log_s += round(math.log((n_risk - d) / n_risk) * 1e6)
+        r = got[t]
+        assert (r.n_risk, r.n_event, r.n_censored) == (n_risk, d, cens[t])
+        assert r.log_surv_e6 == (None if absorbed else log_s)
+    assert set(got) == set(durs) and len(got) == len(durs)
+    # survival recoverable and monotone nonincreasing (pre-absorption)
+    surv = [
+        math.exp(got[t].log_surv_e6 / 1e6)
+        for t in durs
+        if got[t].log_surv_e6 is not None
+    ]
+    assert surv and all(a >= b for a, b in zip(surv, surv[1:]))
+
+    # absorbing time (everyone dies at t=4): S hits exactly 0 ->
+    # log_surv NULL from that row on
+    ab = spark.createDataFrame(
+        [(2, 1), (2, 0), (4, 1), (4, 1)], "duration int, event int"
+    )
+    rows = {r.duration: r for r in kaplan_meier(ab).collect()}
+    assert rows[2].log_surv_e6 == round(math.log(3 / 4) * 1e6)
+    assert rows[4].log_surv_e6 is None and rows[4].n_risk == 2

@@ -560,3 +560,81 @@ class TestNgramNovelty:
         df = spark.createDataFrame(docs, "doc_id long, text string")
         got = {r.doc_id: r.novelty for r in ngram_novelty_scores(df, n=3).collect()}
         assert got == {0: 0.0, 1: 0.0}
+
+
+def test_readability_scores_python_reference(spark):
+    import re
+
+    from data_misc_tools_spark.operators.text import readability_scores
+
+    docs = [
+        (1, "The cat sat on the mat. It was happy! Was it? Yes."),
+        (2, "no punctuation here just a stream of words"),
+        (3, ""),  # degenerate: zero words/syllables, clamps to 1
+        (4, "Readability testing requires polysyllabic vocabulary."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+
+    def half_up(a, b):
+        return (2 * a + b) // (2 * b)
+
+    for doc_id, text in docs:
+        s = len(re.findall(r"[.!?]+", text))
+        w = len(re.findall(r"\S+", text))
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        sc, wc = max(s, 1), max(w, 1)
+        flesch = (206835 - half_up(1015 * wc, sc) - half_up(84600 * y, wc)) / 1000.0
+        fk = (half_up(390 * wc, sc) + half_up(11800 * y, wc) - 15590) / 1000.0
+        r = got[doc_id]
+        assert (r.n_sentences, r.n_words, r.n_syllables) == (s, w, y)
+        assert (r.flesch, r.fk_grade) == (flesch, fk)
+    # sanity: simple prose reads easier than the polysyllabic one
+    assert got[1].flesch > got[4].flesch
+    assert got[4].fk_grade > got[1].fk_grade
+
+
+def test_keyness_llr_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.operators.text import keyness_llr
+
+    focus_docs = ["spark spark shuffle join", "spark codegen shuffle", "join spark"]
+    rest_docs = ["pandas loop loop", "loop pandas join", "pandas join join loop"]
+    rows = [(i, t, True) for i, t in enumerate(focus_docs)] + [
+        (100 + i, t, False) for i, t in enumerate(rest_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_focus boolean")
+    got = {
+        r.term: r
+        for r in keyness_llr(
+            df, F.col("is_focus"), min_count=2, k=50
+        ).collect()
+    }
+
+    ca = Counter(w for t in focus_docs for w in t.split())
+    cb = Counter(w for t in rest_docs for w in t.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    ln6 = lambda x: round(math.log(x) * 1e6)
+    for term in set(ca) | set(cb):
+        a, b = ca[term], cb[term]
+        if a + b < 2:
+            assert term not in got
+            continue
+        ta = a * (ln6(a) + ln6(na + nb) - ln6(na) - ln6(a + b)) if a else 0
+        tb = b * (ln6(b) + ln6(na + nb) - ln6(nb) - ln6(a + b)) if b else 0
+        want = 2 * (ta + tb) / 1e6
+        r = got[term]
+        assert (r.c_focus, r.c_rest) == (a, b)
+        assert r.llr == want
+        assert r.enriched == ("focus" if a * (na + nb) > na * (a + b) else "rest")
+    # direction sanity: spark is a focus keyword, pandas a rest keyword
+    assert got["spark"].enriched == "focus" and got["pandas"].enriched == "rest"
+    # one-sided terms (b=0 or a=0) rank above balanced ones like join
+    assert got["spark"].llr > got["join"].llr
+    assert got["loop"].llr > got["join"].llr
+    ranks = sorted((r.rank, r.term) for r in got.values())
+    assert [t for _, t in ranks[:1]] != [] and ranks[0][0] == 1
