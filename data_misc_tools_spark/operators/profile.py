@@ -1294,3 +1294,88 @@ def kaplan_meier(
         .otherwise(F.col("cum___term"))
         .alias("log_surv_e6"),
     )
+
+
+def inclusion_deps(
+    cols: list,
+) -> DataFrame:
+    """Unary inclusion-dependency mining (the SINDY/Spider family,
+    Kruse et al. 2015) — which columns' value sets are contained in
+    which others', i.e. FOREIGN-KEY DISCOVERY: the profiling pass that
+    proposes join keys on an undocumented lake before anyone writes a
+    join. The companion to :func:`fd_violation_report` (keys) and
+    :func:`fk_violations` (validating a KNOWN key).
+
+    ``cols`` is a list of (label, DataFrame, column) candidates.
+    SINDY's insight makes this one pipeline instead of O(k²) anti
+    joins: distinct (value, attribute) pairs group BY VALUE into the
+    attribute set that carries each value; every ordered pair (a, b)
+    inside a set scores one co-occurrence, and a ⊆ b holds iff
+    cooc(a, b) equals a's distinct-value count. NULLs are excluded
+    (the SQL-standard IND convention); values compare as strings so
+    heterogeneous candidates can be probed.
+
+    Scale shape: per-candidate distinct is a map-side-combined
+    aggregate; the value census is ONE value-keyed shuffle whose
+    attribute-set explode is bounded by k² per value (k = candidate
+    count, tens at most). Self-pairs are KEPT, so cooc(a, a) IS a's
+    distinct count — both the totals and the overlaps come out of the
+    same single aggregation, one scan per candidate table, and the
+    ≤ k² census rows are a bounded-metadata collect (the codebook
+    class). No pairwise scans, no anti joins — adding a candidate is
+    linear, not quadratic.
+
+    Output: (from_col, to_col, n_from, n_overlap, contained) for
+    every ordered pair, contained = (n_overlap == n_from).
+    """
+    from functools import reduce
+
+    if len(cols) < 2:
+        raise ValueError("need at least two candidate columns")
+    labels = [label for label, _, _ in cols]
+    if len(set(labels)) != len(labels):
+        raise ValueError("candidate labels must be unique")
+    parts = [
+        df.where(F.col(c).isNotNull())
+        .select(F.col(c).cast("string").alias("v"))
+        .distinct()
+        .select("v", F.lit(label).alias("c"))
+        for label, df, c in cols
+    ]
+    pairs = reduce(lambda a, b: a.unionByName(b), parts)
+    cells = pairs.groupBy("v").agg(F.collect_set("c").alias("cs"))
+    cnt = {
+        (r["a"], r["b"]): r["n"]
+        for r in (
+            cells.select(F.explode("cs").alias("a"), "cs")
+            .select("a", F.explode("cs").alias("b"))  # a == b kept: the totals
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        )
+    }
+    report = [
+        (
+            a,
+            b,
+            cnt.get((a, a), 0),
+            cnt.get((a, b), 0),
+            cnt.get((a, b), 0) == cnt.get((a, a), 0),
+        )
+        for a in labels
+        for b in labels
+        if a != b
+    ]
+    spark = cols[0][1].sparkSession
+    # LocalRelation via VALUES (no Python-RDD hop — the cfgs lesson)
+    vals = ", ".join(
+        "('{}', '{}', {}L, {}L, {})".format(
+            a.replace("'", "''"), b.replace("'", "''"), nf, ov, str(c).lower()
+        )
+        for a, b, nf, ov, c in report
+    )
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        + vals
+        + " AS t(from_col, to_col, n_from, n_overlap, contained)"
+    )

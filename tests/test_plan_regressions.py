@@ -689,3 +689,14 @@ def test_keyness_totals_broadcast_topk_take_ordered(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("partial_sum") >= 1  # map-side combine on the census
+
+
+def test_inclusion_deps_no_pairwise_scans(spark, sf_dir):
+    """SINDY shape: ONE value-keyed census (self-pairs kept, so the
+    same aggregation yields totals AND overlaps) and a bounded k²-row
+    collect — the returned report is a local frame with no joins, no
+    exchanges, and construction scans each candidate table once."""
+    plan = _plan(spark, "fk_discovery_tpch", sf_dir)
+    assert "LocalTableScan" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan

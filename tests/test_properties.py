@@ -340,3 +340,32 @@ def test_kaplan_meier_matches_python_reference(spark):
     rows = {r.duration: r for r in kaplan_meier(ab).collect()}
     assert rows[2].log_surv_e6 == round(math.log(3 / 4) * 1e6)
     assert rows[4].log_surv_e6 is None and rows[4].n_risk == 2
+
+
+def test_inclusion_deps_matches_set_semantics(spark):
+    from data_misc_tools_spark.operators.profile import inclusion_deps
+
+    a = spark.createDataFrame([(1,), (2,), (3,), (None,)], "x int")
+    b = spark.createDataFrame([(1,), (2,), (3,), (4,), (4,)], "y int")
+    c = spark.createDataFrame([(2,), (3,), (9,)], "z int")
+    got = {
+        (r.from_col, r.to_col): r
+        for r in inclusion_deps([("a.x", a, "x"), ("b.y", b, "y"), ("c.z", c, "z")]).collect()
+    }
+    sets = {"a.x": {1, 2, 3}, "b.y": {1, 2, 3, 4}, "c.z": {2, 3, 9}}
+    assert len(got) == 6
+    for (fa, fb), r in got.items():
+        sa, sb = sets[fa], sets[fb]
+        assert r.n_from == len(sa)
+        assert r.n_overlap == len(sa & sb)
+        assert r.contained is (sa <= sb)
+    # NULLs excluded: a.x ⊆ b.y despite the NULL row
+    assert got[("a.x", "b.y")].contained
+    assert not got[("b.y", "a.x")].contained
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        inclusion_deps([("only", a, "x")])
+    with _pytest.raises(ValueError):
+        inclusion_deps([("dup", a, "x"), ("dup", b, "y")])
