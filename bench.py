@@ -228,6 +228,13 @@ HEADLINE = [
     # treatment)
     "markov_stationary_fast",
     "pagerank_neardup_fast",
+    # round-6 session-2: survival analysis over range-partitioned
+    # cumsums, map-only readability, LLR corpus keyness, SINDY
+    # inclusion-dependency mining
+    "purchase_gap_survival_km",
+    "readability_docs",
+    "keyness_llr_en_docs",
+    "fk_discovery_tpch",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

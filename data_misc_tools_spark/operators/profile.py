@@ -1238,9 +1238,14 @@ def kaplan_meier(
     then two range-partitioned prefix sums via
     :func:`data_misc_tools_spark.operators.etl.global_cumsum` — the
     at-risk suffix sum and the log-survival running sum — never an
-    unpartitioned ``ORDER BY`` window (single-reducer). The total-row
-    scalar broadcasts. Distinct durations are typically bounded
-    (days/hours), but nothing here assumes it.
+    unpartitioned ``ORDER BY`` window (single-reducer). The duration
+    rollup localCheckpoints before fan-out: its four downstream
+    consumers (each cumsum reads its input twice — prefix path +
+    offsets aggregate) would otherwise each re-plan the full spell
+    pipeline under per-branch column pruning (0 ReusedExchange, 4
+    input scans measured — the tfidf/nb_train lesson); checkpointed,
+    the input is scanned ONCE and everything downstream is bounded by
+    the distinct-duration domain. The total-row scalar broadcasts.
 
     Output: (duration, n_risk, n_event, n_censored, log_surv_e6),
     one row per distinct duration.
@@ -1259,6 +1264,7 @@ def kaplan_meier(
             (F.count("*") - F.sum("__e")).cast("long").alias("n_censored"),
             F.count("*").cast("long").alias("n_at"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(F.sum("n_at").cast("long").alias("__n"))
     risk = (

@@ -209,6 +209,15 @@ STRESS = {
     # grid prune is one min/max agg + a cells-sized join; the exact
     # check is guard-bounded survivors only.
     "pareto_docs_skyline": "linear",
+    # round-6 session-2: KM is one duration rollup + two
+    # range-partitioned cumsums over a bounded duration domain;
+    # readability is map-only; keyness is one vocab census + a narrow
+    # totals scan; IND mining is per-table distincts + one value-keyed
+    # census (distinct keys grow with the replica).
+    "purchase_gap_survival_km": "linear",
+    "readability_docs": "linear",
+    "keyness_llr_en_docs": "linear",
+    "fk_discovery_tpch": "linear",
 }
 
 
