@@ -232,6 +232,7 @@ HEADLINE = [
     # cumsums, map-only readability, LLR corpus keyness, SINDY
     # inclusion-dependency mining
     "purchase_gap_survival_km",
+    "logrank_heavy_vs_light",
     "readability_docs",
     "keyness_llr_en_docs",
     "fk_discovery_tpch",

@@ -1385,3 +1385,101 @@ def inclusion_deps(
         + vals
         + " AS t(from_col, to_col, n_from, n_overlap, contained)"
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "group",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel–Cox) — the significance
+    companion to :func:`kaplan_meier`, exactly as
+    :func:`mann_kendall_test` gates :func:`theil_sen_slope`: do the
+    two groups' survival curves differ, or is the gap noise? At each
+    event time the observed group-1 deaths are compared with the
+    hypergeometric expectation given the at-risk margins; z =
+    (O₁ − E₁)/√V is standard-normal under H₀.
+
+    Engine-portable by construction: every per-time term is a HALF-UP
+    e6 integer via the repo's (2A+B) div (2B) pattern —
+    e1_e6 = ⌈1e6·d·n1/n⌋, r1_e6 = ⌈1e6·n1(n−n1)/n²⌋,
+    v_e6 = ⌈d(n−d)·r1_e6/(n−1)⌋ — summed exactly in
+    decimal(38,0) (HUGEINT twin), so the statistic is bit-identical
+    across engines; z is one pinned IEEE chain over the exact sums
+    (deviation from the unrounded textbook value is O(1e-6) per term,
+    the ir_metrics/nDCG precedent). Products are widened so the bound
+    is ~1e24 at a billion at-risk, far inside decimal(38,0). z is
+    NULL on zero variance (a group empty at every event time).
+
+    Scale shape: one (duration, group→flags) rollup (map-side
+    combine), localCheckpointed before the fan-out (the kaplan_meier
+    lesson), ONE range-partitioned prefix-sum pass carrying both
+    at-risk counters, one global aggregate. Censored spells enter the
+    at-risk sums and never the event terms — dropping them is the
+    classic churn-analysis mistake this exists to prevent.
+
+    Output: one row (n_spells, n_group1, o1, e1, v, z), e1/v as the
+    e6 sums' pinned IEEE divisions (UNROUNDED doubles).
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    ev = F.col(event_col).cast("long")
+    g = F.col(group_col).cast("long")
+    per = (
+        df.select(
+            F.col(duration_col).cast("long").alias("duration"),
+            ev.alias("__e"),
+            g.alias("__g"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.sum(F.col("__e") * F.col("__g")).cast("long").alias("d1"),
+            F.sum("__e").cast("long").alias("d"),
+            F.sum("__g").cast("long").alias("a1"),
+            F.count("*").cast("long").alias("a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("a").cast("long").alias("__n"),
+        F.sum("a1").cast("long").alias("__n1"),
+    )
+    risk = (
+        global_cumsum(per, ["duration"], ["a", "a1"], num_partitions)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d1", "d",
+            (F.col("__n") - F.col("cum_a") + F.col("a")).alias("n"),
+            (F.col("__n1") - F.col("cum_a1") + F.col("a1")).alias("n1"),
+            F.col("__n").alias("n_spells"),
+            F.col("__n1").alias("n_group1"),
+        )
+        .where(F.col("d") > 0)
+    )
+    dec = "decimal(38,0)"
+    terms = risk.selectExpr(
+        "n_spells", "n_group1", "d1",
+        # half-up e6 expectation and variance terms, exact integers
+        f"(2 * 1000000 * cast(d as {dec}) * n1 + n) div (2 * n) AS e1_e6",
+        f"""CASE WHEN n > 1 THEN
+              (2 * cast(d as {dec}) * (n - d)
+                 * ((2 * 1000000 * cast(n1 as {dec}) * (n - n1) + n * n)
+                    div (2 * n * n))
+               + (n - 1)) div (2 * (n - 1))
+            ELSE cast(0 as {dec}) END AS v_e6""",
+    )
+    return terms.groupBy("n_spells", "n_group1").agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_e6").cast(dec).alias("__e1_e6"),
+        F.sum("v_e6").cast(dec).alias("__v_e6"),
+    ).selectExpr(
+        "n_spells", "n_group1", "o1",
+        "cast(__e1_e6 as double) / 1e6 AS e1",
+        "cast(__v_e6 as double) / 1e6 AS v",
+        """CASE WHEN __v_e6 = 0 THEN cast(NULL as double)
+                ELSE cast(o1 * 1000000 - __e1_e6 as double)
+                     / sqrt(cast(__v_e6 as double) * 1e6)
+           END AS z""",
+    )

@@ -700,3 +700,19 @@ def test_inclusion_deps_no_pairwise_scans(spark, sf_dir):
     assert "LocalTableScan" in plan
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_logrank_single_prefix_pass_range_partitioned(spark, sf_dir):
+    """Log-rank carries BOTH at-risk counters (total, group-1) in ONE
+    range-partitioned prefix-sum pass over the checkpointed duration
+    rollup; scalar totals attach broadcast; never a single-reducer
+    unpartitioned window, cartesian, or shuffle join."""
+    plan = _plan(spark, "logrank_heavy_vs_light", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in logrank plan: " + spec
+        )

@@ -369,3 +369,66 @@ def test_inclusion_deps_matches_set_semantics(spark):
         inclusion_deps([("only", a, "x")])
     with _pytest.raises(ValueError):
         inclusion_deps([("dup", a, "x"), ("dup", b, "y")])
+
+
+def test_logrank_matches_python_reference_and_detects_separation(spark):
+    import math
+
+    from data_misc_tools_spark.operators.profile import logrank_test
+
+    # group 1 fails early, group 0 late -> strong positive z
+    rows = [
+        (1, 1, 1), (2, 1, 1), (2, 1, 1), (3, 0, 1), (4, 1, 1),
+        (6, 0, 0), (8, 1, 0), (9, 1, 0), (10, 0, 0), (12, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, "duration int, event int, group int")
+    r = logrank_test(df).collect()[0]
+
+    def half_up(a, b):
+        return (2 * a + b) // (2 * b)
+
+    per = {}
+    for t, e, g in rows:
+        d1, d, a1, a = per.get(t, (0, 0, 0, 0))
+        per[t] = (d1 + e * g, d + e, a1 + g, a + 1)
+    N, N1 = len(rows), sum(g for _, _, g in rows)
+    o1 = e1 = v = cum_a = cum_a1 = 0
+    for t in sorted(per):
+        d1, d, a1, a = per[t]
+        cum_a, cum_a1 = cum_a + a, cum_a1 + a1
+        n, n1 = N - cum_a + a, N1 - cum_a1 + a1
+        if d > 0:
+            o1 += d1
+            e1 += half_up(1000000 * d * n1, n)
+            r1 = half_up(1000000 * n1 * (n - n1), n * n)
+            v += half_up(d * (n - d) * r1, n - 1) if n > 1 else 0
+    assert (r.n_spells, r.n_group1, r.o1) == (N, N1, o1)
+    assert (r.e1, r.v) == (e1 / 1e6, v / 1e6)
+    assert r.z == (o1 * 1000000 - e1) / math.sqrt(v * 1e6)
+    assert r.z > 1.96  # the separation is real
+
+    # swapped labels flip the sign (same |z| up to per-term rounding)
+    sw = spark.createDataFrame(
+        [(t, e, 1 - g) for t, e, g in rows], "duration int, event int, group int"
+    )
+    r2 = logrank_test(sw).collect()[0]
+    assert r2.z < -1.96 and abs(abs(r2.z) - abs(r.z)) < 1e-3
+
+    # e6 definition tracks the unrounded textbook statistic closely
+    ee = vv = 0.0
+    cum_a = cum_a1 = 0
+    for t in sorted(per):
+        d1, d, a1, a = per[t]
+        cum_a, cum_a1 = cum_a + a, cum_a1 + a1
+        n, n1 = N - cum_a + a, N1 - cum_a1 + a1
+        if d > 0:
+            ee += d * n1 / n
+            if n > 1:
+                vv += d * (n - d) * n1 * (n - n1) / (n * n * (n - 1))
+    assert abs(r.z - (o1 - ee) / math.sqrt(vv)) < 1e-4
+
+    # degenerate: everyone in one group -> zero variance -> NULL z
+    one = spark.createDataFrame(
+        [(t, e, 1) for t, e, _ in rows], "duration int, event int, group int"
+    )
+    assert logrank_test(one).collect()[0].z is None

@@ -215,6 +215,7 @@ STRESS = {
     # totals scan; IND mining is per-table distincts + one value-keyed
     # census (distinct keys grow with the replica).
     "purchase_gap_survival_km": "linear",
+    "logrank_heavy_vs_light": "linear",
     "readability_docs": "linear",
     "keyness_llr_en_docs": "linear",
     "fk_discovery_tpch": "linear",
