@@ -1045,10 +1045,12 @@ def readability_scores(
 
     Scale: map-only (three regexp_count per row, whole-stage codegen,
     no shuffle at all); filters/projections push straight through.
+    NULL text reads as the empty document (zero counts, clamped
+    ratios) rather than poisoning the row with NULL scores.
 
     Output: (id, n_sentences, n_words, n_syllables, flesch, fk_grade).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col),
         F.regexp_count(t, F.lit("[.!?]+")).cast("long").alias("n_sentences"),

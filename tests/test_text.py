@@ -571,6 +571,7 @@ def test_readability_scores_python_reference(spark):
         (1, "The cat sat on the mat. It was happy! Was it? Yes."),
         (2, "no punctuation here just a stream of words"),
         (3, ""),  # degenerate: zero words/syllables, clamps to 1
+        (5, None),  # NULL text == empty document, not NULL scores
         (4, "Readability testing requires polysyllabic vocabulary."),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
@@ -580,6 +581,7 @@ def test_readability_scores_python_reference(spark):
         return (2 * a + b) // (2 * b)
 
     for doc_id, text in docs:
+        text = text or ""
         s = len(re.findall(r"[.!?]+", text))
         w = len(re.findall(r"\S+", text))
         y = len(re.findall(r"[aeiouy]+", text.lower()))
