@@ -11,6 +11,12 @@ best-of-2 noop-sink runs in one warmed session, so JVM/Python startup
 and first-run codegen are excluded and the ratio measures plan
 scaling, not process noise. A ratio well above the data factor on a
 query whose design claims linear scaling is a found bug.
+
+Full sweeps need SPARK_GRAFT_DRIVER_MEM=24g: one shared session
+accumulates ~110 queries of localCheckpoint blocks and the 8g default
+OOMs near the end. End-of-sweep rows also run under GC pressure —
+apply the clean-rerun rule (fresh session, --only) before believing a
+late SUPER-LINEAR flag (see SCALING.md's clean-rerun note).
 """
 
 from __future__ import annotations
