@@ -236,6 +236,12 @@ HEADLINE = [
     "readability_docs",
     "keyness_llr_en_docs",
     "fk_discovery_tpch",
+    # round-7 (VERDICT r6 ask #1): lazy-plan twins for the last two
+    # expensive graded iterative-graph rows; ask #5: the winnowing
+    # max_df cap accounting row
+    "lpa_neardup_fast",
+    "ppr_seeds_fast",
+    "winnowing_cap_report",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production
@@ -252,6 +258,11 @@ ORACLE_PORTABLE_TWINS = {
     # r6 (VERDICT r5 ask): the two e6 power-iteration graded rows
     "markov_stationary_events": "markov_stationary_fast",
     "pagerank_neardup_graph": "pagerank_neardup_fast",
+    # r7 (VERDICT r6 ask #1): the last two expensive graded
+    # iterative-graph rows — lazy-plan twins (lpa keeps the identical
+    # integer output; ppr drops e6 for float)
+    "lpa_communities_neardup": "lpa_neardup_fast",
+    "personalized_pagerank_seeds": "ppr_seeds_fast",
 }
 
 
@@ -284,6 +295,53 @@ def _cpu_probe() -> float:
         acc = (acc * 1103515245 + i) % 2147483648
     assert acc >= 0
     return round(time.time() - t0, 3)
+
+
+def _drift_vs_prev(
+    local_path: str, timings: dict[str, float], record: dict
+) -> dict | None:
+    """Probe-normalized per-query drift vs the previous BENCH_local
+    record. normalized_ratio = (cur_sec / prev_sec) / probe_ratio,
+    probe_ratio = mean(cur probes) / mean(prev probes) — a value near
+    1.0 means "no code-level change once host load is factored out".
+    Returns None when there is no previous record to compare against
+    (first run, or a pre-probe record)."""
+    try:
+        with open(local_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if prev.get("sf") != record.get("sf"):
+        return None  # cross-SF ratios are meaningless
+    prev_q = prev.get("queries") or {}
+    prev_probe = prev.get("cpu_probe_sec") or {}
+    cur_probe = record["cpu_probe_sec"]
+    try:
+        prev_mean = (prev_probe["before"] + prev_probe["after"]) / 2
+        cur_mean = (cur_probe["before"] + cur_probe["after"]) / 2
+        probe_ratio = cur_mean / prev_mean
+    except (KeyError, TypeError, ZeroDivisionError):
+        return None
+    shared = {
+        n: round((timings[n] / prev_q[n]) / probe_ratio, 3)
+        for n in timings
+        if n in prev_q and prev_q[n] and prev_q[n] > 0
+    }
+    if not shared:
+        return None
+    cur_total = sum(timings[n] for n in shared)
+    prev_total = sum(prev_q[n] for n in shared)
+    return {
+        "probe_ratio": round(probe_ratio, 4),
+        "n_shared": len(shared),
+        "prev_shared_total": round(prev_total, 3),
+        "cur_shared_total": round(cur_total, 3),
+        "normalized_total_ratio": round(
+            (cur_total / prev_total) / probe_ratio, 4
+        ),
+        "worst": sorted(shared, key=lambda n: -shared[n])[:5],
+        "queries": shared,
+    }
 
 
 def main() -> int:
@@ -355,11 +413,19 @@ def main() -> int:
             if g in timings
         },
     }
-    # full per-query record, always (the judge's drift analysis reads
-    # this when the stdout line had to drop entries)
+    # probe-normalized drift vs the previous record (VERDICT r6 ask
+    # #7): divide each shared query's ratio by the runs' probe ratio
+    # so host-load drift (the documented ±15% shared-VM pattern)
+    # cancels and judge adjudication is mechanical. Previous record
+    # read BEFORE this run overwrites it; lives only in
+    # BENCH_local.json (the stdout line's byte budget is spoken for).
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    record["drift_vs_prev"] = _drift_vs_prev(local_path, timings, record)
+
+    # full per-query record, always (the judge's drift analysis reads
+    # this when the stdout line had to drop entries)
     with open(local_path, "w") as f:
         json.dump(record, f, indent=1)
         f.write("\n")

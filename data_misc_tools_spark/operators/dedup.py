@@ -861,6 +861,60 @@ def winnowing_match_pairs(
     return pairs
 
 
+def winnowing_cap_accounting(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit row for :func:`winnowing_match_pairs`' ``max_df`` hot-key
+    cap (VERDICT r6 ask #5 — the "no silent caps" rule): the cap drops
+    fingerprints at the output level, so without this companion a run
+    reads as "covered everything" when boilerplate hashes were
+    excluded. One row quantifying exactly what the cap removes:
+
+    - n_fps / n_doc_fp_rows — distinct fingerprint values and
+      (doc, fp) postings before the cap;
+    - dropped_fps / dropped_doc_fp_rows — those with document
+      frequency > max_df (what the cap deletes);
+    - dropped_pair_bound / kept_pair_bound — Σ df·(df−1)/2 over
+      dropped vs kept fingerprints: the candidate-pair generation
+      bound each side would contribute (the dropped bound is the df²
+      blow-up the cap exists to avoid; the kept bound upper-bounds the
+      pairs the capped run actually joins).
+
+    ``max_df=None`` audits the exact mode (nothing dropped). Shares
+    the fingerprint relation shape with the match operator: map-only
+    selection, one (fp) aggregate, one global aggregate row.
+    """
+    fps = (
+        winnowing_fingerprints(df, k, w, text_col, id_col)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    dfc = fps.groupBy("fp").agg(F.count("*").cast("long").alias("__df"))
+    cap = F.lit(max_df if max_df is not None else (1 << 62)).cast("long")
+    dropped = F.col("__df") > cap
+    # df·(df−1) is always even: integer div is exact, no float hop
+    pair_bound = F.expr("(__df * (__df - 1)) div 2").cast("long")
+    return dfc.agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum("__df").cast("long").alias("n_doc_fp_rows"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("dropped_fps"),
+        F.sum(F.when(dropped, F.col("__df")).otherwise(0))
+        .cast("long")
+        .alias("dropped_doc_fp_rows"),
+        F.sum(F.when(dropped, pair_bound).otherwise(0))
+        .cast("long")
+        .alias("dropped_pair_bound"),
+        F.sum(F.when(~dropped, pair_bound).otherwise(0))
+        .cast("long")
+        .alias("kept_pair_bound"),
+    )
+
+
 def snm_candidate_pairs(
     df: DataFrame,
     key,

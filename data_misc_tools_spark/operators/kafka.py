@@ -204,7 +204,6 @@ def kafka_backfill_stream(
     topics: str,
     max_offsets_per_trigger: int,
     starting_offsets: str = "earliest",
-    ending_offsets: str | None = None,
     extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Rate-limited streaming backfill reader: the online form of
@@ -214,7 +213,14 @@ def kafka_backfill_stream(
     micro-batch (the 100 TB posture: an unbounded first batch shuffles
     the whole retention window at once). Records surface in the
     reference's ``(t, ct, k, v)`` shape. Requires the Kafka connector
-    and broker; plan construction itself touches neither."""
+    and broker; plan construction itself touches neither.
+
+    Spark's streaming Kafka source rejects ``endingOffsets`` ("ending
+    offset not valid in streaming queries"), so this reader is
+    unbounded-by-option: Trigger.AvailableNow bounds the drain at the
+    offsets present at query start. For an explicitly bounded offset
+    range, use :func:`backfill_batch_options` +
+    :func:`plan_rate_limited_backfill` to drive batch reads instead."""
     if max_offsets_per_trigger < 1:
         raise ValueError("max_offsets_per_trigger must be >= 1")
     reader = (
@@ -224,8 +230,6 @@ def kafka_backfill_stream(
         .option("startingOffsets", starting_offsets)
         .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     )
-    if ending_offsets is not None:
-        reader = reader.option("endingOffsets", ending_offsets)
     for key, val in (extra_options or {}).items():
         reader = reader.option(key, val)
     raw = reader.load()
@@ -235,6 +239,36 @@ def kafka_backfill_stream(
         F.col("key").cast("string").alias("k"),
         F.col("value").cast("string").alias("v"),
     )
+
+
+def backfill_batch_options(
+    plan: list[dict[tuple[str, int], tuple[int, int]]],
+) -> list[dict[str, str]]:
+    """Convert a :func:`plan_rate_limited_backfill` trigger plan into
+    per-trigger ``{"startingOffsets": ..., "endingOffsets": ...}`` JSON
+    option pairs for bounded **batch** Kafka reads — the route for
+    explicitly bounded ranges, since the streaming source rejects
+    ``endingOffsets``. Each trigger's options read exactly that
+    trigger's ``[from, until)`` offsets per partition; running all
+    triggers and unioning the records reproduces one unthrottled
+    ``[start, end)`` batch read exactly (gap/overlap-free by the
+    planner's reconstruction contract). Pure metadata transform."""
+    import json
+
+    out: list[dict[str, str]] = []
+    for trig in plan:
+        starting: dict[str, dict[str, int]] = {}
+        ending: dict[str, dict[str, int]] = {}
+        for (topic, part), (frm, until) in sorted(trig.items()):
+            starting.setdefault(topic, {})[str(part)] = frm
+            ending.setdefault(topic, {})[str(part)] = until
+        out.append(
+            {
+                "startingOffsets": json.dumps(starting, sort_keys=True),
+                "endingOffsets": json.dumps(ending, sort_keys=True),
+            }
+        )
+    return out
 
 
 def _to_millis(ts: str) -> int:

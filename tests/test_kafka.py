@@ -123,3 +123,74 @@ class TestRateLimitedBackfillPlan:
 def test_kafka_backfill_stream_validates_budget(spark):
     with pytest.raises(ValueError, match="max_offsets_per_trigger"):
         K.kafka_backfill_stream(spark, "broker:9092", "topic_a", 0)
+
+def test_backfill_batch_options_shapes():
+    plan = K.plan_rate_limited_backfill(
+        {("t", 0): 0, ("t", 1): 10, ("u", 0): 0},
+        {("t", 0): 150, ("t", 1): 110, ("u", 0): 40},
+        100,
+    )
+    opts = K.backfill_batch_options(plan)
+    assert len(opts) == len(plan)
+    import json
+
+    # per-trigger JSON mirrors the window maps exactly, and chaining
+    # triggers is seamless: trigger N's endingOffsets == trigger N+1's
+    # startingOffsets on every partition present in both
+    for step, o in zip(plan, opts):
+        starting = json.loads(o["startingOffsets"])
+        ending = json.loads(o["endingOffsets"])
+        for (topic, part), (frm, until) in step.items():
+            assert starting[topic][str(part)] == frm
+            assert ending[topic][str(part)] == until
+    for prev, nxt in zip(opts, opts[1:]):
+        e = json.loads(prev["endingOffsets"])
+        s = json.loads(nxt["startingOffsets"])
+        for topic in set(e) & set(s):
+            for p in set(e[topic]) & set(s[topic]):
+                assert e[topic][p] == s[topic][p]
+
+
+def test_backfill_plan_replay_equals_unthrottled_slice(spark, sf_dir):
+    """VERDICT r6 #6: the planner's reconstructed trigger windows,
+    replayed as bounded slices, reproduce EXACTLY the rows of one
+    unthrottled [start, end) time slice of the events fixture.
+
+    Offsets are simulated Kafka-style: partition = user_id % 4, offset
+    = arrival rank within the partition (row_number over ts, event_id
+    — unique, so the mapping row<->offset is bijective)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_misc_tools_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    start, end = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+    target = K.time_window_slice(events, "ts", start, end)
+
+    w = Window.partitionBy("part").orderBy("ts", "event_id")
+    numbered = (
+        target.withColumn("part", (F.col("user_id") % 4).cast("int"))
+        .withColumn("offset", F.row_number().over(w) - 1)
+        .select("event_id", "part", "offset")
+        .collect()
+    )
+    end_offsets = {}
+    for r in numbered:
+        key = ("events", r.part)
+        end_offsets[key] = max(end_offsets.get(key, 0), r.offset + 1)
+    start_offsets = {k: 0 for k in end_offsets}
+
+    plan = K.plan_rate_limited_backfill(start_offsets, end_offsets, 500)
+    assert len(plan) > 1, "fixture too small to exercise multiple triggers"
+
+    replayed = []
+    for step in plan:
+        for (_, part), (frm, until) in step.items():
+            replayed.extend(
+                r.event_id for r in numbered
+                if r.part == part and frm <= r.offset < until
+            )
+    expected = [r.event_id for r in numbered]
+    assert sorted(replayed) == sorted(expected)
+    assert len(replayed) == len(set(replayed)), "a row was replayed twice"
