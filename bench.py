@@ -242,6 +242,16 @@ HEADLINE = [
     "lpa_neardup_fast",
     "ppr_seeds_fast",
     "winnowing_cap_report",
+    # ask #2: Lee-et-al ExactSubstr via range-partitioned suffix sort
+    "dedup_substring_docs",
+    # r7 statistics: monotone-association + concentration profiles
+    "spearman_quantity_price",
+    "gini_customer_revenue",
+    # r7 entity resolution: Fellegi-Sunter decision layer
+    "fs_linkage_docs",
+    "fs_em_linkage_docs",
+    # r7 privacy: the skew gate beside k_anonymity_report
+    "t_closeness_events",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

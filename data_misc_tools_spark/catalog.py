@@ -4200,6 +4200,70 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "t_closeness_events",
+    """
+    WITH base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               (round(value * 100)::BIGINT // 5000)::BIGINT AS v
+        FROM events
+    ),
+    g AS (SELECT v, count(*)::BIGINT AS gc FROM base GROUP BY v),
+    gcum AS (SELECT v, gc, sum(gc) OVER (ORDER BY v)::BIGINT AS cg FROM g),
+    tot AS (SELECT sum(gc)::BIGINT AS n, count(*)::BIGINT AS m FROM g),
+    cls AS (SELECT event_type, day, count(*)::BIGINT AS class_size
+            FROM base GROUP BY 1, 2),
+    cvc AS (SELECT event_type, day, v, count(*)::BIGINT AS c
+            FROM base GROUP BY 1, 2, 3),
+    grid AS (
+        SELECT cls.event_type, cls.day, cls.class_size,
+               gcum.v, gcum.cg, tot.n, tot.m, coalesce(cvc.c, 0) AS c
+        FROM cls CROSS JOIN gcum CROSS JOIN tot
+        LEFT JOIN cvc ON cvc.event_type = cls.event_type
+                     AND cvc.day = cls.day AND cvc.v = gcum.v
+    ),
+    terms AS (
+        SELECT event_type, day, class_size, m, n,
+               abs(n::HUGEINT * (sum(c) OVER (PARTITION BY event_type, day
+                                              ORDER BY v))
+                   - class_size::HUGEINT * cg) AS t
+        FROM grid
+    ),
+    agg AS (
+        SELECT event_type, day, class_size,
+               sum(t)::HUGEINT AS num,
+               (m - 1)::HUGEINT * class_size * n AS den
+        FROM terms GROUP BY event_type, day, class_size, m, n
+    )
+    SELECT event_type, day, class_size,
+           CASE WHEN den = 0 THEN 0::BIGINT
+                ELSE ((2 * 1000000 * num + den) // (2 * den))::BIGINT
+           END AS t_closeness_e6
+    FROM agg
+    """,
+)
+def t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the k_anonymity_report quasi-identifiers —
+    the skew gate l-diversity can't close (a class can hold many
+    distinct sensitive values yet concentrate 99% of its mass in
+    one). Sensitive attribute = 50-unit event-value bucket (ordered);
+    distance = exact-integer Earth-Mover's over the bucket order,
+    half-up e6 per class ((2A+B) div (2B), decimal(38,0)/HUGEINT).
+    Gate classes at t_closeness_e6 > t·1e6. See
+    operators/profile.py:t_closeness."""
+    from data_misc_tools_spark.operators.profile import t_closeness
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 5000")
+        .cast("long")
+        .alias("vb"),
+    )
+    return t_closeness(base, ["event_type", "day"], "vb", ordered=True)
+
+
+@_q(
     "corr_quantity_price",
     """
     WITH s AS (
@@ -4242,6 +4306,107 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pearson_exact(
         sl, ["l_returnflag"], "l_quantity", "l_extendedprice", x_scale=1, y_scale=100
     )
+
+
+@_q(
+    "spearman_quantity_price",
+    """
+    WITH rows0 AS (
+        SELECT round(l_quantity * 100)::BIGINT AS x,
+               round(l_extendedprice * 100)::BIGINT AS y
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-02-01'
+    ),
+    cx AS (SELECT x, count(*)::BIGINT AS c FROM rows0 GROUP BY x),
+    rx AS (SELECT x, (2 * (sum(c) OVER (ORDER BY x) - c) + c + 1)::BIGINT AS r2
+           FROM cx),
+    cy AS (SELECT y, count(*)::BIGINT AS c FROM rows0 GROUP BY y),
+    ry AS (SELECT y, (2 * (sum(c) OVER (ORDER BY y) - c) + c + 1)::BIGINT AS r2
+           FROM cy),
+    j AS (
+        SELECT rx.r2 AS xr, ry.r2 AS yr
+        FROM rows0 JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    agg AS (
+        SELECT count(*)::HUGEINT AS n,
+               sum(xr)::HUGEINT AS sx, sum(yr)::HUGEINT AS sy,
+               sum(xr::HUGEINT * yr) AS sxy,
+               sum(xr::HUGEINT * xr) AS sxx,
+               sum(yr::HUGEINT * yr) AS syy
+        FROM j
+    )
+    SELECT n::BIGINT AS n_rows,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE (n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE))
+           END AS spearman
+    FROM agg
+    """,
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank corr(quantity, price) on the corr_quantity_price
+    slice — the monotone-association twin beside the Pearson row
+    (heavy tails or a nonlinear-but-monotone link separate the two).
+    Tied average ranks ride doubled as exact integers (2r = 2·below +
+    ties + 1, the mannwhitney idiom), rank censuses get
+    range-partitioned prefix counts, and the Pearson closed form runs
+    over decimal(38,0)/HUGEINT sums — ONE IEEE float chain, emitted
+    unrounded. See operators/profile.py:spearman_exact."""
+    from data_misc_tools_spark.operators.profile import spearman_exact
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    sl = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01"))
+    )
+    return spearman_exact(sl, "l_quantity", "l_extendedprice", 100, 100)
+
+
+@_q(
+    "gini_customer_revenue",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v
+        FROM orders GROUP BY o_custkey
+    ),
+    cen AS (SELECT v, count(*)::BIGINT AS c FROM rev GROUP BY v),
+    cum AS (SELECT v, c, (sum(c) OVER (ORDER BY v) - c)::BIGINT AS s FROM cen),
+    agg AS (
+        SELECT sum(c)::HUGEINT AS n,
+               sum(v::HUGEINT * c) AS sx,
+               sum(v::HUGEINT * (2 * c * s + c * (c + 1))) AS s2ix,
+               sum(v::HUGEINT * v * c) AS sxx
+        FROM cum
+    )
+    SELECT n::BIGINT AS n_rows, sx::BIGINT AS total,
+           CASE WHEN sx = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE (s2ix - (n + 1) * sx)::DOUBLE / (n * sx)::DOUBLE
+           END AS gini,
+           CASE WHEN sx = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE sxx::DOUBLE / (sx * sx)::DOUBLE END AS hhi
+    FROM agg
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile: Gini coefficient + HHI over
+    per-customer lifetime order value — the whale-vs-long-tail
+    diagnostic run before sampling/capping decisions. Exact rank
+    census (tie order provably cannot matter), decimal(38,0)/HUGEINT
+    sufficient statistics, two pinned IEEE divisions emitted
+    unrounded. See operators/profile.py:gini_concentration."""
+    from data_misc_tools_spark.operators.profile import gini_concentration
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    return gini_concentration(rev, "v", scale=1)
 
 
 @_q(
@@ -8074,6 +8239,232 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_substring_docs",
+    """
+    WITH suf AS (
+        SELECT doc_id, g.x::BIGINT AS pos, substr(text, g.x, 64) AS k
+        FROM documents
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(text)
+        WHERE (g.x = 1 OR substr(text, g.x - 1, 1) = ' ')
+          AND substr(text, g.x, 1) != ' '
+          AND length(text) - g.x + 1 >= 30
+    ),
+    ord AS (
+        SELECT doc_id, pos, k,
+               lead(k)      OVER w AS k2,
+               lead(doc_id) OVER w AS id2,
+               lead(pos)    OVER w AS pos2
+        FROM suf
+        WINDOW w AS (ORDER BY k, doc_id, pos)
+    ),
+    adj AS (
+        SELECT o.doc_id, o.pos, o.id2, o.pos2,
+               max(CASE WHEN substr(o.k, 1, g.x) = substr(o.k2, 1, g.x)
+                        THEN least(g.x, length(o.k), length(o.k2))
+                        ELSE 0 END)::BIGINT AS l
+        FROM ord o CROSS JOIN generate_series(1, 64) g(x)
+        WHERE o.k2 IS NOT NULL
+        GROUP BY o.doc_id, o.pos, o.id2, o.pos2
+    ),
+    spans AS (
+        SELECT doc_id, pos, max(l)::BIGINT AS match_len FROM (
+            SELECT doc_id, pos, l FROM adj
+            UNION ALL
+            SELECT id2 AS doc_id, pos2 AS pos, l FROM adj
+        ) GROUP BY doc_id, pos HAVING max(l) >= 30
+    )
+    SELECT doc_id, max(match_len)::BIGINT AS max_match_len,
+           count(*)::BIGINT AS n_dup_starts
+    FROM spans GROUP BY doc_id
+    ORDER BY max_match_len DESC, n_dup_starts DESC, doc_id LIMIT 50
+    """,
+)
+def dedup_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style EXACT duplicate-substring report (VERDICT r6
+    ask #2 — the Lee-et-al ExactSubstr mode the n-gram suite lacked):
+    per document, the TRUE longest substring (≥ 30 chars, floored at
+    the 64-char suffix window) duplicated anywhere else in the corpus
+    plus how many token-start positions carry such a duplicate —
+    top-50 most-exposed docs. One range-partitioned global suffix
+    sort + adjacent-neighbor LCPs, never an all-pairs comparison; the
+    DuckDB twin runs the identical sort through a lead() window.
+    Detection is exact, not estimated (pinned vs a quadratic Python
+    reference in tests/test_dedup.py). See operators/dedup.py:
+    suffix_window_spans / duplicate_substring_docs."""
+    from data_misc_tools_spark.operators.dedup import duplicate_substring_docs as dsd
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        dsd(d, min_len=30, window=64)
+        .orderBy(F.desc("max_match_len"), F.desc("n_dup_starts"), "doc_id")
+        .limit(50)
+    )
+
+
+def _fs_oracle() -> str:
+    """Fellegi–Sunter linkage twin: prefix-8 blocking, four agreement
+    fields, exact-text ground truth, add-one-smoothed e6 log-odds
+    weights learned in a 1-row CTE and broadcast back via CROSS JOIN
+    (the operator's exact shape)."""
+    fields = ["lang", "len", "p24", "tok"]
+
+    def e6ln(x: str) -> str:
+        return f"round(ln(({x})::DOUBLE) * 1e6)::BIGINT"
+
+    cnt = ", ".join(
+        f"sum((is_match AND f_{f})::BIGINT)::BIGINT AS am_{f},"
+        f" sum((NOT is_match AND f_{f})::BIGINT)::BIGINT AS au_{f}"
+        for f in fields
+    )
+    w = ", ".join(
+        f"({e6ln(f'am_{f} + 1')} - {e6ln('nm + 2')}"
+        f" - {e6ln(f'au_{f} + 1')} + {e6ln('nu + 2')}) AS wa_{f},"
+        f" ({e6ln(f'nm - am_{f} + 1')} - {e6ln('nm + 2')}"
+        f" - {e6ln(f'nu - au_{f} + 1')} + {e6ln('nu + 2')}) AS wd_{f}"
+        for f in fields
+    )
+    score = " + ".join(
+        f"CASE WHEN f_{f} THEN wa_{f} ELSE wd_{f} END" for f in fields
+    )
+    n_agree = " + ".join(f"f_{f}::BIGINT" for f in fields)
+    return f"""
+    WITH recs AS (
+        SELECT doc_id, text, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, text, lang, n_chars,
+               substr(text, 1, 8) AS blk, substr(text, 1, 24) AS p24,
+               len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+                   AS tok
+        FROM recs
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (a.lang = b.lang) AS f_lang,
+               (a.n_chars = b.n_chars) AS f_len,
+               (a.p24 = b.p24) AS f_p24,
+               (a.tok = b.tok) AS f_tok,
+               (a.text = b.text) AS is_match
+        FROM feat a JOIN feat b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    cnt AS (
+        SELECT sum(is_match::BIGINT)::BIGINT AS nm,
+               sum((NOT is_match)::BIGINT)::BIGINT AS nu, {cnt}
+        FROM pairs
+    ),
+    w AS (SELECT {w} FROM cnt)
+    SELECT doc_a, doc_b, ({n_agree})::BIGINT AS n_agree,
+           is_match::BIGINT AS is_match, ({score})::BIGINT AS score_e6
+    FROM pairs CROSS JOIN w
+    ORDER BY score_e6 DESC, doc_a, doc_b LIMIT 20
+    """
+
+
+@_q("fs_linkage_docs", _fs_oracle())
+def fs_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the
+    doubled-docs corpus: prefix-8 blocked candidate pairs, four
+    agreement fields (lang / n_chars / 24-char prefix / token count),
+    exact-text equality as the ground-truth label; per-field m/u
+    log-odds weights learn in ONE aggregate pass and broadcast back
+    onto the pairs, top-20 by decision score. The decision layer on
+    top of the repo's candidate generators (SNM / PPJoin / LSH) —
+    engine-exact e6 integer scores throughout (weights pinned vs a
+    Python reference in tests/test_linkage.py). See
+    operators/linkage.py."""
+    from data_misc_tools_spark.operators.linkage import fs_score_pairs
+    from data_misc_tools_spark.operators.text import token_count
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    recs = d.select("doc_id", "text", "lang", "n_chars").unionAll(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text", "lang", "n_chars",
+        )
+    )
+    feat = recs.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 24).alias("p24"),
+        token_count("text").cast("long").alias("tok"),
+    )
+    a, b = [
+        feat.select(*[F.col(c).alias(f"{c}_{s}") for c in feat.columns])
+        for s in ("a", "b")
+    ]
+    pairs = (
+        a.join(b, (F.col("blk_a") == F.col("blk_b"))
+               & (F.col("doc_id_a") < F.col("doc_id_b")))
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            (F.col("lang_a") == F.col("lang_b")).alias("f_lang"),
+            (F.col("n_chars_a") == F.col("n_chars_b")).alias("f_len"),
+            (F.col("p24_a") == F.col("p24_b")).alias("f_p24"),
+            (F.col("tok_a") == F.col("tok_b")).alias("f_tok"),
+            (F.col("text_a") == F.col("text_b")).alias("is_match"),
+        )
+    )
+    scored = fs_score_pairs(
+        pairs, ["f_lang", "f_len", "f_p24", "f_tok"], "is_match"
+    )
+    return scored.select(
+        "doc_a", "doc_b", "n_agree",
+        F.col("is_match").cast("long").alias("is_match"), "score_e6",
+    ).orderBy(F.desc("score_e6"), "doc_a", "doc_b").limit(20)
+
+
+ROWS_ONLY.add("fs_em_linkage_docs")
+
+
+@_q("fs_em_linkage_docs")
+def fs_em_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED twin of fs_linkage_docs (Winkler EM, the Splink
+    no-labels default): the same blocked candidate pairs and four
+    agreement fields, but m/u/λ estimated by EM over the bounded
+    agreement-pattern census (≤ 2^4 rows collected; driver-side float
+    iteration — the markov_stationary_fast pattern). rows-only: float
+    EM is not engine-portable; the supervised fellegi_sunter_weights
+    row is the graded form, and the pattern-census EM is pinned equal
+    to a pair-level Python EM in tests/test_linkage.py. Output: one
+    row per field (m, u, log-odds weights, shared λ)."""
+    from data_misc_tools_spark.operators.linkage import fs_em_weights
+    from data_misc_tools_spark.operators.text import token_count
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    recs = d.select("doc_id", "text", "lang", "n_chars").unionAll(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text", "lang", "n_chars",
+        )
+    )
+    feat = recs.select(
+        "doc_id", "text", "lang", "n_chars",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 24).alias("p24"),
+        token_count("text").cast("long").alias("tok"),
+    )
+    a, b = [
+        feat.select(*[F.col(c).alias(f"{c}_{s}") for c in feat.columns])
+        for s in ("a", "b")
+    ]
+    pairs = (
+        a.join(b, (F.col("blk_a") == F.col("blk_b"))
+               & (F.col("doc_id_a") < F.col("doc_id_b")))
+        .select(
+            (F.col("lang_a") == F.col("lang_b")).alias("f_lang"),
+            (F.col("n_chars_a") == F.col("n_chars_b")).alias("f_len"),
+            (F.col("p24_a") == F.col("p24_b")).alias("f_p24"),
+            (F.col("tok_a") == F.col("tok_b")).alias("f_tok"),
+        )
+    )
+    wdf, lam = fs_em_weights(pairs, ["f_lang", "f_len", "f_p24", "f_tok"])
+    return wdf.withColumn("lambda_match", F.lit(lam)).orderBy("field")
+
+
+@_q(
     "winnowing_cap_report",
     """
     WITH sh AS (
@@ -9761,6 +10152,9 @@ GRADED_FIRST: list[str] = [
     # --- round 7: new ops earn first-time rows the session they land
     # (VERDICT r6 ask #4); each displaces a veteran re-pin. ---
     "lpa_neardup_fast", "ppr_seeds_fast", "winnowing_cap_report",
+    "dedup_substring_docs", "spearman_quantity_price",
+    "gini_customer_revenue", "fs_linkage_docs", "fs_em_linkage_docs",
+    "t_closeness_events",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -9790,20 +10184,21 @@ GRADED_FIRST: list[str] = [
     # [relational / TPC-H shapes] (lineitem_grouping_sets /
     # orders_rollup rotated out for the r7 fast twins)
     "q1_pricing_summary", "q2_min_cost_supplier",
-    # [dedup] (dedup_exact rotated out for winnowing_cap_report)
-    "dedup_minhash_lsh", "dedup_ppjoin",
+    # [dedup] (dedup_exact / dedup_minhash_lsh rotated out for
+    # winnowing_cap_report / dedup_substring_docs)
+    "dedup_ppjoin",
     # [embedding / similarity]
     "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
     "margin_mine_pairs",
-    # [retrieval]
+    # [retrieval] (retrieval_eval_embeddings rotated out for
+    # fs_linkage_docs)
     "bm25_search_topk", "ql_dirichlet_search",
-    "retrieval_eval_embeddings",
-    # [text curation]
-    "text_quality", "gopher_filter_demo", "chunk_documents",
-    "ngram_novelty_scores",
-    # [temporal / statistics]
+    # [text curation] (text_quality / gopher_filter_demo rotated out
+    # for fs_em_linkage_docs / t_closeness_events)
+    "chunk_documents", "ngram_novelty_scores",
+    # [temporal / statistics] (cusum_changepoint_daily /
+    # welch_ttest_value rotated out for spearman / gini)
     "sessionize_events", "funnel_view_click_purchase",
-    "cusum_changepoint_daily", "welch_ttest_value",
     # [sampling / etl]
     "dsir_select_topk", "exact_stratified_split_langs",
     "rfm_user_segments",

@@ -981,3 +981,162 @@ def snm_candidate_pairs(
         )
         .distinct()
     )
+
+
+def suffix_window_spans(
+    df: DataFrame,
+    min_len: int = 20,
+    window: int = 64,
+    word_starts: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Suffix-array-style EXACT duplicate-substring detection (Lee et
+    al. 2022 §4, the ExactSubstr mode; reference behavior surface:
+    corpus-level duplicate-text discovery) — the companion the n-gram
+    modes can't replace: :func:`repeated_ngram_removal` sees only
+    fixed-n token grams, this reports, for every suffix start, the
+    TRUE length of its longest match anywhere else in the corpus
+    (same or another document), exactly, for lengths in
+    [min_len, window] (longer matches floor to ``window``).
+
+    The classic suffix-array property makes one sorted pass
+    sufficient: in lexicographic suffix order, a suffix's longest
+    match anywhere is max(LCP(prev), LCP(next)) over its two sorted
+    NEIGHBORS — so after one global sort, only adjacent comparisons
+    are needed, never all pairs. Distributed form, engine-exact:
+
+    1. suffix keys: substr(text, pos, window) per start position —
+       ``word_starts=True`` keeps token-boundary starts only (the
+       token-level Lee-et-al semantic; ~5× fewer rows), False audits
+       every character position;
+    2. the global sort is :func:`~data_misc_tools_spark.operators
+       .etl.global_rank` over (key, id, pos) — range-partitioned,
+       never a single-reducer window;
+    3. neighbors pair by an equi-join on rank (r ↔ r+1), each pair
+       credits BOTH members, a (doc, pos) max-aggregate folds the
+       two neighbor LCPs;
+    4. LCP is a bounded Catalyst fold — max over i ≤ window of
+       ``substr(a,1,i) = substr(b,1,i)``, value clamped by
+       least(i, length(a), length(b)) so identical short keys report
+       their true suffix overlap, not the probe length.
+
+    Exactness (pinned vs a quadratic Python reference in tests): any
+    substring of length L ≥ min_len occurring at two different
+    (doc, pos) starts shares a ≥ min(L, window) key prefix, so every
+    suffix sorted between the two shares it too and every adjacent
+    LCP on the chain is ≥ min(L, window) — both endpoints report
+    ≥ min(L, window). Suffixes shorter than min_len are pruned first:
+    they cannot reach min_len themselves, and any intermediate suffix
+    on a qualifying chain has length ≥ the chain LCP ≥ min_len, so
+    pruning never breaks a qualifying adjacency chain.
+
+    100 TB shape: the suffix frame is O(starts) rows × ≤ window bytes
+    (~window/avg_token_len ≈ 13× the corpus for window 64 — the same
+    order as a serialized suffix array's 8 bytes/token); the sort is
+    the range-partitioned kind that scales with executors; the rank
+    join shuffles BIGINTs; the LCP fold is whole-stage codegen. Skewed
+    hot keys (boilerplate) cost nothing extra: neighbors are compared
+    once each regardless of how many suffixes share a prefix.
+
+    Output: (id_col, pos 1-based, match_len) for every start whose
+    longest duplicate is ≥ min_len. Partner attribution is
+    deliberately omitted from the contract: with equal keys the
+    sorted tie-order is arbitrary, so "which partner" is not
+    engine-portable — match_len is.
+    """
+    from data_misc_tools_spark.operators.etl import global_rank
+
+    if not (0 < min_len <= window):
+        raise ValueError("need 0 < min_len <= window")
+    t = F.col(text_col)
+    if word_starts:
+        starts = F.filter(
+            F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+            lambda p: ((p == 1) | (F.substr(t, p - 1, F.lit(1)) == " "))
+            & (F.substr(t, p, F.lit(1)) != " "),
+        )
+    else:
+        starts = F.sequence(F.lit(1), F.length(t))
+    suf = (
+        df.filter(F.length(t) >= min_len)
+        .select(F.col(id_col), t.alias("__t"), F.explode(starts).alias("pos"))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"substr(__t, pos, {window})").alias("__k"),
+        )
+        .filter(F.length("__k") >= min_len)
+        # the suffix frame feeds THREE passes — the range-partitioner's
+        # sampling scan, the rank window, and the action itself — and
+        # rebuilding it means re-exploding every document each time
+        # (measured 16.3 s -> 7.0 s at sf0.1; the tfidf localCheckpoint
+        # lesson). Bounded: O(starts) rows x <= window chars.
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_rank(suf, ["__k", id_col, "pos"], "__sr", num_partitions)
+    right = ranked.select(
+        (F.col("__sr") - 1).alias("__sr"),
+        F.col("__k").alias("__k2"),
+        F.col(id_col).alias("__id2"),
+        F.col("pos").alias("__pos2"),
+    )
+    # LCP as an O(window) fold, not O(window^2) prefix re-comparisons
+    # (64 single-char probes vs 64 prefix compares of ~32 chars each —
+    # measured 23.2 s -> 15.0 s at sf0.1 before the checkpoint). The
+    # `i <= least(length)` guard blocks the '' == '' trap past either
+    # string's end; acc freezes at the first mismatch.
+    lcp = F.expr(
+        f"aggregate(sequence(1, {window}), 0,"
+        f" (acc, i) -> CASE WHEN acc = i - 1"
+        f" AND i <= least(length(__k), length(__k2))"
+        f" AND substr(__k, i, 1) = substr(__k2, i, 1)"
+        f" THEN i ELSE acc END)"
+    ).cast("long")
+    pairs = (
+        ranked.join(right, "__sr")
+        .select(
+            F.col(id_col), "pos", F.col("__id2"), F.col("__pos2"),
+            lcp.alias("__lcp"),
+        )
+        .filter(F.col("__lcp") >= min_len)
+    )
+    both = pairs.select(F.col(id_col), "pos", "__lcp").unionByName(
+        pairs.select(
+            F.col("__id2").alias(id_col),
+            F.col("__pos2").alias("pos"),
+            "__lcp",
+        )
+    )
+    return both.groupBy(id_col, "pos").agg(
+        F.max("__lcp").cast("long").alias("match_len")
+    )
+
+
+def duplicate_substring_docs(
+    df: DataFrame,
+    min_len: int = 20,
+    window: int = 64,
+    word_starts: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-document rollup of :func:`suffix_window_spans`: the
+    duplicate-substring exposure report — max duplicated-substring
+    length (floored at ``window``) and how many suffix starts carry a
+    ≥ min_len duplicate. The triage view over ExactSubstr dedup: docs
+    with max_match_len == window are verbatim-copy suspects for
+    :func:`repeated_ngram_removal` / keep-best canonicalization.
+
+    Output: (id_col, max_match_len, n_dup_starts), one row per doc
+    with at least one qualifying start.
+    """
+    spans = suffix_window_spans(
+        df, min_len, window, word_starts, text_col, id_col, num_partitions
+    )
+    return spans.groupBy(id_col).agg(
+        F.max("match_len").cast("long").alias("max_match_len"),
+        F.count("*").cast("long").alias("n_dup_starts"),
+    )

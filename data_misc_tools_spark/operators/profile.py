@@ -147,6 +147,265 @@ def pearson_exact(
     )
 
 
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ordered: bool = True,
+    max_values: int = 1000,
+) -> DataFrame:
+    """t-closeness report (Li, Li & Venkatasubramanian 2007) — the
+    gate :func:`k_anonymity`'s l-diversity column can't close: a class
+    can hold many DISTINCT sensitive values yet still leak by skew
+    (99% of the class in one bucket). t-closeness bounds the distance
+    between each equivalence class's sensitive-value distribution and
+    the global one.
+
+    Distance, exact integers end to end:
+
+    - ``ordered=True`` — Earth-Mover's on the value order (the paper's
+      ordered-attribute form): t = Σ_j |CumP_j − CumQ_j| / (m−1) =
+      Σ_j |n·cumc_j − s·cumg_j| / ((m−1)·s·n) with s = class size,
+      n = table size, m = distinct sensitive values;
+    - ``ordered=False`` — total variation: t = ½ Σ_j |P_j − Q_j| =
+      Σ_j |n·c_j − s·g_j| / (2·s·n).
+
+    Both are one exact-integer fraction per class, emitted half-up e6
+    (the (2A+B) div (2B) invariant; decimal(38,0) — n·cum ≤ n²).
+
+    Scale shape: one global value census with a range-partitioned
+    prefix count, one (class, value) census, then the FULL grid
+    class × m via a broadcast of the m-row census (absent values must
+    contribute their cumulative gap, so the grid is not optional);
+    the per-class cumulative is a keyed window over ≤ m rows. m is
+    bounded by ``max_values`` (a sensitive attribute with thousands
+    of levels needs bucketing first — raise, don't silently explode
+    the grid).
+
+    Output: (*quasi_cols, class_size, t_closeness_e6), one row per
+    equivalence class. Gate with t_closeness_e6 > t·1e6.
+    """
+    from pyspark.sql.window import Window
+
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    dec = "decimal(38,0)"
+    base = df.select(*quasi_cols, F.col(sensitive_col).alias("__v"))
+    gc = base.groupBy("__v").agg(F.count("*").cast("long").alias("__g"))
+    gcum = global_cumsum(gc, [F.col("__v")], ["__g"])
+    m_vals = gcum.count()
+    if m_vals > max_values:
+        raise ValueError(
+            f"sensitive attribute has {m_vals} levels (> max_values="
+            f"{max_values}); bucket it before the class x value grid"
+        )
+    tot = gcum.agg(
+        F.sum("__g").cast("long").alias("__n"),
+        F.count("*").cast("long").alias("__m"),
+    )
+    vals = gcum.crossJoin(F.broadcast(tot)).select(
+        "__v", "__g", F.col("cum___g").alias("__cg"), "__n", "__m"
+    )
+    cls = base.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    cvc = base.groupBy(*quasi_cols, "__v").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(vals))
+        .join(cvc, [*quasi_cols, "__v"], "left")
+        .fillna(0, subset=["__c"])
+    )
+    if ordered:
+        w = (
+            Window.partitionBy(*quasi_cols)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        term = F.abs(
+            F.col("__n").cast(dec) * F.sum("__c").over(w)
+            - F.col("class_size").cast(dec) * F.col("__cg")
+        )
+        den = (F.col("__m") - 1).cast(dec) * F.col("class_size") * F.col("__n")
+    else:
+        term = F.abs(
+            F.col("__n").cast(dec) * F.col("__c")
+            - F.col("class_size").cast(dec) * F.col("__g")
+        )
+        den = F.lit(2).cast(dec) * F.col("class_size") * F.col("__n")
+    per = grid.select(
+        *quasi_cols, "class_size", term.alias("__t"), den.alias("__d")
+    )
+    agg = per.groupBy(*quasi_cols, "class_size").agg(
+        F.sum("__t").cast(dec).alias("__num"), F.first("__d").alias("__den")
+    )
+    # degenerate m == 1 (ordered): every class trivially matches the
+    # global single-value distribution — denominator 0, t defined as 0
+    return agg.selectExpr(
+        *quasi_cols,
+        "class_size",
+        """CASE WHEN __den = 0 THEN CAST(0 AS LONG)
+                ELSE CAST((2 * 1000000 * __num + __den) div (2 * __den)
+                          AS LONG) END AS t_closeness_e6""",
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Gini coefficient + Herfindahl–Hirschman index of a nonnegative
+    metric — the concentration profile ("how unequal is revenue across
+    customers / token mass across documents") that decides whether a
+    corpus or customer base is long-tail or whale-dominated before
+    sampling or capping decisions.
+
+    Engine-exact via the rank-census route (no per-row rank): values
+    go fixed-point (``value·scale`` integer), the distinct-value
+    census gets a range-partitioned prefix count
+    (:func:`~data_misc_tools_spark.operators.etl.global_cumsum`), and
+    each tie group's rank-weighted mass is closed-form —
+    Σ_{i∈group} i·v = v·(c·s + c·(c+1)/2) with s the exclusive prefix
+    count — doubled to stay integral. Gini then is
+    (2Σi·x − (n+1)·Σx) / (n·Σx) and HHI is Σx²/(Σx)², each ONE IEEE
+    division of exact decimal(38,0) integers, emitted UNROUNDED (the
+    pearson_exact portability contract). Tie order cannot matter:
+    permuting equal values across ranks leaves Σi·x unchanged, so the
+    census form is not an approximation.
+
+    Negative values would make both statistics meaningless — the
+    aggregate raises via an ANSI guard instead of returning a wrong
+    number. Empty input yields no row; an all-zero total yields NULLs.
+
+    Scale shape: one value census (map-side combined), one prefix sum
+    over distinct values, one single-row aggregate.
+
+    Output: one row (n_rows, total, gini, hhi).
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    dec = "decimal(38,0)"
+    v = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    census = (
+        df.select(v.alias("__v"))
+        .select(
+            F.when(
+                F.col("__v") < 0,
+                F.raise_error(
+                    F.format_string(
+                        "gini_concentration: negative value %s", F.col("__v")
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("__v"))
+            .alias("__v")
+        )
+        .groupBy("__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    cum = global_cumsum(census, [F.col("__v")], ["__c"]).selectExpr(
+        "__v", "__c", "cum___c - __c AS __s"
+    )
+    agg = cum.agg(
+        F.sum("__c").cast(dec).alias("n"),
+        F.sum(F.col("__v").cast(dec) * F.col("__c")).alias("sx"),
+        F.sum(
+            F.col("__v").cast(dec)
+            * (2 * F.col("__c") * F.col("__s") + F.col("__c") * (F.col("__c") + 1))
+        ).alias("s2ix"),
+        F.sum(F.col("__v").cast(dec) * F.col("__v") * F.col("__c")).alias("sxx"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS LONG) AS n_rows",
+        f"CAST(sx AS LONG) AS total",
+        """CASE WHEN sx = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(s2ix - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE) END AS gini""",
+        """CASE WHEN sx = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(sxx AS DOUBLE) / CAST(sx * sx AS DOUBLE)
+           END AS hhi""",
+    )
+
+
+def spearman_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Spearman rank correlation with an engine-portable result — the
+    monotone-association companion to :func:`pearson_exact`: immune to
+    the outliers and nonlinearity that distort Pearson on raw values
+    (a heavy-tailed metric pair can show Pearson ≈ 0 with perfect
+    monotone dependence; Spearman reports 1).
+
+    Construction is Pearson ON TIED-AVERAGE RANKS, kept exact end to
+    end: values go fixed-point (``value·scale`` integer per row), each
+    axis gets a distinct-value census with a range-partitioned prefix
+    count (:func:`~data_misc_tools_spark.operators.etl.global_cumsum`
+    — never a single-reducer window), and the tie-averaged rank rides
+    DOUBLED so it stays integral: 2·avgrank(v) = 2·(count below) +
+    (tie size) + 1 (the :func:`mannwhitney_u` idiom). Rows join their
+    doubled ranks back by fixed-point value, and the Pearson closed
+    form runs over exact decimal(38,0) sums of those integers —
+    doubling both axes cancels in the correlation, and the one float
+    step is the pinned IEEE chain num/(√dxx·√dyy), emitted UNROUNDED
+    (the pearson_exact contract; HUGEINT twin in DuckDB). Bound:
+    Σ(2rx·2ry) ≤ 4n³ — decimal(38,0) holds to n ≈ 10^11 rows.
+
+    Scale shape: two value-keyed censuses (map-side combined), two
+    joins back on the value key (AQE-handled skew; a census is
+    |distinct fixed-point values| rows — the quantile-histogram
+    class), one single-row aggregate. Zero-variance axes (all ties)
+    yield NULL via try_divide.
+
+    Output: one row (n_rows, spearman).
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    dec = "decimal(38,0)"
+    rows = df.select(
+        F.round(F.col(x_col) * F.lit(x_scale)).cast("long").alias("__x"),
+        F.round(F.col(y_col) * F.lit(y_scale)).cast("long").alias("__y"),
+    )
+
+    def ranks2(col: str) -> DataFrame:
+        census = rows.groupBy(col).agg(F.count("*").cast("long").alias("__c"))
+        cum = global_cumsum(census, [F.col(col)], ["__c"])
+        return cum.select(
+            col,
+            (2 * (F.col("cum___c") - F.col("__c")) + F.col("__c") + 1)
+            .cast("long")
+            .alias(f"{col}_r2"),
+        )
+
+    joined = rows.join(ranks2("__x"), "__x").join(ranks2("__y"), "__y")
+    g = joined.agg(
+        F.count("*").cast(dec).alias("__n"),
+        F.sum("__x_r2").cast(dec).alias("__sx"),
+        F.sum("__y_r2").cast(dec).alias("__sy"),
+        F.sum(F.col("__x_r2").cast(dec) * F.col("__y_r2")).alias("__sxy"),
+        F.sum(F.col("__x_r2").cast(dec) * F.col("__x_r2")).alias("__sxx"),
+        F.sum(F.col("__y_r2").cast(dec) * F.col("__y_r2")).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    dxx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    dyy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    return g.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.try_divide(num, F.sqrt(dxx) * F.sqrt(dyy)).alias("spearman"),
+    )
+
+
 def validate_contract(
     df: DataFrame,
     rules: dict[str, "object"],

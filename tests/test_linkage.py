@@ -1,0 +1,193 @@
+"""Fellegi–Sunter record-linkage weights + scoring."""
+
+import math
+import random
+
+import pytest
+
+from data_misc_tools_spark.operators.linkage import (
+    fellegi_sunter_weights,
+    fs_score_pairs,
+)
+
+
+def _e6ln(x):
+    return round(math.log(x) * 1e6)
+
+
+def _fixture(seed=11, n=300):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        is_m = i % 3 == 0
+
+        def flip(p):
+            return rng.random() < p
+
+        rows.append(
+            (i, is_m,
+             flip(0.95) if is_m else flip(0.3),
+             flip(0.9) if is_m else flip(0.1),
+             flip(0.8) if is_m else flip(0.5))
+        )
+    return rows
+
+
+def _ref_weights(rows):
+    nm = sum(1 for r in rows if r[1])
+    nu = len(rows) - nm
+    out = {}
+    for idx, f in [(2, "f1"), (3, "f2"), (4, "f3")]:
+        am = sum(1 for r in rows if r[1] and r[idx])
+        au = sum(1 for r in rows if not r[1] and r[idx])
+        out[f] = {
+            "nm": nm, "nu": nu, "am": am, "au": au,
+            "wa": _e6ln(am + 1) - _e6ln(nm + 2) - _e6ln(au + 1) + _e6ln(nu + 2),
+            "wd": _e6ln(nm - am + 1) - _e6ln(nm + 2)
+                  - _e6ln(nu - au + 1) + _e6ln(nu + 2),
+        }
+    return out
+
+
+def test_weights_match_python_reference(spark):
+    rows = _fixture()
+    df = spark.createDataFrame(
+        rows, "pair_id long, is_match boolean, f1 boolean, f2 boolean, f3 boolean"
+    )
+    got = {r.field: r for r in
+           fellegi_sunter_weights(df, ["f1", "f2", "f3"], "is_match").collect()}
+    ref = _ref_weights(rows)
+    for f in ("f1", "f2", "f3"):
+        g, e = got[f], ref[f]
+        assert (g.n_match, g.n_unmatch) == (e["nm"], e["nu"]), f
+        assert (g.n_agree_match, g.n_agree_unmatch) == (e["am"], e["au"]), f
+        assert (g.w_agree_e6, g.w_disagree_e6) == (e["wa"], e["wd"]), f
+
+
+def test_scores_match_python_reference_and_separate_classes(spark):
+    rows = _fixture(seed=23)
+    df = spark.createDataFrame(
+        rows, "pair_id long, is_match boolean, f1 boolean, f2 boolean, f3 boolean"
+    )
+    out = {r.pair_id: (r.n_agree, r.score_e6)
+           for r in fs_score_pairs(df, ["f1", "f2", "f3"], "is_match").collect()}
+    ref = _ref_weights(rows)
+    for r in rows:
+        want = sum(
+            ref[f]["wa"] if r[idx] else ref[f]["wd"]
+            for idx, f in [(2, "f1"), (3, "f2"), (4, "f3")]
+        )
+        assert out[r[0]][1] == want, r[0]
+        assert out[r[0]][0] == sum(1 for idx in (2, 3, 4) if r[idx])
+    nm = sum(1 for r in rows if r[1])
+    avg_m = sum(out[r[0]][1] for r in rows if r[1]) / nm
+    avg_u = sum(out[r[0]][1] for r in rows if not r[1]) / (len(rows) - nm)
+    assert avg_m > avg_u  # informative fields must separate the classes
+
+
+def test_null_agreement_counts_as_disagreement(spark):
+    df = spark.createDataFrame(
+        [(0, True, True), (1, True, None), (2, False, False), (3, False, True)],
+        "pair_id long, is_match boolean, f1 boolean",
+    )
+    w = fellegi_sunter_weights(df, ["f1"], "is_match").collect()[0]
+    assert (w.n_match, w.n_agree_match) == (2, 1)  # the NULL row did not agree
+    s = {r.pair_id: r.n_agree for r in
+         fs_score_pairs(df, ["f1"], "is_match").collect()}
+    assert s[1] == 0
+
+
+def test_agreement_on_discriminative_field_raises_score(spark):
+    # w_agree > w_disagree whenever m > u — sanity on the sign
+    rows = _fixture(seed=5)
+    df = spark.createDataFrame(
+        rows, "pair_id long, is_match boolean, f1 boolean, f2 boolean, f3 boolean"
+    )
+    for r in fellegi_sunter_weights(df, ["f1", "f2"], "is_match").collect():
+        assert r.w_agree_e6 > 0 > r.w_disagree_e6
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0, True)], "pair_id long, is_match boolean")
+    with pytest.raises(ValueError, match="agreement"):
+        fellegi_sunter_weights(df, [], "is_match")
+    with pytest.raises(ValueError, match="agreement"):
+        fs_score_pairs(df, [], "is_match")
+
+
+class TestFsEmWeights:
+    def test_em_matches_pairlevel_python_em(self, spark):
+        """The pattern-census EM must equal a pair-level reference EM
+        exactly (same float ops, same iteration count)."""
+        import math
+
+        rows = _fixture(seed=31, n=240)
+        df = spark.createDataFrame(
+            rows,
+            "pair_id long, is_match boolean, f1 boolean, f2 boolean, f3 boolean",
+        )
+        from data_misc_tools_spark.operators.linkage import fs_em_weights
+
+        wdf, lam = fs_em_weights(df, ["f1", "f2", "f3"], max_iter=15)
+        got = {r.field: (r.m, r.u, r.w_agree, r.w_disagree)
+               for r in wdf.collect()}
+
+        # reference EM over raw pairs (same clamps, same order of ops
+        # per pattern — group pairs by pattern to mirror the census)
+        import collections
+
+        cens = collections.Counter(tuple(int(r[i]) for i in (2, 3, 4))
+                                   for r in rows)
+        m, u, lam_ref = [0.9] * 3, [0.1] * 3, 0.5
+        eps, total = 1e-12, len(rows)
+        for _ in range(15):
+            sm, su, tm = [0.0] * 3, [0.0] * 3, 0.0
+            for gamma, n in cens.items():
+                pm, pu = lam_ref, 1 - lam_ref
+                for i in range(3):
+                    pm *= m[i] if gamma[i] else 1 - m[i]
+                    pu *= u[i] if gamma[i] else 1 - u[i]
+                w = pm / (pm + pu) if pm + pu > 0 else 0.0
+                tm += w * n
+                for i in range(3):
+                    if gamma[i]:
+                        sm[i] += w * n
+                        su[i] += (1 - w) * n
+            lam_ref = min(max(tm / total, eps), 1 - eps)
+            tu = total - tm
+            for i in range(3):
+                m[i] = min(max(sm[i] / tm, eps), 1 - eps)
+                u[i] = min(max(su[i] / tu, eps), 1 - eps)
+        assert abs(lam - lam_ref) < 1e-12
+        for i, f in enumerate(("f1", "f2", "f3")):
+            assert abs(got[f][0] - m[i]) < 1e-12, f
+            assert abs(got[f][1] - u[i]) < 1e-12, f
+            assert abs(got[f][2] - math.log(m[i] / u[i])) < 1e-9
+
+    def test_em_recovers_planted_structure(self, spark):
+        """On the planted fixture (matches agree at .95/.9/.8,
+        unmatches at .3/.1/.5) EM without labels must land m above u
+        on every field and λ near the true 1/3 prevalence."""
+        rows = _fixture(seed=7, n=3000)
+        df = spark.createDataFrame(
+            rows,
+            "pair_id long, is_match boolean, f1 boolean, f2 boolean, f3 boolean",
+        )
+        from data_misc_tools_spark.operators.linkage import fs_em_weights
+
+        wdf, lam = fs_em_weights(df, ["f1", "f2", "f3"], max_iter=40)
+        got = {r.field: r for r in wdf.collect()}
+        for f in ("f1", "f2", "f3"):
+            assert got[f].m > got[f].u, f
+            assert got[f].w_agree > 0 > got[f].w_disagree, f
+        assert 0.15 < lam < 0.55  # true prevalence 1/3
+
+    def test_field_blowup_guard(self, spark):
+        from data_misc_tools_spark.operators.linkage import fs_em_weights
+
+        df = spark.createDataFrame([(True,) * 17], ", ".join(
+            f"c{i} boolean" for i in range(17)))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="patterns"):
+            fs_em_weights(df, [f"c{i}" for i in range(17)])

@@ -716,3 +716,14 @@ def test_logrank_single_prefix_pass_range_partitioned(spark, sf_dir):
         assert not head.endswith("ASC NULLS FIRST"), (
             "unpartitioned window in logrank plan: " + spec
         )
+
+
+def test_suffix_spans_sort_is_range_partitioned(spark, sf_dir):
+    """dedup_substring_docs: the global suffix sort must be the
+    range-partitioned global_rank kind (rank within __pid partitions +
+    broadcast offsets), never a single-reducer row_number window."""
+    plan = _plan(spark, "dedup_substring_docs", sf_dir)
+    assert "rangepartitioning" in plan.lower()
+    assert "__pid" in plan  # global_rank's partition-local window key
+    # the offset join rides a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan

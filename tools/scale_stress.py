@@ -225,6 +225,23 @@ STRESS = {
     "readability_docs": "linear",
     "keyness_llr_en_docs": "linear",
     "fk_discovery_tpch": "linear",
+    # round-7: suffix sort is the range-partitioned global-rank kind
+    # (log term from the sort); cap accounting is one fp census; the
+    # two fast twins iterate over the LSH candidate graph whose EDGE
+    # count is hash-luck-dominated at 10x (the documented pattern on
+    # pagerank_neardup_fast — judge by edge ratio, not row ratio)
+    "dedup_substring_docs": "linearithmic",
+    "winnowing_cap_report": "linear",
+    "lpa_neardup_fast": "linear",
+    "ppr_seeds_fast": "linear",
+    # spearman: two value censuses + joins back; gini: one census;
+    # fs: blocked pair census + broadcast weights (pair count tracks
+    # block sizes — template-prefix blocks grow with the corpus)
+    "spearman_quantity_price": "linear",
+    "gini_customer_revenue": "linear",
+    "fs_linkage_docs": "linear",
+    # t-closeness: classes x bounded-m grid + keyed windows
+    "t_closeness_events": "linear",
 }
 
 
