@@ -252,6 +252,18 @@ HEADLINE = [
     "fs_em_linkage_docs",
     # r7 privacy: the skew gate beside k_anonymity_report
     "t_closeness_events",
+    # r7 ops advisors: score calibration + join-skew pre-flight
+    "calibration_stopword_en",
+    "join_skew_events_self",
+    # r7 multimodal: real-PCM WAV round trip -> energy fingerprint
+    "audio_fingerprint_demo",
+    # r7 robust stats: categorical MI + median/MAD outlier gate
+    "mutual_info_type_dow",
+    "mad_outliers_value",
+    # r7 graph: per-edge triangle support (k-truss building block)
+    "edge_support_neardup",
+    # r7 retrieval: two-pass pseudo-relevance-feedback expansion
+    "bm25_prf_search",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -7676,6 +7676,103 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _bm25_prf_oracle(fb_docs: int = 5, fb_terms: int = 5, k: int = 10) -> str:
+    """Two-pass PRF twin: the bm25_search_topk CTE chain run twice,
+    with integer Σtf expansion-term mining between the passes."""
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    score = """
+        SELECT q.query_id, t.doc_id,
+               round(ln(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1e6)::BIGINT AS idf_e6,
+               (10::HUGEINT * t.tf * c.total_len + 3::HUGEINT * c.total_len
+                + 9::HUGEINT * d.dl * c.n_docs) AS den,
+               t.tf, c.total_len
+        FROM tf t
+        JOIN {Q} q USING (tok)
+        JOIN dl d USING (doc_id)
+        JOIN dfreq f USING (tok)
+        CROSS JOIN corpus c
+    """
+    return f"""
+    WITH qry(query_id, qtext) AS (VALUES {qvals}),
+    qterms AS (
+        SELECT DISTINCT query_id::BIGINT AS query_id,
+               unnest(string_split(qtext, ' ')) AS tok
+        FROM qry
+    ),
+    toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+    corpus AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len FROM dl),
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    scored0 AS ({score.format(Q="qterms")}),
+    sums0 AS (
+        SELECT query_id, doc_id,
+               sum((2::HUGEINT * idf_e6 * 22 * tf * total_len + den) // (2 * den))::BIGINT AS s_e6
+        FROM scored0 GROUP BY query_id, doc_id
+    ),
+    fb AS (
+        SELECT query_id, doc_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s_e6 DESC, doc_id) AS rn
+            FROM sums0
+        ) WHERE rn <= {fb_docs}
+    ),
+    cand AS (
+        SELECT fb.query_id, t.tok, sum(t.tf)::BIGINT AS w
+        FROM fb JOIN tf t USING (doc_id)
+        GROUP BY fb.query_id, t.tok
+    ),
+    cand_new AS (
+        SELECT c.* FROM cand c
+        LEFT JOIN qterms q ON q.query_id = c.query_id AND q.tok = c.tok
+        WHERE q.tok IS NULL
+    ),
+    expansion AS (
+        SELECT query_id, tok FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY w DESC, tok) AS rn
+            FROM cand_new
+        ) WHERE rn <= {fb_terms}
+    ),
+    qterms2 AS (
+        SELECT query_id, tok FROM qterms
+        UNION SELECT query_id, tok FROM expansion
+    ),
+    scored1 AS ({score.format(Q="qterms2")}),
+    sums1 AS (
+        SELECT query_id, doc_id,
+               sum((2::HUGEINT * idf_e6 * 22 * tf * total_len + den) // (2 * den))::BIGINT AS s_e6
+        FROM scored1 GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rank, ((2 * s_e6 + 100) // 200) / 10000.0 AS bm25
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s_e6 DESC, doc_id)::BIGINT AS rank
+        FROM sums1
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("bm25_prf_search", _bm25_prf_oracle())
+def bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (two-pass query expansion,
+    the exact-arithmetic RM3 cousin): retrieve 5 feedback docs per
+    query, mine the 5 strongest NEW terms by integer Σtf, union into
+    the query, re-rank top-10 — the vocabulary-mismatch fix. Same
+    half-up e6 Okapi arithmetic as bm25_search_topk in both passes;
+    expansion selection is engine-exact integers (RM3's float mixture
+    deliberately traded for portability). See
+    operators/retrieval.py:bm25_prf_topk."""
+    from data_misc_tools_spark.operators import retrieval as R
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    q = R.queries_df(spark, _BM25_QUERIES)
+    return R.bm25_prf_topk(d, q, k=10, fb_docs=5, fb_terms=5)
+
+
 def _adamic_adar_oracle(top_k: int = 50) -> str:
     """Wedge-census Adamic-Adar twin over the SAME strict 2x4-banded
     MinHash graph as _triangle_oracle: AA enumerates sum-of-deg^2
@@ -8414,6 +8511,343 @@ def fs_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "n_agree",
         F.col("is_match").cast("long").alias("is_match"), "score_e6",
     ).orderBy(F.desc("score_e6"), "doc_a", "doc_b").limit(20)
+
+
+@_q(
+    "calibration_stopword_en",
+    """
+    WITH scored AS (
+        SELECT (lang = 'en') AS y,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','a','of','and','to','in','is','it',
+                              'you','that')))::BIGINT AS h,
+               len(list_filter(string_split(text, ' '),
+                   x -> x != ''))::BIGINT AS n
+        FROM documents
+    ),
+    e6 AS (
+        SELECT y, (2 * 1000000 * h + n) // (2 * n) AS s
+        FROM scored WHERE n > 0
+    ),
+    b AS (
+        SELECT least((s * 10) // 1000000, 9)::BIGINT AS bucket, y, s FROM e6
+    ),
+    agg AS (
+        SELECT bucket, count(*)::BIGINT AS n_rows,
+               sum(y::BIGINT)::BIGINT AS n_pos,
+               sum(s)::BIGINT AS ss
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_rows, n_pos,
+           (2 * ss + n_rows) // (2 * n_rows) AS mean_score_e6,
+           (2 * 1000000 * n_pos + n_rows) // (2 * n_rows) AS pos_rate_e6,
+           abs((2 * ss + n_rows) // (2 * n_rows)
+               - (2 * 1000000 * n_pos + n_rows) // (2 * n_rows)) AS gap_e6
+    FROM agg ORDER BY bucket
+    """,
+)
+def calibration_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the English stopword-ratio score as an
+    English detector: score_e6 = half-up(1e6·en_stopword_hits,
+    n_tokens) per doc, label = (lang == 'en'), ten equal-width
+    buckets; per bucket mean prediction vs observed positive rate and
+    the calibration gap (weighted gaps sum to ECE). The calibration
+    gate every quality/classifier score feeding a threshold decision
+    needs — exact e6 integers end to end. See
+    operators/profile.py:calibration_report."""
+    from data_misc_tools_spark.operators.profile import calibration_report
+    from data_misc_tools_spark.operators.text import STOPWORDS, tokens
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    low = tokens(F.lower(F.col("text")))
+    hits = F.size(
+        F.filter(low, lambda x: x.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    n = F.size(tokens("text")).cast("long")
+    scored = (
+        d.select(
+            (F.col("lang") == "en").alias("y"),
+            hits.alias("__h"),
+            n.alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .selectExpr(
+            "y", "(2 * 1000000 * __h + __n) div (2 * __n) AS score_e6"
+        )
+    )
+    return calibration_report(scored, "score_e6", "y", n_buckets=10)
+
+
+@_q(
+    "join_skew_events_self",
+    """
+    WITH c AS (
+        SELECT user_id AS key, count(*)::BIGINT AS n FROM events GROUP BY 1
+    ),
+    per AS (
+        SELECT key, n AS c_left, n AS c_right, n::HUGEINT * n AS p FROM c
+    ),
+    tot AS (
+        SELECT sum(p)::HUGEINT AS t, count(*)::BIGINT AS mk FROM per
+    )
+    SELECT key, c_left, c_right, p::BIGINT AS pairs, t::BIGINT AS total_pairs,
+           mk AS matched_keys,
+           ((2 * 1000000 * p + t) // (2 * t))::BIGINT AS share_e6
+    FROM per CROSS JOIN tot
+    ORDER BY pairs DESC, key LIMIT 10
+    """,
+)
+def join_skew_events_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-planning advisor on the events⋈events(user_id) self-join:
+    exact output cardinality Σc(u)² from one key census plus which
+    users dominate it — the salt/broadcast/pre-aggregate decision made
+    from metadata instead of by letting the shuffle fall over.
+    Integer-exact (decimal(38,0)/HUGEINT pair products, half-up e6
+    shares), top-10 via TakeOrdered. See
+    operators/etl.py:join_skew_report."""
+    from data_misc_tools_spark.operators.etl import join_skew_report
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return join_skew_report(ev, "user_id", ev, "user_id", top_k=10)
+
+
+@_q(
+    "audio_fingerprint_demo",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+    fr AS (
+        SELECT doc_id, fx AS f, sum(v * v)::BIGINT AS e FROM (
+            SELECT d.doc_id, f.x AS fx,
+                   ((d.doc_id * 37
+                     + (f.x * 128 + i.x) * (f.x * 128 + i.x)) % 4001
+                    - 2000)::BIGINT AS v
+            FROM d CROSS JOIN generate_series(0, 7) f(x)
+                 CROSS JOIN generate_series(0, 127) i(x)
+        ) GROUP BY doc_id, fx
+    ),
+    bits AS (
+        SELECT doc_id, f, e,
+               lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+        FROM fr
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_frames,
+           sum(CASE WHEN pe IS NOT NULL AND e > pe
+                    THEN (1::BIGINT << (f - 1)::INT) ELSE 0 END)::BIGINT
+               AS fingerprint,
+           min(CASE WHEN f = 0 THEN e END)::BIGINT AS energy_first,
+           min(CASE WHEN f = 7 THEN e END)::BIGINT AS energy_last
+    FROM bits GROUP BY doc_id
+    """,
+)
+def audio_fingerprint_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-content round trip with ZERO Python: fabricate a REAL
+    mono 16-bit PCM WAV per document (deterministic integer waveform
+    s_i = (doc_id·37 + i²) mod 4001 − 2000, 1024 samples — written
+    through synthetic_wav_pcm's two's-complement little-endian body),
+    then parse the BYTES back into per-frame energies and the
+    Haitsma–Kalker-style energy-delta fingerprint
+    (wav_pcm_frame_energies / audio_energy_fingerprint). The oracle
+    computes the same energies ARITHMETICALLY from doc_id — agreement
+    proves the byte codec, not just the math (the jpeg_meta_demo
+    pattern; stdlib `wave` read-back pinned in tests/test_multimodal).
+    doc_id < 50 pins the demo corpus (the image_dhash precedent —
+    per-sample Catalyst decode is interpreted-HOF-bound at ~50µs per
+    sample, right for bounded fingerprint windows; BULK sample decode
+    belongs in the mapInPandas codec path like the PNG pipeline)."""
+    from data_misc_tools_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+        synthetic_wav_pcm,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = d.select("doc_id").where(F.col("doc_id") < 50)
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(1023)),
+        lambda i: ((F.col("doc_id") * 37 + i * i) % 4001 - 2000).cast("int"),
+    )
+    wav = base.select(
+        "doc_id", synthetic_wav_pcm(samples, F.lit(16000)).alias("payload")
+    )
+    return audio_energy_fingerprint(wav, frame_size=128)
+
+
+def _edge_support_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import (
+        _MINHASH_A,
+        _MINHASH_B,
+        MINHASH_P,
+    )
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    # same strict 2-bands-x-4-rows graph as triangle_count_neardup/lcc
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tedges AS (
+        SELECT a AS x, b AS y FROM tri
+        UNION ALL SELECT a, c FROM tri
+        UNION ALL SELECT b, c FROM tri
+    ),
+    sup AS (SELECT x, y, count(*)::BIGINT AS s FROM tedges GROUP BY 1, 2)
+    SELECT p.doc_a AS a, p.doc_b AS b, coalesce(sup.s, 0)::BIGINT AS support
+    FROM pairs p LEFT JOIN sup ON sup.x = p.doc_a AND sup.y = p.doc_b
+    ORDER BY support DESC, a, b LIMIT 20
+    """
+
+
+@_q("edge_support_neardup", _edge_support_oracle())
+def edge_support_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support on the strict 2x4 MinHash candidate
+    graph — the k-truss building block and the EDGE-trust triage
+    signal (triangle_count_neardup says how clique-y the graph is,
+    lcc_neardup_nodes scores nodes; this scores the candidate PAIRS
+    themselves: support 0 = likely hash-luck false positive, high
+    support = inside a template-family clique). Compact-forward wedge
+    join finds each triangle once; a bounded 3-row explode credits its
+    edges; zero-support edges survive a left join. Top-20 by
+    (support, a, b). See operators/cluster.py:edge_triangle_support."""
+    from data_misc_tools_spark.operators.cluster import edge_triangle_support
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    return (
+        edge_triangle_support(
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
+        .orderBy(F.desc("support"), "a", "b")
+        .limit(20)
+    )
+
+
+def _mi_oracle() -> str:
+    def e6ln(x: str) -> str:
+        return f"round(ln(({x})::DOUBLE) * 1e6)::BIGINT"
+
+    return f"""
+    WITH base AS (
+        SELECT event_type AS a, strftime(ts, '%w')::BIGINT AS b FROM events
+    ),
+    cells AS (SELECT a, b, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY b),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+    mi AS (
+        SELECT n, count(*)::BIGINT AS n_cells,
+               sum(c::HUGEINT * ({e6ln('c')} + {e6ln('n')}
+                   - {e6ln('ca')} - {e6ln('cb')}))::HUGEINT AS s
+        FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+        GROUP BY n
+    ),
+    ha AS (
+        SELECT n, sum(ca::HUGEINT * ({e6ln('n')} - {e6ln('ca')}))::HUGEINT AS s
+        FROM ma CROSS JOIN tot GROUP BY n
+    ),
+    hb AS (
+        SELECT n, sum(cb::HUGEINT * ({e6ln('n')} - {e6ln('cb')}))::HUGEINT AS s
+        FROM mb CROSS JOIN tot GROUP BY n
+    )
+    SELECT mi.n AS n_rows, mi.n_cells,
+           ((2 * greatest(mi.s, 0::HUGEINT) + mi.n) // (2 * mi.n::HUGEINT))
+               ::BIGINT AS mi_e6,
+           ((2 * ha.s + mi.n) // (2 * mi.n::HUGEINT))::BIGINT AS h_a_e6,
+           ((2 * hb.s + mi.n) // (2 * mi.n::HUGEINT))::BIGINT AS h_b_e6
+    FROM mi JOIN ha USING (n) JOIN hb USING (n)
+    """
+
+
+@_q("mutual_info_type_dow", _mi_oracle())
+def mutual_info_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and day-of-week — the
+    categorical-dependence screen (is behavior day-patterned?) plus
+    both marginal entropies for NMI. e6-nat integers via per-quantity
+    rounded logs of exact counts (the keyness idiom); marginals come
+    from the cell census, never a second scan. See
+    operators/profile.py:mutual_information."""
+    from data_misc_tools_spark.operators.profile import mutual_information
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    )
+    return mutual_information(base, "event_type", "dow")
+
+
+@_q(
+    "mad_outliers_value",
+    """
+    WITH census AS (
+        SELECT round(value * 100)::BIGINT AS v, count(*)::BIGINT AS c
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM census),
+    cum AS (SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cc FROM census),
+    med AS (
+        SELECT min(v)::BIGINT AS median, first(n)::BIGINT AS n
+        FROM cum CROSS JOIN tot WHERE cc >= (n + 1) // 2
+    ),
+    dev AS (
+        SELECT abs(census.v - med.median)::BIGINT AS d,
+               sum(c)::BIGINT AS c, first(median)::BIGINT AS median,
+               first(n)::BIGINT AS n
+        FROM census CROSS JOIN med GROUP BY 1
+    ),
+    dcum AS (SELECT d, c, median, n,
+                    sum(c) OVER (ORDER BY d)::BIGINT AS cc FROM dev),
+    mad AS (
+        SELECT min(d)::BIGINT AS mad, first(median)::BIGINT AS median,
+               first(n)::BIGINT AS n
+        FROM dcum WHERE cc >= (n + 1) // 2
+    )
+    SELECT mad.n AS n_rows, mad.median AS median_scaled,
+           mad.mad AS mad_scaled,
+           sum(CASE WHEN 1000 * dev.d > 3000 * mad.mad THEN dev.c
+                    ELSE 0 END)::BIGINT AS n_outliers,
+           3000::BIGINT AS k_e3
+    FROM dev CROSS JOIN mad
+    GROUP BY mad.n, mad.median, mad.mad
+    """,
+)
+def mad_outliers_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate over event values: lower-median + MAD at
+    deterministic rank ceil(n/2) (the theil_sen order-statistic
+    convention), outliers = rows beyond 3·MAD by integer
+    cross-multiply — all read off ONE value census (the deviation
+    distribution is derived from the census, never a second scan).
+    The z-score gate's heavy-tail-proof sibling. See
+    operators/profile.py:mad_outlier_report."""
+    from data_misc_tools_spark.operators.profile import mad_outlier_report
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return mad_outlier_report(ev, "value", scale=100, k_e3=3000)
 
 
 ROWS_ONLY.add("fs_em_linkage_docs")
@@ -10154,7 +10588,10 @@ GRADED_FIRST: list[str] = [
     "lpa_neardup_fast", "ppr_seeds_fast", "winnowing_cap_report",
     "dedup_substring_docs", "spearman_quantity_price",
     "gini_customer_revenue", "fs_linkage_docs", "fs_em_linkage_docs",
-    "t_closeness_events",
+    "t_closeness_events", "calibration_stopword_en",
+    "join_skew_events_self", "audio_fingerprint_demo",
+    "mutual_info_type_dow", "mad_outliers_value",
+    "edge_support_neardup", "bm25_prf_search",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -10187,23 +10624,26 @@ GRADED_FIRST: list[str] = [
     # [dedup] (dedup_exact / dedup_minhash_lsh rotated out for
     # winnowing_cap_report / dedup_substring_docs)
     "dedup_ppjoin",
-    # [embedding / similarity]
-    "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
+    # [embedding / similarity] (embedding_neardup rotated out for
+    # edge_support_neardup)
+    "kmeans_embeddings", "semdedup_embeddings",
     "margin_mine_pairs",
-    # [retrieval] (retrieval_eval_embeddings rotated out for
-    # fs_linkage_docs)
-    "bm25_search_topk", "ql_dirichlet_search",
-    # [text curation] (text_quality / gopher_filter_demo rotated out
-    # for fs_em_linkage_docs / t_closeness_events)
-    "chunk_documents", "ngram_novelty_scores",
+    # [retrieval] (retrieval_eval_embeddings / ql_dirichlet_search
+    # rotated out for fs_linkage_docs / bm25_prf_search)
+    "bm25_search_topk",
+    # [text curation] (text_quality / gopher_filter_demo /
+    # chunk_documents rotated out for the r7 additions)
+    "ngram_novelty_scores",
     # [temporal / statistics] (cusum_changepoint_daily /
-    # welch_ttest_value rotated out for spearman / gini)
-    "sessionize_events", "funnel_view_click_purchase",
-    # [sampling / etl]
-    "dsir_select_topk", "exact_stratified_split_langs",
-    "rfm_user_segments",
-    # [multimodal / web]
-    "png_pipeline_demo", "url_domain_quota",
+    # welch_ttest_value / funnel_view_click_purchase rotated out for
+    # the r7 additions)
+    "sessionize_events",
+    # [sampling / etl] (dsir_select_topk / rfm_user_segments rotated
+    # out for the r7 additions)
+    "exact_stratified_split_langs",
+    # [multimodal / web] (url_domain_quota rotated out for
+    # audio_fingerprint_demo)
+    "png_pipeline_demo",
 ]
 
 

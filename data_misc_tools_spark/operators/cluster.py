@@ -549,6 +549,79 @@ def triangle_count(
     )
 
 
+def edge_triangle_support(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-EDGE triangle support — the k-truss building block and the
+    edge-level sibling of :func:`local_clustering_coefficients`: an
+    edge's support is how many triangles contain it. On a near-dup
+    candidate graph, support separates template-family edges (inside
+    near-cliques, high support) from hash-luck false positives
+    (support 0) — the edge-trust triage signal, and the quantity
+    k-truss peeling would iterate on.
+
+    Same compact-forward machinery as :func:`triangle_count` (degree
+    orientation bounds the wedge fan-out to O(√m)); each found
+    triangle (u, v1, v2) credits its THREE canonical edges via a
+    bounded 3-row explode, and zero-support edges survive through a
+    left join back onto the canonical edge list. Output:
+    (a, b, support) with a < b, one row per distinct input edge.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # feeds degree agg, both join sides, output
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = F.struct("da", "a") < F.struct("db", "b")
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = w1.join(w2, "u").filter(
+        F.struct(F.col("d1"), F.col("v1")) < F.struct(F.col("d2"), F.col("v2"))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    tedges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v1").alias("a"),
+                    F.greatest("u", "v1").alias("b"),
+                ),
+                F.struct(
+                    F.least("u", "v2").alias("a"),
+                    F.greatest("u", "v2").alias("b"),
+                ),
+                F.struct(
+                    F.least("v1", "v2").alias("a"),
+                    F.greatest("v1", "v2").alias("b"),
+                ),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+    sup = tedges.groupBy("a", "b").agg(F.count("*").cast("long").alias("support"))
+    return e.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+    )
+
+
 def local_clustering_coefficients(
     edges: DataFrame,
     src: str = "src",

@@ -232,6 +232,65 @@ def salted_skew_join(
     return b.join(s, [key, "__salt"], how).drop("__salt")
 
 
+def join_skew_report(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight advisor for a big equi-join: the EXACT output
+    cardinality Σ_k c_left(k)·c_right(k) and which keys dominate it —
+    the "should I salt / broadcast / pre-aggregate this join?"
+    question answered from two cheap censuses instead of running the
+    join. A key contributing 30% of a trillion-row join output is
+    what :func:`salted_skew_join` exists for; this report is how you
+    find it before the shuffle falls over at 100 TB.
+
+    Exact integers end to end: per-side key censuses (one map-side-
+    combined aggregate each), an inner join of the censuses (distinct
+    keys only — tiny next to the data), per-key pairs = c_l·c_r in
+    decimal(38,0), total via a single-row aggregate broadcast back,
+    share = half-up e6. Top-k keys by (pairs, key) ride
+    TakeOrderedAndProject — never a global sort.
+
+    Output: top_k rows (key, c_left, c_right, pairs, total_pairs,
+    matched_keys, share_e6), ordered by pairs desc, key.
+    """
+    dec = "decimal(38,0)"
+    cl = (
+        left.select(F.col(left_key).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("c_left"))
+    )
+    cr = (
+        right.select(F.col(right_key).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("c_right"))
+    )
+    per = cl.join(cr, "key").select(
+        "key", "c_left", "c_right",
+        (F.col("c_left").cast(dec) * F.col("c_right")).alias("__p"),
+    )
+    tot = per.agg(
+        F.sum("__p").cast(dec).alias("__tot"),
+        F.count("*").cast("long").alias("matched_keys"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "key", "c_left", "c_right",
+            "CAST(__p AS LONG) AS pairs",
+            "CAST(__tot AS LONG) AS total_pairs",
+            "matched_keys",
+            "CAST((2 * 1000000 * __p + __tot) div (2 * __tot) AS LONG)"
+            " AS share_e6",
+        )
+        .orderBy(F.desc("pairs"), "key")
+        .limit(top_k)
+    )
+
+
 def rendezvous_assign(
     df: DataFrame,
     shards: list[str],

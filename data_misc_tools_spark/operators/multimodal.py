@@ -927,3 +927,168 @@ def dhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def synthetic_wav_pcm(samples: Column, sample_rate: Column) -> Column:
+    """Canonical mono 16-bit PCM WAV blob with a REAL sample body from
+    an ``array<int>`` column — the writer half of the audio-content
+    round trip (:func:`synthetic_wav` writes zero bodies; this one
+    carries waveforms so downstream DSP operators have real input).
+    Samples are taken mod 2^16 as little-endian two's complement
+    (``_le_bytes`` pmods negatives into the correct wire form).
+    Entirely Catalyst: transform + array_join build the body hex, one
+    unhex emits the blob."""
+    n = F.size(samples).cast("long")
+    dlen = (n * 2).cast("long")
+    header_hex = F.concat(
+        F.lit("52494646"),                      # RIFF
+        _le_bytes(dlen + 36, 4),
+        F.lit("57415645666D7420"),              # WAVE fmt|
+        _le_bytes(F.lit(16), 4),                # fmt chunk size
+        _le_bytes(F.lit(1), 2),                 # PCM
+        _le_bytes(F.lit(1), 2),                 # mono
+        _le_bytes(sample_rate, 4),
+        _le_bytes(sample_rate * 2, 4),          # byte rate
+        _le_bytes(F.lit(2), 2),                 # block align
+        _le_bytes(F.lit(16), 2),                # bits
+        F.lit("64617461"),                      # data
+        _le_bytes(dlen, 4),
+    )
+    body = F.array_join(F.transform(samples, lambda s: _le_bytes(s, 2)), "")
+    return F.unhex(F.concat(header_hex, body))
+
+
+def wav_pcm_frame_energies(
+    payload: Column | str,
+    frame_size: int = 128,
+    max_frames: int = 64,
+) -> Column:
+    """Per-frame PCM energy (Σ sample²) of a canonical mono 16-bit
+    WAV, as ``array<long>`` — the front half of every classic audio
+    fingerprint (Haitsma–Kalker/Shazam-family schemes fingerprint
+    energy deltas across frames/bands). ZERO Python, exact integers:
+
+    - the data chunk is hexed ONCE per blob, then each sample is two
+      O(1) string slices + conv — never a per-sample blob substring;
+    - 16-bit little-endian two's complement: v = u − 2^16·[u ≥ 2^15];
+    - energy_f = Catalyst fold over the frame's ``frame_size``
+      samples (≤ 2^37 per frame at 128 samples — exact in BIGINT).
+
+    ``max_frames`` bounds the per-row work (a fingerprint needs the
+    opening seconds, not the whole track). Non-canonical/short blobs
+    yield an empty array. Output length = min(n_samples div
+    frame_size, max_frames).
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+    meta = wav_audio_meta(p)
+    data_bytes = F.conv(
+        F.concat(
+            F.hex(F.substring(p, 44, 1)), F.hex(F.substring(p, 43, 1)),
+            F.hex(F.substring(p, 42, 1)), F.hex(F.substring(p, 41, 1)),
+        ),
+        16, 10,
+    ).cast("long")
+    ok = (
+        meta.getField("format").isNotNull()
+        & (meta.getField("channels") == 1)
+        & (meta.getField("bits_per_sample") == 16)
+        & (data_bytes + 44 <= F.length(p))
+    )
+    hx = F.hex(F.substring(p, F.lit(45), data_bytes.cast("int")))
+    n_frames = F.least(
+        (data_bytes / 2).cast("long") / frame_size, F.lit(max_frames)
+    ).cast("long")
+
+    def frames_over(h: Column) -> Column:
+        # h is the let-bound hex string — every sample reads it as a
+        # lambda variable, so the blob is hexed ONCE per row
+
+        def sample(idx: Column) -> Column:
+            # one conv per sample: byte-swap the LE pair into a single
+            # 4-hex-char big-endian parse
+            u = F.conv(
+                F.concat(
+                    F.substring(h, (idx * 4 + 3).cast("int"), F.lit(2)),
+                    F.substring(h, (idx * 4 + 1).cast("int"), F.lit(2)),
+                ),
+                16, 10,
+            ).cast("long")
+            return u - F.when(u >= 32768, F.lit(65536)).otherwise(F.lit(0))
+
+        def energy(f: Column) -> Column:
+            # transform-then-fold binds each decoded sample to a
+            # lambda variable: v*v is one integer multiply (pow()
+            # would box through a double per sample)
+            return F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(frame_size - 1)),
+                    lambda i: sample(f * frame_size + i),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            )
+
+        return F.transform(F.sequence(F.lit(0), n_frames - 1), energy)
+
+    # Catalyst has no `let`: a lambda over a one-element array binds
+    # the expensive hex(substring(blob)) to a variable instead of
+    # inlining (and re-evaluating) it at every sample reference —
+    # measured 15.2 s -> the sub-second class on the 200-doc demo
+    frames = F.element_at(F.transform(F.array(hx), frames_over), 1)
+    empty = F.array().cast("array<bigint>")
+    return F.when(ok & (n_frames > 0), frames).otherwise(empty)
+
+
+def audio_energy_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_size: int = 128,
+    max_frames: int = 64,
+) -> DataFrame:
+    """Energy-delta audio fingerprint (the Haitsma–Kalker bit rule at
+    frame granularity): bit_i = [energy_{i+1} > energy_i], packed
+    little-endian into one BIGINT — robust to volume scaling direction
+    changes survive, and exact-integer so any engine reproduces the
+    bits. Identical fingerprints group duplicate/near-identical audio
+    the way dHash groups images (reuse the dHash banding machinery for
+    hamming-tolerant matching).
+
+    Map-only over the blobs: per row one hex pass + bounded folds.
+    Output: (id_col, n_frames, fingerprint, energy_first,
+    energy_last) — the energies bookend the fold so a mismatch
+    debugs without re-reading blobs.
+    """
+    if max_frames > 64:
+        raise ValueError("fingerprint packs into one BIGINT: max_frames <= 64")
+    e = wav_pcm_frame_energies(F.col(payload_col), frame_size, max_frames)
+    base = df.select(F.col(id_col), e.alias("__e"))
+    nf = F.size("__e").cast("long")
+    # little-endian bit pack as a fold carrying the power in its state
+    # (shiftleft takes only literal bit counts, not a lambda variable)
+    init = F.struct(
+        F.lit(0).cast("long").alias("fp"), F.lit(1).cast("long").alias("pw")
+    )
+    packed = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(nf - 1, F.lit(0)).cast("int")),
+        init,
+        lambda acc, i: F.struct(
+            (
+                acc.getField("fp")
+                + F.when(
+                    F.element_at(F.col("__e"), (i + 1).cast("int"))
+                    > F.element_at(F.col("__e"), i.cast("int")),
+                    acc.getField("pw"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("fp"),
+            (acc.getField("pw") * 2).alias("pw"),
+        ),
+    )
+    fp = packed.getField("fp")
+    return base.select(
+        F.col(id_col),
+        nf.alias("n_frames"),
+        F.when(nf > 1, fp).otherwise(F.lit(0).cast("long")).alias("fingerprint"),
+        F.when(nf > 0, F.element_at("__e", 1)).alias("energy_first"),
+        F.when(nf > 0, F.element_at("__e", -1)).alias("energy_last"),
+    )

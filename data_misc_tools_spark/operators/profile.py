@@ -251,6 +251,229 @@ def t_closeness(
     )
 
 
+def mad_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+    k_e3: int = 3000,
+) -> DataFrame:
+    """Robust outlier gate: median + MAD (median absolute deviation)
+    + the count of rows beyond k·MAD — the z-score's heavy-tail-proof
+    sibling (mean/stddev are themselves dragged by the outliers they
+    are supposed to find; median/MAD have a 50% breakdown point).
+
+    Engine-exact and ONE table scan: values go fixed-point, the
+    median is the LOWER median at deterministic rank ceil(n/2) (the
+    theil_sen order-statistic convention) read off a value census +
+    range-partitioned prefix counts; the deviation distribution is
+    then DERIVED FROM THE SAME CENSUS (|v − med| regrouped with its
+    counts — never a second scan), its median read the same way; the
+    outlier census is a third pass over census rows. All comparisons
+    are integer cross-multiplies: outlier ⇔ 1000·|x − med| > k_e3·MAD.
+
+    Output: one row (n_rows, median_scaled, mad_scaled, n_outliers,
+    k_e3) — fixed-point integers (divide by ``scale`` for units).
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    v = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    census = (
+        df.select(v.alias("__v"))
+        .groupBy("__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    cum = global_cumsum(census, [F.col("__v")], ["__c"])
+    tot = census.agg(F.sum("__c").cast("long").alias("__n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum___c") >= F.expr("(__n + 1) div 2"))
+        .agg(F.min("__v").alias("median"), F.first("__n").alias("__n"))
+    )
+    dev = (
+        census.crossJoin(F.broadcast(med))
+        .select(
+            F.abs(F.col("__v") - F.col("median")).alias("__d"),
+            "__c", "median", "__n",
+        )
+        .groupBy("__d", "median", "__n")
+        .agg(F.sum("__c").cast("long").alias("__c"))
+    )
+    dcum = global_cumsum(dev, [F.col("__d")], ["__c"])
+    mad = (
+        dcum.filter(F.col("cum___c") >= F.expr("(__n + 1) div 2"))
+        .agg(
+            F.min("__d").alias("mad"),
+            F.first("median").alias("median"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    out = (
+        dev.select("__d", "__c")
+        .crossJoin(F.broadcast(mad))
+        .selectExpr(
+            "__n", "median", "mad",
+            f"CASE WHEN 1000 * __d > {k_e3} * mad THEN __c ELSE 0 END AS __o",
+        )
+        .groupBy("__n", "median", "mad")
+        .agg(F.sum("__o").cast("long").alias("n_outliers"))
+    )
+    return out.selectExpr(
+        "__n AS n_rows",
+        "median AS median_scaled",
+        "mad AS mad_scaled",
+        "n_outliers",
+        f"CAST({k_e3} AS LONG) AS k_e3",
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, engine-
+    exact — the dependence screen behind feature selection, linkage
+    field ranking, and redundant-column detection (MI = 0 iff
+    independent; MI close to min(H_a, H_b) means one column nearly
+    determines the other).
+
+    I(A;B) = Σ_xy p_xy·ln(p_xy·n / (c_x·c_y)) computed the keyness
+    way: one (a, b) cell census (single map-side-combined aggregate),
+    marginals re-derived from the CELLS (grouping the census, never a
+    second table scan), and every log a per-quantity e6-rounded ln of
+    an exact integer — n·I·1e6 = Σ cnt·(e6ln(cnt) + e6ln(n) −
+    e6ln(c_a) − e6ln(c_b)) accumulates in decimal(38,0), then ONE
+    half-up division brings it to mi_e6 (nats). Entropies H(A), H(B)
+    ride the same pass so the normalized score
+    NMI = I/min(H_a,H_b) is computable downstream.
+
+    Output: one row (n_rows, n_cells, mi_e6, h_a_e6, h_b_e6) — e6
+    nats, exact integers.
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count("*").cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__c").cast("long").alias("__ca"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cb"))
+    tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
+    e6 = lambda x: f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT)"  # noqa: E731
+    joined = (
+        cells.join(ma, "__a")
+        .join(mb, "__b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "__n",
+            f"CAST(__c AS {dec}) * ({e6('__c')} + {e6('__n')}"
+            f" - {e6('__ca')} - {e6('__cb')}) AS __mi_term",
+        )
+    )
+    mi = joined.groupBy("__n").agg(
+        F.sum("__mi_term").cast(dec).alias("__mi"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    ha = (
+        ma.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "__n",
+            f"CAST(__ca AS {dec}) * ({e6('__n')} - {e6('__ca')}) AS __t",
+        )
+        .groupBy("__n")
+        .agg(F.sum("__t").cast(dec).alias("__ha"))
+    )
+    hb = (
+        mb.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "__n",
+            f"CAST(__cb AS {dec}) * ({e6('__n')} - {e6('__cb')}) AS __t",
+        )
+        .groupBy("__n")
+        .agg(F.sum("__t").cast(dec).alias("__hb"))
+    )
+    out = mi.join(ha, "__n").join(hb, "__n")
+    return out.selectExpr(
+        "__n AS n_rows",
+        "n_cells",
+        # the term sum can be slightly negative from e6 rounding on an
+        # independent pair — clamp BEFORE the half-up division (the
+        # signed-div engine divergence: Spark div truncates, DuckDB //
+        # floors; MI is nonnegative so the clamp is semantics, not a
+        # dodge)
+        f"CAST((2 * greatest(__mi, CAST(0 AS {dec})) + __n)"
+        f" div (2 * CAST(__n AS {dec})) AS LONG) AS mi_e6",
+        f"CAST((2 * __ha + __n) div (2 * CAST(__n AS {dec})) AS LONG)"
+        " AS h_a_e6",
+        f"CAST((2 * __hb + __n) div (2 * CAST(__n AS {dec})) AS LONG)"
+        " AS h_b_e6",
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_e6_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability diagram as data: does a [0,1] score MEAN what it
+    says? Bucket rows by predicted score, compare each bucket's mean
+    prediction against its observed positive rate — the calibration
+    check every quality/classifier score feeding a sampling or
+    filtering decision needs (a perfectly discriminative score can
+    still be wildly miscalibrated, and thresholding a miscalibrated
+    score at "0.9" does not give 90% precision).
+
+    Engine-exact contract: the score arrives as an e6 INTEGER in
+    [0, 1e6] (``score_e6_col`` — produce it upstream with the repo's
+    half-up pattern so bucketing is exact; a float score would bucket
+    differently across engines at boundaries). Bucket =
+    least(score_e6·n div 1e6, n−1) — exact integer. Per bucket the
+    report emits n_rows, n_pos, mean_score_e6 = half-up(Σscore, n)
+    and pos_rate_e6 = half-up(1e6·pos, n); |mean − rate| is the
+    bucket's calibration gap, Σ n/N-weighted gaps is ECE.
+
+    One hash aggregate (map-side combined), bounded n_buckets rows.
+    Output: (bucket, n_rows, n_pos, mean_score_e6, pos_rate_e6,
+    gap_e6), ordered by bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError("need at least 2 buckets")
+    s = F.col(score_e6_col).cast("long")
+    guard = F.when(
+        (s < 0) | (s > 1_000_000),
+        F.raise_error(
+            F.format_string(
+                "calibration_report: score_e6 %s outside [0, 1e6]", s
+            )
+        ).cast("long"),
+    ).otherwise(s)
+    bucket = F.least(
+        F.expr(f"({score_e6_col} * {n_buckets}) div 1000000"),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    base = df.select(
+        guard.alias("__s"),
+        bucket.alias("bucket"),
+        F.col(label_col).cast("boolean").cast("long").alias("__y"),
+    )
+    agg = base.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum("__s").cast("long").alias("__ss"),
+    )
+    return agg.selectExpr(
+        "bucket", "n_rows", "n_pos",
+        "(2 * __ss + n_rows) div (2 * n_rows) AS mean_score_e6",
+        "(2 * 1000000 * n_pos + n_rows) div (2 * n_rows) AS pos_rate_e6",
+    ).selectExpr(
+        "bucket", "n_rows", "n_pos", "mean_score_e6", "pos_rate_e6",
+        "abs(mean_score_e6 - pos_rate_e6) AS gap_e6",
+    ).orderBy("bucket")
+
+
 def gini_concentration(
     df: DataFrame,
     value_col: str,

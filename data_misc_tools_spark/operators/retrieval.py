@@ -182,6 +182,20 @@ def bm25_topk(
     rounded to 4 decimals, ties broken by doc_id.
     """
     qterms = queries.select("query_id", F.explode(tokens("qtext")).alias("tok")).distinct()
+    return _bm25_rank_qterms(docs, qterms, k, text_col, id_col)
+
+
+def _bm25_rank_qterms(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """:func:`bm25_topk`'s scoring core over an explicit
+    (query_id, tok) term set — shared with :func:`bm25_prf_topk`,
+    which calls it twice (original terms, then expanded terms).
+    Identical plan to the pre-refactor inline body."""
     qtok = qterms.select("tok").distinct()
     # filter the exploded tokens FIRST (broadcast hash join at scan
     # speed): everything downstream is |matching (doc, term)| sized
@@ -220,6 +234,61 @@ def bm25_topk(
             "((2 * s_e6 + 100) div 200) / 10000.0D AS bm25",
         )
     )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (two-pass query expansion,
+    the exact-arithmetic cousin of RM3/Rocchio): retrieve ``fb_docs``
+    per query with :func:`bm25_topk`, mine the ``fb_terms`` strongest
+    NEW terms from those feedback documents, union them into the
+    query, and re-rank. The classic vocabulary-mismatch fix — a query
+    about "spark join" pulls in "shuffle"/"broadcast" from its own
+    top hits and then finds documents that never said "join".
+
+    Exactness contract: expansion-term weight = Σ tf(t, d) over the
+    query's feedback docs — an INTEGER (RM3's float mixture weights
+    are deliberately traded for engine-portable selection; the final
+    scores are the same half-up e6 BM25 as bm25_topk). Term ties
+    break lexicographically; original query terms are excluded from
+    expansion (they are already in the query).
+
+    Scale shape: round 1 is bm25_topk's pruned plan; feedback-doc
+    term mining joins the corpus explode against a BROADCAST of the
+    |Q|·fb_docs feedback ids (scan-speed prune, the qtok idiom);
+    round 2 re-runs the scoring core with the widened term set. Three
+    pruned corpus scans total, no collect anywhere.
+
+    Output: (query_id, doc_id, rank, bm25) — bm25_topk's shape.
+    """
+    qterms = queries.select(
+        "query_id", F.explode(tokens("qtext")).alias("tok")
+    ).distinct()
+    fb = _bm25_rank_qterms(docs, qterms, fb_docs, text_col, id_col).select(
+        "query_id", id_col
+    )
+    cand = (
+        _toks(docs, text_col, id_col)
+        .join(F.broadcast(fb), id_col)
+        .groupBy("query_id", "tok")
+        .agg(F.sum(F.lit(1)).cast("long").alias("__w"))
+        .join(qterms, ["query_id", "tok"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__w"), F.col("tok"))
+    expansion = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= fb_terms)
+        .select("query_id", "tok")
+    )
+    qterms2 = qterms.unionByName(expansion).distinct()
+    return _bm25_rank_qterms(docs, qterms2, k, text_col, id_col)
 
 
 def bm25_scores(

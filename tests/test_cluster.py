@@ -713,3 +713,49 @@ class TestFastTwinsRound7:
 
         with _pytest.raises(ValueError, match="no seed"):
             C.personalized_pagerank_fast(df, seeds, max_iter=2)
+
+
+class TestEdgeTriangleSupport:
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        raw = {(rng.randrange(15), rng.randrange(15)) for _ in range(45)}
+        edges = [(a, b) for a, b in raw if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.a, r.b): r.support
+               for r in C.edge_triangle_support(df).collect()}
+        canon = {(min(a, b), max(a, b)) for a, b in edges}
+        sup = {e: 0 for e in canon}
+        nodes = sorted({n for e in canon for n in e})
+        for x, y, z in itertools.combinations(nodes, 3):
+            if (x, y) in canon and (x, z) in canon and (y, z) in canon:
+                sup[(x, y)] += 1
+                sup[(x, z)] += 1
+                sup[(y, z)] += 1
+        assert got == sup
+
+    def test_consistency_with_triangle_count(self, spark):
+        """Σ support == 3 · n_triangles, exactly."""
+        import random
+
+        rng = random.Random(11)
+        raw = {(rng.randrange(20), rng.randrange(20)) for _ in range(80)}
+        edges = [(a, b) for a, b in raw if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        total_sup = sum(r.support for r in C.edge_triangle_support(df).collect())
+        n_tri = C.triangle_count(df).collect()[0].n_triangles
+        assert total_sup == 3 * n_tri
+
+    def test_clique_and_star(self, spark):
+        # K4: every edge sits in exactly 2 triangles; a star has none
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        star = [(100, i) for i in range(101, 105)]
+        df = spark.createDataFrame(k4 + star, "src long, dst long")
+        got = {(r.a, r.b): r.support
+               for r in C.edge_triangle_support(df).collect()}
+        for e in k4:
+            assert got[e] == 2, e
+        for a, b in star:
+            assert got[(min(a, b), max(a, b))] == 0

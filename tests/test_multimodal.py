@@ -405,3 +405,107 @@ def test_image_dhash_end_to_end_and_banding_exactness(spark):
     assert pairs == truth
     with _pt.raises(ValueError, match="max_hamming"):
         dhash_neardup_pairs(hashes, max_hamming=4)
+
+
+class TestAudioEnergyFingerprint:
+    def _wav_df(self, spark, n_docs=6, n=1024):
+        import pyspark.sql.functions as F
+
+        from data_misc_tools_spark.operators.multimodal import synthetic_wav_pcm
+
+        df = spark.createDataFrame([(d,) for d in range(n_docs)], "doc_id long")
+        samples = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: ((F.col("doc_id") * 37 + i * i) % 4001 - 2000).cast("int"),
+        )
+        return df.select(
+            "doc_id", synthetic_wav_pcm(samples, F.lit(16000)).alias("payload")
+        )
+
+    def _ref(self, d, n=1024, frame=128):
+        ss = [((d * 37 + i * i) % 4001) - 2000 for i in range(n)]
+        es = [sum(v * v for v in ss[f * frame:(f + 1) * frame])
+              for f in range(n // frame)]
+        fp = sum((1 << (i - 1)) for i in range(1, len(es)) if es[i] > es[i - 1])
+        return es, fp
+
+    def test_roundtrip_matches_arithmetic_reference(self, spark):
+        from data_misc_tools_spark.operators.multimodal import (
+            audio_energy_fingerprint,
+        )
+
+        wav = self._wav_df(spark)
+        got = {r.doc_id: r
+               for r in audio_energy_fingerprint(wav, frame_size=128).collect()}
+        for d in range(6):
+            es, fp = self._ref(d)
+            r = got[d]
+            assert (r.n_frames, r.fingerprint) == (len(es), fp), d
+            assert (r.energy_first, r.energy_last) == (es[0], es[-1]), d
+
+    def test_stdlib_wave_reads_identical_samples(self, spark):
+        """The bytes are REAL WAV: python's wave module must decode
+        the exact samples the Catalyst writer encoded (incl. negative
+        two's complement)."""
+        import io
+        import struct
+        import wave
+
+        blob = self._wav_df(spark).where("doc_id = 3").collect()[0].payload
+        w = wave.open(io.BytesIO(bytes(blob)))
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            1, 2, 16000,
+        )
+        vals = struct.unpack("<1024h", w.readframes(1024))
+        assert list(vals) == [((3 * 37 + i * i) % 4001) - 2000
+                              for i in range(1024)]
+
+    def test_volume_scaling_changes_energy_not_direction_bits(self, spark):
+        """Doubling amplitude scales every frame energy 4x — the
+        delta-sign fingerprint is invariant (the Haitsma–Kalker
+        robustness property the bit rule exists for)."""
+        import pyspark.sql.functions as F
+
+        from data_misc_tools_spark.operators.multimodal import (
+            audio_energy_fingerprint,
+            synthetic_wav_pcm,
+        )
+
+        df = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, amp long")
+        samples = F.transform(
+            F.sequence(F.lit(0), F.lit(511)),
+            lambda i: (F.col("amp") * ((i * i * 13) % 1000 - 500)).cast("int"),
+        )
+        wav = df.select(
+            "doc_id", synthetic_wav_pcm(samples, F.lit(8000)).alias("payload")
+        )
+        out = {r.doc_id: r
+               for r in audio_energy_fingerprint(wav, frame_size=64).collect()}
+        assert out[1].fingerprint == out[2].fingerprint
+        assert out[2].energy_first == 4 * out[1].energy_first
+
+    def test_non_wav_and_short_blobs_yield_empty(self, spark):
+        import pyspark.sql.functions as F
+
+        from data_misc_tools_spark.operators.multimodal import (
+            wav_pcm_frame_energies,
+        )
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"not a wav at all, just bytes" * 3))],
+            "doc_id long, payload binary",
+        )
+        got = df.select(
+            wav_pcm_frame_energies("payload", 128).alias("e")
+        ).collect()[0]
+        assert got.e == []
+
+    def test_max_frames_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.multimodal import (
+            audio_energy_fingerprint,
+        )
+
+        with _pytest.raises(ValueError, match="BIGINT"):
+            audio_energy_fingerprint(self._wav_df(spark), max_frames=65)

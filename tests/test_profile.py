@@ -208,3 +208,212 @@ class TestTCloseness:
         df = spark.createDataFrame([("a", i) for i in range(30)], "q string, v int")
         with _pytest.raises(ValueError, match="levels"):
             t_closeness(df, ["q"], "v", max_values=10)
+
+
+class TestCalibrationReport:
+    def test_matches_python_reference(self, spark):
+        from data_misc_tools_spark.operators.profile import calibration_report
+
+        import random
+
+        rng = random.Random(13)
+        rows = []
+        for _ in range(500):
+            s = rng.randint(0, 1_000_000)
+            # planted miscalibration: true rate is score/2
+            y = rng.random() < (s / 1e6) / 2
+            rows.append((s, y))
+        df = spark.createDataFrame(rows, "score_e6 long, y boolean")
+        got = {r.bucket: (r.n_rows, r.n_pos, r.mean_score_e6,
+                          r.pos_rate_e6, r.gap_e6)
+               for r in calibration_report(df, "score_e6", "y").collect()}
+        import collections
+
+        agg = collections.defaultdict(lambda: [0, 0, 0])
+        for s, y in rows:
+            b = min(s * 10 // 1_000_000, 9)
+            agg[b][0] += 1
+            agg[b][1] += int(y)
+            agg[b][2] += s
+        for b, (n, pos, ss) in agg.items():
+            mean = (2 * ss + n) // (2 * n)
+            rate = (2 * 1_000_000 * pos + n) // (2 * n)
+            assert got[b] == (n, pos, mean, rate, abs(mean - rate)), b
+        # the planted half-rate miscalibration shows in the top bucket
+        assert got[9][4] > 300_000
+
+    def test_boundary_bucketing_is_exact(self, spark):
+        from data_misc_tools_spark.operators.profile import calibration_report
+
+        df = spark.createDataFrame(
+            [(0, False), (99_999, False), (100_000, True), (1_000_000, True)],
+            "score_e6 long, y boolean",
+        )
+        got = {r.bucket: r.n_rows
+               for r in calibration_report(df, "score_e6", "y").collect()}
+        # 0 and 99999 -> bucket 0; 100000 -> bucket 1; 1e6 clamps to 9
+        assert got == {0: 2, 1: 1, 9: 1}
+
+    def test_out_of_range_score_raises(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import calibration_report
+
+        df = spark.createDataFrame([(2_000_000, True)], "score_e6 long, y boolean")
+        with _pytest.raises(Exception, match="outside"):
+            calibration_report(df, "score_e6", "y").collect()
+        with _pytest.raises(ValueError, match="buckets"):
+            calibration_report(df, "score_e6", "y", n_buckets=1)
+
+
+class TestJoinSkewReport:
+    def test_exact_cardinality_and_shares(self, spark):
+        from data_misc_tools_spark.operators.etl import join_skew_report
+
+        import random
+
+        rng = random.Random(5)
+        left = [(rng.choice("abcde"),) for _ in range(300)] + [("hot",)] * 200
+        right = [(rng.choice("abcdef"),) for _ in range(250)] + [("hot",)] * 100
+        l = spark.createDataFrame(left, "k string")
+        r = spark.createDataFrame(right, "k string")
+        rows = join_skew_report(l, "k", r, "k", top_k=3).collect()
+
+        import collections
+
+        cl = collections.Counter(k for k, in left)
+        cr = collections.Counter(k for k, in right)
+        per = {k: cl[k] * cr[k] for k in cl if k in cr}
+        total = sum(per.values())
+        want_top = sorted(per, key=lambda k: (-per[k], k))[:3]
+        assert [x.key for x in rows] == want_top
+        for x in rows:
+            assert x.pairs == per[x.key]
+            assert x.total_pairs == total
+            assert x.matched_keys == len(per)
+            assert x.share_e6 == (2 * 1_000_000 * per[x.key] + total) // (2 * total)
+        # the planted hot key dominates — and equals the REAL join size
+        assert rows[0].key == "hot"
+        assert total == l.join(r, "k").count()
+
+    def test_disjoint_keys_yield_empty(self, spark):
+        from data_misc_tools_spark.operators.etl import join_skew_report
+
+        l = spark.createDataFrame([("a",)], "k string")
+        r = spark.createDataFrame([("b",)], "k string")
+        assert join_skew_report(l, "k", r, "k").count() == 0
+
+
+class TestMutualInformation:
+    def test_matches_python_reference(self, spark):
+        from data_misc_tools_spark.operators.profile import mutual_information
+
+        import collections
+        import math
+        import random
+
+        rng = random.Random(9)
+        rows = []
+        for _ in range(800):
+            a = rng.choice("wxyz")
+            b = a.upper() if rng.random() < 0.7 else rng.choice("WXYZ")
+            rows.append((a, b))
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+
+        def e6ln(x):
+            return round(math.log(x) * 1e6)
+
+        cells = collections.Counter(rows)
+        ca = collections.Counter(a for a, _ in rows)
+        cb = collections.Counter(b for _, b in rows)
+        n = len(rows)
+        mi_sum = sum(
+            c * (e6ln(c) + e6ln(n) - e6ln(ca[a]) - e6ln(cb[b]))
+            for (a, b), c in cells.items()
+        )
+        assert r.mi_e6 == (2 * max(mi_sum, 0) + n) // (2 * n)
+        assert r.h_a_e6 == (
+            2 * sum(c * (e6ln(n) - e6ln(c)) for c in ca.values()) + n
+        ) // (2 * n)
+        assert r.h_b_e6 == (
+            2 * sum(c * (e6ln(n) - e6ln(c)) for c in cb.values()) + n
+        ) // (2 * n)
+        assert (r.n_rows, r.n_cells) == (n, len(cells))
+        # e6 nats track the true MI
+        true_mi = sum(
+            c / n * math.log(c / n * n * n / (ca[a] * cb[b]))
+            for (a, b), c in cells.items()
+        )
+        assert abs(r.mi_e6 / 1e6 - true_mi) < 1e-3
+
+    def test_independent_columns_score_near_zero(self, spark):
+        from data_misc_tools_spark.operators.profile import mutual_information
+
+        import random
+
+        rng = random.Random(2)
+        df = spark.createDataFrame(
+            [(rng.choice("ab"), rng.choice("cd")) for _ in range(2000)],
+            "a string, b string",
+        )
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert r.mi_e6 < 2000  # ~0 nats, allowing sampling noise
+
+    def test_determined_column_reaches_entropy(self, spark):
+        from data_misc_tools_spark.operators.profile import mutual_information
+
+        # b = f(a): MI == H(B)
+        df = spark.createDataFrame(
+            [("a", "X")] * 30 + [("b", "Y")] * 20 + [("c", "X")] * 10,
+            "a string, b string",
+        )
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert abs(r.mi_e6 - r.h_b_e6) <= 2  # e6 rounding slack
+
+
+class TestMadOutlierReport:
+    def test_matches_python_reference(self, spark):
+        from data_misc_tools_spark.operators.profile import mad_outlier_report
+
+        import random
+
+        rng = random.Random(4)
+        vals = [round(rng.gauss(100, 10), 2) for _ in range(501)]
+        vals += [999.99] * 5 + [-500.0] * 3  # planted extremes
+        df = spark.createDataFrame([(x,) for x in vals], "v double")
+        r = mad_outlier_report(df, "v", 100, 3000).collect()[0]
+        xs = sorted(round(x * 100) for x in vals)
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1]
+        devs = sorted(abs(x - med) for x in xs)
+        mad = devs[(n + 1) // 2 - 1]
+        outl = sum(1 for x in xs if 1000 * abs(x - med) > 3000 * mad)
+        assert (r.n_rows, r.median_scaled, r.mad_scaled, r.n_outliers) == (
+            n, med, mad, outl,
+        )
+        assert r.n_outliers >= 8  # every planted extreme caught
+
+    def test_outliers_do_not_drag_the_gate(self, spark):
+        """The robustness point: adding huge outliers must not move
+        median/MAD (mean/stddev would chase them)."""
+        from data_misc_tools_spark.operators.profile import mad_outlier_report
+
+        base = [(float(v),) for v in range(1, 102)]
+        df1 = spark.createDataFrame(base, "v double")
+        df2 = spark.createDataFrame(base + [(1e6,)] * 10, "v double")
+        r1 = mad_outlier_report(df1, "v").collect()[0]
+        r2 = mad_outlier_report(df2, "v").collect()[0]
+        # 10 adversarial rows among 101 move the median by at most 10
+        # RANKS (bounded influence); the mean would jump by ~1e5
+        assert r1.median_scaled == 5100
+        assert abs(r2.median_scaled - r1.median_scaled) <= 1000
+        assert abs(r2.mad_scaled - r1.mad_scaled) <= 1000
+        assert r2.n_outliers >= 10
+
+    def test_constant_column(self, spark):
+        from data_misc_tools_spark.operators.profile import mad_outlier_report
+
+        df = spark.createDataFrame([(5.0,)] * 9, "v double")
+        r = mad_outlier_report(df, "v").collect()[0]
+        assert (r.median_scaled, r.mad_scaled, r.n_outliers) == (500, 0, 0)

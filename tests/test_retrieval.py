@@ -414,3 +414,79 @@ def test_phrase_search_overlaps_and_repeats(spark):
 
     with _pt.raises(ValueError):
         phrase_search(df, [])
+
+
+class TestBm25Prf:
+    def _corpus(self, spark):
+        docs = [
+            (1, "spark join shuffle broadcast partition"),
+            (2, "spark join broadcast hint small table"),
+            (3, "shuffle broadcast partition skew salt"),   # no query term!
+            (4, "cats dogs birds fish hamsters"),
+            (5, "spark join spark join spark join"),
+        ]
+        return spark.createDataFrame(docs, "doc_id long, text string")
+
+    def test_expansion_recovers_vocabulary_mismatch(self, spark):
+        """Doc 3 shares NO term with the query but shares the feedback
+        docs' vocabulary — round 1 cannot retrieve it, PRF must."""
+        from data_misc_tools_spark.operators.retrieval import (
+            bm25_prf_topk,
+            bm25_topk,
+            queries_df,
+        )
+
+        docs = self._corpus(spark)
+        q = queries_df(spark, [(0, "spark join")])
+        r1 = {r.doc_id for r in bm25_topk(docs, q, k=5).collect()}
+        assert 3 not in r1
+        r2 = {r.doc_id for r in
+              bm25_prf_topk(docs, q, k=5, fb_docs=2, fb_terms=3).collect()}
+        assert 3 in r2
+        assert 4 not in r2  # the unrelated doc stays out
+
+    def test_zero_feedback_terms_equals_plain_bm25(self, spark):
+        from data_misc_tools_spark.operators.retrieval import (
+            bm25_prf_topk,
+            bm25_topk,
+            queries_df,
+        )
+
+        docs = self._corpus(spark)
+        q = queries_df(spark, [(0, "spark join"), (1, "cats dogs")])
+        plain = {(r.query_id, r.doc_id, r.rank, r.bm25)
+                 for r in bm25_topk(docs, q, k=5).collect()}
+        prf = {(r.query_id, r.doc_id, r.rank, r.bm25)
+               for r in bm25_prf_topk(docs, q, k=5, fb_terms=0).collect()}
+        assert prf == plain
+
+    def test_expansion_selection_matches_python_reference(self, spark):
+        """Expansion terms = top fb_terms NEW terms by Σtf over the
+        query's round-1 top fb_docs, ties lexicographic."""
+        import collections
+
+        from data_misc_tools_spark.operators.retrieval import (
+            bm25_prf_topk,
+            bm25_topk,
+            queries_df,
+        )
+
+        docs = self._corpus(spark)
+        rows = {r.doc_id: r.text for r in docs.collect()}
+        q = queries_df(spark, [(0, "spark join")])
+        fb = [r.doc_id for r in bm25_topk(docs, q, k=2).collect()]
+        w = collections.Counter()
+        for d in fb:
+            for t in rows[d].split():
+                if t not in ("spark", "join"):
+                    w[t] += 1
+        want = sorted(w, key=lambda t: (-w[t], t))[:3]
+        # verify via the score difference: rerunning bm25 with the
+        # reference-expanded query must equal bm25_prf_topk exactly
+        q2 = queries_df(spark, [(0, " ".join(["spark", "join"] + want))])
+        manual = {(r.doc_id, r.rank, r.bm25)
+                  for r in bm25_topk(docs, q2, k=5).collect()}
+        prf = {(r.doc_id, r.rank, r.bm25)
+               for r in bm25_prf_topk(docs, q, k=5, fb_docs=2,
+                                      fb_terms=3).collect()}
+        assert prf == manual

@@ -242,6 +242,20 @@ STRESS = {
     "fs_linkage_docs": "linear",
     # t-closeness: classes x bounded-m grid + keyed windows
     "t_closeness_events": "linear",
+    # calibration: one bucket aggregate; join skew: two key censuses
+    "calibration_stopword_en": "linear",
+    "join_skew_events_self": "linear",
+    # audio demo pins doc_id < 50 — flat BY DESIGN (image_dhash
+    # precedent)
+    "audio_fingerprint_demo": "linear",
+    # MI: one cell census; MAD: one value census + derived deviations
+    "mutual_info_type_dow": "linear",
+    "mad_outliers_value": "linear",
+    # edge support: compact-forward wedge join (the triangle census
+    # cost class — 2x4 banding, LSH-edge-growth accounting applies)
+    "edge_support_neardup": "linear",
+    # PRF: bm25's pruned plan twice + a broadcast feedback prune
+    "bm25_prf_search": "linear",
 }
 
 
