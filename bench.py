@@ -264,6 +264,9 @@ HEADLINE = [
     "edge_support_neardup",
     # r7 retrieval: two-pass pseudo-relevance-feedback expansion
     "bm25_prf_search",
+    # r7: leakage-safe target encoding + k-truss cohesive core
+    "target_encode_priority",
+    "ktruss_neardup",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

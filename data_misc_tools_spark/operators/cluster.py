@@ -622,6 +622,65 @@ def edge_triangle_support(
     )
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-truss subgraph: the maximal subgraph where EVERY edge sits in
+    ≥ k−2 triangles — the standard "cohesive core" extraction on a
+    near-dup candidate graph (a 4-truss keeps only edges embedded in
+    at least two shared triangles: template families survive,
+    hash-luck stars and chains dissolve; stricter than k-core, looser
+    than clique).
+
+    Classic peeling, distributed: each round recomputes per-edge
+    support on the CURRENT edge set (:func:`edge_triangle_support` —
+    compact-forward, skew-bounded) and drops edges with support
+    < k−2; repeat until no edge drops. Removal cascades (dropping an
+    edge lowers its triangles' other edges), hence the loop; rounds
+    are data-dependent but each strictly shrinks the edge set, so
+    ``max_rounds`` is a backstop, not a tuning knob — hitting it
+    raises rather than returning a non-truss. Each round's survivor
+    frame is localCheckpointed: it feeds the next support census's
+    three consumers AND the converged output (the iterative-CC
+    lineage rule).
+
+    The per-round stop check is one bounded count; rows-only by
+    design for grading (round count is data-dependent — an unrolled
+    SQL twin cannot be fixed-depth), pinned against a Python peeling
+    reference in tests. Output: (a, b, support) — the surviving
+    canonical edges with their FINAL in-truss support.
+    """
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = cur.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            return cur.withColumn("support", F.lit(0).cast("long"))
+        sup = edge_triangle_support(cur, "a", "b").localCheckpoint()
+        kept = sup.filter(F.col("support") >= k - 2)
+        n_kept = kept.count()
+        if n_kept == n:
+            return kept
+        cur = kept.select("a", "b").localCheckpoint()
+        n = n_kept
+    raise RuntimeError(
+        f"k_truss did not converge within max_rounds={max_rounds}"
+    )
+
+
 def local_clustering_coefficients(
     edges: DataFrame,
     src: str = "src",

@@ -232,6 +232,63 @@ def salted_skew_join(
     return b.join(s, [key, "__salt"], how).drop("__salt")
 
 
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    scale: int = 100,
+    out_col: str = "te_loo",
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder for training pipelines: each row's category is replaced by
+    the mean target of the OTHER rows in its category, so the encoding
+    never contains the row's own label (naive mean encoding leaks the
+    target and inflates validation scores; LOO is the standard fix).
+
+    enc_i = (Σ_g target − target_i) / (|g| − 1), with singletons
+    falling back to the global leave-one-out mean
+    (Σ target − target_i) / (n − 1), and a single-row table yielding
+    NULL. Engine-exact: targets go fixed-point (``target·scale``
+    integers), the category sums ride one aggregate joined back (AQE
+    handles category skew), and the encoding is ONE IEEE division of
+    exact integers — bit-portable UNROUNDED doubles (the
+    confidence/lift convention), no rounding pattern and no signed-div
+    trap. Output: every input column + ``out_col`` (double, in target
+    units × scale — divide by scale for raw units).
+
+    Scale shape: one category census + one broadcast/shuffle join
+    back + one single-row global aggregate broadcast. No window, no
+    per-category collect.
+    """
+    t = F.round(F.col(target_col) * F.lit(scale)).cast("long")
+    base = df.withColumn("__t", t)
+    per = base.groupBy(cat_col).agg(
+        F.sum("__t").cast("long").alias("__s"),
+        F.count("*").cast("long").alias("__c"),
+    )
+    tot = base.agg(
+        F.sum("__t").cast("long").alias("__ts"),
+        F.count("*").cast("long").alias("__tn"),
+    )
+    return (
+        base.join(per, cat_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__c") > 1,
+                (F.col("__s") - F.col("__t")).cast("double")
+                / (F.col("__c") - 1).cast("double"),
+            ).when(
+                F.col("__tn") > 1,
+                (F.col("__ts") - F.col("__t")).cast("double")
+                / (F.col("__tn") - 1).cast("double"),
+            ),
+        )
+        .drop("__t", "__s", "__c", "__ts", "__tn")
+    )
+
+
 def join_skew_report(
     left: DataFrame,
     left_key: str,

@@ -759,3 +759,57 @@ class TestEdgeTriangleSupport:
             assert got[e] == 2, e
         for a, b in star:
             assert got[(min(a, b), max(a, b))] == 0
+
+
+class TestKTruss:
+    def _py_ktruss(self, edges, k):
+        import itertools
+
+        cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        while True:
+            sup = {e: 0 for e in cur}
+            nodes = sorted({n for e in cur for n in e})
+            for x, y, z in itertools.combinations(nodes, 3):
+                if (x, y) in cur and (x, z) in cur and (y, z) in cur:
+                    sup[(x, y)] += 1
+                    sup[(x, z)] += 1
+                    sup[(y, z)] += 1
+            kept = {e for e in cur if sup[e] >= k - 2}
+            if kept == cur:
+                return {e: sup[e] for e in cur}
+            cur = kept
+
+    def test_matches_python_peeling(self, spark):
+        import random
+
+        rng = random.Random(13)
+        raw = {(rng.randrange(18), rng.randrange(18)) for _ in range(70)}
+        edges = [(a, b) for a, b in raw if a != b]
+        # planted K5 guarantees a nonempty 5-truss core
+        edges += [(100 + a, 100 + b) for a in range(5) for b in range(5) if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for k in (3, 4, 5):
+            got = {(r.a, r.b): r.support for r in C.k_truss(df, k).collect()}
+            assert got == self._py_ktruss(edges, k), k
+        got5 = {(r.a, r.b) for r in C.k_truss(df, 5).collect()}
+        assert all((100 + a, 100 + b) in got5
+                   for a in range(5) for b in range(5) if a < b)
+
+    def test_cascade_peeling(self, spark):
+        """Two triangles sharing an edge + a pendant triangle chained
+        on: 4-truss requires >= 2 triangles per edge, so the whole
+        chain unravels in CASCADING rounds, not one pass."""
+        edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (2, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert C.k_truss(df, 4).count() == 0
+        # but every edge of the two shared triangles survives k=3
+        got3 = {(r.a, r.b) for r in C.k_truss(df, 3).collect()}
+        assert got3 == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (2, 4)}
+
+    def test_validation_and_empty(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pytest.raises(ValueError, match="k >= 3"):
+            C.k_truss(df, 2)
+        assert C.k_truss(df, 3).count() == 0  # a lone edge has no triangle

@@ -415,3 +415,39 @@ def test_quantile_normalize_aligns_distributions(spark):
     for ra, rb in zip(sorted(a, key=lambda r: r.grp_rank),
                       sorted(b, key=lambda r: r.grp_rank)):
         assert ra.normalized == rb.normalized
+
+
+class TestTargetEncodeLoo:
+    def test_matches_hand_computation(self, spark):
+        from data_misc_tools_spark.operators.etl import target_encode_loo
+
+        rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+                (4, "b", 5.0), (5, "b", 7.0), (6, "c", 99.0)]
+        df = spark.createDataFrame(rows, "id long, cat string, y double")
+        got = {r.id: r.te_loo
+               for r in target_encode_loo(df, "cat", "y", 100).collect()}
+        assert got[1] == 2500.0 and got[2] == 2000.0 and got[3] == 1500.0
+        assert got[4] == 700.0 and got[5] == 500.0  # two-row cat swaps
+        # singleton falls back to the global leave-one-out mean
+        assert got[6] == (17100 - 9900) / 5
+
+    def test_never_contains_own_label(self, spark):
+        """The leakage property: perturbing row i's target must not
+        change row i's encoding beyond the global fallback case."""
+        from data_misc_tools_spark.operators.etl import target_encode_loo
+
+        base = [(i, "g", float(i)) for i in range(10)]
+        df1 = spark.createDataFrame(base, "id long, cat string, y double")
+        df2 = spark.createDataFrame(
+            [(0, "g", 1000.0)] + base[1:], "id long, cat string, y double"
+        )
+        e1 = {r.id: r.te_loo for r in target_encode_loo(df1, "cat", "y").collect()}
+        e2 = {r.id: r.te_loo for r in target_encode_loo(df2, "cat", "y").collect()}
+        assert e1[0] == e2[0]  # own-label change invisible to own encoding
+        assert all(e1[i] != e2[i] for i in range(1, 10))  # visible to others
+
+    def test_single_row_table_is_null(self, spark):
+        from data_misc_tools_spark.operators.etl import target_encode_loo
+
+        df = spark.createDataFrame([(1, "x", 5.0)], "id long, cat string, y double")
+        assert target_encode_loo(df, "cat", "y").collect()[0].te_loo is None

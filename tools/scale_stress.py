@@ -256,6 +256,11 @@ STRESS = {
     "edge_support_neardup": "linear",
     # PRF: bm25's pruned plan twice + a broadcast feedback prune
     "bm25_prf_search": "linear",
+    # LOO encoding: one census + join back; k-truss: support census
+    # per peel round (round count data-dependent, edge-growth
+    # accounting like the other LSH-graph ops)
+    "target_encode_priority": "linear",
+    "ktruss_neardup": "linearithmic",
 }
 
 
