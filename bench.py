@@ -267,6 +267,8 @@ HEADLINE = [
     # r7: leakage-safe target encoding + k-truss cohesive core
     "target_encode_priority",
     "ktruss_neardup",
+    # r7 ER: exact-integer Jaro-Winkler (vocabulary-level demo)
+    "jw_part_name_pairs",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

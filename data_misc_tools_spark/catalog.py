@@ -8891,6 +8891,43 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROWS_ONLY.add("jw_part_name_pairs")
+
+
+@_q("jw_part_name_pairs")
+def jw_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro–Winkler name matching on part names — VOCABULARY-level:
+    the name column is a small closed vocabulary, so J-W runs once per
+    DISTINCT name pair within the noun block, never once per row pair
+    (the raw row-pair form is the documented hot-key trap: ~6 nouns
+    make row pairs quadratic — 21.9M at sf0.1 — while distinct-name
+    pairs stay fixed). The dictionary-of-pairs result joins back to
+    rows for free downstream. Top-20 by (jw_e6, names); the 16-wide
+    fold matches the ≤12-char names (cost is O(max_len²)/pair).
+    rows-only by design: the greedy Jaro matching loop is sequential
+    state a fixed-depth SQL twin cannot express — exactness is pinned
+    against a Python reference AND the published textbook values
+    (martha/marhta = 0.961111) in tests/test_linkage.py. See
+    operators/linkage.py:jaro_winkler_e6."""
+    from data_misc_tools_spark.operators.linkage import jaro_winkler_e6
+
+    p = load_tables(spark, sf_dir, ["part"])["part"]
+    names = p.select("p_name").distinct().select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "noun")
+    b = names.select(F.col("p_name").alias("name_b"), "noun")
+    pairs = (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b",
+            jaro_winkler_e6("name_a", "name_b", max_len=16).alias("jw_e6"),
+        )
+    )
+    return pairs.orderBy(F.desc("jw_e6"), "name_a", "name_b").limit(20)
+
+
 ROWS_ONLY.add("ktruss_neardup")
 
 
@@ -10659,7 +10696,7 @@ GRADED_FIRST: list[str] = [
     "join_skew_events_self", "audio_fingerprint_demo",
     "mutual_info_type_dow", "mad_outliers_value",
     "edge_support_neardup", "bm25_prf_search",
-    "target_encode_priority", "ktruss_neardup",
+    "target_encode_priority", "ktruss_neardup", "jw_part_name_pairs",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -10687,8 +10724,9 @@ GRADED_FIRST: list[str] = [
     # dedup_keep_best (each already graded r1-r4) rotated out for the
     # session-2 additions. ---
     # [relational / TPC-H shapes] (lineitem_grouping_sets /
-    # orders_rollup rotated out for the r7 fast twins)
-    "q1_pricing_summary", "q2_min_cost_supplier",
+    # orders_rollup / q2_min_cost_supplier rotated out for the r7
+    # additions)
+    "q1_pricing_summary",
     # [dedup] (dedup_exact / dedup_minhash_lsh / dedup_ppjoin rotated
     # out for the r7 additions)
     # [embedding / similarity] (embedding_neardup / margin_mine_pairs

@@ -232,3 +232,160 @@ def fs_em_weights(
         rows, "field string, m double, u double, w_agree double, w_disagree double"
     )
     return wdf, float(lam)
+
+
+def jaro_winkler_e6(
+    s1: "Column | str",
+    s2: "Column | str",
+    max_len: int = 62,
+) -> "Column":
+    """Jaro–Winkler similarity as an exact e6 INTEGER, pure Catalyst —
+    the record-linkage string comparator (names, titles, codes) beside
+    JVM ``levenshtein``: J-W rewards shared prefixes and tolerates
+    transpositions, which is why it is the default field comparator in
+    Winkler's own matcher and Splink.
+
+    Exactness: Jaro = (m/l1 + m/l2 + (2m−t)/(2m)) / 3 and Winkler's
+    prefix boost jw = ((10−p)·jaro + p)/10 (p = common prefix ≤ 4) are
+    RATIONALS of integer quantities (m matches, t half-transposition
+    mismatches, lengths) — emitted as ONE half-up e6 value over the
+    common denominator. Every integer step is exact: the floor
+    division rides the (x − x % y)/y identity (the numerator is an
+    exact multiple, so the double divide is exact), and the matched-
+    position bitmask lives in bits 1..62 of one BIGINT (hence
+    ``max_len`` ≤ 62 — longer strings raise loudly; truncate or chunk
+    upstream). Any engine reproducing the same integers reproduces
+    the same e6 score bit-for-bit.
+
+    Mechanics (bounded folds, no Python): greedy left-to-right Jaro
+    matching carries (bitmask, m, matched-s1-chars) as fold state; the
+    window scan is a filter over a FIXED 1..max_len sequence (Spark's
+    sequence(a, b) runs DESCENDING when a > b — the filter form keeps
+    order and emptiness correct); m2/t/prefix read the let-bound match
+    state (one-element-array lambda, the audio-fingerprint trick — the
+    three consumers would otherwise re-run the O(max_len²) fold).
+
+    Conventions: both empty → 1e6; one empty or m = 0 → 0. Cost is
+    O(max_len²) interpreted fold steps per pair — apply to BLOCKED
+    candidate pairs, never a raw cross join.
+    """
+    if max_len > 62:
+        raise ValueError("bitmask lives in one BIGINT: max_len <= 62")
+    c1 = F.col(s1) if isinstance(s1, str) else s1
+    c2 = F.col(s2) if isinstance(s2, str) else s2
+    l1, l2 = F.length(c1).cast("long"), F.length(c2).cast("long")
+    guard = F.when(
+        (l1 > max_len) | (l2 > max_len),
+        F.raise_error(
+            F.lit(
+                f"jaro_winkler_e6: string longer than max_len={max_len}"
+                " — truncate or chunk upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w = F.greatest(
+        _floordiv(F.greatest(l1, l2), F.lit(2).cast("long")) - 1,
+        F.lit(0).cast("long"),
+    )
+
+    def p2(j):
+        # 2^(j-1) as an exact long (powers of two are exact doubles)
+        return F.pow(F.lit(2.0), (j - 1).cast("int")).cast("long")
+
+    def bit(mask, j):
+        # 1-based bit j of mask via exact integer mod (no >> on Columns)
+        return F.when(mask % (2 * p2(j)) >= p2(j), F.lit(1)).otherwise(F.lit(0))
+
+    def match_step(acc, i):
+        mask = acc.getField("mask")
+        ch = F.substring(c1, i.cast("int"), F.lit(1))
+        cand = F.filter(
+            F.sequence(F.lit(1), F.lit(max_len)),
+            lambda j: (j >= i - w)
+            & (j <= i + w)
+            & (j <= l2)
+            & (F.substring(c2, j.cast("int"), F.lit(1)) == ch)
+            & (bit(mask, j) == 0),
+        )
+        j0 = F.when(F.size(cand) > 0, F.element_at(cand, 1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        hit = j0 > 0
+        return F.struct(
+            F.when(hit, mask + p2(j0)).otherwise(mask).alias("mask"),
+            F.when(hit, acc.getField("m") + 1)
+            .otherwise(acc.getField("m"))
+            .alias("m"),
+            F.when(hit, F.concat(acc.getField("m1"), ch))
+            .otherwise(acc.getField("m1"))
+            .alias("m1"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("mask"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit("").alias("m1"),
+    )
+    matched = F.aggregate(
+        F.filter(F.sequence(F.lit(1), F.lit(max_len)), lambda i: i <= l1),
+        init,
+        match_step,
+    )
+
+    def full(mt):
+        mask = mt.getField("mask")
+        m = mt.getField("m")
+        m1 = mt.getField("m1")
+        m2 = F.aggregate(
+            F.filter(F.sequence(F.lit(1), F.lit(max_len)), lambda j: j <= l2),
+            F.lit(""),
+            lambda acc, j: F.when(
+                bit(mask, j) == 1,
+                F.concat(acc, F.substring(c2, j.cast("int"), F.lit(1))),
+            ).otherwise(acc),
+        )
+        t = F.aggregate(
+            F.filter(F.sequence(F.lit(1), F.lit(max_len)), lambda k: k <= m),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.when(
+                F.substring(m1, k.cast("int"), F.lit(1))
+                != F.substring(m2, k.cast("int"), F.lit(1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        p = F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda i: F.when(
+                    (i <= F.least(l1, l2))
+                    & (
+                        F.substring(c1, 1, i.cast("int"))
+                        == F.substring(c2, 1, i.cast("int"))
+                    ),
+                    i,
+                ).otherwise(F.lit(0)),
+            )
+        ).cast("long")
+        num = 2 * m * m * l2 + 2 * m * m * l1 + l1 * l2 * (2 * m - t)
+        dd = 6 * l1 * l2 * m
+        jw_num = F.lit(1_000_000).cast("long") * ((10 - p) * num + p * dd)
+        jw_den = 10 * dd
+        half_up = _floordiv(2 * jw_num + jw_den, 2 * jw_den)
+        return (
+            F.when((l1 == 0) & (l2 == 0), F.lit(1_000_000).cast("long"))
+            .when((m == 0) | (l1 == 0) | (l2 == 0), F.lit(0).cast("long"))
+            .otherwise(half_up)
+        )
+
+    out = F.element_at(F.transform(F.array(matched), full), 1)
+    return out + guard
+
+
+def _floordiv(x: "Column", y: "Column") -> "Column":
+    """Exact nonnegative integer floor division on Columns: the
+    numerator x − x % y is an exact multiple of y, so the double
+    division is exact and the cast is safe (Column has no `div`;
+    a plain `/`-then-cast truncates a ROUNDED quotient — the repo's
+    documented divergence trap)."""
+    return ((x - x % y) / y).cast("long")

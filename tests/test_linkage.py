@@ -191,3 +191,86 @@ class TestFsEmWeights:
 
         with _pytest.raises(ValueError, match="patterns"):
             fs_em_weights(df, [f"c{i}" for i in range(17)])
+
+
+class TestJaroWinklerE6:
+    def _py_jw_e6(self, s1, s2):
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 and l2 == 0:
+            return 1_000_000
+        if l1 == 0 or l2 == 0:
+            return 0
+        w = max(max(l1, l2) // 2 - 1, 0)
+        matched2 = [False] * l2
+        m1 = []
+        for i in range(l1):
+            for j in range(max(0, i - w), min(l2, i + w + 1)):
+                if not matched2[j] and s2[j] == s1[i]:
+                    matched2[j] = True
+                    m1.append(s1[i])
+                    break
+        m = len(m1)
+        if m == 0:
+            return 0
+        m2 = [s2[j] for j in range(l2) if matched2[j]]
+        t = sum(1 for a, b in zip(m1, m2) if a != b)
+        p = 0
+        for i in range(min(4, l1, l2)):
+            if s1[i] == s2[i]:
+                p += 1
+            else:
+                break
+        num = 2 * m * m * l2 + 2 * m * m * l1 + l1 * l2 * (2 * m - t)
+        dd = 6 * l1 * l2 * m
+        jw_num = 1_000_000 * ((10 - p) * num + p * dd)
+        jw_den = 10 * dd
+        return (2 * jw_num + jw_den) // (2 * jw_den)
+
+    def test_textbook_values_and_python_reference(self, spark):
+        from data_misc_tools_spark.operators.linkage import jaro_winkler_e6
+
+        cases = [
+            ("martha", "marhta"), ("dixon", "dicksonx"),
+            ("jellyfish", "smellyfish"), ("duane", "dwayne"),
+            ("", ""), ("a", ""), ("", "b"), ("abc", "abc"),
+            ("Customer#000000001", "Customer#000000010"),
+            ("xyz", "abc"), ("ab", "ba"), ("crate", "trace"),
+        ]
+        df = spark.createDataFrame(cases, "a string, b string")
+        got = {(r.a, r.b): r.jw for r in df.select(
+            "a", "b", jaro_winkler_e6("a", "b").alias("jw")).collect()}
+        for a, b in cases:
+            assert got[(a, b)] == self._py_jw_e6(a, b), (a, b)
+        # the published values (Winkler 1990 examples)
+        assert got[("martha", "marhta")] == 961111   # 0.961111
+        assert got[("dixon", "dicksonx")] == 813333  # 0.813333
+
+    def test_random_fuzz_vs_reference(self, spark):
+        import random
+        import string
+
+        from data_misc_tools_spark.operators.linkage import jaro_winkler_e6
+
+        rng = random.Random(17)
+        cases = []
+        for _ in range(60):
+            a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+            b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+            cases.append((a, b))
+        df = spark.createDataFrame(cases, "a string, b string")
+        got = [r.jw for r in df.select(
+            jaro_winkler_e6("a", "b", max_len=16).alias("jw")).collect()]
+        rows = df.collect()
+        for r, jw in zip(rows, got):
+            assert jw == self._py_jw_e6(r.a, r.b), (r.a, r.b)
+
+    def test_length_guard_raises(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.linkage import jaro_winkler_e6
+
+        df = spark.createDataFrame([("x" * 70, "y")], "a string, b string")
+        with _pytest.raises(Exception, match="max_len"):
+            df.select(jaro_winkler_e6("a", "b")).collect()
+        with _pytest.raises(ValueError, match="BIGINT"):
+            jaro_winkler_e6("a", "b", max_len=63)

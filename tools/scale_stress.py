@@ -261,6 +261,8 @@ STRESS = {
     # accounting like the other LSH-graph ops)
     "target_encode_priority": "linear",
     "ktruss_neardup": "linearithmic",
+    # JW runs per DISTINCT name pair — scale-independent by design
+    "jw_part_name_pairs": "linear",
 }
 
 
