@@ -269,6 +269,8 @@ HEADLINE = [
     "ktruss_neardup",
     # r7 ER: exact-integer Jaro-Winkler (vocabulary-level demo)
     "jw_part_name_pairs",
+    # r7 corpus diagnostics: Heaps' law vocabulary growth
+    "heaps_law_corpus",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production
@@ -363,6 +365,11 @@ def _drift_vs_prev(
         "n_shared": len(shared),
         "prev_shared_total": round(prev_total, 3),
         "cur_shared_total": round(cur_total, 3),
+        # read BOTH: raw is truer when the two runs' probe readings
+        # disagree while query totals agree (the single-core probe can
+        # decouple from multi-core JVM throughput between sessions);
+        # normalized is truer when load shifted DURING a run
+        "raw_total_ratio": round(cur_total / prev_total, 4),
         "normalized_total_ratio": round(
             (cur_total / prev_total) / probe_ratio, 4
         ),
@@ -471,7 +478,14 @@ def main() -> int:
     for name in [*core, *rest]:
         trial = dict(packed)
         trial[name] = timings[name]
-        slim = {k: v for k, v in record.items() if k != "oracle_portable_graded"}
+        # oracle_portable_graded + drift_vs_prev live only in
+        # BENCH_local.json — both are per-query dicts that would eat
+        # the stdout line's byte budget
+        slim = {
+            k: v
+            for k, v in record.items()
+            if k not in ("oracle_portable_graded", "drift_vs_prev")
+        }
         cand = json.dumps({**slim, "queries": trial, "detail": "BENCH_local.json"})
         if len(cand) > MAX_LINE:
             continue

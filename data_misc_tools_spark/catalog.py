@@ -8891,6 +8891,72 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "heaps_law_corpus",
+    """
+    WITH toks AS (
+        SELECT doc_id AS d,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+    ),
+    per_doc AS (SELECT d, count(*)::BIGINT AS nt FROM toks GROUP BY d),
+    firsts AS (
+        SELECT d, count(*)::BIGINT AS nv FROM (
+            SELECT tok, min(d) AS d FROM toks GROUP BY tok
+        ) GROUP BY d
+    ),
+    base AS (
+        SELECT p.d, p.nt, coalesce(f.nv, 0)::BIGINT AS nv
+        FROM per_doc p LEFT JOIN firsts f USING (d)
+    ),
+    cum AS (
+        SELECT d, sum(nt) OVER w::BIGINT AS N, sum(nv) OVER w::BIGINT AS V
+        FROM base WINDOW w AS (ORDER BY d)
+    ),
+    pts AS (
+        SELECT round(ln(N::DOUBLE) * 1e6)::BIGINT AS x,
+               round(ln(V::DOUBLE) * 1e6)::BIGINT AS y, N, V
+        FROM cum
+    ),
+    g AS (
+        SELECT count(*)::HUGEINT AS n,
+               max(N)::BIGINT AS n_tokens, max(V)::BIGINT AS n_types,
+               sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+               sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+               sum(y::HUGEINT * y) AS syy
+        FROM pts
+    )
+    SELECT n::BIGINT AS n_docs, n_tokens, n_types,
+           CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE (n * sxy - sx * sy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE END AS beta,
+           CASE WHEN n * sxx - sx * sx = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE (sy * sxx - sx * sxy)::DOUBLE
+                     / (n * sxx - sx * sx)::DOUBLE END AS intercept_e6,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE (n * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n * syy - sy * sy)::DOUBLE))
+           END AS corr
+    FROM g
+    """,
+)
+def heaps_law_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit V = k·N^β over the documents
+    corpus (docs consumed in doc_id order) — the companion diagnostic
+    to zipf_corpus_fit: β near 0 flags a closed template vocabulary
+    (this fixture's ~30-word vocab should sit very low), β ≈ 0.4–0.6
+    is natural text. Cumulative tokens and first-occurrence type
+    counts ride range-partitioned prefix sums; OLS on e6-ln points
+    with the zipf machinery, emitted unrounded. See
+    operators/profile.py:heaps_law_fit."""
+    from data_misc_tools_spark.operators.profile import heaps_law_fit
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return heaps_law_fit(d)
+
+
 ROWS_ONLY.add("jw_part_name_pairs")
 
 
@@ -10697,6 +10763,7 @@ GRADED_FIRST: list[str] = [
     "mutual_info_type_dow", "mad_outliers_value",
     "edge_support_neardup", "bm25_prf_search",
     "target_encode_priority", "ktruss_neardup", "jw_part_name_pairs",
+    "heaps_law_corpus",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -10736,8 +10803,8 @@ GRADED_FIRST: list[str] = [
     # rotated out for fs_linkage_docs / bm25_prf_search)
     "bm25_search_topk",
     # [text curation] (text_quality / gopher_filter_demo /
-    # chunk_documents rotated out for the r7 additions)
-    "ngram_novelty_scores",
+    # chunk_documents / ngram_novelty_scores rotated out for the r7
+    # additions)
     # [temporal / statistics] (cusum_changepoint_daily /
     # welch_ttest_value / funnel_view_click_purchase rotated out for
     # the r7 additions)

@@ -824,6 +824,95 @@ def zipf_fit(
     )
 
 
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps' law vocabulary-growth fit V(N) = k·N^β — the companion
+    corpus diagnostic to :func:`zipf_fit`: natural text grows its
+    vocabulary at β ≈ 0.4–0.6; β near 0 means a closed template
+    vocabulary (dedup harder, n-gram LMs saturate), β near 1 means
+    id-like noise tokens. Read β BEFORE sizing vocabularies,
+    tokenizers, or hash spaces for a 100× larger crawl.
+
+    Construction, exact integers end to end: documents are consumed
+    in ``id_col`` order; N_d (cumulative tokens) and V_d (cumulative
+    DISTINCT types — each type counted at its FIRST document, the min
+    id owning it) both ride :func:`~data_misc_tools_spark.operators
+    .etl.global_cumsum`; the fit is OLS on (ln N_d, ln V_d) with the
+    zipf_fit machinery — e6-scaled lns of exact integers,
+    decimal(38,0) sufficient statistics, closed-form IEEE slope /
+    intercept / corr emitted unrounded (β = slope).
+
+    Scale shape: one (doc, tok) distinct aggregate feeding both the
+    per-doc token counts and the first-occurrence census (two shuffles
+    on small keys), two range-partitioned prefix sums, one single-row
+    aggregate. Docs with zero tokens contribute nothing.
+
+    Output: one row (n_docs, n_tokens, n_types, beta, intercept_e6,
+    corr).
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+    from data_misc_tools_spark.operators.text import tokens
+
+    dec = "decimal(38,0)"
+    toks = df.select(
+        F.col(id_col).alias("__d"), F.explode(tokens(text_col)).alias("tok")
+    )
+    per_doc = toks.groupBy("__d").agg(F.count("*").cast("long").alias("__nt"))
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("__d").alias("__d"))
+        .groupBy("__d")
+        .agg(F.count("*").cast("long").alias("__nv"))
+    )
+    base = per_doc.join(first, "__d", "left").select(
+        "__d", "__nt", F.coalesce(F.col("__nv"), F.lit(0)).cast("long").alias("__nv")
+    )
+    cum = global_cumsum(base, [F.col("__d")], ["__nt", "__nv"])
+    pts = cum.select(
+        F.round(F.log(F.col("cum___nt").cast("double")) * 1e6)
+        .cast(dec)
+        .alias("__x"),
+        F.round(F.log(F.col("cum___nv").cast("double")) * 1e6)
+        .cast(dec)
+        .alias("__y"),
+        F.col("cum___nt").alias("__N"),
+        F.col("cum___nv").alias("__V"),
+    )
+    g = pts.agg(
+        F.count("*").cast(dec).alias("__n"),
+        F.max("__N").cast("long").alias("n_tokens"),
+        F.max("__V").cast("long").alias("n_types"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    dxx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    dyy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    inum = (
+        F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")
+    ).cast("double")
+    return g.select(
+        F.col("__n").cast("long").alias("n_docs"),
+        "n_tokens",
+        "n_types",
+        F.try_divide(num, dxx).alias("beta"),
+        F.try_divide(inum, dxx).alias("intercept_e6"),
+        F.try_divide(num, F.sqrt(dxx) * F.sqrt(dyy)).alias("corr"),
+    )
+
+
 def corpus_drift(
     a: DataFrame,
     b: DataFrame,

@@ -417,3 +417,60 @@ class TestMadOutlierReport:
         df = spark.createDataFrame([(5.0,)] * 9, "v double")
         r = mad_outlier_report(df, "v").collect()[0]
         assert (r.median_scaled, r.mad_scaled, r.n_outliers) == (500, 0, 0)
+
+
+class TestHeapsLawFit:
+    def test_matches_python_reference(self, spark):
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.profile import heaps_law_fit
+
+        rng = random.Random(21)
+        vocab = [f"w{i}" for i in range(400)]
+        docs = []
+        for d in range(40):
+            # zipf-ish draws: growing corpora add types sublinearly
+            words = [vocab[min(int(rng.paretovariate(1.2)) - 1, 399)]
+                     for _ in range(rng.randint(20, 60))]
+            docs.append((d, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = heaps_law_fit(df).collect()[0]
+
+        # reference: cumulative tokens / first-occurrence types in order
+        seen, pts, N, V = set(), [], 0, 0
+        for d, t in docs:
+            ws = t.split()
+            N += len(ws)
+            for w in ws:
+                if w not in seen:
+                    seen.add(w)
+                    V += 1
+            pts.append((round(math.log(N) * 1e6), round(math.log(V) * 1e6)))
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert (r.n_docs, r.n_tokens, r.n_types) == (n, N, V)
+        assert r.beta == beta
+        assert 0.0 < r.beta < 1.0  # Heaps regime
+
+    def test_closed_vocabulary_flattens(self, spark):
+        from data_misc_tools_spark.operators.profile import heaps_law_fit
+
+        # every doc reuses the same 5 words: V saturates instantly
+        docs = [(d, "a b c d e " * 10) for d in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = heaps_law_fit(df).collect()[0]
+        assert r.n_types == 5
+        assert abs(r.beta) < 0.05  # essentially flat
+
+    def test_all_new_tokens_is_linear(self, spark):
+        from data_misc_tools_spark.operators.profile import heaps_law_fit
+
+        docs = [(d, " ".join(f"u{d}_{i}" for i in range(10))) for d in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = heaps_law_fit(df).collect()[0]
+        assert r.n_types == r.n_tokens == 300
+        assert abs(r.beta - 1.0) < 1e-9  # V == N exactly -> slope 1

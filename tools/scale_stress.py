@@ -263,6 +263,8 @@ STRESS = {
     "ktruss_neardup": "linearithmic",
     # JW runs per DISTINCT name pair — scale-independent by design
     "jw_part_name_pairs": "linear",
+    # Heaps: one (doc,tok) explode + two prefix sums
+    "heaps_law_corpus": "linear",
 }
 
 
