@@ -271,6 +271,8 @@ HEADLINE = [
     "jw_part_name_pairs",
     # r7 corpus diagnostics: Heaps' law vocabulary growth
     "heaps_law_corpus",
+    # r7 experimentation: power / minimum-detectable-effect gate
+    "ab_power_value",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -8802,6 +8802,70 @@ def mutual_info_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ab_power_value",
+    """
+    WITH base AS (
+        SELECT (event_type = 'purchase') AS v,
+               round(value * 100)::BIGINT AS x
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    g AS (
+        SELECT sum(v::BIGINT)::HUGEINT AS na,
+               sum((NOT v)::BIGINT)::HUGEINT AS nb,
+               sum(CASE WHEN v THEN x ELSE 0 END)::HUGEINT AS sa,
+               sum(CASE WHEN NOT v THEN x ELSE 0 END)::HUGEINT AS sb,
+               sum(CASE WHEN v THEN x::HUGEINT * x ELSE 0 END)::HUGEINT AS qa,
+               sum(CASE WHEN NOT v THEN x::HUGEINT * x ELSE 0 END)::HUGEINT AS qb
+        FROM base
+    ),
+    m AS (
+        SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               sa::DOUBLE / na::DOUBLE AS mean_a,
+               sb::DOUBLE / nb::DOUBLE AS mean_b,
+               CASE WHEN na + nb > 2 THEN sqrt(
+                   ((na * qa - sa * sa)::DOUBLE / na::DOUBLE
+                  + (nb * qb - sb * sb)::DOUBLE / nb::DOUBLE)
+                   / (na + nb - 2)::DOUBLE)
+               ELSE CAST(NULL AS DOUBLE) END AS sd_pooled,
+               CASE WHEN na > 1 AND nb > 1 THEN 2.801585 * sqrt(
+                   (na * qa - sa * sa)::DOUBLE
+                     / (na::DOUBLE * (na - 1)::DOUBLE * na::DOUBLE)
+                 + (nb * qb - sb * sb)::DOUBLE
+                     / (nb::DOUBLE * (nb - 1)::DOUBLE * nb::DOUBLE))
+               ELSE CAST(NULL AS DOUBLE) END AS mde_abs
+        FROM g
+    )
+    SELECT n_a, n_b, mean_a, mean_b, sd_pooled, mde_abs,
+           CASE WHEN mean_b != 0 THEN mde_abs / mean_b
+                ELSE CAST(NULL AS DOUBLE) END AS mde_rel,
+           CASE WHEN sd_pooled IS NOT NULL AND mean_b != 0 THEN
+               ceil(2.801585 * 2.801585 * 2 * sd_pooled * sd_pooled
+                    / (0.05 * mean_b * 0.05 * mean_b))::BIGINT
+           ELSE CAST(NULL AS BIGINT) END AS n_per_arm_5pct,
+           CASE WHEN sd_pooled IS NOT NULL AND mean_b != 0 THEN
+               ceil(2.801585 * 2.801585 * 2 * sd_pooled * sd_pooled
+                    / (0.01 * mean_b * 0.01 * mean_b))::BIGINT
+           ELSE CAST(NULL AS BIGINT) END AS n_per_arm_1pct
+    FROM m
+    """,
+)
+def ab_power_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis on purchase-vs-click event values: the
+    minimum detectable effect at current sample sizes plus the per-arm
+    n a 5% / 1% relative lift would need — the design gate beside the
+    welch/mann-whitney significance tests (underpowered "no effect"
+    is the classic experimentation failure). Fixed e6 z quantiles
+    (z_.975 + z_.80 = 2.801585), exact decimal/HUGEINT sufficient
+    statistics, pinned IEEE chains, unrounded. See
+    operators/profile.py:ab_power_mde."""
+    from data_misc_tools_spark.operators.profile import ab_power_mde
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    two = ev.where(F.col("event_type").isin("purchase", "click"))
+    return ab_power_mde(two, F.col("event_type") == "purchase", "value", 100)
+
+
+@_q(
     "mad_outliers_value",
     """
     WITH census AS (
@@ -10763,7 +10827,7 @@ GRADED_FIRST: list[str] = [
     "mutual_info_type_dow", "mad_outliers_value",
     "edge_support_neardup", "bm25_prf_search",
     "target_encode_priority", "ktruss_neardup", "jw_part_name_pairs",
-    "heaps_law_corpus",
+    "heaps_law_corpus", "ab_power_value",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -10812,9 +10876,8 @@ GRADED_FIRST: list[str] = [
     # [sampling / etl] (dsir_select_topk / rfm_user_segments rotated
     # out for the r7 additions)
     "exact_stratified_split_langs",
-    # [multimodal / web] (url_domain_quota rotated out for
-    # audio_fingerprint_demo)
-    "png_pipeline_demo",
+    # [multimodal / web] (url_domain_quota / png_pipeline_demo rotated
+    # out for the r7 additions)
 ]
 
 

@@ -327,6 +327,96 @@ def mad_outlier_report(
     )
 
 
+def ab_power_mde(
+    df: DataFrame,
+    variant: Column,
+    value_col: str,
+    scale: int = 100,
+    z_alpha_e6: int = 1_959_964,
+    z_beta_e6: int = 841_621,
+) -> DataFrame:
+    """A/B power analysis: the minimum detectable effect at the
+    CURRENT sample sizes, and the per-arm n required for a 5% / 1%
+    relative lift — the experiment-design gate run BEFORE the test
+    (Welch/Mann-Whitney answer "did it move"; this answers "could we
+    even have seen it move"). Underpowered tests that ship neutral
+    reads as "no effect" are the classic experimentation failure.
+
+    Formulas (two-sided α = .05, power = .80 by default — the z
+    quantiles ride as FIXED e6 integers, z_.975 = 1.959964 and
+    z_.80 = 0.841621, so no engine evaluates an inverse normal CDF):
+
+        MDE_abs = (z_α + z_β) · √(s_a²/n_a + s_b²/n_b)
+        n_per_arm(δ) = (z_α + z_β)² · 2·s_pool² / δ²   (δ = rel·mean)
+
+    Engine-exact the pearson_exact way: fixed-point values, exact
+    decimal(38,0) sufficient statistics, sample variances as pinned
+    IEEE chains over those integers (ddof = 1), one √ each — emitted
+    UNROUNDED; required-n values ceil to longs (ceil of an IEEE
+    quotient — both engines ceil the same double). One aggregate pass.
+
+    Output: one row (n_a, n_b, mean_a, mean_b, sd_pooled, mde_abs,
+    mde_rel, n_per_arm_5pct, n_per_arm_1pct) — means/sds in scaled
+    units.
+    """
+    dec = "decimal(38,0)"
+    v = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    lab = variant.cast("boolean")
+    g = df.select(lab.alias("__v"), v.alias("__x")).agg(
+        F.sum(F.when(F.col("__v"), 1).otherwise(0)).cast(dec).alias("na"),
+        F.sum(F.when(~F.col("__v"), 1).otherwise(0)).cast(dec).alias("nb"),
+        F.sum(F.when(F.col("__v"), F.col("__x")).otherwise(0))
+        .cast(dec)
+        .alias("sa"),
+        F.sum(F.when(~F.col("__v"), F.col("__x")).otherwise(0))
+        .cast(dec)
+        .alias("sb"),
+        F.sum(
+            F.when(F.col("__v"), F.col("__x").cast(dec) * F.col("__x")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("qa"),
+        F.sum(
+            F.when(~F.col("__v"), F.col("__x").cast(dec) * F.col("__x")).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("qb"),
+    )
+    z = (z_alpha_e6 + z_beta_e6) / 1e6
+    return g.selectExpr(
+        "CAST(na AS LONG) AS n_a",
+        "CAST(nb AS LONG) AS n_b",
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a",
+        "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b",
+        # sample variances over exact integers (ddof=1), pooled by dof
+        """CASE WHEN na + nb > 2 THEN sqrt(
+             (CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+            + CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / CAST(na + nb - 2 AS DOUBLE))
+           ELSE CAST(NULL AS DOUBLE) END AS sd_pooled""",
+        f"""CASE WHEN na > 1 AND nb > 1 THEN {z}D * sqrt(
+              CAST(na * qa - sa * sa AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)
+                   * CAST(na AS DOUBLE))
+            + CAST(nb * qb - sb * sb AS DOUBLE)
+                / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)
+                   * CAST(nb AS DOUBLE)))
+            ELSE CAST(NULL AS DOUBLE) END AS mde_abs""",
+    ).selectExpr(
+        "n_a", "n_b", "mean_a", "mean_b", "sd_pooled", "mde_abs",
+        "CASE WHEN mean_b != 0D THEN mde_abs / mean_b"
+        " ELSE CAST(NULL AS DOUBLE) END AS mde_rel",
+        f"""CASE WHEN sd_pooled IS NOT NULL AND mean_b != 0D THEN
+              CAST(ceil({z}D * {z}D * 2D * sd_pooled * sd_pooled
+                        / (0.05D * mean_b * 0.05D * mean_b)) AS LONG)
+            ELSE CAST(NULL AS LONG) END AS n_per_arm_5pct""",
+        f"""CASE WHEN sd_pooled IS NOT NULL AND mean_b != 0D THEN
+              CAST(ceil({z}D * {z}D * 2D * sd_pooled * sd_pooled
+                        / (0.01D * mean_b * 0.01D * mean_b)) AS LONG)
+            ELSE CAST(NULL AS LONG) END AS n_per_arm_1pct""",
+    )
+
+
 def mutual_information(
     df: DataFrame,
     col_a: str,

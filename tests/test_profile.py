@@ -474,3 +474,70 @@ class TestHeapsLawFit:
         r = heaps_law_fit(df).collect()[0]
         assert r.n_types == r.n_tokens == 300
         assert abs(r.beta - 1.0) < 1e-9  # V == N exactly -> slope 1
+
+
+class TestAbPowerMde:
+    def test_matches_python_reference(self, spark):
+        import math
+        import random
+
+        import pyspark.sql.functions as F
+
+        from data_misc_tools_spark.operators.profile import ab_power_mde
+
+        rng = random.Random(3)
+        rows = [(True, round(rng.gauss(100, 15), 2)) for _ in range(400)]
+        rows += [(False, round(rng.gauss(98, 14), 2)) for _ in range(350)]
+        df = spark.createDataFrame(rows, "v boolean, x double")
+        r = ab_power_mde(df, F.col("v"), "x", 100).collect()[0]
+        xa = [round(x * 100) for v, x in rows if v]
+        xb = [round(x * 100) for v, x in rows if not v]
+        na, nb = len(xa), len(xb)
+        sa, sb = sum(xa), sum(xb)
+        qa = sum(x * x for x in xa)
+        qb = sum(x * x for x in xb)
+        z = (1_959_964 + 841_621) / 1e6
+        mean_b = sb / nb
+        sd = math.sqrt(((na * qa - sa * sa) / na + (nb * qb - sb * sb) / nb)
+                       / (na + nb - 2))
+        mde = z * math.sqrt(
+            (na * qa - sa * sa) / (na * (na - 1) * na)
+            + (nb * qb - sb * sb) / (nb * (nb - 1) * nb)
+        )
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.mean_a == sa / na and r.mean_b == mean_b
+        assert abs(r.sd_pooled - sd) < 1e-9
+        assert abs(r.mde_abs - mde) < 1e-9
+        assert r.n_per_arm_5pct == math.ceil(
+            z * z * 2 * sd * sd / (0.05 * mean_b * 0.05 * mean_b)
+        )
+
+    def test_mde_shrinks_with_sample_size(self, spark):
+        import pyspark.sql.functions as F
+
+        from data_misc_tools_spark.operators.profile import ab_power_mde
+
+        import random
+
+        rng = random.Random(9)
+
+        def mk(n):
+            rows = [(i % 2 == 0, round(rng.gauss(50, 5), 2))
+                    for i in range(n)]
+            return spark.createDataFrame(rows, "v boolean, x double")
+
+        small = ab_power_mde(mk(100), F.col("v"), "x").collect()[0]
+        big = ab_power_mde(mk(2000), F.col("v"), "x").collect()[0]
+        assert big.mde_abs < small.mde_abs / 3  # ~ 1/sqrt(20)
+
+    def test_degenerate_groups_are_null(self, spark):
+        import pyspark.sql.functions as F
+
+        from data_misc_tools_spark.operators.profile import ab_power_mde
+
+        df = spark.createDataFrame(
+            [(True, 1.0), (False, 2.0)], "v boolean, x double"
+        )
+        r = ab_power_mde(df, F.col("v"), "x").collect()[0]
+        assert r.sd_pooled is None and r.mde_abs is None
+        assert r.n_per_arm_5pct is None

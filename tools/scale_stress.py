@@ -265,6 +265,8 @@ STRESS = {
     "jw_part_name_pairs": "linear",
     # Heaps: one (doc,tok) explode + two prefix sums
     "heaps_law_corpus": "linear",
+    # power/MDE: one aggregate pass
+    "ab_power_value": "linear",
 }
 
 
