@@ -273,6 +273,15 @@ HEADLINE = [
     "heaps_law_corpus",
     # r7 experimentation: power / minimum-detectable-effect gate
     "ab_power_value",
+    # r7 session-2 profiling/DQ: UCC key discovery, Deequ-style gate,
+    # Nelson-Aalen cumulative hazard
+    "ucc_discovery_lineitem",
+    "dq_expectations_orders",
+    "purchase_gap_hazard_na",
+    # r7 session-2 wave 2: Shapley attribution, EWMA forecast, KMV sketch
+    "shapley_attribution_events",
+    "ewma_daily_revenue",
+    "kmv_distinct_users",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

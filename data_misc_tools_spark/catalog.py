@@ -10797,6 +10797,355 @@ def fk_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UCC_COMBOS = [
+    ("l_orderkey",),
+    ("l_linenumber",),
+    ("l_partkey",),
+    ("l_orderkey", "l_linenumber"),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_linenumber", "l_partkey"),
+    ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+]
+
+
+def _ucc_oracle() -> str:
+    blocks = []
+    for combo in _UCC_COMBOS:
+        label = "+".join(combo)
+        keys = ", ".join(combo)
+        blocks.append(f"""
+    SELECT '{label}' AS cols, sum(c)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_groups, max(c)::BIGINT AS max_group_size,
+           sum(c - 1)::BIGINT AS n_extra_rows,
+           count(*)::BIGINT = sum(c)::BIGINT AS is_unique
+    FROM (SELECT count(*)::BIGINT AS c FROM lineitem GROUP BY {keys}) t""")
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(blocks) + ") ORDER BY cols"
+    )
+
+
+@_q("ucc_discovery_lineitem", _ucc_oracle())
+def ucc_discovery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination discovery over lineitem (the
+    HyUCC/DUCC problem) — which combos are KEYS, the third profiling
+    leg beside fk_discovery_tpch (INDs) and fd_profile_orders (FDs).
+    Finds that THIS generator's lineitem violates classic TPC-H:
+    (l_orderkey, l_linenumber) has duplicate groups and only the
+    4-column combo +l_partkey+l_suppkey is unique — exactly the trap
+    a keep-one dedup keyed on the "documented" key would hit. ONE
+    scan: per-row explode into one struct per candidate, one
+    (combo, tuple) census shuffle, map-side combined. See
+    operators/profile.py:unique_column_combinations."""
+    from data_misc_tools_spark.operators.profile import (
+        unique_column_combinations,
+    )
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return unique_column_combinations(li, list(_UCC_COMBOS)).orderBy("cols")
+
+
+def _dq_oracle() -> str:
+    rate = "CASE WHEN n = 0 THEN 1000000 ELSE (2 * 1000000 * {s} + n) // (2 * n) END"
+    rows = [
+        ("0", "not_null", "o_custkey", "s0", 1_000_000),
+        ("1", "distinct", "o_orderkey", "s1", 1_000_000),
+        ("2", "in_set", "o_orderstatus", "s2", 1_000_000),
+        ("3", "matches", "o_orderpriority", "s3", 1_000_000),
+        ("4", "min_ge", "o_totalprice", "s4", 1_000_000),
+        ("5", "max_le", "o_totalprice", "s5", 1_000_000),
+        ("6", "satisfies", "high_value_share", "s6", 100_000),
+    ]
+    blocks = []
+    for cid, kind, col, s, thr in rows:
+        r = rate.format(s=s)
+        blocks.append(f"""
+    SELECT {cid}::BIGINT AS check_id, '{kind}' AS "check", '{col}' AS "column",
+           n::BIGINT AS n_rows, {s}::BIGINT AS n_satisfied,
+           ({r})::BIGINT AS rate_e6, {thr}::BIGINT AS min_rate_e6,
+           ({r})::BIGINT >= {thr} AS passed
+    FROM a""")
+    return f"""
+    WITH a AS (
+        SELECT count(*)::BIGINT AS n,
+               sum((o_custkey IS NOT NULL)::BIGINT)::BIGINT AS s0,
+               count(DISTINCT o_orderkey)::BIGINT AS s1,
+               sum((o_orderstatus IN ('O', 'F', 'P'))::BIGINT)::BIGINT AS s2,
+               sum(regexp_matches(o_orderpriority, '^[1-5]-')::BIGINT)::BIGINT AS s3,
+               sum((o_totalprice >= 0)::BIGINT)::BIGINT AS s4,
+               sum((o_totalprice <= 1000000)::BIGINT)::BIGINT AS s5,
+               sum((o_totalprice > 100000)::BIGINT)::BIGINT AS s6
+        FROM orders
+    )
+    SELECT * FROM ({" UNION ALL ".join(blocks)}) ORDER BY check_id
+    """
+
+
+@_q("dq_expectations_orders", _dq_oracle())
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate on orders — the
+    contract an ingest asserts before publishing a partition:
+    completeness, key distinctness, domain containment, format regex,
+    range bounds, and a thresholded business-rule rate (≥10% of
+    orders above 100k), ALL compiled into one aggregate over ONE scan
+    (the count_distinct adds an Expand, never a second scan), then
+    unpivoted to a row per check. rate_e6 is the half-up integer
+    pattern so both engines agree at exact halves. See
+    operators/profile.py:expectations_report."""
+    from data_misc_tools_spark.operators.profile import expectations_report
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return expectations_report(
+        o,
+        [
+            {"check": "not_null", "column": "o_custkey"},
+            {"check": "distinct", "column": "o_orderkey"},
+            {"check": "in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"check": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+            {"check": "min_ge", "column": "o_totalprice", "value": 0},
+            {"check": "max_le", "column": "o_totalprice", "value": 1000000},
+            {"check": "satisfies", "column": "high_value_share",
+             "expr": "o_totalprice > 100000", "min_rate_e6": 100000},
+        ],
+    )
+
+
+@_q(
+    "purchase_gap_hazard_na",
+    """
+    WITH p AS (
+        SELECT user_id, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (SELECT max(ts) AS dend FROM events),
+    base AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN (floor(epoch(nxt))::BIGINT - floor(epoch(ts))::BIGINT) // 3600
+                    ELSE (floor(epoch(dend))::BIGINT - floor(epoch(ts))::BIGINT) // 3600
+               END AS duration,
+               (nxt IS NOT NULL)::BIGINT AS event
+        FROM p CROSS JOIN e
+    ),
+    per AS (
+        SELECT duration, sum(event)::BIGINT AS n_event,
+               (count(*) - sum(event))::BIGINT AS n_censored,
+               count(*)::BIGINT AS n_at
+        FROM base GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_at)::BIGINT AS n FROM per),
+    risk AS (
+        SELECT per.duration, per.n_event, per.n_censored,
+               (tot.n - sum(per.n_at) OVER (ORDER BY per.duration) + per.n_at)::BIGINT AS n_risk
+        FROM per CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT *,
+               ((2 * 1000000 * n_event + n_risk) // (2 * n_risk))::BIGINT AS term
+        FROM risk
+    )
+    SELECT duration, n_risk, n_event, n_censored,
+           sum(term) OVER (ORDER BY duration)::BIGINT AS cumhaz_e6
+    FROM terms
+    """,
+)
+def purchase_gap_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of the time-to-next-purchase —
+    the additive companion to purchase_gap_survival_km on the SAME
+    right-censored spell frame: H(t) = Σ d/n as exact half-up e6
+    integer prefix sums (no ln idiom needed — the estimator is a sum,
+    not a product), so the two curves cross-validate: exp(-H) ≈ KM.
+    Same scale shape: user-partitioned lead windows, checkpointed
+    duration rollup, two range-partitioned prefix sums. See
+    operators/profile.py:nelson_aalen."""
+    from data_misc_tools_spark.operators.profile import nelson_aalen
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = p.withColumn("nxt", F.lead("ts").over(w))
+    end = e.agg(F.max("ts").alias("dend"))
+    spells = (
+        nxt.crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.col("nxt").cast("long") - F.col("ts").cast("long"),
+            )
+            .otherwise(F.col("dend").cast("long") - F.col("ts").cast("long"))
+            .alias("gap_s"),
+            F.col("nxt").isNotNull().cast("long").alias("event"),
+        )
+        .select(F.expr("gap_s div 3600").cast("long").alias("duration"), "event")
+    )
+    return nelson_aalen(spells)
+
+
+@_q(
+    "shapley_attribution_events",
+    """
+    WITH conv AS (
+        SELECT user_id, min(ts) AS cts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    masks AS (
+        SELECT c.user_id,
+               coalesce(bit_or(CASE e.event_type
+                   WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                   WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END), 0)::BIGINT AS mask
+        FROM conv c LEFT JOIN events e
+          ON e.user_id = c.user_id AND e.ts < c.cts
+         AND e.event_type IN ('view', 'click', 'signup', 'error')
+        GROUP BY c.user_id
+    ),
+    census AS (SELECT mask, count(*)::BIGINT AS cnt FROM masks GROUP BY 1),
+    v AS (
+        SELECT g.s AS s, coalesce(sum(c.cnt), 0)::BIGINT AS v
+        FROM generate_series(0, 15) g(s)
+        LEFT JOIN census c ON (c.mask & g.s) = c.mask
+        GROUP BY 1
+    ),
+    ve AS (SELECT v AS v_empty FROM v WHERE s = 0),
+    vf AS (SELECT v AS v_full FROM v WHERE s = 15),
+    phi AS (
+        SELECT ch.i AS i,
+               sum((CASE ((v0.s >> 0) & 1) + ((v0.s >> 1) & 1)
+                         + ((v0.s >> 2) & 1) + ((v0.s >> 3) & 1)
+                    WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+                   * (v1.v - v0.v))::BIGINT AS phi_scaled
+        FROM generate_series(0, 3) ch(i)
+        JOIN v v0 ON (v0.s & (1 << ch.i)) = 0
+        JOIN v v1 ON v1.s = (v0.s | (1 << ch.i))
+        GROUP BY 1
+    )
+    SELECT CASE i WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                  WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+           phi_scaled,
+           ((2 * 1000000 * phi_scaled + 24) // 48)::BIGINT AS phi_e6,
+           v_empty, v_full
+    FROM phi CROSS JOIN ve CROSS JOIN vf
+    ORDER BY channel
+    """,
+)
+def shapley_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution over the four
+    non-purchase channels — the game-theoretic allocation that
+    attribution_ushape_credit's fixed 40/20/40 rule approximates:
+    credit = average marginal contribution across all 4! channel
+    orderings, integer-exact (phi_scaled = φ·4!, phi_e6 half-up).
+    v(S) = converted users whose pre-conversion touchset ⊆ S; the
+    mask census is ≤ 2^4 rows of bounded metadata and the oracle
+    replays the same enumeration with generate_series bitmasks. See
+    operators/temporal.py:shapley_attribution."""
+    from data_misc_tools_spark.operators.temporal import shapley_attribution
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return shapley_attribution(
+        e, ["view", "click", "signup", "error"]
+    ).orderBy("channel")
+
+
+@_q(
+    "ewma_daily_revenue",
+    """
+    WITH RECURSIVE d AS (
+        SELECT row_number() OVER (ORDER BY x) AS rn, x AS day, y
+        FROM (
+            SELECT (floor(epoch(date_trunc('day', ts)))::BIGINT // 86400)::BIGINT AS x,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+    ),
+    r AS (
+        SELECT rn, day, y, y AS s FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.day, d.y,
+               ((2 * (300 * d.y + 700 * r.s) + 1000) // 2000)::BIGINT
+        FROM r JOIN d ON d.rn = r.rn + 1
+    )
+    SELECT day, y AS revenue_cents, s AS ewma_cents FROM r ORDER BY day
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (α = 0.3) of daily purchase revenue — the
+    classic level smoother / 1-step forecaster beside the trend gates
+    (theil_sen / mann_kendall / cusum): the recursion is replayed as
+    exact permille-integer arithmetic with half-up rounding per step,
+    so the DuckDB twin is a RECURSIVE CTE computing bit-identical
+    values. Bounded-rollup contract: the distributed part is the
+    daily rollup; the serial recurrence runs on the ≤days collected
+    series. See operators/temporal.py:ewma_smooth."""
+    from data_misc_tools_spark.operators.temporal import ewma_smooth
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    return (
+        ewma_smooth(daily, "day", "rev", alpha_permille=300)
+        .select(
+            F.col("o").alias("day"),
+            F.col("x").alias("revenue_cents"),
+            F.col("ewma").alias("ewma_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@_q(
+    "kmv_distinct_users",
+    """
+    WITH base AS (
+        SELECT event_type AS g, user_id FROM events
+        UNION ALL SELECT 'ALL', user_id FROM events
+    ),
+    dh AS (
+        SELECT DISTINCT g,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+        FROM base
+    ),
+    rk AS (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM dh
+    ),
+    kept AS (SELECT g, h FROM rk WHERE rn <= 64)
+    SELECT g AS event_type, count(*)::BIGINT AS n_kept,
+           max(h)::BIGINT AS kth_hash,
+           CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+                ELSE ((2 * 270582939648 + max(h)) // (2 * max(h)))::BIGINT
+           END AS estimate,
+           count(*) < 64 AS is_exact
+    FROM kept GROUP BY g ORDER BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-user sketch per event type plus the ALL
+    rollup — the order-statistic sketch beside the HLL family:
+    estimate = half-up (k−1)·2³²/v_k over the k=64 smallest distinct
+    md5-derived hashes (engine-portable by construction, so the
+    sketch itself is oracle-checked, not just the estimate). Sketches
+    merge by union + re-rank; the ALL row demonstrates exactly that
+    rollup. See operators/profile.py:kmv_distinct."""
+    from data_misc_tools_spark.operators.profile import kmv_distinct
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    base = e.select("event_type", "user_id").unionByName(
+        e.select(F.lit("ALL").alias("event_type"), "user_id")
+    )
+    return kmv_distinct(base, "user_id", ["event_type"], k=64).orderBy(
+        "event_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -10828,13 +11177,24 @@ GRADED_FIRST: list[str] = [
     "edge_support_neardup", "bm25_prf_search",
     "target_encode_priority", "ktruss_neardup", "jw_part_name_pairs",
     "heaps_law_corpus", "ab_power_value",
+    # --- round-7 session-2 additions (first-time, oracle-exact):
+    # UCC key discovery (completes the FD/IND/UCC profiling tripod),
+    # Deequ-style expectations gate, Nelson-Aalen cumulative hazard ---
+    "ucc_discovery_lineitem", "dq_expectations_orders",
+    "purchase_gap_hazard_na",
+    # --- round-7 session-2 wave 2 (first-time, oracle-exact):
+    # exact Shapley channel attribution, EWMA forecasting with a
+    # recursive-CTE twin, KMV bottom-k distinct sketch + merge ---
+    "shapley_attribution_events", "ewma_daily_revenue",
+    "kmv_distinct_users",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
     # re-grade with the flattened scalar output (its r5 slot errored
     # in the driver's list-column canonicalizer). After this round,
     # EVERY catalog entry has an official driver row. ---
-    "tfidf_top_terms_docs", "phrase_search_docs", "lcc_neardup_nodes",
+    # (tfidf_top_terms_docs / phrase_search_docs / lcc_neardup_nodes
+    # graded r6; rotated out for the session-2 wave-2 additions)
     "theil_sen_daily_trend", "lag_crosscorr_purchase_click",
     "hits_users_items", "benford_audit_prices",
     "systematic_sample_orders", "attribution_ushape_credit",
@@ -10861,11 +11221,11 @@ GRADED_FIRST: list[str] = [
     # [dedup] (dedup_exact / dedup_minhash_lsh / dedup_ppjoin rotated
     # out for the r7 additions)
     # [embedding / similarity] (embedding_neardup / margin_mine_pairs
-    # rotated out for the r7 additions)
-    "kmeans_embeddings", "semdedup_embeddings",
+    # rotated out for the r7 additions; kmeans_embeddings /
+    # semdedup_embeddings for the session-2 additions)
     # [retrieval] (retrieval_eval_embeddings / ql_dirichlet_search
-    # rotated out for fs_linkage_docs / bm25_prf_search)
-    "bm25_search_topk",
+    # rotated out for fs_linkage_docs / bm25_prf_search;
+    # bm25_search_topk for the session-2 additions)
     # [text curation] (text_quality / gopher_filter_demo /
     # chunk_documents / ngram_novelty_scores rotated out for the r7
     # additions)

@@ -2145,3 +2145,283 @@ def logrank_test(
                      / sqrt(cast(__v_e6 as double) * 1e6)
            END AS z""",
     )
+
+
+def unique_column_combinations(
+    df: DataFrame,
+    combos: list,
+) -> DataFrame:
+    """Unique-column-combination discovery (the HyUCC/DUCC problem,
+    Heise et al. 2013) — which column combinations are KEYS: the third
+    leg of the profiling tripod beside :func:`inclusion_deps` (foreign
+    keys) and FD mining (derived columns). Run before declaring a
+    dedup key or a merge key on an undocumented lake: a combo that
+    LOOKS like a key but has duplicate groups silently drops rows in
+    any keep-one pipeline built on it.
+
+    ``combos`` is a list of column-name tuples/lists to test (bounded:
+    the caller enumerates candidates, typically singletons + promising
+    pairs — full lattice search is the client's loop, each level
+    pruned by the previous report exactly as HyUCC prunes supersets of
+    keys and subsets of non-keys).
+
+    Scale shape: ONE scan. Each row explodes into one struct per
+    candidate (values cast to string, padded with NULLs to the max
+    arity), so the whole batch is a single explode + a single
+    (combo, value-tuple) shuffle with map-side combine — never one
+    job per candidate. NULLs group as values (the "key allows no
+    duplicate tuples" reading; SQL UNIQUE semantics would need a
+    null filter, which the caller can apply). The per-combo report is
+    an aggregate over the census, all-distributed, no collect.
+
+    Output: (cols, n_rows, n_groups, max_group_size, n_extra_rows,
+    is_unique) — n_extra_rows = rows that would be dropped by a
+    keep-one dedup on that combo; is_unique = (n_groups == n_rows).
+    """
+    if not combos:
+        raise ValueError("need at least one candidate combo")
+    norm = [tuple(c) for c in combos]
+    labels = ["+".join(c) for c in norm]
+    if len(set(labels)) != len(labels):
+        raise ValueError("candidate combos must be unique")
+    max_k = max(len(c) for c in norm)
+    structs = []
+    for label, combo in zip(labels, norm):
+        fields = [F.lit(label).alias("cols")]
+        fields += [
+            F.col(c).cast("string").alias(f"k{i}") for i, c in enumerate(combo)
+        ]
+        fields += [
+            F.lit(None).cast("string").alias(f"k{i}")
+            for i in range(len(combo), max_k)
+        ]
+        structs.append(F.struct(*fields))
+    keys = [f"k{i}" for i in range(max_k)]
+    census = (
+        df.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .groupBy("cols", *keys)
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return census.groupBy("cols").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.max("c").cast("long").alias("max_group_size"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_extra_rows"),
+    ).withColumn("is_unique", F.col("n_groups") == F.col("n_rows"))
+
+
+def expectations_report(
+    df: DataFrame,
+    checks: list,
+) -> DataFrame:
+    """Deequ-style declarative data-quality gate (Schelter et al.,
+    "Automating large-scale data quality verification", VLDB 2018) —
+    the contract a 100 TB ingest asserts BEFORE publishing a
+    partition: every check compiles into one aggregate over ONE scan,
+    and the report is a row per check with an exact satisfaction rate
+    and a pass flag, so the pipeline can gate on `min(passed)`.
+
+    Each check is a dict:
+      {"check": "not_null",  "column": c}                  — c IS NOT NULL
+      {"check": "distinct",  "column": c}                  — distinctness
+          rate = n_distinct / n_rows (exact count_distinct; one Expand,
+          no extra scan — swap to approx upstream if state matters)
+      {"check": "satisfies", "column": label, "expr": sql} — row predicate
+      {"check": "in_set",    "column": c, "values": [...]}
+      {"check": "matches",   "column": c, "pattern": regex}
+      {"check": "min_ge" | "max_le", "column": c, "value": v} — bound
+          holds for EVERY row (counted per-row so the rate is
+          meaningful, not a single min/max scalar)
+    plus optional "min_rate_e6" (default 1_000_000 = must fully hold).
+
+    Engine-portable: rate_e6 is the half-up integer (2·1e6·s + n) div
+    (2n); pass = rate_e6 >= min_rate_e6. Empty tables pass vacuously
+    (rate defined as 1e6 when n_rows = 0).
+
+    Output: (check_id, check, column, n_rows, n_satisfied, rate_e6,
+    min_rate_e6, passed), one row per check, ordered by check_id.
+    """
+    if not checks:
+        raise ValueError("need at least one check")
+    aggs = [F.count("*").cast("long").alias("__n")]
+    meta = []
+    for i, ch in enumerate(checks):
+        kind = ch["check"]
+        col = ch.get("column", "")
+        if kind == "not_null":
+            sat = F.sum(F.col(col).isNotNull().cast("long"))
+        elif kind == "distinct":
+            sat = F.count_distinct(F.col(col)).cast("long")
+        elif kind == "satisfies":
+            sat = F.sum(F.expr(ch["expr"]).cast("long"))
+        elif kind == "in_set":
+            sat = F.sum(F.col(col).isin(list(ch["values"])).cast("long"))
+        elif kind == "matches":
+            sat = F.sum(
+                F.regexp_like(F.col(col), F.lit(ch["pattern"])).cast("long")
+            )
+        elif kind == "min_ge":
+            sat = F.sum((F.col(col) >= F.lit(ch["value"])).cast("long"))
+        elif kind == "max_le":
+            sat = F.sum((F.col(col) <= F.lit(ch["value"])).cast("long"))
+        else:
+            raise ValueError(f"unknown check kind: {kind}")
+        aggs.append(sat.cast("long").alias(f"__s{i}"))
+        meta.append((i, kind, col, int(ch.get("min_rate_e6", 1_000_000))))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(i).cast("long").alias("check_id"),
+            F.lit(kind).alias("check"),
+            F.lit(col).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.coalesce(F.col(f"__s{i}"), F.lit(0).cast("long")).alias(
+                "n_satisfied"
+            ),
+            F.lit(rate).cast("long").alias("min_rate_e6"),
+        )
+        for i, kind, col, rate in meta
+    ]
+    rep = row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    rate_e6 = F.when(F.col("n_rows") == 0, F.lit(1_000_000).cast("long")).otherwise(
+        F.expr("(2 * 1000000 * n_satisfied + n_rows) div (2 * n_rows)")
+    )
+    return (
+        rep.withColumn("rate_e6", rate_e6.cast("long"))
+        .withColumn("passed", F.col("rate_e6") >= F.col("min_rate_e6"))
+        .select(
+            "check_id", "check", "column", "n_rows", "n_satisfied",
+            "rate_e6", "min_rate_e6", "passed",
+        )
+        .orderBy("check_id")
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — the additive
+    companion to :func:`kaplan_meier`: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over
+    event times, the quantity whose slope IS the hazard rate (where
+    is churn risk concentrated in time?), better-behaved than
+    -ln(KM) in small risk sets and defined through absorbing times.
+
+    Engine-portable: each per-time term is the HALF-UP e6 integer
+    (2·1e6·d + n) div (2n) and the curve is their exact integer
+    prefix sum — no float accumulation anywhere, unlike the KM curve
+    which needs the ln idiom because its estimate is a product.
+
+    Scale shape: identical to :func:`kaplan_meier` — one
+    groupBy(duration) rollup (localCheckpointed: it feeds both
+    range-partitioned prefix sums), at-risk counts from a suffix sum
+    via :func:`...etl.global_cumsum`, never an unpartitioned window.
+
+    Output: (duration, n_risk, n_event, n_censored, cumhaz_e6).
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    ev = F.col(event_col).cast("long")
+    per = (
+        df.select(
+            F.col(duration_col).cast("long").alias("duration"),
+            ev.alias("__e"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.sum("__e").cast("long").alias("n_event"),
+            (F.count("*") - F.sum("__e")).cast("long").alias("n_censored"),
+            F.count("*").cast("long").alias("n_at"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(F.sum("n_at").cast("long").alias("__n"))
+    risk = (
+        global_cumsum(per, ["duration"], ["n_at"], num_partitions)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "duration", "n_event", "n_censored",
+            (F.col("__n") - F.col("cum_n_at") + F.col("n_at")).alias("n_risk"),
+        )
+    )
+    terms = risk.select(
+        "duration", "n_risk", "n_event", "n_censored",
+        F.expr(
+            "(2 * 1000000 * n_event + n_risk) div (2 * n_risk)"
+        ).cast("long").alias("__term"),
+    )
+    out = global_cumsum(terms, ["duration"], ["__term"], num_partitions)
+    return out.select(
+        "duration", "n_risk", "n_event", "n_censored",
+        F.col("cum___term").cast("long").alias("cumhaz_e6"),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list,
+    k: int = 64,
+) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 "On synopses for distinct-value estimation") —
+    the ORDER-STATISTIC sketch beside the HLL rollup: keep the k
+    smallest distinct hash values per group; if the k-th smallest is
+    v on a hash space of M, the unbiased estimate is (k−1)·M/v.
+    Unlike HLL its state is exact hash values, so sketches MERGE by
+    plain UNION + re-rank (bottom-k of a union is the bottom-k of the
+    concatenated bottom-k's) and support set operations downstream.
+
+    Engine-portable by construction: the hash is the repo's
+    md5-derived 32-bit idiom (DuckDB twin
+    ``('0x'||substr(md5(x),1,8))::BIGINT``), M = 2^32, and the
+    estimate is the HALF-UP integer (2·(k−1)·2³² + v) div (2v) — no
+    floats anywhere. Groups with fewer than k distinct hashes report
+    their EXACT distinct count (the standard KMV fallback), flagged
+    ``is_exact``.
+
+    Scale shape: distinct (group, hash) is one map-side-combined
+    aggregate; the bottom-k rank window is GROUP-partitioned (never
+    an unpartitioned sort); output is one row per group. At 100 TB
+    the sketch column (k hashes/group) is what you'd persist per
+    partition and merge at read time.
+
+    Output: (group cols..., n_kept, kth_hash, estimate, is_exact).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql.window import Window
+
+    h = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10) as bigint)"
+    )
+    distinct_h = (
+        df.select(*group_cols, h.alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    kept = distinct_h.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    m = 1 << 32
+    return kept.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("__h").cast("long").alias("kth_hash"),
+    ).select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(
+                f"(2 * {(k - 1) * m}L + kth_hash) div (2 * kth_hash)"
+            )
+        )
+        .cast("long")
+        .alias("estimate"),
+        (F.col("n_kept") < k).alias("is_exact"),
+    )

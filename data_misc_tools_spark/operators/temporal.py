@@ -742,3 +742,173 @@ def attribution_position_credit(
         )
     )
     return ranked.withColumn("credit_permille", credit.cast("long"))
+
+
+def shapley_attribution(
+    df: DataFrame,
+    channels: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953; the
+    marketing form e.g. Zhao et al. 2018, "Shapley value methods for
+    attribution modeling") — the game-theoretic answer to "which
+    touchpoints CAUSED the conversions" that position rules
+    (:func:`attribution_position_credit`) approximate: each channel's
+    credit is its average marginal contribution over every ordering
+    of the channel set, the unique allocation satisfying efficiency /
+    symmetry / dummy.
+
+    Coalition value: v(S) = number of converted users whose
+    pre-conversion touched-channel set ⊆ S (users convertible with
+    only the channels in S active). v is monotone, so every marginal
+    is ≥ 0, and Σᵢ φᵢ = v(all) − v(∅) exactly (v(∅) = conversions
+    with no prior touch — unattributable direct conversions).
+
+    Engine-exact: φᵢ·n! = Σ_{S∌i} |S|!·(n−|S|−1)!·(v(S∪i) − v(S)) is
+    a pure integer (``phi_scaled``); ``phi_e6`` = half-up e6 of
+    φ = phi_scaled/n!.
+
+    Scale shape: first-conversion rollup + one events⋈conversions
+    join keyed by user (AQE-sized), one bit_or aggregate per user,
+    then the mask census — at most 2^n rows, collected as bounded
+    metadata (the codebook class; n = len(channels) ≤ 16 enforced).
+    The 2^n·n Shapley enumeration is driver-side arithmetic on that
+    census, never a distributed pass; the report exits as a VALUES
+    LocalRelation.
+
+    Output: (channel, phi_scaled, phi_e6, v_empty, v_full), one row
+    per channel ordered by channel name.
+    """
+    n = len(channels)
+    if n == 0:
+        raise ValueError("need at least one channel")
+    if n > 16:
+        raise ValueError(
+            f"{n} channels make 2^{n} coalitions — no longer bounded "
+            "metadata; bucket channels upstream"
+        )
+    if len(set(channels)) != n or conversion_type in channels:
+        raise ValueError("channels must be unique and exclude the conversion")
+    conv = (
+        df.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__cts"))
+    )
+    bit = None
+    for i, ch in enumerate(channels):
+        b = F.when(F.col(type_col) == ch, F.lit(1 << i).cast("long"))
+        bit = b if bit is None else bit.when(
+            F.col(type_col) == ch, F.lit(1 << i).cast("long")
+        )
+    touches = df.select(
+        F.col(user_col).alias("__tu"), F.col(ts_col).alias("__ts"),
+        bit.alias("__b"),
+    ).where(F.col("__b").isNotNull())
+    masks = (
+        conv.join(
+            touches,
+            (F.col("__tu") == F.col("__u")) & (F.col("__ts") < F.col("__cts")),
+            "left",
+        )
+        .groupBy("__u")
+        .agg(F.coalesce(F.bit_or("__b"), F.lit(0).cast("long")).alias("mask"))
+    )
+    census = {
+        r["mask"]: r["cnt"]
+        for r in masks.groupBy("mask")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .collect()
+    }
+    full = (1 << n) - 1
+    v = [0] * (full + 1)
+    for s in range(full + 1):
+        v[s] = sum(c for m, c in census.items() if (m & s) == m)
+    import math
+
+    fact = [math.factorial(i) for i in range(n + 1)]
+    phi = [0] * n
+    for i in range(n):
+        for s in range(full + 1):
+            if s & (1 << i):
+                continue
+            w = fact[bin(s).count("1")] * fact[n - bin(s).count("1") - 1]
+            phi[i] += w * (v[s | (1 << i)] - v[s])
+    nf = fact[n]
+    rows = sorted(zip(channels, phi))
+    vals = ", ".join(
+        "('{}', {}L, {}L, {}L, {}L)".format(
+            ch.replace("'", "''"),
+            p,
+            (2 * 1_000_000 * p + nf) // (2 * nf),
+            v[0],
+            v[full],
+        )
+        for ch, p in rows
+    )
+    return df.sparkSession.sql(
+        "SELECT * FROM VALUES "
+        + vals
+        + " AS t(channel, phi_scaled, phi_e6, v_empty, v_full)"
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alpha_permille: int = 300,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Exponentially-weighted moving average over an ordered series of
+    exact-integer values — the classic smoother/1-step forecaster
+    (Brown 1956; Holt's level equation): s₁ = x₁,
+    sₜ = α·xₜ + (1−α)·sₜ₋₁, with α = alpha_permille/1000 kept as a
+    PERMILLE integer and each step rounded half-up —
+    sₜ = (2·(α·xₜ + (1000−α)·sₜ₋₁) + 1000) div 2000 — so the whole
+    recursion is integer-exact and an engine twin can replay it
+    bit-for-bit (a DuckDB recursive CTE does, in the catalog oracle).
+
+    Bounded-rollup contract (the mann_kendall/theil_sen class): the
+    input is an ALREADY-AGGREGATED series (days, hours, versions —
+    thousands of rows, not events), collected ordered to the driver
+    (max_rows-guarded) because the recurrence is inherently serial;
+    the heavy lifting — rolling events up to the series — stays
+    distributed in the caller. Gaps in order_col are treated as
+    consecutive observations (time-aware decay would exponentiate by
+    the gap — out of scope, documented).
+
+    Output: (order, x, ewma), one row per input row, via a VALUES
+    LocalRelation.
+    """
+    a = int(alpha_permille)
+    if not 0 < a <= 1000:
+        raise ValueError("alpha_permille must be in (0, 1000]")
+    rows = (
+        df.select(
+            F.col(order_col).cast("long").alias("o"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .orderBy("o")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"series exceeds max_rows={max_rows}: roll it up further "
+            "before smoothing (the bounded-rollup contract)"
+        )
+    out = []
+    s = None
+    for r in rows:
+        if s is None:
+            s = r["x"]
+        else:
+            s = (2 * (a * r["x"] + (1000 - a) * s) + 1000) // 2000
+        out.append((r["o"], r["x"], s))
+    vals = ", ".join(f"({o}L, {x}L, {s}L)" for o, x, s in out)
+    return df.sparkSession.sql(
+        "SELECT * FROM VALUES " + vals + " AS t(o, x, ewma)"
+    )

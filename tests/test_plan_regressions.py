@@ -727,3 +727,68 @@ def test_suffix_spans_sort_is_range_partitioned(spark, sf_dir):
     assert "__pid" in plan  # global_rank's partition-local window key
     # the offset join rides a broadcast, not a shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_ucc_discovery_single_scan_one_census_shuffle(spark, sf_dir):
+    """UCC discovery: ONE lineitem scan (every candidate rides the
+    same per-row struct explode), one (combo, tuple) census shuffle
+    with map-side combine, one report aggregate — never a job per
+    candidate, no joins."""
+    plan = _plan(spark, "ucc_discovery_lineitem", sf_dir)
+    # formatted explain lists each node twice (tree + detail section)
+    assert plan.count("Scan parquet") == 2
+    assert "Generate" in plan  # the per-candidate explode
+    assert plan.count("partial_count") >= 1  # map-side combine
+    assert "Join" not in plan
+
+
+def test_dq_expectations_single_scan_single_aggregate(spark, sf_dir):
+    """Expectations gate: all checks compile into ONE aggregate over
+    ONE scan (the count_distinct adds an Expand, not a second scan);
+    the unpivot is a per-row explode of the single agg row."""
+    plan = _plan(spark, "dq_expectations_orders", sf_dir)
+    assert plan.count("Scan parquet") == 2  # tree + detail = ONE scan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_nelson_aalen_curve_is_range_partitioned(spark, sf_dir):
+    """Nelson-Aalen shares KM's scale shape: range-partitioned prefix
+    sums only — no unpartitioned window, no cartesian blowup."""
+    plan = _plan(spark, "purchase_gap_hazard_na", sf_dir)
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in NA plan: " + spec
+        )
+
+
+def test_shapley_report_is_local_values_no_rdd_hop(spark, sf_dir):
+    """Shapley attribution: the distributed part ends at the bounded
+    2^n mask-census collect; the report exits as a VALUES
+    LocalRelation — no Python-RDD hop (the cfgs lesson)."""
+    plan = _plan(spark, "shapley_attribution_events", sf_dir)
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_ewma_report_is_local_values_no_rdd_hop(spark, sf_dir):
+    plan = _plan(spark, "ewma_daily_revenue", sf_dir)
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_kmv_rank_window_is_group_partitioned(spark, sf_dir):
+    """KMV: the bottom-k rank window is PARTITIONED by the group —
+    never an unpartitioned global sort; the distinct census is
+    map-side combined."""
+    plan = _plan(spark, "kmv_distinct_users", sf_dir)
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in KMV plan: " + spec
+        )

@@ -541,3 +541,278 @@ class TestAbPowerMde:
         r = ab_power_mde(df, F.col("v"), "x").collect()[0]
         assert r.sd_pooled is None and r.mde_abs is None
         assert r.n_per_arm_5pct is None
+
+
+class TestUniqueColumnCombinations:
+    def test_matches_python_reference(self, spark):
+        import collections
+
+        from data_misc_tools_spark.operators.profile import (
+            unique_column_combinations,
+        )
+
+        rows = [
+            (1, "a", None),
+            (1, "a", None),   # exact dup of row 0 on all cols
+            (1, "b", 10),
+            (2, "a", 10),
+            (2, "b", None),
+            (2, "b", 20),
+            (None, "a", 10),  # NULL groups as a value
+            (None, "a", 10),
+        ]
+        df = spark.createDataFrame(rows, "x int, y string, z int")
+        combos = [("x",), ("y",), ("x", "y"), ("x", "y", "z")]
+        got = {
+            r["cols"]: r.asDict()
+            for r in unique_column_combinations(df, combos).collect()
+        }
+        for combo in combos:
+            label = "+".join(combo)
+            idx = [{"x": 0, "y": 1, "z": 2}[c] for c in combo]
+            census = collections.Counter(
+                tuple(row[i] for i in idx) for row in rows
+            )
+            r = got[label]
+            assert r["n_rows"] == len(rows)
+            assert r["n_groups"] == len(census)
+            assert r["max_group_size"] == max(census.values())
+            assert r["n_extra_rows"] == sum(c - 1 for c in census.values())
+            assert r["is_unique"] == (len(census) == len(rows))
+        assert not got["x+y"]["is_unique"]
+        assert not got["x+y+z"]["is_unique"]  # rows 0/1 dup, rows 6/7 dup
+
+    def test_unique_combo_flagged(self, spark):
+        from data_misc_tools_spark.operators.profile import (
+            unique_column_combinations,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a")], "x int, y string"
+        )
+        got = {
+            r["cols"]: r["is_unique"]
+            for r in unique_column_combinations(df, [("x",), ("x", "y")]).collect()
+        }
+        assert got == {"x": False, "x+y": True}
+
+    def test_bad_input_raises(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import (
+            unique_column_combinations,
+        )
+
+        df = spark.createDataFrame([(1,)], "x int")
+        with _pytest.raises(ValueError):
+            unique_column_combinations(df, [])
+        with _pytest.raises(ValueError):
+            unique_column_combinations(df, [("x",), ("x",)])
+
+
+class TestExpectationsReport:
+    def test_all_check_kinds(self, spark):
+        from data_misc_tools_spark.operators.profile import expectations_report
+
+        df = spark.createDataFrame(
+            [
+                (1, "A-1", 10.0, "red"),
+                (2, "B-2", -5.0, "blue"),
+                (3, None, 20.0, "red"),
+                (3, "C-3", 30.0, "green"),
+            ],
+            "id int, code string, v double, color string",
+        )
+        rep = expectations_report(
+            df,
+            [
+                {"check": "not_null", "column": "code"},
+                {"check": "distinct", "column": "id"},
+                {"check": "in_set", "column": "color",
+                 "values": ["red", "blue"]},
+                {"check": "matches", "column": "code", "pattern": "^[A-Z]-"},
+                {"check": "min_ge", "column": "v", "value": 0},
+                {"check": "max_le", "column": "v", "value": 25},
+                {"check": "satisfies", "column": "big_v",
+                 "expr": "v > 15", "min_rate_e6": 400_000},
+            ],
+        ).collect()
+        by_id = {r["check_id"]: r for r in rep}
+        assert [r["check_id"] for r in rep] == list(range(7))
+        # not_null: 3/4
+        assert by_id[0]["n_satisfied"] == 3 and not by_id[0]["passed"]
+        assert by_id[0]["rate_e6"] == 750_000
+        # distinct: 3 distinct ids of 4 rows
+        assert by_id[1]["n_satisfied"] == 3 and not by_id[1]["passed"]
+        # in_set: 3/4 (green out)
+        assert by_id[2]["n_satisfied"] == 3
+        # matches: NULL does not match -> 3/4
+        assert by_id[3]["n_satisfied"] == 3
+        # min_ge 0: -5 fails -> 3/4
+        assert by_id[4]["n_satisfied"] == 3
+        # max_le 25: 30 fails -> 3/4
+        assert by_id[5]["n_satisfied"] == 3
+        # satisfies v>15: 2/4 = 500000 >= 400000 -> passes
+        assert by_id[6]["n_satisfied"] == 2 and by_id[6]["passed"]
+        assert by_id[6]["rate_e6"] == 500_000
+
+    def test_half_up_rate(self, spark):
+        from data_misc_tools_spark.operators.profile import expectations_report
+
+        # 1/8 = 0.125 -> 125000 exactly; 1/3 -> 333333 (truncates the
+        # repeating third); 1/16 = 62500 exact boundary check
+        df = spark.createDataFrame([(i,) for i in range(8)], "x int")
+        r = expectations_report(
+            df, [{"check": "satisfies", "column": "x", "expr": "x = 0"}]
+        ).collect()[0]
+        assert r["rate_e6"] == 125_000
+
+    def test_empty_table_vacuous_pass(self, spark):
+        from data_misc_tools_spark.operators.profile import expectations_report
+
+        df = spark.createDataFrame([], "x int")
+        r = expectations_report(
+            df, [{"check": "not_null", "column": "x"}]
+        ).collect()[0]
+        assert r["n_rows"] == 0 and r["rate_e6"] == 1_000_000 and r["passed"]
+
+    def test_unknown_kind_raises(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import expectations_report
+
+        df = spark.createDataFrame([(1,)], "x int")
+        with _pytest.raises(ValueError):
+            expectations_report(df, [{"check": "bogus", "column": "x"}])
+        with _pytest.raises(ValueError):
+            expectations_report(df, [])
+
+
+class TestNelsonAalen:
+    def _ref(self, spells):
+        """Python integer reference: H via half-up e6 terms."""
+        import collections
+
+        per = collections.Counter()
+        ev = collections.Counter()
+        for d, e in spells:
+            per[d] += 1
+            ev[d] += e
+        out = {}
+        cum = 0
+        n_after = sum(per.values())
+        for d in sorted(per):
+            n_risk = n_after
+            n_after -= per[d]
+            term = (2 * 1_000_000 * ev[d] + n_risk) // (2 * n_risk)
+            cum += term
+            out[d] = (n_risk, ev[d], per[d] - ev[d], cum)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import nelson_aalen
+
+        rng = random.Random(7)
+        spells = [
+            (rng.randrange(1, 20), rng.randrange(2)) for _ in range(400)
+        ]
+        df = spark.createDataFrame(spells, "duration int, event int")
+        ref = self._ref(spells)
+        got = nelson_aalen(df).collect()
+        assert len(got) == len(ref)
+        for r in got:
+            n_risk, n_event, n_cens, cum = ref[r["duration"]]
+            assert r["n_risk"] == n_risk
+            assert r["n_event"] == n_event
+            assert r["n_censored"] == n_cens
+            assert r["cumhaz_e6"] == cum
+
+    def test_exp_neg_h_tracks_km(self, spark):
+        """exp(-H_NA) approximates the KM curve (and is >= it)."""
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.profile import (
+            kaplan_meier,
+            nelson_aalen,
+        )
+
+        rng = random.Random(11)
+        spells = [
+            (rng.randrange(1, 30), rng.randrange(2)) for _ in range(600)
+        ]
+        df = spark.createDataFrame(spells, "duration int, event int")
+        km = {r["duration"]: r["log_surv_e6"] for r in kaplan_meier(df).collect()}
+        na = {r["duration"]: r["cumhaz_e6"] for r in nelson_aalen(df).collect()}
+        for d, h in na.items():
+            if km[d] is None:
+                continue
+            s_km = math.exp(km[d] / 1e6)
+            s_na = math.exp(-h / 1e6)
+            assert s_na >= s_km - 1e-9
+            assert abs(s_na - s_km) < 0.05
+
+    def test_absorbing_time_stays_finite(self, spark):
+        from data_misc_tools_spark.operators.profile import nelson_aalen
+
+        # every spell dies at t=5: d=n there, H jumps by exactly 1e6
+        df = spark.createDataFrame(
+            [(5, 1), (5, 1), (5, 1)], "duration int, event int"
+        )
+        r = nelson_aalen(df).collect()[0]
+        assert r["cumhaz_e6"] == 1_000_000 and r["n_risk"] == 3
+
+
+class TestKmvDistinct:
+    def _hash(self, x):
+        import hashlib
+
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+
+    def test_small_group_is_exact(self, spark):
+        from data_misc_tools_spark.operators.profile import kmv_distinct
+
+        rows = [("g", i % 10) for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, k long")
+        r = kmv_distinct(df, "k", ["g"], k=64).collect()[0]
+        assert r["is_exact"] and r["estimate"] == 10 and r["n_kept"] == 10
+
+    def test_estimate_matches_formula_and_is_close(self, spark):
+        from data_misc_tools_spark.operators.profile import kmv_distinct
+
+        n, k = 5000, 64
+        df = spark.createDataFrame([("g", i) for i in range(n)], "g string, k long")
+        r = kmv_distinct(df, "k", ["g"], k=k).collect()[0]
+        vk = sorted(self._hash(i) for i in range(n))[k - 1]
+        assert r["kth_hash"] == vk
+        assert r["estimate"] == (2 * (k - 1) * (1 << 32) + vk) // (2 * vk)
+        assert abs(r["estimate"] - n) / n < 0.35  # ~3 sigma at k=64
+
+    def test_merge_equals_recompute(self, spark):
+        """Bottom-k of a union == bottom-k over the unioned bottom-k
+        sketches — the KMV merge property."""
+        from data_misc_tools_spark.operators.profile import kmv_distinct
+
+        k = 16
+        a = [("a", i) for i in range(300)]
+        b = [("b", i + 150) for i in range(300)]  # overlapping ranges
+        df = spark.createDataFrame(a + b, "g string, k long")
+        merged_direct = kmv_distinct(
+            df.selectExpr("'m' as g", "k"), "k", ["g"], k=k
+        ).collect()[0]
+        # merge path: union the two per-group sketches' kept hashes
+        hashes_a = sorted({self._hash(i) for _, i in a})[:k]
+        hashes_b = sorted({self._hash(i) for _, i in b})[:k]
+        merged_hashes = sorted(set(hashes_a) | set(hashes_b))[:k]
+        assert merged_direct["kth_hash"] == merged_hashes[-1]
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import kmv_distinct
+
+        df = spark.createDataFrame([("g", 1)], "g string, k long")
+        with _pytest.raises(ValueError):
+            kmv_distinct(df, "k", ["g"], k=1)

@@ -531,3 +531,118 @@ def test_attribution_ushape_credit_positions(spark):
         attribution_position_credit(
             df, ["user"], ["touch_ts"], first_permille=600, last_permille=600
         )
+
+
+class TestShapleyAttribution:
+    def _ref_phi(self, masks, n):
+        """Brute-force Shapley over orderings (n! enumeration)."""
+        import itertools
+
+        full = (1 << n) - 1
+        v = [0] * (full + 1)
+        for s in range(full + 1):
+            v[s] = sum(1 for m in masks if (m & s) == m)
+        phi = [0] * n
+        for perm in itertools.permutations(range(n)):
+            s = 0
+            for i in perm:
+                phi[i] += v[s | (1 << i)] - v[s]
+                s |= 1 << i
+        return phi, v  # phi already scaled by n!
+
+    def test_matches_brute_force_orderings(self, spark):
+        import datetime
+        import random
+
+        from data_misc_tools_spark.operators.temporal import (
+            shapley_attribution,
+        )
+
+        rng = random.Random(5)
+        channels = ["a", "b", "c"]
+        rows, masks = [], []
+        t0 = datetime.datetime(2024, 1, 1)
+        for u in range(120):
+            touched = [c for c in channels if rng.random() < 0.5]
+            for i, c in enumerate(touched):
+                rows.append((u, c, t0 + datetime.timedelta(minutes=i)))
+            converted = rng.random() < 0.6
+            if converted:
+                rows.append((u, "buy", t0 + datetime.timedelta(hours=1)))
+                masks.append(
+                    sum(1 << channels.index(c) for c in touched)
+                )
+            # post-conversion touches must NOT count
+            rows.append((u, "a", t0 + datetime.timedelta(hours=2)))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r["channel"]: r
+            for r in shapley_attribution(
+                df, channels, conversion_type="buy"
+            ).collect()
+        }
+        phi, v = self._ref_phi(masks, 3)
+        for i, c in enumerate(channels):
+            assert got[c]["phi_scaled"] == phi[i]
+            assert got[c]["v_empty"] == v[0]
+            assert got[c]["v_full"] == v[7]
+        # efficiency: sum phi = n! * (v(N) - v(empty))
+        assert sum(phi) == 6 * (v[7] - v[0])
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import (
+            shapley_attribution,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", None)], "user_id long, event_type string, ts timestamp"
+        )
+        with _pytest.raises(ValueError):
+            shapley_attribution(df, [])
+        with _pytest.raises(ValueError):
+            shapley_attribution(df, ["a", "a"])
+        with _pytest.raises(ValueError):
+            shapley_attribution(df, ["purchase"])
+        with _pytest.raises(ValueError):
+            shapley_attribution(df, [f"c{i}" for i in range(17)])
+
+
+class TestEwmaSmooth:
+    def test_matches_python_recursion(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.temporal import ewma_smooth
+
+        rng = random.Random(3)
+        rows = [(i, rng.randrange(0, 10_000)) for i in range(200)]
+        df = spark.createDataFrame(rows, "o long, x long")
+        a = 250
+        s = None
+        ref = {}
+        for o, x in rows:
+            s = x if s is None else (2 * (a * x + (1000 - a) * s) + 1000) // 2000
+            ref[o] = s
+        for r in ewma_smooth(df, "o", "x", alpha_permille=a).collect():
+            assert r["ewma"] == ref[r["o"]]
+
+    def test_alpha_1000_is_identity(self, spark):
+        from data_misc_tools_spark.operators.temporal import ewma_smooth
+
+        df = spark.createDataFrame([(1, 10), (2, 99), (3, 5)], "o long, x long")
+        got = ewma_smooth(df, "o", "x", alpha_permille=1000).collect()
+        assert all(r["ewma"] == r["x"] for r in got)
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import ewma_smooth
+
+        df = spark.createDataFrame([(i, i) for i in range(10)], "o long, x long")
+        with _pytest.raises(ValueError):
+            ewma_smooth(df, "o", "x", alpha_permille=0)
+        with _pytest.raises(ValueError):
+            ewma_smooth(df, "o", "x", max_rows=5)
