@@ -282,6 +282,11 @@ HEADLINE = [
     "shapley_attribution_events",
     "ewma_daily_revenue",
     "kmv_distinct_users",
+    # r7 session-2 wave 3: Jaccard node similarity, conformal
+    # intervals, corpus diversity
+    "linkpred_jaccard_neardup",
+    "conformal_interval_value",
+    "corpus_diversity_langs",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

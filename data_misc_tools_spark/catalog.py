@@ -11146,6 +11146,206 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_oracle(top_k: int = 50) -> str:
+    """Neighborhood-Jaccard twin over the SAME strict 2x4-banded
+    MinHash graph as _adamic_adar_oracle (wedge-census cost class).
+    The deg >= 2 center filter is omitted: a wedge center has two
+    distinct neighbors by construction, so it is a cost lever only."""
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+    wed AS (
+        SELECT e1.b AS u, e2.b AS v
+        FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+    ),
+    common AS (SELECT u, v, count(*)::BIGINT AS n_common FROM wed GROUP BY u, v)
+    SELECT c.u AS node_a, c.v AS node_b, c.n_common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           ((2 * 1000000 * c.n_common + (da.deg + db.deg - c.n_common))
+            // (2 * (da.deg + db.deg - c.n_common)))::BIGINT AS jac_e6,
+           EXISTS(SELECT 1 FROM pairs p WHERE p.a = c.u AND p.b = c.v) AS is_edge
+    FROM common c JOIN deg da ON da.node = c.u JOIN deg db ON db.node = c.v
+    ORDER BY jac_e6 DESC, node_a, node_b LIMIT {top_k}
+    """
+
+
+@_q("linkpred_jaccard_neardup", _jaccard_oracle(50))
+def linkpred_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard similarity on the strict near-dup graph:
+    top-50 pairs by |N∩N|/|N∪N| over ALL pairs with a common
+    neighbor, adjacent ones flagged — the structural-equivalence
+    companion to linkpred_adamic_adar (which ranks only missing
+    links): high-J adjacent pairs are template-family cores,
+    high-J non-edges are the misses a stricter pass should verify.
+    Engine-exact half-up e6 ratios of exact BIGINT counts. Same
+    sparse 2x4 graph (wedge work is sum-of-deg²). See
+    operators/cluster.py:jaccard_similarity."""
+    from data_misc_tools_spark.operators.cluster import jaccard_similarity
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    return jaccard_similarity(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        top_k=50,
+    )
+
+
+@_q(
+    "conformal_interval_value",
+    """
+    WITH base AS (
+        SELECT event_type AS g,
+               (('0x' || substr(md5('conf' || event_id::VARCHAR), 1, 8))::BIGINT
+                % 4) AS role,
+               round(value * 100)::BIGINT AS x
+        FROM events
+    ),
+    preds AS (
+        SELECT g, count(*)::BIGINT AS n_train,
+               ((2 * sum(x) + count(*)) // (2 * count(*)))::BIGINT AS pred_cents
+        FROM base WHERE role <= 1 GROUP BY g
+    ),
+    calib AS (
+        SELECT b.g, abs(b.x - p.pred_cents) AS r
+        FROM base b JOIN preds p USING (g) WHERE b.role = 2
+    ),
+    ncal AS (SELECT g, count(*)::BIGINT AS n_calib FROM calib GROUP BY g),
+    census AS (SELECT g, r, count(*)::BIGINT AS c FROM calib GROUP BY g, r),
+    cum AS (
+        SELECT g, r, sum(c) OVER (PARTITION BY g ORDER BY r)::BIGINT AS cum
+        FROM census
+    ),
+    q AS (
+        SELECT cum.g, n.n_calib,
+               min(CASE WHEN cum.cum >= ((n.n_calib + 1) * 900 + 999) // 1000
+                        THEN cum.r END)::BIGINT AS qhat
+        FROM cum JOIN ncal n USING (g) GROUP BY cum.g, n.n_calib
+    ),
+    test AS (
+        SELECT b.g, count(*)::BIGINT AS n_test,
+               sum((abs(b.x - p.pred_cents) <= q.qhat)::BIGINT)::BIGINT AS cov
+        FROM base b JOIN preds p USING (g) JOIN q USING (g)
+        WHERE b.role = 3 GROUP BY b.g
+    )
+    SELECT p.g AS "group", p.n_train, q.n_calib, t.n_test, p.pred_cents, q.qhat,
+           CASE WHEN q.qhat IS NULL THEN NULL
+                ELSE (2 * 1000000 * t.cov + t.n_test) // (2 * t.n_test)
+           END::BIGINT AS covered_e6
+    FROM preds p JOIN q ON q.g = p.g JOIN test t ON t.g = p.g
+    ORDER BY "group"
+    """,
+)
+def conformal_interval_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian split-conformal intervals for event value by type —
+    distribution-free "pred ± q̂ covers 90%" guarantees from a
+    hash-deterministic 2/1/1 train/calib/test split: per-type integer
+    mean predictor, calibration order statistic ⌈(n+1)·0.9⌉ read off
+    a group-partitioned residual census, achieved test coverage as a
+    half-up e6 rate. The empirical gate that model-based error bars
+    can't give without assumptions. See
+    operators/profile.py:conformal_report."""
+    from data_misc_tools_spark.operators.profile import conformal_report
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return conformal_report(
+        e, "event_type", "value", "event_id", alpha_permille=100
+    ).orderBy("group")
+
+
+@_q(
+    "corpus_diversity_langs",
+    """
+    WITH toks AS (
+        SELECT lang AS g, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT g, t[i] AS w, count(*)::BIGINT AS c
+        FROM toks JOIN generate_series(1, 2048) s(i) ON s.i <= len(t)
+        GROUP BY g, t[i]
+    ),
+    tot AS (
+        SELECT g, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+        FROM uni GROUP BY g
+    ),
+    urep AS (
+        SELECT u.g, t.n_tokens, t.n_types,
+               sum(u.c::HUGEINT * (round(ln(t.n_tokens::DOUBLE) * 1e6)::BIGINT
+                   - round(ln(u.c::DOUBLE) * 1e6)::BIGINT))::HUGEINT AS hs,
+               sum(u.c::HUGEINT * (u.c - 1))::HUGEINT AS ss
+        FROM uni u JOIN tot t USING (g) GROUP BY u.g, t.n_tokens, t.n_types
+    ),
+    big AS (
+        SELECT g, sum(c)::BIGINT AS n_bigrams,
+               count(*)::BIGINT AS n_bigram_types
+        FROM (
+            SELECT g, t[i] || ' ' || t[i + 1] AS w, count(*)::BIGINT AS c
+            FROM toks JOIN generate_series(1, 2048) s(i) ON s.i <= len(t) - 1
+            GROUP BY g, t[i] || ' ' || t[i + 1]
+        )
+        GROUP BY g
+    )
+    SELECT u.g AS "group", u.n_tokens, u.n_types,
+           ((2 * 1000000 * u.n_types::HUGEINT + u.n_tokens)
+            // (2 * u.n_tokens))::BIGINT AS ttr_e6,
+           ((2 * u.hs + u.n_tokens) // (2 * u.n_tokens::HUGEINT))::BIGINT
+               AS entropy_e6,
+           CASE WHEN u.n_tokens < 2 THEN NULL
+                ELSE ((2 * 1000000 * u.ss
+                       + u.n_tokens::HUGEINT * (u.n_tokens - 1))
+                      // (2 * u.n_tokens::HUGEINT * (u.n_tokens - 1)))::BIGINT
+           END AS simpson_e6,
+           coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(b.n_bigram_types, 0)::BIGINT AS n_bigram_types,
+           CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN NULL
+                ELSE ((2 * 1000000 * b.n_bigram_types + b.n_bigrams)
+                      // (2 * b.n_bigrams))::BIGINT END AS distinct2_e6
+    FROM urep u LEFT JOIN big b USING (g)
+    ORDER BY "group"
+    """,
+)
+def corpus_diversity_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-diversity report over documents: TTR +
+    distinct-bigram ratio (the distinct-n generation-diversity
+    metrics), Shannon unigram entropy (the keyness e6-log idiom,
+    decimal/HUGEINT sums), and the Simpson repeat-concentration index
+    (cross-multiplied half-up) — the "is this slice repetitive"
+    screen run before mixing a corpus. Two census legs off ONE
+    checkpointed tokenization, group totals broadcast back. See
+    operators/text.py:corpus_diversity."""
+    from data_misc_tools_spark.operators.text import corpus_diversity
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return corpus_diversity(d, "text", "lang").orderBy("group")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -11187,6 +11387,11 @@ GRADED_FIRST: list[str] = [
     # recursive-CTE twin, KMV bottom-k distinct sketch + merge ---
     "shapley_attribution_events", "ewma_daily_revenue",
     "kmv_distinct_users",
+    # --- round-7 session-2 wave 3 (first-time, oracle-exact):
+    # neighborhood-Jaccard node similarity, Mondrian split-conformal
+    # intervals, per-language corpus diversity ---
+    "linkpred_jaccard_neardup", "conformal_interval_value",
+    "corpus_diversity_langs",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -11194,9 +11399,10 @@ GRADED_FIRST: list[str] = [
     # in the driver's list-column canonicalizer). After this round,
     # EVERY catalog entry has an official driver row. ---
     # (tfidf_top_terms_docs / phrase_search_docs / lcc_neardup_nodes
-    # graded r6; rotated out for the session-2 wave-2 additions)
-    "theil_sen_daily_trend", "lag_crosscorr_purchase_click",
-    "hits_users_items", "benford_audit_prices",
+    # graded r6; rotated out for the session-2 wave-2 additions;
+    # theil_sen_daily_trend / lag_crosscorr_purchase_click /
+    # hits_users_items for the wave-3 additions)
+    "benford_audit_prices",
     "systematic_sample_orders", "attribution_ushape_credit",
     "cluster_medoids_embeddings", "rtbf_cascade_report",
     "quantile_normalize_values", "cuped_purchase_by_clicks",

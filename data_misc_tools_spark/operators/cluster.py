@@ -1201,3 +1201,91 @@ def hits_scores(
             F.col("v").alias("score_e6"),
         )
     )
+
+
+def jaccard_similarity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int | None = None,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-Jaccard node similarity over an undirected graph:
+    for every pair (u, v) with at least one common neighbor,
+    J(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the structural-
+    equivalence score (Liben-Nowell & Kleinberg 2007; Neo4j's
+    nodeSimilarity) that complements :func:`adamic_adar`: AA ranks
+    MISSING links among non-adjacent pairs, Jaccard scores EVERY
+    candidate pair (adjacent ones flagged ``is_edge``), so on a
+    near-dup graph it separates "these two docs sit in the same
+    template family" (high J) from hash-luck contacts (J ≈ 0).
+
+    Engine-exact: common-neighbor counts and degrees are exact
+    BIGINTs; jac_e6 is the half-up integer
+    (2·1e6·common + union) div (2·union) with
+    union = deg_u + deg_v − common > 0 by construction.
+
+    Scale shape: the same wedge census as :func:`adamic_adar`
+    (sum-of-deg² — inherent to any common-neighbor score;
+    ``max_degree`` drops hub CENTERS, the standard mitigation), one
+    (u, v)-keyed aggregate, degrees attached by two node-keyed joins,
+    adjacency flag by a left join on the canonical edge set, top-k
+    via TakeOrderedAndProject — never a global sort.
+
+    Output: (node_a, node_b, n_common, deg_a, deg_b, jac_e6,
+    is_edge), node_a < node_b.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # three consumers (neighbor list, degrees, adjacency flag) —
+        # the adamic_adar/triangle truncation idiom
+        .localCheckpoint()
+    )
+    nbrs = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = nbrs.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    centers = deg.filter(F.col("deg") >= 2)
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    hubs = nbrs.join(centers.select(F.col("node").alias("a")), "a")
+    w1 = hubs.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    w2 = hubs.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    common = (
+        w1.join(w2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    scored = (
+        common.join(deg.select(F.col("node").alias("u"),
+                               F.col("deg").alias("deg_a")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("deg").alias("deg_b")), "v")
+        .join(
+            canon.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                         F.lit(True).alias("__e")),
+            ["u", "v"],
+            "left",
+        )
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            "n_common", "deg_a", "deg_b",
+            F.expr(
+                "(2 * 1000000 * n_common + (deg_a + deg_b - n_common))"
+                " div (2 * (deg_a + deg_b - n_common))"
+            ).cast("long").alias("jac_e6"),
+            F.coalesce(F.col("__e"), F.lit(False)).alias("is_edge"),
+        )
+    )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.desc("jac_e6"), "node_a", "node_b"
+        ).limit(top_k)
+    return scored

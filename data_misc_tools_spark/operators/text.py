@@ -1175,3 +1175,117 @@ def keyness_llr(
         (F.col("llr_e6").cast("double") / F.lit(1e6)).alias("llr"),
         "rank",
     )
+
+
+def corpus_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group corpus diversity report — the one-stop "is this slice
+    of training data repetitive" screen combining the three standard
+    lexical-diversity axes: type/token ratio + distinct-bigram ratio
+    (the distinct-n metrics of Li et al. 2016, the generation-
+    diversity standard), Shannon unigram entropy (Shannon 1948), and
+    the Simpson/repeat concentration index Σc(c−1)/(N(N−1)) — the
+    probability two random tokens are the SAME type (high = a few
+    templates dominate; 1/Simpson is Hill's effective vocabulary).
+
+    Engine-exact: entropy rides the keyness idiom — H·1e6 = half-up
+    of Σ c·(e6ln(N) − e6ln(c)) / N with per-quantity e6-rounded logs
+    of exact BIGINTs, sums widened to decimal(38,0) (HUGEINT twin);
+    ttr/distinct-2/Simpson are half-up integer ratios with the
+    Simpson numerator cross-multiplied before the single division.
+    Groups with < 2 tokens report NULL simpson; groups with no
+    bigrams report NULL distinct2.
+
+    Scale shape: two explode legs (unigram, bigram), each one
+    map-side-combined census shuffle; group totals join back
+    broadcast (groups are languages — tens); the final report is one
+    row per group. No windows, no collect.
+
+    Output: (group, n_tokens, n_types, ttr_e6, entropy_e6,
+    simpson_e6, n_bigrams, n_bigram_types, distinct2_e6).
+    """
+    dec = "decimal(38,0)"
+    toks = df.select(
+        F.col(group_col).alias("g"), tokens(text_col).alias("t")
+    ).localCheckpoint()  # both legs explode the same tokenization
+    uni = (
+        toks.select("g", F.explode("t").alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = uni.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    e6ln = lambda col: F.round(F.log(F.col(col).cast("double")) * 1e6).cast("long")  # noqa: E731
+    urep = (
+        uni.join(F.broadcast(tot), "g")
+        .select(
+            "g", "n_tokens", "n_types",
+            (F.col("c").cast(dec) * (e6ln("n_tokens") - e6ln("c")))
+            .cast(dec)
+            .alias("__hterm"),
+            (F.col("c").cast(dec) * (F.col("c") - 1)).cast(dec).alias("__sterm"),
+        )
+        .groupBy("g", "n_tokens", "n_types")
+        .agg(
+            F.sum("__hterm").cast(dec).alias("__hs"),
+            F.sum("__sterm").cast(dec).alias("__ss"),
+        )
+        .selectExpr(
+            "g", "n_tokens", "n_types",
+            "cast((2 * 1000000 * cast(n_types as decimal(38,0)) + n_tokens)"
+            " div (2 * n_tokens) as long) AS ttr_e6",
+            "cast((2 * __hs + n_tokens) div (2 * cast(n_tokens as decimal(38,0)))"
+            " as long) AS entropy_e6",
+            """CASE WHEN n_tokens < 2 THEN cast(NULL as long)
+                    ELSE cast((2 * 1000000 * __ss
+                               + cast(n_tokens as decimal(38,0)) * (n_tokens - 1))
+                              div (2 * cast(n_tokens as decimal(38,0))
+                                   * (n_tokens - 1)) as long)
+               END AS simpson_e6""",
+        )
+    )
+    big = (
+        toks.select(
+            "g",
+            F.explode(
+                # sequence(1, 0) would generate DESCENDING [1, 0] --
+                # guard short docs to an empty array instead
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                    " END"
+                )
+            ).alias("w"),
+        )
+        .groupBy("g", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_bigram_types"),
+        )
+    )
+    return (
+        urep.join(F.broadcast(big), "g", "left")
+        .select(
+            F.col("g").alias("group"),
+            "n_tokens", "n_types", "ttr_e6", "entropy_e6", "simpson_e6",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("n_bigram_types"), F.lit(0).cast("long")).alias(
+                "n_bigram_types"
+            ),
+            F.expr(
+                """CASE WHEN coalesce(n_bigrams, 0) = 0 THEN cast(NULL as long)
+                        ELSE (2 * 1000000 * n_bigram_types + n_bigrams)
+                             div (2 * n_bigrams) END"""
+            ).cast("long").alias("distinct2_e6"),
+        )
+    )

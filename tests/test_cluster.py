@@ -813,3 +813,68 @@ class TestKTruss:
         with _pytest.raises(ValueError, match="k >= 3"):
             C.k_truss(df, 2)
         assert C.k_truss(df, 3).count() == 0  # a lone edge has no triangle
+
+
+class TestJaccardSimilarity:
+    def _ref(self, edges):
+        import collections
+        import itertools
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        out = {}
+        nodes = sorted(adj)
+        for u, v in itertools.combinations(nodes, 2):
+            common = len(adj[u] & adj[v])
+            if common == 0:
+                continue
+            union = len(adj[u]) + len(adj[v]) - common
+            jac = (2 * 1_000_000 * common + union) // (2 * union)
+            out[(u, v)] = (common, len(adj[u]), len(adj[v]), jac,
+                           v in adj[u])
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.cluster import jaccard_similarity
+
+        rng = random.Random(13)
+        edges = {
+            tuple(sorted(rng.sample(range(30), 2))) for _ in range(80)
+        }
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            (r["node_a"], r["node_b"]): (
+                r["n_common"], r["deg_a"], r["deg_b"], r["jac_e6"],
+                r["is_edge"],
+            )
+            for r in jaccard_similarity(df).collect()
+        }
+        assert got == self._ref(edges)
+
+    def test_perfect_twins_score_1(self, spark):
+        """Two non-adjacent nodes with identical neighborhoods ->
+        J = 1e6 exactly; an edge inside a triangle scores below."""
+        from data_misc_tools_spark.operators.cluster import jaccard_similarity
+
+        # 1 and 2 both connect to {10, 11, 12} and not to each other
+        edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["node_a"], r["node_b"]): r
+            for r in jaccard_similarity(df).collect()
+        }
+        r = got[(1, 2)]
+        assert r["jac_e6"] == 1_000_000 and not r["is_edge"]
+
+    def test_max_degree_drops_hub_centers(self, spark):
+        from data_misc_tools_spark.operators.cluster import jaccard_similarity
+
+        # star: hub 0 with 5 leaves; leaves pair only THROUGH the hub
+        edges = [(0, i) for i in range(1, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert jaccard_similarity(df).count() == 10  # C(5,2) leaf pairs
+        assert jaccard_similarity(df, max_degree=4).count() == 0

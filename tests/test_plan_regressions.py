@@ -792,3 +792,35 @@ def test_kmv_rank_window_is_group_partitioned(spark, sf_dir):
         assert not head.endswith("ASC NULLS FIRST"), (
             "unpartitioned window in KMV plan: " + spec
         )
+
+
+def test_jaccard_wedge_census_no_cartesian(spark, sf_dir):
+    """Jaccard node similarity: wedge equi-join census + node-keyed
+    degree joins + TakeOrdered top-k — no cartesian, no global-sort
+    window, top-k never a rank window."""
+    plan = _plan(spark, "linkpred_jaccard_neardup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_conformal_windows_group_partitioned_broadcast_frames(spark, sf_dir):
+    """Conformal: the residual-census cumulative count is GROUP-
+    partitioned; the per-group pred/qhat frames attach broadcast."""
+    plan = _plan(spark, "conformal_interval_value", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in conformal plan: " + spec
+        )
+
+
+def test_corpus_diversity_broadcast_totals_no_window(spark, sf_dir):
+    """Diversity report: census shuffles with map-side combine, group
+    totals broadcast back, no windows anywhere."""
+    plan = _plan(spark, "corpus_diversity_langs", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2

@@ -816,3 +816,86 @@ class TestKmvDistinct:
         df = spark.createDataFrame([("g", 1)], "g string, k long")
         with _pytest.raises(ValueError):
             kmv_distinct(df, "k", ["g"], k=1)
+
+
+class TestConformalReport:
+    def _hash_role(self, id_, salt="conf"):
+        import hashlib
+
+        return int(
+            hashlib.md5((salt + str(id_)).encode()).hexdigest()[:8], 16
+        ) % 4
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import conformal_report
+
+        rng = random.Random(21)
+        rows = [
+            (i, "g" + str(i % 2), round(rng.uniform(0, 100), 2))
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {
+            r["group"]: r
+            for r in conformal_report(df, "g", "v", "id").collect()
+        }
+        for g in ("g0", "g1"):
+            grp = [(i, round(v * 100)) for i, gg, v in rows if gg == g]
+            train = [x for i, x in grp if self._hash_role(i) <= 1]
+            calib = [x for i, x in grp if self._hash_role(i) == 2]
+            test = [x for i, x in grp if self._hash_role(i) == 3]
+            pred = (2 * sum(train) + len(train)) // (2 * len(train))
+            res = sorted(abs(x - pred) for x in calib)
+            j = ((len(calib) + 1) * 900 + 999) // 1000
+            qhat = res[j - 1] if j <= len(res) else None
+            r = got[g]
+            assert r["n_train"] == len(train)
+            assert r["n_calib"] == len(calib)
+            assert r["n_test"] == len(test)
+            assert r["pred_cents"] == pred
+            assert r["qhat"] == qhat
+            cov = sum(1 for x in test if abs(x - pred) <= qhat)
+            assert r["covered_e6"] == (
+                2 * 1_000_000 * cov + len(test)
+            ) // (2 * len(test))
+            # the conformal guarantee: coverage ~ 90% on iid data
+            assert 820_000 < r["covered_e6"] < 980_000
+
+    def test_tiny_calibration_yields_null(self, spark):
+        """n_calib too small for the 90% order statistic -> qhat NULL
+        (conformal's +infinity), coverage NULL."""
+        from data_misc_tools_spark.operators.profile import conformal_report
+
+        # ids chosen so every role appears but calib has ~2 rows:
+        # with n_calib=2, j = ceil(3*0.9) = 3 > 2 -> NULL
+        rows = []
+        n_calib = 0
+        i = 0
+        while True:
+            role = self._hash_role(i)
+            if role == 2:
+                if n_calib >= 2:
+                    i += 1
+                    continue
+                n_calib += 1
+            rows.append((i, "g", 10.0))
+            i += 1
+            if len(rows) >= 40 and n_calib == 2:
+                break
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        r = conformal_report(df, "g", "v", "id").collect()[0]
+        assert r["n_calib"] == 2
+        assert r["qhat"] is None and r["covered_e6"] is None
+
+    def test_alpha_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import conformal_report
+
+        df = spark.createDataFrame([(1, "g", 1.0)], "id long, g string, v double")
+        with _pytest.raises(ValueError):
+            conformal_report(df, "g", "v", "id", alpha_permille=0)
+        with _pytest.raises(ValueError):
+            conformal_report(df, "g", "v", "id", alpha_permille=1000)

@@ -640,3 +640,87 @@ def test_keyness_llr_python_reference(spark):
     assert got["loop"].llr > got["join"].llr
     ranks = sorted((r.rank, r.term) for r in got.values())
     assert [t for _, t in ranks[:1]] != [] and ranks[0][0] == 1
+
+
+class TestCorpusDiversity:
+    def _ref(self, docs):
+        import collections
+        import math
+
+        out = {}
+        by_g = collections.defaultdict(list)
+        for g, t in docs:
+            by_g[g].append([w for w in t.split(" ") if w])
+        for g, toklists in by_g.items():
+            uni = collections.Counter(w for t in toklists for w in t)
+            big = collections.Counter(
+                f"{t[i]} {t[i + 1]}"
+                for t in toklists
+                for i in range(len(t) - 1)
+            )
+            n = sum(uni.values())
+            v = len(uni)
+            hs = sum(
+                c * (round(math.log(n) * 1e6) - round(math.log(c) * 1e6))
+                for c in uni.values()
+            )
+            ss = sum(c * (c - 1) for c in uni.values())
+            n2 = sum(big.values())
+            v2 = len(big)
+            out[g] = dict(
+                n_tokens=n,
+                n_types=v,
+                ttr_e6=(2 * 1_000_000 * v + n) // (2 * n),
+                entropy_e6=(2 * hs + n) // (2 * n),
+                simpson_e6=None if n < 2 else
+                (2 * 1_000_000 * ss + n * (n - 1)) // (2 * n * (n - 1)),
+                n_bigrams=n2,
+                n_bigram_types=v2,
+                distinct2_e6=None if n2 == 0 else
+                (2 * 1_000_000 * v2 + n2) // (2 * n2),
+            )
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.text import corpus_diversity
+
+        rng = random.Random(17)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = [
+            (
+                "g" + str(i % 3),
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))),
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(docs, "lang string, text string")
+        ref = self._ref(docs)
+        got = corpus_diversity(df, "text", "lang").collect()
+        assert len(got) == len(ref)
+        for r in got:
+            e = ref[r["group"]]
+            for k, want in e.items():
+                assert r[k] == want, (r["group"], k, r[k], want)
+
+    def test_degenerate_extremes(self, spark):
+        from data_misc_tools_spark.operators.text import corpus_diversity
+
+        df = spark.createDataFrame(
+            [
+                ("mono", "a a a a a a"),       # one type: entropy 0, simpson 1
+                ("all_new", "a b c d e f"),    # all distinct: ttr 1, simpson 0
+                ("single", "x"),               # 1 token: simpson NULL, no bigrams
+            ],
+            "lang string, text string",
+        )
+        got = {r["group"]: r for r in corpus_diversity(df, "text", "lang").collect()}
+        assert got["mono"]["entropy_e6"] == 0
+        assert got["mono"]["simpson_e6"] == 1_000_000
+        assert got["mono"]["ttr_e6"] == (2 * 1_000_000 * 1 + 6) // 12
+        assert got["all_new"]["ttr_e6"] == 1_000_000
+        assert got["all_new"]["simpson_e6"] == 0
+        assert got["single"]["simpson_e6"] is None
+        assert got["single"]["n_bigrams"] == 0
+        assert got["single"]["distinct2_e6"] is None
