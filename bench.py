@@ -287,6 +287,9 @@ HEADLINE = [
     "linkpred_jaccard_neardup",
     "conformal_interval_value",
     "corpus_diversity_langs",
+    # r7 session-2 wave 4: RAKE keyphrases, closed-form OLS
+    "rake_keywords_docs",
+    "ols2_lineitem_price",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

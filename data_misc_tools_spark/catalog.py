@@ -11346,6 +11346,136 @@ def corpus_diversity_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diversity(d, "text", "lang").orderBy("group")
 
 
+_RAKE_STOPS = ("the", "a", "of", "and", "to", "in", "is", "it", "you", "that")
+
+
+def _rake_oracle(top_k: int = 25) -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+    WITH tw AS (
+        SELECT doc_id, s.i AS pos, t[s.i] AS w
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents WHERE lang = 'en')
+        JOIN generate_series(1, 2048) s(i) ON s.i <= len(t)
+    ),
+    seg AS (
+        SELECT doc_id, pos, w, (w IN ({stops}))::BIGINT AS stop,
+               sum((w IN ({stops}))::BIGINT)
+                   OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS seg
+        FROM tw
+    ),
+    pw AS (SELECT doc_id, seg, pos, w FROM seg WHERE stop = 0),
+    ph AS (
+        SELECT doc_id, seg, string_agg(w, ' ' ORDER BY pos) AS phrase,
+               count(*)::BIGINT AS plen
+        FROM pw GROUP BY doc_id, seg
+    ),
+    occ AS (SELECT pw.w, ph.plen FROM pw JOIN ph USING (doc_id, seg)),
+    ws AS (
+        SELECT w, ((2 * 1000000 * sum(plen) + count(*))
+                   // (2 * count(*)))::BIGINT AS wscore_e6
+        FROM occ GROUP BY w
+    ),
+    psc AS (
+        SELECT ph.doc_id, ph.seg, ph.phrase, ph.plen,
+               sum(ws.wscore_e6)::BIGINT AS score_e6
+        FROM ph JOIN pw USING (doc_id, seg) JOIN ws ON ws.w = pw.w
+        GROUP BY ph.doc_id, ph.seg, ph.phrase, ph.plen
+    )
+    SELECT phrase, max(plen)::BIGINT AS n_words,
+           count(*)::BIGINT AS n_occurrences,
+           max(score_e6)::BIGINT AS score_e6
+    FROM psc GROUP BY phrase
+    ORDER BY score_e6 DESC, phrase LIMIT {top_k}
+    """
+
+
+@_q("rake_keywords_docs", _rake_oracle(25))
+def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the English documents: token
+    streams split at the en stopword list into candidate phrases,
+    words scored degree/frequency as half-up e6 integers, phrases as
+    BIGINT sums of member-word scores, top-25 by (score, phrase) —
+    the unsupervised keyword ranker beside pmi_collocations (which
+    scores PAIRS by association; RAKE ranks whole phrases by
+    co-occurrence reach). See operators/text.py:rake_keywords."""
+    from data_misc_tools_spark.operators.text import rake_keywords
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return rake_keywords(
+        d.filter(F.col("lang") == "en"), list(_RAKE_STOPS), top_k=25
+    )
+
+
+@_q(
+    "ols2_lineitem_price",
+    """
+    WITH b AS (
+        SELECT round(l_extendedprice * 100)::BIGINT AS y,
+               round(l_quantity * 100)::BIGINT AS x1,
+               round(l_discount * 10000)::BIGINT AS x2
+        FROM lineitem
+    ),
+    s AS (
+        SELECT count(*)::HUGEINT AS n, sum(y)::HUGEINT AS sy,
+               sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+               sum(x1::HUGEINT * x1)::HUGEINT AS s11,
+               sum(x2::HUGEINT * x2)::HUGEINT AS s22,
+               sum(x1::HUGEINT * x2)::HUGEINT AS s12,
+               sum(x1::HUGEINT * y)::HUGEINT AS s1y,
+               sum(x2::HUGEINT * y)::HUGEINT AS s2y,
+               sum(y::HUGEINT * y)::HUGEINT AS syy
+        FROM b
+    ),
+    g AS (
+        SELECT n::BIGINT AS nn,
+               (n * s11 - s1 * s1)::DOUBLE AS g11,
+               (n * s22 - s2 * s2)::DOUBLE AS g22,
+               (n * s12 - s1 * s2)::DOUBLE AS g12,
+               (n * s1y - s1 * sy)::DOUBLE AS g1y,
+               (n * s2y - s2 * sy)::DOUBLE AS g2y,
+               (n * syy - sy * sy)::DOUBLE AS gyy,
+               sy::DOUBLE / n::DOUBLE AS my,
+               s1::DOUBLE / n::DOUBLE AS m1,
+               s2::DOUBLE / n::DOUBLE AS m2
+        FROM s
+    ),
+    c AS (
+        SELECT nn, my, m1, m2, g1y, g2y, gyy,
+               CASE WHEN g11 * g22 - g12 * g12 = 0 THEN NULL
+                    ELSE (g22 * g1y - g12 * g2y)
+                         / (g11 * g22 - g12 * g12) END AS beta1,
+               CASE WHEN g11 * g22 - g12 * g12 = 0 THEN NULL
+                    ELSE (g11 * g2y - g12 * g1y)
+                         / (g11 * g22 - g12 * g12) END AS beta2
+        FROM g
+    )
+    SELECT nn AS n, my - beta1 * m1 - beta2 * m2 AS beta0, beta1, beta2,
+           CASE WHEN gyy = 0 THEN NULL
+                ELSE (beta1 * g1y + beta2 * g2y) / gyy END AS r2
+    FROM c
+    """,
+)
+def ols2_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS: extendedprice (cents) ~ quantity (e2) +
+    discount (e4) with intercept — the closed-form multiple
+    regression by the pearson_exact/cuped template: ten exact
+    decimal(38,0)/HUGEINT sums in ONE aggregate, centered scatter as
+    cross-multiplied exact integers, Cramer's rule as one pinned IEEE
+    chain (each G to double BEFORE any division), UNROUNDED doubles
+    out, try_divide for the collinear/constant degenerate cases.
+    Price is ~quantity-proportional so beta1 >> 0 and R² is high —
+    pinned in tests. See operators/profile.py:ols2_exact."""
+    from data_misc_tools_spark.operators.profile import ols2_exact
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return ols2_exact(
+        li, "l_extendedprice", "l_quantity", "l_discount",
+        y_scale=100, x1_scale=100, x2_scale=10000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -11392,6 +11522,9 @@ GRADED_FIRST: list[str] = [
     # intervals, per-language corpus diversity ---
     "linkpred_jaccard_neardup", "conformal_interval_value",
     "corpus_diversity_langs",
+    # --- round-7 session-2 wave 4 (first-time, oracle-exact):
+    # RAKE keyphrase extraction, closed-form 2-feature OLS ---
+    "rake_keywords_docs", "ols2_lineitem_price",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -11401,9 +11534,9 @@ GRADED_FIRST: list[str] = [
     # (tfidf_top_terms_docs / phrase_search_docs / lcc_neardup_nodes
     # graded r6; rotated out for the session-2 wave-2 additions;
     # theil_sen_daily_trend / lag_crosscorr_purchase_click /
-    # hits_users_items for the wave-3 additions)
-    "benford_audit_prices",
-    "systematic_sample_orders", "attribution_ushape_credit",
+    # hits_users_items for the wave-3 additions;
+    # benford_audit_prices / systematic_sample_orders for wave 4)
+    "attribution_ushape_credit",
     "cluster_medoids_embeddings", "rtbf_cascade_report",
     "quantile_normalize_values", "cuped_purchase_by_clicks",
     "image_dhash_neardup", "mann_kendall_daily_trend",

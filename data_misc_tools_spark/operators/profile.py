@@ -2546,3 +2546,86 @@ def conformal_report(
             .alias("covered_e6"),
         )
     )
+
+
+def ols2_exact(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_scale: int = 100,
+    x1_scale: int = 100,
+    x2_scale: int = 100,
+) -> DataFrame:
+    """Two-feature ordinary least squares with intercept, engine-exact
+    by the pearson_exact/cuped template: ONE aggregate computes the
+    ten raw integer sums (values pre-scaled to integers, sums widened
+    to decimal(38,0) / HUGEINT), the centered scatter entries are the
+    cross-multiplied integers G_ab = n·Σab − Σa·Σb (still exact), and
+    the coefficients come from Cramer's rule on the 2×2 centered
+    system — each G converted to DOUBLE first, then ONE pinned IEEE
+    chain (the welch/mann_kendall float-exit rule), UNROUNDED:
+
+        β₁ = (G22·G1y − G12·G2y) / det,  det = G11·G22 − G12²
+        β₂ = (G11·G2y − G12·G1y) / det
+        β₀ = ȳ − β₁·x̄₁ − β₂·x̄₂        (means as exact-int ratios)
+        R² = (β₁·G1y + β₂·G2y) / Gyy   (centered decomposition)
+
+    Collinear features (det = 0) and constant y (Gyy = 0) exit NULL
+    via try_divide — Spark 4 ANSI raises on unconditional mid-select
+    division even for doubles (the welch_ttest lesson).
+
+    Coefficients are reported in the SCALED integer units; the caller
+    divides by the scale ratio to return to natural units (kept
+    scaled here so the driver hash compares pure IEEE doubles of
+    exact integer inputs).
+
+    Scale shape: one map-side-combined aggregate, one output row —
+    the 100 TB regression is one scan, no iteration (contrast SGD).
+
+    Output: (n, beta0, beta1, beta2, r2), one row.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.round(F.col(y_col).cast("double") * y_scale).cast("long").alias("y"),
+        F.round(F.col(x1_col).cast("double") * x1_scale).cast("long").alias("x1"),
+        F.round(F.col(x2_col).cast("double") * x2_scale).cast("long").alias("x2"),
+    )
+    sums = base.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum("x1").cast(dec).alias("s1"),
+        F.sum("x2").cast(dec).alias("s2"),
+        F.sum(F.col("x1").cast(dec) * F.col("x1")).cast(dec).alias("s11"),
+        F.sum(F.col("x2").cast(dec) * F.col("x2")).cast(dec).alias("s22"),
+        F.sum(F.col("x1").cast(dec) * F.col("x2")).cast(dec).alias("s12"),
+        F.sum(F.col("x1").cast(dec) * F.col("y")).cast(dec).alias("s1y"),
+        F.sum(F.col("x2").cast(dec) * F.col("y")).cast(dec).alias("s2y"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    return sums.selectExpr(
+        "cast(n as long) AS n",
+        """cast(n * s11 - s1 * s1 as double) AS __g11""",
+        "cast(n * s22 - s2 * s2 as double) AS __g22",
+        "cast(n * s12 - s1 * s2 as double) AS __g12",
+        "cast(n * s1y - s1 * sy as double) AS __g1y",
+        "cast(n * s2y - s2 * sy as double) AS __g2y",
+        "cast(n * syy - sy * sy as double) AS __gyy",
+        "cast(sy as double) / cast(n as double) AS __my",
+        "cast(s1 as double) / cast(n as double) AS __m1",
+        "cast(s2 as double) / cast(n as double) AS __m2",
+    ).selectExpr(
+        "n",
+        "try_divide(__g22 * __g1y - __g12 * __g2y,"
+        " __g11 * __g22 - __g12 * __g12) AS beta1",
+        "try_divide(__g11 * __g2y - __g12 * __g1y,"
+        " __g11 * __g22 - __g12 * __g12) AS beta2",
+        "__my AS __my", "__m1 AS __m1", "__m2 AS __m2",
+        "__g1y AS __g1y", "__g2y AS __g2y", "__gyy AS __gyy",
+    ).selectExpr(
+        "n",
+        "__my - beta1 * __m1 - beta2 * __m2 AS beta0",
+        "beta1",
+        "beta2",
+        "try_divide(beta1 * __g1y + beta2 * __g2y, __gyy) AS r2",
+    )

@@ -1289,3 +1289,81 @@ def corpus_diversity(
             ).cast("long").alias("distinct2_e6"),
         )
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    stopwords: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    extraction from individual documents") — the classic unsupervised
+    keyphrase ranker: split each token stream at stopwords into
+    candidate phrases, score each WORD by degree/frequency (degree =
+    Σ length of the phrases its occurrences sit in — co-occurrence
+    reach; frequency = occurrence count), and score each PHRASE as
+    the sum of its member-word scores, so multi-word technical terms
+    outrank their individual words.
+
+    Engine-exact: word_score_e6 is the half-up integer
+    (2·1e6·deg + freq) div (2·freq); phrase scores are BIGINT sums of
+    those integers. Identical phrase texts across documents aggregate
+    to one output row (score identical by construction, pinned with
+    max == min in tests).
+
+    Scale shape: one posexplode, the stopword-segment id from a
+    DOC-partitioned running sum (keyed window), phrase assembly via
+    sort_array(collect_list) per (doc, segment) — per-document
+    bounded, no global sort; the word-stats census is one
+    map-side-combined shuffle joined back by word; top-k via
+    TakeOrderedAndProject.
+
+    Output: (phrase, n_words, n_occurrences, score_e6).
+    """
+    from pyspark.sql.window import Window
+
+    if not stopwords:
+        raise ValueError("need a stopword list (phrase delimiters)")
+    tw = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    )
+    w_doc = Window.partitionBy("__id").orderBy("pos")
+    seg = tw.withColumn(
+        "__stop", F.col("w").isin(list(stopwords)).cast("long")
+    ).withColumn("__seg", F.sum("__stop").over(w_doc))
+    pw = seg.filter(F.col("__stop") == 0).select("__id", "__seg", "pos", "w")
+    # phrase assembly + per-phrase length; sort_array over the bounded
+    # per-(doc, segment) group keeps word order deterministic
+    ph = (
+        pw.groupBy("__id", "__seg")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("sw"))
+        .select(
+            "__id", "__seg",
+            F.array_join(F.expr("transform(sw, s -> s.w)"), " ").alias("phrase"),
+            F.size("sw").cast("long").alias("plen"),
+        )
+        .localCheckpoint()  # feeds the word census AND the phrase scorer
+    )
+    occ = pw.join(ph.select("__id", "__seg", "plen"), ["__id", "__seg"])
+    ws = occ.groupBy("w").agg(
+        F.expr(
+            "(2 * 1000000 * sum(plen) + count(*)) div (2 * count(*))"
+        ).cast("long").alias("wscore_e6")
+    )
+    psc = (
+        pw.join(ph.select("__id", "__seg", "phrase", "plen"), ["__id", "__seg"])
+        .join(ws, "w")
+        .groupBy("__id", "__seg", "phrase", "plen")
+        .agg(F.sum("wscore_e6").cast("long").alias("score_e6"))
+    )
+    out = psc.groupBy("phrase").agg(
+        F.max("plen").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("score_e6").cast("long").alias("score_e6"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("score_e6"), "phrase").limit(top_k)
+    return out

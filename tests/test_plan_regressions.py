@@ -824,3 +824,26 @@ def test_corpus_diversity_broadcast_totals_no_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+
+
+def test_rake_windows_doc_partitioned_topk_take_ordered(spark, sf_dir):
+    """RAKE: the stopword-segment running sum is DOC-partitioned;
+    phrase top-k is TakeOrderedAndProject, never a rank window."""
+    plan = _plan(spark, "rake_keywords_docs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in RAKE plan: " + spec
+        )
+
+
+def test_ols2_single_aggregate_single_scan(spark, sf_dir):
+    """OLS: ten exact sums in ONE aggregate over ONE scan, one output
+    row — no iteration, no joins, no windows."""
+    plan = _plan(spark, "ols2_lineitem_price", sf_dir)
+    assert plan.count("Scan parquet") == 2  # tree + detail = ONE scan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("partial_sum") >= 1

@@ -899,3 +899,73 @@ class TestConformalReport:
             conformal_report(df, "g", "v", "id", alpha_permille=0)
         with _pytest.raises(ValueError):
             conformal_report(df, "g", "v", "id", alpha_permille=1000)
+
+
+class TestOls2Exact:
+    def test_recovers_planted_coefficients(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import ols2_exact
+
+        rng = random.Random(31)
+        rows = [
+            (
+                round(3.0 + 2.0 * x1 - 0.5 * x2 + rng.gauss(0, 0.01), 2),
+                round(x1, 2),
+                round(x2, 2),
+            )
+            for x1, x2 in (
+                (rng.uniform(0, 10), rng.uniform(0, 10)) for _ in range(3000)
+            )
+        ]
+        df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+        r = ols2_exact(df, "y", "x1", "x2").collect()[0]
+        # scaled units: all three columns scaled by 100, so beta1/2
+        # are unitless (cents per cent) and beta0 is in cents
+        assert abs(r.beta1 - 2.0) < 0.01
+        assert abs(r.beta2 - (-0.5)) < 0.01
+        assert abs(r.beta0 - 300.0) < 2.0
+        assert r.r2 > 0.99
+
+    def test_matches_numpy_lstsq(self, spark):
+        import random
+
+        import numpy as np
+
+        from data_misc_tools_spark.operators.profile import ols2_exact
+
+        rng = random.Random(41)
+        rows = [
+            (round(rng.uniform(0, 50), 2), round(rng.uniform(0, 9), 2),
+             round(rng.uniform(0, 5), 2))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+        r = ols2_exact(df, "y", "x1", "x2").collect()[0]
+        ys = np.array([round(y * 100) for y, _, _ in rows], dtype=float)
+        x1 = np.array([round(a * 100) for _, a, _ in rows], dtype=float)
+        x2 = np.array([round(b * 100) for _, _, b in rows], dtype=float)
+        X = np.column_stack([np.ones_like(x1), x1, x2])
+        beta, *_ = np.linalg.lstsq(X, ys, rcond=None)
+        assert abs(r.beta0 - beta[0]) < 1e-6 * max(1, abs(beta[0]))
+        assert abs(r.beta1 - beta[1]) < 1e-9
+        assert abs(r.beta2 - beta[2]) < 1e-9
+
+    def test_collinear_features_null(self, spark):
+        from data_misc_tools_spark.operators.profile import ols2_exact
+
+        rows = [(float(i), float(i), 2.0 * i) for i in range(100)]
+        df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+        r = ols2_exact(df, "y", "x1", "x2").collect()[0]
+        assert r.beta1 is None and r.beta2 is None
+
+    def test_constant_y_r2_null(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import ols2_exact
+
+        rng = random.Random(5)
+        rows = [(7.0, rng.uniform(0, 1), rng.uniform(0, 1)) for _ in range(50)]
+        df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+        r = ols2_exact(df, "y", "x1", "x2").collect()[0]
+        assert r.r2 is None

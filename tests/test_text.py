@@ -724,3 +724,90 @@ class TestCorpusDiversity:
         assert got["single"]["simpson_e6"] is None
         assert got["single"]["n_bigrams"] == 0
         assert got["single"]["distinct2_e6"] is None
+
+
+class TestRakeKeywords:
+    def _ref(self, docs, stops):
+        import collections
+
+        phrases = []
+        for _id, text in docs:
+            toks = [w for w in text.split(" ") if w]
+            cur = []
+            for w in toks:
+                if w in stops:
+                    if cur:
+                        phrases.append(tuple(cur))
+                    cur = []
+                else:
+                    cur.append(w)
+            if cur:
+                phrases.append(tuple(cur))
+        deg = collections.Counter()
+        freq = collections.Counter()
+        for p in phrases:
+            for w in p:
+                deg[w] += len(p)
+                freq[w] += 1
+        ws = {
+            w: (2 * 1_000_000 * deg[w] + freq[w]) // (2 * freq[w])
+            for w in freq
+        }
+        out = collections.defaultdict(lambda: [0, 0, 0])
+        for p in phrases:
+            k = " ".join(p)
+            out[k][0] = len(p)
+            out[k][1] += 1
+            out[k][2] = sum(ws[w] for w in p)
+        return {k: tuple(v) for k, v in out.items()}
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.text import rake_keywords
+
+        rng = random.Random(23)
+        stops = ["the", "of", "and"]
+        vocab = ["deep", "learning", "model", "data", "pipeline", "spark"]
+        docs = [
+            (
+                i,
+                " ".join(
+                    rng.choice(stops + vocab) for _ in range(rng.randrange(3, 25))
+                ),
+            )
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        ref = self._ref(docs, set(stops))
+        got = {
+            r["phrase"]: (r["n_words"], r["n_occurrences"], r["score_e6"])
+            for r in rake_keywords(df, stops).collect()
+        }
+        assert got == ref
+
+    def test_multiword_phrase_outranks_members(self, spark):
+        """The RAKE property: a recurring multi-word term scores above
+        its isolated member words."""
+        from data_misc_tools_spark.operators.text import rake_keywords
+
+        docs = [
+            (1, "deep learning of the model"),
+            (2, "deep learning and model"),
+            (3, "model the deep learning"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["phrase"]: r["score_e6"]
+            for r in rake_keywords(df, ["the", "of", "and"]).collect()
+        }
+        assert got["deep learning"] > got["model"]
+
+    def test_empty_stopwords_raise(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.text import rake_keywords
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            rake_keywords(df, [])
