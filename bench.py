@@ -290,6 +290,10 @@ HEADLINE = [
     # r7 session-2 wave 4: RAKE keyphrases, closed-form OLS
     "rake_keywords_docs",
     "ols2_lineitem_price",
+    # r7 session-2 wave 5: PSI drift, DiD, golden record
+    "psi_drift_value",
+    "did_purchase_heavy",
+    "golden_record_orders",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

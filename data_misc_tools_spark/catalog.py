@@ -11476,6 +11476,209 @@ def ols2_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "psi_drift_value",
+    """
+    WITH b AS (
+        SELECT floor(epoch(ts))::BIGINT AS t, round(value * 100)::BIGINT AS x
+        FROM events
+    ),
+    mm AS (SELECT (min(t) + max(t)) // 2 AS mid FROM b),
+    ref AS (SELECT x FROM b, mm WHERE t < mid),
+    cur AS (SELECT x FROM b, mm WHERE t >= mid),
+    nref AS (SELECT count(*)::BIGINT AS n FROM ref),
+    census AS (SELECT x, count(*)::BIGINT AS c FROM ref GROUP BY x),
+    cum AS (SELECT x, c, sum(c) OVER (ORDER BY x)::BIGINT AS cum FROM census),
+    edges AS (
+        SELECT DISTINCT e FROM (
+            SELECT g.j, min(cum.x) AS e
+            FROM cum CROSS JOIN nref
+            JOIN generate_series(1, 9) g(j)
+              ON cum.cum >= (g.j * nref.n + 9) // 10
+            GROUP BY g.j
+        ) WHERE e IS NOT NULL
+    ),
+    nb AS (SELECT count(*)::BIGINT + 1 AS bb FROM edges),
+    refc AS (SELECT x, count(*)::BIGINT AS c FROM ref GROUP BY x),
+    curc AS (SELECT x, count(*)::BIGINT AS c FROM cur GROUP BY x),
+    rb AS (
+        SELECT bin, sum(c)::BIGINT AS ref_n FROM (
+            SELECT rc.x, rc.c,
+                   coalesce(sum((rc.x > e.e)::BIGINT), 0)::BIGINT AS bin
+            FROM refc rc CROSS JOIN edges e GROUP BY rc.x, rc.c
+        ) GROUP BY bin
+    ),
+    cb AS (
+        SELECT bin, sum(c)::BIGINT AS cur_n FROM (
+            SELECT cc.x, cc.c,
+                   coalesce(sum((cc.x > e.e)::BIGINT), 0)::BIGINT AS bin
+            FROM curc cc CROSS JOIN edges e GROUP BY cc.x, cc.c
+        ) GROUP BY bin
+    ),
+    tot AS (SELECT (SELECT sum(ref_n) FROM rb)::BIGINT AS nr,
+                   (SELECT sum(cur_n) FROM cb)::BIGINT AS nc),
+    j AS (
+        SELECT coalesce(rb.bin, cb.bin) AS bin,
+               coalesce(rb.ref_n, 0)::BIGINT AS ref_n,
+               coalesce(cb.cur_n, 0)::BIGINT AS cur_n
+        FROM rb FULL JOIN cb ON rb.bin = cb.bin
+    )
+    SELECT bin, ref_n, cur_n,
+           ((2 * 1000000 * ref_n + nr) // (2 * nr))::BIGINT AS ref_share_e6,
+           ((2 * 1000000 * cur_n + nc) // (2 * nc))::BIGINT AS cur_share_e6,
+           ((2 * (((ref_n + 1) * (nc + bb) - (cur_n + 1) * (nr + bb))::HUGEINT
+                  * (round(ln(((ref_n + 1) * (nc + bb))::DOUBLE) * 1e6)::BIGINT
+                     - round(ln(((cur_n + 1) * (nr + bb))::DOUBLE) * 1e6)::BIGINT))
+             + (nr + bb)::HUGEINT * (nc + bb))
+            // (2 * (nr + bb)::HUGEINT * (nc + bb)))::BIGINT AS term_e6
+    FROM j CROSS JOIN tot CROSS JOIN nb ORDER BY bin
+    """,
+)
+def psi_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift between the first and second
+    half of the event window (split at the exact epoch midpoint) over
+    value cents: reference-decile bins from exact order statistics,
+    Laplace-smoothed per-bin (p−q)·ln(p/q) terms as half-up e6
+    integers of cross-multiplied exact products (the pmi overflow-safe
+    log idiom), per-BIN rows so no float-sum ordering exists. The
+    model-monitoring companion to corpus_drift's vocabulary KL. See
+    operators/profile.py:psi_report."""
+    from data_misc_tools_spark.operators.profile import psi_report
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    b = e.select(
+        F.col("ts").cast("long").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    mid = b.agg(
+        F.expr("(min(t) + max(t)) div 2").cast("long").alias("mid")
+    ).collect()[0]["mid"]
+    return psi_report(
+        b.filter(F.col("t") < mid),
+        b.filter(F.col("t") >= mid),
+        "x",
+        n_bins=10,
+    )
+
+
+@_q(
+    "did_purchase_heavy",
+    """
+    WITH uc AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1),
+    ut AS (SELECT count(*)::BIGINT AS total,
+                  (SELECT count(*) FROM uc)::BIGINT AS n_users
+           FROM events),
+    mm AS (SELECT (min(floor(epoch(ts))::BIGINT)
+                   + max(floor(epoch(ts))::BIGINT)) // 2 AS mid FROM events),
+    b AS (
+        SELECT (uc.c * ut.n_users > ut.total) AS t,
+               (floor(epoch(e.ts))::BIGINT >= mm.mid) AS p,
+               round(e.value * 100)::BIGINT AS x
+        FROM events e JOIN uc USING (user_id) CROSS JOIN ut CROSS JOIN mm
+        WHERE e.event_type = 'purchase'
+    ),
+    s AS (
+        SELECT
+            sum((NOT t AND NOT p)::BIGINT)::BIGINT AS n_c_pre,
+            sum((NOT t AND p)::BIGINT)::BIGINT AS n_c_post,
+            sum((t AND NOT p)::BIGINT)::BIGINT AS n_t_pre,
+            sum((t AND p)::BIGINT)::BIGINT AS n_t_post,
+            sum(CASE WHEN NOT t AND NOT p THEN x ELSE 0 END)::HUGEINT AS s_c_pre,
+            sum(CASE WHEN NOT t AND p THEN x ELSE 0 END)::HUGEINT AS s_c_post,
+            sum(CASE WHEN t AND NOT p THEN x ELSE 0 END)::HUGEINT AS s_t_pre,
+            sum(CASE WHEN t AND p THEN x ELSE 0 END)::HUGEINT AS s_t_post
+        FROM b
+    ),
+    m AS (
+        SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+               CASE WHEN n_c_pre = 0 THEN NULL
+                    ELSE s_c_pre::DOUBLE / n_c_pre::DOUBLE END AS m_c_pre,
+               CASE WHEN n_c_post = 0 THEN NULL
+                    ELSE s_c_post::DOUBLE / n_c_post::DOUBLE END AS m_c_post,
+               CASE WHEN n_t_pre = 0 THEN NULL
+                    ELSE s_t_pre::DOUBLE / n_t_pre::DOUBLE END AS m_t_pre,
+               CASE WHEN n_t_post = 0 THEN NULL
+                    ELSE s_t_post::DOUBLE / n_t_post::DOUBLE END AS m_t_post
+        FROM s
+    )
+    SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did FROM m
+    """,
+)
+def did_purchase_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value: treated = above-
+    mean-activity users (the logrank exact integer cross-multiply
+    grouping — never a float mean), periods split at the exact epoch
+    midpoint. Four cell sums in ONE aggregate, cuped-rule means (each
+    side to double before the division), the DiD as one pinned IEEE
+    chain, UNROUNDED. The quasi-experimental companion to
+    cuped_purchase_by_clicks. See operators/profile.py:did_report."""
+    from data_misc_tools_spark.operators.profile import did_report
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    uc = e.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    ut = e.agg(F.count("*").cast("long").alias("total")).crossJoin(
+        uc.agg(F.count("*").cast("long").alias("n_users"))
+    )
+    mm = e.agg(
+        F.expr(
+            "(min(cast(ts as long)) + max(cast(ts as long))) div 2"
+        ).alias("mid")
+    )
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(uc, "user_id")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (F.col("c") * F.col("n_users") > F.col("total")).alias("t"),
+            (F.col("ts").cast("long") >= F.col("mid")).alias("p"),
+            F.col("value"),
+        )
+    )
+    return did_report(base, "t", "p", "value", value_scale=100)
+
+
+@_q(
+    "golden_record_orders",
+    """
+    WITH long AS (
+        SELECT o_custkey AS cluster, 'o_orderstatus' AS attr,
+               o_orderstatus AS value FROM orders
+        UNION ALL
+        SELECT o_custkey, 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    census AS (
+        SELECT cluster, attr, value, count(*)::BIGINT AS c
+        FROM long WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT cluster, attr, sum(c)::BIGINT AS n_obs
+            FROM census GROUP BY 1, 2),
+    win AS (
+        SELECT cluster, attr, value, c AS votes,
+               row_number() OVER (PARTITION BY cluster, attr
+                                  ORDER BY c DESC, value) AS rn
+        FROM census
+    )
+    SELECT w.cluster, w.attr, w.value, w.votes, t.n_obs
+    FROM win w JOIN tot t ON t.cluster = w.cluster AND t.attr = w.attr
+    WHERE w.rn = 1
+    """,
+)
+def golden_record_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship per customer over their orders:
+    majority-vote canonical o_orderstatus / o_orderpriority with the
+    deterministic (votes DESC, value ASC) tie-break — the step that
+    closes the ER pipeline after fs_linkage_docs scores pairs and CC
+    clusters them (demoed here on the natural o_custkey clustering so
+    the oracle stays mechanical). ONE scan, one census shuffle, one
+    argmin-struct aggregate — no windows, fully distributed. See
+    operators/linkage.py:golden_record."""
+    from data_misc_tools_spark.operators.linkage import golden_record
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return golden_record(o, "o_custkey", ["o_orderstatus", "o_orderpriority"])
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the
@@ -11525,6 +11728,9 @@ GRADED_FIRST: list[str] = [
     # --- round-7 session-2 wave 4 (first-time, oracle-exact):
     # RAKE keyphrase extraction, closed-form 2-feature OLS ---
     "rake_keywords_docs", "ols2_lineitem_price",
+    # --- round-7 session-2 wave 5 (first-time, oracle-exact):
+    # PSI drift, difference-in-differences, golden-record merge ---
+    "psi_drift_value", "did_purchase_heavy", "golden_record_orders",
     # --- round 6: the FINAL first-row batch. 15 round-5 session-3
     # oracle queries that landed after the r5 window froze, the 2 new
     # r6 float production twins (rows-only), and pca_project_demo's
@@ -11556,27 +11762,18 @@ GRADED_FIRST: list[str] = [
     # [relational / TPC-H shapes] (lineitem_grouping_sets /
     # orders_rollup / q2_min_cost_supplier rotated out for the r7
     # additions)
-    "q1_pricing_summary",
-    # [dedup] (dedup_exact / dedup_minhash_lsh / dedup_ppjoin rotated
-    # out for the r7 additions)
-    # [embedding / similarity] (embedding_neardup / margin_mine_pairs
-    # rotated out for the r7 additions; kmeans_embeddings /
-    # semdedup_embeddings for the session-2 additions)
-    # [retrieval] (retrieval_eval_embeddings / ql_dirichlet_search
-    # rotated out for fs_linkage_docs / bm25_prf_search;
-    # bm25_search_topk for the session-2 additions)
-    # [text curation] (text_quality / gopher_filter_demo /
-    # chunk_documents / ngram_novelty_scores rotated out for the r7
-    # additions)
-    # [temporal / statistics] (cusum_changepoint_daily /
-    # welch_ttest_value / funnel_view_click_purchase rotated out for
-    # the r7 additions)
-    "sessionize_events",
-    # [sampling / etl] (dsir_select_topk / rfm_user_segments rotated
-    # out for the r7 additions)
-    "exact_stratified_split_langs",
-    # [multimodal / web] (url_domain_quota / png_pipeline_demo rotated
-    # out for the r7 additions)
+    # The last veteran re-pins (q1_pricing_summary /
+    # sessionize_events / exact_stratified_split_langs — each already
+    # graded in earlier rounds) rotated out for the wave-5 additions:
+    # every slot now holds a query whose FIRST official row is r7.
+    # Family re-pin history: dedup_exact / dedup_minhash_lsh /
+    # dedup_ppjoin, embedding_neardup / margin_mine_pairs /
+    # kmeans_embeddings / semdedup_embeddings, retrieval_eval /
+    # ql_dirichlet / bm25_search_topk, text_quality / gopher /
+    # chunk_documents / ngram_novelty, cusum / welch / funnel,
+    # dsir_select_topk / rfm_user_segments, url_domain_quota /
+    # png_pipeline_demo all rotated out across the r7 waves; the
+    # strict local gate remains their regression net.
 ]
 
 

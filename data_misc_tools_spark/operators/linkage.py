@@ -389,3 +389,64 @@ def _floordiv(x: "Column", y: "Column") -> "Column":
     a plain `/`-then-cast truncates a ROUNDED quotient — the repo's
     documented divergence trap)."""
     return ((x - x % y) / y).cast("long")
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    attr_cols: list,
+) -> DataFrame:
+    """Golden-record construction — the survivorship step that closes
+    the entity-resolution pipeline (blocking → scoring →
+    :func:`fellegi_sunter_score` → clustering → THIS): for each
+    resolved cluster, elect one canonical value per attribute by
+    majority vote over the member records, ties broken
+    deterministically to the lexicographically smallest value (the
+    dedup keep-best convention). NULLs abstain (a missing field never
+    outvotes an observed one); clusters where an attribute is never
+    observed emit no row for it.
+
+    Engine-exact: votes are exact counts; the winner is
+    min(struct(−votes, value)) — count DESC then value ASC, a total
+    order, so both engines elect the identical record.
+
+    Scale shape: ONE scan (per-row explode into one (attr, value)
+    struct per attribute — the unique_column_combinations idiom), one
+    (cluster, attr, value) census shuffle with map-side combine, one
+    argmin aggregate per (cluster, attr). No windows, no collect —
+    the output is a full distributed frame, one row per (cluster,
+    observed attr).
+
+    Output: (cluster, attr, value, votes, n_obs) where n_obs counts
+    the cluster's non-null observations of that attribute.
+    """
+    if not attr_cols:
+        raise ValueError("need at least one attribute column")
+    structs = [
+        F.struct(
+            F.lit(a).alias("attr"), F.col(a).cast("string").alias("value")
+        )
+        for a in attr_cols
+    ]
+    long = (
+        df.select(
+            F.col(cluster_col).alias("cluster"),
+            F.explode(F.array(*structs)).alias("s"),
+        )
+        .select("cluster", "s.attr", "s.value")
+        .where(F.col("value").isNotNull())
+    )
+    census = long.groupBy("cluster", "attr", "value").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return census.groupBy("cluster", "attr").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("value").alias("value"))
+        ).alias("w"),
+        F.sum("c").cast("long").alias("n_obs"),
+    ).select(
+        "cluster", "attr",
+        F.col("w.value").alias("value"),
+        (-F.col("w.nc")).cast("long").alias("votes"),
+        "n_obs",
+    )

@@ -2629,3 +2629,186 @@ def ols2_exact(
         "beta2",
         "try_divide(beta1 * __g1y + beta2 * __g2y, __gyy) AS r2",
     )
+
+
+def psi_report(
+    ref_df: DataFrame,
+    cur_df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index drift report (the credit-scoring /
+    model-monitoring standard; e.g. Siddiqi 2006) between a REFERENCE
+    slice and a CURRENT slice of an integer-valued column: bin edges
+    are the reference's exact quantile order statistics, both slices
+    are binned against them, and each bin contributes
+    (p − q)·ln(p/q) with Laplace-smoothed shares — the symmetric
+    KL-style term whose total reads on the classic rule of thumb
+    (< 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted). The
+    column-level companion to corpus_drift (vocabulary KL).
+
+    Engine-exact: edges are the ⌈j·n/B⌉-th smallest values read off a
+    value census with a cumulative count (the mad_outlier route —
+    tie order irrelevant for order STATISTICS); duplicate edges
+    collapse (fewer, wider bins — documented); each bin term is the
+    half-up e6 integer of the cross-multiplied exact form
+    D·L / ((n_r+B)(n_c+B)) with D = (c_r+1)(n_c+B) − (c_c+1)(n_r+B)
+    and L = e6ln((c_r+1)(n_c+B)) − e6ln((c_c+1)(n_r+B)) — per-
+    quantity rounded logs of exact integer PRODUCTS (the pmi
+    overflow-safe idiom), D and L share sign so every term is ≥ 0.
+    Per-BIN rows are emitted (the benford no-float-sum-order rule);
+    psi_e6 is their exact integer sum downstream.
+
+    Scale shape: one census + one range-partitioned-free keyed window
+    per slice is avoided — the census cumsum is a single-column
+    ordered aggregate over DISTINCT VALUES (bounded by the value
+    domain, not the row count), edges are a bounded collect
+    (n_bins−1 values), and binning is a broadcast expression.
+
+    Output: (bin, ref_n, cur_n, ref_share_e6, cur_share_e6, term_e6),
+    one row per occupied-or-not bin 0..B−1 present in either slice.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    ref = ref_df.select(F.col(value_col).cast("long").alias("x"))
+    cur = cur_df.select(F.col(value_col).cast("long").alias("x"))
+    census = ref.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    # range-partitioned prefix count over the DISTINCT-VALUE census —
+    # never an unpartitioned window, never a row-count-sized frame
+    cum = global_cumsum(census, ["x"], ["c"]).crossJoin(
+        F.broadcast(ref.agg(F.count("*").cast("long").alias("n")))
+    )
+    qs = ref_df.sparkSession.range(1, n_bins).select(
+        F.col("id").alias("j")
+    )
+    edges = sorted(
+        {
+            r["e"]
+            for r in cum.crossJoin(F.broadcast(qs))
+            .filter(
+                F.col("cum_c")
+                >= F.expr(f"(j * n + {n_bins} - 1) div {n_bins}")
+            )
+            .groupBy("j")
+            .agg(F.min("x").alias("e"))
+            .collect()
+            if r["e"] is not None
+        }
+    )
+    def bin_expr():
+        b = F.lit(0).cast("long")
+        for e in edges:
+            b = b + (F.col("x") > F.lit(e)).cast("long")
+        return b.alias("bin")
+
+    if not edges:
+        raise ValueError("reference slice is empty - no bin edges")
+    rc = ref.select(bin_expr()).groupBy("bin").agg(
+        F.count("*").cast("long").alias("ref_n")
+    )
+    cc = cur.select(bin_expr()).groupBy("bin").agg(
+        F.count("*").cast("long").alias("cur_n")
+    )
+    b = len(edges) + 1
+    joined = (
+        rc.join(cc, "bin", "full")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0).cast("long")).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0).cast("long")).alias("cur_n"),
+        )
+        .crossJoin(
+            F.broadcast(
+                rc.agg(F.sum("ref_n").cast("long").alias("nr")).crossJoin(
+                    cc.agg(F.sum("cur_n").cast("long").alias("nc"))
+                )
+            )
+        )
+    )
+    e6ln = (
+        lambda e: F.round(F.log(e.cast("double")) * 1e6).cast("long")
+    )  # noqa: E731
+    a_num = (F.col("ref_n") + 1) * (F.col("nc") + b)
+    b_num = (F.col("cur_n") + 1) * (F.col("nr") + b)
+    return joined.select(
+        "bin", "ref_n", "cur_n",
+        F.expr("(2 * 1000000 * ref_n + nr) div (2 * nr)")
+        .cast("long")
+        .alias("ref_share_e6"),
+        F.expr("(2 * 1000000 * cur_n + nc) div (2 * nc)")
+        .cast("long")
+        .alias("cur_share_e6"),
+        (
+            (a_num - b_num).cast("decimal(38,0)")
+            * (e6ln(a_num) - e6ln(b_num))
+        ).alias("__num"),
+        ((F.col("nr") + b).cast("decimal(38,0)") * (F.col("nc") + b)).alias(
+            "__den"
+        ),
+    ).selectExpr(
+        "bin", "ref_n", "cur_n", "ref_share_e6", "cur_share_e6",
+        "cast((2 * __num + __den) div (2 * __den) as long) AS term_e6",
+    ).orderBy("bin")
+
+
+def did_report(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994 made
+    it canonical) — the quasi-experimental answer when you CANNOT
+    randomize: compare the treated group's before→after change
+    against the control group's, so any shared time trend cancels.
+    The observational companion to cuped_report (which needs
+    randomized assignment) and ab_power_mde.
+
+    DiD = (ȳ_treated,post − ȳ_treated,pre)
+        − (ȳ_control,post − ȳ_control,pre)
+
+    Engine-exact: the four cell sums/counts come from ONE aggregate
+    over one scan (values pre-scaled to integers, sums widened to
+    decimal(38,0)); each cell mean is numerator-to-double /
+    denominator-to-double (the cuped rule), the DiD is one pinned
+    IEEE chain, UNROUNDED. Any empty cell exits NULL via try_divide.
+
+    Output: one row — (n_c_pre, n_c_post, n_t_pre, n_t_post,
+    m_c_pre, m_c_post, m_t_pre, m_t_post, did).
+    """
+    dec = "decimal(38,0)"
+    t = F.col(treated_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    x = (
+        F.round(F.col(value_col).cast("double") * value_scale)
+        .cast("long")
+        .alias("x")
+    )
+    base = df.select(t.alias("t"), p.alias("p"), x)
+    cells = []
+    for tt in (False, True):
+        for pp in (False, True):
+            tag = ("t" if tt else "c") + ("_post" if pp else "_pre")
+            cond = (F.col("t") == tt) & (F.col("p") == pp)
+            cells.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{tag}")
+            )
+            cells.append(
+                F.sum(F.when(cond, F.col("x")).otherwise(0))
+                .cast(dec)
+                .alias(f"s_{tag}")
+            )
+    agg = base.agg(*cells)
+    means = agg.selectExpr(
+        "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        "try_divide(cast(s_c_pre as double), cast(n_c_pre as double)) AS m_c_pre",
+        "try_divide(cast(s_c_post as double), cast(n_c_post as double)) AS m_c_post",
+        "try_divide(cast(s_t_pre as double), cast(n_t_pre as double)) AS m_t_pre",
+        "try_divide(cast(s_t_post as double), cast(n_t_post as double)) AS m_t_post",
+    )
+    return means.selectExpr(
+        "*", "(m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did"
+    )

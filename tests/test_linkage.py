@@ -274,3 +274,34 @@ class TestJaroWinklerE6:
             df.select(jaro_winkler_e6("a", "b")).collect()
         with _pytest.raises(ValueError, match="BIGINT"):
             jaro_winkler_e6("a", "b", max_len=63)
+
+
+class TestGoldenRecord:
+    def test_majority_and_tiebreak(self, spark):
+        from data_misc_tools_spark.operators.linkage import golden_record
+
+        rows = [
+            (1, "red", "x"),
+            (1, "red", "y"),
+            (1, "blue", "y"),
+            (2, "blue", None),   # NULL abstains
+            (2, "green", None),  # tie 1-1 -> lexicographically smaller
+        ]
+        df = spark.createDataFrame(rows, "cid long, color string, tag string")
+        got = {
+            (r["cluster"], r["attr"]): (r["value"], r["votes"], r["n_obs"])
+            for r in golden_record(df, "cid", ["color", "tag"]).collect()
+        }
+        assert got[(1, "color")] == ("red", 2, 3)
+        assert got[(1, "tag")] == ("y", 2, 3)
+        assert got[(2, "color")] == ("blue", 1, 2)  # tie -> smaller value
+        assert (2, "tag") not in got  # never observed -> no row
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.linkage import golden_record
+
+        df = spark.createDataFrame([(1, "a")], "cid long, v string")
+        with _pytest.raises(ValueError):
+            golden_record(df, "cid", [])

@@ -847,3 +847,34 @@ def test_ols2_single_aggregate_single_scan(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("partial_sum") >= 1
+
+
+def test_psi_cumsum_range_partitioned_edges_broadcast(spark, sf_dir):
+    """PSI: the reference-census prefix count rides global_cumsum's
+    rangepartitioning; bin assignment is a broadcast expression over
+    collected edges — no unpartitioned windows, no cartesian on rows."""
+    plan = _plan(spark, "psi_drift_value", sf_dir)
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in PSI plan: " + spec
+        )
+
+
+def test_did_is_one_aggregate_one_row(spark, sf_dir):
+    """DiD: the four cells come from ONE aggregate; the user-activity
+    grouping and midpoint scalars attach broadcast."""
+    plan = _plan(spark, "did_purchase_heavy", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar crossJoins
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_golden_record_one_scan_no_window(spark, sf_dir):
+    """Golden record: one scan (struct explode), one census shuffle,
+    one argmin-struct aggregate — no windows, no joins."""
+    plan = _plan(spark, "golden_record_orders", sf_dir)
+    assert plan.count("Scan parquet") == 2  # tree + detail = ONE scan
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -969,3 +969,141 @@ class TestOls2Exact:
         df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
         r = ols2_exact(df, "y", "x1", "x2").collect()[0]
         assert r.r2 is None
+
+
+class TestPsiReport:
+    def _ref(self, ref_vals, cur_vals, n_bins=10):
+        import math
+
+        n = len(ref_vals)
+        sr = sorted(ref_vals)
+        edges = sorted(
+            {sr[((j * n + n_bins - 1) // n_bins) - 1] for j in range(1, n_bins)}
+        )
+        b = len(edges) + 1
+
+        def bin_of(x):
+            return sum(1 for e in edges if x > e)
+
+        import collections
+
+        rn = collections.Counter(bin_of(x) for x in ref_vals)
+        cn = collections.Counter(bin_of(x) for x in cur_vals)
+        nr, nc = len(ref_vals), len(cur_vals)
+        out = {}
+        for bi in sorted(set(rn) | set(cn)):
+            r, c = rn.get(bi, 0), cn.get(bi, 0)
+            a_num = (r + 1) * (nc + b)
+            b_num = (c + 1) * (nr + b)
+            d = a_num - b_num
+            l = round(math.log(a_num) * 1e6) - round(math.log(b_num) * 1e6)
+            den = (nr + b) * (nc + b)
+            out[bi] = (
+                r, c,
+                (2 * 1_000_000 * r + nr) // (2 * nr),
+                (2 * 1_000_000 * c + nc) // (2 * nc),
+                (2 * d * l + den) // (2 * den),
+            )
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import psi_report
+
+        rng = random.Random(7)
+        ref = [rng.randrange(0, 500) for _ in range(3000)]
+        cur = [rng.randrange(100, 700) for _ in range(2500)]  # shifted
+        rdf = spark.createDataFrame([(v,) for v in ref], "x long")
+        cdf = spark.createDataFrame([(v,) for v in cur], "x long")
+        got = {
+            r["bin"]: (
+                r["ref_n"], r["cur_n"], r["ref_share_e6"],
+                r["cur_share_e6"], r["term_e6"],
+            )
+            for r in psi_report(rdf, cdf, "x").collect()
+        }
+        assert got == self._ref(ref, cur)
+        # a clearly shifted distribution must read as drifted
+        assert sum(v[4] for v in got.values()) > 250_000
+
+    def test_identical_slices_read_stable(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import psi_report
+
+        rng = random.Random(9)
+        vals = [rng.randrange(0, 300) for _ in range(2000)]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = psi_report(df, df, "x").collect()
+        psi = sum(r["term_e6"] for r in got)
+        assert psi < 1_000  # ~0 on identical data
+        assert all(r["term_e6"] >= 0 for r in got)
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import psi_report
+
+        df = spark.createDataFrame([(1,)], "x long")
+        with _pytest.raises(ValueError):
+            psi_report(df, df, "x", n_bins=1)
+        empty = spark.createDataFrame([], "x long")
+        with _pytest.raises(ValueError):
+            psi_report(empty, df, "x")
+
+
+class TestDidReport:
+    def test_recovers_planted_effect(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import did_report
+
+        rng = random.Random(3)
+        rows = []
+        for _ in range(4000):
+            t = rng.random() < 0.5
+            p = rng.random() < 0.5
+            base = 50.0 if not t else 60.0       # group level difference
+            trend = 5.0 if p else 0.0            # shared time trend
+            effect = 7.0 if (t and p) else 0.0   # the causal effect
+            rows.append((t, p, round(base + trend + effect
+                                     + rng.gauss(0, 0.5), 2)))
+        df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+        r = did_report(df, "t", "p", "v").collect()[0]
+        assert abs(r.did / 100.0 - 7.0) < 0.2  # cents scale
+        assert r.n_c_pre > 0 and r.n_t_post > 0
+
+    def test_matches_python_means(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import did_report
+
+        rng = random.Random(11)
+        rows = [
+            (rng.random() < 0.5, rng.random() < 0.5,
+             round(rng.uniform(0, 10), 2))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+        r = did_report(df, "t", "p", "v").collect()[0]
+        import collections
+
+        sums = collections.Counter()
+        ns = collections.Counter()
+        for t, p, v in rows:
+            k = ("t" if t else "c") + ("_post" if p else "_pre")
+            sums[k] += round(v * 100)
+            ns[k] += 1
+        m = {k: sums[k] / ns[k] for k in ns}
+        assert r.m_c_pre == m["c_pre"]
+        assert r.m_t_post == m["t_post"]
+        assert r.did == (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"])
+
+    def test_empty_cell_is_null(self, spark):
+        from data_misc_tools_spark.operators.profile import did_report
+
+        rows = [(False, False, 1.0), (False, True, 2.0), (True, True, 3.0)]
+        df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+        r = did_report(df, "t", "p", "v").collect()[0]
+        assert r.m_t_pre is None and r.did is None
