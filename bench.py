@@ -294,6 +294,9 @@ HEADLINE = [
     "psi_drift_value",
     "did_purchase_heavy",
     "golden_record_orders",
+    # r7 session-2 wave 6: vocabulary OOV rate, weighted median
+    "vocab_oov_rate_langs",
+    "weighted_median_price",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

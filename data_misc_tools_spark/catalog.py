@@ -10830,8 +10830,9 @@ def ucc_discovery_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     HyUCC/DUCC problem) — which combos are KEYS, the third profiling
     leg beside fk_discovery_tpch (INDs) and fd_profile_orders (FDs).
     Finds that THIS generator's lineitem violates classic TPC-H:
-    (l_orderkey, l_linenumber) has duplicate groups and only the
-    4-column combo +l_partkey+l_suppkey is unique — exactly the trap
+    (l_orderkey, l_linenumber) has thousands of duplicate groups and
+    only the 4-column combo +l_partkey+l_suppkey is unique (exactly,
+    at the sf0.01 gate scale; one residual dup at sf0.001) — the trap
     a keep-one dedup keyed on the "documented" key would hit. ONE
     scan: per-row explode into one struct per candidate, one
     (combo, tuple) census shuffle, map-side combined. See
@@ -11677,6 +11678,92 @@ def golden_record_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_tables(spark, sf_dir, ["orders"])["orders"]
     return golden_record(o, "o_custkey", ["o_orderstatus", "o_orderpriority"])
+
+
+@_q(
+    "vocab_oov_rate_langs",
+    """
+    WITH base AS (
+        SELECT lang AS g,
+               ('0x' || substr(md5('vocab' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 2 AS role,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    trainw AS (
+        SELECT t[i] AS w, count(*)::BIGINT AS c
+        FROM base JOIN generate_series(1, 2048) s(i) ON s.i <= len(t)
+        WHERE role = 0 GROUP BY t[i]
+    ),
+    vocab AS (SELECT w FROM trainw ORDER BY c DESC, w LIMIT 16),
+    ev AS (
+        SELECT g, t[i] AS w
+        FROM base JOIN generate_series(1, 2048) s(i) ON s.i <= len(t)
+        WHERE role = 1
+    )
+    SELECT g AS "group", count(*)::BIGINT AS n_tokens,
+           sum((v.w IS NULL)::BIGINT)::BIGINT AS n_oov,
+           ((2 * 1000000 * sum((v.w IS NULL)::BIGINT) + count(*))
+            // (2 * count(*)))::BIGINT AS oov_e6
+    FROM ev LEFT JOIN vocab v ON v.w = ev.w
+    GROUP BY g ORDER BY "group"
+    """,
+)
+def vocab_oov_rate_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OOV rate against a 16-word vocabulary fit on the
+    md5-even half of the corpus — the tokenizer-budget fitness check
+    (this corpus shares a 31-word template vocabulary, so a 16-slot
+    budget leaves the rarer half OOV and per-language rates expose
+    mixture differences; with budget ≥ 31 every rate is 0, pinned in
+    tests). Vocabulary election is (count DESC, word ASC) — a total
+    order both engines reproduce; the vocab joins the eval explode
+    BROADCAST. See operators/text.py:vocab_oov_rate."""
+    from data_misc_tools_spark.operators.text import vocab_oov_rate
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return vocab_oov_rate(d, 16, group_col="lang").orderBy("group")
+
+
+@_q(
+    "weighted_median_price",
+    """
+    WITH census AS (
+        SELECT l_returnflag AS g, round(l_extendedprice * 100)::BIGINT AS x,
+               sum(round(l_quantity)::BIGINT)::BIGINT AS c
+        FROM lineitem WHERE round(l_quantity) > 0
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, sum(c)::BIGINT AS tw FROM census GROUP BY g),
+    cum AS (
+        SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum
+        FROM census
+    )
+    SELECT c.g AS l_returnflag, t.tw AS total_weight,
+           min(CASE WHEN 2 * c.cum >= t.tw THEN c.x END)::BIGINT AS wmedian
+    FROM cum c JOIN tot t USING (g)
+    GROUP BY c.g, t.tw ORDER BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price (cents) per return flag —
+    "the price point where half the VOLUME sits", a different number
+    from the median line item: exact lower weighted median as the
+    smallest value whose doubled cumulative weight reaches the group
+    total (pure integer comparison, no interpolation, tie order
+    irrelevant). Group-partitioned census cumsum over the value
+    DOMAIN, totals broadcast back. See
+    operators/profile.py:weighted_median."""
+    from data_misc_tools_spark.operators.profile import weighted_median
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    return weighted_median(
+        base, "cents", "qty", ["l_returnflag"]
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

@@ -2812,3 +2812,56 @@ def did_report(
     return means.selectExpr(
         "*", "(m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did"
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list | None = None,
+) -> DataFrame:
+    """Exact weighted (lower) median per group: the smallest value v
+    whose cumulative weight reaches half the total — 2·cum ≥ W as a
+    pure integer comparison, so no midpoint interpolation and no
+    float anywhere (the mad_outlier order-statistic convention:
+    ties irrelevant, the k-th smallest VALUE of a multiset is
+    well-defined). The weighted companion the plain median lacks:
+    "the price point where half the QUANTITY sits" is a different
+    number from "the median price row".
+
+    Scale shape: one (group, value) census with the weights summed
+    map-side, a GROUP-partitioned cumulative weight (keyed window
+    over the bounded per-group value DOMAIN), one argmin aggregate.
+
+    Output: (group cols..., total_weight, wmedian).
+    """
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols or [])
+    wexp = F.col(weight_col).cast("long")
+    census = (
+        df.select(*gcols, F.col(value_col).cast("long").alias("__x"),
+                  wexp.alias("__w"))
+        .where(F.col("__w") > 0)
+        .groupBy(*gcols, "__x")
+        .agg(F.sum("__w").cast("long").alias("__c"))
+    )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy("__x")
+    else:
+        # global form: the cumsum runs over the VALUE DOMAIN census,
+        # not the rows — acceptable for bounded domains, group the
+        # call otherwise
+        w = Window.orderBy("__x")
+    tot = census.groupBy(*gcols).agg(F.sum("__c").cast("long").alias("__tot"))
+    cum = census.withColumn("__cum", F.sum("__c").over(w))
+    joined = (
+        cum.join(F.broadcast(tot), gcols) if gcols
+        else cum.crossJoin(F.broadcast(tot))
+    )
+    return joined.groupBy(*gcols).agg(
+        F.max("__tot").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("__cum") >= F.col("__tot"), F.col("__x"))
+        ).cast("long").alias("wmedian"),
+    )

@@ -1367,3 +1367,82 @@ def rake_keywords(
     if top_k is not None:
         out = out.orderBy(F.desc("score_e6"), "phrase").limit(top_k)
     return out
+
+
+def vocab_oov_rate(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "vocab",
+) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate report — the tokenizer-fitness
+    check run before committing a vocab budget: fit a top-k word
+    vocabulary on a hash-deterministic half of the corpus (md5-even
+    doc ids — the repo's split idiom, so train/eval never leak), then
+    report each group's share of EVAL tokens that fall outside it.
+    High OOV for a language/domain = the vocabulary underserves it
+    (the practical reading of Heaps' law's unbounded tail; pairs with
+    heaps_law_fit which measures growth and this which measures the
+    consequence of truncating it).
+
+    Engine-exact: the vocabulary is the top-k census rows by
+    (count DESC, word ASC) — a total order, so both engines elect the
+    identical vocab; oov_e6 is the half-up integer rate.
+
+    Scale shape: one train-census shuffle + TakeOrdered top-k (k is
+    the vocab budget — bounded); the vocab joins the eval token
+    census BROADCAST (k rows); per-group rates are one aggregate.
+    No windows, no collect.
+
+    Output: (group, n_tokens, n_oov, oov_e6) — group is the literal
+    'all' when group_col is None.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    g = (
+        F.col(group_col).cast("string")
+        if group_col is not None
+        else F.lit("all")
+    )
+    base = df.select(
+        g.alias("g"), (h % 2).alias("__role"), tokens(text_col).alias("t")
+    )
+    train_census = (
+        base.filter(F.col("__role") == 0)
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    vocab = (
+        train_census.orderBy(F.desc("c"), "w")
+        .limit(vocab_size)
+        .select("w", F.lit(True).alias("__v"))
+    )
+    ev = base.filter(F.col("__role") == 1).select(
+        "g", F.explode("t").alias("w")
+    )
+    return (
+        ev.join(F.broadcast(vocab), "w", "left")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("__v").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("g").alias("group"), "n_tokens", "n_oov",
+            F.expr("(2 * 1000000 * n_oov + n_tokens) div (2 * n_tokens)")
+            .cast("long")
+            .alias("oov_e6"),
+        )
+    )

@@ -878,3 +878,27 @@ def test_golden_record_one_scan_no_window(spark, sf_dir):
     assert plan.count("Scan parquet") == 2  # tree + detail = ONE scan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_oov_vocab_broadcast_topk_take_ordered(spark, sf_dir):
+    """OOV rate: vocabulary election is TakeOrderedAndProject; the
+    vocab attaches to the eval explode BROADCAST — no shuffle join,
+    no windows."""
+    plan = _plan(spark, "vocab_oov_rate_langs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_weighted_median_group_partitioned_census(spark, sf_dir):
+    """Weighted median: the census cumsum is GROUP-partitioned; group
+    totals attach broadcast."""
+    plan = _plan(spark, "weighted_median_price", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in weighted-median plan: " + spec
+        )

@@ -1107,3 +1107,58 @@ class TestDidReport:
         df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
         r = did_report(df, "t", "p", "v").collect()[0]
         assert r.m_t_pre is None and r.did is None
+
+
+class TestWeightedMedian:
+    def _ref(self, rows):
+        import collections
+
+        by_g = collections.defaultdict(list)
+        for g, x, w in rows:
+            if w > 0:
+                by_g[g].append((x, w))
+        out = {}
+        for g, vs in by_g.items():
+            tw = sum(w for _, w in vs)
+            cum = 0
+            for x, w in sorted(vs):
+                cum += w
+                if 2 * cum >= tw:
+                    out[g] = (tw, x)
+                    break
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import weighted_median
+
+        rng = random.Random(37)
+        rows = [
+            ("g" + str(i % 3), rng.randrange(0, 100), rng.randrange(0, 5))
+            for i in range(1000)
+        ]
+        df = spark.createDataFrame(rows, "g string, x long, w long")
+        got = {
+            r["g"]: (r["total_weight"], r["wmedian"])
+            for r in weighted_median(df, "x", "w", ["g"]).collect()
+        }
+        assert got == self._ref(rows)
+
+    def test_weight_shifts_the_median(self, spark):
+        from data_misc_tools_spark.operators.profile import weighted_median
+
+        # unweighted median of {1, 2, 3} is 2; weighting 3 heavily
+        # pulls the weighted median up to 3
+        rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 10)]
+        df = spark.createDataFrame(rows, "g string, x long, w long")
+        r = weighted_median(df, "x", "w", ["g"]).collect()[0]
+        assert r["wmedian"] == 3 and r["total_weight"] == 12
+
+    def test_global_form(self, spark):
+        from data_misc_tools_spark.operators.profile import weighted_median
+
+        rows = [("a", 5, 2), ("b", 9, 2)]
+        df = spark.createDataFrame(rows, "g string, x long, w long")
+        r = weighted_median(df, "x", "w").collect()[0]
+        assert r["wmedian"] == 5  # 2*2 >= 4 at x=5 (lower median)

@@ -811,3 +811,80 @@ class TestRakeKeywords:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             rake_keywords(df, [])
+
+
+class TestVocabOovRate:
+    def _role(self, doc_id, salt="vocab"):
+        import hashlib
+
+        return int(
+            hashlib.md5((salt + str(doc_id)).encode()).hexdigest()[:8], 16
+        ) % 2
+
+    def test_matches_python_reference(self, spark):
+        import collections
+        import random
+
+        from data_misc_tools_spark.operators.text import vocab_oov_rate
+
+        rng = random.Random(29)
+        vocab = [f"w{i:02d}" for i in range(30)]
+        # zipf-ish draws so the top-k vocab is meaningful
+        docs = [
+            (
+                i,
+                "g" + str(i % 2),
+                " ".join(
+                    vocab[min(int(rng.expovariate(0.2)), 29)]
+                    for _ in range(rng.randrange(5, 40))
+                ),
+            )
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        k = 8
+        train = collections.Counter(
+            w
+            for i, _, t in docs
+            if self._role(i) == 0
+            for w in t.split(" ")
+            if w
+        )
+        top = {
+            w
+            for w, _ in sorted(train.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        }
+        ref = {}
+        for i, g, t in docs:
+            if self._role(i) != 1:
+                continue
+            ws = [w for w in t.split(" ") if w]
+            r = ref.setdefault(g, [0, 0])
+            r[0] += len(ws)
+            r[1] += sum(1 for w in ws if w not in top)
+        got = {
+            r["group"]: r
+            for r in vocab_oov_rate(df, k, group_col="lang").collect()
+        }
+        assert set(got) == set(ref)
+        for g, (n, oov) in ref.items():
+            assert got[g]["n_tokens"] == n
+            assert got[g]["n_oov"] == oov
+            assert got[g]["oov_e6"] == (2 * 1_000_000 * oov + n) // (2 * n)
+
+    def test_full_budget_zero_oov(self, spark):
+        from data_misc_tools_spark.operators.text import vocab_oov_rate
+
+        docs = [(i, "a b c a") for i in range(50)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = vocab_oov_rate(df, 100).collect()[0]
+        assert r["group"] == "all" and r["n_oov"] == 0 and r["oov_e6"] == 0
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.text import vocab_oov_rate
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            vocab_oov_rate(df, 0)
