@@ -297,6 +297,9 @@ HEADLINE = [
     # r7 session-2 wave 6: vocabulary OOV rate, weighted median
     "vocab_oov_rate_langs",
     "weighted_median_price",
+    # r7 session-2 wave 7: isotonic calibration, mix-shift drilldown
+    "isotonic_stopword_en",
+    "metric_mix_shift_value",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

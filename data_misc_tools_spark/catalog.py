@@ -11766,6 +11766,142 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@_q(
+    "isotonic_stopword_en",
+    """
+    WITH scored AS (
+        SELECT (lang = 'en') AS y,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','a','of','and','to','in','is','it',
+                              'you','that')))::BIGINT AS h,
+               len(list_filter(string_split(text, ' '),
+                   x -> x != ''))::BIGINT AS n
+        FROM documents
+    ),
+    e6 AS (
+        SELECT y, (2 * 1000000 * h + n) // (2 * n) AS s
+        FROM scored WHERE n > 0
+    ),
+    census AS (
+        SELECT least((s * 24) // 1000000, 23)::BIGINT AS b,
+               count(*)::BIGINT AS n, sum(y::BIGINT)::BIGINT AS pos
+        FROM e6 GROUP BY 1
+    ),
+    seg AS (
+        SELECT j.b AS bj, k.b AS bk, sum(m.n)::BIGINT AS sn,
+               sum(m.pos)::BIGINT AS sp
+        FROM census j JOIN census k ON j.b <= k.b
+        JOIN census m ON m.b BETWEEN j.b AND k.b
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT i.b AS bi, s.bj, min(s.sp::DOUBLE / s.sn::DOUBLE) AS mn
+        FROM seg s JOIN census i ON s.bj <= i.b AND i.b <= s.bk
+        GROUP BY 1, 2
+    ),
+    iso AS (SELECT bi, max(mn) AS iso_rate FROM cand GROUP BY bi)
+    SELECT c.b AS bucket, c.n AS n_rows, c.pos AS n_pos,
+           ((2 * 1000000 * c.pos + c.n) // (2 * c.n))::BIGINT AS raw_rate_e6,
+           i.iso_rate
+    FROM census c JOIN iso i ON i.bi = c.b ORDER BY bucket
+    """,
+)
+def isotonic_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the English stopword-ratio
+    score as an English-probability lookup table (24 buckets) — the
+    REPAIR step after calibration_stopword_en's diagnosis: the
+    minimax max-min of exact-integer segment means gives the best
+    monotone fit, each mean ONE IEEE division of exact BIGINTs so
+    both engines produce bit-identical doubles. The heavy pass is the
+    one census aggregate; the B³/6 minimax joins run on ≤ 24 census
+    rows, broadcast. See operators/profile.py:isotonic_calibration."""
+    from data_misc_tools_spark.operators.profile import isotonic_calibration
+    from data_misc_tools_spark.operators.text import STOPWORDS, tokens
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    low = tokens(F.lower(F.col("text")))
+    hits = F.size(
+        F.filter(low, lambda x: x.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    n = F.size(tokens("text")).cast("long")
+    scored = (
+        d.select(
+            (F.col("lang") == "en").alias("y"),
+            hits.alias("__h"),
+            n.alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .selectExpr(
+            "y", "(2 * 1000000 * __h + __n) div (2 * __n) AS score_e6"
+        )
+    )
+    return isotonic_calibration(scored, "score_e6", "y", n_buckets=24)
+
+
+@_q(
+    "metric_mix_shift_value",
+    """
+    WITH b AS (
+        SELECT floor(epoch(ts))::BIGINT AS t, event_type AS seg,
+               round(value * 100)::BIGINT AS x
+        FROM events
+    ),
+    mm AS (SELECT (min(t) + max(t)) // 2 AS mid FROM b),
+    o AS (SELECT seg, count(*)::HUGEINT AS w, sum(x)::HUGEINT AS v,
+                 count(*)::BIGINT AS n
+          FROM b, mm WHERE t < mid GROUP BY seg),
+    nn AS (SELECT seg, count(*)::HUGEINT AS w, sum(x)::HUGEINT AS v,
+                  count(*)::BIGINT AS n
+           FROM b, mm WHERE t >= mid GROUP BY seg),
+    tw AS (SELECT (SELECT sum(w) FROM o)::HUGEINT AS tw_old,
+                  (SELECT sum(w) FROM nn)::HUGEINT AS tw_new),
+    m AS (
+        SELECT coalesce(o.seg, nn.seg) AS segment,
+               coalesce(o.n, 0)::BIGINT AS n_old,
+               coalesce(nn.n, 0)::BIGINT AS n_new,
+               coalesce(o.w, 0)::DOUBLE / tw_old::DOUBLE AS w_old,
+               coalesce(nn.w, 0)::DOUBLE / tw_new::DOUBLE AS w_new,
+               CASE WHEN o.w IS NULL OR o.w = 0 THEN 0.0
+                    ELSE o.v::DOUBLE / o.w::DOUBLE END AS r_old,
+               CASE WHEN nn.w IS NULL OR nn.w = 0 THEN 0.0
+                    ELSE nn.v::DOUBLE / nn.w::DOUBLE END AS r_new
+        FROM o FULL JOIN nn ON o.seg = nn.seg CROSS JOIN tw
+    )
+    SELECT segment, n_old, n_new, w_old, w_new, r_old, r_new,
+           (w_new - w_old) * r_old AS mix_contrib,
+           w_new * (r_new - r_old) AS rate_contrib
+    FROM m ORDER BY segment
+    """,
+)
+def metric_mix_shift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-vs-rate decomposition of the mean event value (cents)
+    between the first and second half of the window, by event type —
+    the "why did the metric move" drilldown: per-segment
+    (w_new − w_old)·r_old mix contributions vs w_new·(r_new − r_old)
+    rate contributions, summing exactly to the metric delta. Exact
+    integer sums per version (one aggregate each), cuped-rule IEEE
+    divisions, pinned-order products, UNROUNDED. The drilldown
+    companion to psi_drift_value (which detects; this explains). See
+    operators/etl.py:metric_decomposition."""
+    from data_misc_tools_spark.operators.etl import metric_decomposition
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    b = e.select(
+        F.col("ts").cast("long").alias("t"),
+        F.col("event_type").alias("seg"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    mid = b.agg(
+        F.expr("(min(t) + max(t)) div 2").cast("long").alias("mid")
+    ).collect()[0]["mid"]
+    return metric_decomposition(
+        b.filter(F.col("t") < mid),
+        b.filter(F.col("t") >= mid),
+        "seg", "one", "x",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

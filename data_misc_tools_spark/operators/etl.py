@@ -699,3 +699,86 @@ def quantile_normalize(
             "normalized",
         )
     )
+
+
+def metric_decomposition(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    dim_col: str,
+    weight_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mix-vs-rate decomposition of a ratio-metric change between two
+    dataset versions — the "why did the metric move" drilldown every
+    metrics review runs (the Oaxaca-Blinder / index-number
+    decomposition, applied to weighted averages): with per-segment
+    weight shares w and rates r, the overall metric is Σ w·r and the
+    version delta splits EXACTLY into
+
+        mix  = Σ (w_new − w_old)·r_old   (composition shifted)
+        rate = Σ w_new·(r_new − r_old)   (segments themselves moved)
+
+    so mix + rate = Δ with zero residual (pinned in tests), and each
+    segment's two contributions say WHICH slice drove the move and
+    HOW (more traffic vs changed behavior).
+
+    Engine-exact: per-segment sums/counts are exact integers
+    (decimal(38,0) widened); w and r are IEEE divisions of exact
+    integers (the cuped rule: each side to double first); the
+    contributions are pinned-order products of those doubles,
+    UNROUNDED. Segments absent from a version carry weight 0 and
+    contribute only through the other side's terms (r_old of an
+    absent-in-old segment is defined 0 — the conservative reading,
+    documented: its entire contribution lands in the mix term).
+
+    Scale shape: one aggregate per version, a full outer join on the
+    bounded segment domain, totals broadcast. Output: one row per
+    segment (segment, n_old, n_new, w_old, w_new, r_old, r_new,
+    mix_contrib, rate_contrib) ordered by segment.
+    """
+    from pyspark.sql import functions as F
+
+    dec = "decimal(38,0)"
+
+    def per(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(dim_col).alias("segment")).agg(
+            F.sum(F.col(weight_col).cast("long")).cast(dec).alias(f"w_{tag}_n"),
+            F.sum(
+                (
+                    F.col(weight_col).cast("long")
+                    * F.col(value_col).cast("long")
+                ).cast(dec)
+            ).cast(dec).alias(f"v_{tag}_n"),
+            F.count("*").cast("long").alias(f"n_{tag}"),
+        )
+    o = per(old_df, "old")
+    n = per(new_df, "new")
+    tot = F.broadcast(
+        o.agg(F.sum("w_old_n").cast(dec).alias("tw_old")).crossJoin(
+            n.agg(F.sum("w_new_n").cast(dec).alias("tw_new"))
+        )
+    )
+    joined = (
+        o.join(n, "segment", "full")
+        .crossJoin(tot)
+        .selectExpr(
+            "segment",
+            "coalesce(n_old, 0L) AS n_old",
+            "coalesce(n_new, 0L) AS n_new",
+            "cast(coalesce(w_old_n, cast(0 as decimal(38,0))) as double)"
+            " / cast(tw_old as double) AS w_old",
+            "cast(coalesce(w_new_n, cast(0 as decimal(38,0))) as double)"
+            " / cast(tw_new as double) AS w_new",
+            """CASE WHEN w_old_n IS NULL OR w_old_n = 0 THEN 0.0D
+                    ELSE cast(v_old_n as double) / cast(w_old_n as double)
+               END AS r_old""",
+            """CASE WHEN w_new_n IS NULL OR w_new_n = 0 THEN 0.0D
+                    ELSE cast(v_new_n as double) / cast(w_new_n as double)
+               END AS r_new""",
+        )
+    )
+    return joined.selectExpr(
+        "segment", "n_old", "n_new", "w_old", "w_new", "r_old", "r_new",
+        "(w_new - w_old) * r_old AS mix_contrib",
+        "w_new * (r_new - r_old) AS rate_contrib",
+    ).orderBy("segment")

@@ -2865,3 +2865,108 @@ def weighted_median(
             F.when(2 * F.col("__cum") >= F.col("__tot"), F.col("__x"))
         ).cast("long").alias("wmedian"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_e6_col: str,
+    label_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Isotonic (monotone) calibration of a score against binary
+    outcomes — the pool-adjacent-violators fit (Ayer et al. 1955;
+    Zadrozny & Elkan 2002 for classifier calibration) that turns any
+    ranking score into honest probabilities without assuming a
+    parametric shape: the fitted rate is the best monotone
+    approximation to the per-bucket positive rates.
+    :func:`calibration_report` DIAGNOSES miscalibration; this REPAIRS
+    it, and the fitted step function is the lookup table a serving
+    layer ships.
+
+    Computed via the minimax characterization — for bucket i,
+    ĝ(i) = max_{j≤i} min_{k≥i} mean(pos, j..k) — which equals the
+    PAVA block mean (pinned against a python PAVA in tests) but is
+    pure joins + min/max aggregates, no sequential pooling loop.
+    Engine-exact: every segment mean is ONE IEEE division of exact
+    BIGINTs (both engines hold identical doubles; min/max of
+    identical doubles are identical), raw rates are half-up e6
+    integers.
+
+    Scale shape: the million-row part is the one bucket-census
+    aggregate (same e6-integer score contract as calibration_report —
+    float scores would bucket differently across engines); everything
+    after runs on the ≤ n_buckets census via bounded B³/6-row joins
+    (B ≤ 128 enforced), all broadcast.
+
+    Output: (bucket, n_rows, n_pos, raw_rate_e6, iso_rate), ordered,
+    with iso_rate monotone non-decreasing.
+    """
+    if not 2 <= n_buckets <= 128:
+        raise ValueError("n_buckets must be in [2, 128]")
+    s = F.col(score_e6_col).cast("long")
+    guard = F.when(
+        (s < 0) | (s > 1_000_000),
+        F.raise_error(
+            F.format_string(
+                "isotonic_calibration: score_e6 %s outside [0, 1e6]", s
+            )
+        ),
+    ).otherwise(s)
+    census = (
+        df.select(
+            guard.alias("__s"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .select(
+            F.least(
+                F.expr(f"__s * {n_buckets} div 1000000"),
+                F.lit(n_buckets - 1),
+            ).cast("long").alias("b"),
+            "__y",
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("pos"),
+        )
+        .localCheckpoint()  # four bounded consumers below
+    )
+    j = census.select(F.col("b").alias("bj"))
+    k = census.select(F.col("b").alias("bk"))
+    m = census.select(F.col("b").alias("bm"), "n", "pos")
+    seg = (
+        j.join(k, F.col("bj") <= F.col("bk"))
+        .join(m, (F.col("bm") >= F.col("bj")) & (F.col("bm") <= F.col("bk")))
+        .groupBy("bj", "bk")
+        .agg(
+            F.sum("n").cast("long").alias("sn"),
+            F.sum("pos").cast("long").alias("sp"),
+        )
+        .select(
+            "bj", "bk",
+            (F.col("sp").cast("double") / F.col("sn").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    i = census.select(F.col("b").alias("bi"))
+    iso = (
+        seg.join(i, (F.col("bj") <= F.col("bi")) & (F.col("bi") <= F.col("bk")))
+        .groupBy("bi", "bj")
+        .agg(F.min("m").alias("mn"))
+        .groupBy("bi")
+        .agg(F.max("mn").alias("iso_rate"))
+    )
+    return (
+        census.join(iso, census["b"] == iso["bi"])
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("n").alias("n_rows"),
+            F.col("pos").alias("n_pos"),
+            F.expr("(2 * 1000000 * pos + n) div (2 * n)")
+            .cast("long")
+            .alias("raw_rate_e6"),
+            "iso_rate",
+        )
+        .orderBy("bucket")
+    )

@@ -451,3 +451,70 @@ class TestTargetEncodeLoo:
 
         df = spark.createDataFrame([(1, "x", 5.0)], "id long, cat string, y double")
         assert target_encode_loo(df, "cat", "y").collect()[0].te_loo is None
+
+
+class TestMetricDecomposition:
+    def test_contributions_reconcile_with_delta(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.etl import metric_decomposition
+
+        rng = random.Random(47)
+        old = [
+            ("s" + str(rng.randrange(4)), rng.randrange(1, 4),
+             rng.randrange(0, 1000))
+            for _ in range(800)
+        ]
+        new = [
+            ("s" + str(rng.randrange(5)), rng.randrange(1, 4),  # s4 is new
+             rng.randrange(0, 1200))
+            for _ in range(900)
+        ]
+        odf = spark.createDataFrame(old, "seg string, w long, x long")
+        ndf = spark.createDataFrame(new, "seg string, w long, x long")
+        rows = metric_decomposition(odf, ndf, "seg", "w", "x").collect()
+        # exact python reference for the aggregates
+        import collections
+
+        def stats(data):
+            w = collections.Counter()
+            v = collections.Counter()
+            for s, ww, x in data:
+                w[s] += ww
+                v[s] += ww * x
+            return w, v
+
+        wo, vo = stats(old)
+        wn, vn = stats(new)
+        tw_o, tw_n = sum(wo.values()), sum(wn.values())
+        metric_old = sum(vo.values()) / tw_o
+        metric_new = sum(vn.values()) / tw_n
+        mix = sum(r["mix_contrib"] for r in rows)
+        rate = sum(r["rate_contrib"] for r in rows)
+        # mix + rate == delta (exact algebra; float ~1e-12 residual)
+        assert abs((mix + rate) - (metric_new - metric_old)) < 1e-9
+        by_seg = {r["segment"]: r for r in rows}
+        for s in set(wo) | set(wn):
+            r = by_seg[s]
+            assert r["w_old"] == wo.get(s, 0) / tw_o
+            assert r["w_new"] == wn.get(s, 0) / tw_n
+            r_old = vo[s] / wo[s] if s in wo else 0.0
+            assert r["r_old"] == r_old
+        # the brand-new segment contributes ONLY through mix (r_old=0
+        # convention) plus its rate term w_new*(r_new-0)
+        nv = by_seg["s4"]
+        assert nv["n_old"] == 0 and nv["mix_contrib"] == 0.0
+        assert nv["rate_contrib"] == nv["w_new"] * nv["r_new"]
+
+    def test_pure_mix_shift_zero_rate_term(self, spark):
+        from data_misc_tools_spark.operators.etl import metric_decomposition
+
+        # same per-segment rates, different composition: all change
+        # must land in mix_contrib
+        old = [("a", 1, 10)] * 80 + [("b", 1, 50)] * 20
+        new = [("a", 1, 10)] * 20 + [("b", 1, 50)] * 80
+        odf = spark.createDataFrame(old, "seg string, w long, x long")
+        ndf = spark.createDataFrame(new, "seg string, w long, x long")
+        rows = metric_decomposition(odf, ndf, "seg", "w", "x").collect()
+        assert all(r["rate_contrib"] == 0.0 for r in rows)
+        assert abs(sum(r["mix_contrib"] for r in rows) - (42.0 - 18.0)) < 1e-12

@@ -902,3 +902,23 @@ def test_weighted_median_group_partitioned_census(spark, sf_dir):
         assert not head.endswith("ASC NULLS FIRST"), (
             "unpartitioned window in weighted-median plan: " + spec
         )
+
+
+def test_isotonic_heavy_pass_is_one_census_minimax_broadcast(spark, sf_dir):
+    """Isotonic: the row-scale work is ONE bucket-census aggregate;
+    the minimax runs on the checkpointed <=B census via broadcast
+    joins — no shuffle joins, no windows, no cartesian on data rows."""
+    plan = _plan(spark, "isotonic_stopword_en", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    # census is checkpointed: the minimax side reads LocalTableScan /
+    # checkpoint scans, not repeated document scans
+    assert plan.count("Scan parquet") <= 2  # tree+detail of ONE scan at most
+
+
+def test_mix_shift_two_aggregates_broadcast_totals(spark, sf_dir):
+    """Mix-shift: one aggregate per version, full join on the bounded
+    segment domain, totals broadcast — no windows."""
+    plan = _plan(spark, "metric_mix_shift_value", sf_dir)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the totals crossJoin

@@ -1162,3 +1162,99 @@ class TestWeightedMedian:
         df = spark.createDataFrame(rows, "g string, x long, w long")
         r = weighted_median(df, "x", "w").collect()[0]
         assert r["wmedian"] == 5  # 2*2 >= 4 at x=5 (lower median)
+
+
+class TestIsotonicCalibration:
+    def _pava(self, buckets):
+        """Classic pool-adjacent-violators on (bucket, n, pos) rows."""
+        blocks = [[b, n, pos] for b, n, pos in sorted(buckets)]
+        out = []
+        for blk in blocks:
+            out.append(blk[:])
+            while len(out) >= 2 and (
+                out[-2][2] * out[-1][1] > out[-1][2] * out[-2][1]
+            ):  # prev mean > cur mean -> pool (exact cross-multiply)
+                b2 = out.pop()
+                out[-1][1] += b2[1]
+                out[-1][2] += b2[2]
+        fitted = {}
+        idx = 0
+        for blk_start, n, pos in out:
+            rate = pos / n
+            # assign this pooled rate to every original bucket in the block
+            total = n
+            while total > 0:
+                b0, n0, _ = blocks[idx]
+                fitted[b0] = rate
+                total -= n0
+                idx += 1
+        return fitted
+
+    def test_matches_pava_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        rng = random.Random(43)
+        rows = []
+        for _ in range(4000):
+            s = rng.randrange(0, 1_000_001)
+            # noisy, non-monotone-in-places positive rate
+            p = 0.2 + 0.6 * (s / 1e6) + rng.uniform(-0.25, 0.25)
+            rows.append((s, 1 if rng.random() < p else 0))
+        df = spark.createDataFrame(rows, "score_e6 long, y int")
+        nb = 16
+        got = {
+            r["bucket"]: r
+            for r in isotonic_calibration(df, "score_e6", "y", nb).collect()
+        }
+        import collections
+
+        agg = collections.Counter()
+        npos = collections.Counter()
+        for s, y in rows:
+            b = min(s * nb // 1_000_000, nb - 1)
+            agg[b] += 1
+            npos[b] += y
+        ref = self._pava([(b, agg[b], npos[b]) for b in agg])
+        assert set(got) == set(ref)
+        for b, r in got.items():
+            assert r["n_rows"] == agg[b] and r["n_pos"] == npos[b]
+            assert abs(r["iso_rate"] - ref[b]) < 1e-12, (b, r["iso_rate"], ref[b])
+        # monotone by construction
+        seq = [got[b]["iso_rate"] for b in sorted(got)]
+        assert all(a <= c + 1e-15 for a, c in zip(seq, seq[1:]))
+
+    def test_already_monotone_is_identity(self, spark):
+        from data_misc_tools_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        # clean monotone rates: isotonic fit == raw rates
+        rows = []
+        for b, p in enumerate([0.1, 0.3, 0.7, 0.9]):
+            s = b * 250_000 + 100
+            k = int(p * 100)
+            rows += [(s, 1)] * k + [(s, 0)] * (100 - k)
+        df = spark.createDataFrame(rows, "score_e6 long, y int")
+        got = isotonic_calibration(df, "score_e6", "y", 4).collect()
+        for r in got:
+            assert abs(r["iso_rate"] - r["n_pos"] / r["n_rows"]) < 1e-15
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import (
+            isotonic_calibration,
+        )
+
+        df = spark.createDataFrame([(500, 1)], "score_e6 long, y int")
+        with _pytest.raises(ValueError):
+            isotonic_calibration(df, "score_e6", "y", 1)
+        with _pytest.raises(ValueError):
+            isotonic_calibration(df, "score_e6", "y", 200)
+        bad = spark.createDataFrame([(2_000_000, 1)], "score_e6 long, y int")
+        with _pytest.raises(Exception, match="outside"):
+            isotonic_calibration(bad, "score_e6", "y").collect()

@@ -267,6 +267,38 @@ STRESS = {
     "heaps_law_corpus": "linear",
     # power/MDE: one aggregate pass
     "ab_power_value": "linear",
+    # --- round-7 session-2 ---
+    # UCC: one explode + one census shuffle
+    "ucc_discovery_lineitem": "linear",
+    # DQ gate / OLS / DiD: one aggregate pass each
+    "dq_expectations_orders": "linear",
+    "ols2_lineitem_price": "linear",
+    "did_purchase_heavy": "linear",
+    # NA hazard: KM's range-partitioned prefix-sum shape
+    "purchase_gap_hazard_na": "linear",
+    # Shapley: user-keyed join + bit_or agg + bounded 2^n collect
+    "shapley_attribution_events": "linear",
+    # EWMA: daily rollup (linear) + O(days) serial recursion
+    "ewma_daily_revenue": "linear",
+    # KMV: distinct census + group-keyed bottom-k rank window
+    "kmv_distinct_users": "linearithmic",
+    # Jaccard wedge census on the strict 2x4 graph (LSH edge-growth
+    # accounting applies, like edge_support/adamic-adar)
+    "linkpred_jaccard_neardup": "linear",
+    # conformal / PSI / weighted median: value-DOMAIN census windows
+    "conformal_interval_value": "linearithmic",
+    "psi_drift_value": "linearithmic",
+    "weighted_median_price": "linearithmic",
+    # diversity / RAKE / OOV / golden record: census shuffles with
+    # per-doc-bounded windows only
+    "corpus_diversity_langs": "linear",
+    "rake_keywords_docs": "linear",
+    "vocab_oov_rate_langs": "linear",
+    "golden_record_orders": "linear",
+    # isotonic: one census aggregate + bounded B^3 minimax joins
+    "isotonic_stopword_en": "linear",
+    # mix-shift: one aggregate per version + bounded segment join
+    "metric_mix_shift_value": "linear",
 }
 
 
