@@ -300,6 +300,9 @@ HEADLINE = [
     # r7 session-2 wave 7: isotonic calibration, mix-shift drilldown
     "isotonic_stopword_en",
     "metric_mix_shift_value",
+    # r7 session-2 wave 8: schema drift diff, degree assortativity
+    "schema_drift_orders",
+    "assortativity_neardup",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

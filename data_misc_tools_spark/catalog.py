@@ -11902,6 +11902,167 @@ def metric_mix_shift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_drift_oracle() -> str:
+    old_cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    new_cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_priority_code"]
+    dtypes = {
+        "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderpriority": "string",
+        "o_priority_code": "string",
+    }
+    def stats(cols, src, tag):
+        aggs = ", ".join(
+            f"sum(({c} IS NULL)::BIGINT)::BIGINT AS nul_{c}, "
+            f"count(DISTINCT {c})::BIGINT AS d_{c}"
+            for c in cols
+        )
+        rows = " UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, n AS n_rows_{tag}, "
+            f"CASE WHEN n = 0 THEN 0 ELSE (2 * 1000000 * nul_{c} + n) // (2 * n) END"
+            f"::BIGINT AS null_rate_{tag}_e6, d_{c} AS n_distinct_{tag} FROM a_{tag}"
+            for c in cols
+        )
+        return (
+            f"a_{tag} AS (SELECT count(*)::BIGINT AS n, {aggs} FROM {src}), "
+            f"s_{tag} AS ({rows})"
+        )
+
+    status_case = []
+    for c in sorted(set(old_cols) | set(new_cols)):
+        if c not in old_cols:
+            st = "added"
+        elif c not in new_cols:
+            st = "removed"
+        else:
+            st = "kept"
+        status_case.append(f"WHEN col_name = '{c}' THEN '{st}'")
+    dt = lambda cols: " ".join(
+        f"WHEN col_name = '{c}' THEN '{dtypes[c]}'" for c in cols
+    )
+    return f"""
+    WITH old_v AS (
+        SELECT o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    new_v AS (
+        SELECT o_custkey, nullif(o_orderstatus, 'P') AS o_orderstatus,
+               o_totalprice, substr(o_orderpriority, 1, 1) AS o_priority_code
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    {stats(old_cols, "old_v", "old")},
+    {stats(new_cols, "new_v", "new")},
+    j AS (
+        SELECT coalesce(s_old.col_name, s_new.col_name) AS col_name,
+               n_rows_old, n_rows_new,
+               null_rate_old_e6, null_rate_new_e6,
+               n_distinct_old, n_distinct_new
+        FROM s_old FULL JOIN s_new ON s_old.col_name = s_new.col_name
+    )
+    SELECT col_name,
+           CASE {' '.join(status_case)} END AS status,
+           CASE {dt(old_cols)} ELSE NULL END AS dtype_old,
+           CASE {dt(new_cols)} ELSE NULL END AS dtype_new,
+           n_rows_old, n_rows_new,
+           null_rate_old_e6, null_rate_new_e6,
+           (null_rate_new_e6 - null_rate_old_e6)::BIGINT AS null_drift_e6,
+           n_distinct_old, n_distinct_new
+    FROM j ORDER BY col_name
+    """
+
+
+@_q("schema_drift_orders", _schema_drift_oracle())
+def schema_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema + content drift between two versions of the orders
+    table (new version: even orderkeys only, o_orderstatus partially
+    nulled, o_orderpriority renamed to a 1-char o_priority_code) —
+    per column: added/removed/kept status from schema metadata, null
+    rate and cardinality movement from ONE aggregate per version.
+    The promotion-gate diff beside psi_drift_value (values) and
+    dq_expectations_orders (contracts). See
+    operators/profile.py:schema_drift_report."""
+    from data_misc_tools_spark.operators.profile import schema_drift_report
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    old_v = o.select(
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    new_v = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_custkey",
+        F.expr("nullif(o_orderstatus, 'P')").alias("o_orderstatus"),
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).alias("o_priority_code"),
+    )
+    return schema_drift_report(old_v, new_v)
+
+
+def _assort_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+    pe AS (
+        SELECT dx.deg::BIGINT AS x, dy.deg::BIGINT AS y
+        FROM edges e JOIN deg dx ON dx.node = e.a JOIN deg dy ON dy.node = e.b
+    ),
+    s AS (
+        SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+               sum(y)::HUGEINT AS sy, sum(x::HUGEINT * y)::HUGEINT AS sxy,
+               sum(x::HUGEINT * x)::HUGEINT AS sxx,
+               sum(y::HUGEINT * y)::HUGEINT AS syy
+        FROM pe
+    )
+    SELECT 'all' AS g, n::BIGINT AS n_rows,
+           (n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)) AS corr
+    FROM s
+    """
+
+
+@_q("assortativity_neardup", _assort_oracle())
+def assortativity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strict near-dup candidate graph —
+    Newman's one-number topology summary: negative = hub-and-spoke
+    template stars, positive = meshes of similar-degree clique
+    families (which changes which dedup second pass pays off).
+    pearson_exact over both edge orientations: exact integer degree
+    statistics, ONE IEEE closed-form step, UNROUNDED. See
+    operators/cluster.py:degree_assortativity."""
+    from data_misc_tools_spark.operators.cluster import degree_assortativity
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    return degree_assortativity(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

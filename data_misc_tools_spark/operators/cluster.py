@@ -1289,3 +1289,51 @@ def jaccard_similarity(
             F.desc("jac_e6"), "node_a", "node_b"
         ).limit(top_k)
     return scored
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph: the Pearson correlation of endpoint degrees over edges —
+    positive means hubs attach to hubs (social/collaboration
+    networks), negative means hubs attach to leaves (star/hub-spoke
+    topologies, most LSH candidate graphs). The one-number structural
+    summary that says whether a near-dup graph is a few template
+    super-families (disassortative stars) or a mesh of similar-size
+    cliques (assortative).
+
+    Computed as pearson_exact over the DIRECTED edge list (each
+    undirected edge contributes both orientations — the standard
+    symmetric estimator, so corr(x,y) is symmetric by construction):
+    degrees are exact BIGINTs, the correlation one pinned IEEE closed
+    form, UNROUNDED. Scale shape: one degree aggregate + two
+    node-keyed joins + one stats aggregate.
+
+    Output: one row (group='all', n = directed edge count, r).
+    """
+    from data_misc_tools_spark.operators.profile import pearson_exact
+
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    canon = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # degree agg + both endpoint joins
+    )
+    both = canon.select("a", "b").unionAll(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    pairs = (
+        both.join(deg.select(F.col("node").alias("a"),
+                             F.col("deg").alias("dx")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("dy")), "b")
+        .select(F.lit("all").alias("g"), "dx", "dy")
+    )
+    return pearson_exact(pairs, ["g"], "dx", "dy")

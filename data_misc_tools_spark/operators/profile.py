@@ -2970,3 +2970,90 @@ def isotonic_calibration(
         )
         .orderBy("bucket")
     )
+
+
+def schema_drift_report(
+    old_df: DataFrame,
+    new_df: DataFrame,
+) -> DataFrame:
+    """Column-level schema + content drift between two versions of a
+    table — the diff every ingest prints before promoting a new
+    snapshot: which columns were ADDED / REMOVED / TYPE-CHANGED, and
+    for surviving columns how the null rate and cardinality moved.
+    The structural companion to :func:`psi_report` (one column's
+    value distribution) and the full-profile diff a lakehouse catalog
+    wants per version.
+
+    Engine-exact: statuses come from schema METADATA (driver-side,
+    not data); content stats are exact counts from ONE aggregate per
+    version (count_distinct per column — the profile_table shape);
+    null rates are half-up e6 integers, drift their signed
+    difference.
+
+    Output: (col_name, status, dtype_old, dtype_new, n_rows_old,
+    n_rows_new, null_rate_old_e6, null_rate_new_e6, null_drift_e6,
+    n_distinct_old, n_distinct_new), one row per column in either
+    version, ordered by col_name. Removed/added columns carry NULLs
+    on the absent side.
+    """
+    def stats(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count("*").cast("long").alias("__n")]
+        for c in df.columns:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long"))
+                .cast("long")
+                .alias(f"__nul_{c}")
+            )
+            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__d_{c}"))
+        row = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias(f"n_rows_{tag}"),
+                F.expr(
+                    f"CASE WHEN __n = 0 THEN 0L ELSE "
+                    f"(2 * 1000000 * __nul_{c} + __n) div (2 * __n) END"
+                )
+                .cast("long")
+                .alias(f"null_rate_{tag}_e6"),
+                F.col(f"__d_{c}").alias(f"n_distinct_{tag}"),
+            )
+            for c in df.columns
+        ]
+        return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+    d_old = dict(old_df.dtypes)
+    d_new = dict(new_df.dtypes)
+    so = stats(old_df, "old")
+    sn = stats(new_df, "new")
+    joined = so.join(sn, "col_name", "full")
+    status = (
+        F.when(F.col("n_rows_old").isNull(), F.lit("added"))
+        .when(F.col("n_rows_new").isNull(), F.lit("removed"))
+    )
+    # dtype metadata rides as a literal CASE over the bounded column set
+    to_case = lambda d: F.coalesce(  # noqa: E731
+        *[
+            F.when(F.col("col_name") == c, F.lit(t))
+            for c, t in d.items()
+        ],
+        F.lit(None).cast("string"),
+    ) if d else F.lit(None).cast("string")
+    dt_old = to_case(d_old)
+    dt_new = to_case(d_new)
+    return joined.select(
+        "col_name",
+        status.otherwise(
+            F.when(dt_old != dt_new, F.lit("type_changed")).otherwise(
+                F.lit("kept")
+            )
+        ).alias("status"),
+        dt_old.alias("dtype_old"),
+        dt_new.alias("dtype_new"),
+        "n_rows_old", "n_rows_new",
+        "null_rate_old_e6", "null_rate_new_e6",
+        (F.col("null_rate_new_e6") - F.col("null_rate_old_e6"))
+        .cast("long")
+        .alias("null_drift_e6"),
+        "n_distinct_old", "n_distinct_new",
+    ).orderBy("col_name")

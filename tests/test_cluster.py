@@ -878,3 +878,48 @@ class TestJaccardSimilarity:
         df = spark.createDataFrame(edges, "src long, dst long")
         assert jaccard_similarity(df).count() == 10  # C(5,2) leaf pairs
         assert jaccard_similarity(df, max_degree=4).count() == 0
+
+
+class TestDegreeAssortativity:
+    def _ref(self, edges):
+        import collections
+        import math
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        xs, ys = [], []
+        for a, b in edges:
+            xs += [len(adj[a]), len(adj[b])]
+            ys += [len(adj[b]), len(adj[a])]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.cluster import degree_assortativity
+
+        rng = random.Random(53)
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)}
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = degree_assortativity(df).collect()[0]
+        assert r["n_rows"] == 2 * len(edges)
+        assert abs(r["corr"] - self._ref(edges)) < 1e-12
+
+    def test_star_is_maximally_disassortative(self, spark):
+        from data_misc_tools_spark.operators.cluster import degree_assortativity
+
+        edges = [(0, i) for i in range(1, 8)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = degree_assortativity(df).collect()[0]
+        assert r["corr"] == -1.0  # perfect hub-and-spoke

@@ -922,3 +922,19 @@ def test_mix_shift_two_aggregates_broadcast_totals(spark, sf_dir):
     plan = _plan(spark, "metric_mix_shift_value", sf_dir)
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the totals crossJoin
+
+
+def test_schema_drift_one_aggregate_per_version(spark, sf_dir):
+    """Schema drift: exactly two scans (one per version), each feeding
+    one wide aggregate; the column join is on the bounded column set."""
+    plan = _plan(spark, "schema_drift_orders", sf_dir)
+    assert plan.count("Scan parquet") == 4  # tree + detail, 2 scans
+    assert "Window" not in plan
+
+
+def test_assortativity_degree_joins_no_cartesian(spark, sf_dir):
+    """Assortativity: degree aggregate + two node-keyed joins + one
+    stats aggregate — no cartesian, no windows."""
+    plan = _plan(spark, "assortativity_neardup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -1258,3 +1258,42 @@ class TestIsotonicCalibration:
         bad = spark.createDataFrame([(2_000_000, 1)], "score_e6 long, y int")
         with _pytest.raises(Exception, match="outside"):
             isotonic_calibration(bad, "score_e6", "y").collect()
+
+
+class TestSchemaDriftReport:
+    def test_statuses_and_drift(self, spark):
+        from data_misc_tools_spark.operators.profile import schema_drift_report
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0), (2, None, 2.0), (3, "c", 3.0)],
+            "id long, name string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "x"), (2, None, "y"), (3, None, "y"), (4, "d", "z")],
+            "id long, name string, tag string",
+        )
+        got = {
+            r["col_name"]: r
+            for r in schema_drift_report(old, new).collect()
+        }
+        assert got["v"]["status"] == "removed" and got["v"]["n_rows_new"] is None
+        assert got["tag"]["status"] == "added" and got["tag"]["n_rows_old"] is None
+        assert got["id"]["status"] == "kept"
+        assert got["name"]["status"] == "kept"
+        # null rate: 1/3 -> 2/4
+        assert got["name"]["null_rate_old_e6"] == (2 * 1_000_000 * 1 + 3) // 6
+        assert got["name"]["null_rate_new_e6"] == 500_000
+        assert got["name"]["null_drift_e6"] == (
+            got["name"]["null_rate_new_e6"] - got["name"]["null_rate_old_e6"]
+        )
+        assert got["id"]["n_distinct_old"] == 3
+        assert got["id"]["n_distinct_new"] == 4
+
+    def test_type_change_detected(self, spark):
+        from data_misc_tools_spark.operators.profile import schema_drift_report
+
+        old = spark.createDataFrame([(1,)], "x int")
+        new = spark.createDataFrame([(1.0,)], "x double")
+        r = schema_drift_report(old, new).collect()[0]
+        assert r["status"] == "type_changed"
+        assert r["dtype_old"] == "int" and r["dtype_new"] == "double"

@@ -299,6 +299,10 @@ STRESS = {
     "isotonic_stopword_en": "linear",
     # mix-shift: one aggregate per version + bounded segment join
     "metric_mix_shift_value": "linear",
+    # schema drift: one wide aggregate per version
+    "schema_drift_orders": "linear",
+    # assortativity: degree joins on the strict 2x4 graph
+    "assortativity_neardup": "linear",
 }
 
 
