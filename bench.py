@@ -303,6 +303,8 @@ HEADLINE = [
     # r7 session-2 wave 8: schema drift diff, degree assortativity
     "schema_drift_orders",
     "assortativity_neardup",
+    # r7 session-2 wave 9: seasonal-naive forecast baseline
+    "seasonal_naive_daily_revenue",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

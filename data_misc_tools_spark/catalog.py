@@ -12063,6 +12063,64 @@ def assortativity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "seasonal_naive_daily_revenue",
+    """
+    WITH d AS (
+        SELECT (floor(epoch(date_trunc('day', ts)))::BIGINT // 86400)::BIGINT AS o,
+               sum(round(value * 100)::BIGINT)::BIGINT AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    scored AS (
+        SELECT a.o, a.x, abs(a.x - b.x) AS e
+        FROM d a JOIN d b ON b.o = a.o - 7
+    ),
+    census AS (SELECT e, count(*)::BIGINT AS c FROM scored GROUP BY e),
+    cum AS (SELECT e, sum(c) OVER (ORDER BY e)::BIGINT AS cum FROM census),
+    tot AS (
+        SELECT count(*)::BIGINT AS n_scored, sum(e)::BIGINT AS se,
+               sum(abs(x))::BIGINT AS sx
+        FROM scored
+    ),
+    med AS (
+        SELECT min(CASE WHEN 2 * cum.cum >= tot.n_scored THEN cum.e END)::BIGINT
+                   AS medae
+        FROM cum CROSS JOIN tot
+    )
+    SELECT n_scored,
+           CASE WHEN n_scored = 0 THEN NULL
+                ELSE (2 * 100 * se + n_scored) // (2 * n_scored)
+           END::BIGINT AS mae_e2,
+           medae,
+           CASE WHEN sx = 0 THEN NULL
+                ELSE (2 * 1000000 * se + sx) // (2 * sx) END::BIGINT AS wape_e6
+    FROM tot CROSS JOIN med
+    """,
+)
+def seasonal_naive_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (same-weekday-last-week) backtest of daily
+    purchase revenue — the baseline error profile any forecaster must
+    beat, beside ewma_daily_revenue's smoother: exact integer errors
+    from one day-7 self equi-join, half-up MAE/WAPE, median absolute
+    error as an order statistic off the error census. See
+    operators/temporal.py:seasonal_naive_backtest."""
+    from data_misc_tools_spark.operators.temporal import (
+        seasonal_naive_backtest,
+    )
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    return seasonal_naive_backtest(daily, "day", "rev", season=7)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

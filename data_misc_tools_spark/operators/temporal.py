@@ -912,3 +912,75 @@ def ewma_smooth(
     return df.sparkSession.sql(
         "SELECT * FROM VALUES " + vals + " AS t(o, x, ewma)"
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every fancier
+    forecaster must beat (Hyndman & Athanasopoulos, "Forecasting:
+    principles and practice"): predict period t by the value at
+    t − season (same weekday last week), then report the error
+    profile over every period where both sides exist. If a model
+    can't beat this one-join baseline, ship the join.
+
+    Engine-exact: the forecast is a self equi-join on
+    order − season (exact integer key arithmetic — calendar gaps
+    simply produce no match and drop out, documented); errors are
+    exact integer |x_t − x_{t−s}|; MAE is the half-up e6-scaled mean;
+    the median absolute error is the ⌈n/2⌉-th order statistic read
+    off an error census (the mad_outlier route). MAPE is avoided on
+    purpose — it divides per-row and is undefined at zero actuals;
+    WAPE = Σ|e|/Σ|x| is emitted instead as half-up e6.
+
+    Bounded-rollup contract (the ewma/mann_kendall class): the input
+    is an already-aggregated series; the join and censuses run on the
+    period domain.
+
+    Output: one row — (n_scored, mae_e2 ... scaled like the input,
+    medae, wape_e6).
+    """
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    ).localCheckpoint()  # both join sides + the census read it
+    lagged = base.select(
+        (F.col("o") + season).alias("o"), F.col("x").alias("x_prev")
+    )
+    scored = base.join(lagged, "o").select(
+        "o", "x", F.abs(F.col("x") - F.col("x_prev")).alias("e")
+    )
+    census = scored.groupBy("e").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("e")  # error DOMAIN census — bounded, documented
+    cum = census.withColumn("cum", F.sum("c").over(w))
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum("e").cast("long").alias("se"),
+        F.sum(F.abs(F.col("x"))).cast("long").alias("sx"),
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot.select("n_scored")))
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n_scored"), F.col("e"))
+            ).cast("long").alias("medae")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .selectExpr(
+            "n_scored",
+            "CASE WHEN n_scored = 0 THEN NULL"
+            " ELSE (2 * 100 * se + n_scored) div (2 * n_scored) END AS mae_e2",
+            "medae",
+            "CASE WHEN sx = 0 THEN NULL"
+            " ELSE (2 * 1000000 * se + sx) div (2 * sx) END AS wape_e6",
+        )
+    )

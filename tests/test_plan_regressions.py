@@ -938,3 +938,12 @@ def test_assortativity_degree_joins_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "assortativity_neardup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_seasonal_naive_bounded_domain_join(spark, sf_dir):
+    """Seasonal naive: one day-domain self equi-join off the
+    checkpointed rollup — no cartesian; the error-census cumsum runs
+    over the bounded error domain."""
+    plan = _plan(spark, "seasonal_naive_daily_revenue", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # the day-domain join broadcasts

@@ -646,3 +646,56 @@ class TestEwmaSmooth:
             ewma_smooth(df, "o", "x", alpha_permille=0)
         with _pytest.raises(ValueError):
             ewma_smooth(df, "o", "x", max_rows=5)
+
+
+class TestSeasonalNaiveBacktest:
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.temporal import (
+            seasonal_naive_backtest,
+        )
+
+        rng = random.Random(59)
+        rows = [(i, rng.randrange(0, 10_000)) for i in range(60)
+                if rng.random() > 0.1]  # calendar gaps drop out
+        df = spark.createDataFrame(rows, "o long, x long")
+        vals = dict(rows)
+        errs = sorted(
+            abs(x - vals[o - 7]) for o, x in rows if o - 7 in vals
+        )
+        xs = [abs(x) for o, x in rows if o - 7 in vals]
+        r = seasonal_naive_backtest(df, "o", "x", 7).collect()[0]
+        assert r["n_scored"] == len(errs)
+        se = sum(errs)
+        assert r["mae_e2"] == (2 * 100 * se + len(errs)) // (2 * len(errs))
+        assert r["wape_e6"] == (2 * 1_000_000 * se + sum(xs)) // (2 * sum(xs))
+        # lower median: smallest e with 2*cum >= n
+        cum = 0
+        for e in errs:
+            cum += 1
+            if 2 * cum >= len(errs):
+                assert r["medae"] == e
+                break
+
+    def test_perfect_seasonality_zero_error(self, spark):
+        from data_misc_tools_spark.operators.temporal import (
+            seasonal_naive_backtest,
+        )
+
+        rows = [(i, 100 + (i % 7) * 10) for i in range(28)]
+        df = spark.createDataFrame(rows, "o long, x long")
+        r = seasonal_naive_backtest(df, "o", "x", 7).collect()[0]
+        assert r["mae_e2"] == 0 and r["medae"] == 0 and r["wape_e6"] == 0
+        assert r["n_scored"] == 21
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import (
+            seasonal_naive_backtest,
+        )
+
+        df = spark.createDataFrame([(1, 1)], "o long, x long")
+        with _pytest.raises(ValueError):
+            seasonal_naive_backtest(df, "o", "x", 0)

@@ -303,6 +303,8 @@ STRESS = {
     "schema_drift_orders": "linear",
     # assortativity: degree joins on the strict 2x4 graph
     "assortativity_neardup": "linear",
+    # seasonal naive: daily rollup + bounded day-domain self-join
+    "seasonal_naive_daily_revenue": "linear",
 }
 
 
