@@ -305,6 +305,8 @@ HEADLINE = [
     "assortativity_neardup",
     # r7 session-2 wave 9: seasonal-naive forecast baseline
     "seasonal_naive_daily_revenue",
+    # r7 session-2 wave 10: reciprocal-best-match linkage pruning
+    "mutual_best_match_neardup",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

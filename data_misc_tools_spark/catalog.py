@@ -12121,6 +12121,85 @@ def seasonal_naive_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_naive_backtest(daily, "day", "rev", season=7)
 
 
+def _mbm_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+    deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+    wed AS (
+        SELECT e1.b AS u, e2.b AS v
+        FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+    ),
+    common AS (SELECT u, v, count(*)::BIGINT AS n_common FROM wed GROUP BY u, v),
+    esc AS (
+        SELECT c.u AS a, c.v AS b,
+               ((2 * 1000000 * c.n_common + (da.deg + db.deg - c.n_common))
+                // (2 * (da.deg + db.deg - c.n_common)))::BIGINT AS s
+        FROM common c JOIN deg da ON da.node = c.u JOIN deg db ON db.node = c.v
+        WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.a = c.u AND p.b = c.v)
+    ),
+    sym AS (SELECT a AS u, b AS v, s FROM esc
+            UNION ALL SELECT b, a, s FROM esc),
+    best AS (
+        SELECT u, v, s FROM (
+            SELECT u, v, s,
+                   row_number() OVER (PARTITION BY u ORDER BY s DESC, v) AS rn
+            FROM sym
+        ) WHERE rn = 1
+    )
+    SELECT b1.u AS node_a, b1.v AS node_b, b1.s::BIGINT AS score
+    FROM best b1 JOIN best b2 ON b2.u = b1.v AND b2.v = b1.u
+    WHERE b1.u < b1.v ORDER BY node_a, node_b
+    """
+
+
+@_q("mutual_best_match_neardup", _mbm_oracle())
+def mutual_best_match_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-best-match pruning of the near-dup edges scored by
+    neighborhood Jaccard — the precision step before golden-record
+    merge: a template hub is best-FOR many docs but keeps only its
+    own single best, so at most one hub link survives. Deterministic
+    (score DESC, partner ASC) election, node-keyed windows only. See
+    operators/linkage.py:mutual_best_match."""
+    from data_misc_tools_spark.operators.cluster import jaccard_similarity
+    from data_misc_tools_spark.operators.linkage import mutual_best_match
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cand = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    scored = jaccard_similarity(
+        cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).filter(F.col("is_edge"))
+    return mutual_best_match(
+        scored, "node_a", "node_b", "jac_e6"
+    ).orderBy("node_a", "node_b")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

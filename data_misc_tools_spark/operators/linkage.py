@@ -450,3 +450,62 @@ def golden_record(
         (-F.col("w.nc")).cast("long").alias("votes"),
         "n_obs",
     )
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-best-match filtering of scored candidate pairs —
+    the classic high-precision linkage rule (bioinformatics' ortholog
+    BBH; dedup's "marriage" matching): keep (u, v) only when v is u's
+    highest-scoring partner AND u is v's. Kills the hub failure mode
+    where one template record matches hundreds — a hub can be best
+    FOR many nodes but has only one best of its own, so at most one
+    of those links survives. The precision step between
+    :func:`fellegi_sunter_score` and :func:`golden_record`.
+
+    Deterministic: the per-node best is the (score DESC, partner ASC)
+    row-number-1 over the symmetrized pair list — a total order, so
+    ties resolve identically in both engines.
+
+    Scale shape: one symmetrizing union, one node-keyed rank window,
+    one self-join of the two best-lists (mutuality check) — all
+    keyed, no global sorts, no collect.
+
+    Output: (node_a, node_b, score), node_a < node_b, each node
+    appearing at most once.
+    """
+    from pyspark.sql.window import Window
+
+    sym = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v"),
+        F.col(score_col).alias("s"),
+    ).unionAll(
+        pairs.select(
+            F.col(b_col).alias("u"), F.col(a_col).alias("v"),
+            F.col(score_col).alias("s"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("s"), "v")
+    best = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("u", "v", "s")
+    )
+    other = best.select(
+        F.col("u").alias("v2"), F.col("v").alias("u2")
+    )
+    return (
+        best.join(
+            other,
+            (F.col("u") == F.col("u2")) & (F.col("v") == F.col("v2")),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .select(
+            F.col("u").alias("node_a"), F.col("v").alias("node_b"),
+            F.col("s").alias("score"),
+        )
+    )

@@ -305,3 +305,69 @@ class TestGoldenRecord:
         df = spark.createDataFrame([(1, "a")], "cid long, v string")
         with _pytest.raises(ValueError):
             golden_record(df, "cid", [])
+
+
+class TestMutualBestMatch:
+    def test_hub_keeps_only_its_own_best(self, spark):
+        from data_misc_tools_spark.operators.linkage import mutual_best_match
+
+        # hub 0 is best-FOR 1, 2 and 3, but keeps only its own best
+        # (node 1): a single RBM round is one-shot, NOT iterative
+        # stable matching, so 2 (whose best is the hub) stays
+        # unmatched here...
+        pairs = [
+            (0, 1, 90), (0, 2, 80), (0, 3, 70),
+            (2, 3, 60),
+        ]
+        df = spark.createDataFrame(pairs, "a long, b long, score long")
+        got = {
+            (r["node_a"], r["node_b"]): r["score"]
+            for r in mutual_best_match(df, "a", "b", "score").collect()
+        }
+        assert got == {(0, 1): 90}
+        # ...while a pair that mutually prefers EACH OTHER over the
+        # hub survives alongside the hub's own match
+        pairs2 = [
+            (0, 1, 90), (0, 2, 50), (0, 3, 40),
+            (2, 3, 60),
+        ]
+        df2 = spark.createDataFrame(pairs2, "a long, b long, score long")
+        got2 = {
+            (r["node_a"], r["node_b"]): r["score"]
+            for r in mutual_best_match(df2, "a", "b", "score").collect()
+        }
+        assert got2 == {(0, 1): 90, (2, 3): 60}
+
+    def test_tie_resolves_to_smaller_partner(self, spark):
+        from data_misc_tools_spark.operators.linkage import mutual_best_match
+
+        pairs = [(1, 2, 50), (1, 3, 50), (2, 3, 10)]
+        df = spark.createDataFrame(pairs, "a long, b long, score long")
+        got = {
+            (r["node_a"], r["node_b"])
+            for r in mutual_best_match(df, "a", "b", "score").collect()
+        }
+        # 1's best ties between 2 and 3 -> smaller partner 2; 2's best
+        # is 1 -> mutual; 3's best is 1 but 1 chose 2 -> 3 unmatched
+        assert got == {(1, 2)}
+
+    def test_each_node_at_most_once(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.linkage import mutual_best_match
+
+        rng = random.Random(61)
+        pairs = [
+            (*sorted(rng.sample(range(25), 2)), rng.randrange(1, 1000))
+            for _ in range(150)
+        ]
+        # dedupe pair keys keeping first
+        seen, uniq = set(), []
+        for a, b, s in pairs:
+            if (a, b) not in seen:
+                seen.add((a, b))
+                uniq.append((a, b, s))
+        df = spark.createDataFrame(uniq, "a long, b long, score long")
+        got = mutual_best_match(df, "a", "b", "score").collect()
+        nodes = [n for r in got for n in (r["node_a"], r["node_b"])]
+        assert len(nodes) == len(set(nodes))

@@ -947,3 +947,15 @@ def test_seasonal_naive_bounded_domain_join(spark, sf_dir):
     plan = _plan(spark, "seasonal_naive_daily_revenue", sf_dir)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # the day-domain join broadcasts
+
+
+def test_mutual_best_match_node_keyed_windows(spark, sf_dir):
+    """RBM: the per-node best election is a NODE-partitioned rank
+    window; the mutuality check is one equi self-join."""
+    plan = _plan(spark, "mutual_best_match_neardup", sf_dir)
+    assert "CartesianProduct" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in RBM plan: " + spec
+        )

@@ -305,6 +305,8 @@ STRESS = {
     "assortativity_neardup": "linear",
     # seasonal naive: daily rollup + bounded day-domain self-join
     "seasonal_naive_daily_revenue": "linear",
+    # RBM: node-keyed best windows on the strict 2x4 graph
+    "mutual_best_match_neardup": "linear",
 }
 
 
