@@ -2631,6 +2631,45 @@ def ols2_exact(
     )
 
 
+def reference_edges(
+    ref_df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> list:
+    """The reference-quantile bin edges :func:`psi_report` bins
+    against, exposed so a STREAMING monitor can compute them once at
+    reference-build time and ship them as a bounded literal list (the
+    deployment story: edges are versioned artifacts, not recomputed
+    per micro-batch). Edge j is the ⌈j·n/B⌉-th smallest value read
+    off the distinct-value census with a range-partitioned prefix
+    count (ONE job for all edges); duplicates collapse.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    ref = ref_df.select(F.col(value_col).cast("long").alias("x"))
+    census = ref.groupBy("x").agg(F.count("*").cast("long").alias("c"))
+    cum = global_cumsum(census, ["x"], ["c"]).crossJoin(
+        F.broadcast(ref.agg(F.count("*").cast("long").alias("n")))
+    )
+    qs = ref_df.sparkSession.range(1, n_bins).select(F.col("id").alias("j"))
+    return sorted(
+        {
+            r["e"]
+            for r in cum.crossJoin(F.broadcast(qs))
+            .filter(
+                F.col("cum_c")
+                >= F.expr(f"(j * n + {n_bins} - 1) div {n_bins}")
+            )
+            .groupBy("j")
+            .agg(F.min("x").alias("e"))
+            .collect()
+            if r["e"] is not None
+        }
+    )
+
+
 def psi_report(
     ref_df: DataFrame,
     cur_df: DataFrame,
@@ -2670,33 +2709,9 @@ def psi_report(
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
-    from data_misc_tools_spark.operators.etl import global_cumsum
-
     ref = ref_df.select(F.col(value_col).cast("long").alias("x"))
     cur = cur_df.select(F.col(value_col).cast("long").alias("x"))
-    census = ref.groupBy("x").agg(F.count("*").cast("long").alias("c"))
-    # range-partitioned prefix count over the DISTINCT-VALUE census —
-    # never an unpartitioned window, never a row-count-sized frame
-    cum = global_cumsum(census, ["x"], ["c"]).crossJoin(
-        F.broadcast(ref.agg(F.count("*").cast("long").alias("n")))
-    )
-    qs = ref_df.sparkSession.range(1, n_bins).select(
-        F.col("id").alias("j")
-    )
-    edges = sorted(
-        {
-            r["e"]
-            for r in cum.crossJoin(F.broadcast(qs))
-            .filter(
-                F.col("cum_c")
-                >= F.expr(f"(j * n + {n_bins} - 1) div {n_bins}")
-            )
-            .groupBy("j")
-            .agg(F.min("x").alias("e"))
-            .collect()
-            if r["e"] is not None
-        }
-    )
+    edges = reference_edges(ref_df, value_col, n_bins)
     def bin_expr():
         b = F.lit(0).cast("long")
         for e in edges:

@@ -1051,3 +1051,101 @@ class TestZscoreStream:
             assert got[k][0] == want[k][0]
             a, b = got[k][1], want[k][1]
             assert (a is None and b is None) or abs(a - b) < 1e-12
+
+
+class TestDriftStream:
+    def test_replay_equals_batch_and_psi_matches_report(self, spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from data_misc_tools_spark.operators.profile import (
+            psi_report,
+            reference_edges,
+        )
+        from data_misc_tools_spark.session import (
+            nanos_ts_columns,
+            read_parquet_table,
+        )
+        from data_misc_tools_spark.streaming.drift import (
+            drift_bins_stream,
+            psi_from_bin_counts,
+        )
+
+        src = f"{sf_dir}/events.parquet"
+        ev = read_parquet_table(spark, src)
+        base = ev.select(
+            "ts", FF.round(FF.col("value") * 100).cast("long").alias("x")
+        )
+        edges = reference_edges(base, "x", 10)
+        assert 1 <= len(edges) <= 9
+
+        stage_dir = tempfile.mkdtemp(prefix="drift_stage_")
+        os.symlink(src, os.path.join(stage_dir, "events.parquet"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(stage_dir)
+        if "ts" in nanos_ts_columns(src):
+            stream = stream.withColumn(
+                "ts", FF.expr("timestamp_micros(ts div 1000)")
+            )
+        stream = stream.select(
+            "ts", FF.round(FF.col("value") * 100).cast("long").alias("x")
+        )
+        q = (
+            drift_bins_stream(stream, edges, "x", "ts", "1 day")
+            .writeStream.format("memory")
+            .queryName("drift_test")
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="drift_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert q.exception() is None
+        got = {
+            (r.window_start, r.bin): r.n
+            for r in spark.table("drift_test").collect()
+        }
+        # batch twin with the same edges + windows
+        b = FF.lit(0).cast("long")
+        for e in edges:
+            b = b + (FF.col("x") > FF.lit(int(e))).cast("long")
+        batch = (
+            base.groupBy(
+                FF.window("ts", "1 day").alias("w"), b.alias("bin")
+            )
+            .agg(FF.count("*").cast("long").alias("n"))
+            .select(FF.col("w.start").alias("ws"), "bin", "n")
+            .collect()
+        )
+        last_w = max(r.ws for r in batch)
+        want = {(r.ws, r.bin): r.n for r in batch if r.ws != last_w}
+        assert got == want  # every CLOSED window binned identically
+
+        # per-window PSI terms == a batch psi_report of that slice
+        ref_counts = (
+            base.select(b.alias("bin"))
+            .groupBy("bin").agg(FF.count("*").cast("long").alias("n"))
+        )
+        sink = spark.table("drift_test")
+        terms = psi_from_bin_counts(sink, ref_counts, len(edges) + 1)
+        some_w = sorted({r.window_start for r in sink.collect()})[0]
+        got_terms = {
+            r["bin"]: (r["ref_n"], r["cur_n"], r["term_e6"])
+            for r in terms.filter(
+                FF.col("window_start") == some_w
+            ).collect()
+        }
+        day_end = FF.lit(some_w) + FF.expr("INTERVAL 1 DAY")
+        slice_df = base.filter(
+            (FF.col("ts") >= FF.lit(some_w)) & (FF.col("ts") < day_end)
+        )
+        want_terms = {
+            r["bin"]: (r["ref_n"], r["cur_n"], r["term_e6"])
+            for r in psi_report(base, slice_df, "x", 10).collect()
+        }
+        assert got_terms == want_terms
