@@ -307,6 +307,8 @@ HEADLINE = [
     "seasonal_naive_daily_revenue",
     # r7 session-2 wave 10: reciprocal-best-match linkage pruning
     "mutual_best_match_neardup",
+    # r7 session-2 wave 11: Hilbert clustering key
+    "hilbert_key_demo",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -12200,6 +12200,65 @@ def mutual_best_match_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node_a", "node_b")
 
 
+def _hilbert_oracle(bits: int = 8) -> str:
+    """Unrolled per-level rotate/reflect walk (one CTE per level, each
+    referenced once — the stationary/mmr linear-plan discipline; rx/ry
+    computed in a nested subquery so no alias is referenced before it
+    exists). xor() is DuckDB's bitwise xor (^ is exponentiation!)."""
+    steps = []
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        steps.append(f"""
+    h{i + 1} AS (
+        SELECT event_id,
+               CASE WHEN ry = 0
+                    THEN (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+                    ELSE x END AS x,
+               CASE WHEN ry = 0
+                    THEN (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+                    ELSE y END AS y,
+               d + {s * s} * xor(3 * rx, ry) AS d
+        FROM (
+            SELECT event_id, x, y, d,
+                   CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM h{i}
+        )
+    )""")
+    return f"""
+    WITH h0 AS (
+        SELECT event_id, (user_id % 256)::BIGINT AS x,
+               (event_id % 256)::BIGINT AS y, 0::BIGINT AS d
+        FROM events
+    ),
+    {",".join(steps)}
+    SELECT event_id, d::BIGINT AS h FROM h{bits}
+    """
+
+
+@_q("hilbert_key_demo", _hilbert_oracle(8))
+def hilbert_key_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve index beside zorder_key_demo's Morton key — the
+    locality-superior clustering curve (consecutive indices are always
+    grid-adjacent, so footer min/max pruning admits fewer files; the
+    adjacency-locality win over Z-order is measured in
+    tests/test_layout.py). The per-level rotate/reflect walk rides ONE
+    aggregate fold (linear expression tree); the oracle replays it as
+    an unrolled per-level CTE chain. See
+    operators/layout.py:hilbert_key."""
+    from data_misc_tools_spark.operators.layout import hilbert_key
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return e.select(
+        "event_id",
+        hilbert_key(
+            [F.pmod(F.col("user_id"), F.lit(256)),
+             F.pmod(F.col("event_id"), F.lit(256))],
+            bits=8,
+        ).alias("h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -46,6 +46,61 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     return reduce(lambda a, x: a.bitwiseOR(x), parts)
 
 
+def _keyed_by_curve(df, cols, bits, bucketize, key_fn):
+    """Shared bucketize step for the curve writers: normalize each
+    column to a ``bits``-wide non-negative bucket (rank / quantile /
+    minmax — trade-offs documented on :func:`zorder_write`), then
+    attach ``__z`` = key_fn(buckets)."""
+    from pyspark.sql.window import Window
+
+    span = (1 << bits) - 1
+    if bucketize == "rank":
+        keyed = df
+        bucket_cols = []
+        for c in cols:
+            bname = f"__zb_{c}"
+            keyed = keyed.withColumn(
+                bname,
+                (F.ntile(span + 1).over(Window.orderBy(F.col(c))) - 1).cast("long"),
+            )
+            bucket_cols.append(F.col(bname))
+        return keyed.withColumn("__z", key_fn(bucket_cols, bits)).drop(
+            *[f"__zb_{c}" for c in cols]
+        )
+    if bucketize == "quantile":
+        probs = [i / (span + 1) for i in range(1, span + 1)]
+        bucket_cols = []
+        for c in cols:
+            bounds = df.approxQuantile(c, probs, 0.001)
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            bucket_cols.append(
+                F.aggregate(
+                    arr,
+                    F.lit(0).cast("long"),
+                    lambda acc, b: acc
+                    + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+                )
+            )
+        return df.withColumn("__z", key_fn(bucket_cols, bits))
+    if bucketize == "minmax":
+        lo_hi = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+        ).first()
+        bucket_cols = []
+        for c in cols:
+            lo, hi = lo_hi[f"__lo_{c}"], lo_hi[f"__hi_{c}"]
+            scale = span / (hi - lo) if hi > lo else 0.0
+            bucket_cols.append(
+                F.least(
+                    F.lit(span),
+                    F.floor((F.col(c).cast("double") - F.lit(lo)) * F.lit(scale)),
+                ).cast("long")
+            )
+        return df.withColumn("__z", key_fn(bucket_cols, bits))
+    raise ValueError(f"unknown bucketize mode: {bucketize!r}")
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -78,55 +133,7 @@ def zorder_write(
     - ``'minmax'``: equal-WIDTH buckets from one tiny min/max agg —
       cheapest, fine for uniform-ish columns.
     """
-    from pyspark.sql.window import Window
-
-    span = (1 << bits) - 1
-    if bucketize == "rank":
-        keyed = df
-        bucket_cols = []
-        for c in cols:
-            bname = f"__zb_{c}"
-            keyed = keyed.withColumn(
-                bname,
-                (F.ntile(span + 1).over(Window.orderBy(F.col(c))) - 1).cast("long"),
-            )
-            bucket_cols.append(F.col(bname))
-        keyed = keyed.withColumn("__z", zorder_key(bucket_cols, bits)).drop(
-            *[f"__zb_{c}" for c in cols]
-        )
-    elif bucketize == "quantile":
-        probs = [i / (span + 1) for i in range(1, span + 1)]
-        bucket_cols = []
-        for c in cols:
-            bounds = df.approxQuantile(c, probs, 0.001)
-            arr = F.array(*[F.lit(float(b)) for b in bounds])
-            bucket_cols.append(
-                F.aggregate(
-                    arr,
-                    F.lit(0).cast("long"),
-                    lambda acc, b: acc
-                    + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
-                )
-            )
-        keyed = df.withColumn("__z", zorder_key(bucket_cols, bits))
-    elif bucketize == "minmax":
-        lo_hi = df.agg(
-            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
-            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
-        ).first()
-        bucket_cols = []
-        for c in cols:
-            lo, hi = lo_hi[f"__lo_{c}"], lo_hi[f"__hi_{c}"]
-            scale = span / (hi - lo) if hi > lo else 0.0
-            bucket_cols.append(
-                F.least(
-                    F.lit(span),
-                    F.floor((F.col(c).cast("double") - F.lit(lo)) * F.lit(scale)),
-                ).cast("long")
-            )
-        keyed = df.withColumn("__z", zorder_key(bucket_cols, bits))
-    else:
-        raise ValueError(f"unknown bucketize mode: {bucketize!r}")
+    keyed = _keyed_by_curve(df, cols, bits, bucketize, zorder_key)
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -242,3 +249,84 @@ def clusteredness_report(spark: SparkSession, path: str, column: str) -> dict:
         "avg_overlap": round(overlaps / (n * (n - 1)), 4),
         "admit_fraction_mid": round(admit / n, 4),
     }
+
+
+def hilbert_key(cols: list[Column], bits: int = 16) -> Column:
+    """Hilbert-curve index of a 2-D point — the locality-superior
+    alternative to :func:`zorder_key` (Hilbert 1891; the xy2d walk of
+    Hamilton's compact Hilbert indices): unlike Morton order, the
+    Hilbert curve never jumps — consecutive indices are always
+    grid-adjacent — so a query rectangle decomposes into FEWER
+    contiguous index runs than under Morton order (the Moon et al.
+    1996 clustering result; ~5.6 vs ~9.8 runs per rectangle measured
+    in tests/test_layout.py — note mean adjacent-pair |Δindex| is the
+    WRONG metric, Morton wins that one; runs are what footer pruning
+    sees). The reason HILBERT sits beside ZORDER in modern
+    lakehouse clustering.
+
+    Implemented as the classic per-level rotate/reflect walk carried
+    as an (x, y, d) struct through ONE aggregate fold over the
+    ``bits`` levels (the jaro/mp4 fold-state idiom — bound lambda
+    variables, so the expression tree stays LINEAR in ``bits``
+    instead of doubling per level). Pure integer bit arithmetic,
+    engine-portable: the catalog oracle replays the walk as an
+    unrolled per-level CTE chain.
+
+    Inputs must be non-negative integers below ``2^bits`` (bucket
+    first — :func:`hilbert_write`); masked defensively. 2·bits ≤ 62.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert_key is 2-D: pass exactly two columns")
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"bits={bits} out of range (1..31)")
+    mask = (1 << bits) - 1
+    x0 = cols[0].cast("long").bitwiseAND(F.lit(mask))
+    y0 = cols[1].cast("long").bitwiseAND(F.lit(mask))
+    levels = F.array(*[F.lit(1 << (bits - 1 - i)) for i in range(bits)])
+    init = F.struct(
+        x0.alias("x"), y0.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc, s):
+        x, y, d = acc.getField("x"), acc.getField("y"), acc.getField("d")
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = d + s * s * (rx * 3).bitwiseXOR(ry)
+        x2 = (
+            F.when(
+                ry == 0,
+                F.when(rx == 1, s - 1 - y).otherwise(y),
+            ).otherwise(x)
+        ).cast("long")
+        y2 = (
+            F.when(
+                ry == 0,
+                F.when(rx == 1, s - 1 - x).otherwise(x),
+            ).otherwise(y)
+        ).cast("long")
+        return F.struct(x2.alias("x"), y2.alias("y"), d2.cast("long").alias("d"))
+
+    return F.aggregate(levels, init, step).getField("d")
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 32,
+    bucketize: str = "rank",
+) -> None:
+    """Write ``df`` as parquet clustered by the 2-D Hilbert index of
+    ``cols`` — :func:`zorder_write` with the locality-superior curve
+    (same bucketize modes and trade-offs; see that docstring)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_write is 2-D: pass exactly two columns")
+    keyed = _keyed_by_curve(df, cols, bits, bucketize, hilbert_key)
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

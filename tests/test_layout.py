@@ -254,3 +254,131 @@ def test_parquet_bloom_filters_written_and_queries_exact(spark, tmp_path):
         for r in spark.read.parquet(plain).where(F.col("id").isin(probe)).collect()
     )
     assert a == b and len(a) == len(probe)
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_python_reference_and_is_bijective(spark):
+    from data_misc_tools_spark.operators.layout import hilbert_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.d
+        for r in df.select(
+            "x", "y", hilbert_key([F.col("x"), F.col("y")], bits=4).alias("d")
+        ).collect()
+    }
+    assert got == {(x, y): _xy2d(16, x, y) for x, y in rows}
+    assert sorted(got.values()) == list(range(256))  # a space-filling walk
+
+
+def test_hilbert_clustering_beats_zorder(spark):
+    """The reason to prefer Hilbert — the Moon et al. clustering
+    metric: a query RECTANGLE decomposes into fewer contiguous index
+    runs than under Morton order (each run is one contiguous scan /
+    one admitted file range), because the Hilbert walk never
+    teleports across the grid. NOTE mean adjacent-pair |Δindex| is
+    NOT the right metric (Morton actually wins that one — measured);
+    runs-per-rectangle is what footer pruning sees."""
+    from data_misc_tools_spark.operators.layout import hilbert_key, zorder_key
+
+    n = 32
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    keys = {
+        (r.x, r.y): (r.h, r.z)
+        for r in df.select(
+            "x", "y",
+            hilbert_key([F.col("x"), F.col("y")], bits=5).alias("h"),
+            zorder_key([F.col("x"), F.col("y")], bits=5).alias("z"),
+        ).collect()
+    }
+
+    def runs(which, x0, y0, w, h):
+        idx = sorted(
+            keys[(x, y)][which]
+            for x in range(x0, x0 + w)
+            for y in range(y0, y0 + h)
+        )
+        return 1 + sum(1 for a, b in zip(idx, idx[1:]) if b != a + 1)
+
+    th = tz = 0
+    for w, h in [(4, 4), (8, 8), (4, 8)]:
+        for x0 in range(0, n - w, 3):
+            for y0 in range(0, n - h, 3):
+                th += runs(0, x0, y0, w, h)
+                tz += runs(1, x0, y0, w, h)
+    assert th < tz * 0.7  # decisively fewer runs (measured ~5.6 vs ~9.8)
+
+
+def test_hilbert_key_validations(spark):
+    from data_misc_tools_spark.operators.layout import hilbert_key, hilbert_write
+
+    df = spark.createDataFrame([(1, 2, 3)], "x long, y long, z long")
+    with pytest.raises(ValueError):
+        hilbert_key([df.x], bits=8)
+    with pytest.raises(ValueError):
+        hilbert_key([df.x, df.y, df.z], bits=8)
+    with pytest.raises(ValueError):
+        hilbert_key([df.x, df.y], bits=32)
+    with pytest.raises(ValueError):
+        hilbert_write(df, "/tmp/nope", ["x", "y", "z"])
+
+
+def test_hilbert_layout_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Same footer-proven skipping as the zorder test, on the Hilbert
+    layout: a filter on EITHER clustered column admits well under all
+    files."""
+    from data_misc_tools_spark.operators.layout import hilbert_write
+    from data_misc_tools_spark.session import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "value", "event_id"
+    )
+    n_files = 16
+    path = str(tmp_path / "hilbert_ev")
+    hilbert_write(ev, path, ["user_id", "value"], bits=8, n_files=n_files)
+
+    import pyarrow.parquet as pq
+    import glob as g
+
+    def admitted(col_idx_name, lo, hi):
+        admit = 0
+        files = [f for f in g.glob(path + "/*.parquet")]
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col_idx_name)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if min(mins) <= hi and lo <= max(maxs):
+                admit += 1
+        return admit, len(files)
+
+    users = sorted(r.user_id for r in ev.select("user_id").distinct().collect())
+    mid_u = users[len(users) // 2]
+    a_u, n_u = admitted("user_id", mid_u, mid_u)
+    vals = sorted(r.value for r in ev.select("value").collect())
+    mid_v = vals[len(vals) // 2]
+    a_v, n_v = admitted("value", mid_v, mid_v)
+    assert n_u == n_files and n_v == n_files
+    # a point filter on either dimension must prune over half the files
+    assert a_u <= n_files // 2
+    assert a_v <= n_files // 2

@@ -959,3 +959,11 @@ def test_mutual_best_match_node_keyed_windows(spark, sf_dir):
         assert not head.endswith("ASC NULLS FIRST"), (
             "unpartitioned window in RBM plan: " + spec
         )
+
+
+def test_hilbert_key_is_map_only(spark, sf_dir):
+    """Hilbert index: one aggregate fold per row — zero exchanges
+    beyond the scan, no windows, whole-stage codegen."""
+    plan = _plan(spark, "hilbert_key_demo", sf_dir)
+    assert "Exchange" not in plan
+    assert "Window" not in plan

@@ -307,6 +307,8 @@ STRESS = {
     "seasonal_naive_daily_revenue": "linear",
     # RBM: node-keyed best windows on the strict 2x4 graph
     "mutual_best_match_neardup": "linear",
+    # hilbert: map-only fold per row
+    "hilbert_key_demo": "linear",
 }
 
 
