@@ -309,6 +309,8 @@ HEADLINE = [
     "mutual_best_match_neardup",
     # r7 session-2 wave 11: Hilbert clustering key
     "hilbert_key_demo",
+    # r7 session-2 wave 12: pairwise Jensen-Shannon divergence
+    "jsd_lang_pairs",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -12259,6 +12259,66 @@ def hilbert_key_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "jsd_lang_pairs",
+    """
+    WITH census AS (
+        SELECT lang AS g, t[i] AS w, count(*)::BIGINT AS c
+        FROM (SELECT lang,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents)
+        JOIN generate_series(1, 2048) s(i) ON s.i <= len(t)
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, sum(c)::BIGINT AS n FROM census GROUP BY g),
+    shared AS (
+        SELECT a.g AS ga, b.g AS gb, t1.n AS n1, t2.n AS n2,
+               sum(a.c::HUGEINT
+                   * (round(ln((2 * a.c * t2.n)::DOUBLE) * 1e6)::BIGINT
+                      - round(ln((a.c * t2.n + b.c * t1.n)::DOUBLE) * 1e6)::BIGINT)
+                  )::HUGEINT AS sa,
+               sum(b.c::HUGEINT
+                   * (round(ln((2 * b.c * t1.n)::DOUBLE) * 1e6)::BIGINT
+                      - round(ln((a.c * t2.n + b.c * t1.n)::DOUBLE) * 1e6)::BIGINT)
+                  )::HUGEINT AS sb,
+               sum(a.c)::BIGINT AS sc, sum(b.c)::BIGINT AS sd
+        FROM census a JOIN census b ON a.w = b.w AND a.g < b.g
+        JOIN tot t1 ON t1.g = a.g JOIN tot t2 ON t2.g = b.g
+        GROUP BY 1, 2, 3, 4
+    ),
+    grid AS (
+        SELECT t1.g AS ga, t2.g AS gb, t1.n AS n1, t2.n AS n2
+        FROM tot t1 JOIN tot t2 ON t1.g < t2.g
+    ),
+    full_p AS (
+        SELECT grid.ga, grid.gb, grid.n1, grid.n2,
+               coalesce(sa, 0::HUGEINT) AS sa, coalesce(sb, 0::HUGEINT) AS sb,
+               coalesce(sc, 0)::BIGINT AS sc, coalesce(sd, 0)::BIGINT AS sd
+        FROM grid LEFT JOIN shared ON shared.ga = grid.ga AND shared.gb = grid.gb
+    )
+    SELECT ga AS group_a, gb AS group_b, n1 AS n_a, n2 AS n_b,
+           ((2 * ((sa + 693147 * (n1::HUGEINT - sc)) * n2
+                  + (sb + 693147 * (n2::HUGEINT - sd)) * n1)
+             + 2 * n1::HUGEINT * n2)
+            // (2 * 2 * n1::HUGEINT * n2))::BIGINT AS jsd_e6
+    FROM full_p ORDER BY group_a, group_b
+    """,
+)
+def jsd_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the five languages'
+    unigram distributions — the symmetric, ln2-bounded "which slices
+    speak differently" matrix beside corpus_drift's KL: one (lang,
+    word) census, the shared-support join plus the c·ln2 collapse for
+    one-sided words (exact — no smoothing needed even on disjoint
+    vocabularies). This corpus shares one 31-word vocabulary, so JSD
+    here measures MIXTURE differences. See
+    operators/text.py:jsd_pairs."""
+    from data_misc_tools_spark.operators.text import jsd_pairs
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return jsd_pairs(d, "text", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

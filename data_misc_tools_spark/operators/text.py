@@ -1446,3 +1446,101 @@ def vocab_oov_rate(
             .alias("oov_e6"),
         )
     )
+
+
+E6_LN2 = 693147  # round(ln(2) * 1e6) — pinned literal on BOTH engines
+
+
+def jsd_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the groups' unigram
+    distributions (Lin 1991) — the SYMMETRIC, bounded (≤ ln 2)
+    companion to corpus_drift's smoothed KL: which corpus slices
+    actually speak differently, safe even on disjoint vocabularies
+    (where KL is infinite; JSD caps at exactly ln 2).
+
+    Engine-exact by the pmi/keyness idiom plus one structural trick:
+    a word present in only ONE side contributes exactly c·ln 2 (the
+    mixture term collapses), so the inner word join covers the shared
+    support and the one-sided mass rides the totals —
+    A = Σ_shared c·[e6ln(2·c·N₂) − e6ln(c·N₂ + d·N₁)]
+      + E6_LN2·(N₁ − Σ_shared c)   (B symmetric), and
+    jsd_e6 = half-up((A·N₂ + B·N₁) / (2·N₁·N₂)) in decimal(38,0)
+    (HUGEINT twin). Identical distributions → 0; disjoint supports →
+    exactly E6_LN2 (both pinned in tests).
+
+    Scale shape: one (group, word) census, one word-keyed self-join
+    over the shared support (never a full outer), per-group totals
+    broadcast, one aggregate per pair. Output: (group_a, group_b,
+    n_a, n_b, jsd_e6), group_a < group_b.
+    """
+    dec = "decimal(38,0)"
+    census = (
+        df.select(F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()  # both join legs + the totals read it
+    )
+    tot = census.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    a = census.selectExpr("g AS ga", "w", "c")
+    b = census.selectExpr("g AS gb", "w", "c AS d")
+    e6ln = (
+        lambda e: F.round(F.log(e.cast("double")) * 1e6).cast("long")
+    )  # noqa: E731
+    shared = (
+        a.join(b, "w")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(tot.selectExpr("g AS ga", "n AS n1")), "ga")
+        .join(F.broadcast(tot.selectExpr("g AS gb", "n AS n2")), "gb")
+        .select(
+            "ga", "gb", "n1", "n2",
+            (
+                F.col("c").cast(dec)
+                * (
+                    e6ln(2 * F.col("c") * F.col("n2"))
+                    - e6ln(F.col("c") * F.col("n2") + F.col("d") * F.col("n1"))
+                )
+            ).cast(dec).alias("__ta"),
+            (
+                F.col("d").cast(dec)
+                * (
+                    e6ln(2 * F.col("d") * F.col("n1"))
+                    - e6ln(F.col("c") * F.col("n2") + F.col("d") * F.col("n1"))
+                )
+            ).cast(dec).alias("__tb"),
+            F.col("c").alias("__sc"),
+            F.col("d").alias("__sd"),
+        )
+        .groupBy("ga", "gb", "n1", "n2")
+        .agg(
+            F.sum("__ta").cast(dec).alias("sa"),
+            F.sum("__tb").cast(dec).alias("sb"),
+            F.sum("__sc").cast("long").alias("sc"),
+            F.sum("__sd").cast("long").alias("sd"),
+        )
+    )
+    # pairs with EMPTY shared support must still emit (jsd = ln 2):
+    # the pair grid comes from the totals, the shared agg left-joins
+    grid = (
+        tot.selectExpr("g AS ga", "n AS n1")
+        .join(tot.selectExpr("g AS gb", "n AS n2"), F.col("ga") < F.col("gb"))
+    )
+    full = grid.join(shared.drop("n1", "n2"), ["ga", "gb"], "left").selectExpr(
+        "ga", "gb", "n1", "n2",
+        "coalesce(sa, cast(0 as decimal(38,0))) AS sa",
+        "coalesce(sb, cast(0 as decimal(38,0))) AS sb",
+        "coalesce(sc, 0L) AS sc",
+        "coalesce(sd, 0L) AS sd",
+    )
+    return full.selectExpr(
+        "ga AS group_a", "gb AS group_b",
+        "n1 AS n_a", "n2 AS n_b",
+        f"""cast((2 * ((sa + {E6_LN2} * (cast(n1 as decimal(38,0)) - sc)) * n2
+                  + (sb + {E6_LN2} * (cast(n2 as decimal(38,0)) - sd)) * n1)
+                 + 2 * cast(n1 as decimal(38,0)) * n2)
+                div (2 * 2 * cast(n1 as decimal(38,0)) * n2) as long)
+            AS jsd_e6""",
+    ).orderBy("group_a", "group_b")

@@ -967,3 +967,11 @@ def test_hilbert_key_is_map_only(spark, sf_dir):
     plan = _plan(spark, "hilbert_key_demo", sf_dir)
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_jsd_census_join_totals_broadcast(spark, sf_dir):
+    """JSD: one checkpointed census feeds both join legs; per-group
+    totals attach broadcast; no windows, no cartesian on words."""
+    plan = _plan(spark, "jsd_lang_pairs", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan

@@ -888,3 +888,77 @@ class TestVocabOovRate:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             vocab_oov_rate(df, 0)
+
+
+class TestJsdPairs:
+    def _ref(self, docs):
+        import collections
+        import math
+
+        E6_LN2 = 693147
+        cnt = collections.defaultdict(collections.Counter)
+        for g, t in docs:
+            cnt[g].update(w for w in t.split(" ") if w)
+        out = {}
+        gs = sorted(cnt)
+        for i, ga in enumerate(gs):
+            for gb in gs[i + 1:]:
+                ca, cb = cnt[ga], cnt[gb]
+                n1, n2 = sum(ca.values()), sum(cb.values())
+                sa = sb = sc = sd = 0
+                for w in set(ca) & set(cb):
+                    c, d = ca[w], cb[w]
+                    ln_mix = round(math.log(c * n2 + d * n1) * 1e6)
+                    sa += c * (round(math.log(2 * c * n2) * 1e6) - ln_mix)
+                    sb += d * (round(math.log(2 * d * n1) * 1e6) - ln_mix)
+                    sc += c
+                    sd += d
+                A = sa + E6_LN2 * (n1 - sc)
+                B = sb + E6_LN2 * (n2 - sd)
+                num = A * n2 + B * n1
+                den = 2 * n1 * n2
+                out[(ga, gb)] = (n1, n2, (2 * num + den) // (2 * den))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.text import jsd_pairs
+
+        rng = random.Random(67)
+        vocab = [f"w{i}" for i in range(25)]
+        docs = []
+        for i in range(150):
+            g = "g" + str(i % 3)
+            # group-specific skew so JSD is non-trivial
+            lo = (i % 3) * 5
+            docs.append(
+                (g, " ".join(
+                    vocab[min(lo + int(rng.expovariate(0.3)), 24)]
+                    for _ in range(rng.randrange(3, 25))
+                ))
+            )
+        df = spark.createDataFrame(docs, "lang string, text string")
+        got = {
+            (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["jsd_e6"])
+            for r in jsd_pairs(df, "text", "lang").collect()
+        }
+        assert got == self._ref(docs)
+
+    def test_identical_and_disjoint_extremes(self, spark):
+        from data_misc_tools_spark.operators.text import E6_LN2, jsd_pairs
+
+        docs = [
+            ("a", "x x y z"), ("b", "x x y z"),      # identical dists
+            ("c", "p q p r"),                         # disjoint from a/b
+        ]
+        df = spark.createDataFrame(docs, "lang string, text string")
+        got = {
+            (r["group_a"], r["group_b"]): r["jsd_e6"]
+            for r in jsd_pairs(df, "text", "lang").collect()
+        }
+        assert got[("a", "b")] == 0
+        assert got[("a", "c")] == E6_LN2  # exactly ln 2
+        assert got[("b", "c")] == E6_LN2
+        # bounded
+        assert all(0 <= v <= E6_LN2 for v in got.values())

@@ -309,6 +309,8 @@ STRESS = {
     "mutual_best_match_neardup": "linear",
     # hilbert: map-only fold per row
     "hilbert_key_demo": "linear",
+    # JSD: one census + shared-support word join, totals broadcast
+    "jsd_lang_pairs": "linear",
 }
 
 
