@@ -311,6 +311,8 @@ HEADLINE = [
     "hilbert_key_demo",
     # r7 session-2 wave 12: pairwise Jensen-Shannon divergence
     "jsd_lang_pairs",
+    # r7 session-2 wave 13: BMP header round trip (format #5)
+    "bmp_meta_demo",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -12319,6 +12319,54 @@ def jsd_lang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsd_pairs(d, "text", "lang")
 
 
+@_q(
+    "bmp_meta_demo",
+    """
+    SELECT doc_id, 'bmp' AS format,
+           (8 + doc_id % 512)::BIGINT AS width,
+           (8 + doc_id % 384)::BIGINT AS height,
+           24::BIGINT AS bits_per_pixel,
+           54::BIGINT AS data_offset,
+           (doc_id % 2 = 1) AS is_topdown
+    FROM documents
+    """,
+)
+def bmp_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP metadata round trip, all JVM-side — format #5 beside the
+    PNG/JPEG/MP4/WAV plumbing: fabricate a canonical 24-bpp BMP per
+    document (synthetic_bmp, odd doc_ids written TOP-DOWN with the
+    signed-negative height — the classic BMP gotcha), parse it back
+    with bmp_image_meta's little-endian field reads. The oracle
+    derives every field arithmetically from the synthesis formula, so
+    any byte-slip in writer or reader (incl. the two's-complement
+    height) fails the hash. See operators/multimodal.py:
+    bmp_image_meta / synthetic_bmp."""
+    from data_misc_tools_spark.operators.multimodal import (
+        bmp_image_meta,
+        synthetic_bmp,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    blobs = d.select(
+        "doc_id",
+        synthetic_bmp(
+            width=F.lit(8) + F.col("doc_id") % 512,
+            height=F.lit(8) + F.col("doc_id") % 384,
+            topdown=F.col("doc_id") % 2 == 1,
+        ).alias("payload"),
+    )
+    m = bmp_image_meta("payload")
+    return blobs.select(
+        "doc_id",
+        m.getField("format").alias("format"),
+        m.getField("width").cast("long").alias("width"),
+        m.getField("height").cast("long").alias("height"),
+        m.getField("bits_per_pixel").cast("long").alias("bits_per_pixel"),
+        m.getField("data_offset").cast("long").alias("data_offset"),
+        m.getField("is_topdown").alias("is_topdown"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

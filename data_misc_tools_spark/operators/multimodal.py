@@ -1092,3 +1092,86 @@ def audio_energy_fingerprint(
         F.when(nf > 0, F.element_at("__e", 1)).alias("energy_first"),
         F.when(nf > 0, F.element_at("__e", -1)).alias("energy_last"),
     )
+
+
+def bmp_image_meta(payload: Column | str) -> Column:
+    """Parse BMP headers (BITMAPFILEHEADER + BITMAPINFOHEADER) with
+    pure JVM byte arithmetic — format #5 beside the PNG/JPEG/MP4/WAV
+    readers: width/height/bpp/offset from the first 54 bytes, no
+    codec. Height is SIGNED int32 (negative = top-down row order —
+    the classic BMP gotcha); the reader two's-complements it and
+    flags ``is_topdown``. Non-BITMAPINFOHEADER variants (core/v4/v5
+    sizes) and compressed BMPs yield null fields.
+
+    Returns struct(format, width, height, bits_per_pixel,
+    data_offset, is_topdown).
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def le16(off: int) -> Column:
+        lo = F.conv(F.hex(F.substring(p, off, 1)), 16, 10).cast("long")
+        hi = F.conv(F.hex(F.substring(p, off + 1, 1)), 16, 10).cast("long")
+        return hi * 256 + lo
+
+    def le32(off: int) -> Column:
+        return le16(off + 2) * 65536 + le16(off)
+
+    is_bmp = (
+        (F.hex(F.substring(p, 1, 2)) == "424D")   # 'BM'
+        & (le32(15) == 40)                        # BITMAPINFOHEADER
+        & (le16(27) == 1)                         # planes
+        & (le32(31) == 0)                         # BI_RGB (uncompressed)
+    )
+    raw_h = le32(23)
+    height = F.when(raw_h >= F.lit(1 << 31), raw_h - F.lit(1 << 32)).otherwise(
+        raw_h
+    )
+    return F.struct(
+        F.when(is_bmp, F.lit("bmp"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("format"),
+        F.when(is_bmp, le32(19)).alias("width"),
+        F.when(is_bmp, F.abs(height).cast("long")).alias("height"),
+        F.when(is_bmp, le16(29)).alias("bits_per_pixel"),
+        F.when(is_bmp, le32(11)).alias("data_offset"),
+        F.when(is_bmp, height < 0).alias("is_topdown"),
+    )
+
+
+def synthetic_bmp(
+    width: Column,
+    height: Column,
+    topdown: Column | None = None,
+) -> Column:
+    """Build a canonical 24-bpp uncompressed BMP blob (54-byte header
+    + zero pixel body with 4-byte row padding) entirely with Catalyst
+    expressions — the writer half of the BMP round trip
+    (:func:`bmp_image_meta` is the reader), the synthetic_wav pattern
+    for format #5. ``topdown`` writes the signed-negative height."""
+    w = width.cast("long")
+    h = height.cast("long")
+    row = (w * 3 + 3).cast("long")
+    row_size = row - F.pmod(row, 4)  # round 3w up to a 4-byte multiple
+    data = (row_size * h).cast("long")
+    h_field = h if topdown is None else (
+        F.when(topdown, -h).otherwise(h)
+    )
+    header_hex = F.concat(
+        F.lit("424D"),                         # 'BM'
+        _le_bytes(data + 54, 4),               # file size
+        F.lit("00000000"),                     # reserved
+        _le_bytes(F.lit(54), 4),               # pixel data offset
+        _le_bytes(F.lit(40), 4),               # biSize
+        _le_bytes(w, 4),
+        _le_bytes(h_field, 4),                 # signed via mod 2^32
+        _le_bytes(F.lit(1), 2),                # planes
+        _le_bytes(F.lit(24), 2),               # bpp
+        _le_bytes(F.lit(0), 4),                # BI_RGB
+        _le_bytes(data, 4),                    # biSizeImage
+        _le_bytes(F.lit(2835), 4),             # x px/m (72 dpi)
+        _le_bytes(F.lit(2835), 4),             # y px/m
+        _le_bytes(F.lit(0), 4),                # colors used
+        _le_bytes(F.lit(0), 4),                # colors important
+    )
+    body = F.repeat(F.lit("00"), data.cast("int"))
+    return F.unhex(F.concat(header_hex, body))

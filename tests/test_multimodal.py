@@ -509,3 +509,54 @@ class TestAudioEnergyFingerprint:
 
         with _pytest.raises(ValueError, match="BIGINT"):
             audio_energy_fingerprint(self._wav_df(spark), max_frames=65)
+
+
+class TestBmpRoundTrip:
+    def test_struct_verified_writer_and_reader(self, spark):
+        import struct
+
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            bmp_image_meta,
+            synthetic_bmp,
+        )
+
+        df = spark.createDataFrame(
+            [(13, 7, False), (16, 9, True), (1, 1, False)],
+            "w int, h int, td boolean",
+        )
+        blobs = df.select(
+            "w", "h", "td",
+            synthetic_bmp(FF.col("w"), FF.col("h"), FF.col("td")).alias("p"),
+        )
+        for r in blobs.collect():
+            b = bytes(r.p)
+            assert b[:2] == b"BM"
+            size, _, off = struct.unpack("<III", b[2:14])
+            bisize, w, h = struct.unpack("<Iii", b[14:26])
+            planes, bpp = struct.unpack("<HH", b[26:30])
+            comp, simg = struct.unpack("<II", b[30:38])
+            row = ((r.w * 3 + 3) // 4) * 4
+            assert (size, off, bisize, planes, bpp, comp) == (
+                54 + row * r.h, 54, 40, 1, 24, 0,
+            )
+            assert w == r.w and h == (-r.h if r.td else r.h)
+            assert simg == row * r.h and len(b) == size
+        got = blobs.select("w", "h", "td", bmp_image_meta("p").alias("m")).collect()
+        for r in got:
+            assert r.m.format == "bmp"
+            assert r.m.width == r.w and r.m.height == r.h
+            assert r.m.bits_per_pixel == 24 and r.m.data_offset == 54
+            assert r.m.is_topdown == r.td
+
+    def test_non_bmp_yields_nulls(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import bmp_image_meta
+
+        df = spark.createDataFrame([("not a bitmap at all",)], "s string")
+        r = df.select(
+            bmp_image_meta(FF.encode("s", "utf-8")).alias("m")
+        ).collect()[0]
+        assert r.m.format is None and r.m.width is None

@@ -975,3 +975,10 @@ def test_jsd_census_join_totals_broadcast(spark, sf_dir):
     plan = _plan(spark, "jsd_lang_pairs", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_bmp_round_trip_is_map_only(spark, sf_dir):
+    plan = _plan(spark, "bmp_meta_demo", sf_dir)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan  # pure JVM byte arithmetic

@@ -311,6 +311,8 @@ STRESS = {
     "hilbert_key_demo": "linear",
     # JSD: one census + shared-support word join, totals broadcast
     "jsd_lang_pairs": "linear",
+    # BMP round trip: map-only byte arithmetic
+    "bmp_meta_demo": "linear",
 }
 
 
