@@ -313,6 +313,9 @@ HEADLINE = [
     "jsd_lang_pairs",
     # r7 session-2 wave 13: BMP header round trip (format #5)
     "bmp_meta_demo",
+    # r7 session-2 wave 14: classifier-eval operating metrics
+    "auc_stopword_en",
+    "pr_curve_stopword_en",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

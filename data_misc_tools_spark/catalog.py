@@ -12367,6 +12367,137 @@ def bmp_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCORED_EN_SQL = """
+    scored AS (
+        SELECT (lang = 'en') AS y,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','a','of','and','to','in','is','it',
+                              'you','that')))::BIGINT AS h,
+               len(list_filter(string_split(text, ' '),
+                   x -> x != ''))::BIGINT AS n
+        FROM documents
+    ),
+    e6 AS (
+        SELECT y, (2 * 1000000 * h + n) // (2 * n) AS s
+        FROM scored WHERE n > 0
+    )
+"""
+
+
+def _scored_en_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared stopword-score-vs-English frame the classifier-eval
+    demos score (calibration / isotonic / AUC / PR all read it)."""
+    from data_misc_tools_spark.operators.text import STOPWORDS, tokens
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    low = tokens(F.lower(F.col("text")))
+    hits = F.size(
+        F.filter(low, lambda x: x.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    n = F.size(tokens("text")).cast("long")
+    return (
+        d.select(
+            (F.col("lang") == "en").alias("y"),
+            hits.alias("__h"),
+            n.alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .selectExpr(
+            "y", "(2 * 1000000 * __h + __n) div (2 * __n) AS score_e6"
+        )
+    )
+
+
+@_q(
+    "auc_stopword_en",
+    f"""
+    WITH {_SCORED_EN_SQL},
+    census AS (
+        SELECT s AS v, sum(y::BIGINT)::BIGINT AS ca,
+               sum((NOT y)::BIGINT)::BIGINT AS cb, count(*)::BIGINT AS c
+        FROM e6 GROUP BY s
+    ),
+    cum AS (
+        SELECT v, ca, cb, c, sum(c) OVER (ORDER BY v)::BIGINT AS cum_c
+        FROM census
+    ),
+    agg AS (
+        SELECT sum(ca)::HUGEINT AS na, sum(cb)::HUGEINT AS nb,
+               sum(ca::HUGEINT * (2 * (cum_c - c) + c + 1))::HUGEINT AS r2a
+        FROM cum
+    )
+    SELECT na::BIGINT AS n_pos, nb::BIGINT AS n_neg,
+           CASE WHEN na = 0 OR nb = 0 THEN NULL
+                ELSE (r2a - na * (na + 1))::DOUBLE / 2 END AS u_pos,
+           CASE WHEN na = 0 OR nb = 0 THEN NULL
+                ELSE ((r2a - na * (na + 1))::DOUBLE / 2)
+                     / (na * nb)::DOUBLE END AS auc
+    FROM agg
+    """,
+)
+def auc_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the stopword-ratio score as an English
+    detector — the threshold-free ranking grade beside the
+    calibration (values) and isotonic (repair) views of the SAME
+    score: AUC = U/(n_pos·n_neg) via the mannwhitney rank machinery,
+    tie-exact, one IEEE division, UNROUNDED. See
+    operators/profile.py:roc_auc_exact."""
+    from data_misc_tools_spark.operators.profile import roc_auc_exact
+
+    scored = _scored_en_frame(spark, sf_dir)
+    return roc_auc_exact(scored, F.col("y"), "score_e6", scale=1)
+
+
+@_q(
+    "pr_curve_stopword_en",
+    f"""
+    WITH {_SCORED_EN_SQL},
+    census AS (
+        SELECT s, sum(y::BIGINT)::BIGINT AS pos,
+               sum((NOT y)::BIGINT)::BIGINT AS neg
+        FROM e6 GROUP BY s
+    ),
+    cum AS (
+        SELECT s, pos, neg,
+               sum(pos) OVER (ORDER BY s)::BIGINT AS cum_pos,
+               sum(neg) OVER (ORDER BY s)::BIGINT AS cum_neg
+        FROM census
+    ),
+    tot AS (SELECT sum(pos)::BIGINT AS tp_all, sum(neg)::BIGINT AS fp_all
+            FROM census),
+    pts AS (
+        SELECT s AS threshold_e6,
+               (tp_all - cum_pos + pos)::BIGINT AS tp,
+               (fp_all - cum_neg + neg)::BIGINT AS fp,
+               (cum_pos - pos)::BIGINT AS fn
+        FROM cum CROSS JOIN tot
+    )
+    SELECT threshold_e6, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE (2 * 1000000 * tp + (tp + fp)) // (2 * (tp + fp))
+           END::BIGINT AS precision_e6,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE (2 * 1000000 * tp + (tp + fn)) // (2 * (tp + fn))
+           END::BIGINT AS recall_e6,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE (2 * 1000000 * 2 * tp + (2 * tp + fp + fn))
+                     // (2 * (2 * tp + fp + fn))
+           END::BIGINT AS f1_e6
+    FROM pts ORDER BY threshold_e6 DESC
+    """,
+)
+def pr_curve_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at every observed threshold of the
+    stopword-ratio English detector — the operating curve a filter
+    pipeline picks its cutoff from: suffix sums of the score census
+    (the KM n_risk idiom, range-partitioned), half-up e6 ratios, F1
+    directly as 2TP/(2TP+FP+FN). See operators/profile.py:pr_curve."""
+    from data_misc_tools_spark.operators.profile import pr_curve
+
+    scored = _scored_en_frame(spark, sf_dir)
+    return pr_curve(scored, "score_e6", "y")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

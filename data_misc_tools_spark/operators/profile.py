@@ -3072,3 +3072,107 @@ def schema_drift_report(
         .alias("null_drift_e6"),
         "n_distinct_old", "n_distinct_new",
     ).orderBy("col_name")
+
+
+def roc_auc_exact(
+    df: DataFrame,
+    label: Column,
+    score_col: str,
+    scale: int = 1,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against binary labels — via the
+    U-statistic identity AUC = U_pos/(n_pos·n_neg) (Hanley & McNeil
+    1982): the probability a random positive outscores a random
+    negative, ties counted half. The threshold-free ranking metric
+    beside :func:`calibration_report` (which judges the VALUES) and
+    :func:`pr_curve` (which judges each cutoff).
+
+    Engine-exact by the :func:`mannwhitney_u` machinery: 2·rank sums
+    and tie terms accumulate as exact decimal(38,0) integers over the
+    distinct-score census (range-partitioned prefix sums), and AUC is
+    ONE IEEE division of the half-unit-exact U by the exact pair
+    count, UNROUNDED. NULL when either class is empty.
+
+    Output: one row (n_pos, n_neg, u_pos, auc).
+    """
+    dec = "decimal(38,0)"
+    cg = _rank_groups(df, label, score_col, scale)
+    agg = cg.selectExpr("ca", "cb", "c", "cum_c - c AS s").agg(
+        F.sum("ca").cast(dec).alias("na"),
+        F.sum("cb").cast(dec).alias("nb"),
+        F.sum(
+            (F.col("ca") * (2 * F.col("s") + F.col("c") + 1)).cast(dec)
+        ).alias("r2a"),
+    )
+    return agg.selectExpr(
+        "CAST(na AS LONG) AS n_pos",
+        "CAST(nb AS LONG) AS n_neg",
+        "CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE CAST(r2a - na * (na + 1) AS DOUBLE) / 2 END AS u_pos",
+        "CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE (CAST(r2a - na * (na + 1) AS DOUBLE) / 2)"
+        "      / CAST(na * nb AS DOUBLE) END AS auc",
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_e6_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact precision/recall/F1 at EVERY observed score threshold —
+    the operating-curve companion to :func:`roc_auc_exact`: row t
+    answers "if I ship cutoff ≥ t, what do I get", which is the
+    question a filter pipeline actually asks (threshold picking for
+    gopher/quality/linkage scores).
+
+    Engine-exact: same e6-INTEGER score contract as
+    calibration_report (float scores would threshold differently at
+    boundaries); TP/FP at each threshold are SUFFIX sums of the
+    score census (total − prefix + current, the KM n_risk idiom,
+    range-partitioned); precision/recall/F1 are half-up e6 integer
+    ratios — F1 directly as 2TP/(2TP+FP+FN), no float compounding.
+
+    One row per DISTINCT observed score (the census bounds the
+    output — bucket upstream if the score domain is huge, the psi
+    convention).
+
+    Output: (threshold_e6, tp, fp, fn, precision_e6, recall_e6,
+    f1_e6), descending thresholds = the curve left to right.
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    y = F.col(label_col).cast("long")
+    census = df.select(
+        F.col(score_e6_col).cast("long").alias("s"), y.alias("__y")
+    ).groupBy("s").agg(
+        F.sum("__y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("__y")).cast("long").alias("neg"),
+    )
+    cum = global_cumsum(census, ["s"], ["pos", "neg"])
+    tot = census.agg(
+        F.sum("pos").cast("long").alias("tp_all"),
+        F.sum("neg").cast("long").alias("fp_all"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "s AS threshold_e6",
+            "tp_all - cum_pos + pos AS tp",
+            "fp_all - cum_neg + neg AS fp",
+            "cum_pos - pos AS fn",
+        )
+        .selectExpr(
+            "threshold_e6", "tp", "fp", "fn",
+            "CASE WHEN tp + fp = 0 THEN NULL ELSE"
+            " (2 * 1000000 * tp + (tp + fp)) div (2 * (tp + fp)) END"
+            " AS precision_e6",
+            "CASE WHEN tp + fn = 0 THEN NULL ELSE"
+            " (2 * 1000000 * tp + (tp + fn)) div (2 * (tp + fn)) END"
+            " AS recall_e6",
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE"
+            " (2 * 1000000 * 2 * tp + (2 * tp + fp + fn))"
+            " div (2 * (2 * tp + fp + fn)) END AS f1_e6",
+        )
+        .orderBy(F.desc("threshold_e6"))
+    )

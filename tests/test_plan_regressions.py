@@ -982,3 +982,15 @@ def test_bmp_round_trip_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Python" not in plan  # pure JVM byte arithmetic
+
+
+def test_auc_and_pr_cumsums_range_partitioned(spark, sf_dir):
+    """AUC and PR: rank/suffix statistics ride global_cumsum's
+    rangepartitioning over the distinct-score census — never a
+    single-reducer window."""
+    for name in ["auc_stopword_en", "pr_curve_stopword_en"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "rangepartitioning" in plan, name
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = spec.split(",")[0].strip()
+            assert not head.endswith("ASC NULLS FIRST"), (name, spec)

@@ -1297,3 +1297,96 @@ class TestSchemaDriftReport:
         r = schema_drift_report(old, new).collect()[0]
         assert r["status"] == "type_changed"
         assert r["dtype_old"] == "int" and r["dtype_new"] == "double"
+
+
+class TestRocAucExact:
+    def _ref_auc(self, pairs):
+        pos = [s for s, y in pairs if y]
+        neg = [s for s, y in pairs if not y]
+        u = 0.0
+        for p in pos:
+            for q in neg:
+                u += 1.0 if p > q else (0.5 if p == q else 0.0)
+        return u, u / (len(pos) * len(neg))
+
+    def test_matches_brute_force_with_ties(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import roc_auc_exact
+
+        rng = random.Random(71)
+        pairs = [
+            (rng.randrange(0, 40) + (30 if rng.random() < 0.5 else 0),
+             rng.random() < 0.45)
+            for _ in range(400)
+        ]
+        # make score genuinely predictive: positives shifted up
+        pairs = [(s + (15 if y else 0), y) for s, y in pairs]
+        df = spark.createDataFrame(pairs, "s long, y boolean")
+        r = roc_auc_exact(df, df.y, "s", scale=1).collect()[0]
+        u, auc = self._ref_auc(pairs)
+        assert r["u_pos"] == u
+        assert abs(r["auc"] - auc) < 1e-15
+        assert r["auc"] > 0.5  # predictive by construction
+
+    def test_perfect_and_random_extremes(self, spark):
+        from data_misc_tools_spark.operators.profile import roc_auc_exact
+
+        perfect = [(i, i >= 50) for i in range(100)]
+        df = spark.createDataFrame(perfect, "s long, y boolean")
+        assert roc_auc_exact(df, df.y, "s", 1).collect()[0]["auc"] == 1.0
+        constant = [(7, i % 2 == 0) for i in range(100)]
+        df2 = spark.createDataFrame(constant, "s long, y boolean")
+        assert roc_auc_exact(df2, df2.y, "s", 1).collect()[0]["auc"] == 0.5
+        onesided = [(i, True) for i in range(10)]
+        df3 = spark.createDataFrame(onesided, "s long, y boolean")
+        assert roc_auc_exact(df3, df3.y, "s", 1).collect()[0]["auc"] is None
+
+
+class TestPrCurve:
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import pr_curve
+
+        rng = random.Random(73)
+        rows = [
+            (rng.randrange(0, 20) * 50_000, rng.random() < 0.4)
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "score_e6 long, y boolean")
+        got = {
+            r["threshold_e6"]: (r["tp"], r["fp"], r["fn"],
+                                r["precision_e6"], r["recall_e6"], r["f1_e6"])
+            for r in pr_curve(df, "score_e6", "y").collect()
+        }
+        for t in {s for s, _ in rows}:
+            tp = sum(1 for s, y in rows if s >= t and y)
+            fp = sum(1 for s, y in rows if s >= t and not y)
+            fn = sum(1 for s, y in rows if s < t and y)
+            want = (
+                tp, fp, fn,
+                (2 * 1_000_000 * tp + tp + fp) // (2 * (tp + fp)),
+                (2 * 1_000_000 * tp + tp + fn) // (2 * (tp + fn)),
+                (2 * 1_000_000 * 2 * tp + 2 * tp + fp + fn)
+                // (2 * (2 * tp + fp + fn)),
+            )
+            assert got[t] == want
+
+    def test_curve_endpoints(self, spark):
+        from data_misc_tools_spark.operators.profile import pr_curve
+
+        rows = [(100, True), (200, True), (50, False), (150, False)]
+        df = spark.createDataFrame(rows, "score_e6 long, y boolean")
+        curve = pr_curve(df, "score_e6", "y").collect()
+        # lowest threshold admits everything: recall 1, precision = base rate
+        last = curve[-1]
+        assert last["recall_e6"] == 1_000_000
+        assert last["precision_e6"] == 500_000
+        # highest threshold: only the top score
+        first = curve[0]
+        assert first["tp"] == 1 and first["fp"] == 0
+        assert first["precision_e6"] == 1_000_000
+        # recall is monotone non-increasing as threshold rises
+        recalls = [r["recall_e6"] for r in curve]  # DESC threshold order
+        assert recalls == sorted(recalls)

@@ -313,6 +313,9 @@ STRESS = {
     "jsd_lang_pairs": "linear",
     # BMP round trip: map-only byte arithmetic
     "bmp_meta_demo": "linear",
+    # AUC / PR: score census + range-partitioned prefix sums
+    "auc_stopword_en": "linear",
+    "pr_curve_stopword_en": "linear",
 }
 
 
