@@ -316,6 +316,8 @@ HEADLINE = [
     # r7 session-2 wave 14: classifier-eval operating metrics
     "auc_stopword_en",
     "pr_curve_stopword_en",
+    # r7 session-2 wave 15: dedup threshold tuning curve
+    "dedup_threshold_sweep",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

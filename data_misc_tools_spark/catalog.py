@@ -12498,6 +12498,105 @@ def pr_curve_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(scored, "score_e6", "y")
 
 
+_SWEEP_THRESHOLDS = [1000, 2000, 3000, 5000, 7000, 9000]
+
+
+def _sweep_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    grid = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH shm AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM shm GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (
+        SELECT DISTINCT d.doc_id, substr(d.text, g.x, 3) AS sh
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 2
+        WHERE length(d.text) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter
+        FROM cand p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               ((20000 * coalesce(c.inter, 0)
+                 + (za.sz + zb.sz - coalesce(c.inter, 0)))
+                // (2 * (za.sz + zb.sz - coalesce(c.inter, 0))))::BIGINT AS s
+        FROM cand p
+        LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        JOIN sizes za ON za.doc_id = p.doc_a
+        JOIN sizes zb ON zb.doc_id = p.doc_b
+    ),
+    grid AS (SELECT t::BIGINT AS t FROM (VALUES {grid}) g(t)),
+    kept AS (SELECT g.t, s.doc_a, s.doc_b FROM grid g
+             JOIN scored s ON s.s >= g.t),
+    ps AS (SELECT t, count(*)::BIGINT AS n_pairs FROM kept GROUP BY t),
+    deg AS (
+        SELECT t, count(*)::BIGINT AS n_docs, max(d)::BIGINT AS max_degree
+        FROM (
+            SELECT t, node, count(*)::BIGINT AS d FROM (
+                SELECT t, doc_a AS node FROM kept
+                UNION ALL SELECT t, doc_b FROM kept
+            ) GROUP BY t, node
+        ) GROUP BY t
+    )
+    SELECT g.t AS threshold,
+           coalesce(ps.n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(deg.n_docs, 0)::BIGINT AS n_docs,
+           coalesce(deg.max_degree, 0)::BIGINT AS max_degree
+    FROM grid g LEFT JOIN ps ON ps.t = g.t LEFT JOIN deg ON deg.t = g.t
+    ORDER BY threshold
+    """
+
+
+@_q("dedup_threshold_sweep", _sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve over the strict MinHash candidate
+    pairs verified with exact 3-gram Jaccard: pairs / touched docs /
+    hottest-doc degree at six cutoffs — the pre-flight that picks a
+    production threshold (max_degree blows up FIRST when the cutoff
+    is too loose on a template-heavy corpus). Scored frame computed
+    once; the sweep is one bounded explode + two censuses, never a
+    job per threshold. See operators/dedup.py:threshold_sweep."""
+    from data_misc_tools_spark.operators.dedup import threshold_sweep
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cand = D.minhash_candidate_pairs(
+        d, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    scored = D.ngram_jaccard_pairs(cand, d, n=3).select(
+        "doc_a", "doc_b",
+        F.round(F.col("jaccard") * 10000).cast("long").alias("sim_e4"),
+    )
+    return threshold_sweep(scored, _SWEEP_THRESHOLDS)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

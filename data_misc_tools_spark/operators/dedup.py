@@ -1140,3 +1140,74 @@ def duplicate_substring_docs(
         F.max("match_len").cast("long").alias("max_match_len"),
         F.count("*").cast("long").alias("n_dup_starts"),
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    thresholds: list,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    sim_col: str = "sim_e4",
+) -> DataFrame:
+    """Dedup-threshold tuning curve: for each candidate similarity
+    cutoff, how many verified pairs survive, how many documents are
+    touched, and how hot the hottest document gets — the three
+    numbers that decide a production threshold (too low: the pair
+    graph explodes into template super-families and max_degree says
+    so FIRST; too high: near-dups escape). Run once on a scored
+    sample before committing a cutoff to a 100 TB pass.
+
+    Engine-exact: similarities arrive as SCALED INTEGERS (the
+    calibration e6-contract reasoning — float thresholds compare
+    differently at boundaries); each threshold's stats are exact
+    counts.
+
+    Scale shape: the scored pair frame is computed ONCE by the caller
+    (checkpoint upstream if reused); the sweep explodes each pair
+    into its ≤ len(thresholds) surviving rows (bounded literal list),
+    then two census aggregates — never one job per threshold.
+
+    Output: (threshold, n_pairs, n_docs, max_degree), ordered by
+    threshold.
+    """
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    ts = sorted(set(int(t) for t in thresholds))
+    base = scored.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b"),
+        F.col(sim_col).cast("long").alias("s"),
+    ).select(
+        "a", "b",
+        F.explode(F.array(*[F.lit(t).cast("long") for t in ts])).alias("t"),
+        "s",
+    ).filter(F.col("s") >= F.col("t"))
+    pair_stats = base.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    deg = (
+        base.select("t", F.col("a").alias("node"))
+        .unionAll(base.select("t", F.col("b").alias("node")))
+        .groupBy("t", "node")
+        .agg(F.count("*").cast("long").alias("d"))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+    )
+    grid = scored.sparkSession.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({t}L)" for t in ts)
+        + " AS g(t)"
+    )
+    return (
+        grid.join(pair_stats, "t", "left")
+        .join(deg, "t", "left")
+        .selectExpr(
+            "t AS threshold",
+            "coalesce(n_pairs, 0L) AS n_pairs",
+            "coalesce(n_docs, 0L) AS n_docs",
+            "coalesce(max_degree, 0L) AS max_degree",
+        )
+        .orderBy("threshold")
+    )

@@ -733,3 +733,53 @@ class TestSuffixWindowSpans:
             suffix_window_spans(df, min_len=0)
         with _pytest.raises(ValueError, match="min_len"):
             suffix_window_spans(df, min_len=65, window=64)
+
+
+class TestThresholdSweep:
+    def test_matches_python_reference(self, spark):
+        import collections
+        import random
+
+        from data_misc_tools_spark.operators.dedup import threshold_sweep
+
+        rng = random.Random(79)
+        pairs = sorted(
+            {tuple(sorted(rng.sample(range(30), 2))) for _ in range(60)}
+        )
+        scored = [(a, b, rng.randrange(0, 10001)) for a, b in pairs]
+        df = spark.createDataFrame(scored, "doc_a long, doc_b long, sim_e4 long")
+        ts = [0, 2500, 5000, 7500, 10000]
+        got = {
+            r["threshold"]: (r["n_pairs"], r["n_docs"], r["max_degree"])
+            for r in threshold_sweep(df, ts).collect()
+        }
+        for t in ts:
+            kept = [(a, b) for a, b, s in scored if s >= t]
+            deg = collections.Counter()
+            for a, b in kept:
+                deg[a] += 1
+                deg[b] += 1
+            want = (
+                len(kept), len(deg), max(deg.values()) if deg else 0
+            )
+            assert got[t] == want, (t, got[t], want)
+        # monotone: raising the threshold never adds pairs
+        ns = [got[t][0] for t in ts]
+        assert ns == sorted(ns, reverse=True)
+
+    def test_empty_threshold_row_survives(self, spark):
+        from data_misc_tools_spark.operators.dedup import threshold_sweep
+
+        df = spark.createDataFrame([(1, 2, 100)], "doc_a long, doc_b long, sim_e4 long")
+        got = {r["threshold"]: r["n_pairs"]
+               for r in threshold_sweep(df, [50, 500]).collect()}
+        assert got == {50: 1, 500: 0}
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.dedup import threshold_sweep
+
+        df = spark.createDataFrame([(1, 2, 100)], "doc_a long, doc_b long, sim_e4 long")
+        with _pytest.raises(ValueError):
+            threshold_sweep(df, [])

@@ -994,3 +994,13 @@ def test_auc_and_pr_cumsums_range_partitioned(spark, sf_dir):
         for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             head = spec.split(",")[0].strip()
             assert not head.endswith("ASC NULLS FIRST"), (name, spec)
+
+
+def test_threshold_sweep_single_explode_no_per_threshold_jobs(spark, sf_dir):
+    """Sweep: the thresholds ride ONE bounded explode over the scored
+    frame — one Generate, two censuses, a VALUES grid; never a scan
+    per threshold."""
+    plan = _plan(spark, "dedup_threshold_sweep", sf_dir)
+    assert plan.count("Scan parquet") <= 6  # tree+detail of <=3 scans
+    assert "LocalTableScan" in plan  # the VALUES threshold grid
+    assert "CartesianProduct" not in plan

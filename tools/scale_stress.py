@@ -316,6 +316,8 @@ STRESS = {
     # AUC / PR: score census + range-partitioned prefix sums
     "auc_stopword_en": "linear",
     "pr_curve_stopword_en": "linear",
+    # sweep: one scored frame + bounded threshold explode
+    "dedup_threshold_sweep": "linear",
 }
 
 
