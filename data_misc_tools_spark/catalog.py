@@ -12590,9 +12590,17 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.minhash_candidate_pairs(
         d, num_perm=8, bands=2, k=5, portable_hash=True
     )
-    scored = D.ngram_jaccard_pairs(cand, d, n=3).select(
-        "doc_a", "doc_b",
-        F.round(F.col("jaccard") * 10000).cast("long").alias("sim_e4"),
+    scored = (
+        D.ngram_jaccard_pairs(cand, d, n=3)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("jaccard") * 10000).cast("long").alias("sim_e4"),
+        )
+        # the sweep reads the scored frame through THREE consumers
+        # (pair census, degree census via a 2x union, the grid join) —
+        # unchecked, per-branch pruning re-plans the whole
+        # minhash+jaccard pipeline per consumer (24 scans measured)
+        .localCheckpoint()
     )
     return threshold_sweep(scored, _SWEEP_THRESHOLDS)
 

@@ -1001,6 +1001,8 @@ def test_threshold_sweep_single_explode_no_per_threshold_jobs(spark, sf_dir):
     frame — one Generate, two censuses, a VALUES grid; never a scan
     per threshold."""
     plan = _plan(spark, "dedup_threshold_sweep", sf_dir)
-    assert plan.count("Scan parquet") <= 6  # tree+detail of <=3 scans
+    # the scored frame is checkpointed: the sweep's three consumers
+    # must NOT re-plan the minhash+jaccard pipeline (24 scans without)
+    assert plan.count("Scan parquet") == 0
     assert "LocalTableScan" in plan  # the VALUES threshold grid
     assert "CartesianProduct" not in plan
