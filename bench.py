@@ -318,6 +318,9 @@ HEADLINE = [
     "pr_curve_stopword_en",
     # r7 session-2 wave 15: dedup threshold tuning curve
     "dedup_threshold_sweep",
+    # r7 session-2 wave 16: GIF round trip (format #6), Hill tail index
+    "gif_meta_demo",
+    "hill_tail_value",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -12605,6 +12605,95 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_sweep(scored, _SWEEP_THRESHOLDS)
 
 
+@_q(
+    "gif_meta_demo",
+    """
+    SELECT doc_id, 'gif' AS format,
+           CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+           (4 + doc_id % 1024)::BIGINT AS width,
+           (4 + doc_id % 640)::BIGINT AS height,
+           0::BIGINT AS gct_size
+    FROM documents
+    """,
+)
+def gif_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF metadata round trip, all JVM-side — format #6: fabricate a
+    minimal GIF per document (synthetic_gif, even ids 89a / odd 87a),
+    parse it back with gif_image_meta's signature + logical-screen-
+    descriptor reads (the packed GCT field's 2^(bits+1) size decode is
+    unit-tested on crafted bytes — the demo writes no color table).
+    Oracle arithmetic from the synthesis formula. See
+    operators/multimodal.py:gif_image_meta / synthetic_gif."""
+    from data_misc_tools_spark.operators.multimodal import (
+        gif_image_meta,
+        synthetic_gif,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    blobs = d.select(
+        "doc_id",
+        synthetic_gif(
+            width=F.lit(4) + F.col("doc_id") % 1024,
+            height=F.lit(4) + F.col("doc_id") % 640,
+            version=F.when(F.col("doc_id") % 2 == 0, F.lit("89a")).otherwise(
+                F.lit("87a")
+            ),
+        ).alias("payload"),
+    )
+    m = gif_image_meta("payload")
+    return blobs.select(
+        "doc_id",
+        m.getField("format").alias("format"),
+        m.getField("version").alias("version"),
+        m.getField("width").cast("long").alias("width"),
+        m.getField("height").cast("long").alias("height"),
+        m.getField("gct_size").cast("long").alias("gct_size"),
+    )
+
+
+@_q(
+    "hill_tail_value",
+    """
+    WITH pos AS (
+        SELECT round(value * 100)::BIGINT AS x FROM events
+        WHERE event_type = 'purchase' AND round(value * 100) > 0
+    ),
+    np AS (SELECT count(*)::BIGINT AS n FROM pos),
+    top AS (SELECT x FROM pos ORDER BY x DESC LIMIT 101),
+    agg AS (
+        SELECT count(*)::BIGINT AS m,
+               sum(round(ln(x::DOUBLE) * 1e6)::BIGINT)::BIGINT AS s,
+               min(x)::BIGINT AS anchor,
+               min(round(ln(x::DOUBLE) * 1e6)::BIGINT)::BIGINT AS la
+        FROM top
+    )
+    SELECT 100::BIGINT AS k, n AS n_pos, anchor,
+           CASE WHEN m < 101 THEN NULL
+                ELSE (2 * (s - 101 * la) + 100) // 200 END::BIGINT AS hill_e6,
+           CASE WHEN m < 101 OR (2 * (s - 101 * la) + 100) // 200 = 0
+                THEN NULL
+                ELSE 1000000.0 / (((2 * (s - 101 * la) + 100) // 200)::DOUBLE)
+           END AS alpha
+    FROM agg CROSS JOIN np
+    """,
+)
+def hill_tail_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of purchase values (top-100 order statistics) —
+    how heavy is the revenue tail, the distribution-level companion
+    to mad_outliers_value's point flags: e6-log integer sums over the
+    TakeOrdered top-(k+1) multiset, half-up H, alpha = one IEEE
+    division unrounded. The events value column is exponential-ish
+    (thin power-tail), so alpha lands high — pinned in tests on
+    synthetic Pareto data where alpha recovers the true exponent. See
+    operators/profile.py:hill_tail_index."""
+    from data_misc_tools_spark.operators.profile import hill_tail_index
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return hill_tail_index(
+        e.filter(F.col("event_type") == "purchase"), "value", k=100, scale=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

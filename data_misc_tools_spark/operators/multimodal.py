@@ -1175,3 +1175,69 @@ def synthetic_bmp(
     )
     body = F.repeat(F.lit("00"), data.cast("int"))
     return F.unhex(F.concat(header_hex, body))
+
+
+def gif_image_meta(payload: Column | str) -> Column:
+    """Parse GIF headers (signature + logical screen descriptor) with
+    pure JVM byte arithmetic — format #6: version, canvas dims, and
+    the global-color-table size from the packed flags byte (size =
+    2^(bits+1) when the GCT flag is set — the classic packed-field
+    read). Non-GIF payloads yield null fields.
+
+    Returns struct(format, version, width, height, gct_size).
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def u8(off: int) -> Column:
+        return F.conv(F.hex(F.substring(p, off, 1)), 16, 10).cast("long")
+
+    def le16(off: int) -> Column:
+        return u8(off + 1) * 256 + u8(off)
+
+    sig = F.hex(F.substring(p, 1, 3))
+    ver = F.decode(F.substring(p, 4, 3), "utf-8")
+    is_gif = (sig == "474946") & ver.isin("87a", "89a")  # 'GIF'
+    packed = u8(11)
+    gct_bits = F.pmod(packed, 8)
+    # shiftleft needs a LITERAL bit count (the audio-fingerprint
+    # lesson) — 2^(bits+1) over the 8 possible field values is a CASE
+    size_by_bits = F.lit(2).cast("long")
+    for b in range(1, 8):
+        size_by_bits = F.when(gct_bits == b, F.lit(2 << b).cast("long")).otherwise(
+            size_by_bits
+        )
+    gct_size = F.when(packed >= 128, size_by_bits).otherwise(
+        F.lit(0).cast("long")
+    )
+    return F.struct(
+        F.when(is_gif, F.lit("gif"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("format"),
+        F.when(is_gif, ver).alias("version"),
+        F.when(is_gif, le16(7)).alias("width"),
+        F.when(is_gif, le16(9)).alias("height"),
+        F.when(is_gif, gct_size).alias("gct_size"),
+    )
+
+
+def synthetic_gif(
+    width: Column,
+    height: Column,
+    version: Column | None = None,
+) -> Column:
+    """Build a minimal GIF blob (signature + logical screen
+    descriptor, no color table, trailer) entirely with Catalyst
+    expressions — the writer half of the GIF round trip
+    (:func:`gif_image_meta` is the reader)."""
+    v = version if version is not None else F.lit("89a")
+    header_hex = F.concat(
+        F.lit("474946"),                 # 'GIF'
+        F.hex(F.encode(v, "utf-8")),     # version bytes
+        _le_bytes(width.cast("long"), 2),
+        _le_bytes(height.cast("long"), 2),
+        F.lit("00"),                     # packed: no GCT
+        F.lit("00"),                     # background color index
+        F.lit("00"),                     # aspect ratio
+        F.lit("3B"),                     # trailer
+    )
+    return F.unhex(header_hex)

@@ -3176,3 +3176,63 @@ def pr_curve(
         )
         .orderBy(F.desc("threshold_e6"))
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    scale: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975) over the
+    top-k order statistics: H = (1/k)·Σᵢ≤k ln(x₍ᵢ₎/x₍ₖ₊₁₎) and
+    α = 1/H — the "how heavy is this tail" number that decides
+    whether means/variances are even meaningful, beside
+    :func:`mad_outlier_report` (which flags points; this
+    characterizes the distribution) and benford (digit law). α ≈ 1–2
+    = very heavy (infinite variance), large α or H ≈ 0 = thin/bounded
+    tail.
+
+    Engine-exact: the top-(k+1) VALUES are an order-statistic
+    multiset (ties at the boundary don't change it); per-quantity
+    e6-rounded logs of exact fixed-point integers (the pmi idiom)
+    give H·k·1e6 = Σ e6ln(xᵢ) − (k+1)·e6ln(anchor) exactly;
+    hill_e6 is its half-up /k and α is ONE IEEE division, UNROUNDED
+    (NULL when H = 0 — all top values tied).
+
+    Scale shape: TakeOrderedAndProject for the top-(k+1) (never a
+    global sort), one aggregate over k+1 rows. Output: one row
+    (k, n_pos, anchor, hill_e6, alpha).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    pos = df.select(
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("x")
+    ).filter(F.col("x") > 0)
+    n_pos = pos.agg(F.count("*").cast("long").alias("n"))
+    top = pos.orderBy(F.desc("x")).limit(k + 1)
+    e6ln = F.round(F.log(F.col("x").cast("double")) * 1e6).cast("long")
+    agg = top.select(F.col("x"), e6ln.alias("l")).agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("l").cast("long").alias("s"),
+        F.min("x").cast("long").alias("anchor"),
+        F.min("l").cast("long").alias("la"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_pos))
+        .selectExpr(
+            f"{k}L AS k",
+            "n AS n_pos",
+            "anchor",
+            f"""CASE WHEN m < {k + 1} THEN CAST(NULL AS LONG)
+                 ELSE (2 * (s - {k + 1} * la) + {k}) div (2 * {k})
+            END AS hill_e6""",
+        )
+        .selectExpr(
+            "k", "n_pos", "anchor", "hill_e6",
+            "CASE WHEN hill_e6 IS NULL OR hill_e6 = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE 1000000.0D / CAST(hill_e6 AS DOUBLE) END AS alpha",
+        )
+    )

@@ -560,3 +560,63 @@ class TestBmpRoundTrip:
             bmp_image_meta(FF.encode("s", "utf-8")).alias("m")
         ).collect()[0]
         assert r.m.format is None and r.m.width is None
+
+
+class TestGifRoundTrip:
+    def test_writer_reader_and_struct_bytes(self, spark):
+        import struct
+
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            gif_image_meta,
+            synthetic_gif,
+        )
+
+        df = spark.createDataFrame(
+            [(320, 200, "89a"), (13, 7, "87a")], "w int, h int, v string"
+        )
+        blobs = df.select(
+            "w", "h", "v",
+            synthetic_gif(FF.col("w"), FF.col("h"), FF.col("v")).alias("p"),
+        )
+        for r in blobs.collect():
+            b = bytes(r.p)
+            assert b[:3] == b"GIF" and b[3:6] == r.v.encode()
+            w, h = struct.unpack("<HH", b[6:10])
+            assert (w, h) == (r.w, r.h)
+            assert b[10] == 0 and b[-1] == 0x3B
+        got = blobs.select("w", "h", "v", gif_image_meta("p").alias("m")).collect()
+        for r in got:
+            assert r.m.format == "gif" and r.m.version == r.v
+            assert r.m.width == r.w and r.m.height == r.h
+            assert r.m.gct_size == 0
+
+    def test_gct_size_decodes_packed_field(self, spark):
+        """Craft the packed byte directly: GCT flag set with size bits
+        n -> 2^(n+1) entries (the classic packed-field decode)."""
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import gif_image_meta
+
+        rows = []
+        for bits in range(8):
+            packed = 0x80 | bits
+            hexs = "474946383961" + "4000" + "3000" + f"{packed:02X}" + "0000"
+            rows.append((bits, hexs))
+        df = spark.createDataFrame(rows, "bits int, hexs string")
+        got = df.select(
+            "bits", gif_image_meta(FF.unhex("hexs")).alias("m")
+        ).collect()
+        for r in got:
+            assert r.m.format == "gif"
+            assert r.m.gct_size == 2 << r.bits  # 2^(bits+1)
+
+    def test_non_gif_nulls(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import gif_image_meta
+
+        df = spark.createDataFrame([("JIF89a????",)], "s string")
+        r = df.select(gif_image_meta(FF.encode("s", "utf-8")).alias("m")).collect()[0]
+        assert r.m.format is None and r.m.width is None

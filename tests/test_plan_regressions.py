@@ -1006,3 +1006,15 @@ def test_threshold_sweep_single_explode_no_per_threshold_jobs(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     assert "LocalTableScan" in plan  # the VALUES threshold grid
     assert "CartesianProduct" not in plan
+
+
+def test_gif_round_trip_is_map_only(spark, sf_dir):
+    plan = _plan(spark, "gif_meta_demo", sf_dir)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_hill_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "hill_tail_value", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

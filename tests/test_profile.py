@@ -1390,3 +1390,55 @@ class TestPrCurve:
         # recall is monotone non-increasing as threshold rises
         recalls = [r["recall_e6"] for r in curve]  # DESC threshold order
         assert recalls == sorted(recalls)
+
+
+class TestHillTailIndex:
+    def test_recovers_pareto_exponent(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import hill_tail_index
+
+        rng = random.Random(83)
+        alpha_true = 2.5
+        # Pareto(alpha): x = xm * U^(-1/alpha)
+        vals = [
+            round(10.0 * (rng.random() ** (-1.0 / alpha_true)), 2)
+            for _ in range(20_000)
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        r = hill_tail_index(df, "v", k=500).collect()[0]
+        assert r["n_pos"] == len(vals)
+        assert abs(r["alpha"] - alpha_true) < 0.4  # ~3 se at k=500
+
+    def test_matches_python_reference(self, spark):
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.profile import hill_tail_index
+
+        rng = random.Random(89)
+        vals = [round(rng.uniform(0.5, 500.0), 2) for _ in range(2000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        k = 100
+        r = hill_tail_index(df, "v", k=k).collect()[0]
+        xs = sorted((round(v * 100) for v in vals), reverse=True)[: k + 1]
+        s = sum(round(math.log(x) * 1e6) for x in xs)
+        la = round(math.log(xs[-1]) * 1e6)
+        want = (2 * (s - (k + 1) * la) + k) // (2 * k)
+        assert r["hill_e6"] == want
+        assert r["anchor"] == xs[-1]
+        assert r["alpha"] == 1e6 / want
+
+    def test_insufficient_data_null(self, spark):
+        from data_misc_tools_spark.operators.profile import hill_tail_index
+
+        df = spark.createDataFrame([(float(i),) for i in range(1, 50)], "v double")
+        r = hill_tail_index(df, "v", k=100).collect()[0]
+        assert r["hill_e6"] is None and r["alpha"] is None
+
+    def test_all_tied_top_null_alpha(self, spark):
+        from data_misc_tools_spark.operators.profile import hill_tail_index
+
+        df = spark.createDataFrame([(5.0,)] * 300, "v double")
+        r = hill_tail_index(df, "v", k=100).collect()[0]
+        assert r["hill_e6"] == 0 and r["alpha"] is None

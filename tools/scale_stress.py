@@ -318,6 +318,9 @@ STRESS = {
     "pr_curve_stopword_en": "linear",
     # sweep: one scored frame + bounded threshold explode
     "dedup_threshold_sweep": "linear",
+    # GIF round trip map-only; Hill = TakeOrdered top-(k+1) + one agg
+    "gif_meta_demo": "linear",
+    "hill_tail_value": "linear",
 }
 
 
