@@ -321,6 +321,8 @@ HEADLINE = [
     # r7 session-2 wave 16: GIF round trip (format #6), Hill tail index
     "gif_meta_demo",
     "hill_tail_value",
+    # r7 session-2 wave 17: embedding-corpus health report
+    "embedding_diag_report",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -12694,6 +12694,57 @@ def hill_tail_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "embedding_diag_report",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(x::DOUBLE * 64)::BIGINT)
+                   AS qc
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT g.i AS d, sum(qc[g.i])::BIGINT AS s
+        FROM q JOIN generate_series(1, 64) g(i) ON true
+        GROUP BY g.i
+    ),
+    s2 AS (SELECT count(*)::BIGINT AS dim,
+                  sum(s::HUGEINT * s)::HUGEINT AS ssq FROM dims),
+    norms AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(n2)::HUGEINT AS tot2,
+               min(n2)::BIGINT AS min_norm2,
+               max(n2)::BIGINT AS max_norm2
+        FROM (
+            SELECT vec_id, sum(qc[g.i] * qc[g.i])::BIGINT AS n2
+            FROM q JOIN generate_series(1, 64) g(i) ON true
+            GROUP BY vec_id
+        )
+    )
+    SELECT n, dim, min_norm2, max_norm2,
+           ((2 * 100 * tot2 + n) // (2 * n::HUGEINT))::BIGINT AS mean_norm2_e2,
+           CASE WHEN tot2 = 0 THEN NULL
+                ELSE ((2 * 1000000 * ssq + n::HUGEINT * tot2)
+                      // (2 * n::HUGEINT * tot2))::BIGINT
+           END AS isotropy_e6
+    FROM norms CROSS JOIN s2
+    """,
+)
+def embedding_diag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health report: count, SQ-norm profile, and the
+    isotropy ratio ||Σv||²/(n·Σ||v||²) — the "common direction" share
+    that says whether cosine thresholds can separate anything (→1 =
+    all vectors point one way, mean-center upstream). One dim-keyed
+    census + one per-row norm aggregate over the repo's exact integer
+    SQ codes. See operators/similarity.py:embedding_diagnostics."""
+    from data_misc_tools_spark.operators.similarity import (
+        embedding_diagnostics,
+    )
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return embedding_diagnostics(e, "embedding", scale=64)
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -1526,3 +1526,63 @@ def cluster_medoids(
             F.col("cost"),
         )
     )
+
+
+def embedding_diagnostics(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """One-pass embedding-corpus health report — the pre-flight every
+    ANN/semantic-dedup run should print: vector count, norm profile
+    (a collapsed or wildly varying norm breaks cosine thresholds),
+    and the ISOTROPY ratio ‖Σv‖²/(n·Σ‖v‖²) ∈ [0, 1] — the "common
+    direction" share (Mu & Viswanath 2018, "All-but-the-top"): ≈ 0
+    means centered/isotropic (cosine is informative), → 1 means every
+    vector points the same way (cosine saturates and near-dup
+    thresholds stop separating — fix by mean-centering upstream).
+
+    Engine-exact on the repo's SQ integer codes (floor(x·scale) —
+    the kmeans/semdedup idiom): per-dimension sums and per-vector
+    norms are exact BIGINTs, the two quadratics widen to
+    decimal(38,0) (HUGEINT twin), and both reported ratios are
+    half-up e6/e2 integers.
+
+    Scale shape: one posexplode census keyed by dimension (bounded
+    by dim) + one per-row norm aggregate — two scans of the vector
+    column, no joins wider than the dim census.
+
+    Output: one row (n, dim, min_norm2, max_norm2, mean_norm2_e2,
+    isotropy_e6).
+    """
+    dec = "decimal(38,0)"
+    codes = df.select(sq_quantize(F.col(vec_col), scale).alias("q"))
+    dims = (
+        codes.select(F.posexplode("q").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    s2 = dims.agg(
+        F.count("*").cast("long").alias("dim"),
+        F.sum(F.col("s").cast(dec) * F.col("s")).cast(dec).alias("ssq"),
+    )
+    norms = codes.select(
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("n2")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n2").cast(dec).alias("tot2"),
+        F.min("n2").cast("long").alias("min_norm2"),
+        F.max("n2").cast("long").alias("max_norm2"),
+    )
+    return norms.crossJoin(F.broadcast(s2)).selectExpr(
+        "n", "dim", "min_norm2", "max_norm2",
+        "cast((2 * 100 * tot2 + n) div (2 * cast(n as decimal(38,0)))"
+        " as long) AS mean_norm2_e2",
+        """CASE WHEN tot2 = 0 THEN CAST(NULL AS LONG)
+                ELSE cast((2 * 1000000 * ssq
+                           + cast(n as decimal(38,0)) * tot2)
+                          div (2 * cast(n as decimal(38,0)) * tot2) as long)
+           END AS isotropy_e6""",
+    )

@@ -1018,3 +1018,10 @@ def test_hill_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, "hill_tail_value", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_embedding_diag_two_aggregates_no_joins_on_rows(spark, sf_dir):
+    plan = _plan(spark, "embedding_diag_report", sf_dir)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row combine

@@ -786,3 +786,53 @@ def test_cluster_medoids_plan_has_no_pair_join(spark):
     )
     plan = cluster_medoids(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+class TestEmbeddingDiagnostics:
+    def test_matches_python_reference(self, spark):
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.similarity import (
+            embedding_diagnostics,
+        )
+
+        rng = random.Random(97)
+        dim = 8
+        vecs = [
+            [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(300)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        r = embedding_diagnostics(df, "embedding", scale=64).collect()[0]
+        q = [[math.floor(x * 64) for x in v] for v in vecs]
+        norms = [sum(c * c for c in row) for row in q]
+        sums = [sum(row[d] for row in q) for d in range(dim)]
+        ssq = sum(s * s for s in sums)
+        tot2 = sum(norms)
+        n = len(q)
+        assert r["n"] == n and r["dim"] == dim
+        assert r["min_norm2"] == min(norms) and r["max_norm2"] == max(norms)
+        assert r["mean_norm2_e2"] == (2 * 100 * tot2 + n) // (2 * n)
+        assert r["isotropy_e6"] == (
+            2 * 1_000_000 * ssq + n * tot2
+        ) // (2 * n * tot2)
+        # random centered data: tiny common-direction share
+        assert r["isotropy_e6"] < 30_000
+
+    def test_identical_vectors_saturate(self, spark):
+        from data_misc_tools_spark.operators.similarity import (
+            embedding_diagnostics,
+        )
+
+        v = [0.5] * 4
+        df = spark.createDataFrame(
+            [(i, v) for i in range(50)], "vec_id long, embedding array<double>"
+        )
+        r = embedding_diagnostics(df, "embedding", scale=64).collect()[0]
+        # every vector identical -> ||sum||^2 == n^2 * ||v||^2 ->
+        # isotropy == n * 1e6 / n == exactly 1e6... scaled: ratio = 1
+        assert r["isotropy_e6"] == 1_000_000
+        assert r["min_norm2"] == r["max_norm2"]

@@ -321,6 +321,8 @@ STRESS = {
     # GIF round trip map-only; Hill = TakeOrdered top-(k+1) + one agg
     "gif_meta_demo": "linear",
     "hill_tail_value": "linear",
+    # embedding diagnostics: dim census + per-row norm agg
+    "embedding_diag_report": "linear",
 }
 
 
