@@ -198,3 +198,66 @@ def test_golden_record_reconciles_with_direct_mode(spark, tables):
     got = rep.filter(F.col("cluster") == top).collect()[0]
     assert got["value"] == direct["o_orderpriority"]
     assert got["votes"] == direct["count"]
+
+
+def test_auc_gate_catches_the_broken_detector(spark):
+    """The eval trio catches a filter that LOOKS reasonable: this
+    corpus shares one 31-word vocabulary across languages, so the
+    naive en-stopword-ratio detector is ANTI-predictive — AUC lands
+    below 0.5, the exact failure an operating-metric gate exists to
+    catch before a threshold ships."""
+    r = QUERIES["auc_stopword_en"](spark, SF).collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert r["auc"] < 0.5
+
+
+def test_isotonic_fit_conserves_mass_and_is_monotone(spark):
+    """PAVA invariants on the graded demo: the fitted rates are
+    monotone and the weighted fitted mass equals the positive count
+    exactly (pooling preserves totals)."""
+    rows = QUERIES["isotonic_stopword_en"](spark, SF).collect()
+    seq = [r["iso_rate"] for r in rows]
+    assert seq == sorted(seq)
+    mass = sum(r["n_rows"] * r["iso_rate"] for r in rows)
+    pos = sum(r["n_pos"] for r in rows)
+    assert abs(mass - pos) < 1e-6
+
+
+def test_threshold_sweep_reconciles_with_scored_pairs(spark):
+    """The sweep's counts are exactly the scored frame thresholded:
+    recompute one cutoff directly and compare."""
+    import pyspark.sql.functions as FF
+
+    from data_misc_tools_spark.operators import dedup as D2
+    from data_misc_tools_spark.session import load_tables
+
+    rows = {r["threshold"]: r for r in
+            QUERIES["dedup_threshold_sweep"](spark, SF).collect()}
+    d = load_tables(spark, SF, ["documents"])["documents"]
+    cand = D2.minhash_candidate_pairs(
+        d, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    scored = D2.ngram_jaccard_pairs(cand, d, n=3).select(
+        FF.round(FF.col("jaccard") * 10000).cast("long").alias("s")
+    )
+    for t in (3000, 9000):
+        direct = scored.filter(FF.col("s") >= t).count()
+        assert rows[t]["n_pairs"] == direct
+    # monotone: pairs and touched docs shrink as the cutoff rises
+    ts = sorted(rows)
+    assert [rows[t]["n_pairs"] for t in ts] == sorted(
+        [rows[t]["n_pairs"] for t in ts], reverse=True
+    )
+
+
+def test_jsd_bounded_and_vocab_shared(spark):
+    """JSD across languages is bounded by ln2 and STRICTLY below it
+    here (one shared template vocabulary — slices differ in mixture,
+    not support), consistent with the OOV report where a full budget
+    would cover every language."""
+    from data_misc_tools_spark.operators.text import E6_LN2
+
+    rows = QUERIES["jsd_lang_pairs"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert 0 <= r["jsd_e6"] < E6_LN2
