@@ -323,6 +323,8 @@ HEADLINE = [
     "hill_tail_value",
     # r7 session-2 wave 17: embedding-corpus health report
     "embedding_diag_report",
+    # r7 session-2 wave 18: analytic LSH parameter planner (rows-only)
+    "lsh_plan_demo",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -12745,6 +12745,25 @@ def embedding_diag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_diagnostics(e, "embedding", scale=64)
 
 
+@_q("lsh_plan_demo")
+def lsh_plan_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter s-curves for the repo's own configurations — the
+    2x4 strict graph, the 4x2 dedup banding, and two denser
+    candidates — over a 5%-step similarity grid: P(candidate|s) and
+    the half-probability threshold per config, the analytic pre-
+    flight beside dedup_threshold_sweep's empirical sweep. Rows-only
+    (float recursion, no portable closed form — the fs_em class).
+    See operators/dedup.py:lsh_parameter_plan."""
+    from data_misc_tools_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(
+        spark, [(2, 4), (4, 2), (8, 4), (16, 8)]
+    ).orderBy("bands", "rows", "s_permille")
+
+
+ROWS_ONLY.add("lsh_plan_demo")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

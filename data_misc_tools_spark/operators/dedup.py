@@ -1211,3 +1211,52 @@ def threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def lsh_parameter_plan(
+    spark,
+    configs: list,
+    s_grid_permille: list | None = None,
+) -> DataFrame:
+    """MinHash-LSH parameter planner — the s-curve table that picks
+    (bands, rows) BEFORE a 100 TB pass (Leskovec/Rajaraman/Ullman
+    ch.3): for each config, P(candidate | similarity s) =
+    1 − (1 − s^r)^b over a similarity grid, plus the curve's EXACT
+    half-probability threshold s* = (1 − 0.5^(1/b))^(1/r) (the
+    textbook (1/b)^(1/r) is a rough overestimate at small b) —
+    together they say
+    which near-dup band a config actually catches and how many
+    false candidates it drags in below the target threshold.
+
+    Driver-side arithmetic on BOUNDED metadata (configs × grid — tens
+    of rows; the codebook-collect class), emitted as a VALUES
+    LocalRelation; rows-only in the catalog (the probability is a
+    float recursion with no engine-portable closed form — the fs_em
+    precedent). Pair it with :func:`threshold_sweep`, which measures
+    the same trade-off EMPIRICALLY on a scored sample.
+
+    Output: (bands, rows, s_permille, p_candidate, s_star) — one row
+    per (config, grid point).
+    """
+    if not configs:
+        raise ValueError("need at least one (bands, rows) config")
+    grid = sorted(set(s_grid_permille or range(50, 1000, 50)))
+    out = []
+    for b, r in configs:
+        b, r = int(b), int(r)
+        if b < 1 or r < 1:
+            raise ValueError(f"bad config ({b}, {r})")
+        s_star = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+        for t in grid:
+            s = t / 1000.0
+            p = 1.0 - (1.0 - s**r) ** b
+            out.append((b, r, t, p, s_star))
+    vals = ", ".join(
+        f"({b}L, {r}L, {t}L, cast({p!r} as double), cast({ss!r} as double))"
+        for b, r, t, p, ss in out
+    )
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        + vals
+        + " AS t(bands, rows, s_permille, p_candidate, s_star)"
+    )

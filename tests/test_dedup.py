@@ -783,3 +783,41 @@ class TestThresholdSweep:
         df = spark.createDataFrame([(1, 2, 100)], "doc_a long, doc_b long, sim_e4 long")
         with _pytest.raises(ValueError):
             threshold_sweep(df, [])
+
+
+class TestLshParameterPlan:
+    def test_curves_match_formula_and_threshold(self, spark):
+        from data_misc_tools_spark.operators.dedup import lsh_parameter_plan
+
+        rows = lsh_parameter_plan(spark, [(2, 4), (16, 8)]).collect()
+        for r in rows:
+            s = r["s_permille"] / 1000.0
+            assert r["p_candidate"] == 1.0 - (1.0 - s ** r["rows"]) ** r["bands"]
+            assert r["s_star"] == (
+                1.0 - 0.5 ** (1.0 / r["bands"])
+            ) ** (1.0 / r["rows"])
+        # the s-curve is monotone in s and crosses ~0.5 near s_star
+        for b, rr in ((2, 4), (16, 8)):
+            curve = sorted(
+                (r["s_permille"], r["p_candidate"])
+                for r in rows
+                if r["bands"] == b and r["rows"] == rr
+            )
+            ps = [p for _, p in curve]
+            assert ps == sorted(ps)
+            s_star = next(r["s_star"] for r in rows if r["bands"] == b
+                          and r["rows"] == rr)
+            below = [p for t, p in curve if t / 1000.0 < s_star - 0.05]
+            above = [p for t, p in curve if t / 1000.0 > s_star + 0.05]
+            assert all(p < 0.5 for p in below)
+            assert all(p > 0.5 for p in above)
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.dedup import lsh_parameter_plan
+
+        with _pytest.raises(ValueError):
+            lsh_parameter_plan(spark, [])
+        with _pytest.raises(ValueError):
+            lsh_parameter_plan(spark, [(0, 4)])

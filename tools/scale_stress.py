@@ -323,6 +323,8 @@ STRESS = {
     "hill_tail_value": "linear",
     # embedding diagnostics: dim census + per-row norm agg
     "embedding_diag_report": "linear",
+    # LSH planner: pure driver metadata, scale-independent
+    "lsh_plan_demo": "linear",
 }
 
 
