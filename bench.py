@@ -325,6 +325,8 @@ HEADLINE = [
     "embedding_diag_report",
     # r7 session-2 wave 18: analytic LSH parameter planner (rows-only)
     "lsh_plan_demo",
+    # r7 session-2 wave 19: robust trimmed/winsorized means
+    "trimmed_mean_value",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -12764,6 +12764,66 @@ def lsh_plan_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROWS_ONLY.add("lsh_plan_demo")
 
 
+@_q(
+    "trimmed_mean_value",
+    """
+    WITH census AS (
+        SELECT event_type AS g, round(value * 100)::BIGINT AS v,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum
+        FROM census
+    ),
+    tot AS (SELECT g, sum(c)::BIGINT AS n,
+                   sum(v::HUGEINT * c)::HUGEINT AS s_all
+            FROM census GROUP BY g),
+    j AS (
+        SELECT cum.*, tot.n, tot.s_all, (tot.n * 50 // 1000)::BIGINT AS cut
+        FROM cum JOIN tot USING (g)
+    ),
+    agg AS (
+        SELECT g, n, cut, s_all,
+               sum(v::HUGEINT * greatest(0, least(cum, n - cut)
+                   - greatest(cum - c + 1, cut + 1) + 1))::HUGEINT AS s_trim,
+               sum(greatest(0, least(cum, n - cut)
+                   - greatest(cum - c + 1, cut + 1) + 1))::BIGINT AS n_trim,
+               min(CASE WHEN cum >= cut + 1 AND cum - c + 1 <= cut + 1
+                        THEN v END)::BIGINT AS v_lo,
+               min(CASE WHEN cum >= n - cut AND cum - c + 1 <= n - cut
+                        THEN v END)::BIGINT AS v_hi
+        FROM j GROUP BY g, n, cut, s_all
+    )
+    SELECT g AS event_type, n, cut,
+           s_all::DOUBLE / n::DOUBLE AS mean_scaled,
+           CASE WHEN n_trim = 0 THEN NULL
+                ELSE s_trim::DOUBLE / n_trim::DOUBLE END AS trimmed_mean,
+           CASE WHEN n_trim = 0 THEN NULL
+                ELSE (s_trim + cut::HUGEINT * v_lo
+                      + cut::HUGEINT * v_hi)::DOUBLE / n::DOUBLE
+           END AS winsorized_mean
+    FROM agg ORDER BY event_type
+    """,
+)
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and winsorized mean event value (cents) per type —
+    the robust-location pair beside mad_outliers_value's scale gate:
+    exact order-statistic interval arithmetic off ONE value census
+    (tie order provably irrelevant), decimal-widened sums, cuped-rule
+    IEEE divisions UNROUNDED. On this exponential-ish value column
+    the trimmed mean sits visibly below the raw mean (the heavy right
+    tail) — the capstone pins that ordering. See
+    operators/profile.py:trimmed_stats."""
+    from data_misc_tools_spark.operators.profile import trimmed_stats
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return trimmed_stats(
+        e, "value", ["event_type"], trim_permille=50, scale=100
+    ).withColumnRenamed("event_type", "event_type").orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -3236,3 +3236,100 @@ def hill_tail_index(
             " ELSE 1000000.0D / CAST(hill_e6 AS DOUBLE) END AS alpha",
         )
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list | None = None,
+    trim_permille: int = 50,
+    scale: int = 100,
+) -> DataFrame:
+    """Trimmed and winsorized means per group — the classic robust
+    location estimators between the mean (efficient, fragile) and the
+    median (robust, wasteful): drop (trimmed) or clamp (winsorized)
+    the lowest/highest ⌊n·γ⌋ observations and average the rest
+    (Tukey; the 'robust statistics 101' pair beside
+    :func:`mad_outlier_report`'s scale estimate).
+
+    Engine-exact order statistics off ONE value census with a
+    group-keyed cumulative count (the weighted_median route): each
+    distinct value contributes kept_c = |[cum−c+1, cum] ∩
+    [cut+1, n−cut]| rows to the trimmed core — pure integer interval
+    arithmetic, tie order provably irrelevant; boundary values for
+    winsorizing are the (cut+1)-th and (n−cut)-th order statistics
+    read off the same census. Sums widen to decimal(38,0); the two
+    means exit as ONE IEEE division each of exact integers, UNROUNDED
+    (the cuped rule). Groups where trimming would eat everything
+    (n ≤ 2·cut) yield NULL means.
+
+    Output: (group cols..., n, cut, mean_scaled, trimmed_mean,
+    winsorized_mean) — all means in the SCALED fixed-point units.
+    """
+    if not 0 <= trim_permille < 500:
+        raise ValueError("trim_permille must be in [0, 500)")
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    gcols = list(group_cols or [])
+    census = (
+        df.select(
+            *gcols,
+            F.round(F.col(value_col).cast("double") * scale)
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy(*gcols, "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy(*gcols).orderBy("v")
+        if gcols
+        else Window.orderBy("v")  # global form: domain-bounded census
+    )
+    cum = census.withColumn("cum", F.sum("c").over(w))
+    tot = census.groupBy(*gcols).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v").cast(dec) * F.col("c")).cast(dec).alias("s_all"),
+    )
+    j = (
+        cum.join(F.broadcast(tot), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(tot))
+    )
+    t = int(trim_permille)
+    j = j.withColumn("cut", F.expr(f"n * {t} div 1000").cast("long"))
+    kept = F.expr(
+        "greatest(0L, least(cum, n - cut) - greatest(cum - c + 1, cut + 1) + 1)"
+    )
+    agg = j.select(
+        *gcols, "n", "cut", "v", "c", "cum", "s_all",
+        kept.alias("__k"),
+        # boundary order statistics: the (cut+1)-th and (n-cut)-th
+        F.when(
+            (F.col("cum") >= F.col("cut") + 1)
+            & (F.col("cum") - F.col("c") + 1 <= F.col("cut") + 1),
+            F.col("v"),
+        ).alias("__lo"),
+        F.when(
+            (F.col("cum") >= F.col("n") - F.col("cut"))
+            & (F.col("cum") - F.col("c") + 1 <= F.col("n") - F.col("cut")),
+            F.col("v"),
+        ).alias("__hi"),
+    ).groupBy(*gcols, "n", "cut", "s_all").agg(
+        F.sum(F.col("v").cast(dec) * F.col("__k")).cast(dec).alias("s_trim"),
+        F.sum("__k").cast("long").alias("n_trim"),
+        F.min("__lo").cast("long").alias("v_lo"),
+        F.min("__hi").cast("long").alias("v_hi"),
+    )
+    return agg.selectExpr(
+        *gcols, "n", "cut",
+        "cast(s_all as double) / cast(n as double) AS mean_scaled",
+        "CASE WHEN n_trim = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE cast(s_trim as double) / cast(n_trim as double)"
+        " END AS trimmed_mean",
+        "CASE WHEN n_trim = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE cast(s_trim + cast(cut as decimal(38,0)) * v_lo"
+        "           + cast(cut as decimal(38,0)) * v_hi as double)"
+        "      / cast(n as double) END AS winsorized_mean",
+    )

@@ -261,3 +261,14 @@ def test_jsd_bounded_and_vocab_shared(spark):
     assert len(rows) == 10  # C(5,2)
     for r in rows:
         assert 0 <= r["jsd_e6"] < E6_LN2
+
+
+def test_trimmed_mean_sits_below_raw_on_the_heavy_tail(spark):
+    """The documented exponential-ish value column: the 5%-trimmed
+    mean falls below the raw mean for every event type (right tail),
+    winsorized in between."""
+    rows = QUERIES["trimmed_mean_value"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["trimmed_mean"] < r["mean_scaled"]
+        assert r["trimmed_mean"] <= r["winsorized_mean"] <= r["mean_scaled"]

@@ -1025,3 +1025,11 @@ def test_embedding_diag_two_aggregates_no_joins_on_rows(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the one-row combine
+
+
+def test_trimmed_stats_group_partitioned_census(spark, sf_dir):
+    plan = _plan(spark, "trimmed_mean_value", sf_dir)
+    assert "SortMergeJoin" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), spec

@@ -1442,3 +1442,81 @@ class TestHillTailIndex:
         df = spark.createDataFrame([(5.0,)] * 300, "v double")
         r = hill_tail_index(df, "v", k=100).collect()[0]
         assert r["hill_e6"] == 0 and r["alpha"] is None
+
+
+class TestTrimmedStats:
+    def _ref(self, rows, trim=50):
+        import collections
+
+        by_g = collections.defaultdict(list)
+        for g, v in rows:
+            by_g[g].append(v)
+        out = {}
+        for g, vs in by_g.items():
+            vs = sorted(vs)
+            n = len(vs)
+            cut = n * trim // 1000
+            core = vs[cut: n - cut]
+            mean = sum(vs) / n
+            if not core:
+                out[g] = (n, cut, mean, None, None)
+                continue
+            tm = sum(core) / len(core)
+            wm = (sum(core) + cut * vs[cut] + cut * vs[n - cut - 1]) / n
+            out[g] = (n, cut, mean, tm, wm)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import trimmed_stats
+
+        rng = random.Random(101)
+        rows = [
+            ("g" + str(i % 3), rng.randrange(0, 500))
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(
+            [(g, v / 100.0) for g, v in rows], "g string, v double"
+        )
+        got = {
+            r["g"]: (r["n"], r["cut"], r["mean_scaled"],
+                     r["trimmed_mean"], r["winsorized_mean"])
+            for r in trimmed_stats(df, "v", ["g"], 50).collect()
+        }
+        ref = self._ref(rows, 50)
+        assert set(got) == set(ref)
+        for g in ref:
+            for a, b in zip(got[g], ref[g]):
+                if b is None:
+                    assert a is None
+                else:
+                    assert abs(a - b) < 1e-9, (g, got[g], ref[g])
+
+    def test_outlier_immunity(self, spark):
+        from data_misc_tools_spark.operators.profile import trimmed_stats
+
+        vals = [1.0] * 90 + [10000.0] * 5  # 5% contamination
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        r = trimmed_stats(df, "v", ["g"], trim_permille=100).collect()[0]
+        assert abs(r["trimmed_mean"] - 100.0) < 1e-9  # cents of 1.0
+        assert r["mean_scaled"] > 50_000  # the raw mean is wrecked
+        assert r["winsorized_mean"] < r["mean_scaled"]
+
+    def test_overtrim_yields_null(self, spark):
+        from data_misc_tools_spark.operators.profile import trimmed_stats
+
+        df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "g string, v double")
+        r = trimmed_stats(df, "v", ["g"], trim_permille=499).collect()[0]
+        assert r["n"] == 2
+        # cut = 2*499 div 1000 = 0 -> keeps everything; use a bigger n
+        df2 = spark.createDataFrame(
+            [("g", float(i)) for i in range(4)], "g string, v double"
+        )
+        r2 = trimmed_stats(df2, "v", ["g"], trim_permille=499).collect()[0]
+        # cut = 4*499 div 1000 = 1, core of 2 -> defined
+        assert r2["trimmed_mean"] is not None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            trimmed_stats(df, "v", ["g"], trim_permille=500)

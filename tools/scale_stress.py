@@ -325,6 +325,8 @@ STRESS = {
     "embedding_diag_report": "linear",
     # LSH planner: pure driver metadata, scale-independent
     "lsh_plan_demo": "linear",
+    # trimmed stats: one census + group-keyed cumsum
+    "trimmed_mean_value": "linearithmic",
 }
 
 
