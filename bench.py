@@ -327,6 +327,8 @@ HEADLINE = [
     "lsh_plan_demo",
     # r7 session-2 wave 19: robust trimmed/winsorized means
     "trimmed_mean_value",
+    # r7 session-2 wave 20: Cramer's V categorical association
+    "cramers_v_type_dow",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

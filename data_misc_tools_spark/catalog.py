@@ -12824,6 +12824,62 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("event_type", "event_type").orderBy("event_type")
 
 
+@_q(
+    "cramers_v_type_dow",
+    """
+    WITH base AS (
+        SELECT event_type AS a, strftime(ts, '%w')::BIGINT AS b FROM events
+    ),
+    cells AS (SELECT a, b, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY a),
+    mb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY b),
+    tot AS (SELECT sum(c)::BIGINT AS n,
+                   (SELECT count(*) FROM ma)::BIGINT AS ra,
+                   (SELECT count(*) FROM mb)::BIGINT AS rb
+            FROM cells),
+    terms AS (
+        SELECT sum((2 * 1000000
+                    * (n::HUGEINT * c - ca::HUGEINT * cb)
+                    * (n::HUGEINT * c - ca::HUGEINT * cb)
+                    + n::HUGEINT * (ca::HUGEINT * cb))
+                   // (2 * n::HUGEINT * (ca::HUGEINT * cb)))::HUGEINT
+                   AS s_present,
+               sum(ca::HUGEINT * cb)::HUGEINT AS e_present
+        FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    )
+    SELECT n AS n_rows, ra AS n_levels_a, rb AS n_levels_b,
+           (s_present
+            + (2 * 1000000 * (n::HUGEINT * n - e_present) + n::HUGEINT)
+              // (2 * n::HUGEINT))::BIGINT AS chi2_e6,
+           CASE WHEN least(ra, rb) <= 1 THEN NULL
+                ELSE sqrt(
+                  ((s_present
+                    + (2 * 1000000 * (n::HUGEINT * n - e_present) + n::HUGEINT)
+                      // (2 * n::HUGEINT))::BIGINT)::DOUBLE
+                  / (1000000.0 * n::DOUBLE * (least(ra, rb) - 1)::DOUBLE))
+           END AS v
+    FROM terms CROSS JOIN tot
+    """,
+)
+def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event_type and day-of-week — the normalized
+    [0,1] effect size beside mutual_info_type_dow's nats (comparable
+    across column pairs, the number a profiling association matrix
+    reports): per-cell half-up e6 chi-square terms summed as exact
+    integers (no float accumulation order), absent cells folded in as
+    one exact term, v = one pinned IEEE sqrt chain UNROUNDED. Spark
+    side uses dayofweek-1 (the documented DuckDB %w parity). See
+    operators/profile.py:cramers_v."""
+    from data_misc_tools_spark.operators.profile import cramers_v
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    base = e.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    )
+    return cramers_v(base, "event_type", "dow")
+
+
 # ---------------------------------------------------------------------------
 # Grading order. The driver's correctness gate grades only the FIRST 50
 # entries of queries(), in insertion order. Rounds 1-4 rotated the

@@ -3333,3 +3333,87 @@ def trimmed_stats(
         "           + cast(cut as decimal(38,0)) * v_hi as double)"
         "      / cast(n as double) END AS winsorized_mean",
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    [0, 1]-normalized chi-square companion to
+    :func:`mutual_information` (MI is in nats and unbounded; V is the
+    comparable-across-pairs effect size a profiling matrix wants):
+    V = √(χ²/(n·min(r−1, k−1))).
+
+    Engine-exact: a float Σ over cells would be accumulation-order-
+    dependent (the corr() trap), so each OBSERVED cell contributes
+    the HALF-UP e6 integer of 1e6·(n·c_ij − c_i·c_j)²/(n·c_i·c_j)
+    (numerator and denominator exact decimal(38,0)/HUGEINT), the
+    ABSENT cells' total Σ c_i·c_j/n folds in as ONE more exact term
+    (their (n·0 − c_i·c_j)² form collapses), ``chi2_e6`` is the exact
+    integer sum — n·χ² scaled by e6 — and
+    ``v`` = √(chi2_e6/(1e6·n·min(r−1, k−1))) is one pinned IEEE
+    chain, UNROUNDED. Degenerate single-level columns yield NULL v.
+
+    Marginals derive FROM the cell census (one scan, one shuffle —
+    the mutual_information shape).
+
+    Output: one row (n_rows, n_levels_a, n_levels_b, chi2_e6, v).
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()  # marginals + totals + the term sum
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    mb = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+    ).crossJoin(ma.agg(F.count("*").cast("long").alias("ra"))).crossJoin(
+        mb.agg(F.count("*").cast("long").alias("rb"))
+    )
+    # observed cells contribute (n*c - ca*cb)^2/(n*ca*cb); ABSENT
+    # cells (c=0) contribute ca*cb/n each — their total is
+    # (n^2 - sum_present ca*cb)/n, folded in as one exact term below
+    terms = (
+        cells.join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .selectExpr(
+            "cast(n as decimal(38,0)) * c"
+            " - cast(ca as decimal(38,0)) * cb AS __d",
+            "cast(ca as decimal(38,0)) * cb AS __e",
+            "cast(n as decimal(38,0)) AS __n",
+        )
+        .selectExpr(
+            "cast((2 * 1000000 * __d * __d + __n * __e)"
+            " div (2 * __n * __e) as decimal(38,0)) AS __t",
+            "__e",
+        )
+        .agg(
+            F.sum("__t").cast(dec).alias("s_present"),
+            F.sum("__e").cast(dec).alias("e_present"),
+        )
+    )
+    return terms.crossJoin(F.broadcast(tot)).selectExpr(
+        "n AS n_rows", "ra AS n_levels_a", "rb AS n_levels_b",
+        # absent cells: sum over c=0 cells of 1e6*ca*cb/n =
+        # 1e6*(n^2 - e_present)/n, half-up as one exact term
+        """cast(s_present
+             + (2 * 1000000 * (cast(n as decimal(38,0)) * n - e_present)
+                + cast(n as decimal(38,0)))
+               div (2 * cast(n as decimal(38,0))) as long) AS chi2_e6""",
+        """CASE WHEN least(ra, rb) <= 1 THEN CAST(NULL AS DOUBLE)
+                ELSE sqrt(
+                  cast(cast(s_present
+                    + (2 * 1000000 * (cast(n as decimal(38,0)) * n - e_present)
+                       + cast(n as decimal(38,0)))
+                      div (2 * cast(n as decimal(38,0))) as long) as double)
+                  / (1000000.0D * cast(n as double)
+                     * cast(least(ra, rb) - 1 as double)))
+           END AS v""",
+    )

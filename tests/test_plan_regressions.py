@@ -1033,3 +1033,9 @@ def test_trimmed_stats_group_partitioned_census(spark, sf_dir):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         head = spec.split(",")[0].strip()
         assert not head.endswith("ASC NULLS FIRST"), spec
+
+
+def test_cramers_v_single_census_checkpointed(spark, sf_dir):
+    plan = _plan(spark, "cramers_v_type_dow", sf_dir)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1520,3 +1520,62 @@ class TestTrimmedStats:
 
         with _pytest.raises(ValueError):
             trimmed_stats(df, "v", ["g"], trim_permille=500)
+
+
+class TestCramersV:
+    def _ref(self, pairs):
+        import collections
+        import math
+
+        cells = collections.Counter(pairs)
+        ca = collections.Counter(a for a, _ in pairs)
+        cb = collections.Counter(b for _, b in pairs)
+        n = len(pairs)
+        s = 0
+        e = 0
+        for (a, b), c in cells.items():
+            d = n * c - ca[a] * cb[b]
+            ee = ca[a] * cb[b]
+            s += (2 * 1_000_000 * d * d + n * ee) // (2 * n * ee)
+            e += ee
+        chi2_e6 = s + (2 * 1_000_000 * (n * n - e) + n) // (2 * n)
+        k = min(len(ca), len(cb))
+        v = (
+            None
+            if k <= 1
+            else math.sqrt(chi2_e6 / (1_000_000.0 * n * (k - 1)))
+        )
+        return n, len(ca), len(cb), chi2_e6, v
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import cramers_v
+
+        rng = random.Random(103)
+        # dependent-ish: b leans on a
+        pairs = []
+        for _ in range(3000):
+            a = rng.randrange(4)
+            b = a if rng.random() < 0.4 else rng.randrange(6)
+            pairs.append((f"a{a}", f"b{b}"))
+        df = spark.createDataFrame(pairs, "x string, y string")
+        r = cramers_v(df, "x", "y").collect()[0]
+        n, ra, rb, chi2, v = self._ref(pairs)
+        assert (r["n_rows"], r["n_levels_a"], r["n_levels_b"]) == (n, ra, rb)
+        assert r["chi2_e6"] == chi2
+        assert abs(r["v"] - v) < 1e-15
+        assert 0.2 < r["v"] < 0.9  # genuinely associated
+
+    def test_independence_and_identity_extremes(self, spark):
+        from data_misc_tools_spark.operators.profile import cramers_v
+
+        # perfect association: b == a -> v == 1
+        pairs = [(f"k{i % 4}", f"k{i % 4}") for i in range(400)]
+        df = spark.createDataFrame(pairs, "x string, y string")
+        r = cramers_v(df, "x", "y").collect()[0]
+        assert abs(r["v"] - 1.0) < 1e-9
+        # single-level column -> NULL
+        one = spark.createDataFrame([("a", f"b{i % 3}") for i in range(30)],
+                                    "x string, y string")
+        assert cramers_v(one, "x", "y").collect()[0]["v"] is None

@@ -327,6 +327,8 @@ STRESS = {
     "lsh_plan_demo": "linear",
     # trimmed stats: one census + group-keyed cumsum
     "trimmed_mean_value": "linearithmic",
+    # Cramer's V: one cell census (the mutual_information shape)
+    "cramers_v_type_dow": "linear",
 }
 
 
