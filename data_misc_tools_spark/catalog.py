@@ -12900,81 +12900,48 @@ def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GRADED_FIRST: list[str] = [
-    # --- round 7: new ops earn first-time rows the session they land
-    # (VERDICT r6 ask #4); each displaces a veteran re-pin. ---
-    "lpa_neardup_fast", "ppr_seeds_fast", "winnowing_cap_report",
-    "dedup_substring_docs", "spearman_quantity_price",
-    "gini_customer_revenue", "fs_linkage_docs", "fs_em_linkage_docs",
-    "t_closeness_events", "calibration_stopword_en",
-    "join_skew_events_self", "audio_fingerprint_demo",
-    "mutual_info_type_dow", "mad_outliers_value",
-    "edge_support_neardup", "bm25_prf_search",
-    "target_encode_priority", "ktruss_neardup", "jw_part_name_pairs",
-    "heaps_law_corpus", "ab_power_value",
-    # --- round-7 session-2 additions (first-time, oracle-exact):
-    # UCC key discovery (completes the FD/IND/UCC profiling tripod),
-    # Deequ-style expectations gate, Nelson-Aalen cumulative hazard ---
-    "ucc_discovery_lineitem", "dq_expectations_orders",
-    "purchase_gap_hazard_na",
-    # --- round-7 session-2 wave 2 (first-time, oracle-exact):
-    # exact Shapley channel attribution, EWMA forecasting with a
-    # recursive-CTE twin, KMV bottom-k distinct sketch + merge ---
-    "shapley_attribution_events", "ewma_daily_revenue",
-    "kmv_distinct_users",
-    # --- round-7 session-2 wave 3 (first-time, oracle-exact):
-    # neighborhood-Jaccard node similarity, Mondrian split-conformal
-    # intervals, per-language corpus diversity ---
-    "linkpred_jaccard_neardup", "conformal_interval_value",
-    "corpus_diversity_langs",
-    # --- round-7 session-2 wave 4 (first-time, oracle-exact):
-    # RAKE keyphrase extraction, closed-form 2-feature OLS ---
-    "rake_keywords_docs", "ols2_lineitem_price",
-    # --- round-7 session-2 wave 5 (first-time, oracle-exact):
-    # PSI drift, difference-in-differences, golden-record merge ---
-    "psi_drift_value", "did_purchase_heavy", "golden_record_orders",
-    # --- round 6: the FINAL first-row batch. 15 round-5 session-3
-    # oracle queries that landed after the r5 window froze, the 2 new
-    # r6 float production twins (rows-only), and pca_project_demo's
-    # re-grade with the flattened scalar output (its r5 slot errored
-    # in the driver's list-column canonicalizer). After this round,
-    # EVERY catalog entry has an official driver row. ---
-    # (tfidf_top_terms_docs / phrase_search_docs / lcc_neardup_nodes
-    # graded r6; rotated out for the session-2 wave-2 additions;
-    # theil_sen_daily_trend / lag_crosscorr_purchase_click /
-    # hits_users_items for the wave-3 additions;
-    # benford_audit_prices / systematic_sample_orders for wave 4)
-    "attribution_ushape_credit",
-    "cluster_medoids_embeddings", "rtbf_cascade_report",
-    "quantile_normalize_values", "cuped_purchase_by_clicks",
-    "image_dhash_neardup", "mann_kendall_daily_trend",
-    "markov_stationary_fast", "pagerank_neardup_fast",
-    "pca_project_demo",
-    # --- round-6 session-2 additions (first-time, oracle-exact):
-    # Kaplan-Meier purchase-gap survival, Flesch/FK readability,
-    # Dunning LLR keyness ---
-    "purchase_gap_survival_km", "readability_docs", "keyness_llr_en_docs",
-    "fk_discovery_tpch", "logrank_heavy_vs_light",
-    # --- 27 re-pins: the strongest veterans, spanning every family
-    # and every grading round (all oracle-exact under the strict
-    # local gate; family in brackets). q5_region_volume /
-    # q18_large_orders / events_pivot_by_type / window_rank_orders /
-    # dedup_keep_best (each already graded r1-r4) rotated out for the
-    # session-2 additions. ---
-    # [relational / TPC-H shapes] (lineitem_grouping_sets /
-    # orders_rollup / q2_min_cost_supplier rotated out for the r7
-    # additions)
-    # The last veteran re-pins (q1_pricing_summary /
-    # sessionize_events / exact_stratified_split_langs — each already
-    # graded in earlier rounds) rotated out for the wave-5 additions:
-    # every slot now holds a query whose FIRST official row is r7.
-    # Family re-pin history: dedup_exact / dedup_minhash_lsh /
-    # dedup_ppjoin, embedding_neardup / margin_mine_pairs /
-    # kmeans_embeddings / semdedup_embeddings, retrieval_eval /
-    # ql_dirichlet / bm25_search_topk, text_quality / gopher /
-    # chunk_documents / ngram_novelty, cusum / welch / funnel,
-    # dsir_select_topk / rfm_user_segments, url_domain_quota /
-    # png_pipeline_demo all rotated out across the r7 waves; the
-    # strict local gate remains their regression net.
+    # --- round 8 PRIORITY (VERDICT r7 ask #1): the 20-entry grading
+    # backlog — every late-r7-session query that never earned an
+    # official driver row (the window froze at session-2 wave 5 while
+    # waves 6-19 kept landing). All 20 are oracle-exact on the strict
+    # local gate (lsh_plan_demo rows-only by design); grading them
+    # restores the "every catalog entry has an official row"
+    # invariant that held r4-r6. ---
+    "vocab_oov_rate_langs", "weighted_median_price",
+    "isotonic_stopword_en", "metric_mix_shift_value",
+    "schema_drift_orders", "assortativity_neardup",
+    "seasonal_naive_daily_revenue", "mutual_best_match_neardup",
+    "hilbert_key_demo", "jsd_lang_pairs", "bmp_meta_demo",
+    "auc_stopword_en", "pr_curve_stopword_en", "dedup_threshold_sweep",
+    "gif_meta_demo", "hill_tail_value", "embedding_diag_report",
+    "lsh_plan_demo", "trimmed_mean_value", "cramers_v_type_dow",
+    # --- 30 re-pins: strongest veterans spanning every family, all
+    # already officially graded in r1-r7; each is a drift sentinel
+    # AND a swap-out slot — new r8 operators displace re-pins as they
+    # land (the r7 discipline). ---
+    # [relational / TPC-H shapes]
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    "q18_large_orders", "window_rank_orders",
+    # [temporal / sessions]
+    "sessionize_events", "funnel_view_click_purchase",
+    "cohort_retention_weekly", "hourly_event_rollup",
+    # [dedup]
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
+    "dedup_repeated_ngrams",
+    # [similarity / ANN]
+    "embedding_neardup", "kmeans_embeddings", "margin_mine_pairs",
+    "semdedup_embeddings",
+    # [retrieval]
+    "bm25_search_topk", "ql_dirichlet_search", "tfidf_top_terms_docs",
+    # [text quality / analysis]
+    "text_quality", "gopher_filter_demo", "chunk_documents",
+    "ngram_novelty_scores",
+    # [graph]
+    "triangle_count_neardup", "lpa_communities_neardup",
+    # [stats]
+    "welch_ttest_value", "corr_quantity_price",
+    # [sampling / multimodal]
+    "exact_stratified_split_langs", "png_pipeline_demo",
 ]
 
 

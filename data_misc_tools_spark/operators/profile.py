@@ -2519,7 +2519,7 @@ def conformal_report(
     test = (
         base.filter(F.col("__role") == 3)
         .join(F.broadcast(preds.select("g", "pred_cents")), "g")
-        .join(F.broadcast(qhats.select("g", "qhat")), "g")
+        .join(F.broadcast(qhats.select("g", "qhat")), "g", "left")
         .groupBy("g")
         .agg(
             F.count("*").cast("long").alias("n_test"),
@@ -2530,9 +2530,13 @@ def conformal_report(
             ).alias("__cov"),
         )
     )
+    # LEFT joins off preds: a group whose calibration or test slice is
+    # empty still emits its row (NULL n_calib/qhat/n_test/covered_e6 —
+    # conformal's honest "not enough data"), honoring the one-row-per-
+    # group contract instead of silently dropping thin groups.
     return (
-        preds.join(qhats, "g")
-        .join(test, "g")
+        preds.join(qhats, "g", "left")
+        .join(test, "g", "left")
         .select(
             F.col("g").alias("group"),
             "n_train", "n_calib", "n_test", "pred_cents", "qhat",
@@ -2745,8 +2749,11 @@ def psi_report(
     e6ln = (
         lambda e: F.round(F.log(e.cast("double")) * 1e6).cast("long")
     )  # noqa: E731
-    a_num = (F.col("ref_n") + 1) * (F.col("nc") + b)
-    b_num = (F.col("cur_n") + 1) * (F.col("nr") + b)
+    # decimal-first for the smoothed products (the sum-widening
+    # discipline): (c+1)*(n+B) in BIGINT wraps at ~3e9-row slices —
+    # widen BEFORE multiplying; only the e6ln argument drops to double.
+    a_num = (F.col("ref_n") + 1).cast("decimal(38,0)") * (F.col("nc") + b)
+    b_num = (F.col("cur_n") + 1).cast("decimal(38,0)") * (F.col("nr") + b)
     return joined.select(
         "bin", "ref_n", "cur_n",
         F.expr("(2 * 1000000 * ref_n + nr) div (2 * nr)")

@@ -900,6 +900,11 @@ def ewma_smooth(
             f"series exceeds max_rows={max_rows}: roll it up further "
             "before smoothing (the bounded-rollup contract)"
         )
+    if not rows:
+        raise ValueError(
+            "empty series: the rollup produced zero rows (an empty "
+            "VALUES list would otherwise surface as a ParseException)"
+        )
     out = []
     s = None
     for r in rows:

@@ -1497,18 +1497,27 @@ def jsd_pairs(
         .join(F.broadcast(tot.selectExpr("g AS gb", "n AS n2")), "gb")
         .select(
             "ga", "gb", "n1", "n2",
+            # log ARGUMENTS built decimal-first too: c·N in BIGINT
+            # wraps at ~3e9-token slices; only the final e6ln cast
+            # drops to double (same nearest-double as from BIGINT).
             (
                 F.col("c").cast(dec)
                 * (
-                    e6ln(2 * F.col("c") * F.col("n2"))
-                    - e6ln(F.col("c") * F.col("n2") + F.col("d") * F.col("n1"))
+                    e6ln(2 * F.col("c").cast(dec) * F.col("n2"))
+                    - e6ln(
+                        F.col("c").cast(dec) * F.col("n2")
+                        + F.col("d").cast(dec) * F.col("n1")
+                    )
                 )
             ).cast(dec).alias("__ta"),
             (
                 F.col("d").cast(dec)
                 * (
-                    e6ln(2 * F.col("d") * F.col("n1"))
-                    - e6ln(F.col("c") * F.col("n2") + F.col("d") * F.col("n1"))
+                    e6ln(2 * F.col("d").cast(dec) * F.col("n1"))
+                    - e6ln(
+                        F.col("c").cast(dec) * F.col("n2")
+                        + F.col("d").cast(dec) * F.col("n1")
+                    )
                 )
             ).cast(dec).alias("__tb"),
             F.col("c").alias("__sc"),

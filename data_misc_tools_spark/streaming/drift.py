@@ -107,8 +107,10 @@ def psi_from_bin_counts(
     )  # noqa: E731
     b = int(n_bins)
     j = grid.join(F.broadcast(tot), "window_start")
-    a_num = (F.col("ref_n") + 1) * (F.col("nc") + b)
-    b_num = (F.col("cur_n") + 1) * (F.col("nr") + b)
+    # decimal-first smoothed products, mirroring batch psi_report:
+    # the BIGINT multiply wraps at ~3e9-row slices.
+    a_num = (F.col("ref_n") + 1).cast("decimal(38,0)") * (F.col("nc") + b)
+    b_num = (F.col("cur_n") + 1).cast("decimal(38,0)") * (F.col("nr") + b)
     return j.select(
         "window_start", "bin", "ref_n", "cur_n",
         F.expr("(2 * 1000000 * ref_n + nr) div (2 * nr)")

@@ -900,6 +900,27 @@ class TestConformalReport:
         with _pytest.raises(ValueError):
             conformal_report(df, "g", "v", "id", alpha_permille=1000)
 
+    def test_thin_group_still_emits_row(self, spark):
+        """ADVICE r7: a group whose calibration (or test) role slice is
+        EMPTY must still emit its one row with NULL qhat/covered_e6 —
+        not vanish through an inner join."""
+        from data_misc_tools_spark.operators.profile import conformal_report
+
+        # build a group whose every id lands in roles {0,1} only: ids
+        # screened driver-side with the same md5 role hash
+        train_only = [i for i in range(4000) if self._hash_role(i) <= 1][:30]
+        rows = [(i, "thin", 10.0) for i in train_only]
+        # plus one healthy group with all roles present
+        rows += [(10_000 + i, "full", float(i % 50)) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {r["group"]: r for r in conformal_report(df, "g", "v", "id").collect()}
+        assert set(got) == {"thin", "full"}
+        t = got["thin"]
+        assert t["n_train"] == 30
+        assert t["n_calib"] is None and t["qhat"] is None
+        assert t["n_test"] is None and t["covered_e6"] is None
+        assert got["full"]["qhat"] is not None
+
 
 class TestOls2Exact:
     def test_recovers_planted_coefficients(self, spark):

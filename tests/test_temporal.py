@@ -647,6 +647,17 @@ class TestEwmaSmooth:
         with _pytest.raises(ValueError):
             ewma_smooth(df, "o", "x", max_rows=5)
 
+    def test_empty_series_raises_cleanly(self, spark):
+        """ADVICE r7: an over-filtered rollup must surface as a clean
+        ValueError, not a VALUES-list ParseException."""
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import ewma_smooth
+
+        df = spark.createDataFrame([], "o long, x long")
+        with _pytest.raises(ValueError, match="empty series"):
+            ewma_smooth(df, "o", "x")
+
 
 class TestSeasonalNaiveBacktest:
     def test_matches_python_reference(self, spark):
