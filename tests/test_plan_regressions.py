@@ -293,6 +293,23 @@ def test_bm25_single_token_exchange_and_broadcasts(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_bm25_prf_reuses_pass1_tf(spark, sf_dir):
+    """bm25_prf_search (the r7 ReusedExchange audit): pass 2 scores
+    the checkpointed pass-1 tf UNION new-term tf, so the executed
+    plan holds one union scoring pass over checkpointed inputs —
+    not a re-planned copy of the whole pass-1 + mining lineage
+    (the pre-audit plan carried 40 exchanges; the audited one <= 12
+    physical, and the pass-1/mining subtrees appear zero times
+    because the checkpoints truncate them). Formatted explain lists
+    each node twice (tree + detail), hence the doubled bounds."""
+    plan = _plan(spark, "bm25_prf_search", sf_dir)
+    assert plan.count("Exchange") <= 24
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_repeated_ngrams_no_cartesian_no_python(spark, sf_dir):
     """dedup_repeated_ngrams: gram census + coverage joins are hash
     equi-joins; zero Python ops (all higher-order Catalyst)."""
