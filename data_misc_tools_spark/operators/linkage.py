@@ -239,7 +239,29 @@ def jaro_winkler_e6(
     s2: "Column | str",
     max_len: int = 62,
 ) -> "Column":
-    """Jaro–Winkler similarity as an exact e6 INTEGER, pure Catalyst —
+    """Jaro–Winkler similarity as an exact e6 INTEGER — the jw_e6
+    field of :func:`jaro_winkler_components` (see there for the full
+    exactness story and cost contract)."""
+    return jaro_winkler_components(s1, s2, max_len).getField("jw_e6")
+
+
+def jaro_winkler_components(
+    s1: "Column | str",
+    s2: "Column | str",
+    max_len: int = 62,
+) -> "Column":
+    """Jaro–Winkler as a STRUCT of its exact integer components
+    (m, t, p, jw_e6) — m matches, t mismatched aligned positions
+    (= 2·half-transpositions), p common prefix ≤ 4, and the final
+    half-up e6 score derived from them. Emitting the components makes
+    the comparator ORACLE-CHECKABLE: every field is an exact integer
+    with no float boundary anywhere, so an engine twin that replays
+    the same greedy matching loop (a bounded recursive CTE does)
+    reproduces all four bit-for-bit — unlike comparing against a
+    built-in double `jaro_winkler_similarity`, whose rounding and
+    boost-threshold conventions vary by engine.
+
+    Pure Catalyst —
     the record-linkage string comparator (names, titles, codes) beside
     JVM ``levenshtein``: J-W rewards shared prefixes and tolerates
     transpositions, which is why it is the default field comparator in
@@ -372,14 +394,21 @@ def jaro_winkler_e6(
         jw_num = F.lit(1_000_000).cast("long") * ((10 - p) * num + p * dd)
         jw_den = 10 * dd
         half_up = _floordiv(2 * jw_num + jw_den, 2 * jw_den)
-        return (
+        jw = (
             F.when((l1 == 0) & (l2 == 0), F.lit(1_000_000).cast("long"))
             .when((m == 0) | (l1 == 0) | (l2 == 0), F.lit(0).cast("long"))
             .otherwise(half_up)
         )
+        # guard rides every field so column pruning can't skip the
+        # too-long raise no matter which component a query keeps
+        return F.struct(
+            (m + guard).alias("m"),
+            (t + guard).alias("t"),
+            (p + guard).alias("p"),
+            (jw + guard).alias("jw_e6"),
+        )
 
-    out = F.element_at(F.transform(F.array(matched), full), 1)
-    return out + guard
+    return F.element_at(F.transform(F.array(matched), full), 1)
 
 
 def _floordiv(x: "Column", y: "Column") -> "Column":

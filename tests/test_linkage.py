@@ -275,6 +275,60 @@ class TestJaroWinklerE6:
         with _pytest.raises(ValueError, match="BIGINT"):
             jaro_winkler_e6("a", "b", max_len=63)
 
+    def _py_components(self, s1, s2):
+        l1, l2 = len(s1), len(s2)
+        w = max(max(l1, l2) // 2 - 1, 0)
+        matched2 = [False] * l2
+        m1 = []
+        for i in range(l1):
+            for j in range(max(0, i - w), min(l2, i + w + 1)):
+                if not matched2[j] and s2[j] == s1[i]:
+                    matched2[j] = True
+                    m1.append(s1[i])
+                    break
+        m = len(m1)
+        m2 = [s2[j] for j in range(l2) if matched2[j]]
+        t = sum(1 for a, b in zip(m1, m2) if a != b)
+        p = 0
+        for i in range(min(4, l1, l2)):
+            if s1[i] == s2[i]:
+                p += 1
+            else:
+                break
+        return m, t, p
+
+    def test_components_match_python_reference(self, spark):
+        """The r8 oracle promotion rides the component struct: m/t/p
+        must equal the greedy-matching reference exactly, and jw_e6
+        must equal the score recomputed FROM those components."""
+        from data_misc_tools_spark.operators.linkage import (
+            jaro_winkler_components,
+        )
+
+        cases = [
+            ("martha", "marhta"), ("dixon", "dicksonx"),
+            ("jellyfish", "smellyfish"), ("crate", "trace"),
+            ("ab", "ba"), ("abc", "abc"), ("xyz", "abc"),
+        ]
+        df = spark.createDataFrame(cases, "a string, b string")
+        got = {
+            (r.a, r.b): r
+            for r in df.select(
+                "a", "b",
+                jaro_winkler_components("a", "b").alias("c"),
+            ).select("a", "b", "c.m", "c.t", "c.p", "c.jw_e6").collect()
+        }
+        for a, b in cases:
+            m, t, p = self._py_components(a, b)
+            r = got[(a, b)]
+            assert (r.m, r.t, r.p) == (m, t, p), (a, b)
+            assert r.jw_e6 == self._py_jw_e6(a, b), (a, b)
+        # martha/marhta: 6 matches, 2 mismatched aligned positions
+        # (one transposition), prefix 3 — the textbook decomposition
+        assert (got[("martha", "marhta")].m,
+                got[("martha", "marhta")].t,
+                got[("martha", "marhta")].p) == (6, 2, 3)
+
 
 class TestGoldenRecord:
     def test_majority_and_tiebreak(self, spark):
