@@ -292,6 +292,7 @@ HEADLINE = [
     "ols2_lineitem_price",
     # r7 session-2 wave 5: PSI drift, DiD, golden record
     "psi_drift_value",
+    "psi_drift_stream_demo",
     "did_purchase_heavy",
     "golden_record_orders",
     # r7 session-2 wave 6: vocabulary OOV rate, weighted median
