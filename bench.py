@@ -321,6 +321,7 @@ HEADLINE = [
     "dedup_threshold_sweep",
     # r7 session-2 wave 16: GIF round trip (format #6), Hill tail index
     "gif_meta_demo",
+    "tiff_meta_demo",
     "hill_tail_value",
     # r7 session-2 wave 17: embedding-corpus health report
     "embedding_diag_report",

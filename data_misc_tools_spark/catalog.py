@@ -12594,6 +12594,59 @@ def bmp_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tiff_meta_demo",
+    """
+    SELECT doc_id, 'tiff' AS format,
+           (1 + doc_id % 4)::BIGINT AS pages,
+           (8 + doc_id % 512)::BIGINT AS width,
+           (8 + doc_id % 384)::BIGINT AS height,
+           8::BIGINT AS bits_per_sample,
+           1::BIGINT AS compression,
+           (8 + doc_id % 512 + doc_id % 4)::BIGINT AS last_width
+    FROM documents
+    """,
+)
+def tiff_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF metadata round trip, all JVM-side — format #7, and the
+    first reader that follows the FILE'S OWN POINTER STRUCTURE rather
+    than fixed header offsets: fabricate a canonical multi-page TIFF
+    per document (synthetic_tiff: 1 + doc_id%4 chained IFDs, page k's
+    width = width + k), then walk the IFD chain back with
+    tiff_image_meta's bounded Catalyst fold (dynamic-offset entry
+    scans, next-IFD hops). last_width = width + pages − 1 proves the
+    walk visited EVERY page, not just the first; the oracle derives
+    all fields arithmetically from the synthesis formula, so any
+    byte-slip in writer or reader (entry stride, pointer placement,
+    LE reads) fails the hash. See operators/multimodal.py:
+    tiff_image_meta / synthetic_tiff."""
+    from data_misc_tools_spark.operators.multimodal import (
+        synthetic_tiff,
+        tiff_image_meta,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    blobs = d.select(
+        "doc_id",
+        synthetic_tiff(
+            width=F.lit(8) + F.col("doc_id") % 512,
+            height=F.lit(8) + F.col("doc_id") % 384,
+            pages=F.lit(1) + F.col("doc_id") % 4,
+        ).alias("payload"),
+    )
+    m = tiff_image_meta("payload")
+    return blobs.select(
+        "doc_id",
+        m.getField("format").alias("format"),
+        m.getField("pages").cast("long").alias("pages"),
+        m.getField("width").cast("long").alias("width"),
+        m.getField("height").cast("long").alias("height"),
+        m.getField("bits_per_sample").cast("long").alias("bits_per_sample"),
+        m.getField("compression").cast("long").alias("compression"),
+        m.getField("last_width").cast("long").alias("last_width"),
+    )
+
+
 _SCORED_EN_SQL = """
     scored AS (
         SELECT (lang = 'en') AS y,
@@ -13152,6 +13205,9 @@ GRADED_FIRST: list[str] = [
     "jw_part_name_pairs",
     # streaming PSI drift monitor end-to-end, oracle-exact (ask #5)
     "psi_drift_stream_demo",
+    # TIFF IFD-chain walk, format #7 — real pointer-following body
+    # parse, oracle-exact (ask #6); displaces the png re-pin
+    "tiff_meta_demo",
     # [relational / TPC-H shapes]
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
     "window_rank_orders",
@@ -13174,8 +13230,8 @@ GRADED_FIRST: list[str] = [
     "triangle_count_neardup", "lpa_communities_neardup",
     # [stats]
     "welch_ttest_value", "corr_quantity_price",
-    # [sampling / multimodal]
-    "exact_stratified_split_langs", "png_pipeline_demo",
+    # [sampling] (png_pipeline_demo rotated out for tiff_meta_demo)
+    "exact_stratified_split_langs",
 ]
 
 

@@ -1177,6 +1177,163 @@ def synthetic_bmp(
     return F.unhex(F.concat(header_hex, body))
 
 
+def tiff_image_meta(
+    payload: Column | str,
+    max_pages: int = 8,
+    max_entries: int = 16,
+) -> Column:
+    """Parse little-endian TIFF with a REAL body walk — format #7, and
+    unlike the fixed-offset BMP/GIF/WAV header reads this one follows
+    the file's own pointer structure: the IFD chain (TIFF 6.0 §2).
+    A bounded Catalyst ``aggregate`` fold carries the next-IFD offset
+    as state; each step reads the entry count at the CURRENT offset
+    (dynamic-offset substring, the jpeg_dimensions idiom), scans the
+    ≤``max_entries`` 12-byte entries for ImageWidth(256)/
+    ImageLength(257)/BitsPerSample(258)/Compression(259), records the
+    FIRST page's fields plus the LAST page's width (proof the walk
+    visited every page), then hops to the next-IFD pointer at
+    offset + 2 + 12·count — looping until the pointer is 0 or
+    ``max_pages`` is hit.
+
+    Inline-value entries only (count 1, SHORT/LONG — the value lives
+    in the entry's 4-byte value field; LE SHORTs read identically
+    through le32 because the padding bytes are zero). Big-endian
+    ('MM') and non-TIFF payloads yield null fields.
+
+    Returns struct(format, pages, width, height, bits_per_sample,
+    compression, last_width).
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def u8(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast(
+            "long"
+        )
+
+    def le16(pos: Column) -> Column:
+        return u8(pos + 1) * 256 + u8(pos)
+
+    def le32(pos: Column) -> Column:
+        return le16(pos + 2) * 65536 + le16(pos)
+
+    def tagval(off: Column, cnt: Column, tag: int) -> Column:
+        # first (only) entry with this tag among the bounded scan;
+        # entry j: tag at off+3+12j (1-based), value field at +8
+        hits = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(max_entries - 1)),
+                lambda j: F.when(
+                    (j < cnt) & (le16(off + 3 + j * 12) == tag),
+                    le32(off + 11 + j * 12),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return F.when(F.size(hits) > 0, F.element_at(hits, 1)).cast("long")
+
+    def step(acc: Column, _: Column) -> Column:
+        off = acc.getField("off")  # 0-based file offset of the IFD
+        pages = acc.getField("pages")
+        active = off > 0
+        cnt = le16(off + 1)
+        wv = tagval(off, cnt, 256)
+        nxt = F.struct(
+            F.when(active, le32(off + 3 + cnt * 12))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("off"),
+            F.when(active, pages + 1).otherwise(pages).alias("pages"),
+            F.when(active & (pages == 0), wv)
+            .otherwise(acc.getField("w"))
+            .alias("w"),
+            F.when(active & (pages == 0), tagval(off, cnt, 257))
+            .otherwise(acc.getField("h"))
+            .alias("h"),
+            F.when(active & (pages == 0), tagval(off, cnt, 258))
+            .otherwise(acc.getField("bps"))
+            .alias("bps"),
+            F.when(active & (pages == 0), tagval(off, cnt, 259))
+            .otherwise(acc.getField("comp"))
+            .alias("comp"),
+            F.when(active, wv)
+            .otherwise(acc.getField("wlast"))
+            .alias("wlast"),
+        )
+        return F.when(active, nxt).otherwise(acc)
+
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        le32(F.lit(5)).alias("off"),  # header bytes 4..7: first IFD
+        F.lit(0).cast("long").alias("pages"),
+        null_l.alias("w"), null_l.alias("h"),
+        null_l.alias("bps"), null_l.alias("comp"),
+        null_l.alias("wlast"),
+    )
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_pages)), init, step
+    )
+    is_tiff = F.hex(F.substring(p, 1, 4)) == "49492A00"  # 'II', 42
+    return F.struct(
+        F.when(is_tiff, F.lit("tiff"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("format"),
+        F.when(is_tiff, folded.getField("pages")).alias("pages"),
+        F.when(is_tiff, folded.getField("w")).alias("width"),
+        F.when(is_tiff, folded.getField("h")).alias("height"),
+        F.when(is_tiff, folded.getField("bps")).alias("bits_per_sample"),
+        F.when(is_tiff, folded.getField("comp")).alias("compression"),
+        F.when(is_tiff, folded.getField("wlast")).alias("last_width"),
+    )
+
+
+def synthetic_tiff(
+    width: Column,
+    height: Column,
+    pages: Column | None = None,
+) -> Column:
+    """Build a canonical little-endian multi-page TIFF blob entirely
+    with Catalyst expressions — the writer half of the TIFF round trip
+    (:func:`tiff_image_meta` is the reader). Header 'II*\\0' + first
+    IFD at offset 8; page k's IFD at 8 + 66·k holds 5 inline entries
+    (ImageWidth = width + k — each page differs, so the reader's
+    last_width proves the chain walk — ImageLength, BitsPerSample 8,
+    Compression 1, SamplesPerPixel 1) and the next-IFD pointer
+    (0 on the last page). Metadata-only: no strip data, the
+    header-corpus shape the readers validate."""
+    w = width.cast("long")
+    h = height.cast("long")
+    n = (pages if pages is not None else F.lit(1)).cast("long")
+
+    def entry(tag: int, typ: int, val: Column) -> Column:
+        return F.concat(
+            _le_bytes(F.lit(tag), 2),
+            _le_bytes(F.lit(typ), 2),
+            _le_bytes(F.lit(1), 4),
+            _le_bytes(val, 4),
+        )
+
+    ifds = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda k: F.concat(
+                _le_bytes(F.lit(5), 2),        # entry count
+                entry(256, 4, w + k),          # ImageWidth (LONG)
+                entry(257, 4, h),              # ImageLength (LONG)
+                entry(258, 3, F.lit(8)),       # BitsPerSample (SHORT)
+                entry(259, 3, F.lit(1)),       # Compression: none
+                entry(277, 3, F.lit(1)),       # SamplesPerPixel
+                _le_bytes(                     # next-IFD pointer
+                    F.when(k < n - 1, 8 + (k + 1) * 66)
+                    .otherwise(F.lit(0).cast("long")),
+                    4,
+                ),
+            ),
+        ),
+        "",
+    )
+    header = F.concat(F.lit("49492A00"), _le_bytes(F.lit(8), 4))
+    return F.unhex(F.concat(header, ifds))
+
+
 def gif_image_meta(payload: Column | str) -> Column:
     """Parse GIF headers (signature + logical screen descriptor) with
     pure JVM byte arithmetic — format #6: version, canvas dims, and

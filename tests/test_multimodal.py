@@ -620,3 +620,113 @@ class TestGifRoundTrip:
         df = spark.createDataFrame([("JIF89a????",)], "s string")
         r = df.select(gif_image_meta(FF.encode("s", "utf-8")).alias("m")).collect()[0]
         assert r.m.format is None and r.m.width is None
+
+
+class TestTiffRoundTrip:
+    def test_struct_verified_writer_and_chain_walk(self, spark):
+        """The writer's bytes verified with python struct (independent
+        of the reader), then the reader's IFD-chain walk against the
+        same blobs — any stride/pointer/LE slip fails one of the two."""
+        import struct
+
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            synthetic_tiff,
+            tiff_image_meta,
+        )
+
+        df = spark.createDataFrame(
+            [(13, 7, 1), (300, 9, 3), (65540, 2, 5)], "w long, h int, n int"
+        )
+        blobs = df.select(
+            "w", "h", "n",
+            synthetic_tiff(FF.col("w"), FF.col("h"), FF.col("n")).alias("p"),
+        )
+        for r in blobs.collect():
+            b = bytes(r.p)
+            assert b[:4] == b"II*\x00"
+            off = struct.unpack("<I", b[4:8])[0]
+            assert off == 8
+            pages, widths = 0, []
+            while off and pages < 10:
+                cnt = struct.unpack("<H", b[off:off + 2])[0]
+                assert cnt == 5
+                ent = {}
+                for j in range(cnt):
+                    tag, typ, c, val = struct.unpack(
+                        "<HHII", b[off + 2 + 12 * j:off + 14 + 12 * j]
+                    )
+                    assert c == 1
+                    ent[tag] = (typ, val)
+                assert ent[256][0] == 4 and ent[257][0] == 4
+                assert ent[258] == (3, 8) and ent[259] == (3, 1)
+                assert ent[277] == (3, 1)
+                assert ent[256][1] == r.w + pages and ent[257][1] == r.h
+                widths.append(ent[256][1])
+                off = struct.unpack(
+                    "<I", b[off + 2 + 12 * cnt:off + 6 + 12 * cnt]
+                )[0]
+                pages += 1
+            assert pages == r.n and len(b) == 8 + 66 * r.n
+        got = blobs.select(
+            "w", "h", "n", tiff_image_meta("p").alias("m")
+        ).collect()
+        for r in got:
+            assert r.m.format == "tiff"
+            assert r.m.pages == r.n
+            assert r.m.width == r.w and r.m.height == r.h
+            assert r.m.bits_per_sample == 8 and r.m.compression == 1
+            assert r.m.last_width == r.w + r.n - 1
+
+    def test_non_tiff_and_bigendian_yield_nulls(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import tiff_image_meta
+
+        # 'MM' big-endian TIFF magic is out of the LE reader's contract
+        df = spark.createDataFrame(
+            [("not a tiff",), ("MM\x00*ABCDEFG",)], "s string"
+        )
+        for r in df.select(
+            tiff_image_meta(FF.encode("s", "utf-8")).alias("m")
+        ).collect():
+            assert r.m.format is None and r.m.pages is None
+            assert r.m.width is None and r.m.last_width is None
+
+    def test_max_pages_bounds_the_walk(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            synthetic_tiff,
+            tiff_image_meta,
+        )
+
+        df = spark.createDataFrame([(10, 5, 6)], "w int, h int, n int")
+        blobs = df.select(
+            synthetic_tiff(FF.col("w"), FF.col("h"), FF.col("n")).alias("p")
+        )
+        r = blobs.select(tiff_image_meta("p", max_pages=3).alias("m")).collect()[0]
+        assert r.m.pages == 3           # walk stops at the bound
+        assert r.m.last_width == 12     # width of the 3rd page only
+
+    def test_parse_is_jvm_only(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            synthetic_tiff,
+            tiff_image_meta,
+        )
+
+        df = spark.createDataFrame([(9, 4, 2)], "w int, h int, n int")
+        plan = (
+            df.select(
+                synthetic_tiff(FF.col("w"), FF.col("h"), FF.col("n")).alias("p")
+            )
+            .select(tiff_image_meta("p").alias("m"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan
