@@ -9,9 +9,13 @@ team deduplicates a messy feed against itself:
     ->  the SAME weights learned label-free (Winkler EM)
     ->  score + threshold  ->  duplicate-substring exposure cross-check
     ->  join-skew pre-flight for the blocking key
+    ->  reciprocal-best-match pruning (the hub kill)
+    ->  golden-record survivorship per matched cluster
 
-Every stage is the same oracle-checked operator the catalog grades;
-this script only composes them and prints compact reports.
+The full chain is pinned with reconciliation assertions in
+tests/test_curation_round8_e2e.py; every stage is the same
+oracle-checked operator the catalog grades — this script only composes
+them and prints compact reports.
 """
 
 from __future__ import annotations
@@ -111,6 +115,37 @@ def main() -> int:
     print(f"\n== ExactSubstr cross-check ==  "
           f"{capped} records carry a 64+-char duplicated span "
           f"(every clone pair member should)")
+
+    # 6. reciprocal-best-match pruning --------------------------------
+    from data_misc_tools_spark.operators.linkage import (
+        golden_record,
+        mutual_best_match,
+    )
+
+    rbm = mutual_best_match(
+        linked.select("doc_a", "doc_b", "score_e6"),
+        "doc_a", "doc_b", "score_e6",
+    ).localCheckpoint()
+    n_rbm = rbm.count()
+    print(f"\n== reciprocal best match ==  {n_linked} links -> "
+          f"{n_rbm} mutual pairs (one per identical-text clique; "
+          f"hub links pruned)")
+
+    # 7. golden-record survivorship -----------------------------------
+    members = rbm.select(
+        F.col("node_a").alias("cluster"), F.col("node_a").alias("doc_id")
+    ).unionAll(
+        rbm.select(
+            F.col("node_a").alias("cluster"), F.col("node_b").alias("doc_id")
+        )
+    )
+    gr = golden_record(members.join(recs, "doc_id"), "cluster",
+                       ["lang", "n_chars"])
+    unanimous = gr.filter("attr = 'n_chars' AND votes = n_obs").count()
+    n_cl = gr.select("cluster").distinct().count()
+    print(f"\n== golden record ==  {n_cl} clusters canonicalized; "
+          f"n_chars unanimous in {unanimous}/{n_cl} "
+          f"(identical texts vote identically)")
     return 0
 
 
