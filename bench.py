@@ -110,6 +110,7 @@ HEADLINE = [
     "dedup_editdist_verify",
     "k_anonymity_report",
     "corr_quantity_price",
+    "corr_matrix_lineitem",
     "triangle_count_neardup",
     "html_strip_demo",
     "changelog_compact_demo",
@@ -281,6 +282,7 @@ HEADLINE = [
     # r7 session-2 wave 2: Shapley attribution, EWMA forecast, KMV sketch
     "shapley_attribution_events",
     "ewma_daily_revenue",
+    "holt_linear_daily",
     "kmv_distinct_users",
     # r7 session-2 wave 3: Jaccard node similarity, conformal
     # intervals, corpus diversity
@@ -294,6 +296,7 @@ HEADLINE = [
     "psi_drift_value",
     "psi_drift_stream_demo",
     "did_purchase_heavy",
+    "ipw_ate_purchase",
     "golden_record_orders",
     # r7 session-2 wave 6: vocabulary OOV rate, weighted median
     "vocab_oov_rate_langs",
@@ -361,6 +364,44 @@ ORACLE_PORTABLE_TWINS = {
 _DRIFT_CORE = HEADLINE[: HEADLINE.index("pii_scrub_demo") + 1]
 
 
+# JVM canary (VERDICT r7 ask #3): a FIXED multi-core JVM workload
+# timed immediately before and after the full sweep. If the paired
+# shots disagree by >15%, JVM throughput drifted DURING the run
+# (neighbor load on shared cores — the r7 pattern the single-core
+# python probe cannot see) and the record is stamped verdict=noisy:
+# the judge's drift table reads the verdict instead of burning a
+# session adjudicating uniform load swings.
+#
+# Why a synthetic workload and not a catalog-query subset: a 20-query
+# canary pass kept JIT-tiering for ~4 repetitions (measured
+# 13.1/6.9/6.1/5.4/5.4/5.3 s back-to-back on an idle host — a phantom
+# 0.78x "drift" between adjacent passes), while the fixed
+# whole-stage-codegen aggregate below stabilizes after one warm shot
+# and each canary point discards a first shot and keeps the second,
+# killing the residual tiering.
+CANARY_TOLERANCE = 1.15
+_CANARY_ROWS = 3_000_000_000
+
+
+def _jvm_canary_shot(spark, n: int = _CANARY_ROWS) -> float:
+    """One timed shot of the fixed workload: a 32-partition range scan
+    through two xxhash64 aggregate expressions — saturates every core
+    inside one whole-stage-codegen loop, no shuffle, no data skew."""
+    t0 = time.time()
+    spark.range(0, n, 1, 32).selectExpr(
+        "sum(xxhash64(id) % 1000000007) as s",
+        "count(case when xxhash64(id * 7) % 97 = 0 then 1 end) as c",
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
+def _jvm_canary_point(spark) -> tuple[float, float]:
+    """(kept, discarded): two back-to-back shots; the first absorbs
+    any residual JIT/scheduler warm-up, the second is the measurement."""
+    first = _jvm_canary_shot(spark)
+    return _jvm_canary_shot(spark), first
+
+
 def _py_warm(pdf):
     import numpy as np
     import pandas as pd
@@ -420,7 +461,19 @@ def _drift_vs_prev(
         return None
     cur_total = sum(timings[n] for n in shared)
     prev_total = sum(prev_q[n] for n in shared)
+    # canary verdicts gate the comparison (VERDICT r7 ask #3): a run
+    # whose paired canary disagreed >15% is not a clean baseline on
+    # either side of the ratio
+    cur_v = (record.get("canary") or {}).get("verdict")
+    prev_v = (prev.get("canary") or {}).get("verdict")
+    reliable = (
+        None
+        if prev_v is None  # pre-canary record: stability unknown
+        else (cur_v == "clean" and prev_v == "clean")
+    )
     return {
+        "canary_verdicts": {"cur": cur_v, "prev": prev_v},
+        "comparison_reliable": reliable,
         "probe_ratio": round(probe_ratio, 4),
         "n_shared": len(shared),
         "prev_shared_total": round(prev_total, 3),
@@ -470,7 +523,9 @@ def main() -> int:
         _py_warm, schema="r_regionkey bigint, n bigint"
     ).collect()
 
+    _jvm_canary_shot(spark, 400_000_000)  # codegen + class-load warm
     probe_before = _cpu_probe()
+    canary1, canary1_warm = _jvm_canary_point(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -483,7 +538,22 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    canary2, canary2_warm = _jvm_canary_point(spark)
     probe_after = _cpu_probe()
+    canary_ratio = round(canary2 / canary1, 4) if canary1 > 0 else None
+    canary_verdict = (
+        "clean"
+        if canary_ratio is not None
+        and 1 / CANARY_TOLERANCE <= canary_ratio <= CANARY_TOLERANCE
+        else "noisy"
+    )
+    if canary_verdict == "noisy":
+        print(
+            f"# CANARY NOISY: paired passes disagree {canary_ratio}x "
+            f"({canary1}s vs {canary2}s) — host drifted during the "
+            "run; this record is NOT a clean drift baseline",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -499,6 +569,19 @@ def main() -> int:
         # their mean probe ratio first — the shared VM drifts ±15%
         # and every query drifts with it.
         "cpu_probe_sec": {"before": probe_before, "after": probe_after},
+        # paired-canary stability verdict (VERDICT r7 ask #3): the
+        # fixed JVM workload timed before AND after the sweep
+        # (discard-first-keep-second at each point); >15% disagreement
+        # = JVM throughput drifted mid-run and per-query comparisons
+        # against this record need the session-record cross-check.
+        "canary": {
+            "workload": f"range({_CANARY_ROWS})-xxhash64-agg x32",
+            "pass1_sec": canary1,
+            "pass2_sec": canary2,
+            "discarded_first_shots": [canary1_warm, canary2_warm],
+            "ratio": canary_ratio,
+            "verdict": canary_verdict,
+        },
         # label the intentionally-slow oracle-portable rows so their
         # timings are never read as the production number (VERDICT r4)
         "oracle_portable_graded": {
@@ -544,8 +627,11 @@ def main() -> int:
         slim = {
             k: v
             for k, v in record.items()
-            if k not in ("oracle_portable_graded", "drift_vs_prev")
+            if k not in ("oracle_portable_graded", "drift_vs_prev", "canary")
         }
+        # compact canary on the line (ratio + verdict, ~45 bytes);
+        # the query list stays in BENCH_local.json
+        slim["canary"] = {"ratio": canary_ratio, "verdict": canary_verdict}
         cand = json.dumps({**slim, "queries": trial, "detail": "BENCH_local.json"})
         if len(cand) > MAX_LINE:
             continue

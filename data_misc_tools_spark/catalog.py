@@ -11189,6 +11189,77 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "holt_linear_daily",
+    """
+    WITH RECURSIVE d AS (
+        SELECT row_number() OVER (ORDER BY x) AS rn, x AS day, y
+        FROM (
+            SELECT (floor(epoch(date_trunc('day', ts)))::BIGINT // 86400)::BIGINT AS x,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+    ),
+    r AS (
+        SELECT d1.rn, d1.day, d1.y,
+               d1.y AS l, (d2.y - d1.y)::BIGINT AS b, NULL::BIGINT AS f
+        FROM d d1 JOIN d d2 ON d1.rn = 1 AND d2.rn = 2
+        UNION ALL
+        SELECT rn, day, y, l_new,
+               ((2 * (200 * (l_new - l_old) + 800 * b_old) + 1000)
+                // 2000)::BIGINT,
+               (l_old + b_old)::BIGINT
+        FROM (
+            SELECT d.rn, d.day, d.y,
+                   ((2 * (300 * d.y + 700 * (r.l + r.b)) + 1000)
+                    // 2000)::BIGINT AS l_new,
+                   r.l AS l_old, r.b AS b_old
+            FROM r JOIN d ON d.rn = r.rn + 1
+        )
+    )
+    SELECT day, y AS revenue_cents, l AS level_cents, b AS trend_cents,
+           f AS fcast_cents
+    FROM r ORDER BY day
+    """,
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (α=0.3, β=0.2) of daily purchase
+    revenue — the level+trend forecaster between ewma_daily_revenue
+    (level only) and seasonal_naive_daily_revenue (pure seasonality):
+    each step updates level and trend as exact permille-integer
+    arithmetic with the floor-based half-up pattern (which floors on
+    NEGATIVE trend deltas, matching DuckDB `//`), so the twin is a
+    RECURSIVE CTE replaying the recursion bit-for-bit — the l-then-b
+    within-step dependency rides a subquery computing lₜ once.
+    fcast_cents is the one-step-ahead prediction made at t−1 (NULL on
+    the first row). Bounded-rollup contract: the distributed part is
+    the daily rollup. See operators/temporal.py:holt_smooth."""
+    from data_misc_tools_spark.operators.temporal import holt_smooth
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    return (
+        holt_smooth(daily, "day", "rev", alpha_permille=300,
+                    beta_permille=200)
+        .select(
+            F.col("o").alias("day"),
+            F.col("x").alias("revenue_cents"),
+            F.col("level").alias("level_cents"),
+            F.col("trend").alias("trend_cents"),
+            F.col("fcast").alias("fcast_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@_q(
     "kmv_distinct_users",
     """
     WITH base AS (
@@ -11864,6 +11935,126 @@ def did_purchase_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return did_report(base, "t", "p", "value", value_scale=100)
+
+
+@_q(
+    "ipw_ate_purchase",
+    """
+    WITH uc AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY 1),
+    ut AS (SELECT count(*)::BIGINT AS total,
+                  (SELECT count(*) FROM uc)::BIGINT AS n_users
+           FROM events),
+    b AS (
+        SELECT (uc.c * ut.n_users > ut.total) AS t,
+               strftime(e.ts, '%w')::BIGINT AS cell,
+               round(e.value * 100)::BIGINT AS y
+        FROM events e JOIN uc USING (user_id) CROSS JOIN ut
+        WHERE e.event_type = 'purchase'
+    ),
+    nt AS (SELECT count(*)::BIGINT AS nn FROM b),
+    cells AS (
+        SELECT cell, count(*)::BIGINT AS n,
+               sum(t::BIGINT)::BIGINT AS n_t,
+               sum((NOT t)::BIGINT)::BIGINT AS n_c,
+               coalesce(sum(CASE WHEN t THEN y END), 0)::HUGEINT AS sy_t,
+               coalesce(sum(CASE WHEN NOT t THEN y END), 0)::HUGEINT AS sy_c
+        FROM b GROUP BY cell
+    )
+    SELECT cell, n, n_t, n_c,
+           sy_t::BIGINT AS sum_t_cents, sy_c::BIGINT AS sum_c_cents,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+               ((2 * 1000000 * (sy_t * n * n_c - sy_c * n * n_t)
+                 + nn::HUGEINT * n_t * n_c)
+                // (2 * nn::HUGEINT * n_t * n_c))::BIGINT
+           END AS ipw_term_e6
+    FROM cells CROSS JOIN nt ORDER BY cell
+    """,
+)
+def ipw_ate_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPW average treatment effect of heavy-usership on purchase
+    value, adjusting for day-of-week mix — the observational-causal
+    third leg beside did_purchase_heavy (pre/post) and
+    cuped_purchase_by_clicks (randomized): treated = above-mean-
+    activity users (exact integer cross-multiply), propensity cells =
+    day of week (Spark dayofweek−1 == DuckDB strftime '%w', the
+    documented mismatch handling), per-cell half-up e6 terms of
+    cross-multiplied exact rationals — signed div agrees because BOTH
+    engines truncate (probed r8). Cells missing a side emit NULL
+    (positivity violation as data). See
+    operators/profile.py:ipw_ate_report."""
+    from data_misc_tools_spark.operators.profile import ipw_ate_report
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    uc = e.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    ut = e.agg(F.count("*").cast("long").alias("total")).crossJoin(
+        uc.agg(F.count("*").cast("long").alias("n_users"))
+    )
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(uc, "user_id")
+        .crossJoin(F.broadcast(ut))
+        .select(
+            (F.col("c") * F.col("n_users") > F.col("total")).alias("t"),
+            (F.dayofweek("ts") - 1).cast("long").alias("cell"),
+            F.col("value"),
+        )
+    )
+    return ipw_ate_report(base, "t", "cell", "value", value_scale=100)
+
+
+def _corr_matrix_oracle() -> str:
+    """Programmatic twin of profile.corr_matrix over the four lineitem
+    numerics: same exact-integer sufficient statistics (HUGEINT =
+    decimal(38,0)), same pinned IEEE closed form per pair."""
+    cols = [
+        ("l_quantity", 1), ("l_extendedprice", 100),
+        ("l_discount", 10000), ("l_tax", 10000),
+    ]
+    k = len(cols)
+    xs = ", ".join(
+        f"round({c} * {s})::HUGEINT AS x{i}" for i, (c, s) in enumerate(cols)
+    )
+    aggs = ["count(*)::HUGEINT AS n"]
+    aggs += [f"sum(x{i})::HUGEINT AS s{i}" for i in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(f"sum(x{i} * x{j})::HUGEINT AS q{i}_{j}")
+    legs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            legs.append(
+                f"SELECT '{cols[i][0]}' AS col_a, '{cols[j][0]}' AS col_b, "
+                f"n::BIGINT AS n_rows, "
+                f"((n * q{i}_{j} - s{i} * s{j})::DOUBLE / "
+                f"(sqrt((n * q{i}_{i} - s{i} * s{i})::DOUBLE) * "
+                f"sqrt((n * q{j}_{j} - s{j} * s{j})::DOUBLE))) AS corr "
+                f"FROM s"
+            )
+    return (
+        "WITH b AS (SELECT " + xs + " FROM lineitem), "
+        "s AS (SELECT " + ", ".join(aggs) + " FROM b) "
+        "SELECT * FROM (" + " UNION ALL ".join(legs) + ") "
+        "ORDER BY col_a, col_b"
+    )
+
+
+@_q("corr_matrix_lineitem", _corr_matrix_oracle())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson matrix over the four lineitem numerics
+    (quantity, extendedprice cents, discount/tax e4) in ONE aggregate
+    pass — 6 pair rows from one scan and one 1-row exchange, each
+    corr the pearson_exact BIT-exact unrounded closed form over
+    decimal(38,0)/HUGEINT integer statistics. The profiling companion
+    to corr_quantity_price (one pair) and fd_profile_orders. See
+    operators/profile.py:corr_matrix."""
+    from data_misc_tools_spark.operators.profile import corr_matrix
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return corr_matrix(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        scales=[1, 100, 10000, 10000],
+    )
 
 
 @_q(
@@ -13208,13 +13399,19 @@ GRADED_FIRST: list[str] = [
     # TIFF IFD-chain walk, format #7 — real pointer-following body
     # parse, oracle-exact (ask #6); displaces the png re-pin
     "tiff_meta_demo",
+    # Holt linear-trend forecaster, recursive-CTE twin; displaces the
+    # cohort re-pin
+    "holt_linear_daily",
+    # IPW ATE with discrete propensity cells (the causal third leg);
+    # displaces the welch re-pin
+    "ipw_ate_purchase",
     # [relational / TPC-H shapes]
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
     "window_rank_orders",
     # [temporal / sessions] (hourly_event_rollup rotated out for
-    # psi_drift_stream_demo)
+    # psi_drift_stream_demo; cohort_retention_weekly for
+    # holt_linear_daily)
     "sessionize_events", "funnel_view_click_purchase",
-    "cohort_retention_weekly",
     # [dedup]
     "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
     "dedup_repeated_ngrams",
@@ -13228,8 +13425,11 @@ GRADED_FIRST: list[str] = [
     "ngram_novelty_scores",
     # [graph]
     "triangle_count_neardup", "lpa_communities_neardup",
-    # [stats]
-    "welch_ttest_value", "corr_quantity_price",
+    # all-pairs Pearson matrix in one aggregate; displaces the
+    # corr_quantity_price re-pin (same family, superset shape)
+    "corr_matrix_lineitem",
+    # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;
+    # corr_quantity_price for corr_matrix_lineitem)
     # [sampling] (png_pipeline_demo rotated out for tiff_meta_demo)
     "exact_stratified_split_langs",
 ]

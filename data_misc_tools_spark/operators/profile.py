@@ -147,6 +147,82 @@ def pearson_exact(
     )
 
 
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scales: list[int] | None = None,
+) -> DataFrame:
+    """All-pairs Pearson correlation over k fixed-point numeric
+    columns from ONE aggregate pass — the profiling matrix beside
+    :func:`pearson_exact` (which does one pair): k sums, k squares and
+    k·(k−1)/2 cross-products accumulate together as decimal(38,0)
+    partials in a single map-side-combined aggregate (one scan, one
+    1-row exchange — never k² scans), then every pair's closed form
+    is evaluated over the shared single row and exits via one
+    explode.
+
+    Engine-exact by the pearson_exact discipline: all sufficient
+    statistics are exact integers; the only float step per pair is
+    num/(√dxx·√dyy) over int→double conversions — IEEE
+    correctly-rounded, so emitted UNROUNDED and still hash-identical
+    across engines. Zero-variance pairs yield NULL via try_divide.
+
+    ``k ≤ 16`` (k²/2 aggregate expressions stay bounded metadata).
+    Output: (col_a, col_b, n_rows, corr), col_a < col_b by input
+    order, ordered by (col_a, col_b).
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need at least two columns")
+    if k > 16:
+        raise ValueError(f"{k} columns make {k * (k - 1) // 2} pairs — "
+                         "bound the column list")
+    if scales is None:
+        scales = [1] * k
+    if len(scales) != k:
+        raise ValueError("scales must match cols")
+    dec = "decimal(38,0)"
+    sel = [
+        F.round(F.col(c).cast("double") * F.lit(s)).cast(dec).alias(f"__x{i}")
+        for i, (c, s) in enumerate(zip(cols, scales))
+    ]
+    aggs = [F.count("*").cast(dec).alias("__n")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"__x{i}")).alias(f"__s{i}"))
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(F.col(f"__x{i}") * F.col(f"__x{j}")).alias(f"__q{i}_{j}")
+            )
+    g = df.select(*sel).agg(*aggs)
+    n = F.col("__n")
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = (
+                n * F.col(f"__q{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")
+            ).cast("double")
+            dxx = (
+                n * F.col(f"__q{i}_{i}") - F.col(f"__s{i}") * F.col(f"__s{i}")
+            ).cast("double")
+            dyy = (
+                n * F.col(f"__q{j}_{j}") - F.col(f"__s{j}") * F.col(f"__s{j}")
+            ).cast("double")
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    n.cast("long").alias("n_rows"),
+                    F.try_divide(num, F.sqrt(dxx) * F.sqrt(dyy)).alias("corr"),
+                )
+            )
+    return (
+        g.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_a", "col_b")
+    )
+
+
 def t_closeness(
     df: DataFrame,
     quasi_cols: list[str],
@@ -2833,6 +2909,77 @@ def did_report(
     )
     return means.selectExpr(
         "*", "(m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did"
+    )
+
+
+def ipw_ate_report(
+    df: DataFrame,
+    treated_col: str,
+    cell_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Inverse-propensity-weighted ATE with DISCRETE propensity cells
+    (Horvitz–Thompson 1952 weighting; Rosenbaum & Rubin 1983 for the
+    propensity framing) — the third leg of the observational-causal
+    kit beside :func:`did_report` (needs a pre/post split) and
+    :func:`cuped_report` (needs randomization): reweight each
+    treated/control outcome by its cell's inverse treatment share so
+    cell-mix confounding cancels,
+
+        ATE = (1/N)·Σ_cells [ S¹(x)·n(x)/n_t(x) − S⁰(x)·n(x)/n_c(x) ]
+
+    with e(x) = n_t(x)/n(x) the exact empirical propensity.
+
+    Engine-exact by PER-CELL rows (the psi/benford no-float-sum-order
+    rule): each cell's contribution is one half-up e6 of the
+    cross-multiplied exact rational
+    (S¹·n·n_c − S⁰·n·n_t) / (N·n_t·n_c) — SIGNED, safe because Spark's
+    ``div`` and DuckDB's ``//`` both truncate toward zero (probed this
+    round: −7 div 2 = −3 in both; only python's ``//`` floors). Sums
+    ride decimal(38,0) (HUGEINT twin). A cell with no treated or no
+    control rows is a POSITIVITY VIOLATION: its term is NULL (IPW is
+    undefined there — surfacing it beats silently dropping the cell),
+    and Σ over non-null terms is the trimmed estimate.
+
+    Scale shape: one cell-keyed aggregate over one scan + a broadcast
+    1-row total. Output: (cell, n, n_t, n_c, sum_t_cents, sum_c_cents,
+    ipw_term_e6) ordered by cell; Σ ipw_term_e6 ≈ e6·ATE in cents.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(treated_col).cast("boolean").alias("t"),
+        F.col(cell_col).cast("long").alias("cell"),
+        F.round(F.col(value_col).cast("double") * value_scale)
+        .cast("long")
+        .alias("y"),
+    )
+    tot = base.agg(F.count("*").cast("long").alias("nn"))
+    cells = base.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("t").cast("long")).cast("long").alias("n_t"),
+        F.sum((~F.col("t")).cast("long")).cast("long").alias("n_c"),
+        F.coalesce(F.sum(F.when(F.col("t"), F.col("y"))), F.lit(0))
+        .cast(dec)
+        .alias("sy_t"),
+        F.coalesce(F.sum(F.when(~F.col("t"), F.col("y"))), F.lit(0))
+        .cast(dec)
+        .alias("sy_c"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cell", "n", "n_t", "n_c",
+            "cast(sy_t as bigint) AS sum_t_cents",
+            "cast(sy_c as bigint) AS sum_c_cents",
+            """CASE WHEN n_t > 0 AND n_c > 0 THEN
+                 cast((2 * 1000000 * (sy_t * n * n_c - sy_c * n * n_t)
+                       + cast(nn as decimal(38,0)) * n_t * n_c)
+                      div (2 * cast(nn as decimal(38,0)) * n_t * n_c)
+                      as bigint)
+               END AS ipw_term_e6""",
+        )
+        .orderBy("cell")
     )
 
 

@@ -919,6 +919,92 @@ def ewma_smooth(
     )
 
 
+def holt_smooth(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alpha_permille: int = 300,
+    beta_permille: int = 200,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Holt's linear-trend smoothing (Holt 1957) over an ordered
+    series of exact-integer values — the LEVEL+TREND extension of
+    :func:`ewma_smooth` and the forecasting middle ground between it
+    and :func:`seasonal_naive_backtest`:
+
+        l₁ = x₁,  b₁ = x₂ − x₁  (classic two-point init; needs n ≥ 2)
+        lₜ = α·xₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+        bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+        one-step forecast of xₜ (made at t−1): fₜ = lₜ₋₁ + bₜ₋₁
+
+    with α, β kept as PERMILLE integers and every step the half-up
+    pattern s = (2·num + 1000) idiv 2000 where idiv TRUNCATES TOWARD
+    ZERO — trend numerators go NEGATIVE, and DuckDB's `//` truncates
+    on negatives (probed: -7 // 2 = -3) exactly like Spark's `div`,
+    while python's `//` floors, so the emitter below uses an explicit
+    trunc-division. A RECURSIVE CTE twin replays the whole recursion
+    bit-for-bit (the ewma precedent; the l-then-b dependency rides a
+    subquery that computes lₜ once and reuses it).
+
+    Bounded-rollup contract (ewma_smooth's): the input is an
+    ALREADY-AGGREGATED series collected ordered to the driver
+    (max_rows-guarded); the recurrence is inherently serial. Gaps in
+    order_col are consecutive observations.
+
+    Output: (o, x, level, trend, fcast) — fcast is NULL on the first
+    row (no forecast exists before any state) — via a VALUES
+    LocalRelation.
+    """
+    a = int(alpha_permille)
+    bb = int(beta_permille)
+    if not 0 < a <= 1000 or not 0 < bb <= 1000:
+        raise ValueError("alpha/beta_permille must be in (0, 1000]")
+    rows = (
+        df.select(
+            F.col(order_col).cast("long").alias("o"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .orderBy("o")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"series exceeds max_rows={max_rows}: roll it up further "
+            "before smoothing (the bounded-rollup contract)"
+        )
+    if len(rows) < 2:
+        raise ValueError(
+            "Holt needs at least 2 points (the trend init is x2 - x1)"
+        )
+    def tdiv(num: int, den: int) -> int:
+        # trunc-toward-zero integer division: DuckDB `//` and Spark
+        # `div` semantics (python // floors and diverges on negatives)
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    out = []
+    lvl = rows[0]["x"]
+    trd = rows[1]["x"] - rows[0]["x"]
+    out.append((rows[0]["o"], rows[0]["x"], lvl, trd, None))
+    for r in rows[1:]:
+        fc = lvl + trd
+        lp = lvl
+        lvl = tdiv(2 * (a * r["x"] + (1000 - a) * (lp + trd)) + 1000, 2000)
+        trd = tdiv(2 * (bb * (lvl - lp) + (1000 - bb) * trd) + 1000, 2000)
+        out.append((r["o"], r["x"], lvl, trd, fc))
+    vals = ", ".join(
+        "({}L, {}L, {}L, {}L, {})".format(
+            o, x, lv, t, "NULL" if f is None else f"{f}L"
+        )
+        for o, x, lv, t, f in out
+    )
+    return df.sparkSession.sql(
+        "SELECT o, x, level, trend, cast(fcast as bigint) AS fcast "
+        "FROM VALUES " + vals + " AS t(o, x, level, trend, fcast)"
+    )
+
+
 def seasonal_naive_backtest(
     df: DataFrame,
     order_col: str,

@@ -1130,6 +1130,79 @@ class TestDidReport:
         assert r.m_t_pre is None and r.did is None
 
 
+class TestIpwAteReport:
+    @staticmethod
+    def _tdiv(num, den):
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    def test_matches_python_reference_signed_and_null(self, spark):
+        """Random cells incl. NEGATIVE per-cell terms and one
+        positivity-violation cell (no control rows) -> NULL term."""
+        import random
+
+        from data_misc_tools_spark.operators.profile import ipw_ate_report
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(2000):
+            cell = rng.randrange(5)
+            t = rng.random() < (0.2 + 0.12 * cell)  # cell-confounded
+            y = round(rng.uniform(0, 50) + (8.0 if t else 0.0), 2)
+            rows.append((i, t, cell, y))
+        # cell 9: treated-only (positivity violation)
+        rows += [(10_000 + i, True, 9, 5.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, t boolean, cell long, v double")
+        got = {
+            r["cell"]: r
+            for r in ipw_ate_report(df, "t", "cell", "v").collect()
+        }
+        nn = len(rows)
+        by_cell = {}
+        for _, t, c, v in rows:
+            d = by_cell.setdefault(c, [0, 0, 0, 0, 0])  # n, nt, nc, st, sc
+            y = round(v * 100)
+            d[0] += 1
+            if t:
+                d[1] += 1
+                d[3] += y
+            else:
+                d[2] += 1
+                d[4] += y
+        assert set(got) == set(by_cell)
+        for c, (n, ntr, nc, st, sc) in by_cell.items():
+            r = got[c]
+            assert (r["n"], r["n_t"], r["n_c"]) == (n, ntr, nc)
+            assert (r["sum_t_cents"], r["sum_c_cents"]) == (st, sc)
+            if ntr == 0 or nc == 0:
+                assert r["ipw_term_e6"] is None
+            else:
+                num = st * n * nc - sc * n * ntr
+                den = nn * ntr * nc
+                assert r["ipw_term_e6"] == self._tdiv(
+                    2 * 1_000_000 * num + den, 2 * den
+                )
+        # the weighted estimate recovers the planted +800-cent effect
+        # (within integer-rounding + sampling tolerance)
+        ate = sum(
+            r["ipw_term_e6"] for r in got.values()
+            if r["ipw_term_e6"] is not None
+        )
+        assert 600 * 1_000_000 < ate < 1000 * 1_000_000
+
+    def test_unconfounded_equals_difference_of_means_shape(self, spark):
+        """With ONE cell, IPW collapses to the plain difference of
+        means (cross-multiplied): a closed-form sanity pin."""
+        from data_misc_tools_spark.operators.profile import ipw_ate_report
+
+        rows = [(1, True, 0, 10.0), (2, True, 0, 14.0),
+                (3, False, 0, 4.0), (4, False, 0, 6.0)]
+        df = spark.createDataFrame(rows, "id long, t boolean, cell long, v double")
+        r = ipw_ate_report(df, "t", "cell", "v").collect()[0]
+        # mean_t - mean_c = 1200 - 500 = 700 cents
+        assert r["ipw_term_e6"] == 700 * 1_000_000
+
+
 class TestWeightedMedian:
     def _ref(self, rows):
         import collections

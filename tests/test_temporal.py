@@ -659,6 +659,73 @@ class TestEwmaSmooth:
             ewma_smooth(df, "o", "x")
 
 
+class TestHoltSmooth:
+    @staticmethod
+    def _tdiv(num, den):
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    def test_matches_python_recursion_with_negative_trends(self, spark):
+        """A crashing-then-recovering series forces NEGATIVE trend
+        numerators — the trunc-vs-floor divergence case the emitter
+        must handle (DuckDB // and Spark div truncate; python //
+        floors)."""
+        import random
+
+        from data_misc_tools_spark.operators.temporal import holt_smooth
+
+        rng = random.Random(11)
+        vals = [10_000 - 400 * i for i in range(30)]  # steep decline
+        vals += [rng.randrange(0, 20_000) for _ in range(170)]
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "o long, x long")
+        a, bb = 300, 200
+        lvl, trd = rows[0][1], rows[1][1] - rows[0][1]
+        ref = {rows[0][0]: (lvl, trd, None)}
+        for o, x in rows[1:]:
+            fc = lvl + trd
+            lp = lvl
+            lvl = self._tdiv(2 * (a * x + (1000 - a) * (lp + trd)) + 1000, 2000)
+            trd = self._tdiv(2 * (bb * (lvl - lp) + (1000 - bb) * trd) + 1000, 2000)
+            ref[o] = (lvl, trd, fc)
+        got = holt_smooth(df, "o", "x", a, bb).collect()
+        assert len(got) == len(rows)
+        saw_negative = False
+        for r in got:
+            lv, t, f = ref[r["o"]]
+            assert (r["level"], r["trend"], r["fcast"]) == (lv, t, f), r["o"]
+            saw_negative = saw_negative or t < 0
+        assert saw_negative  # the fixture actually exercised the case
+
+    def test_perfect_line_is_tracked_exactly(self, spark):
+        """On x_t = c + d·t the level equals x and the trend equals d
+        at every step (both updates are exact there), so the one-step
+        forecast is exact from t=2 on."""
+        from data_misc_tools_spark.operators.temporal import holt_smooth
+
+        rows = [(i, 100 + 7 * i) for i in range(50)]
+        df = spark.createDataFrame(rows, "o long, x long")
+        for r in holt_smooth(df, "o", "x").collect():
+            assert r["level"] == 100 + 7 * r["o"]
+            assert r["trend"] == 7
+            if r["o"] > 0:
+                assert r["fcast"] == 100 + 7 * r["o"]
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import holt_smooth
+
+        df1 = spark.createDataFrame([(1, 5)], "o long, x long")
+        with _pytest.raises(ValueError, match="at least 2"):
+            holt_smooth(df1, "o", "x")
+        df = spark.createDataFrame([(i, i) for i in range(10)], "o long, x long")
+        with _pytest.raises(ValueError, match="permille"):
+            holt_smooth(df, "o", "x", alpha_permille=0)
+        with _pytest.raises(ValueError, match="max_rows"):
+            holt_smooth(df, "o", "x", max_rows=5)
+
+
 class TestSeasonalNaiveBacktest:
     def test_matches_python_reference(self, spark):
         import random
