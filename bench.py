@@ -184,6 +184,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "exact_stratified_split_langs",
     "ab_chi_square_purchase",
+    "sprt_purchase_rate",
     "lpa_communities_neardup",
     "retrieval_eval_embeddings",
     "personalized_pagerank_seeds",
@@ -255,6 +256,7 @@ HEADLINE = [
     "t_closeness_events",
     # r7 ops advisors: score calibration + join-skew pre-flight
     "calibration_stopword_en",
+    "fairness_stopword_length",
     "join_skew_events_self",
     # r7 multimodal: real-PCM WAV round trip -> energy fingerprint
     "audio_fingerprint_demo",

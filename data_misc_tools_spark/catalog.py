@@ -12002,6 +12002,143 @@ def ipw_ate_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_ate_report(base, "t", "cell", "value", value_scale=100)
 
 
+@_q(
+    "sprt_purchase_rate",
+    """
+    WITH d AS (
+        SELECT (floor(epoch(ts))::BIGINT // 86400) AS period,
+               count(*)::BIGINT AS n,
+               sum((event_type = 'purchase')::BIGINT)::BIGINT AS s
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT period, n, s AS successes,
+               sum(n) OVER (ORDER BY period)::BIGINT AS cn,
+               sum(s) OVER (ORDER BY period)::BIGINT AS cs
+        FROM d
+    ),
+    k AS (SELECT
+        (round(ln(200.0) * 1e6)::BIGINT
+         - round(ln(150.0) * 1e6)::BIGINT) AS c1,
+        (round(ln(800.0) * 1e6)::BIGINT
+         - round(ln(850.0) * 1e6)::BIGINT) AS c2,
+        (round(ln(800.0) * 1e6)::BIGINT
+         - round(ln(50.0) * 1e6)::BIGINT) AS upper_e6,
+        (round(ln(200.0) * 1e6)::BIGINT
+         - round(ln(950.0) * 1e6)::BIGINT) AS lower_e6)
+    SELECT period, n, successes,
+           (c1 * cs + c2 * (cn - cs))::BIGINT AS llr_e6,
+           CASE WHEN c1 * cs + c2 * (cn - cs) >= upper_e6
+                THEN 'accept_h1'
+                WHEN c1 * cs + c2 * (cn - cs) <= lower_e6
+                THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c CROSS JOIN k ORDER BY period
+    """,
+)
+def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT monitoring the purchase share of the event stream,
+    snapshotted daily: H0 rate = 150‰ vs H1 = 200‰ at (α=0.05,
+    β=0.2) — the anytime-valid sequential gate beside the
+    fixed-horizon ab_chi_square_purchase / ab_power_value. The corpus
+    runs ~20% purchases, so the llr climbs and crosses the upper
+    boundary within days — the early-stopping story, visible as the
+    first 'accept_h1' row. Per-event float is zero: fixed hypotheses
+    collapse the llr to c1·cum_succ + c2·cum_fail over the daily
+    rollup. See operators/profile.py:sprt_report."""
+    from data_misc_tools_spark.operators.profile import sprt_report
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    base = e.select(
+        F.expr("cast(ts as long) div 86400").alias("day"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    return sprt_report(
+        base, "is_purchase", "day",
+        p0_permille=150, p1_permille=200,
+        alpha_permille=50, beta_permille=200,
+    )
+
+
+@_q(
+    "fairness_stopword_length",
+    """
+    WITH scored AS (
+        SELECT (lang = 'en') AS y,
+               CASE WHEN n_chars < 700 THEN 'short'
+                    WHEN n_chars < 1400 THEN 'mid'
+                    ELSE 'long' END AS grp,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','a','of','and','to','in','is','it',
+                              'you','that')))::BIGINT AS h,
+               len(list_filter(string_split(text, ' '),
+                   x -> x != ''))::BIGINT AS n
+        FROM documents
+    ),
+    e6 AS (
+        SELECT grp, y, (2 * 1000000 * h + n) // (2 * n) AS s
+        FROM scored WHERE n > 0
+    ),
+    g AS (
+        SELECT grp, count(*)::BIGINT AS n,
+               sum(y::BIGINT)::BIGINT AS n_pos,
+               sum((s >= 100000)::BIGINT)::BIGINT AS n_pred,
+               sum((s >= 100000 AND y)::BIGINT)::BIGINT AS tp,
+               sum((s >= 100000 AND NOT y)::BIGINT)::BIGINT AS fp
+        FROM e6 GROUP BY 1
+    )
+    SELECT grp AS "group", n, n_pos, n_pred, tp, fp,
+           ((2 * 1000000 * n_pred + n) // (2 * n))::BIGINT AS sel_rate_e6,
+           ((2 * 1000000 * n_pos + n) // (2 * n))::BIGINT AS base_rate_e6,
+           CASE WHEN n_pos > 0 THEN
+               ((2 * 1000000 * tp + n_pos) // (2 * n_pos))::BIGINT
+           END AS tpr_e6,
+           CASE WHEN n - n_pos > 0 THEN
+               ((2 * 1000000 * fp + (n - n_pos))
+                // (2 * (n - n_pos)))::BIGINT
+           END AS fpr_e6,
+           CASE WHEN n_pred > 0 THEN
+               ((2 * 1000000 * tp + n_pred) // (2 * n_pred))::BIGINT
+           END AS ppv_e6
+    FROM g ORDER BY "group"
+    """,
+)
+def fairness_stopword_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-fairness audit of the stopword en-detector ACROSS
+    DOC-LENGTH buckets (fixed cutoffs 700/1400 chars) at the 10%
+    threshold — the curation-governance gate beside k_anonymity /
+    t_closeness: a filter whose selection rate (demographic parity)
+    or TPR/FPR (equalized odds) differ by slice silently reshapes the
+    corpus mix. Same e6 integer score as the calibration/AUC/PR gates
+    (float scores would bucket differently at the boundary). See
+    operators/profile.py:fairness_report."""
+    from data_misc_tools_spark.operators.profile import fairness_report
+    from data_misc_tools_spark.operators.text import STOPWORDS, tokens
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    low = tokens(F.lower(F.col("text")))
+    hits = F.size(
+        F.filter(low, lambda x: x.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    n = F.size(tokens("text")).cast("long")
+    frame = (
+        d.select(
+            (F.col("lang") == "en").alias("y"),
+            F.when(F.col("n_chars") < 700, "short")
+            .when(F.col("n_chars") < 1400, "mid")
+            .otherwise("long")
+            .alias("grp"),
+            hits.alias("__h"),
+            n.alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .selectExpr(
+            "y", "grp", "(2 * 1000000 * __h + __n) div (2 * __n) AS score_e6"
+        )
+    )
+    return fairness_report(frame, "grp", "y", "score_e6", 100_000)
+
+
 def _corr_matrix_oracle() -> str:
     """Programmatic twin of profile.corr_matrix over the four lineitem
     numerics: same exact-integer sufficient statistics (HUGEINT =
@@ -13405,8 +13542,8 @@ GRADED_FIRST: list[str] = [
     # IPW ATE with discrete propensity cells (the causal third leg);
     # displaces the welch re-pin
     "ipw_ate_purchase",
-    # [relational / TPC-H shapes]
-    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    # [relational / TPC-H shapes] (q9 rotated out for sprt)
+    "q1_pricing_summary", "q3_shipping_priority",
     "window_rank_orders",
     # [temporal / sessions] (hourly_event_rollup rotated out for
     # psi_drift_stream_demo; cohort_retention_weekly for
@@ -13420,14 +13557,18 @@ GRADED_FIRST: list[str] = [
     "semdedup_embeddings",
     # [retrieval]
     "bm25_search_topk", "ql_dirichlet_search", "tfidf_top_terms_docs",
-    # [text quality / analysis]
+    # [text quality / analysis] (ngram_novelty rotated out for
+    # fairness_stopword_length)
     "text_quality", "gopher_filter_demo", "chunk_documents",
-    "ngram_novelty_scores",
     # [graph]
     "triangle_count_neardup", "lpa_communities_neardup",
     # all-pairs Pearson matrix in one aggregate; displaces the
     # corr_quantity_price re-pin (same family, superset shape)
     "corr_matrix_lineitem",
+    # Wald SPRT anytime-valid monitor; displaces the q9 re-pin
+    "sprt_purchase_rate",
+    # per-slice classifier fairness gate; displaces the novelty re-pin
+    "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;
     # corr_quantity_price for corr_matrix_lineitem)
     # [sampling] (png_pipeline_demo rotated out for tiff_meta_demo)

@@ -147,6 +147,70 @@ def pearson_exact(
     )
 
 
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+    threshold_e6: int,
+) -> DataFrame:
+    """Per-group classifier fairness counts at a FIXED decision
+    threshold (Hardt et al. 2016's equalized-odds quantities;
+    Feldman et al. 2015's disparate-impact selection rate) — the gate
+    a data-curation filter needs before shipping: a quality/language
+    classifier whose selection rate or error rates differ wildly
+    across slices silently reshapes the corpus mix.
+
+    Per group: n, n_pos (labeled positive), n_pred (selected at the
+    threshold), tp/fp, and the half-up e6 rates — sel_rate (selection
+    / demographic-parity quantity), base_rate, tpr and fpr (the
+    equalized-odds pair), ppv (calibration-by-group). Groups with an
+    empty denominator emit NULL for that rate (a slice with no
+    positives has no TPR — surfaced, not dropped).
+
+    Engine-exact by the calibration_report convention: the score
+    arrives as an e6 INTEGER in [0, 1e6] (float scores would bucket
+    differently at threshold boundaries); every count is exact and
+    every rate the integer half-up pattern.
+
+    Scale shape: ONE group-keyed aggregate over one scan. Parity GAPS
+    are one tiny self-comparison away downstream; emitting per-group
+    rows keeps the operator composable (the benford per-row rule).
+
+    Output: (group, n, n_pos, n_pred, tp, fp, sel_rate_e6,
+    base_rate_e6, tpr_e6, fpr_e6, ppv_e6) ordered by group.
+    """
+    thr = int(threshold_e6)
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(label_col).cast("boolean").alias("y"),
+        F.col(score_col).cast("long").alias("s"),
+    ).withColumn("pred", F.col("s") >= thr)
+    g = base.groupBy("group").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("y").cast("long")).cast("long").alias("n_pos"),
+        F.sum(F.col("pred").cast("long")).cast("long").alias("n_pred"),
+        F.sum((F.col("pred") & F.col("y")).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum((F.col("pred") & ~F.col("y")).cast("long"))
+        .cast("long")
+        .alias("fp"),
+    )
+    rate = (
+        lambda num, den: f"CASE WHEN {den} > 0 THEN "
+        f"(2 * 1000000 * {num} + {den}) div (2 * {den}) END"
+    )  # noqa: E731
+    return g.selectExpr(
+        "group", "n", "n_pos", "n_pred", "tp", "fp",
+        rate("n_pred", "n") + " AS sel_rate_e6",
+        rate("n_pos", "n") + " AS base_rate_e6",
+        rate("tp", "n_pos") + " AS tpr_e6",
+        rate("fp", "(n - n_pos)") + " AS fpr_e6",
+        rate("tp", "n_pred") + " AS ppv_e6",
+    ).orderBy("group")
+
+
 def corr_matrix(
     df: DataFrame,
     cols: list[str],
@@ -401,6 +465,90 @@ def mad_outlier_report(
         "n_outliers",
         f"CAST({k_e3} AS LONG) AS k_e3",
     )
+
+
+def sprt_report(
+    df: DataFrame,
+    success_col: str,
+    order_col: str,
+    p0_permille: int,
+    p1_permille: int,
+    alpha_permille: int = 50,
+    beta_permille: int = 200,
+) -> DataFrame:
+    """Sequential probability ratio test (Wald 1945) over an ordered
+    Bernoulli stream, snapshotted per period — the ANYTIME-VALID
+    monitor the fixed-horizon gates (ab_chi_square / ab_power_mde)
+    can't give: peek at every period and stop the moment the
+    cumulative log-likelihood-ratio crosses a boundary, with type-I/II
+    error still bounded by (α, β). Wald's boundaries:
+    upper ln((1−β)/α) → accept H1 (rate = p1); lower ln(β/(1−α)) →
+    accept H0 (rate = p0).
+
+    Engine-exact: with FIXED simple hypotheses every success
+    contributes the CONSTANT c1 = e6ln(p1) − e6ln(p0) and every
+    failure c2 = e6ln(1000−p1) − e6ln(1000−p0) (per-quantity
+    e6-rounded logs of integer arguments, computed IN-ENGINE — the
+    pmi idiom), so the running llr collapses to
+    c1·cum_successes + c2·cum_failures — pure counts, no per-event
+    float. Boundaries are the same per-quantity e6 log differences.
+    |c|·n stays in BIGINT to ~4e13 observations.
+
+    Scale shape: one period-keyed aggregate over one scan, then an
+    ordered cumulative window over the PERIOD rollup (bounded-rollup
+    contract — days/hours, never events). Decision is evaluated on
+    each period-end snapshot; the first non-'continue' row is the
+    stopping time.
+
+    Output: (period, n, successes, llr_e6, decision) ordered by
+    period; decision ∈ {'accept_h1', 'accept_h0', 'continue'}.
+    """
+    from pyspark.sql.window import Window
+
+    p0, p1 = int(p0_permille), int(p1_permille)
+    a, b = int(alpha_permille), int(beta_permille)
+    for v in (p0, p1, a, b):
+        if not 0 < v < 1000:
+            raise ValueError("permille parameters must be in (0, 1000)")
+    if p0 == p1:
+        raise ValueError("p0 and p1 must differ (simple vs simple)")
+    daily = (
+        df.select(
+            F.col(order_col).cast("long").alias("period"),
+            F.col(success_col).cast("boolean").cast("long").alias("s"),
+        )
+        .groupBy("period")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("successes"),
+        )
+    )
+    w = (
+        Window.orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "period", "n", "successes",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("successes").over(w).cast("long").alias("cs"),
+    )
+
+    def e6ln(x: int) -> str:
+        return f"cast(round(ln(cast({x} as double)) * 1e6) as long)"
+
+    c1 = f"({e6ln(p1)} - {e6ln(p0)})"
+    c2 = f"({e6ln(1000 - p1)} - {e6ln(1000 - p0)})"
+    upper = f"({e6ln(1000 - b)} - {e6ln(a)})"
+    lower = f"({e6ln(b)} - {e6ln(1000 - a)})"
+    return cum.selectExpr(
+        "period", "n", "successes",
+        f"cast({c1} * cs + {c2} * (cn - cs) as long) AS llr_e6",
+        f"""CASE WHEN {c1} * cs + {c2} * (cn - cs) >= {upper}
+                 THEN 'accept_h1'
+                 WHEN {c1} * cs + {c2} * (cn - cs) <= {lower}
+                 THEN 'accept_h0'
+                 ELSE 'continue' END AS decision""",
+    ).orderBy("period")
 
 
 def ab_power_mde(

@@ -1130,6 +1130,112 @@ class TestDidReport:
         assert r.m_t_pre is None and r.did is None
 
 
+class TestSprtReport:
+    def test_matches_python_reference_and_stops(self, spark):
+        """A 30%-success stream under H0=10% vs H1=30%: the llr must
+        match the python replay exactly and cross the upper boundary;
+        a 10% stream must cross the lower one."""
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.profile import sprt_report
+
+        def e6ln(x):
+            return round(math.log(float(x)) * 1e6)
+
+        c1 = e6ln(300) - e6ln(100)
+        c2 = e6ln(700) - e6ln(900)
+        upper = e6ln(800) - e6ln(50)
+        lower = e6ln(200) - e6ln(950)
+
+        for rate, expect in ((0.30, "accept_h1"), (0.10, "accept_h0")):
+            rng = random.Random(5)
+            rows = [
+                (i // 50, rng.random() < rate) for i in range(3000)
+            ]
+            df = spark.createDataFrame(rows, "day long, s boolean")
+            got = sprt_report(
+                df, "s", "day", 100, 300, 50, 200
+            ).collect()
+            cs = cn = 0
+            by_day = {}
+            for d, s in rows:
+                st = by_day.setdefault(d, [0, 0])
+                st[0] += 1
+                st[1] += int(s)
+            decisions = []
+            for r in got:
+                n, s = by_day[r["period"]]
+                cn += n
+                cs += s
+                want_llr = c1 * cs + c2 * (cn - cs)
+                assert r["llr_e6"] == want_llr, r["period"]
+                decisions.append(r["decision"])
+            assert expect in decisions  # the monitor actually stops
+        # engine constants equal python's math.log here (sanity; the
+        # shared-double idiom the repo's e6ln queries rely on)
+        one = spark.sql(
+            "SELECT cast(round(ln(cast(300 as double)) * 1e6) as long) AS v"
+        ).collect()[0]["v"]
+        assert one == e6ln(300)
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import sprt_report
+
+        df = spark.createDataFrame([(1, True)], "day long, s boolean")
+        with _pytest.raises(ValueError, match="permille"):
+            sprt_report(df, "s", "day", 0, 300)
+        with _pytest.raises(ValueError, match="differ"):
+            sprt_report(df, "s", "day", 200, 200)
+
+
+class TestFairnessReport:
+    def test_matches_python_reference_and_null_denominators(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import fairness_report
+
+        rng = random.Random(3)
+        rows = []
+        for i in range(800):
+            g = "g" + str(i % 3)
+            y = rng.random() < (0.1 + 0.2 * (i % 3))
+            s = rng.randrange(0, 1_000_001)
+            rows.append((g, y, s))
+        # group with NO positives -> tpr NULL; none selected -> ppv NULL
+        rows += [("empty_pos", False, 0) for _ in range(20)]
+        df = spark.createDataFrame(rows, "grp string, y boolean, s long")
+        got = {
+            r["group"]: r
+            for r in fairness_report(df, "grp", "y", "s", 500_000).collect()
+        }
+        for g in {r[0] for r in rows}:
+            sub = [r for r in rows if r[0] == g]
+            n = len(sub)
+            pos = sum(1 for r in sub if r[1])
+            pred = sum(1 for r in sub if r[2] >= 500_000)
+            tp = sum(1 for r in sub if r[1] and r[2] >= 500_000)
+            fp = sum(1 for r in sub if not r[1] and r[2] >= 500_000)
+            r = got[g]
+            assert (r["n"], r["n_pos"], r["n_pred"], r["tp"], r["fp"]) == (
+                n, pos, pred, tp, fp,
+            )
+            assert r["sel_rate_e6"] == (2 * 10**6 * pred + n) // (2 * n)
+            if pos:
+                assert r["tpr_e6"] == (2 * 10**6 * tp + pos) // (2 * pos)
+            else:
+                assert r["tpr_e6"] is None
+            if pred:
+                assert r["ppv_e6"] == (2 * 10**6 * tp + pred) // (2 * pred)
+            else:
+                assert r["ppv_e6"] is None
+        assert got["empty_pos"]["tpr_e6"] is None
+        assert got["empty_pos"]["ppv_e6"] is None
+        assert got["empty_pos"]["fpr_e6"] == 0
+
+
 class TestIpwAteReport:
     @staticmethod
     def _tdiv(num, den):
