@@ -234,6 +234,7 @@ HEADLINE = [
     # cumsums, map-only readability, LLR corpus keyness, SINDY
     # inclusion-dependency mining
     "purchase_gap_survival_km",
+    "rmst_purchase_gap",
     "logrank_heavy_vs_light",
     "readability_docs",
     "keyness_llr_en_docs",

@@ -10623,6 +10623,105 @@ def purchase_gap_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rmst_purchase_gap",
+    """
+    WITH p AS (
+        SELECT user_id, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (SELECT max(ts) AS dend FROM events),
+    base AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN (floor(epoch(nxt))::BIGINT - floor(epoch(ts))::BIGINT) // 3600
+                    ELSE (floor(epoch(dend))::BIGINT - floor(epoch(ts))::BIGINT) // 3600
+               END AS duration,
+               (nxt IS NOT NULL)::BIGINT AS event
+        FROM p CROSS JOIN e
+    ),
+    per AS (
+        SELECT duration, sum(event)::BIGINT AS n_event,
+               count(*)::BIGINT AS n_at
+        FROM base GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_at)::BIGINT AS n FROM per),
+    risk AS (
+        SELECT per.duration, per.n_event,
+               (tot.n - sum(per.n_at) OVER (ORDER BY per.duration) + per.n_at)::BIGINT AS n_risk
+        FROM per CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT *,
+               CASE WHEN n_event > 0 AND n_risk > n_event
+                    THEN round(ln((n_risk - n_event)::DOUBLE / n_risk) * 1e6)::BIGINT
+                    ELSE 0 END AS term,
+               CASE WHEN n_event > 0 AND n_risk = n_event THEN 1 ELSE 0 END AS ab
+        FROM risk
+    ),
+    km AS (
+        SELECT duration,
+               CASE WHEN sum(ab) OVER (ORDER BY duration) > 0 THEN NULL
+                    ELSE sum(term) OVER (ORDER BY duration) END::BIGINT AS log_surv_e6
+        FROM terms
+    ),
+    steps AS (
+        SELECT duration::BIGINT AS t_start,
+               least(coalesce(lead(duration) OVER (ORDER BY duration), 168),
+                     168)::BIGINT AS t_end,
+               CASE WHEN log_surv_e6 IS NULL THEN 0
+                    ELSE round(exp(log_surv_e6::DOUBLE / 1e6) * 1e6)::BIGINT
+               END AS s_e6
+        FROM km WHERE duration < 168
+    ),
+    init AS (
+        SELECT 0::BIGINT AS t_start, least(min(duration), 168)::BIGINT AS t_end,
+               1000000::BIGINT AS s_e6
+        FROM km
+    )
+    SELECT t_start, t_end, s_e6,
+           (s_e6 * (t_end - t_start))::BIGINT AS rmst_term_e6
+    FROM (SELECT * FROM init UNION ALL SELECT * FROM steps)
+    WHERE t_end > t_start ORDER BY t_start
+    """,
+)
+def rmst_purchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean time-to-next-purchase within τ = 168 h (one
+    week), integrated off the SAME Kaplan–Meier curve
+    purchase_gap_survival_km grades — the effect-size number the
+    KM/log-rank/Nelson-Aalen trio lacks: per inter-event interval the
+    exact product S(tᵢ)_e6 · width, S re-materialized from
+    log_surv_e6 by one per-quantity e6 exp (the e6ln idiom's
+    inverse); Σ terms / 1e6 = expected hours survived in week one.
+    See operators/profile.py:rmst_report."""
+    from data_misc_tools_spark.operators.profile import (
+        kaplan_meier,
+        rmst_report,
+    )
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = p.withColumn("nxt", F.lead("ts").over(w))
+    end = e.agg(F.max("ts").alias("dend"))
+    spells = (
+        nxt.crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.col("nxt").cast("long") - F.col("ts").cast("long"),
+            )
+            .otherwise(F.col("dend").cast("long") - F.col("ts").cast("long"))
+            .alias("gap_s"),
+            F.col("nxt").isNotNull().cast("long").alias("event"),
+        )
+        .select(F.expr("gap_s div 3600").cast("long").alias("duration"), "event")
+    )
+    return rmst_report(kaplan_meier(spells), tau=168)
+
+
+@_q(
     "logrank_heavy_vs_light",
     """
     WITH p AS (
@@ -13542,9 +13641,9 @@ GRADED_FIRST: list[str] = [
     # IPW ATE with discrete propensity cells (the causal third leg);
     # displaces the welch re-pin
     "ipw_ate_purchase",
-    # [relational / TPC-H shapes] (q9 rotated out for sprt)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "window_rank_orders",
+    # [relational / TPC-H shapes] (q9 rotated out for sprt, q3 for
+    # rmst)
+    "q1_pricing_summary", "window_rank_orders",
     # [temporal / sessions] (hourly_event_rollup rotated out for
     # psi_drift_stream_demo; cohort_retention_weekly for
     # holt_linear_daily)
@@ -13567,6 +13666,9 @@ GRADED_FIRST: list[str] = [
     "corr_matrix_lineitem",
     # Wald SPRT anytime-valid monitor; displaces the q9 re-pin
     "sprt_purchase_rate",
+    # RMST off the KM curve (the survival effect size); displaces the
+    # q3 re-pin
+    "rmst_purchase_gap",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;

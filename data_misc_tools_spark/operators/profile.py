@@ -147,6 +147,72 @@ def pearson_exact(
     )
 
 
+def rmst_report(km: DataFrame, tau: int) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 for the
+    modern case; the estimand is ∫₀^τ S(t)dt) over a
+    :func:`kaplan_meier` curve — the EFFECT-SIZE companion the
+    KM/log-rank/Nelson-Aalen trio lacks: "expected survival hours
+    within the first τ" is a number a product team can act on, and
+    unlike the median it exists even when the curve never crosses ½.
+
+    The KM curve is a step function, so the integral is exact given
+    the steps: per inter-event interval [tᵢ, min(tᵢ₊₁, τ)) the
+    contribution is S(tᵢ)·width, plus the leading [0, t₁) interval at
+    S = 1. S(tᵢ) re-materializes from log_surv_e6 as one per-quantity
+    e6-rounded exp of the SAME integer in both engines (the e6ln
+    idiom's inverse — transcendentals of a shared double don't sit on
+    decimal halves); after that every term is an exact integer
+    product s_e6 · width. Absorbed curves (log NULL) contribute 0.
+    Per-INTERVAL rows are emitted (the benford no-float-sum-order
+    rule); Σ rmst_term_e6 / 1e6 is the RMST in duration units.
+
+    The ordered window runs over the KM frame — per-duration rows,
+    the bounded-rollup contract (hits/kaplan precedent), never the
+    spell table.
+
+    Output: (t_start, t_end, s_e6, rmst_term_e6), zero-width
+    intervals dropped, ordered by t_start.
+    """
+    from pyspark.sql.window import Window
+
+    t = int(tau)
+    if t <= 0:
+        raise ValueError("tau must be positive")
+    w = Window.orderBy("duration")
+    steps = (
+        km.filter(F.col("duration") < t)
+        .select("duration", "log_surv_e6")
+        .withColumn(
+            "t_end",
+            F.least(
+                F.coalesce(F.lead("duration").over(w), F.lit(t).cast("long")),
+                F.lit(t).cast("long"),
+            ),
+        )
+        .selectExpr(
+            "cast(duration as long) AS t_start",
+            "t_end",
+            "CASE WHEN log_surv_e6 IS NULL THEN 0L "
+            "ELSE cast(round(exp(cast(log_surv_e6 as double) / 1e6) * 1e6) "
+            "as long) END AS s_e6",
+        )
+    )
+    init = km.agg(
+        F.least(F.min("duration").cast("long"), F.lit(t).cast("long")).alias(
+            "t_end"
+        )
+    ).selectExpr("0L AS t_start", "t_end", "cast(1000000 as long) AS s_e6")
+    return (
+        init.unionByName(steps)
+        .filter(F.col("t_end") > F.col("t_start"))
+        .selectExpr(
+            "t_start", "t_end", "s_e6",
+            "s_e6 * (t_end - t_start) AS rmst_term_e6",
+        )
+        .orderBy("t_start")
+    )
+
+
 def fairness_report(
     df: DataFrame,
     group_col: str,

@@ -1130,6 +1130,75 @@ class TestDidReport:
         assert r.m_t_pre is None and r.did is None
 
 
+class TestRmstReport:
+    def test_step_integral_matches_python(self, spark):
+        import math
+
+        from data_misc_tools_spark.operators.profile import (
+            kaplan_meier,
+            rmst_report,
+        )
+
+        # spells: events at 2,2,5 and censors at 4,9
+        rows = [(2, 1), (2, 1), (5, 1), (4, 0), (9, 0)]
+        df = spark.createDataFrame(rows, "duration long, event long")
+        km = {r["duration"]: r for r in kaplan_meier(df).collect()}
+        got = rmst_report(kaplan_meier(df), tau=8).collect()
+        s = {
+            d: round(math.exp(r["log_surv_e6"] / 1e6) * 1e6)
+            for d, r in km.items()
+            if r["log_surv_e6"] is not None
+        }
+        # intervals: [0,2) S=1e6; [2,4) S(2); [4,5) S(4)=S(2) (censor
+        # only, no drop); [5,8) S(5); capped at tau=8
+        want = [
+            (0, 2, 1_000_000),
+            (2, 4, s[2]),
+            (4, 5, s[4]),
+            (5, 8, s[5]),
+        ]
+        assert [(r.t_start, r.t_end, r.s_e6) for r in got] == want
+        for r in got:
+            assert r.rmst_term_e6 == r.s_e6 * (r.t_end - r.t_start)
+        total = sum(r.rmst_term_e6 for r in got)
+        assert 0 < total <= 8 * 1_000_000  # RMST in (0, tau]
+
+    def test_absorbed_curve_contributes_zero_and_tau_caps(self, spark):
+        from data_misc_tools_spark.operators.profile import (
+            kaplan_meier,
+            rmst_report,
+        )
+
+        # everyone dies at 3 -> absorption (log NULL), S after 3 is 0
+        df = spark.createDataFrame(
+            [(3, 1), (3, 1)], "duration long, event long"
+        )
+        got = rmst_report(kaplan_meier(df), tau=10).collect()
+        # the absorbed tail is an explicit zero-survival row (term 0),
+        # not a silent drop
+        assert [(r.t_start, r.t_end, r.s_e6) for r in got] == [
+            (0, 3, 1_000_000), (3, 10, 0),
+        ]
+        assert got[1].rmst_term_e6 == 0
+        # tau below the first step: one full-survival interval
+        got2 = rmst_report(kaplan_meier(df), tau=2).collect()
+        assert [(r.t_start, r.t_end, r.rmst_term_e6) for r in got2] == [
+            (0, 2, 2_000_000)
+        ]
+
+    def test_tau_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import (
+            kaplan_meier,
+            rmst_report,
+        )
+
+        df = spark.createDataFrame([(3, 1)], "duration long, event long")
+        with _pytest.raises(ValueError, match="tau"):
+            rmst_report(kaplan_meier(df), tau=0)
+
+
 class TestSprtReport:
     def test_matches_python_reference_and_stops(self, spark):
         """A 30%-success stream under H0=10% vs H1=30%: the llr must
