@@ -259,6 +259,7 @@ HEADLINE = [
     "calibration_stopword_en",
     "fairness_stopword_length",
     "join_skew_events_self",
+    "write_plan_lineitem",
     # r7 multimodal: real-PCM WAV round trip -> energy fingerprint
     "audio_fingerprint_demo",
     # r7 robust stats: categorical MI + median/MAD outlier gate

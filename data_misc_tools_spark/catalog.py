@@ -12238,6 +12238,41 @@ def fairness_stopword_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fairness_report(frame, "grp", "y", "score_e6", 100_000)
 
 
+@_q(
+    "write_plan_lineitem",
+    """
+    WITH g AS (
+        SELECT l_returnflag AS part_key, count(*)::BIGINT AS n_rows,
+               sum(8 * 3 + 4 + 8 * 4 + 8
+                   + coalesce(strlen(l_returnflag), 0)
+                   + coalesce(strlen(l_linestatus), 0))::BIGINT
+                   AS est_bytes
+        FROM lineitem GROUP BY 1
+    ),
+    f AS (
+        SELECT part_key, n_rows, est_bytes,
+               greatest(1, (est_bytes + 1048575) // 1048576)::BIGINT AS n_files
+        FROM g
+    )
+    SELECT part_key, n_rows, est_bytes, n_files,
+           ((n_rows + n_files - 1) // n_files)::BIGINT AS rows_per_file
+    FROM f ORDER BY part_key
+    """,
+)
+def write_plan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-count plan for writing lineitem partitionBy(l_returnflag)
+    at a 1 MB uncompressed target — the pre-write layout advisor: hot
+    keys get multiple files (repartitionByRange fan-out), cold keys
+    one, from a deterministic engine-portable width model (Σ
+    octet_length strings + fixed scalar widths), so the plan itself
+    is oracle-checked arithmetic. The write-side companion to
+    join_skew_events_self. See operators/etl.py:write_plan."""
+    from data_misc_tools_spark.operators.etl import write_plan
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return write_plan(li, "l_returnflag", target_mb=1)
+
+
 def _corr_matrix_oracle() -> str:
     """Programmatic twin of profile.corr_matrix over the four lineitem
     numerics: same exact-integer sufficient statistics (HUGEINT =
@@ -13642,8 +13677,8 @@ GRADED_FIRST: list[str] = [
     # displaces the welch re-pin
     "ipw_ate_purchase",
     # [relational / TPC-H shapes] (q9 rotated out for sprt, q3 for
-    # rmst)
-    "q1_pricing_summary", "window_rank_orders",
+    # rmst, window_rank for write_plan)
+    "q1_pricing_summary",
     # [temporal / sessions] (hourly_event_rollup rotated out for
     # psi_drift_stream_demo; cohort_retention_weekly for
     # holt_linear_daily)
@@ -13669,6 +13704,9 @@ GRADED_FIRST: list[str] = [
     # RMST off the KM curve (the survival effect size); displaces the
     # q3 re-pin
     "rmst_purchase_gap",
+    # pre-write file-count planner (layout advisor); displaces the
+    # window_rank re-pin
+    "write_plan_lineitem",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;

@@ -782,3 +782,86 @@ def metric_decomposition(
         "(w_new - w_old) * r_old AS mix_contrib",
         "w_new * (r_new - r_old) AS rate_contrib",
     ).orderBy("segment")
+
+
+def write_plan(
+    df: "DataFrame",
+    partition_col: str | None = None,
+    target_mb: int = 128,
+) -> "DataFrame":
+    """File-count planner for a partitioned write — the layout
+    advisor beside :func:`join_skew_report` (which advises joins) and
+    layout.zorder/hilbert (which advise ordering): BEFORE writing
+    100 TB as `partitionBy(key)`, ask how many files each key needs
+    at a target file size, because the default one-file-per-task
+    layout gives hot keys multi-GB files and cold keys confetti —
+    both kill the downstream scan.
+
+    Width model (deterministic and engine-portable, so the plan
+    itself is oracle-checkable): per row, Σ octet_length over
+    string/binary columns + the fixed physical width of each
+    scalar column (8 for long/double/timestamp/decimal, 4 for
+    int/float/date, 2 short, 1 byte/boolean) — an UNCOMPRESSED
+    estimate; apply your format's compression ratio to ``target_mb``
+    upstream (e.g. pass 384 for ~3x parquet+zstd aiming at 128 MB
+    files). Nested types raise — explode or drop them first. NULL
+    strings count 0; NULL scalars keep their slot (columnar layout).
+
+    n_files = max(1, ceil(est_bytes / target)); rows_per_file =
+    ceil(n_rows / n_files) — the two numbers a writer needs for
+    `repartitionByRange(n_files, key, salt)` per key.
+
+    Scale shape: ONE keyed aggregate over one scan. Output:
+    (part_key, n_rows, est_bytes, n_files, rows_per_file) ordered by
+    part_key ('__all__' when partition_col is None).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if target_mb <= 0:
+        raise ValueError("target_mb must be positive")
+    target = int(target_mb) * 1024 * 1024
+    width = F.lit(0).cast("long")
+    for f in df.schema.fields:
+        t = f.dataType
+        if isinstance(t, (T.StringType, T.BinaryType)):
+            width = width + F.coalesce(
+                F.octet_length(F.col(f.name)), F.lit(0)
+            ).cast("long")
+        elif isinstance(
+            t, (T.LongType, T.DoubleType, T.TimestampType, T.DecimalType)
+        ):
+            width = width + 8
+        elif isinstance(
+            t, (T.IntegerType, T.FloatType, T.DateType)
+        ):
+            width = width + 4
+        elif isinstance(t, T.ShortType):
+            width = width + 2
+        elif isinstance(t, (T.ByteType, T.BooleanType)):
+            width = width + 1
+        else:
+            raise ValueError(
+                f"write_plan: unsupported column type {t} on {f.name} — "
+                "explode or drop nested columns first"
+            )
+    key = (
+        F.col(partition_col).cast("string")
+        if partition_col is not None
+        else F.lit("__all__")
+    )
+    g = (
+        df.select(key.alias("part_key"), width.alias("__w"))
+        .groupBy("part_key")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("__w").cast("long").alias("est_bytes"),
+        )
+    )
+    return g.selectExpr(
+        "part_key", "n_rows", "est_bytes",
+        f"greatest(1L, (est_bytes + {target - 1}) div {target}) AS n_files",
+    ).selectExpr(
+        "*",
+        "(n_rows + n_files - 1) div n_files AS rows_per_file",
+    ).orderBy("part_key")

@@ -518,3 +518,60 @@ class TestMetricDecomposition:
         rows = metric_decomposition(odf, ndf, "seg", "w", "x").collect()
         assert all(r["rate_contrib"] == 0.0 for r in rows)
         assert abs(sum(r["mix_contrib"] for r in rows) - (42.0 - 18.0)) < 1e-12
+
+
+class TestWritePlan:
+    def test_matches_python_width_model(self, spark):
+        from data_misc_tools_spark.operators.etl import write_plan
+
+        rows = [
+            ("a", 1, 1.5, "xx"), ("a", 2, 2.5, "yyyy"),
+            ("b", 3, 3.5, None), ("a", None, None, "z"),
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, i long, d double, s string"
+        )
+        got = {r.part_key: r for r in write_plan(df, "k", target_mb=1).collect()}
+        import math
+
+        ref = {}
+        for k, i, d, s in rows:
+            w = len(k.encode()) + 8 + 8 + (len(s.encode()) if s else 0)
+            st = ref.setdefault(k, [0, 0])
+            st[0] += 1
+            st[1] += w
+        for k, (n, b) in ref.items():
+            r = got[k]
+            assert (r.n_rows, r.est_bytes) == (n, b)
+            nf = max(1, math.ceil(b / (1024 * 1024)))
+            assert r.n_files == nf
+            assert r.rows_per_file == math.ceil(n / nf)
+
+    def test_ceil_fans_out_hot_keys(self, spark):
+        from pyspark.sql import functions as FF
+
+        from data_misc_tools_spark.operators.etl import write_plan
+
+        # one hot key with ~3 MB of string payload at a 1 MB target
+        df = spark.range(3000).select(
+            FF.lit("hot").alias("k"),
+            FF.repeat(FF.lit("x"), 1024).alias("payload"),
+        )
+        r = write_plan(df, "k", target_mb=1).collect()[0]
+        assert r.est_bytes == 3000 * (3 + 1024)
+        assert r.n_files == 3
+        assert r.rows_per_file == 1000
+
+    def test_unpartitioned_and_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.etl import write_plan
+
+        df = spark.createDataFrame([(1, "a")], "i long, s string")
+        r = write_plan(df).collect()[0]
+        assert r.part_key == "__all__" and r.n_rows == 1
+        with _pytest.raises(ValueError, match="target_mb"):
+            write_plan(df, target_mb=0)
+        nested = df.select("i", __import__("pyspark").sql.functions.array("s").alias("arr"))
+        with _pytest.raises(ValueError, match="nested"):
+            write_plan(nested)
