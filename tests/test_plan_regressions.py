@@ -310,6 +310,54 @@ def test_bm25_prf_reuses_pass1_tf(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_tiff_walk_is_pure_catalyst(spark, sf_dir):
+    """tiff_meta_demo: writer + IFD-chain reader stay JVM-side (the
+    mp4/jpeg fold class) — zero Python eval operators."""
+    plan = _plan(spark, "tiff_meta_demo", sf_dir)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_corr_matrix_single_scan_single_exchange(spark, sf_dir):
+    """corr_matrix_lineitem: k sums + k²/2 cross-products in ONE
+    aggregate — one lineitem scan (formatted explain lists nodes
+    twice), one 1-row exchange, no joins."""
+    plan = _plan(spark, "corr_matrix_lineitem", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_write_plan_one_agg_no_python(spark, sf_dir):
+    """write_plan_lineitem: the width model is a scan-local
+    expression feeding one keyed aggregate — one scan, no joins, no
+    Python."""
+    plan = _plan(spark, "write_plan_lineitem", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_fairness_report_single_agg(spark, sf_dir):
+    """fairness_stopword_length: score + bucket are scan-local
+    expressions; counts come from one group-keyed aggregate."""
+    plan = _plan(spark, "fairness_stopword_length", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_sprt_rollup_then_bounded_window(spark, sf_dir):
+    """sprt_purchase_rate: one event scan into the daily rollup; the
+    cumulative window runs over the bounded PERIOD frame (days), and
+    the llr is pure integer arithmetic — no joins, no Python."""
+    plan = _plan(spark, "sprt_purchase_rate", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "Window" in plan
+
+
 def test_repeated_ngrams_no_cartesian_no_python(spark, sf_dir):
     """dedup_repeated_ngrams: gram census + coverage joins are hash
     equi-joins; zero Python ops (all higher-order Catalyst)."""
