@@ -213,6 +213,7 @@ HEADLINE = [
     "tfidf_top_terms_docs",
     "phrase_search_docs",
     "lcc_neardup_nodes",
+    "harmonic_neardup_k3",
     "theil_sen_daily_trend",
     "lag_crosscorr_purchase_click",
     "hits_users_items",

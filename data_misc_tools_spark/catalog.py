@@ -9886,6 +9886,95 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _harmonic_oracle() -> str:
+    from data_misc_tools_spark.operators.dedup import (
+        _MINHASH_A,
+        _MINHASH_B,
+        MINHASH_P,
+    )
+
+    perms = ", ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
+        FROM documents d
+        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
+        WHERE length(d.text) >= 5
+    ),
+    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band,
+               concat(m0, '_', m1, '_', m2, '_', m3) AS band_val FROM sig
+        UNION ALL SELECT doc_id, 1,
+               concat(m4, '_', m5, '_', m6, '_', m7) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    f1 AS (SELECT u AS root, v AS node FROM sym),
+    f2 AS (
+        SELECT root, node FROM (
+            SELECT DISTINCT f1.root AS root, s.v AS node
+            FROM f1 JOIN sym s ON s.u = f1.node
+            WHERE s.v <> f1.root
+        )
+        EXCEPT SELECT root, node FROM f1
+    ),
+    f3 AS (
+        SELECT root, node FROM (
+            SELECT DISTINCT f2.root AS root, s.v AS node
+            FROM f2 JOIN sym s ON s.u = f2.node
+            WHERE s.v <> f2.root
+        )
+        EXCEPT SELECT root, node FROM f1
+        EXCEPT SELECT root, node FROM f2
+    ),
+    c1 AS (SELECT root, count(*)::BIGINT AS reach_1 FROM f1 GROUP BY 1),
+    c2 AS (SELECT root, count(*)::BIGINT AS reach_2 FROM f2 GROUP BY 1),
+    c3 AS (SELECT root, count(*)::BIGINT AS reach_3 FROM f3 GROUP BY 1)
+    SELECT c1.root AS node, reach_1,
+           coalesce(reach_2, 0)::BIGINT AS reach_2,
+           coalesce(reach_3, 0)::BIGINT AS reach_3,
+           (1000000 * reach_1 + 500000 * coalesce(reach_2, 0)
+            + 333333 * coalesce(reach_3, 0))::BIGINT AS harmonic_e6
+    FROM c1 LEFT JOIN c2 USING (root) LEFT JOIN c3 USING (root)
+    ORDER BY node
+    """
+
+
+@_q("harmonic_neardup_k3", _harmonic_oracle())
+def harmonic_neardup_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-3 harmonic centrality on the strict 2x4 MinHash
+    candidate graph — the REACH member of the graph-triage kit
+    (degree = radius 1, lcc = wedge closure, k-truss = cohesion):
+    which documents sit near the middle of a template family vs on
+    its fringe. Frontier-at-distance-d sets via anti-joined
+    expansions (each frontier localCheckpointed — three consumers);
+    harmonic_e6 = Σ half-up-e6(1/d)·reach_d is pure integer
+    arithmetic; the DuckDB twin replays the frontiers as an EXCEPT
+    chain. See operators/cluster.py:harmonic_centrality_k."""
+    from data_misc_tools_spark.operators.cluster import (
+        harmonic_centrality_k,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    return harmonic_centrality_k(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        max_dist=3,
+    )
+
+
 @_q(
     "theil_sen_daily_trend",
     """
@@ -13694,8 +13783,8 @@ GRADED_FIRST: list[str] = [
     # [text quality / analysis] (ngram_novelty rotated out for
     # fairness_stopword_length)
     "text_quality", "gopher_filter_demo", "chunk_documents",
-    # [graph]
-    "triangle_count_neardup", "lpa_communities_neardup",
+    # [graph] (lpa rotated out for harmonic_neardup_k3)
+    "triangle_count_neardup",
     # all-pairs Pearson matrix in one aggregate; displaces the
     # corr_quantity_price re-pin (same family, superset shape)
     "corr_matrix_lineitem",
@@ -13707,6 +13796,9 @@ GRADED_FIRST: list[str] = [
     # pre-write file-count planner (layout advisor); displaces the
     # window_rank re-pin
     "write_plan_lineitem",
+    # radius-3 harmonic centrality (graph reach); displaces the lpa
+    # re-pin
+    "harmonic_neardup_k3",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;

@@ -923,3 +923,61 @@ class TestDegreeAssortativity:
         df = spark.createDataFrame(edges, "src long, dst long")
         r = degree_assortativity(df).collect()[0]
         assert r["corr"] == -1.0  # perfect hub-and-spoke
+
+
+class TestHarmonicCentralityK:
+    def test_matches_python_bfs_reference(self, spark):
+        from collections import deque
+
+        from data_misc_tools_spark.operators.cluster import (
+            harmonic_centrality_k,
+        )
+
+        # path 1-2-3-4-5, clique {10,11,12}, bridge 5-10, isolate pair
+        edges = [
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            (10, 11), (10, 12), (11, 12), (5, 10),
+            (20, 21),
+        ]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+        def bfs_reach(root, k):
+            dist = {root: 0}
+            q = deque([root])
+            reach = [0] * (k + 1)
+            while q:
+                u = q.popleft()
+                if dist[u] == k:
+                    continue
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        reach[dist[w]] += 1
+                        q.append(w)
+            return reach[1:]
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r for r in harmonic_centrality_k(df, max_dist=3).collect()}
+        assert set(got) == set(adj)
+        cd = [(2 * 10**6 + d) // (2 * d) for d in (1, 2, 3)]
+        for node in adj:
+            r1, r2, r3 = bfs_reach(node, 3)
+            r = got[node]
+            assert (r.reach_1, r.reach_2, r.reach_3) == (r1, r2, r3), node
+            assert r.harmonic_e6 == cd[0] * r1 + cd[1] * r2 + cd[2] * r3
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.cluster import (
+            harmonic_centrality_k,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pytest.raises(ValueError, match="max_dist"):
+            harmonic_centrality_k(df, max_dist=0)
+        with _pytest.raises(ValueError, match="max_dist"):
+            harmonic_centrality_k(df, max_dist=7)

@@ -329,6 +329,28 @@ STRESS = {
     "trimmed_mean_value": "linearithmic",
     # Cramer's V: one cell census (the mutual_information shape)
     "cramers_v_type_dow": "linear",
+    # --- round 8 ---
+    # JW pairs: DISTINCT-name pairs (vocabulary-bounded, ~flat on the
+    # replica whose name vocab doesn't grow)
+    "jw_part_name_pairs": "linear",
+    # streaming PSI: windowed census stream + fixed-bin post-step
+    "psi_drift_stream_demo": "linearithmic",
+    # TIFF walk: map-only byte folds
+    "tiff_meta_demo": "linear",
+    # Holt: daily rollup (days fixed on the replica) + driver recursion
+    "holt_linear_daily": "linear",
+    # IPW: one cell-keyed aggregate
+    "ipw_ate_purchase": "linear",
+    # corr matrix: one aggregate, k^2/2 decimal partials
+    "corr_matrix_lineitem": "linear",
+    # SPRT: daily rollup + bounded period window
+    "sprt_purchase_rate": "linear",
+    # fairness: scan-local score + one group aggregate
+    "fairness_stopword_length": "linear",
+    # RMST: KM prefix sums (user-keyed lead windows dominate)
+    "rmst_purchase_gap": "linearithmic",
+    # write plan: scan-local width + one keyed aggregate
+    "write_plan_lineitem": "linear",
 }
 
 
