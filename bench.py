@@ -120,6 +120,7 @@ HEADLINE = [
     "hll_audience_overlap",
     # round-3 session-3 additions
     "bm25_search_topk",
+    "bm25f_search_topk",
     "dedup_repeated_ngrams",
     "dsir_select_topk",
     "mp4_meta_demo",

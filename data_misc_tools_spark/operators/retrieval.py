@@ -326,6 +326,75 @@ def bm25_prf_topk(
     )
 
 
+def bm25f_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    title_tokens: int = 8,
+    title_weight: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted-field BM25 (the BM25F simple form: Robertson, Zaragoza
+    & Taylor 2004 — combine field term frequencies with integer field
+    weights BEFORE saturation, then run plain BM25 on the combined
+    stream) over two positional pseudo-fields: the first
+    ``title_tokens`` tokens count ``title_weight``×, the rest 1×.
+    The classic "a hit in the title beats a hit in the body" ranking,
+    exactly as exact-integer as :func:`bm25_topk`:
+
+        tf̃(t, d) = Σ_f w_f·tf_f,   dl̃(d) = Σ_f w_f·len_f
+                 = n + (w−1)·min(title_tokens, n)   (scan-local!)
+
+    and the combined quantities drop into the SAME rational algebra
+    (22·tf̃·L̃ / (10·tf̃·L̃ + 3·L̃ + 9·dl̃·N)), so the scoring tail is
+    literally :func:`_rank_scored_tf` — one code path, one oracle
+    idiom. df counts documents (field-agnostic), idf is the Lucene
+    always-positive form.
+
+    Scale shape: one posexplode filtered FIRST by the broadcast query
+    vocabulary; dl̃ is a scan-local expression (never a second
+    aggregate); corpus totals are one map-side agg.
+
+    Output: (query_id, doc_id, rank, bm25) — bm25_topk's shape.
+    """
+    if title_tokens < 1 or title_weight < 1:
+        raise ValueError("title_tokens and title_weight must be >= 1")
+    qterms = queries.select(
+        "query_id", F.explode(tokens("qtext")).alias("tok")
+    ).distinct()
+    qtok = qterms.select("tok").distinct()
+    n_tok = F.size(tokens(text_col)).cast("long")
+    dl = (n_tok + (title_weight - 1) * F.least(
+        F.lit(title_tokens).cast("long"), n_tok
+    )).cast("long")
+    toks = docs.select(
+        F.col(id_col),
+        dl.alias("dl"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    tf = (
+        toks.join(F.broadcast(qtok), "tok")
+        .withColumn(
+            "w",
+            F.when(F.col("pos") < title_tokens, F.lit(title_weight))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.sum("w").cast("long").alias("tf"), F.max("dl").alias("dl"))
+    )
+    corpus = (
+        docs.select(dl.alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        )
+    )
+    return _rank_scored_tf(tf, qterms, corpus, k, id_col)
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,

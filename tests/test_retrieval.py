@@ -490,3 +490,68 @@ class TestBm25Prf:
                for r in bm25_prf_topk(docs, q, k=5, fb_docs=2,
                                       fb_terms=3).collect()}
         assert prf == manual
+
+
+class TestBm25F:
+    def _ref(self, docs, qtoks, title_tokens=8, title_weight=3):
+        """Float BM25F reference: weighted tf/dl at (k1=1.2, b=0.75)."""
+        import math
+
+        toks = {i: [t for t in txt.split() if t] for i, txt in docs}
+        dl = {
+            i: len(tk) + (title_weight - 1) * min(title_tokens, len(tk))
+            for i, tk in toks.items() if tk
+        }
+        n = len(dl)
+        avgdl = sum(dl.values()) / n
+        out = {}
+        for i, tk in toks.items():
+            if not tk:
+                continue
+            s = 0.0
+            for q in set(qtoks):
+                tf = sum(
+                    title_weight if p < title_tokens else 1
+                    for p, t in enumerate(tk) if t == q
+                )
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if q in v)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl[i] / avgdl))
+            if s > 0:
+                out[i] = s
+        return out
+
+    def test_title_hit_outranks_body_hit(self, spark):
+        # identical length (25 tokens) and tf (1), only POSITION differs
+        docs = [
+            (1, "cat " + ("pad " * 24).strip()),
+            (2, ("pad " * 24) + "cat"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        q = R.queries_df(spark, [(1, "cat")])
+        got = {r.doc_id: r.rank for r in R.bm25f_topk(df, q, k=10).collect()}
+        assert got[1] < got[2]  # title occurrence wins
+        # plain bm25 ties them (same tf, same dl)
+        plain = {r.doc_id: r.bm25 for r in R.bm25_topk(df, q, k=10).collect()}
+        assert plain[1] == plain[2]
+
+    def test_ranks_match_float_reference(self, spark, tiny):
+        docs = [(r.doc_id, r.text) for r in tiny.collect()]
+        q = R.queries_df(spark, [(1, "cat mat"), (2, "dog")])
+        exact = R.bm25f_topk(tiny, q, k=10).collect()
+        for qid, qtoks in ((1, ["cat", "mat"]), (2, ["dog"])):
+            want = self._ref(docs, qtoks)
+            order = [i for i, _ in sorted(want.items(), key=lambda x: (-x[1], x[0]))]
+            got = [r.doc_id for r in sorted(
+                (r for r in exact if r.query_id == qid), key=lambda r: r.rank
+            )]
+            assert got == order
+
+    def test_guards(self, spark, tiny):
+        import pytest as _pytest
+
+        q = R.queries_df(spark, [(1, "cat")])
+        with _pytest.raises(ValueError, match=">= 1"):
+            R.bm25f_topk(tiny, q, title_tokens=0)

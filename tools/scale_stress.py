@@ -351,6 +351,11 @@ STRESS = {
     "rmst_purchase_gap": "linearithmic",
     # write plan: scan-local width + one keyed aggregate
     "write_plan_lineitem": "linear",
+    # harmonic reach: frontier joins on the banded graph (the
+    # triangle-census cost class; LSH-luck caveat applies)
+    "harmonic_neardup_k3": "linearithmic",
+    # BM25F: same filter-first explode + matched-size shuffle as bm25
+    "bm25f_search_topk": "linear",
 }
 
 
