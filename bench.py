@@ -126,6 +126,7 @@ HEADLINE = [
     "mp4_meta_demo",
     "url_domain_quota",
     "zipf_corpus_fit",
+    "term_dispersion_docs",
     "tar_shard_export_demo",
     "corpus_drift_report",
     "bootstrap_value_ci",

@@ -9957,6 +9957,54 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "term_dispersion_docs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY 1),
+    cell AS (SELECT doc_id, word, count(*)::BIGINT AS c
+             FROM toks GROUP BY 1, 2),
+    tot AS (SELECT sum(len)::BIGINT AS corpus_len FROM lens),
+    pw AS (
+        SELECT word, sum(c)::BIGINT AS tf, count(*)::BIGINT AS n_docs_w,
+               sum(l.len)::BIGINT AS len_occ
+        FROM cell JOIN lens l USING (doc_id) GROUP BY word
+    ),
+    dev AS (
+        SELECT word,
+               sum(abs(c::HUGEINT * tot.corpus_len
+                       - l.len::HUGEINT * pw.tf))::HUGEINT AS dev_occ
+        FROM cell JOIN lens l USING (doc_id) JOIN pw USING (word)
+        CROSS JOIN tot
+        GROUP BY word
+    )
+    SELECT pw.word, pw.tf, pw.n_docs_w,
+           ((2 * 1000000 * (dev.dev_occ
+                            + (tot.corpus_len::HUGEINT - pw.len_occ) * pw.tf)
+             + 2 * pw.tf::HUGEINT * tot.corpus_len)
+            // (2 * 2 * pw.tf::HUGEINT * tot.corpus_len))::BIGINT AS dp_e6
+    FROM pw JOIN dev USING (word) CROSS JOIN tot
+    ORDER BY pw.tf DESC, pw.word LIMIT 20
+    """,
+)
+def term_dispersion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP dispersion for the 20 highest-frequency words — the
+    burstiness gate beside zipf_corpus_fit (rank-frequency) and
+    heaps_law_corpus (vocabulary growth): equal-tf words split into
+    evenly-spread function words (DP→0) vs single-doc artifacts
+    (DP→1). Exact closed form: absent-doc mass collapses to totals,
+    one decimal(38,0)/HUGEINT numerator sum and ONE half-up e6
+    division per word. See operators/text.py:term_dispersion."""
+    from data_misc_tools_spark.operators.text import term_dispersion
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return term_dispersion(d, top_k=20)
+
+
 def _harmonic_oracle() -> str:
     from data_misc_tools_spark.operators.dedup import (
         _MINHASH_A,
@@ -13852,8 +13900,8 @@ GRADED_FIRST: list[str] = [
     # [retrieval] (tfidf rotated out for bm25f)
     "bm25_search_topk", "ql_dirichlet_search",
     # [text quality / analysis] (ngram_novelty rotated out for
-    # fairness_stopword_length)
-    "text_quality", "gopher_filter_demo", "chunk_documents",
+    # fairness_stopword_length; chunk_documents for term_dispersion)
+    "text_quality", "gopher_filter_demo",
     # [graph] (lpa rotated out for harmonic_neardup_k3)
     "triangle_count_neardup",
     # all-pairs Pearson matrix in one aggregate; displaces the
@@ -13872,6 +13920,9 @@ GRADED_FIRST: list[str] = [
     "harmonic_neardup_k3",
     # BM25F weighted pseudo-fields; displaces the tfidf re-pin
     "bm25f_search_topk",
+    # Gries' DP term dispersion (burstiness); displaces the chunk
+    # re-pin
+    "term_dispersion_docs",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;

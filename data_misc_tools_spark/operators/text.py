@@ -1553,3 +1553,94 @@ def jsd_pairs(
                 div (2 * 2 * cast(n1 as decimal(38,0)) * n2) as long)
             AS jsd_e6""",
     ).orderBy("group_a", "group_b")
+
+
+def term_dispersion(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Gries' DP dispersion (Gries 2008, "Dispersions and adjusted
+    frequencies in corpus linguistics") for the ``top_k``
+    highest-frequency words: DP(w) = ½·Σ_docs |v_i − s_i| with
+    v_i = the word's share of its own occurrences in doc i and
+    s_i = the doc's share of the corpus — 0 means the word spreads
+    exactly like doc sizes (function-word behavior), →1 means it
+    concentrates in few docs (topical/bursty). The burstiness gate
+    frequency alone can't give: two words with equal tf can be one
+    evenly-spread stopword and one single-document artifact.
+
+    Exact-integer closed form: with L = corpus tokens, TF_w = the
+    word's corpus count, the per-doc term is
+    |tf_wi·L − len_i·TF_w| / (TF_w·L), and docs WITHOUT the word
+    contribute their len_i·TF_w — so their whole mass collapses to
+    (L − Σ_{docs∋w} len_i)·TF_w from totals alone, no grid over
+    absent (doc, word) cells. One decimal(38,0) numerator sum per
+    word, ONE half-up e6 division at the end.
+
+    Scale shape: one (doc, word) census with the doc length riding
+    the explode (the bm25 dl idiom), one word-keyed aggregate, corpus
+    totals broadcast; top-k by (tf, word) via TakeOrdered.
+
+    Output: (word, tf, n_docs_w, dp_e6) ordered by (tf desc, word),
+    top_k rows.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    dec = "decimal(38,0)"
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("len"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    cell = toks.groupBy(id_col, "word").agg(
+        F.count("*").cast("long").alias("c"), F.max("len").alias("len")
+    )
+    tot = (
+        df.select(F.size(tokens(text_col)).cast("long").alias("len"))
+        .agg(F.sum("len").cast("long").alias("corpus_len"))
+    )
+    per_word = (
+        cell.crossJoin(F.broadcast(tot))
+        .groupBy("word")
+        .agg(
+            F.sum("c").cast("long").alias("tf"),
+            F.count("*").cast("long").alias("n_docs_w"),
+            F.sum("len").cast("long").alias("len_occ"),
+            F.first("corpus_len").alias("corpus_len"),
+        )
+    )
+    scored = per_word.selectExpr(
+        "word", "tf", "n_docs_w", "len_occ", "corpus_len",
+        # numerator needs the per-doc |..| sum: recompute via join
+        "cast(tf as decimal(38,0)) AS __tf_dec",
+    )
+    absdev = (
+        cell.join(
+            F.broadcast(
+                per_word.selectExpr("word", "tf AS __w_tf", "corpus_len")
+            ),
+            "word",
+        )
+        .selectExpr(
+            "word",
+            "abs(cast(c as decimal(38,0)) * corpus_len"
+            " - cast(len as decimal(38,0)) * __w_tf) AS __dev",
+        )
+        .groupBy("word")
+        .agg(F.sum("__dev").cast(dec).alias("dev_occ"))
+    )
+    return (
+        scored.join(absdev, "word")
+        .selectExpr(
+            "word", "tf", "n_docs_w",
+            """cast((2 * 1000000 * (dev_occ
+                     + (cast(corpus_len as decimal(38,0)) - len_occ) * tf)
+                    + 2 * __tf_dec * corpus_len)
+                   div (2 * 2 * __tf_dec * corpus_len) as long)
+               AS dp_e6""",
+        )
+        .orderBy(F.desc("tf"), "word")
+        .limit(top_k)
+    )

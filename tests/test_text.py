@@ -962,3 +962,45 @@ class TestJsdPairs:
         assert got[("b", "c")] == E6_LN2
         # bounded
         assert all(0 <= v <= E6_LN2 for v in got.values())
+
+
+class TestTermDispersion:
+    def test_matches_python_reference(self, spark):
+        from fractions import Fraction
+
+        from data_misc_tools_spark.operators.text import term_dispersion
+
+        docs = [
+            (1, "a a a b c"),
+            (2, "a b b d"),
+            (3, "c c c c c c"),
+            (4, "a b"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.word: r for r in term_dispersion(df, top_k=10).collect()}
+        toks = {i: t.split() for i, t in docs}
+        L = sum(len(v) for v in toks.values())
+        words = {w for v in toks.values() for w in v}
+        for w in words:
+            tf = sum(v.count(w) for v in toks.values())
+            dp = sum(
+                abs(Fraction(v.count(w), tf) - Fraction(len(v), L))
+                for v in toks.values()
+            ) / 2
+            e6 = (2 * 1_000_000 * dp.numerator + dp.denominator) // (
+                2 * dp.denominator
+            )
+            r = got[w]
+            assert r.tf == tf
+            assert r.n_docs_w == sum(1 for v in toks.values() if w in v)
+            assert r.dp_e6 == e6, w
+
+    def test_even_vs_bursty_extremes(self, spark):
+        from data_misc_tools_spark.operators.text import term_dispersion
+
+        # 'x' spread exactly like doc sizes -> DP 0; 'z' one doc -> high
+        docs = [(1, "x x z z z z"), (2, "x x pad pad pad pad")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.word: r.dp_e6 for r in term_dispersion(df, top_k=10).collect()}
+        assert got["x"] == 0
+        assert got["z"] == 500_000  # |1 - 1/2|/2 + |0 - 1/2|/2

@@ -356,6 +356,8 @@ STRESS = {
     "harmonic_neardup_k3": "linearithmic",
     # BM25F: same filter-first explode + matched-size shuffle as bm25
     "bm25f_search_topk": "linear",
+    # DP dispersion: one (doc,word) census + word-keyed aggregates
+    "term_dispersion_docs": "linear",
 }
 
 
