@@ -221,6 +221,7 @@ HEADLINE = [
     "hits_users_items",
     "benford_audit_prices",
     "systematic_sample_orders",
+    "neyman_alloc_events",
     "attribution_ushape_credit",
     "cluster_medoids_embeddings",
     "rtbf_cascade_report",

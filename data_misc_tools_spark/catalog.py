@@ -9958,6 +9958,62 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "neyman_alloc_events",
+    """
+    WITH base AS (
+        SELECT event_type AS stratum, round(value * 100)::BIGINT AS x
+        FROM events
+    ),
+    g AS (
+        SELECT stratum, count(*)::BIGINT AS n_rows,
+               sum(x::HUGEINT) AS sx, sum(x::HUGEINT * x) AS sxx
+        FROM base GROUP BY 1
+    ),
+    st AS (
+        SELECT stratum, n_rows,
+               CASE WHEN n_rows >= 2 THEN
+                   round(sqrt(((n_rows * sxx - sx * sx)::DOUBLE
+                               / n_rows::DOUBLE) / (n_rows - 1)::DOUBLE)
+                         * 1e6)::BIGINT
+               END AS sd_e6
+        FROM g
+    ),
+    wt AS (
+        SELECT stratum, n_rows, sd_e6,
+               coalesce(n_rows::HUGEINT * sd_e6, 0)::HUGEINT AS weight
+        FROM st
+    ),
+    tt AS (SELECT sum(weight)::HUGEINT AS w_tot FROM wt),
+    j AS (
+        SELECT stratum, n_rows, sd_e6, weight::BIGINT AS weight,
+               ((1000 * weight) // w_tot)::BIGINT AS b,
+               ((1000 * weight) % w_tot)::BIGINT AS r
+        FROM wt CROSS JOIN tt
+    ),
+    k AS (
+        SELECT *, row_number() OVER (ORDER BY r DESC, stratum) AS rk,
+               (SELECT 1000 - sum(b) FROM j) AS leftover
+        FROM j
+    )
+    SELECT stratum, n_rows, sd_e6, weight,
+           (b + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_n
+    FROM k ORDER BY stratum
+    """,
+)
+def neyman_alloc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-row sampling budget across
+    event types by value variance — high-σ strata (purchases) get
+    most of the budget, constant strata almost none; Σ alloc == 1000
+    exactly via integer largest-remainder. The planning step in front
+    of exact_stratified_split_langs. See
+    operators/sampling.py:neyman_allocation."""
+    from data_misc_tools_spark.operators.sampling import neyman_allocation
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return neyman_allocation(e, "event_type", "value", total_n=1000)
+
+
+@_q(
     "term_dispersion_docs",
     """
     WITH toks AS (
@@ -13923,12 +13979,15 @@ GRADED_FIRST: list[str] = [
     # Gries' DP term dispersion (burstiness); displaces the chunk
     # re-pin
     "term_dispersion_docs",
+    # Neyman optimal stratified allocation; displaces the
+    # exact_stratified re-pin (its planning front-end)
+    "neyman_alloc_events",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;
     # corr_quantity_price for corr_matrix_lineitem)
-    # [sampling] (png_pipeline_demo rotated out for tiff_meta_demo)
-    "exact_stratified_split_langs",
+    # [sampling] (png_pipeline_demo rotated out for tiff_meta_demo;
+    # exact_stratified for neyman_alloc_events)
 ]
 
 

@@ -577,3 +577,96 @@ def systematic_sample(
         raise ValueError("offset must be in [0, step)")
     ranked = global_rank(df, order_by)
     return ranked.filter((F.col("grank") - 1 - offset) % step == 0)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934) for a stratified
+    sample: given a total budget, sample each stratum proportionally
+    to N_h·σ_h — variance-heavy strata get more budget, constant
+    strata almost none — the design that minimizes the estimator's
+    variance at fixed cost. The planning step in front of
+    :func:`exact_stratified_split` (which splits by fixed fractions).
+
+    Engine-exact: per-stratum variance comes from exact decimal(38,0)
+    sufficient statistics; σ_h enters as ONE per-quantity e6-rounded
+    sqrt (sd_e6 — the e6ln idiom's sqrt cousin: IEEE sqrt of an
+    identical double rounds identically in both engines), after which
+    EVERYTHING is integer: weight w_h = N_h·sd_e6, base allocation
+    (total_n·w_h) div W, and the largest-remainder top-up ranked by
+    (total_n·w_h mod W DESC, stratum) — a total order, so the +1s land
+    identically and Σ alloc_n == total_n exactly (pinned in tests).
+    Single-row strata carry sd NULL → weight 0; all-zero total weight
+    raises (no signal to allocate on).
+
+    Scale shape: one stratum-keyed aggregate over one scan; the
+    largest-remainder window runs over the STRATA frame (bounded
+    codebook). Output: (stratum, n_rows, sd_e6, weight, alloc_n)
+    ordered by stratum.
+    """
+    from pyspark.sql.window import Window
+
+    t = int(total_n)
+    if t < 1:
+        raise ValueError("total_n must be >= 1")
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.round(F.col(value_col).cast("double") * value_scale)
+        .cast("long")
+        .alias("x"),
+    )
+    g = base.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("x").cast(dec)) * F.col("x")).alias("sxx"),
+    )
+    stats = g.selectExpr(
+        "stratum", "n_rows",
+        # exact-integer scatter -> double -> IEEE sqrt -> e6 round:
+        # the single float step, identical in both engines
+        """CASE WHEN n_rows >= 2 THEN
+             cast(round(sqrt(cast(n_rows * sxx - sx * sx as double)
+                             / cast(n_rows as double)
+                             / cast(n_rows - 1 as double)) * 1e6) as long)
+           END AS sd_e6""",
+    ).withColumn(
+        "weight",
+        F.coalesce(
+            (F.col("n_rows").cast(dec) * F.col("sd_e6")).cast(dec),
+            F.lit(0).cast(dec),
+        ),
+    )
+    tot = stats.agg(F.sum("weight").cast(dec).alias("w_tot"))
+    j = stats.crossJoin(F.broadcast(tot))
+    j = j.selectExpr(
+        "stratum", "n_rows", "sd_e6", "cast(weight as long) AS weight",
+        f"CASE WHEN w_tot > 0 THEN cast(({t} * weight) div w_tot as long) "
+        "END AS __base",
+        f"CASE WHEN w_tot > 0 THEN cast(({t} * weight) % w_tot as long) "
+        "END AS __rem",
+    )
+    w_rank = Window.orderBy(F.desc("__rem"), "stratum")
+    w_all = Window.partitionBy()
+    out = (
+        j.withColumn("__rk", F.row_number().over(w_rank).cast("long"))
+        .withColumn("__left", F.lit(t) - F.sum("__base").over(w_all))
+        .selectExpr(
+            "stratum", "n_rows", "sd_e6", "weight",
+            "cast(__base + CASE WHEN __rk <= __left THEN 1 ELSE 0 END "
+            "as long) AS alloc_n",
+            "__base IS NULL AS __bad",
+        )
+    )
+    # materialize the zero-weight-total guard eagerly (bounded frame)
+    if out.where("__bad").limit(1).count() > 0:
+        raise ValueError(
+            "neyman_allocation: total weight is zero (every stratum "
+            "constant or single-row) — nothing to allocate on"
+        )
+    return out.drop("__bad").orderBy("stratum")

@@ -345,3 +345,63 @@ def test_systematic_sample_even_coverage(spark):
         systematic_sample(df, ["id"], step=0)
     with _pt.raises(ValueError):
         systematic_sample(df, ["id"], step=5, offset=5)
+
+
+class TestNeymanAllocation:
+    def test_matches_python_and_sums_exactly(self, spark):
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.sampling import neyman_allocation
+
+        rng = random.Random(13)
+        rows = []
+        for i in range(3000):
+            s = "s" + str(i % 4)
+            spread = {0: 1.0, 1: 10.0, 2: 40.0, 3: 0.0}[i % 4]
+            rows.append((s, round(rng.uniform(0, spread), 2)))
+        rows.append(("tiny", 5.0))  # single-row stratum -> weight 0
+        df = spark.createDataFrame(rows, "s string, v double")
+        got = {r.stratum: r for r in
+               neyman_allocation(df, "s", "v", total_n=500).collect()}
+
+        by = {}
+        for s, v in rows:
+            by.setdefault(s, []).append(round(v * 100))
+        w = {}
+        for s, xs in by.items():
+            n = len(xs)
+            if n < 2:
+                w[s] = 0
+                continue
+            scatter = n * sum(x * x for x in xs) - sum(xs) ** 2
+            sd = round(math.sqrt(scatter / n / (n - 1)) * 1e6)
+            w[s] = n * sd
+            assert got[s].sd_e6 == sd
+        W = sum(w.values())
+        base = {s: (500 * ws) // W for s, ws in w.items()}
+        rem = {s: (500 * ws) % W for s, ws in w.items()}
+        left = 500 - sum(base.values())
+        order = sorted(w, key=lambda s: (-rem[s], s))
+        want = dict(base)
+        for s in order[:left]:
+            want[s] += 1
+        for s in by:
+            assert got[s].alloc_n == want[s], s
+        assert sum(r.alloc_n for r in got.values()) == 500
+        # variance-heavy stratum gets the most budget; constant gets 0
+        assert got["s2"].alloc_n > got["s1"].alloc_n > got["s0"].alloc_n
+        assert got["s3"].alloc_n == 0 and got["tiny"].alloc_n == 0
+
+    def test_all_constant_raises(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.sampling import neyman_allocation
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)], "s string, v double"
+        )
+        with _pytest.raises(ValueError, match="total weight is zero"):
+            neyman_allocation(df, "s", "v", total_n=10)
+        with _pytest.raises(ValueError, match="total_n"):
+            neyman_allocation(df, "s", "v", total_n=0)

@@ -358,6 +358,8 @@ STRESS = {
     "bm25f_search_topk": "linear",
     # DP dispersion: one (doc,word) census + word-keyed aggregates
     "term_dispersion_docs": "linear",
+    # Neyman: one stratum aggregate + a codebook-sized window
+    "neyman_alloc_events": "linear",
 }
 
 
