@@ -2825,8 +2825,8 @@ def conformal_report(
     # conformal's honest "not enough data"), honoring the one-row-per-
     # group contract instead of silently dropping thin groups.
     return (
-        preds.join(qhats, "g", "left")
-        .join(test, "g", "left")
+        preds.join(F.broadcast(qhats), "g", "left")
+        .join(F.broadcast(test), "g", "left")
         .select(
             F.col("g").alias("group"),
             "n_train", "n_calib", "n_test", "pred_cents", "qhat",
