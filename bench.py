@@ -84,6 +84,7 @@ HEADLINE = [
     "text_unigram_nll",
     "mixture_resample_langs",
     "funnel_view_click_purchase",
+    "funnel_bounded_day",
     "cohort_retention_weekly",
     "dedup_incremental_index",
     # corpus quality / scrubbing additions (r2 cont.)

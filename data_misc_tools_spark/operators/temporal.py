@@ -179,6 +179,115 @@ def funnel_counts(
     ).selectExpr("cast(stage AS int) AS stage", "cast(n_users AS bigint) AS n_users")
 
 
+def funnel_stages_bounded(
+    df: DataFrame,
+    steps: list[str],
+    max_gap_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-bounded ordered funnel: how far each user progresses
+    through ``steps`` when every consecutive step must land within
+    ``max_gap_s`` seconds of the previous one — the product-analytics
+    form ("clicked within a day of viewing"), where the unbounded
+    :func:`funnel_stages` overcounts by pairing a January view with a
+    June purchase.
+
+    GREEDY-EARLIEST IS WRONG here (view@0, view@10, click@12 at
+    gap 5: greedy anchors on view@0 and misses the feasible
+    view@10→click@12 chain), so the fold is the correct reachability
+    DP instead: state = the LATEST FEASIBLE completion time per
+    stage; an event of step s at time t completes s iff stage s−1 has
+    a feasible completion in [t−gap, t) — and since the constraint is
+    a lower bound, the latest completion is the only one that
+    matters. Events arrive time-sorted, so each update keeps the
+    per-stage maximum for free, and non-null stages form a prefix
+    (stage s needs s−1 first) — funnel_stage = count of non-nulls.
+
+    Same scale shape as funnel_stages: pre-filter to step types, ONE
+    user-keyed shuffle, a Catalyst array_sort + aggregate fold over
+    (ts, id, type) structs — pure JVM, one scan, never a
+    join-per-stage plan.
+
+    Output: (user_col, funnel_stage) with stage in [0, len(steps)].
+    """
+    if max_gap_s <= 0:
+        raise ValueError("max_gap_s must be positive")
+    k = len(steps)
+    if k < 2:
+        raise ValueError("need at least two steps")
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).cast("long").alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("y"),
+        ).alias("__e"),
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def step_fn(acc, e):
+        pos = F.array_position(steps_lit, e.y)  # 1-based
+        prev = F.element_at(acc, (pos - 1).cast("int"))
+        ok = F.when(pos == 1, F.lit(True)).otherwise(
+            prev.isNotNull()
+            & (e.t > prev)
+            & (e.t - prev <= F.lit(int(max_gap_s)))
+        )
+        return F.transform(
+            acc,
+            lambda v, i: F.when((i + 1 == pos) & ok, e.t).otherwise(v),
+        )
+
+    folded = (
+        ev.groupBy(user_col)
+        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
+        .select(
+            F.col(user_col),
+            F.aggregate(F.col("__evs"), init, step_fn).alias("__st"),
+        )
+        .select(
+            user_col,
+            F.size(F.filter(F.col("__st"), lambda v: v.isNotNull()))
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )
+    return folded
+
+
+def funnel_counts_bounded(
+    df: DataFrame,
+    steps: list[str],
+    max_gap_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bounded-funnel conversion table: (stage, n_users) counting
+    users reaching AT LEAST each stage under the gap constraint —
+    :func:`funnel_counts`' shape over :func:`funnel_stages_bounded`.
+    """
+    st = funnel_stages_bounded(
+        df, steps, max_gap_s, user_col, ts_col, type_col, id_col
+    )
+    aggs = [
+        F.sum((F.col("funnel_stage") >= i).cast("long")).alias(f"__n{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    wide = st.agg(*aggs)
+    stack_args = ", ".join(f"{i}, __n{i}" for i in range(1, len(steps) + 1))
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (stage, n_users)"
+    ).selectExpr(
+        "cast(stage AS int) AS stage", "cast(n_users AS bigint) AS n_users"
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",

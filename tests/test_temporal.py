@@ -659,6 +659,99 @@ class TestEwmaSmooth:
             ewma_smooth(df, "o", "x")
 
 
+class TestFunnelBounded:
+    STEPS = ["view", "click", "purchase"]
+
+    def _py_stage(self, evs, gap):
+        """Latest-feasible-completion DP over time-sorted events."""
+        latest = [None] * len(self.STEPS)
+        for t, _, y in sorted(evs):
+            s = self.STEPS.index(y)
+            if s == 0:
+                latest[0] = t
+            elif (
+                latest[s - 1] is not None
+                and t > latest[s - 1]
+                and t - latest[s - 1] <= gap
+            ):
+                latest[s] = t
+        stage = 0
+        for v in latest:
+            if v is None:
+                break
+            stage += 1
+        return stage
+
+    def test_greedy_counterexample_recovers_chain(self, spark):
+        """view@0, view@10, click@12 at gap 5: greedy-earliest anchors
+        on view@0 and fails; the DP finds view@10 -> click@12."""
+        import datetime as dt
+
+        from data_misc_tools_spark.operators.temporal import (
+            funnel_stages_bounded,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, 1, "view"),
+            (1, base + dt.timedelta(seconds=10), 2, "view"),
+            (1, base + dt.timedelta(seconds=12), 3, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        got = funnel_stages_bounded(df, self.STEPS, max_gap_s=5).collect()
+        assert got[0]["funnel_stage"] == 2
+
+    def test_matches_python_dp_on_random_streams(self, spark):
+        import datetime as dt
+        import random
+
+        from data_misc_tools_spark.operators.temporal import (
+            funnel_stages_bounded,
+        )
+
+        rng = random.Random(23)
+        base = dt.datetime(2024, 1, 1)
+        rows, by_user = [], {}
+        eid = 0
+        for u in range(60):
+            for _ in range(rng.randrange(1, 15)):
+                t = rng.randrange(0, 500)
+                y = rng.choice(self.STEPS)
+                eid += 1
+                rows.append(
+                    (u, base + dt.timedelta(seconds=t), eid, y)
+                )
+                by_user.setdefault(u, []).append((t, eid, y))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        gap = 60
+        got = {
+            r["user_id"]: r["funnel_stage"]
+            for r in funnel_stages_bounded(df, self.STEPS, gap).collect()
+        }
+        for u, evs in by_user.items():
+            assert got[u] == self._py_stage(evs, gap), u
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import (
+            funnel_stages_bounded,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, 1, "view")],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+        with _pytest.raises(ValueError, match="max_gap_s"):
+            funnel_stages_bounded(df, self.STEPS, 0)
+        with _pytest.raises(ValueError, match="two steps"):
+            funnel_stages_bounded(df, ["view"], 10)
+
+
 class TestHoltSmooth:
     @staticmethod
     def _tdiv(num, den):

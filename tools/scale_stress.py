@@ -360,6 +360,8 @@ STRESS = {
     "term_dispersion_docs": "linear",
     # Neyman: one stratum aggregate + a codebook-sized window
     "neyman_alloc_events": "linear",
+    # bounded funnel: the funnel fold with DP state (same shuffle)
+    "funnel_bounded_day": "linearithmic",
 }
 
 
