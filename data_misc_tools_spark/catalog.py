@@ -10004,6 +10004,65 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "trend_activity_purchase",
+    """
+    WITH u AS (
+        SELECT user_id, count(*)::BIGINT AS c,
+               max((event_type = 'purchase')::BIGINT)::BIGINT AS s
+        FROM events GROUP BY 1
+    ),
+    b AS (
+        SELECT CASE WHEN c <= 2 THEN 1 WHEN c <= 5 THEN 2
+                    WHEN c <= 10 THEN 3 ELSE 4 END AS w, s
+        FROM u
+    ),
+    per AS (SELECT w, count(*)::BIGINT AS n, sum(s)::BIGINT AS r
+            FROM b GROUP BY 1),
+    a AS (
+        SELECT count(*)::BIGINT AS k_levels,
+               sum(n)::HUGEINT AS nn, sum(r)::HUGEINT AS rr,
+               sum(w::HUGEINT * r)::HUGEINT AS swr,
+               sum(w::HUGEINT * n)::HUGEINT AS swn,
+               sum(w::HUGEINT * w * n)::HUGEINT AS sw2n
+        FROM per
+    )
+    SELECT k_levels, nn::BIGINT AS n_total, rr::BIGINT AS r_total,
+           (nn * swr - rr * swn)::BIGINT AS num,
+           CASE WHEN rr * (nn - rr) * (nn * sw2n - swn * swn) > 0 THEN
+               (nn * swr - rr * swn)::DOUBLE
+               / sqrt((rr * (nn - rr) * (nn * sw2n - swn * swn))::DOUBLE
+                      / nn::DOUBLE)
+           END AS z
+    FROM a
+    """,
+)
+def trend_activity_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage dose-response: does purchase propensity rise
+    MONOTONICALLY with user activity (fixed buckets 1-2/3-5/6-10/11+
+    events)? One degree of freedom against the ordered alternative —
+    the trend power a 2×k chi-square wastes. z is one pinned IEEE
+    chain over exact decimal(38,0)/HUGEINT sums, UNROUNDED. See
+    operators/profile.py:cochran_armitage."""
+    from data_misc_tools_spark.operators.profile import cochran_armitage
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    u = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("s"),
+    )
+    b = u.select(
+        F.when(F.col("c") <= 2, 1)
+        .when(F.col("c") <= 5, 2)
+        .when(F.col("c") <= 10, 3)
+        .otherwise(4)
+        .cast("long")
+        .alias("w"),
+        F.col("s"),
+    )
+    return cochran_armitage(b, "w", "s")
+
+
+@_q(
     "neyman_alloc_events",
     """
     WITH base AS (
@@ -12474,8 +12533,8 @@ def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH scored AS (
         SELECT (lang = 'en') AS y,
-               CASE WHEN n_chars < 700 THEN 'short'
-                    WHEN n_chars < 1400 THEN 'mid'
+               CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 350 THEN 'mid'
                     ELSE 'long' END AS grp,
                len(list_filter(string_split(lower(text), ' '),
                    x -> x IN ('the','a','of','and','to','in','is','it',
@@ -12514,7 +12573,8 @@ def sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fairness_stopword_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slice-fairness audit of the stopword en-detector ACROSS
-    DOC-LENGTH buckets (fixed cutoffs 700/1400 chars) at the 10%
+    DOC-LENGTH buckets (fixed cutoffs 200/350 chars — the corpus runs
+    44-577 chars, so all three buckets populate) at the 10%
     threshold — the curation-governance gate beside k_anonymity /
     t_closeness: a filter whose selection rate (demographic parity)
     or TPR/FPR (equalized odds) differ by slice silently reshapes the
@@ -12533,8 +12593,8 @@ def fairness_stopword_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = (
         d.select(
             (F.col("lang") == "en").alias("y"),
-            F.when(F.col("n_chars") < 700, "short")
-            .when(F.col("n_chars") < 1400, "mid")
+            F.when(F.col("n_chars") < 200, "short")
+            .when(F.col("n_chars") < 350, "mid")
             .otherwise("long")
             .alias("grp"),
             hits.alias("__h"),
@@ -13376,7 +13436,7 @@ def bmp_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
            8::BIGINT AS bits_per_sample,
            1::BIGINT AS compression,
            (8 + doc_id % 512 + doc_id % 4)::BIGINT AS last_width
-    FROM documents
+    FROM documents WHERE doc_id < 1000
     """,
 )
 def tiff_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13390,15 +13450,17 @@ def tiff_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk visited EVERY page, not just the first; the oracle derives
     all fields arithmetically from the synthesis formula, so any
     byte-slip in writer or reader (entry stride, pointer placement,
-    LE reads) fails the hash. See operators/multimodal.py:
-    tiff_image_meta / synthetic_tiff."""
+    LE reads) fails the hash. Demo pinned to doc_id < 1000: the walk
+    is interpreted-HOF per byte (the audio-fingerprint cost class) —
+    ~1.3 ms/doc even after the entries-read-once optimization. See
+    operators/multimodal.py: tiff_image_meta / synthetic_tiff."""
     from data_misc_tools_spark.operators.multimodal import (
         synthetic_tiff,
         tiff_image_meta,
     )
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    blobs = d.select(
+    blobs = d.filter(F.col("doc_id") < 1000).select(
         "doc_id",
         synthetic_tiff(
             width=F.lit(8) + F.col("doc_id") % 512,
@@ -13994,8 +14056,8 @@ GRADED_FIRST: list[str] = [
     # holt_linear_daily; funnel_view_click_purchase for
     # funnel_bounded_day)
     "sessionize_events",
-    # [dedup]
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
+    # [dedup] (dedup_exact rotated out for trend_activity_purchase)
+    "dedup_minhash_lsh", "dedup_ppjoin",
     "dedup_repeated_ngrams",
     # [similarity / ANN]
     "embedding_neardup", "kmeans_embeddings", "margin_mine_pairs",
@@ -14032,6 +14094,9 @@ GRADED_FIRST: list[str] = [
     # time-bounded funnel (reachability DP); displaces the unbounded
     # funnel re-pin
     "funnel_bounded_day",
+    # Cochran-Armitage dose-response trend; displaces the dedup_exact
+    # re-pin
+    "trend_activity_purchase",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;

@@ -147,6 +147,67 @@ def pearson_exact(
     )
 
 
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test (Cochran 1954; Armitage 1955) for
+    a binary outcome against ORDERED integer scores — the
+    dose-response gate the 2×k chi-square can't give: chi-square asks
+    "are the rates different anywhere", this asks "do they INCREASE
+    with the score", one degree of freedom, far more power against
+    monotone alternatives. The monotone-propensity companion to
+    mann_kendall (metric trends) and ab_chi_square (2×2).
+
+    Statistic (no continuity/finite-population correction; the exact
+    convention is pinned in the docstring formula and tests):
+
+        N·T   = N·Σᵢ wᵢrᵢ − R·Σᵢ wᵢnᵢ                    (exact int)
+        N²Var = R·(N−R)·(N·Σnᵢwᵢ² − (Σnᵢwᵢ)²) / N
+        z     = N·T / √(N²Var)
+
+    Engine-exact by the pearson_exact template: every Σ is a
+    decimal(38,0) integer; z is ONE pinned IEEE chain over their
+    double conversions (num / sqrt(prod / N)), emitted UNROUNDED —
+    identical bits in both engines. Degenerate inputs (all successes,
+    all failures, or a single score level) yield z NULL via
+    try_divide.
+
+    Scale shape: one score-keyed aggregate (bounded score levels)
+    plus one 1-row reduction. Output: one row — (k_levels, n_total,
+    r_total, num, z).
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(score_col).cast("long").alias("w"),
+        F.col(success_col).cast("boolean").cast("long").alias("s"),
+    )
+    per = base.groupBy("w").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("r"),
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("k_levels"),
+        F.sum("n").cast(dec).alias("nn"),
+        F.sum("r").cast(dec).alias("rr"),
+        F.sum(F.col("w").cast(dec) * F.col("r")).alias("swr"),
+        F.sum(F.col("w").cast(dec) * F.col("n")).alias("swn"),
+        F.sum(F.col("w").cast(dec) * F.col("w") * F.col("n")).alias("sw2n"),
+    )
+    return agg.selectExpr(
+        "k_levels",
+        "cast(nn as long) AS n_total",
+        "cast(rr as long) AS r_total",
+        "cast(nn * swr - rr * swn as long) AS num",
+        """try_divide(
+             cast(nn * swr - rr * swn as double),
+             sqrt(cast(rr * (nn - rr) * (nn * sw2n - swn * swn) as double)
+                  / cast(nn as double))
+           ) AS z""",
+    )
+
+
 def rmst_report(km: DataFrame, tau: int) -> DataFrame:
     """Restricted mean survival time (Royston & Parmar 2013 for the
     modern case; the estimand is ∫₀^τ S(t)dt) over a

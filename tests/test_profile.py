@@ -1130,6 +1130,68 @@ class TestDidReport:
         assert r.m_t_pre is None and r.did is None
 
 
+class TestCochranArmitage:
+    def _py(self, rows):
+        import math
+
+        per = {}
+        for w, s in rows:
+            d = per.setdefault(w, [0, 0])
+            d[0] += 1
+            d[1] += s
+        N = sum(n for n, _ in per.values())
+        R = sum(r for _, r in per.values())
+        swr = sum(w * r for w, (_, r) in per.items())
+        swn = sum(w * n for w, (n, _) in per.items())
+        sw2n = sum(w * w * n for w, (n, _) in per.items())
+        num = N * swr - R * swn
+        var = R * (N - R) * (N * sw2n - swn * swn)
+        z = None if var <= 0 else num / math.sqrt(var / N)
+        return num, z
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import cochran_armitage
+
+        rng = random.Random(31)
+        rows = [
+            (w, 1 if rng.random() < 0.1 + 0.15 * w else 0)
+            for w in (1, 2, 3, 4)
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "w long, s long")
+        r = cochran_armitage(df, "w", "s").collect()[0]
+        num, z = self._py(rows)
+        assert r["num"] == num
+        assert r["z"] == z  # bit-exact: same pinned IEEE chain
+        assert r["z"] > 5  # the planted monotone trend is detected
+        assert r["k_levels"] == 4
+
+    def test_flat_rates_near_zero_and_degenerate_null(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import cochran_armitage
+
+        rng = random.Random(7)
+        rows = [
+            (w, 1 if rng.random() < 0.3 else 0)
+            for w in (1, 2, 3)
+            for _ in range(800)
+        ]
+        df = spark.createDataFrame(rows, "w long, s long")
+        r = cochran_armitage(df, "w", "s").collect()[0]
+        assert abs(r["z"]) < 2.5  # no trend planted
+        # all-success: variance factor R(N-R) = 0 -> NULL
+        allsucc = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "w long, s long"
+        )
+        assert cochran_armitage(allsucc, "w", "s").collect()[0]["z"] is None
+        # single score level: N*sw2n - swn^2 = 0 -> NULL
+        one = spark.createDataFrame([(2, 1), (2, 0)], "w long, s long")
+        assert cochran_armitage(one, "w", "s").collect()[0]["z"] is None
+
+
 class TestRmstReport:
     def test_step_integral_matches_python(self, spark):
         import math

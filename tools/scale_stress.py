@@ -362,6 +362,8 @@ STRESS = {
     "neyman_alloc_events": "linear",
     # bounded funnel: the funnel fold with DP state (same shuffle)
     "funnel_bounded_day": "linearithmic",
+    # Cochran-Armitage: one user rollup + a bounded-level aggregate
+    "trend_activity_purchase": "linear",
 }
 
 
