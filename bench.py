@@ -209,6 +209,7 @@ HEADLINE = [
     # statistics, margin mining, positional phrase search, per-node
     # clustering coefficients, HITS, TF-IDF keywords, Benford audit
     "mannwhitney_u_value",
+    "kruskal_value_by_type",
     "ks_purchase_click_value",
     "assoc_rules_brands",
     "item_cf_events",

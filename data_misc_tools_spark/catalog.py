@@ -10004,6 +10004,57 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kruskal_value_by_type",
+    """
+    WITH base AS (
+        SELECT event_type AS g, round(value * 100)::BIGINT AS v FROM events
+    ),
+    cells AS (SELECT g, v, count(*)::BIGINT AS cg FROM base GROUP BY 1, 2),
+    pooled AS (SELECT v, count(*)::BIGINT AS c FROM base GROUP BY 1),
+    cum AS (SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cum_c
+            FROM pooled),
+    tots AS (SELECT sum(c)::HUGEINT AS nn,
+                    sum(c::HUGEINT * c * c - c)::HUGEINT AS tie_t
+             FROM pooled),
+    r2 AS (
+        SELECT g, sum(cg)::BIGINT AS n_g,
+               sum(cg::HUGEINT * (2 * (cum_c - c) + c + 1))::HUGEINT AS r2
+        FROM cells JOIN cum USING (v) GROUP BY g
+    ),
+    terms AS (
+        SELECT g, n_g, r2::BIGINT AS r2_g,
+               ((2 * 1000000 * 3 * r2 * r2 + nn * (nn + 1) * n_g)
+                // (2 * nn * (nn + 1) * n_g))::BIGINT AS h_term_e6
+        FROM r2 CROSS JOIN tots
+    ),
+    hs AS (
+        SELECT sum(h_term_e6)::HUGEINT - 3 * (nn + 1) * 1000000 AS h_num,
+               nn * nn * nn - nn AS n3n, tie_t
+        FROM terms CROSS JOIN tots GROUP BY nn, tie_t
+    )
+    SELECT g AS "group", n_g, r2_g, h_term_e6,
+           CASE WHEN n3n - tie_t > 0 THEN h_num::BIGINT END AS h_e6,
+           CASE WHEN n3n - tie_t > 0 THEN
+               ((2 * h_num * n3n + (n3n - tie_t))
+                // (2 * (n3n - tie_t)))::BIGINT
+           END AS h_corr_e6
+    FROM terms CROSS JOIN hs ORDER BY "group"
+    """,
+)
+def kruskal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the five event types' value
+    distributions — the k-group omnibus in front of pairwise
+    Mann–Whitney: doubled tied ranks keep every statistic an exact
+    integer, per-group H contributions exit as half-up e6 rows, and
+    the tie-corrected H is one more exact integer division. See
+    operators/profile.py:kruskal_wallis."""
+    from data_misc_tools_spark.operators.profile import kruskal_wallis
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return kruskal_wallis(e, "event_type", "value", scale=100)
+
+
+@_q(
     "trend_activity_purchase",
     """
     WITH u AS (
@@ -14056,9 +14107,9 @@ GRADED_FIRST: list[str] = [
     # holt_linear_daily; funnel_view_click_purchase for
     # funnel_bounded_day)
     "sessionize_events",
-    # [dedup] (dedup_exact rotated out for trend_activity_purchase)
-    "dedup_minhash_lsh", "dedup_ppjoin",
-    "dedup_repeated_ngrams",
+    # [dedup] (dedup_exact rotated out for trend_activity_purchase;
+    # dedup_minhash_lsh for kruskal)
+    "dedup_ppjoin", "dedup_repeated_ngrams",
     # [similarity / ANN]
     "embedding_neardup", "kmeans_embeddings", "margin_mine_pairs",
     "semdedup_embeddings",
@@ -14097,6 +14148,8 @@ GRADED_FIRST: list[str] = [
     # Cochran-Armitage dose-response trend; displaces the dedup_exact
     # re-pin
     "trend_activity_purchase",
+    # Kruskal-Wallis k-group omnibus; displaces the minhash re-pin
+    "kruskal_value_by_type",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;

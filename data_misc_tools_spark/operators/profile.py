@@ -147,6 +147,101 @@ def pearson_exact(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Kruskal–Wallis H (Kruskal & Wallis 1952) — Mann–Whitney's
+    k-group extension: "do ANY of these groups' distributions sit
+    higher than the others", rank-based, outlier-robust, the test to
+    run before k·(k−1)/2 pairwise U tests. H ~ χ²(k−1) under H0.
+
+    Exact-integer route (the spearman doubled-rank trick): tied
+    average ranks double to integers (2·avgrank = 2·prefix + c + 1),
+    so per-group doubled rank sums R2_g, N, and the tie term
+    T = Σ(t³−t) are exact decimal(38,0) integers. Every per-group H
+    contribution h_g = 3·R2_g²/(N(N+1)·n_g) is ONE half-up e6
+    integer (per-group rows, the benford no-float-sum-order rule);
+    h_e6 = Σ h_term_e6 − 3(N+1)·1e6 is then an EXACT integer sum
+    (error ≤ k/2 micro-units), and the tie correction
+    H/(1 − T/(N³−N)) = H·(N³−N)/(N³−N−T) is one more half-up integer
+    division — no float accumulation exists anywhere. R2² bounds the
+    path at ~1e9 rows (decimal38); beyond that Spark raises rather
+    than mis-reporting. All-tied inputs yield NULL h values.
+
+    Scale shape: one (group, value) census + one pooled value census
+    with a range-partitioned prefix sum (global_cumsum — never a
+    single-reducer window), a value-keyed join, then k-row
+    arithmetic. Output: one row per group —
+    (group, n_g, r2_g, h_term_e6, h_e6, h_corr_e6) — h_e6/h_corr_e6
+    repeated per row (the mad_outlier convention), ordered by group.
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("v"),
+    )
+    cells = base.groupBy("g", "v").agg(
+        F.count("*").cast("long").alias("cg")
+    )
+    pooled = base.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    pooled = global_cumsum(pooled, [F.col("v")], ["c"])
+    tots = pooled.agg(
+        F.sum("c").cast(dec).alias("nn"),
+        F.sum(
+            (F.col("c").cast(dec)) * F.col("c") * F.col("c") - F.col("c")
+        ).cast(dec).alias("tie_t"),
+    )
+    r2 = (
+        cells.join(
+            pooled.selectExpr("v", "c", "cum_c - c AS s"), "v"
+        )
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(
+                (F.col("cg").cast(dec))
+                * (2 * F.col("s") + F.col("c") + 1)
+            ).cast(dec).alias("r2"),
+        )
+    )
+    terms = r2.crossJoin(F.broadcast(tots)).selectExpr(
+        "g AS group", "n_g", "cast(r2 as long) AS r2_g", "nn", "tie_t",
+        """cast((2 * 1000000 * 3 * r2 * r2
+                 + nn * (nn + 1) * n_g)
+                div (2 * nn * (nn + 1) * n_g) as long) AS h_term_e6""",
+    )
+    hsum = terms.agg(
+        F.sum("h_term_e6").cast("long").alias("__hs"),
+        F.first("nn").alias("__n"),
+        F.first("tie_t").alias("__t"),
+    ).selectExpr(
+        "cast(__hs - 3 * (cast(__n as decimal(38,0)) + 1) * 1000000 "
+        "as decimal(38,0)) AS h_num",
+        "cast(__n as decimal(38,0)) * __n * __n - __n AS n3n",
+        "__t AS tie_t2",
+    )
+    return (
+        terms.crossJoin(F.broadcast(hsum))
+        .selectExpr(
+            "group", "n_g", "r2_g", "h_term_e6",
+            """CASE WHEN n3n - tie_t2 > 0 THEN cast(h_num as long) END
+               AS h_e6""",
+            """CASE WHEN n3n - tie_t2 > 0 THEN
+                 cast((2 * h_num * n3n + (n3n - tie_t2))
+                      div (2 * (n3n - tie_t2)) as long)
+               END AS h_corr_e6""",
+        )
+        .orderBy("group")
+    )
+
+
 def cochran_armitage(
     df: DataFrame,
     score_col: str,

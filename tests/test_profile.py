@@ -1130,6 +1130,65 @@ class TestDidReport:
         assert r.m_t_pre is None and r.did is None
 
 
+class TestKruskalWallis:
+    def test_matches_python_reference_and_scipy_formula(self, spark):
+        import random
+        from fractions import Fraction
+
+        from data_misc_tools_spark.operators.profile import kruskal_wallis
+
+        rng = random.Random(41)
+        rows = []
+        for g, shift in (("a", 0.0), ("b", 2.0), ("c", 8.0)):
+            rows += [
+                (g, round(rng.uniform(0, 20) + shift, 2)) for _ in range(400)
+            ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r["group"]: r for r in kruskal_wallis(df, "g", "v").collect()}
+
+        # exact python reference with Fractions
+        vals = sorted({round(v * 100) for _, v in rows})
+        pooled = {x: sum(1 for _, v in rows if round(v * 100) == x)
+                  for x in vals}
+        cum = 0
+        start = {}
+        for x in vals:
+            start[x] = cum
+            cum += pooled[x]
+        N = len(rows)
+        T = sum(c**3 - c for c in pooled.values())
+        hsum = Fraction(0)
+        for g in ("a", "b", "c"):
+            xs = [round(v * 100) for gg, v in rows if gg == g]
+            r2 = sum(2 * start[x] + pooled[x] + 1 for x in xs)
+            n_g = len(xs)
+            assert got[g]["n_g"] == n_g and got[g]["r2_g"] == r2
+            h_term = Fraction(3 * r2 * r2, N * (N + 1) * n_g)
+            e6 = (2 * 10**6 * h_term.numerator + h_term.denominator) // (
+                2 * h_term.denominator
+            )
+            assert got[g]["h_term_e6"] == e6
+        h_num = sum(got[g]["h_term_e6"] for g in ("a", "b", "c")) - 3 * (
+            N + 1
+        ) * 10**6
+        n3n = N**3 - N
+        corr = (2 * h_num * n3n + (n3n - T)) // (2 * (n3n - T))
+        any_row = got["a"]
+        assert any_row["h_e6"] == h_num
+        assert any_row["h_corr_e6"] == corr
+        # the planted shift is large: H far above the chi2(2) critical
+        assert any_row["h_corr_e6"] > 50 * 10**6
+
+    def test_all_tied_yields_null(self, spark):
+        from data_misc_tools_spark.operators.profile import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double"
+        )
+        for r in kruskal_wallis(df, "g", "v").collect():
+            assert r["h_e6"] is None and r["h_corr_e6"] is None
+
+
 class TestCochranArmitage:
     def _py(self, rows):
         import math

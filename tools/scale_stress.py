@@ -364,6 +364,8 @@ STRESS = {
     "funnel_bounded_day": "linearithmic",
     # Cochran-Armitage: one user rollup + a bounded-level aggregate
     "trend_activity_purchase": "linear",
+    # Kruskal-Wallis: value censuses + one prefix sum (the MW shape)
+    "kruskal_value_by_type": "linearithmic",
 }
 
 
