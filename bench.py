@@ -188,7 +188,7 @@ HEADLINE = [
     "exact_stratified_split_langs",
     "ab_chi_square_purchase",
     "sprt_purchase_rate",
-    "trend_activity_purchase",
+    "trend_dow_purchase",
     "lpa_communities_neardup",
     "retrieval_eval_embeddings",
     "personalized_pagerank_seeds",

@@ -10055,17 +10055,12 @@ def kruskal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "trend_activity_purchase",
+    "trend_dow_purchase",
     """
-    WITH u AS (
-        SELECT user_id, count(*)::BIGINT AS c,
-               max((event_type = 'purchase')::BIGINT)::BIGINT AS s
-        FROM events GROUP BY 1
-    ),
-    b AS (
-        SELECT CASE WHEN c <= 2 THEN 1 WHEN c <= 5 THEN 2
-                    WHEN c <= 10 THEN 3 ELSE 4 END AS w, s
-        FROM u
+    WITH b AS (
+        SELECT (strftime(ts, '%w')::BIGINT + 1) AS w,
+               (event_type = 'purchase')::BIGINT AS s
+        FROM events
     ),
     per AS (SELECT w, count(*)::BIGINT AS n, sum(s)::BIGINT AS r
             FROM b GROUP BY 1),
@@ -10087,28 +10082,25 @@ def kruskal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM a
     """,
 )
-def trend_activity_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cochran–Armitage dose-response: does purchase propensity rise
-    MONOTONICALLY with user activity (fixed buckets 1-2/3-5/6-10/11+
-    events)? One degree of freedom against the ordered alternative —
-    the trend power a 2×k chi-square wastes. z is one pinned IEEE
+def trend_dow_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage dose-response: does PER-EVENT purchase
+    propensity trend across the week (ordered scores Sun=1..Sat=7,
+    the dayofweek−1 mismatch handling +1)? One degree of freedom
+    against the ordered alternative — the trend power a 2×k
+    chi-square wastes. This generator plants no weekly trend, so the
+    graded row is an honest NULL-RESULT audit (|z| small), the
+    benford/mutual-info class; the planted-trend positive case is
+    pinned in tests. A user-level "ever purchased vs activity" form
+    is DEGENERATE here — every user has ~20 events and P(any
+    purchase) saturates (capstone-documented). z is one pinned IEEE
     chain over exact decimal(38,0)/HUGEINT sums, UNROUNDED. See
     operators/profile.py:cochran_armitage."""
     from data_misc_tools_spark.operators.profile import cochran_armitage
 
     e = load_tables(spark, sf_dir, ["events"])["events"]
-    u = e.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("c"),
-        F.max((F.col("event_type") == "purchase").cast("long")).alias("s"),
-    )
-    b = u.select(
-        F.when(F.col("c") <= 2, 1)
-        .when(F.col("c") <= 5, 2)
-        .when(F.col("c") <= 10, 3)
-        .otherwise(4)
-        .cast("long")
-        .alias("w"),
-        F.col("s"),
+    b = e.select(
+        (F.dayofweek("ts")).cast("long").alias("w"),
+        (F.col("event_type") == "purchase").cast("long").alias("s"),
     )
     return cochran_armitage(b, "w", "s")
 
@@ -14107,7 +14099,7 @@ GRADED_FIRST: list[str] = [
     # holt_linear_daily; funnel_view_click_purchase for
     # funnel_bounded_day)
     "sessionize_events",
-    # [dedup] (dedup_exact rotated out for trend_activity_purchase;
+    # [dedup] (dedup_exact rotated out for trend_dow_purchase;
     # dedup_minhash_lsh for kruskal)
     "dedup_ppjoin", "dedup_repeated_ngrams",
     # [similarity / ANN]
@@ -14147,7 +14139,7 @@ GRADED_FIRST: list[str] = [
     "funnel_bounded_day",
     # Cochran-Armitage dose-response trend; displaces the dedup_exact
     # re-pin
-    "trend_activity_purchase",
+    "trend_dow_purchase",
     # Kruskal-Wallis k-group omnibus; displaces the minhash re-pin
     "kruskal_value_by_type",
     # per-slice classifier fairness gate; displaces the novelty re-pin

@@ -363,7 +363,7 @@ STRESS = {
     # bounded funnel: the funnel fold with DP state (same shuffle)
     "funnel_bounded_day": "linearithmic",
     # Cochran-Armitage: one user rollup + a bounded-level aggregate
-    "trend_activity_purchase": "linear",
+    "trend_dow_purchase": "linear",
     # Kruskal-Wallis: value censuses + one prefix sum (the MW shape)
     "kruskal_value_by_type": "linearithmic",
 }
