@@ -210,6 +210,7 @@ HEADLINE = [
     # clustering coefficients, HITS, TF-IDF keywords, Benford audit
     "mannwhitney_u_value",
     "kruskal_value_by_type",
+    "bf_variance_by_type",
     "ks_purchase_click_value",
     "assoc_rules_brands",
     "item_cf_events",

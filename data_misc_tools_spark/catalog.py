@@ -10004,6 +10004,69 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bf_variance_by_type",
+    """
+    WITH base AS (
+        SELECT event_type AS g, round(value * 100)::BIGINT AS x FROM events
+    ),
+    census AS (SELECT g, x, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+    cum AS (SELECT g, x, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum
+            FROM census),
+    ngs AS (SELECT g, sum(c)::BIGINT AS n_g FROM census GROUP BY 1),
+    med AS (
+        SELECT cum.g, min(x)::BIGINT AS med
+        FROM cum JOIN ngs USING (g)
+        WHERE cum >= (n_g + 1) // 2
+        GROUP BY cum.g
+    ),
+    z AS (SELECT base.g, abs(x - med)::BIGINT AS z
+          FROM base JOIN med USING (g)),
+    stats AS (
+        SELECT g, count(*)::BIGINT AS n_g,
+               sum(z::HUGEINT)::HUGEINT AS s,
+               sum(z::HUGEINT * z)::HUGEINT AS q
+        FROM z GROUP BY g
+    ),
+    terms AS (
+        SELECT g, n_g, s, q,
+               ((2 * 1000000 * s * s + n_g) // (2 * n_g))::HUGEINT AS b_term
+        FROM stats
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS k, sum(n_g)::HUGEINT AS nn,
+               sum(q)::HUGEINT AS q_tot, sum(b_term)::HUGEINT AS b,
+               ((2 * 1000000 * sum(s) * sum(s) + sum(n_g))
+                // (2 * sum(n_g)))::HUGEINT AS grand_e6
+        FROM terms
+    )
+    SELECT terms.g AS "group", terms.n_g, med.med AS median_scaled,
+           b_term::BIGINT AS b_term_e6,
+           CASE WHEN k >= 2 AND 1000000 * q_tot - b > 0 THEN
+               ((nn - k) * (b - grand_e6))::DOUBLE
+               / ((k - 1) * (1000000 * q_tot - b))::DOUBLE
+           END AS f_stat
+    FROM terms JOIN med USING (g) CROSS JOIN tot
+    ORDER BY "group"
+    """,
+)
+def bf_variance_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-equality across the five event types'
+    value distributions — the SPREAD member of the test battery
+    (welch = means, kruskal = rank locations, this = scales), run
+    before trusting any means comparison. Values are exchangeable
+    across types here, so F stays near 1 (the honest-null class
+    beside kruskal_value_by_type). Per-group medians off
+    group-partitioned census cumsums; per-group between-terms as
+    half-up e6 rows; F one pinned IEEE division of exact integers,
+    UNROUNDED. See operators/profile.py:brown_forsythe."""
+    from data_misc_tools_spark.operators.profile import brown_forsythe
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return brown_forsythe(e, "event_type", "value", scale=100)
+
+
+@_q(
     "kruskal_value_by_type",
     """
     WITH base AS (
@@ -14108,8 +14171,9 @@ GRADED_FIRST: list[str] = [
     # [retrieval] (tfidf rotated out for bm25f)
     "bm25_search_topk", "ql_dirichlet_search",
     # [text quality / analysis] (ngram_novelty rotated out for
-    # fairness_stopword_length; chunk_documents for term_dispersion)
-    "text_quality", "gopher_filter_demo",
+    # fairness_stopword_length; chunk_documents for term_dispersion;
+    # gopher for bf_variance)
+    "text_quality",
     # [graph] (lpa rotated out for harmonic_neardup_k3)
     "triangle_count_neardup",
     # all-pairs Pearson matrix in one aggregate; displaces the
@@ -14142,6 +14206,9 @@ GRADED_FIRST: list[str] = [
     "trend_dow_purchase",
     # Kruskal-Wallis k-group omnibus; displaces the minhash re-pin
     "kruskal_value_by_type",
+    # Brown-Forsythe spread-equality (the battery's scale member);
+    # displaces the gopher re-pin
+    "bf_variance_by_type",
     # per-slice classifier fairness gate; displaces the novelty re-pin
     "fairness_stopword_length",
     # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;

@@ -147,6 +147,102 @@ def pearson_exact(
     )
 
 
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Brown–Forsythe variance-equality test (Brown & Forsythe 1974;
+    Levene's test with the MEDIAN center, the robust form): one-way
+    ANOVA F on the absolute deviations z = |x − median_group| — "do
+    these groups differ in SPREAD", the homogeneity gate to run
+    before trusting a means test, robust where classic Bartlett
+    shatters on heavy tails. Completes the battery: welch (means),
+    kruskal (locations, rank), THIS (scales).
+
+    Exact-integer route: per-group lower medians come off a
+    group-partitioned value-census cumsum (the mad_outlier order
+    statistic); deviations are exact integers; each group's
+    between-term S_g²/n_g exits as ONE half-up e6 integer (per-group
+    rows — the kruskal convention), so B = Σ b_term_e6 is an exact
+    integer sum, num_e6 = B − e6·S²/N and den_e6 = e6·ΣQ − B are
+    exact integers, and F = ((N−k)·num)/((k−1)·den) is ONE IEEE
+    division — emitted UNROUNDED, bit-identical across engines.
+    Degenerate inputs (k < 2 or zero within-group spread) yield F
+    NULL via try_divide/guards.
+
+    Scale shape: one (group, value) census with group-partitioned
+    cumsums (parallel over groups), medians broadcast back, one
+    deviation aggregate, k-row arithmetic. Output: one row per group
+    — (group, n_g, median_scaled, b_term_e6, f_stat) with f_stat
+    repeated (the mad convention), ordered by group.
+    """
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long")
+        .alias("x"),
+    )
+    census = base.groupBy("g", "x").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("g").orderBy("x")
+    cum = census.withColumn("cum", F.sum("c").over(w))
+    ngs = census.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    med = (
+        cum.join(F.broadcast(ngs), "g")
+        .filter(F.col("cum") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("g")
+        .agg(F.min("x").alias("med"), F.first("n_g").alias("n_g"))
+    )
+    z = base.join(F.broadcast(med.select("g", "med")), "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    stats = z.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum(F.col("z").cast(dec)).alias("s"),
+        F.sum(F.col("z").cast(dec) * F.col("z")).alias("q"),
+    )
+    terms = stats.selectExpr(
+        "g", "n_g", "s", "q",
+        "cast((2 * 1000000 * s * s + n_g) div (2 * n_g) as decimal(38,0))"
+        " AS b_term",
+    )
+    tot = terms.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast(dec).alias("nn"),
+        F.sum("s").cast(dec).alias("s_tot"),
+        F.sum("q").cast(dec).alias("q_tot"),
+        F.sum("b_term").cast(dec).alias("b"),
+    ).selectExpr(
+        "k", "nn", "q_tot", "b",
+        "cast((2 * 1000000 * s_tot * s_tot + nn) div (2 * nn) "
+        "as decimal(38,0)) AS grand_e6",
+    )
+    med_out = med.selectExpr("g", "med AS median_scaled")
+    return (
+        terms.join(F.broadcast(med_out), "g")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "g AS group", "n_g", "median_scaled",
+            "cast(b_term as long) AS b_term_e6",
+            # den can go epsilon-NEGATIVE on zero within-spread (B's
+            # half-up terms overshoot e6*Q by <= k/2): guard > 0, not
+            # just != 0, so the degenerate case is NULL, not a huge
+            # negative F
+            """CASE WHEN k >= 2 AND 1000000 * q_tot - b > 0 THEN
+                 cast((nn - k) * (b - grand_e6) as double)
+                 / cast((k - 1) * (1000000 * q_tot - b) as double)
+               END AS f_stat""",
+        )
+        .orderBy("group")
+    )
+
+
 def kruskal_wallis(
     df: DataFrame,
     group_col: str,

@@ -1130,6 +1130,73 @@ class TestDidReport:
         assert r.m_t_pre is None and r.did is None
 
 
+class TestBrownForsythe:
+    def test_matches_python_reference_and_detects_spread(self, spark):
+        import random
+        from fractions import Fraction
+
+        from data_misc_tools_spark.operators.profile import brown_forsythe
+
+        rng = random.Random(53)
+        rows = []
+        for g, spread in (("a", 3.0), ("b", 3.0), ("c", 30.0)):
+            rows += [
+                (g, round(10.0 + rng.uniform(-spread, spread), 2))
+                for _ in range(400)
+            ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r["group"]: r for r in brown_forsythe(df, "g", "v").collect()}
+
+        by = {}
+        for g, v in rows:
+            by.setdefault(g, []).append(round(v * 100))
+        B = 0
+        S_tot = Q_tot = N = 0
+        for g, xs in by.items():
+            xs_sorted = sorted(xs)
+            med = xs_sorted[(len(xs) + 1) // 2 - 1]
+            assert got[g]["median_scaled"] == med
+            z = [abs(x - med) for x in xs]
+            s, q, n = sum(z), sum(x * x for x in z), len(z)
+            bt = (2 * 10**6 * s * s + n) // (2 * n)
+            assert got[g]["b_term_e6"] == bt
+            B += bt
+            S_tot += s
+            Q_tot += q
+            N += n
+        k = len(by)
+        grand = (2 * 10**6 * S_tot * S_tot + N) // (2 * N)
+        f = ((N - k) * (B - grand)) / ((k - 1) * (10**6 * Q_tot - B))
+        assert got["a"]["f_stat"] == f  # bit-exact pinned chain
+        assert f > 10  # the planted 10x-spread group is detected
+
+    def test_equal_spreads_near_one_and_degenerate_null(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import brown_forsythe
+
+        rng = random.Random(9)
+        rows = [
+            (g, round(rng.uniform(0, 10), 2))
+            for g in ("a", "b", "c")
+            for _ in range(600)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        f = brown_forsythe(df, "g", "v").collect()[0]["f_stat"]
+        assert f is not None and 0 <= f < 4  # no spread difference planted
+        # zero within-group spread -> NULL, not a huge negative F
+        dfx = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)],
+            "g string, v double",
+        )
+        assert brown_forsythe(dfx, "g", "v").collect()[0]["f_stat"] is None
+        # single group -> k < 2 -> NULL
+        one = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0)], "g string, v double"
+        )
+        assert brown_forsythe(one, "g", "v").collect()[0]["f_stat"] is None
+
+
 class TestKruskalWallis:
     def test_matches_python_reference_and_scipy_formula(self, spark):
         import random

@@ -366,6 +366,8 @@ STRESS = {
     "trend_dow_purchase": "linear",
     # Kruskal-Wallis: value censuses + one prefix sum (the MW shape)
     "kruskal_value_by_type": "linearithmic",
+    # Brown-Forsythe: group-partitioned census cumsums + one agg
+    "bf_variance_by_type": "linearithmic",
 }
 
 
