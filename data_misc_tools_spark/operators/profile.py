@@ -193,12 +193,15 @@ def brown_forsythe(
     w = Window.partitionBy("g").orderBy("x")
     cum = census.withColumn("cum", F.sum("c").over(w))
     ngs = census.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    # the k-row medians feed the deviation pass AND the final join;
+    # the k-row terms feed the totals AND the final join — checkpoint
+    # both bounded frames or each reference replays the census scan
     med = (
         cum.join(F.broadcast(ngs), "g")
         .filter(F.col("cum") >= F.expr("(n_g + 1) div 2"))
         .groupBy("g")
         .agg(F.min("x").alias("med"), F.first("n_g").alias("n_g"))
-    )
+    ).localCheckpoint()
     z = base.join(F.broadcast(med.select("g", "med")), "g").select(
         "g", F.abs(F.col("x") - F.col("med")).alias("z")
     )
@@ -211,7 +214,7 @@ def brown_forsythe(
         "g", "n_g", "s", "q",
         "cast((2 * 1000000 * s * s + n_g) div (2 * n_g) as decimal(38,0))"
         " AS b_term",
-    )
+    ).localCheckpoint()
     tot = terms.agg(
         F.count("*").cast("long").alias("k"),
         F.sum("n_g").cast(dec).alias("nn"),
@@ -287,7 +290,9 @@ def kruskal_wallis(
         F.count("*").cast("long").alias("cg")
     )
     pooled = base.groupBy("v").agg(F.count("*").cast("long").alias("c"))
-    pooled = global_cumsum(pooled, [F.col("v")], ["c"])
+    # the pooled census feeds the totals AND the rank join: checkpoint
+    # the bounded distinct-value frame or both references re-scan
+    pooled = global_cumsum(pooled, [F.col("v")], ["c"]).localCheckpoint()
     tots = pooled.agg(
         F.sum("c").cast(dec).alias("nn"),
         F.sum(

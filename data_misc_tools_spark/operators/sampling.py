@@ -621,11 +621,14 @@ def neyman_allocation(
         .cast("long")
         .alias("x"),
     )
+    # the strata frame feeds the total AND the allocation join:
+    # checkpoint the k-row aggregate or each reference re-scans the
+    # input (2 full scans measured in the plan pin)
     g = base.groupBy("stratum").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum((F.col("x").cast(dec)) * F.col("x")).alias("sxx"),
-    )
+    ).localCheckpoint()
     stats = g.selectExpr(
         "stratum", "n_rows",
         # exact-integer scatter -> double -> IEEE sqrt -> e6 round:

@@ -1594,9 +1594,13 @@ def term_dispersion(
         F.size(tokens(text_col)).cast("long").alias("len"),
         F.explode(tokens(text_col)).alias("word"),
     )
+    # the (doc, word) census feeds the per-word rollup AND the
+    # deviation sum; the per-word frame feeds scoring AND the
+    # deviation join — checkpoint both (the tfidf shared-tf lesson)
+    # or each consumer replays the corpus explode
     cell = toks.groupBy(id_col, "word").agg(
         F.count("*").cast("long").alias("c"), F.max("len").alias("len")
-    )
+    ).localCheckpoint()
     tot = (
         df.select(F.size(tokens(text_col)).cast("long").alias("len"))
         .agg(F.sum("len").cast("long").alias("corpus_len"))
@@ -1610,6 +1614,7 @@ def term_dispersion(
             F.sum("len").cast("long").alias("len_occ"),
             F.first("corpus_len").alias("corpus_len"),
         )
+        .localCheckpoint()
     )
     scored = per_word.selectExpr(
         "word", "tf", "n_docs_w", "len_occ", "corpus_len",

@@ -358,6 +358,81 @@ def test_sprt_rollup_then_bounded_window(spark, sf_dir):
     assert "Window" in plan
 
 
+_PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
+
+
+def test_kruskal_and_bf_censuses_stay_partitioned(spark, sf_dir):
+    """kruskal: the pooled cumsum is range-partitioned via
+    global_cumsum and the CHECKPOINTED census truncates the lineage
+    (its two consumers must not replay the scan); bf: cumsums are
+    GROUP-partitioned. Neither plan may grow a cartesian or
+    Python-eval op."""
+    p1 = _plan(spark, "kruskal_value_by_type", sf_dir)
+    assert "CartesianProduct" not in p1
+    for m in _PY_MARKERS:
+        assert m not in p1
+    p2 = _plan(spark, "bf_variance_by_type", sf_dir)
+    assert "CartesianProduct" not in p2
+    for m in _PY_MARKERS:
+        assert m not in p2
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p2):
+        head = spec.split(",")[0].strip()
+        assert not head.endswith("ASC NULLS FIRST"), (
+            "unpartitioned window in bf plan: " + spec
+        )
+
+
+def test_trend_and_neyman_single_scan_shapes(spark, sf_dir):
+    """trend: one event scan into a bounded-level aggregate chain;
+    neyman: the strata aggregate is CHECKPOINTED so its two consumers
+    (totals + allocation) share one scan — the pin that caught the
+    pre-checkpoint double scan."""
+    p1 = _plan(spark, "trend_dow_purchase", sf_dir)
+    assert p1.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in p1
+    for m in _PY_MARKERS:
+        assert m not in p1
+    p2 = _plan(spark, "neyman_alloc_events", sf_dir)
+    assert p2.count("Scan parquet") == 0  # checkpoint truncates both
+    assert "SortMergeJoin" not in p2
+
+
+def test_funnel_bounded_single_user_shuffle(spark, sf_dir):
+    """funnel_bounded_day: ONE scan, one user-keyed shuffle into the
+    Catalyst DP fold — never a join-per-stage plan."""
+    plan = _plan(spark, "funnel_bounded_day", sf_dir)
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    for m in _PY_MARKERS:
+        assert m not in plan
+
+
+def test_term_dispersion_no_grid_no_cartesian(spark, sf_dir):
+    """term_dispersion: the absent-doc mass rides totals — no grid
+    over (doc, word) absences; the shared census/per-word frames are
+    checkpointed so the corpus explode runs once."""
+    plan = _plan(spark, "term_dispersion_docs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 0  # checkpoints truncate
+    for m in _PY_MARKERS:
+        assert m not in plan
+
+
+def test_rmst_and_holt_bounded_shapes(spark, sf_dir):
+    """rmst: windows over the per-duration KM frame; holt: the
+    VALUES LocalRelation exit (driver recursion over the bounded
+    rollup) — no RDD hop."""
+    p1 = _plan(spark, "rmst_purchase_gap", sf_dir)
+    assert "CartesianProduct" not in p1
+    for m in _PY_MARKERS:
+        assert m not in p1
+    p2 = _plan(spark, "holt_linear_daily", sf_dir)
+    assert "LocalTableScan" in p2
+    assert "Scan ExistingRDD" not in p2
+
+
 def test_repeated_ngrams_no_cartesian_no_python(spark, sf_dir):
     """dedup_repeated_ngrams: gram census + coverage joins are hash
     equi-joins; zero Python ops (all higher-order Catalyst)."""
