@@ -10043,7 +10043,7 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT terms.g AS "group", terms.n_g, med.med AS median_scaled,
            b_term::BIGINT AS b_term_e6,
            CASE WHEN k >= 2 AND 1000000 * q_tot - b > 0 THEN
-               ((nn - k) * (b - grand_e6))::DOUBLE
+               ((nn - k) * greatest(b - grand_e6, 0::HUGEINT))::DOUBLE
                / ((k - 1) * (1000000 * q_tot - b))::DOUBLE
            END AS f_stat
     FROM terms JOIN med USING (g) CROSS JOIN tot
@@ -10196,9 +10196,9 @@ def trend_dow_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tt AS (SELECT sum(weight)::HUGEINT AS w_tot FROM wt),
     j AS (
-        SELECT stratum, n_rows, sd_e6, weight::BIGINT AS weight,
-               ((1000 * weight) // w_tot)::BIGINT AS b,
-               ((1000 * weight) % w_tot)::BIGINT AS r
+        SELECT stratum, n_rows, sd_e6, weight,
+               ((1000::HUGEINT * weight) // w_tot)::BIGINT AS b,
+               ((1000::HUGEINT * weight) % w_tot)::HUGEINT AS r
         FROM wt CROSS JOIN tt
     ),
     k AS (
@@ -10206,7 +10206,7 @@ def trend_dow_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT 1000 - sum(b) FROM j) AS leftover
         FROM j
     )
-    SELECT stratum, n_rows, sd_e6, weight,
+    SELECT stratum, n_rows, sd_e6, weight::BIGINT AS weight,
            (b + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc_n
     FROM k ORDER BY stratum
     """,

@@ -236,9 +236,12 @@ def brown_forsythe(
             # den can go epsilon-NEGATIVE on zero within-spread (B's
             # half-up terms overshoot e6*Q by <= k/2): guard > 0, not
             # just != 0, so the degenerate case is NULL, not a huge
-            # negative F
+            # negative F. num has the mirror problem on zero BETWEEN-
+            # group spread (b - grand_e6 in [-k/2, k/2] micro-units):
+            # clamp at 0 so F stays in range (ADVICE r8)
             """CASE WHEN k >= 2 AND 1000000 * q_tot - b > 0 THEN
-                 cast((nn - k) * (b - grand_e6) as double)
+                 cast((nn - k) * greatest(b - grand_e6,
+                                          cast(0 as decimal(38,0))) as double)
                  / cast((k - 1) * (1000000 * q_tot - b) as double)
                END AS f_stat""",
         )
@@ -312,12 +315,15 @@ def kruskal_wallis(
             ).cast(dec).alias("r2"),
         )
     )
+    # the k-row terms frame feeds the hsum aggregate AND the final
+    # crossJoin: checkpoint the bounded frame or both references
+    # replay the cells census and its events scan (ADVICE r8)
     terms = r2.crossJoin(F.broadcast(tots)).selectExpr(
         "g AS group", "n_g", "cast(r2 as long) AS r2_g", "nn", "tie_t",
         """cast((2 * 1000000 * 3 * r2 * r2
                  + nn * (nn + 1) * n_g)
                 div (2 * nn * (nn + 1) * n_g) as long) AS h_term_e6""",
-    )
+    ).localCheckpoint()
     hsum = terms.agg(
         F.sum("h_term_e6").cast("long").alias("__hs"),
         F.first("nn").alias("__n"),

@@ -647,12 +647,16 @@ def neyman_allocation(
     )
     tot = stats.agg(F.sum("weight").cast(dec).alias("w_tot"))
     j = stats.crossJoin(F.broadcast(tot))
+    # total_n * weight stays decimal(38,0) (weight = n_rows * sd_e6
+    # reaches ~5e15 at 10x and the product would overflow BIGINT —
+    # ADVICE r8); the remainder stays decimal too (it is bounded by
+    # w_tot, not by total_n); only the output columns narrow to long
     j = j.selectExpr(
-        "stratum", "n_rows", "sd_e6", "cast(weight as long) AS weight",
-        f"CASE WHEN w_tot > 0 THEN cast(({t} * weight) div w_tot as long) "
-        "END AS __base",
-        f"CASE WHEN w_tot > 0 THEN cast(({t} * weight) % w_tot as long) "
-        "END AS __rem",
+        "stratum", "n_rows", "sd_e6", "cast(weight as long) AS __w_long",
+        f"CASE WHEN w_tot > 0 THEN cast((cast({t} as decimal(38,0)) "
+        "* weight) div w_tot as long) END AS __base",
+        f"CASE WHEN w_tot > 0 THEN cast((cast({t} as decimal(38,0)) "
+        f"* weight) % w_tot as {dec}) END AS __rem",
     )
     w_rank = Window.orderBy(F.desc("__rem"), "stratum")
     w_all = Window.partitionBy()
@@ -660,7 +664,7 @@ def neyman_allocation(
         j.withColumn("__rk", F.row_number().over(w_rank).cast("long"))
         .withColumn("__left", F.lit(t) - F.sum("__base").over(w_all))
         .selectExpr(
-            "stratum", "n_rows", "sd_e6", "weight",
+            "stratum", "n_rows", "sd_e6", "__w_long AS weight",
             "cast(__base + CASE WHEN __rk <= __left THEN 1 ELSE 0 END "
             "as long) AS alloc_n",
             "__base IS NULL AS __bad",

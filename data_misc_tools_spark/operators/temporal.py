@@ -206,6 +206,18 @@ def funnel_stages_bounded(
     per-stage maximum for free, and non-null stages form a prefix
     (stage s needs s−1 first) — funnel_stage = count of non-nulls.
 
+    TIED TIMESTAMPS: the chain constraint is STRICTLY increasing
+    time, so an event at time t must see only completions strictly
+    before t — a same-second stage-(s−1) update must be invisible to
+    a same-second stage-s event (view@a, view@b, click@b: the click
+    chains off view@a, and view@b must not shadow it). Each stage
+    therefore carries TWO completion times: ``lt`` (latest overall)
+    and ``pt`` (latest strictly before ``lt``); a check at time t
+    reads ``lt`` when ``lt < t``, else ``pt`` — by time-sortedness
+    that is exactly the latest completion strictly before t. The
+    DuckDB oracle's exists-join (``c.t > v.t AND c.t - v.t <= gap``)
+    counts the same chains.
+
     Same scale shape as funnel_stages: pre-filter to step types, ONE
     user-keyed shuffle, a Catalyst array_sort + aggregate fold over
     (ts, id, type) structs — pure JVM, one scan, never a
@@ -227,11 +239,20 @@ def funnel_stages_bounded(
             F.col(type_col).alias("y"),
         ).alias("__e"),
     )
-    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+    null_t = F.lit(None).cast("long")
+    init = F.array(
+        *[
+            F.struct(null_t.alias("lt"), null_t.alias("pt"))
+            for _ in range(k)
+        ]
+    )
 
     def step_fn(acc, e):
         pos = F.array_position(steps_lit, e.y)  # 1-based
-        prev = F.element_at(acc, (pos - 1).cast("int"))
+        ps = F.element_at(acc, (pos - 1).cast("int"))
+        # Latest completion of stage pos-1 STRICTLY before e.t (events
+        # are time-sorted, so lt <= e.t always; lt == e.t -> use pt).
+        prev = F.when(ps["lt"] < e.t, ps["lt"]).otherwise(ps["pt"])
         ok = F.when(pos == 1, F.lit(True)).otherwise(
             prev.isNotNull()
             & (e.t > prev)
@@ -239,7 +260,10 @@ def funnel_stages_bounded(
         )
         return F.transform(
             acc,
-            lambda v, i: F.when((i + 1 == pos) & ok, e.t).otherwise(v),
+            lambda v, i: F.when(
+                (i + 1 == pos) & ok & (v["lt"].isNull() | (e.t > v["lt"])),
+                F.struct(e.t.alias("lt"), v["lt"].alias("pt")),
+            ).otherwise(v),
         )
 
     folded = (
@@ -251,7 +275,7 @@ def funnel_stages_bounded(
         )
         .select(
             user_col,
-            F.size(F.filter(F.col("__st"), lambda v: v.isNotNull()))
+            F.size(F.filter(F.col("__st"), lambda v: v["lt"].isNotNull()))
             .cast("int")
             .alias("funnel_stage"),
         )

@@ -371,6 +371,10 @@ def test_kruskal_and_bf_censuses_stay_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in p1
     for m in _PY_MARKERS:
         assert m not in p1
+    # the k-row terms frame is CHECKPOINTED (ADVICE r8): its two
+    # consumers (hsum + final join) must not replay the cells census
+    # — with pooled checkpointed too the final plan holds NO scans
+    assert p1.count("Scan parquet") == 0
     p2 = _plan(spark, "bf_variance_by_type", sf_dir)
     assert "CartesianProduct" not in p2
     for m in _PY_MARKERS:

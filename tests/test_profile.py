@@ -1196,6 +1196,33 @@ class TestBrownForsythe:
         )
         assert brown_forsythe(one, "g", "v").collect()[0]["f_stat"] is None
 
+    def test_zero_between_spread_clamps_to_zero(self, spark):
+        """ADVICE r8: with identical deviation multisets per group the
+        between-group numerator B - grand can be epsilon-negative
+        (half-up terms overshoot by <= k/2 micro-units) — the clamp
+        must emit F >= 0, never a tiny negative F."""
+        from data_misc_tools_spark.operators.profile import brown_forsythe
+
+        # group a and b have the SAME |x - median| multiset {0, 200}
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0)],
+            "g string, v double",
+        )
+        f = brown_forsythe(df, "g", "v").collect()[0]["f_stat"]
+        assert f == 0.0
+        # and on any random grouping F never exits the [0, inf) range
+        import random
+
+        rng = random.Random(4)
+        rows = [
+            (g, round(rng.uniform(0, 10), 2))
+            for g in ("a", "b", "c", "d", "e")
+            for _ in range(7)
+        ]
+        df2 = spark.createDataFrame(rows, "g string, v double")
+        for r in brown_forsythe(df2, "g", "v").collect():
+            assert r["f_stat"] is None or r["f_stat"] >= 0.0
+
 
 class TestKruskalWallis:
     def test_matches_python_reference_and_scipy_formula(self, spark):

@@ -663,24 +663,62 @@ class TestFunnelBounded:
     STEPS = ["view", "click", "purchase"]
 
     def _py_stage(self, evs, gap):
-        """Latest-feasible-completion DP over time-sorted events."""
+        """Exists-semantics reachability DP: chains are STRICTLY
+        increasing in time, so checks at time t read a snapshot of the
+        state from before t (same-second updates are invisible to
+        same-second events — the ADVICE r8 divergence)."""
+        from itertools import groupby
+
         latest = [None] * len(self.STEPS)
-        for t, _, y in sorted(evs):
-            s = self.STEPS.index(y)
-            if s == 0:
-                latest[0] = t
-            elif (
-                latest[s - 1] is not None
-                and t > latest[s - 1]
-                and t - latest[s - 1] <= gap
-            ):
-                latest[s] = t
+        for t, group in groupby(sorted(evs), key=lambda e: e[0]):
+            snap = list(latest)
+            for _, _, y in group:
+                s = self.STEPS.index(y)
+                if s == 0:
+                    latest[0] = t
+                elif (
+                    snap[s - 1] is not None
+                    and t > snap[s - 1]
+                    and t - snap[s - 1] <= gap
+                ):
+                    latest[s] = t
         stage = 0
         for v in latest:
             if v is None:
                 break
             stage += 1
         return stage
+
+    def test_tied_timestamp_view_does_not_shadow(self, spark):
+        """ADVICE r8: view@a, view@b, click@b (click id > view id) —
+        the same-second view must not overwrite the stage-1 anchor the
+        click chains off; the exists-join oracle counts stage 2."""
+        import datetime as dt
+
+        from data_misc_tools_spark.operators.temporal import (
+            funnel_stages_bounded,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        b = base + dt.timedelta(seconds=10)
+        rows = [
+            (1, base, 1, "view"),
+            (1, b, 2, "view"),
+            (1, b, 3, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        got = funnel_stages_bounded(df, self.STEPS, max_gap_s=60).collect()
+        assert got[0]["funnel_stage"] == 2
+        # And same-second chaining stays forbidden: click@b alone
+        # (no earlier view) must NOT complete stage 2 off view@b.
+        df2 = spark.createDataFrame(
+            [(1, b, 2, "view"), (1, b, 3, "click")],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+        got2 = funnel_stages_bounded(df2, self.STEPS, max_gap_s=60).collect()
+        assert got2[0]["funnel_stage"] == 1
 
     def test_greedy_counterexample_recovers_chain(self, spark):
         """view@0, view@10, click@12 at gap 5: greedy-earliest anchors
@@ -716,8 +754,11 @@ class TestFunnelBounded:
         rows, by_user = [], {}
         eid = 0
         for u in range(60):
+            # Half the users draw from a tight range so tied
+            # timestamps (the ADVICE r8 case) occur routinely.
+            hi = 500 if u % 2 == 0 else 20
             for _ in range(rng.randrange(1, 15)):
-                t = rng.randrange(0, 500)
+                t = rng.randrange(0, hi)
                 y = rng.choice(self.STEPS)
                 eid += 1
                 rows.append(
