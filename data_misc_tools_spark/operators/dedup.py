@@ -1224,39 +1224,76 @@ def lsh_parameter_plan(
     1 − (1 − s^r)^b over a similarity grid, plus the curve's EXACT
     half-probability threshold s* = (1 − 0.5^(1/b))^(1/r) (the
     textbook (1/b)^(1/r) is a rough overestimate at small b) —
-    together they say
-    which near-dup band a config actually catches and how many
-    false candidates it drags in below the target threshold.
+    together they say which near-dup band a config actually catches
+    and how many false candidates it drags in below the target
+    threshold.
 
-    Driver-side arithmetic on BOUNDED metadata (configs × grid — tens
-    of rows; the codebook-collect class), emitted as a VALUES
-    LocalRelation; rows-only in the catalog (the probability is a
-    float recursion with no engine-portable closed form — the fs_em
-    precedent). Pair it with :func:`threshold_sweep`, which measures
-    the same trade-off EMPIRICALLY on a scored sample.
+    ENGINE-EXACT (r9, promoted from rows-only): everything routes
+    through the repo's e6-ln/e6-exp idiom. 1 − s^r is the EXACT
+    integer ratio (1000^r − t^r)/1000^r (decimal(38,0) fold in Spark,
+    HUGEINT recursive CTE in the DuckDB twin — r ≤ 12 so 1000^r fits
+    both), cast-to-double per part then ONE IEEE division;
+    ln1m_e6 = round(1e6·ln(·)) per grid point (the nll/keyness
+    idiom); p_e6 = round(1e6·(1 − exp(b·ln1m_e6/1e6))) — exp of an
+    exact integer/1e6, the rmst precedent. s* runs the same chain off
+    the CONSTANT e6ln(½) = −693147: h_e6 = round(1e6·ln(1 −
+    exp(−693147/(b·1e6)))), s_star_e6 = round(1e6·exp(h_e6/(r·1e6))).
+    Grid arithmetic over configs×grid (tens of rows; bounded
+    metadata), all compute inside Spark SQL expressions.
 
-    Output: (bands, rows, s_permille, p_candidate, s_star) — one row
-    per (config, grid point).
+    Pair it with :func:`threshold_sweep`, which measures the same
+    trade-off EMPIRICALLY on a scored sample.
+
+    Output: (bands, rows_per_band, s_permille, p_e6, s_star_e6) — one
+    row per (config, grid point), integers.
     """
     if not configs:
         raise ValueError("need at least one (bands, rows) config")
-    grid = sorted(set(s_grid_permille or range(50, 1000, 50)))
-    out = []
+    grid = sorted(set(int(t) for t in (s_grid_permille or range(50, 1000, 50))))
+    if not grid or grid[0] < 1 or grid[-1] > 999:
+        raise ValueError("s grid must lie in [1, 999] permille")
+    rows = []
     for b, r in configs:
         b, r = int(b), int(r)
         if b < 1 or r < 1:
             raise ValueError(f"bad config ({b}, {r})")
-        s_star = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
-        for t in grid:
-            s = t / 1000.0
-            p = 1.0 - (1.0 - s**r) ** b
-            out.append((b, r, t, p, s_star))
-    vals = ", ".join(
-        f"({b}L, {r}L, {t}L, cast({p!r} as double), cast({ss!r} as double))"
-        for b, r, t, p, ss in out
+        if r > 12:
+            raise ValueError(
+                f"rows_per_band {r} > 12: 1000^r exceeds the exact "
+                "decimal(38,0)/HUGEINT range both engines share"
+            )
+        rows += [(b, r, t) for t in grid]
+    base = spark.createDataFrame(
+        rows, "bands long, rows_per_band long, s_permille long"
     )
-    return spark.sql(
-        "SELECT * FROM VALUES "
-        + vals
-        + " AS t(bands, rows, s_permille, p_candidate, s_star)"
+    dec = "decimal(38,0)"
+    return (
+        base.selectExpr(
+            "bands", "rows_per_band", "s_permille",
+            f"""aggregate(sequence(1L, rows_per_band),
+                          cast(1 as {dec}),
+                          (acc, i) -> cast(acc * s_permille as {dec}))
+                AS __num""",
+            f"""aggregate(sequence(1L, rows_per_band),
+                          cast(1 as {dec}),
+                          (acc, i) -> cast(acc * 1000 as {dec}))
+                AS __den""",
+        )
+        .selectExpr(
+            "bands", "rows_per_band", "s_permille",
+            """cast(round(ln(cast(__den - __num as double)
+                            / cast(__den as double)) * 1e6) as long)
+               AS __l""",
+            """cast(round(ln(1.0D - exp(-693147.0D
+                             / cast(bands * 1000000 as double))) * 1e6)
+                    as long) AS __h""",
+        )
+        .selectExpr(
+            "bands", "rows_per_band", "s_permille",
+            """cast(round((1.0D - exp(cast(bands * __l as double) / 1e6))
+                          * 1e6) as long) AS p_e6""",
+            """cast(round(exp(cast(__h as double)
+                              / cast(rows_per_band * 1000000 as double))
+                          * 1e6) as long) AS s_star_e6""",
+        )
     )

@@ -58,10 +58,18 @@ def queries_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame
     return spark.createDataFrame(queries, "query_id long, qtext string")
 
 
-def _toks(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _toks(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """(id, dl, tok) exploded tokens with the doc length riding along
-    (so downstream aggregates never join a doc-side table)."""
+    (so downstream aggregates never join a doc-side table).
+    ``extra_cols`` carry additional key columns through the explode
+    (the PRF mining pass rides query_id along)."""
     return docs.select(
+        *[F.col(c) for c in (extra_cols or [])],
         F.col(id_col),
         F.size(tokens(text_col)).cast("long").alias("dl"),
         F.explode(tokens(text_col)).alias("tok"),
@@ -289,8 +297,27 @@ def bm25_prf_topk(
     lineage (the pre-audit plan did exactly that: 40 exchanges).
     Per-tok df over the union is correct because the original and
     new token sets are DISJOINT (left_anti), so window partitions
-    never mix. Corpus scans: pass-1 tf, totals, fb-doc mining,
-    new-term tf — down from five, with zero duplicated subtrees.
+    never mix. Corpus scans: pass-1 tf, totals, new-term tf (the
+    fb-doc mining explode is pruned to the ~|Q|·fb_docs feedback
+    docs BEFORE the generator — Catalyst cannot push a join below
+    an explode, so the unpruned form exploded the full corpus to
+    keep ~50 docs).
+
+    WALL-CLOCK RECONCILIATION (r9, VERDICT r8 #1 — measured with
+    tools/measure_isolated.py, canary-paired, sf0.1): the r8 sweep
+    readings of 14-17 s are FIRST-EXPOSURE cost, not steady state —
+    first run 12.4 s construction + 3.5 s exec, warm runs ~5.5 s
+    construction + ~3.7 s exec (~9 s total). Construction is
+    dominated by physical planning of the three checkpoint subtrees
+    plus their eager jobs absorbing codegen/broadcast warm-up — the
+    nb_train accounting class: bench times construction, and a full
+    sweep runs every query exactly once (always cold). A same-session
+    A/B against the pre-audit lazy form shows the two are EQUAL warm
+    (8.1-9.0 s both, clean canaries); r7's 6.5 s record was a fast
+    host window, and a lazy-localCheckpoint variant moved no cost
+    (planning, not job scheduling, dominates). The a846eb9 commit's
+    "8.7 -> 7.5 s" claim was a single-shot same-session read —
+    superseded by this paired measurement.
 
     Output: (query_id, doc_id, rank, bm25) — bm25_topk's shape.
     """
@@ -303,9 +330,20 @@ def bm25_prf_topk(
     fb = _rank_scored_tf(tf1, qterms, corpus, fb_docs, id_col).select(
         "query_id", id_col
     )
+    # prune docs to the |Q|*fb_docs feedback set BEFORE exploding:
+    # Catalyst cannot push a join below a generator, so joining the
+    # exploded corpus against fb explodes ALL documents to keep ~50
+    # (r9 isolated-measurement finding — one of three full-corpus
+    # explodes, and the only avoidable one)
     cand = (
-        _toks(docs, text_col, id_col)
-        .join(F.broadcast(fb), id_col)
+        _toks(
+            docs.join(F.broadcast(fb), id_col).select(
+                "query_id", id_col, text_col
+            ),
+            text_col,
+            id_col,
+            extra_cols=["query_id"],
+        )
         .groupBy("query_id", "tok")
         .agg(F.sum(F.lit(1)).cast("long").alias("__w"))
         .join(qterms, ["query_id", "tok"], "left_anti")

@@ -786,31 +786,52 @@ class TestThresholdSweep:
 
 
 class TestLshParameterPlan:
-    def test_curves_match_formula_and_threshold(self, spark):
+    @staticmethod
+    def _ref(b, r, t):
+        """Python mirror of the e6 chain: the num/den ratio must be
+        float(num)/float(den) — two casts then one division, matching
+        both engines' decimal->double route — NOT exact bigint
+        true-division (one rounding)."""
+        import math
+
+        num = 1000**r - t**r
+        den = 1000**r
+        l_e6 = round(math.log(float(num) / float(den)) * 1e6)
+        p_e6 = round((1.0 - math.exp((b * l_e6) / 1e6)) * 1e6)
+        h_e6 = round(
+            math.log(1.0 - math.exp(-693147.0 / (b * 1_000_000))) * 1e6
+        )
+        s_star_e6 = round(math.exp(h_e6 / (r * 1_000_000)) * 1e6)
+        return p_e6, s_star_e6
+
+    def test_curves_match_e6_reference_and_threshold(self, spark):
         from data_misc_tools_spark.operators.dedup import lsh_parameter_plan
 
         rows = lsh_parameter_plan(spark, [(2, 4), (16, 8)]).collect()
-        for r in rows:
-            s = r["s_permille"] / 1000.0
-            assert r["p_candidate"] == 1.0 - (1.0 - s ** r["rows"]) ** r["bands"]
-            assert r["s_star"] == (
-                1.0 - 0.5 ** (1.0 / r["bands"])
-            ) ** (1.0 / r["rows"])
-        # the s-curve is monotone in s and crosses ~0.5 near s_star
+        for row in rows:
+            p_e6, s_star_e6 = self._ref(
+                row["bands"], row["rows_per_band"], row["s_permille"]
+            )
+            assert row["p_e6"] == p_e6
+            assert row["s_star_e6"] == s_star_e6
+        # the s-curve is monotone in s and crosses 0.5 near s_star
         for b, rr in ((2, 4), (16, 8)):
             curve = sorted(
-                (r["s_permille"], r["p_candidate"])
+                (r["s_permille"], r["p_e6"])
                 for r in rows
-                if r["bands"] == b and r["rows"] == rr
+                if r["bands"] == b and r["rows_per_band"] == rr
             )
             ps = [p for _, p in curve]
             assert ps == sorted(ps)
-            s_star = next(r["s_star"] for r in rows if r["bands"] == b
-                          and r["rows"] == rr)
-            below = [p for t, p in curve if t / 1000.0 < s_star - 0.05]
-            above = [p for t, p in curve if t / 1000.0 > s_star + 0.05]
-            assert all(p < 0.5 for p in below)
-            assert all(p > 0.5 for p in above)
+            s_star_e6 = next(
+                r["s_star_e6"]
+                for r in rows
+                if r["bands"] == b and r["rows_per_band"] == rr
+            )
+            below = [p for t, p in curve if t * 1000 < s_star_e6 - 50_000]
+            above = [p for t, p in curve if t * 1000 > s_star_e6 + 50_000]
+            assert all(p < 500_000 for p in below)
+            assert all(p > 500_000 for p in above)
 
     def test_guards(self, spark):
         import pytest as _pytest
@@ -821,3 +842,7 @@ class TestLshParameterPlan:
             lsh_parameter_plan(spark, [])
         with _pytest.raises(ValueError):
             lsh_parameter_plan(spark, [(0, 4)])
+        with _pytest.raises(ValueError, match="> 12"):
+            lsh_parameter_plan(spark, [(4, 16)])
+        with _pytest.raises(ValueError, match="permille"):
+            lsh_parameter_plan(spark, [(2, 4)], s_grid_permille=[1000])
