@@ -5295,6 +5295,38 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_query_index(e.limit(10), idx, k=5, n_probe=8)
 
 
+ROWS_ONLY.add("ivf_index_append_demo")
+
+
+@_q("ivf_index_append_demo")
+def ivf_index_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index lifecycle (VERDICT r8 #3): build the cell-partitioned
+    index over 80% of the embeddings, APPEND the remaining 20% without
+    retraining (frozen-centroid assignment — the MinHash-index append
+    standard applied to vectors), and return the drift report: per-cell
+    train-time baseline vs live counts plus mean e6 quantization error
+    — the "when to re-train" gate. All-integer output (counts, half-up
+    permille, e6 error means) so the report is deterministic; rows-only
+    because the KMeans cell layout is iterative/seeded, not
+    SQL-expressible (the embedding_pq_topk precedent). Append ==
+    frozen-model encoding and post-append partition pruning are pinned
+    in tests/test_similarity.py. See
+    operators/similarity.py:ivf_append_index / ivf_index_drift."""
+    import tempfile
+
+    from data_misc_tools_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        ivf_index_drift,
+    )
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    idx = tempfile.mkdtemp(prefix="ivf_app_")
+    ivf_build_index(e.filter(F.col("vec_id") % 5 != 0), idx, n_clusters=8)
+    ivf_append_index(e.filter(F.col("vec_id") % 5 == 0), idx)
+    return ivf_index_drift(spark, idx)
+
+
 @_q(
     "audio_meta_demo",
     """

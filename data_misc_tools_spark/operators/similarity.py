@@ -18,7 +18,7 @@ float32 so results are deterministic and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -482,9 +482,13 @@ def ivf_build_index(
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    corpus.sparkSession.createDataFrame(
+    centers_df = corpus.sparkSession.createDataFrame(
         centers, "cell int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    )
+    centers_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    # baseline per-cell stats AT TRAIN TIME: ivf_index_drift compares
+    # the live index against these to say when to re-train
+    _write_index_stats(assigned, centers_df, f"{path}/stats", vec_col)
 
 
 def ivf_append_index(
@@ -523,6 +527,110 @@ def ivf_append_index(
         .select(id_col, vec_col, "cell")
     )
     assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+
+
+def _qerr_e6(vec_col: str) -> Column:
+    """Per-row quantization error round(1e6 * ||v - center||^2) as a
+    LONG — integer so per-cell sums are accumulation-order-free (the
+    drift report must be deterministic)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            _dbl(F.col(vec_col)), F.col("center"), lambda a, c: (a - c) * (a - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * 1e6).cast("long")
+
+
+def _write_index_stats(
+    assigned: DataFrame, centers_df: DataFrame, stats_path: str, vec_col: str | None
+) -> None:
+    """Per-cell (n_rows, qerr_e6_sum) snapshot: the train-time
+    baseline :func:`ivf_index_drift` diffs against. ``vec_col`` None
+    (the PQ layout stores codes, not vectors) writes counts only."""
+    g = assigned.groupBy("cell")
+    if vec_col is not None:
+        stats = (
+            assigned.join(F.broadcast(centers_df), "cell")
+            .withColumn("__qe", _qerr_e6(vec_col))
+            .groupBy("cell")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("__qe").cast("long").alias("qerr_e6_sum"),
+            )
+        )
+    else:
+        stats = g.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.lit(None).cast("long").alias("qerr_e6_sum"),
+        )
+    stats.coalesce(1).write.mode("overwrite").parquet(stats_path)
+
+
+def ivf_index_drift(spark: SparkSession, path: str, vec_col: str | None = "embedding") -> DataFrame:
+    """Index-health report for a persisted IVF (or IVF-PQ) index: the
+    "when do I re-train" gate the append path needs (VERDICT r8 #3 —
+    the MinHash index lifecycle standard applied to vector indexes).
+
+    Compares the LIVE cells against the train-time baseline snapshot
+    ({path}/stats, written by the build): per-cell row growth says
+    whether appends have skewed the cell layout (a hot cell slows
+    every probe that hits it), and the mean quantization error delta
+    says whether the data has MOVED — new vectors landing far from
+    the centroids they are forced into (rising qerr == the centroids
+    no longer describe the corpus; re-train). Rule of thumb in the
+    docs: re-train when max growth_permille > 3000 (a cell tripled)
+    or mean_qerr_now/mean_qerr_base > ~1.3 on a large cell.
+
+    All metrics are integers (counts, half-up permille, e6 error
+    sums) so the report is deterministic and engine-portable. For the
+    PQ layout pass ``vec_col=None`` (codes, not vectors, are stored)
+    — the report then carries counts only.
+
+    Output: (cell, n_rows_base, n_rows_now, added, growth_permille,
+    mean_qerr_e6_base, mean_qerr_e6_now) ordered by cell.
+    """
+    base = spark.read.parquet(f"{path}/stats").selectExpr(
+        "cell", "n_rows AS n_rows_base", "qerr_e6_sum AS qerr_base_sum"
+    )
+    cells = spark.read.parquet(f"{path}/cells")
+    if vec_col is not None and vec_col in cells.columns:
+        centers_df = spark.read.parquet(f"{path}/centers")
+        now = (
+            cells.join(F.broadcast(centers_df), "cell")
+            .withColumn("__qe", _qerr_e6(vec_col))
+            .groupBy("cell")
+            .agg(
+                F.count("*").cast("long").alias("n_rows_now"),
+                F.sum("__qe").cast("long").alias("qerr_now_sum"),
+            )
+        )
+    else:
+        now = cells.groupBy("cell").agg(
+            F.count("*").cast("long").alias("n_rows_now"),
+            F.lit(None).cast("long").alias("qerr_now_sum"),
+        )
+    return (
+        base.join(now, "cell", "full_outer")
+        .selectExpr(
+            "cell",
+            "coalesce(n_rows_base, 0L) AS n_rows_base",
+            "coalesce(n_rows_now, 0L) AS n_rows_now",
+            "coalesce(n_rows_now, 0L) - coalesce(n_rows_base, 0L) AS added",
+            """CASE WHEN coalesce(n_rows_base, 0L) > 0 THEN
+                 (2 * 1000 * (coalesce(n_rows_now, 0L) - n_rows_base)
+                  + n_rows_base) div (2 * n_rows_base)
+               END AS growth_permille""",
+            """CASE WHEN n_rows_base > 0 AND qerr_base_sum IS NOT NULL THEN
+                 (2 * qerr_base_sum + n_rows_base) div (2 * n_rows_base)
+               END AS mean_qerr_e6_base""",
+            """CASE WHEN n_rows_now > 0 AND qerr_now_sum IS NOT NULL THEN
+                 (2 * qerr_now_sum + n_rows_now) div (2 * n_rows_now)
+               END AS mean_qerr_e6_now""",
+        )
+        .orderBy("cell")
+    )
 
 
 def ivf_query_index(
@@ -679,34 +787,22 @@ def pq_build_index(
     ]
 
     # --- distributed encoding: nearest sub-centroid per subspace ---
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__nv"]])
-            if residual:
-                mat = mat - centers_np[pdf["cell"].to_numpy()]
-            codes = np.empty((len(mat), m_subvectors), dtype=np.int64)
-            for j, cb in enumerate(books):
-                sub = mat[:, j * dsub : (j + 1) * dsub]
-                d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d.argmin(1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "codes": list(codes),
-                    "cell": pdf["cell"],
-                }
-            )
+    encode = _pq_encode_map(books, centers_np, residual, id_col, m_subvectors, dsub)
 
     assigned.mapInPandas(
         encode, schema=f"{id_col} long, codes array<long>, cell int"
     ).write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
 
-    spark.createDataFrame(
+    centers_out = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    )
+    centers_out.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    # train-time baseline (counts only — cells hold codes, not
+    # vectors, so qerr is not recomputable from the index)
+    _write_index_stats(
+        assigned.select(id_col, "cell"), centers_out, f"{path}/stats", None
+    )
     spark.createDataFrame(
         [
             (j, c, [float(x) for x in books[j][c]])
@@ -718,6 +814,107 @@ def pq_build_index(
     spark.createDataFrame(
         [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _pq_encode_map(books, centers_np, residual, id_col, m_subvectors, dsub):
+    """mapInPandas encoder shared by :func:`pq_build_index` and
+    :func:`pq_append_index`: nearest sub-centroid per subspace over
+    the (id, __nv, cell) frame. ``books`` is a LIST of per-subspace
+    codebook matrices (they may have fewer than n_codes rows when the
+    training sample had fewer distinct subvectors — a zero-padded
+    cube would win argmins it never trained)."""
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__nv"]])
+            if residual:
+                mat = mat - centers_np[pdf["cell"].to_numpy()]
+            codes = np.empty((len(mat), m_subvectors), dtype=np.int64)
+            for j in range(m_subvectors):
+                cb = books[j]
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    "cell": pdf["cell"],
+                }
+            )
+
+    return encode
+
+
+def pq_append_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to a persisted IVF-PQ index WITHOUT
+    retraining (VERDICT r8 #3 — the MinHash index lifecycle standard):
+    each vector is L2-normalized, assigned to its nearest FROZEN
+    centroid (squared Euclidean — the same rule KMeans.transform
+    applied at build), encoded with the FROZEN per-subspace codebooks,
+    and appended into that cell's partition. Only the batch is
+    touched; queries see old + new codes the moment the append
+    commits, and probe pruning still holds (new rows land in existing
+    cell partitions). Equality contract (pinned in tests): an
+    appended index is bit-identical to encoding the union under the
+    same frozen model. Monitor :func:`ivf_index_drift` (counts for
+    the PQ layout) to decide when accumulated drift warrants a
+    re-train."""
+    import numpy as np
+
+    spark = batch.sparkSession
+    centers_rows = sorted(
+        spark.read.parquet(f"{path}/centers").collect(), key=lambda r: r.cell
+    )
+    centers_df = spark.createDataFrame(
+        [(r.cell, [float(x) for x in r.center]) for r in centers_rows],
+        "cell int, center array<double>",
+    )
+    centers_np = np.array([r.center for r in centers_rows], dtype=np.float64)
+    try:
+        residual = bool(spark.read.parquet(f"{path}/meta").first().residual)
+    except Exception:
+        residual = False
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    m_sub = max(r.m for r in cb) + 1
+    dsub = len(cb[0].center)
+    books = []
+    for j in range(m_sub):
+        rows = sorted((r.code, list(r.center)) for r in cb if r.m == j)
+        books.append(np.array([c for _, c in rows], dtype=np.float64))
+
+    normed = batch.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__nv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("__nv"), F.col("center"), lambda a, c: (a - c) * (a - c)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("cell"))
+    assigned = (
+        normed.crossJoin(F.broadcast(centers_df))
+        .select(id_col, "__nv", "cell", dist2.alias("__d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__nv", "cell")
+    )
+    enc = _pq_encode_map(books, centers_np, residual, id_col, m_sub, dsub)
+    assigned.mapInPandas(
+        enc, schema=f"{id_col} long, codes array<long>, cell int"
+    ).write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
 
 
 def pq_query_index(
