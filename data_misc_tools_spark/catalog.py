@@ -722,7 +722,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_stats(_doubled_docs(spark, sf_dir))
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = _DOUBLED) -> str:
     from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
 
     perms = ", ".join(
@@ -733,7 +733,7 @@ def _minhash_oracle() -> str:
     WITH sh AS (
         SELECT d.doc_id,
                ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
-        FROM {_DOUBLED} d
+        FROM {source} d
         JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
         WHERE length(d.text) >= 5
     ),
@@ -760,6 +760,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidate_pairs(
         _doubled_docs(spark, sf_dir), num_perm=8, bands=4, k=5, portable_hash=True
     )
+
+
+@_q("dedup_stream_incremental", _minhash_oracle("documents"))
+def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING incremental-dedup pipeline end-to-end (VERDICT r8
+    #4), oracle-exact: documents split into three file batches stream
+    through foreachBatch — each micro-batch LSH-hashes ITSELF only,
+    queries the persisted MinHash index for cross-batch collisions,
+    merges edges into versioned CC labels incrementally, and appends
+    its bands to the index. Returned: the accumulated candidate-edge
+    log, which equals the FULL-CORPUS LSH pair set for any batch order
+    (a colliding pair lands internal to one batch or is found when the
+    later batch queries the index holding the earlier one) — so the
+    DuckDB twin is the portable-minhash pair SQL over the whole
+    documents table. Labels == full recompute is pinned in
+    tests/test_streaming.py. See streaming/incremental_dedup.py."""
+    import glob
+    import os
+    import tempfile
+
+    from data_misc_tools_spark.streaming.incremental_dedup import (
+        incremental_dedup_stream,
+        read_edges,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="incdedup_")
+    stage = os.path.join(work, "stage")
+    os.makedirs(stage)
+    n = 0
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{work}/chunk{i}"
+        )
+        for f in sorted(glob.glob(f"{work}/chunk{i}/*.parquet")):
+            os.symlink(f, f"{stage}/{n}.parquet")
+            n += 1
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = incremental_dedup_stream(
+        stream,
+        index_path=f"{work}/idx",
+        state_path=f"{work}/state",
+        checkpoint=f"{work}/ckpt",
+        portable_hash=True,
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_edges(spark, f"{work}/state").orderBy("doc_a", "doc_b")
 
 
 def _minhash_incremental_oracle() -> str:

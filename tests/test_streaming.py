@@ -1149,3 +1149,145 @@ class TestDriftStream:
             for r in psi_report(base, slice_df, "x", 10).collect()
         }
         assert got_terms == want_terms
+
+
+class TestIncrementalDedupStream:
+    """VERDICT r8 #4: the streaming incremental-dedup pipeline —
+    foreachBatch over a file stream -> minhash_index_append +
+    connected_components_incremental, replay == the batch incremental
+    pipeline == full recompute."""
+
+    DOCS = None  # built per test from the base sentence
+
+    @staticmethod
+    def _docs(spark):
+        base = "the quick brown fox jumps over the lazy dog and keeps running"
+        rows = [
+            (1, base),
+            (2, base),
+            (4, "completely different content about spark query engines instead"),
+            (3, base.replace("lazy", "sleepy")),
+            (6, "totally unrelated text that matches nothing else here"),
+            (7, base.replace("quick", "swift")),
+            (8, "completely different content about spark query engines instead"),
+        ]
+        return rows
+
+    def _stage(self, spark, tmp_path):
+        """Three single-file batches under one stream dir."""
+        import glob
+        import os
+
+        rows = self._docs(spark)
+        chunks = [rows[:3], rows[3:5], rows[5:]]
+        src = tmp_path / "docs"
+        src.mkdir()
+        for i, c in enumerate(chunks):
+            spark.createDataFrame(
+                c, "doc_id long, text string"
+            ).coalesce(1).write.parquet(str(src / f"chunk{i}"))
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        for i, f in enumerate(
+            sorted(glob.glob(str(src / "chunk*" / "*.parquet")))
+        ):
+            os.symlink(f, stage / f"{i}.parquet")
+        return stage, chunks
+
+    def test_replay_equals_batch_incremental_and_full_recompute(
+        self, spark, tmp_path
+    ):
+        from data_misc_tools_spark.operators import dedup as D
+        from data_misc_tools_spark.operators.cluster import (
+            connected_components,
+        )
+        from data_misc_tools_spark.streaming.incremental_dedup import (
+            incremental_dedup_stream,
+            read_edges,
+            read_labels,
+        )
+
+        stage, chunks = self._stage(spark, tmp_path)
+        schema = spark.read.parquet(str(stage)).schema
+        docs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one chunk per micro-batch
+            .parquet(str(stage))
+        )
+        q = incremental_dedup_stream(
+            docs,
+            index_path=str(tmp_path / "idx"),
+            state_path=str(tmp_path / "state"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got_labels = {
+            r.node: r.component
+            for r in read_labels(spark, str(tmp_path / "state")).collect()
+        }
+        got_edges = {
+            (r.doc_a, r.doc_b)
+            for r in read_edges(spark, str(tmp_path / "state")).collect()
+        }
+
+        full_corpus = spark.createDataFrame(
+            self._docs(spark), "doc_id long, text string"
+        )
+        full_pairs = D.minhash_candidate_pairs(full_corpus)
+        want_edges = {(r.doc_a, r.doc_b) for r in full_pairs.collect()}
+        assert got_edges == want_edges  # edge log == full-corpus LSH pairs
+
+        want_labels = {
+            r.node: r.component
+            for r in connected_components(
+                full_pairs, src="doc_a", dst="doc_b"
+            ).collect()
+        }
+        assert got_labels == want_labels  # incremental == full recompute
+        assert got_labels[8] == got_labels[4]  # cross-batch exact dup
+        assert got_labels[3] == got_labels[1]  # near dup joined cluster
+
+    def test_restart_with_same_checkpoint_is_a_noop(self, spark, tmp_path):
+        from data_misc_tools_spark.streaming.incremental_dedup import (
+            incremental_dedup_stream,
+            read_edges,
+            read_labels,
+        )
+        from data_misc_tools_spark.streaming.upsert import _current_version
+
+        stage, _ = self._stage(spark, tmp_path)
+        schema = spark.read.parquet(str(stage)).schema
+
+        def run():
+            docs = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(stage))
+            )
+            q = incremental_dedup_stream(
+                docs,
+                index_path=str(tmp_path / "idx"),
+                state_path=str(tmp_path / "state"),
+                checkpoint=str(tmp_path / "ckpt"),
+            )
+            q.awaitTermination(120)
+
+        run()
+        v1 = _current_version(spark, str(tmp_path / "state") + "/labels")
+        labels1 = sorted(
+            map(tuple, read_labels(spark, str(tmp_path / "state")).collect())
+        )
+        edges1 = sorted(
+            map(tuple, read_edges(spark, str(tmp_path / "state")).collect())
+        )
+        run()  # same checkpoint: no new input -> nothing changes
+        assert _current_version(
+            spark, str(tmp_path / "state") + "/labels"
+        ) == v1
+        assert sorted(
+            map(tuple, read_labels(spark, str(tmp_path / "state")).collect())
+        ) == labels1
+        assert sorted(
+            map(tuple, read_edges(spark, str(tmp_path / "state")).collect())
+        ) == edges1
