@@ -1355,6 +1355,199 @@ def synthetic_tiff(
     return F.unhex(F.concat(header, ifds))
 
 
+def exif_image_meta(payload: Column | str, max_entries: int = 16) -> Column:
+    """EXIF capture metadata through the TIFF IFD walk (VERDICT r8 #6)
+    — the two fields real image-corpus dedup keys on: Orientation
+    (tag 0x0112, inline SHORT in IFD0) and DateTimeOriginal (tag
+    0x9003 in the EXIF SUB-IFD, reached through the ExifIFD pointer
+    tag 0x8769). Two pointer KINDS beyond tiff_image_meta's next-IFD
+    chain: an entry whose VALUE is another IFD's offset, and an ASCII
+    entry whose value field is the offset of its 20-byte string (it
+    exceeds the 4 inline bytes).
+
+    Every level is let-bound (the audio-fingerprint idiom): IFD0's
+    entry array is read ONCE into (tag, typ, val) structs, the
+    Orientation/ExifIFD lookups are in-memory filters, the sub-IFD is
+    read once more, and the date string is one dynamic-offset
+    substring. Little-endian inline-value entries; non-TIFF payloads
+    and missing tags yield nulls.
+
+    Returns struct(format, width, height, orientation, dt_original).
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def u8(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast(
+            "long"
+        )
+
+    def le16(pos: Column) -> Column:
+        return u8(pos + 1) * 256 + u8(pos)
+
+    def le32(pos: Column) -> Column:
+        return le16(pos + 2) * 65536 + le16(pos)
+
+    def bind(cols: dict, fn) -> Column:
+        """Let-binding: evaluate each named expression ONCE, expose
+        them to fn as struct fields."""
+        return F.element_at(
+            F.transform(
+                F.array(F.struct(*[v.alias(k) for k, v in cols.items()])), fn
+            ),
+            1,
+        )
+
+    def scan(off: Column, cnt: Column) -> Column:
+        """The IFD's <= max_entries 12-byte entries as (tag, val)
+        structs; off is the 0-based IFD offset, cnt its entry count."""
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(max_entries - 1)),
+            lambda j: F.struct(
+                F.when(j < cnt, le16(off + 3 + j * 12))
+                .otherwise(F.lit(-1).cast("long"))
+                .alias("tag"),
+                F.when(j < cnt, le32(off + 11 + j * 12)).alias("val"),
+            ),
+        )
+
+    def tv(e: Column, tag: int) -> Column:
+        hits = F.filter(e, lambda x: x.getField("tag") == tag)
+        return F.when(
+            F.size(hits) > 0, F.element_at(hits, 1).getField("val")
+        ).cast("long")
+
+    meta = bind({"off": le32(F.lit(5))}, lambda s0: bind(
+        {
+            "off": s0.getField("off"),
+            "cnt": le16(s0.getField("off") + 1),
+        },
+        lambda s1: bind(
+            {"e": scan(s1.getField("off"), s1.getField("cnt"))},
+            lambda s2: bind(
+                {
+                    "w": tv(s2.getField("e"), 256),
+                    "h": tv(s2.getField("e"), 257),
+                    "ori": tv(s2.getField("e"), 274),
+                    "exo": tv(s2.getField("e"), 34665),
+                },
+                lambda s3: bind(
+                    {
+                        "w": s3.getField("w"),
+                        "h": s3.getField("h"),
+                        "ori": s3.getField("ori"),
+                        "exo": s3.getField("exo"),
+                        "cnt": F.when(
+                            s3.getField("exo") > 0,
+                            le16(s3.getField("exo") + 1),
+                        ),
+                    },
+                    lambda s4: bind(
+                        {
+                            "w": s4.getField("w"),
+                            "h": s4.getField("h"),
+                            "ori": s4.getField("ori"),
+                            "e": F.when(
+                                s4.getField("cnt").isNotNull(),
+                                scan(
+                                    s4.getField("exo"), s4.getField("cnt")
+                                ),
+                            ),
+                        },
+                        lambda s5: bind(
+                            {
+                                "w": s5.getField("w"),
+                                "h": s5.getField("h"),
+                                "ori": s5.getField("ori"),
+                                "dto": tv(s5.getField("e"), 36867),
+                            },
+                            lambda s6: F.struct(
+                                s6.getField("w").alias("w"),
+                                s6.getField("h").alias("h"),
+                                s6.getField("ori").alias("ori"),
+                                F.when(
+                                    s6.getField("dto").isNotNull(),
+                                    F.decode(
+                                        F.substring(
+                                            p,
+                                            (s6.getField("dto") + 1).cast(
+                                                "int"
+                                            ),
+                                            F.lit(19),
+                                        ),
+                                        "utf-8",
+                                    ),
+                                ).alias("dt"),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    ))
+    is_tiff = F.hex(F.substring(p, 1, 4)) == "49492A00"
+    return F.struct(
+        F.when(is_tiff, F.lit("tiff"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("format"),
+        F.when(is_tiff, meta.getField("w")).alias("width"),
+        F.when(is_tiff, meta.getField("h")).alias("height"),
+        F.when(is_tiff, meta.getField("ori")).alias("orientation"),
+        F.when(is_tiff, meta.getField("dt")).alias("dt_original"),
+    )
+
+
+def synthetic_exif(
+    width: Column,
+    height: Column,
+    orientation: Column,
+    dt_original: Column,
+) -> Column:
+    """Build a little-endian TIFF blob carrying an EXIF sub-IFD
+    entirely with Catalyst expressions — the writer half of the EXIF
+    round trip (:func:`exif_image_meta` is the reader). Fixed layout:
+    header(8) + IFD0 at 8 (4 ascending-tag entries: ImageWidth,
+    ImageLength, Orientation, ExifIFD pointer -> 62; next = 0, size
+    54) + EXIF IFD at 62 (DateTimeOriginal, ASCII count 20, value =
+    offset 80 of the string; next = 0, size 18) + the 19-char
+    'YYYY:MM:DD HH:MM:SS' string NUL-terminated at 80.
+    ``dt_original`` must be exactly 19 ASCII chars."""
+    w = width.cast("long")
+    h = height.cast("long")
+    o = orientation.cast("long")
+
+    def entry(tag: int, typ: int, count: int, val: Column) -> Column:
+        return F.concat(
+            _le_bytes(F.lit(tag), 2),
+            _le_bytes(F.lit(typ), 2),
+            _le_bytes(F.lit(count), 4),
+            _le_bytes(val, 4),
+        )
+
+    ifd0 = F.concat(
+        _le_bytes(F.lit(4), 2),
+        entry(256, 4, 1, w),                       # ImageWidth (LONG)
+        entry(257, 4, 1, h),                       # ImageLength (LONG)
+        entry(274, 3, 1, o),                       # Orientation (SHORT)
+        entry(34665, 4, 1, F.lit(62).cast("long")),  # ExifIFD pointer
+        _le_bytes(F.lit(0), 4),                    # next-IFD: none
+    )
+    exif_ifd = F.concat(
+        _le_bytes(F.lit(1), 2),
+        entry(36867, 2, 20, F.lit(80).cast("long")),  # DateTimeOriginal
+        _le_bytes(F.lit(0), 4),
+    )
+    return F.unhex(
+        F.concat(
+            F.lit("49492A00"),
+            _le_bytes(F.lit(8), 4),
+            ifd0,
+            exif_ifd,
+            F.hex(F.encode(dt_original, "utf-8")),
+            F.lit("00"),
+        )
+    )
+
+
 def gif_image_meta(payload: Column | str) -> Column:
     """Parse GIF headers (signature + logical screen descriptor) with
     pure JVM byte arithmetic — format #6: version, canvas dims, and

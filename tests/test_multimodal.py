@@ -622,6 +622,99 @@ class TestGifRoundTrip:
         assert r.m.format is None and r.m.width is None
 
 
+class TestExifRoundTrip:
+    def test_struct_verified_writer_and_pointer_walk(self, spark):
+        """synthetic_exif's bytes verified with python struct
+        (independent of the reader), then exif_image_meta's
+        two-pointer walk (ExifIFD entry -> sub-IFD, ASCII entry ->
+        string offset) against the same blobs."""
+        import struct
+
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            exif_image_meta,
+            synthetic_exif,
+        )
+
+        rows = [
+            (100, 50, 1, "2024:01:02 03:04:05"),
+            (65540, 2, 8, "1999:12:31 23:59:59"),
+            (7, 7, 6, "2026:08:16 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "w long, h long, o long, dt string")
+        blobs = df.select(
+            "w", "h", "o", "dt",
+            synthetic_exif(
+                FF.col("w"), FF.col("h"), FF.col("o"), FF.col("dt")
+            ).alias("payload"),
+        ).collect()
+
+        def walk(b: bytes):
+            assert b[:4] == b"II*\x00"
+            off = struct.unpack("<I", b[4:8])[0]
+            cnt = struct.unpack("<H", b[off:off + 2])[0]
+            tags = {}
+            for j in range(cnt):
+                tag, typ, count, val = struct.unpack(
+                    "<HHII", b[off + 2 + j * 12: off + 14 + j * 12]
+                )
+                tags[tag] = (typ, count, val)
+            assert sorted(tags) == [256, 257, 274, 34665]
+            assert tags[274][0] == 3  # Orientation is SHORT
+            exo = tags[34665][2]
+            cnt2 = struct.unpack("<H", b[exo:exo + 2])[0]
+            assert cnt2 == 1
+            tag, typ, count, val = struct.unpack(
+                "<HHII", b[exo + 2: exo + 14]
+            )
+            assert (tag, typ, count) == (36867, 2, 20)
+            assert b[val + 19] == 0  # NUL-terminated
+            return tags[256][2], tags[257][2], tags[274][2], b[val:val + 19].decode()
+
+        for r in blobs:
+            assert walk(bytes(r.payload)) == (r.w % 2**32, r.h, r.o, r.dt)
+
+        got = (
+            df.select(
+                "w", "h", "o", "dt",
+                exif_image_meta(
+                    synthetic_exif(
+                        FF.col("w"), FF.col("h"), FF.col("o"), FF.col("dt")
+                    )
+                ).alias("m"),
+            )
+            .collect()
+        )
+        for r in got:
+            assert r.m.format == "tiff"
+            assert (r.m.width, r.m.height) == (r.w % 2**32, r.h)
+            assert r.m.orientation == r.o
+            assert r.m.dt_original == r.dt
+
+    def test_missing_exif_and_non_tiff_yield_nulls(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            exif_image_meta,
+            synthetic_tiff,
+        )
+
+        # plain TIFF (no Orientation, no ExifIFD): dims read, rest null
+        t = spark.range(1).select(
+            exif_image_meta(
+                synthetic_tiff(FF.lit(20), FF.lit(10))
+            ).alias("m")
+        ).collect()[0].m
+        assert (t.format, t.width, t.height) == ("tiff", 20, 10)
+        assert t.orientation is None and t.dt_original is None
+
+        nt = spark.createDataFrame([("hello",)], "x string").select(
+            exif_image_meta(FF.encode("x", "utf-8")).alias("m")
+        ).collect()[0].m
+        assert all(v is None for v in nt.asDict().values())
+
+
 class TestTiffRoundTrip:
     def test_struct_verified_writer_and_chain_walk(self, spark):
         """The writer's bytes verified with python struct (independent
