@@ -4,7 +4,15 @@ Prints exactly one JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {"q1_pricing_summary": <sec>, ...}, "sf": <sf>}
 
-`value` totals EVERY headline query. The stdout line must survive the
+Two tiers (VERDICT r8 ask #5): the default HEADLINE tier (~120 rows —
+the stable drift-tracking core, the driver's graded window, and the
+oracle-portable production twins) keeps per-round sweeps inside the
+driver's budgets; `python bench.py --extended` (or
+SPARK_GRAFT_BENCH_EXTENDED=1) times EVERY benched catalog query. The
+record carries `tier`, and drift_vs_prev intersects query sets, so
+headline-vs-extended comparisons stay mechanical.
+
+`value` totals every TIMED query. The stdout line must survive the
 driver's 2000-char stdout tail (round 3's 102-query line lost its
 JSON head there and recorded `parsed: null`), so the `queries` dict
 packs the stable drift-tracking core first, then the slowest of the
@@ -29,8 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The queries that exercise the engine's distinct execution shapes:
 # full-scan agg, join+topN, multi-join, window, sessionization,
 # explode+agg, hash-dedup, LSH band join, text featurization,
-# similarity search.
-HEADLINE = [
+# similarity search. This is the EXTENDED tier — every benched
+# catalog query; the default HEADLINE tier (VERDICT r8 ask #5) is
+# computed below as drift-core + graded window + twins, ~120 rows,
+# so per-round sweeps stay inside the driver's time/stdout budgets
+# while `python bench.py --extended` still measures everything.
+EXTENDED = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
@@ -346,6 +358,11 @@ HEADLINE = [
     "trimmed_mean_value",
     # r7 session-2 wave 20: Cramer's V categorical association
     "cramers_v_type_dow",
+    # r9: streaming incremental dedup (oracle-exact), IVF append +
+    # drift report, EXIF pointer walk
+    "dedup_stream_incremental",
+    "ivf_index_append_demo",
+    "exif_meta_demo",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production
@@ -373,7 +390,26 @@ ORACLE_PORTABLE_TWINS = {
 # The r2-shared prefix: these query names have per-round timing
 # history back to BENCH_r02, so they get first claim on the packed
 # stdout line (cross-round drift tracking needs stable membership).
-_DRIFT_CORE = HEADLINE[: HEADLINE.index("pii_scrub_demo") + 1]
+_DRIFT_CORE = EXTENDED[: EXTENDED.index("pii_scrub_demo") + 1]
+
+
+def _headline_names() -> list[str]:
+    """The default bench tier (VERDICT r8 ask #5): the stable
+    drift-tracking core (r2-shared history), the driver's graded
+    window, and the production twins of the oracle-portable rows —
+    deduped, in EXTENDED order so cross-round per-query comparisons
+    stay positionally stable. Everything else runs only under
+    --extended; the full per-query record lands in BENCH_local.json
+    either way."""
+    from data_misc_tools_spark.catalog import GRADED_FIRST
+
+    want = set(_DRIFT_CORE) | set(GRADED_FIRST[:50])
+    want |= set(ORACLE_PORTABLE_TWINS.values())
+    want |= set(ORACLE_PORTABLE_TWINS)  # graded halves of each pair
+    return [n for n in EXTENDED if n in want]
+
+
+HEADLINE = _headline_names()
 
 
 # JVM canary (VERDICT r7 ask #3): a FIXED multi-core JVM workload
@@ -551,8 +587,16 @@ def main() -> int:
     probe_before = _cpu_probe()
     canary1, canary1_warm = _jvm_canary_point(spark)
 
+    tier = (
+        "extended"
+        if "--extended" in sys.argv
+        or os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1"
+        else "headline"
+    )
+    names = EXTENDED if tier == "extended" else HEADLINE
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -584,6 +628,7 @@ def main() -> int:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "tier": tier,
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf,

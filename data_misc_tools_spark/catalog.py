@@ -14296,103 +14296,67 @@ def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GRADED_FIRST: list[str] = [
-    # --- round 8 PRIORITY (VERDICT r7 ask #1): the 20-entry grading
-    # backlog — every late-r7-session query that never earned an
-    # official driver row (the window froze at session-2 wave 5 while
-    # waves 6-19 kept landing). All 20 are oracle-exact on the strict
-    # local gate (lsh_plan_demo PROMOTED to oracle-exact in r9 — it
-    # needs a fresh oracle-paired row, so it stays in the window);
-    # grading them
-    # restores the "every catalog entry has an official row"
-    # invariant that held r4-r6. ---
-    "vocab_oov_rate_langs", "weighted_median_price",
-    "isotonic_stopword_en", "metric_mix_shift_value",
-    "schema_drift_orders", "assortativity_neardup",
-    "seasonal_naive_daily_revenue", "mutual_best_match_neardup",
-    "hilbert_key_demo", "jsd_lang_pairs", "bmp_meta_demo",
-    "auc_stopword_en", "pr_curve_stopword_en", "dedup_threshold_sweep",
-    "gif_meta_demo", "hill_tail_value", "embedding_diag_report",
-    "lsh_plan_demo", "trimmed_mean_value", "cramers_v_type_dow",
-    # --- 30 re-pins: strongest veterans spanning every family, all
-    # already officially graded in r1-r7; each is a drift sentinel
-    # AND a swap-out slot — new r8 operators displace re-pins as they
-    # land (the r7 discipline). ---
-    # --- r8 additions swap in for re-pins as they land ---
-    # jw_part_name_pairs PROMOTED to oracle-exact (VERDICT r7 ask #4):
-    # exact integer components + recursive-CTE greedy-matching twin
-    "jw_part_name_pairs",
-    # streaming PSI drift monitor end-to-end, oracle-exact (ask #5)
-    "psi_drift_stream_demo",
-    # TIFF IFD-chain walk, format #7 — real pointer-following body
-    # parse, oracle-exact (ask #6); displaces the png re-pin
-    "tiff_meta_demo",
-    # Holt linear-trend forecaster, recursive-CTE twin; displaces the
-    # cohort re-pin
-    "holt_linear_daily",
-    # IPW ATE with discrete propensity cells (the causal third leg);
-    # displaces the welch re-pin
-    "ipw_ate_purchase",
-    # [relational / TPC-H shapes] (q9 rotated out for sprt, q3 for
-    # rmst, window_rank for write_plan)
-    "q1_pricing_summary",
-    # [temporal / sessions] (hourly_event_rollup rotated out for
-    # psi_drift_stream_demo; cohort_retention_weekly for
-    # holt_linear_daily; funnel_view_click_purchase for
-    # funnel_bounded_day)
-    "sessionize_events",
-    # [dedup] (dedup_exact rotated out for trend_dow_purchase;
-    # dedup_minhash_lsh for kruskal)
-    "dedup_ppjoin", "dedup_repeated_ngrams",
-    # [similarity / ANN]
-    "embedding_neardup", "kmeans_embeddings", "margin_mine_pairs",
-    "semdedup_embeddings",
-    # [retrieval] (tfidf rotated out for bm25f)
-    "bm25_search_topk", "ql_dirichlet_search",
-    # [text quality / analysis] (ngram_novelty rotated out for
-    # fairness_stopword_length; chunk_documents for term_dispersion;
-    # gopher for bf_variance)
-    "text_quality",
-    # [graph] (lpa rotated out for harmonic_neardup_k3)
-    "triangle_count_neardup",
-    # all-pairs Pearson matrix in one aggregate; displaces the
-    # corr_quantity_price re-pin (same family, superset shape)
-    "corr_matrix_lineitem",
-    # Wald SPRT anytime-valid monitor; displaces the q9 re-pin
-    "sprt_purchase_rate",
-    # RMST off the KM curve (the survival effect size); displaces the
-    # q3 re-pin
-    "rmst_purchase_gap",
-    # pre-write file-count planner (layout advisor); displaces the
-    # window_rank re-pin
-    "write_plan_lineitem",
-    # radius-3 harmonic centrality (graph reach); displaces the lpa
-    # re-pin
-    "harmonic_neardup_k3",
-    # BM25F weighted pseudo-fields; displaces the tfidf re-pin
-    "bm25f_search_topk",
-    # Gries' DP term dispersion (burstiness); displaces the chunk
-    # re-pin
-    "term_dispersion_docs",
-    # Neyman optimal stratified allocation; displaces the
-    # exact_stratified re-pin (its planning front-end)
-    "neyman_alloc_events",
-    # time-bounded funnel (reachability DP); displaces the unbounded
-    # funnel re-pin
+    # =======================================================================
+    # ROUND 9 WINDOW (VERDICT r8 ask #7 discipline): first-time r9
+    # entries + queries whose SEMANTICS or PLAN changed this round
+    # (they must re-earn official rows) + strongest veteran re-pins
+    # spanning every family. New r9 operators swap in for re-pins as
+    # they land; test_no_catalog_entry_escapes_grading enforces that
+    # nothing ships outside this window without an official row.
+    # =======================================================================
+    # --- first-time r9 rows ---
+    # promoted from rows-only: exact e6-ln/e6-exp s-curves + HUGEINT
+    # recursive-CTE power twin (VERDICT #2)
+    "lsh_plan_demo",
+    # streaming incremental dedup: edge log == full-corpus LSH pairs
+    # (VERDICT #4)
+    "dedup_stream_incremental",
+    # IVF append + drift report, rows-only (KMeans layout; VERDICT #3)
+    "ivf_index_append_demo",
+    # EXIF pointer walk through the TIFF IFD chain (VERDICT #6)
+    "exif_meta_demo",
+    # --- changed this round: re-earn official rows ---
+    # tied-timestamp DP fix (ADVICE r8 medium)
     "funnel_bounded_day",
-    # Cochran-Armitage dose-response trend; displaces the dedup_exact
-    # re-pin
-    "trend_dow_purchase",
-    # Kruskal-Wallis k-group omnibus; displaces the minhash re-pin
+    # terms-frame checkpoint (ADVICE r8)
     "kruskal_value_by_type",
-    # Brown-Forsythe spread-equality (the battery's scale member);
-    # displaces the gopher re-pin
+    # numerator clamp (ADVICE r8)
     "bf_variance_by_type",
-    # per-slice classifier fairness gate; displaces the novelty re-pin
-    "fairness_stopword_length",
-    # [stats] (welch_ttest_value rotated out for ipw_ate_purchase;
-    # corr_quantity_price for corr_matrix_lineitem)
-    # [sampling] (png_pipeline_demo rotated out for tiff_meta_demo;
-    # exact_stratified for neyman_alloc_events)
+    # decimal widening + alias de-shadowing (ADVICE r8)
+    "neyman_alloc_events",
+    # pruned mining explode (VERDICT #1 reconciliation)
+    "bm25_prf_search",
+    # --- veteran re-pins (drift sentinels; swap-out slots) ---
+    # [relational / TPC-H]
+    "q1_pricing_summary", "q3_shipping_priority", "orders_rollup",
+    # [temporal / sessions]
+    "sessionize_events", "holt_linear_daily",
+    # [dedup]
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
+    "dedup_repeated_ngrams", "dedup_substring_docs",
+    # [similarity / ANN]
+    "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
+    "margin_mine_pairs",
+    # [retrieval]
+    "bm25_search_topk", "ql_dirichlet_search", "bm25f_search_topk",
+    "hybrid_rrf_search",
+    # [text quality / analysis]
+    "text_quality", "gopher_filter_demo", "keyness_llr_en_docs",
+    "readability_docs", "term_dispersion_docs",
+    # [graph]
+    "triangle_count_neardup", "harmonic_neardup_k3",
+    "lpa_communities_neardup", "pagerank_neardup_graph",
+    # [stats / eval]
+    "corr_matrix_lineitem", "welch_ttest_value", "sprt_purchase_rate",
+    "rmst_purchase_gap", "ipw_ate_purchase", "cramers_v_type_dow",
+    "purchase_gap_survival_km",
+    # [sampling / etl / layout]
+    "exact_stratified_split_langs", "write_plan_lineitem",
+    "rendezvous_shard_assign", "salted_join_revenue",
+    # [linkage]
+    "jw_part_name_pairs", "fs_linkage_docs",
+    # [multimodal]
+    "tiff_meta_demo",
 ]
 
 

@@ -35,6 +35,35 @@ def test_graded_window_is_the_designed_50():
     assert not ungraded_oracle_less
 
 
+def test_no_catalog_entry_escapes_grading():
+    """VERDICT r8 ask #7 — the zero-backlog grading invariant: every
+    catalog entry must either hold an official driver row in some
+    CORRECTNESS_r*.json already, or sit in the CURRENT GRADED_FIRST
+    window (so it earns one this round). The r7 slip (a 20-entry
+    backlog accumulating while the window stayed frozen) can no longer
+    recur silently."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    graded: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            d = json.load(f)
+        if isinstance(d, dict):
+            graded |= set(d.keys())
+    assert graded, "no CORRECTNESS_r*.json records found"
+    from data_misc_tools_spark.catalog import GRADED_FIRST
+
+    window = set(GRADED_FIRST[:50])
+    never = sorted(n for n in QUERIES if n not in graded and n not in window)
+    assert not never, (
+        "catalog entries with no official driver row that are NOT in "
+        f"the current graded window: {never}"
+    )
+
+
 def test_fixture_docs_fit_series_bound(sf_dir):
     """Several oracles enumerate per-doc token/char positions through a
     bounded `JOIN generate_series(1, 2048)` (DuckDB 1.0 has no
