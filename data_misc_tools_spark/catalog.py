@@ -3722,6 +3722,86 @@ def ab_chi_square_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fisher_exact_customers",
+    """
+    WITH src AS (
+        SELECT c_mktsegment = 'BUILDING' AS v, c_acctbal > 5000 AS s
+        FROM customer
+    ),
+    cells AS (
+        SELECT
+            sum(CASE WHEN v AND s THEN 1 ELSE 0 END)::BIGINT AS n11,
+            sum(CASE WHEN v AND NOT s THEN 1 ELSE 0 END)::BIGINT AS n10,
+            sum(CASE WHEN NOT v AND s THEN 1 ELSE 0 END)::BIGINT AS n01,
+            sum(CASE WHEN NOT v AND NOT s THEN 1 ELSE 0 END)::BIGINT AS n00
+        FROM src
+    ),
+    m AS (
+        SELECT n11, n10, n01, n00,
+               n11 + n10 AS r1, n01 + n00 AS r2, n11 + n01 AS c1,
+               n11 + n10 + n01 + n00 AS n
+        FROM cells
+    ),
+    lf AS (
+        SELECT g.x AS k,
+               sum(CASE WHEN g.x >= 2 THEN round(1e6 * ln(g.x))::BIGINT
+                        ELSE 0 END) OVER (ORDER BY g.x)::BIGINT AS lf
+        FROM generate_series(0, 32768) g(x), m
+        WHERE g.x <= m.n
+    ),
+    sup AS (
+        SELECT g.x AS x, -(a.lf + b.lf + c.lf + d.lf)::BIGINT AS lsum
+        FROM generate_series(0, 32768) g(x)
+        CROSS JOIN m
+        JOIN lf a ON a.k = g.x
+        JOIN lf b ON b.k = m.r1 - g.x
+        JOIN lf c ON c.k = m.c1 - g.x
+        JOIN lf d ON d.k = m.r2 - m.c1 + g.x
+        WHERE g.x >= greatest(0, m.c1 - m.r2)
+          AND g.x <= least(m.r1, m.c1)
+    ),
+    agg AS (
+        SELECT max(lsum) AS mx,
+               max(CASE WHEN sup.x = (SELECT n11 FROM m) THEN lsum END)
+                   AS obs
+        FROM sup
+    ),
+    terms AS (
+        SELECT sup.lsum, agg.obs,
+               round(1e9 * exp((sup.lsum - agg.mx)::DOUBLE / 1e6))::BIGINT
+                   AS t
+        FROM sup CROSS JOIN agg
+    )
+    SELECT m.n11, m.n10, m.n01, m.n00,
+           (SELECT count(*) FROM sup)::BIGINT AS support_n,
+           (SELECT obs FROM agg)::BIGINT AS lsum_obs_e6,
+           (SELECT sum(CASE WHEN lsum <= obs THEN t ELSE 0 END)
+            FROM terms)::DOUBLE
+           / (SELECT sum(t) FROM terms)::DOUBLE AS p_fisher
+    FROM m
+    """,
+)
+def fisher_exact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT 2x2 test — the small-sample significance gate
+    beside ab_chi_square_purchase's chi² approximation: is the
+    BUILDING market segment independent of holding a >5000 account
+    balance? Two-sided p = total hypergeometric mass of every table
+    (at the observed margins) no more likely than the observed one.
+    Engine-exact via per-quantity e6 log-factorial prefix sums, exact
+    integer "more extreme" comparisons, e9-integer hypergeometric
+    terms, and ONE final IEEE division (deterministic ~1e-6
+    approximation of the exact rational p — pinned against a
+    python-fractions reference in tests). See
+    operators/profile.py:fisher_exact_2x2."""
+    from data_misc_tools_spark.operators.profile import fisher_exact_2x2
+
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return fisher_exact_2x2(
+        c, F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") > 5000
+    )
+
+
+@_q(
     "exact_stratified_split_langs",
     """
     WITH r AS (
@@ -4696,6 +4776,45 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted_portable(
         d, "doc_id", "wt", k=100, salt="ws_", max_weight=48
     )
+
+
+@_q(
+    "weighted_sample_orders",
+    """
+    WITH w AS (
+        SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS wt
+        FROM orders
+    ),
+    k AS (
+        SELECT o_orderkey, wt,
+               round(ln((('0x' || substr(md5('es_' || o_orderkey::VARCHAR),
+                                         1, 8))::BIGINT + 1)::DOUBLE
+                        / 4294967297.0) * 1e6)::BIGINT AS l_e6
+        FROM w WHERE wt > 0
+    )
+    SELECT o_orderkey, wt AS __w, l_e6,
+           l_e6::DOUBLE / wt::DOUBLE AS priority
+    FROM k ORDER BY priority DESC, o_orderkey LIMIT 200
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling with UNBOUNDED integer
+    weights, oracle-exact (r9): 200 orders drawn ∝ total price in
+    cents (weights up to ~5e7 — far past sample_weighted_portable's
+    explode cap) via the e6-ln A-ES key: hashed uniform as an exact
+    integer ratio, per-row e6-rounded ln, then priority = l_e6 / w as
+    ONE IEEE division of exact integers. Scan-local scoring +
+    TakeOrdered top-k. See operators/sampling.py:
+    sample_weighted_es_e6."""
+    from data_misc_tools_spark.operators.sampling import (
+        sample_weighted_es_e6,
+    )
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("wt"),
+    )
+    return sample_weighted_es_e6(o, "o_orderkey", "wt", k=200, salt="es_")
 
 
 @_q(
@@ -11924,6 +12043,107 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "holt_winters_daily",
+    """
+    WITH RECURSIVE d AS (
+        SELECT row_number() OVER (ORDER BY x) AS rn, x AS day, y
+        FROM (
+            SELECT (floor(epoch(date_trunc('day', ts)))::BIGINT // 86400)::BIGINT AS x,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+    ),
+    init AS (
+        SELECT (CASE WHEN sum(y) >= 0 THEN (2 * sum(y) + 7) // 14
+                     ELSE (2 * sum(y) - 7) // 14 END)::BIGINT AS l0
+        FROM d WHERE rn <= 7
+    ),
+    r AS (
+        SELECT 7::BIGINT AS rn,
+               (SELECT day FROM d WHERE rn = 7) AS day,
+               (SELECT y FROM d WHERE rn = 7) AS y,
+               l0 AS l, 0::BIGINT AS b,
+               (SELECT list(y - l0 ORDER BY rn) FROM d WHERE rn <= 7) AS ss,
+               NULL::BIGINT AS f
+        FROM init
+        UNION ALL
+        SELECT rn, day, y, l_new,
+               (CASE WHEN bnum >= 0 THEN (2 * bnum + 1000) // 2000
+                     ELSE (2 * bnum - 1000) // 2000 END)::BIGINT,
+               ss_old[2:] || [(CASE WHEN snum >= 0
+                                    THEN (2 * snum + 1000) // 2000
+                                    ELSE (2 * snum - 1000) // 2000
+                               END)::BIGINT],
+               (l_old + b_old + s_old)::BIGINT
+        FROM (
+            SELECT rn, day, y, l_new, l_old, b_old, ss_old, s_old,
+                   (100 * (l_new - l_old) + 900 * b_old)::BIGINT AS bnum,
+                   (300 * (y - l_new) + 700 * s_old)::BIGINT AS snum
+            FROM (
+                SELECT rn, day, y, l_old, b_old, ss_old, s_old,
+                       (CASE WHEN lnum >= 0 THEN (2 * lnum + 1000) // 2000
+                             ELSE (2 * lnum - 1000) // 2000
+                        END)::BIGINT AS l_new
+                FROM (
+                    SELECT d.rn, d.day, d.y, r.l AS l_old, r.b AS b_old,
+                           r.ss AS ss_old, r.ss[1] AS s_old,
+                           (300 * (d.y - r.ss[1])
+                            + 700 * (r.l + r.b))::BIGINT AS lnum
+                    FROM r JOIN d ON d.rn = r.rn + 1
+                )
+            )
+        )
+    )
+    SELECT day, y AS revenue_cents, l AS level_cents, b AS trend_cents,
+           ss[7] AS seasonal_cents, f AS fcast_cents
+    FROM r ORDER BY day
+    """,
+)
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (α=0.3, β=0.1, γ=0.3, season=7) over
+    daily purchase revenue — the level+trend+SEASONAL completion of
+    the forecasting ladder (ewma → holt → this): weekly rhythm enters
+    as additive seasonal indices initialized from the first week's
+    deviations-from-mean and updated per step as permille integers
+    with the SIGNED half-up pattern (half-away-from-zero — the
+    unsigned form decays negative seasonals, see the operator
+    docstring). The DuckDB twin replays the
+    recursion bit-for-bit as a RECURSIVE CTE whose state carries the
+    last 7 seasonals as a LIST column (ss[2:] || [s_t] — the MMR
+    list-state idiom); the l→b→s within-step dependency rides a
+    subquery computing l_t once. Output starts at the end of the init
+    season (fcast NULL there). Bounded-rollup contract. See
+    operators/temporal.py:holt_winters_smooth."""
+    from data_misc_tools_spark.operators.temporal import holt_winters_smooth
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    return (
+        holt_winters_smooth(
+            daily, "day", "rev", season=7,
+            alpha_permille=300, beta_permille=100, gamma_permille=300,
+        )
+        .select(
+            F.col("o").alias("day"),
+            F.col("x").alias("revenue_cents"),
+            F.col("level").alias("level_cents"),
+            F.col("trend").alias("trend_cents"),
+            F.col("seasonal").alias("seasonal_cents"),
+            F.col("fcast").alias("fcast_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+@_q(
     "kmv_distinct_users",
     """
     WITH base AS (
@@ -14315,6 +14535,13 @@ GRADED_FIRST: list[str] = [
     "ivf_index_append_demo",
     # EXIF pointer walk through the TIFF IFD chain (VERDICT #6)
     "exif_meta_demo",
+    # --- new r9 operators (swap in as they land, displacing re-pins) ---
+    # level+trend+seasonal forecasting (list-state recursive-CTE twin)
+    "holt_winters_daily",
+    # unbounded-weight A-ES sampling via the e6-ln key
+    "weighted_sample_orders",
+    # small-sample exact significance (e6 log-factorial hypergeometric)
+    "fisher_exact_customers",
     # --- changed this round: re-earn official rows ---
     # tied-timestamp DP fix (ADVICE r8 medium)
     "funnel_bounded_day",
@@ -14328,11 +14555,11 @@ GRADED_FIRST: list[str] = [
     "bm25_prf_search",
     # --- veteran re-pins (drift sentinels; swap-out slots) ---
     # [relational / TPC-H]
-    "q1_pricing_summary", "q3_shipping_priority", "orders_rollup",
+    "q1_pricing_summary", "q3_shipping_priority",
     # [temporal / sessions]
     "sessionize_events", "holt_linear_daily",
     # [dedup]
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
+    "dedup_minhash_lsh", "dedup_ppjoin",
     "dedup_repeated_ngrams", "dedup_substring_docs",
     # [similarity / ANN]
     "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
@@ -14352,7 +14579,7 @@ GRADED_FIRST: list[str] = [
     "purchase_gap_survival_km",
     # [sampling / etl / layout]
     "exact_stratified_split_langs", "write_plan_lineitem",
-    "rendezvous_shard_assign", "salted_join_revenue",
+    "salted_join_revenue",
     # [linkage]
     "jw_part_name_pairs", "fs_linkage_docs",
     # [multimodal]

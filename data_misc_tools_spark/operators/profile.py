@@ -1853,6 +1853,136 @@ def bootstrap_ab_lift(
     return point.crossJoin(ci)
 
 
+def fisher_exact_2x2(
+    df: DataFrame,
+    variant: Column,
+    success: Column,
+    max_n: int = 200_000,
+) -> DataFrame:
+    """Fisher's EXACT test for a 2x2 table — the small-sample
+    companion of :func:`chi_square_2x2` (whose chi² approximation
+    breaks down when any expected cell < ~5): the two-sided p-value
+    is the total hypergeometric probability of every table, at the
+    observed margins, that is no more likely than the observed one
+    (the "method of small p-values" — what R's fisher.test reports).
+
+    Engine-exact pipeline, every float op shared bit-for-bit:
+
+    1. log-factorials as PER-QUANTITY e6 sums: lf(k) = Σ_{j≤k}
+       round(1e6·ln j) over a bounded 0..n range with a prefix sum —
+       each ln(j) e6-rounds identically in both engines (the
+       nll/keyness idiom), so lf is the SAME integer table everywhere.
+    2. per-support-point log-likelihood lsum(x) = −(lf[x] + lf[r1−x]
+       + lf[c1−x] + lf[r2−c1+x]) — exact integer sums; the
+       "more extreme" comparison lsum(x) <= lsum(a) compares
+       identical integers, so selection is engine-exact (ties at the
+       symmetric point included).
+    3. probabilities re-enter as e9 integers: t(x) = round(1e9·
+       exp((lsum(x) − max lsum)/1e6)) — exp of an exact-integer/1e6
+       double (the rmst idiom); p = Σ_selected t / Σ_all t is ONE
+       IEEE division of exact BIGINT sums (the pearson_exact class).
+
+    The e6/e9 quantization makes this a DETERMINISTIC approximation
+    of the exact rational Fisher p (relative error ~1e-6 on the log
+    scale, terms below 5e-10 of the mode vanish); significance calls
+    at any sane threshold are unaffected, and both engines agree
+    bit-for-bit. ``max_n`` guards the bounded lf/support frames (the
+    bounded-rollup contract; Fisher is the SMALL-table gate — use
+    chi_square_2x2 on large ones).
+
+    Output: one row (n11, n10, n01, n00, support_n, lsum_obs_e6,
+    p_fisher). Zero-margin tables yield NULL p.
+    """
+    v = variant.cast("boolean")
+    s = success.cast("boolean")
+    spark = df.sparkSession
+    cells = df.agg(
+        F.sum(F.when(v & s, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(v & ~s, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~v & s, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~v & ~s, 1).otherwise(0)).cast("long").alias("n00"),
+    ).collect()[0]
+    n11, n10, n01, n00 = cells["n11"], cells["n10"], cells["n01"], cells["n00"]
+    n = n11 + n10 + n01 + n00
+    if n > max_n:
+        raise ValueError(
+            f"table total {n} exceeds max_n={max_n}: Fisher's exact "
+            "test is the small-table gate — use chi_square_2x2"
+        )
+    r1, r2, c1 = n11 + n10, n01 + n00, n11 + n01
+    one_row = spark.range(1).selectExpr(
+        f"{n11}L AS n11", f"{n10}L AS n10", f"{n01}L AS n01",
+        f"{n00}L AS n00",
+    )
+    if r1 == 0 or r2 == 0 or c1 == 0 or (n - c1) == 0:
+        return one_row.selectExpr(
+            "n11", "n10", "n01", "n00",
+            "cast(0 as long) AS support_n",
+            "cast(null as long) AS lsum_obs_e6",
+            "cast(null as double) AS p_fisher",
+        )
+    from pyspark.sql.window import Window
+
+    # bounded frames: lf over 0..n, support over the feasible x range
+    lf = (
+        spark.range(0, n + 1)
+        .select(
+            F.col("id").cast("long").alias("k"),
+            F.when(
+                F.col("id") >= 2, F.round(F.log(F.col("id").cast("double")) * 1e6)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("l"),
+        )
+        .withColumn("lf", F.sum("l").over(Window.orderBy("k")))
+        .select("k", "lf")
+        .localCheckpoint()  # 4 join consumers: never replay the range
+    )
+    lo, hi = max(0, c1 - r2), min(r1, c1)
+    sup = spark.range(lo, hi + 1).select(F.col("id").cast("long").alias("x"))
+    for alias_, expr in (
+        ("lx", "x"),
+        ("lr1", f"{r1} - x"),
+        ("lc1", f"{c1} - x"),
+        ("lr2", f"{r2 - c1} + x"),
+    ):
+        sup = sup.join(
+            F.broadcast(lf.selectExpr(f"k AS __k_{alias_}", f"lf AS {alias_}")),
+            F.expr(f"__k_{alias_} = {expr}"),
+        ).drop(f"__k_{alias_}")
+    sup = sup.selectExpr("x", "-(lx + lr1 + lc1 + lr2) AS lsum").localCheckpoint()
+    stats = (
+        sup.crossJoin(
+            F.broadcast(
+                sup.agg(
+                    F.max("lsum").alias("__m"),
+                    F.max(F.when(F.col("x") == n11, F.col("lsum"))).alias(
+                        "__obs"
+                    ),
+                )
+            )
+        )
+        .selectExpr(
+            "x", "lsum", "__obs",
+            """cast(round(1e9 * exp(cast(lsum - __m as double) / 1e6))
+                    as long) AS t""",
+        )
+        .agg(
+            F.count("*").cast("long").alias("support_n"),
+            F.first("__obs").alias("lsum_obs_e6"),
+            F.sum(F.when(F.col("lsum") <= F.col("__obs"), F.col("t"))).alias(
+                "__sel"
+            ),
+            F.sum("t").alias("__all"),
+        )
+    )
+    return one_row.crossJoin(F.broadcast(stats)).selectExpr(
+        "n11", "n10", "n01", "n00", "support_n", "lsum_obs_e6",
+        "cast(__sel as double) / cast(__all as double) AS p_fisher",
+    )
+
+
 def chi_square_2x2(
     df: DataFrame,
     variant: Column,

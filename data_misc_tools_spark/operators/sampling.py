@@ -375,6 +375,51 @@ def sample_weighted_portable(
     )
 
 
+def sample_weighted_es_e6(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """ORACLE-EXACT Efraimidis-Spirakis A-ES for arbitrary positive
+    INTEGER weights — upgrades :func:`sample_weighted_portable`'s
+    O(Σw) explode (weights capped at 64) to a scan-local O(n) score
+    with NO weight cap, while staying engine-exact through the e6-ln
+    idiom: the hashed uniform is the EXACT integer ratio
+    (h+1)/(2³²+1) ∈ (0,1) (both ends exclusive, so ln never sees 0);
+    l_e6 = round(1e6·ln(·)) per row (per-quantity e6 — the nll
+    idiom); priority = l_e6 / w is then ONE IEEE division of exact
+    integers (the pearson_exact class), bit-identical across engines.
+    Keep the k LARGEST priorities (l_e6 < 0, so heavier w pulls the
+    priority toward 0 — the max-u^(1/w) order).
+
+    Same A-ES distribution as :func:`sample_weighted` up to the
+    1e-6 key quantization; ties (astronomically unlikely) break by
+    key. Scan-local scoring + TakeOrdered top-k: no global sort.
+    Output: (key_col, weight as __w, l_e6, priority).
+    """
+    w = F.col(weight_col).cast("long")
+    h = _hash_u32(F.col(key_col), salt)
+    l_e6 = F.round(
+        F.log((h + 1).cast("double") / F.lit(float((1 << 32) + 1))) * 1e6
+    ).cast("long")
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(key_col),
+            w.alias("__w"),
+            l_e6.alias("l_e6"),
+        )
+        .withColumn(
+            "priority",
+            F.col("l_e6").cast("double") / F.col("__w").cast("double"),
+        )
+        .orderBy(F.desc("priority"), key_col)
+        .limit(k)
+    )
+
+
 def dsir_topk(
     df: DataFrame,
     target,

@@ -1138,6 +1138,115 @@ def holt_smooth(
     )
 
 
+def holt_winters_smooth(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+    alpha_permille: int = 300,
+    beta_permille: int = 100,
+    gamma_permille: int = 300,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Additive Holt-Winters smoothing (Winters 1960) — the
+    LEVEL+TREND+SEASONAL completion of the forecasting ladder
+    (:func:`ewma_smooth` → :func:`holt_smooth` → this), for series
+    with a repeating period (daily revenue with a weekly rhythm):
+
+        init at t = m (one full season):
+          l_m = half-up mean of x₁..x_m,   b_m = 0,
+          s_i = x_i − l_m  (i = 1..m)
+        for t > m:
+          f_t = l_{t−1} + b_{t−1} + s_{t−m}          (one-step forecast)
+          l_t = ⌈α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})⌋
+          b_t = ⌈β·(l_t − l_{t−1}) + (1−β)·b_{t−1}⌋
+          s_t = ⌈γ·(x_t − l_t) + (1−γ)·s_{t−m}⌋
+
+    with α, β, γ as PERMILLE integers and ⌈·⌋ the SIGNED half-up
+    (half-away-from-zero): (2·num ± 1000) idiv 2000 with the bias
+    sign matching num. Seasonals and trend deltas go NEGATIVE, and
+    the unsigned +1000 form rounds negatives toward +∞ — measured: an
+    exact −150 seasonal decayed to −149, −148 … (+0.5 bias per
+    update), destroying the pure-seasonal fixed point the tests pin.
+    Spark `div` == DuckDB `//` == trunc-toward-zero (the r8 probe),
+    so the DuckDB twin replays the recursion bit-for-bit as a
+    RECURSIVE CTE whose state carries the last ``season`` seasonals
+    as a LIST column (ss[2:] || [s_t] — the MMR list-state idiom); the
+    l→b→s within-step dependency rides a subquery computing l_t once,
+    with the sign CASE per update.
+
+    Bounded-rollup contract (the ewma/holt class): the input is an
+    already-aggregated series collected ordered to the driver
+    (max_rows-guarded); the recurrence is inherently serial. Gaps in
+    order_col are consecutive observations (document your rollup).
+
+    Output (rows from t = m on): (o, x, level, trend, seasonal,
+    fcast) — seasonal is s_t, fcast is NULL on the init row — via a
+    VALUES LocalRelation.
+    """
+    m = int(season)
+    a = int(alpha_permille)
+    bb = int(beta_permille)
+    g = int(gamma_permille)
+    if m < 2:
+        raise ValueError("season must be >= 2")
+    for v in (a, bb, g):
+        if not 0 < v <= 1000:
+            raise ValueError("alpha/beta/gamma_permille must be in (0, 1000]")
+    rows = (
+        df.select(
+            F.col(order_col).cast("long").alias("o"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .orderBy("o")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"series exceeds max_rows={max_rows}: roll it up further "
+            "before smoothing (the bounded-rollup contract)"
+        )
+    if len(rows) < m + 1:
+        raise ValueError(
+            f"Holt-Winters needs more than one full season "
+            f"(n = {len(rows)} <= season = {m})"
+        )
+
+    def tdiv(num: int, den: int) -> int:
+        q = abs(num) // den
+        return q if num >= 0 else -q
+
+    def hdiv(num: int, den: int) -> int:
+        """Signed half-up: round-half-away-from-zero via trunc-div."""
+        bias = den if num >= 0 else -den
+        return tdiv(2 * num + bias, 2 * den)
+
+    lvl = hdiv(sum(r["x"] for r in rows[:m]), m)
+    trd = 0
+    ss = [r["x"] - lvl for r in rows[:m]]
+    out = [(rows[m - 1]["o"], rows[m - 1]["x"], lvl, trd, ss[-1], None)]
+    for r in rows[m:]:
+        s_old = ss[0]
+        fc = lvl + trd + s_old
+        lp = lvl
+        lvl = hdiv(a * (r["x"] - s_old) + (1000 - a) * (lp + trd), 1000)
+        trd = hdiv(bb * (lvl - lp) + (1000 - bb) * trd, 1000)
+        s_new = hdiv(g * (r["x"] - lvl) + (1000 - g) * s_old, 1000)
+        ss = ss[1:] + [s_new]
+        out.append((r["o"], r["x"], lvl, trd, s_new, fc))
+    vals = ", ".join(
+        "({}L, {}L, {}L, {}L, {}L, {})".format(
+            o, x, lv, t, s, "NULL" if f is None else f"{f}L"
+        )
+        for o, x, lv, t, s, f in out
+    )
+    return df.sparkSession.sql(
+        "SELECT o, x, level, trend, seasonal, cast(fcast as bigint) AS fcast "
+        "FROM VALUES " + vals + " AS t(o, x, level, trend, seasonal, fcast)"
+    )
+
+
 def seasonal_naive_backtest(
     df: DataFrame,
     order_col: str,

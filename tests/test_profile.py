@@ -2063,3 +2063,81 @@ class TestCramersV:
         one = spark.createDataFrame([("a", f"b{i % 3}") for i in range(30)],
                                     "x string, y string")
         assert cramers_v(one, "x", "y").collect()[0]["v"] is None
+
+
+class TestFisherExact2x2:
+    @staticmethod
+    def _exact(a, b, c, d):
+        """Exact rational two-sided Fisher p (method of small
+        p-values) via python bigints — the independent reference."""
+        from fractions import Fraction
+        from math import comb
+
+        r1, r2, c1, n = a + b, c + d, a + c, a + b + c + d
+        den = comb(n, c1)
+
+        def prob(x):
+            return Fraction(comb(r1, x) * comb(r2, c1 - x), den)
+
+        pa = prob(a)
+        return float(
+            sum(
+                prob(x)
+                for x in range(max(0, c1 - r2), min(r1, c1) + 1)
+                if prob(x) <= pa
+            )
+        )
+
+    def _table_df(self, spark, a, b, c, d):
+        rows = (
+            [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+        )
+        return spark.createDataFrame(rows, "v int, s int")
+
+    def test_matches_exact_rational_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import fisher_exact_2x2
+
+        for a, b, c, d in [
+            (3, 1, 1, 3),      # Fisher's tea tasting: p = 17/35
+            (12, 5, 3, 14),    # strongly associated
+            (10, 10, 10, 10),  # perfectly balanced: p = 1
+            (1, 9, 11, 3),     # R's fisher.test example
+            (0, 5, 5, 0),      # degenerate diagonal
+        ]:
+            out = fisher_exact_2x2(
+                self._table_df(spark, a, b, c, d),
+                F.col("v") == 1,
+                F.col("s") == 1,
+            ).collect()[0]
+            want = self._exact(a, b, c, d)
+            assert abs(out["p_fisher"] - want) < 1e-5, (a, b, c, d)
+            assert (out["n11"], out["n10"], out["n01"], out["n00"]) == (
+                a, b, c, d,
+            )
+        # tea tasting exactly: 17/35 = 0.4857142857...
+        out = fisher_exact_2x2(
+            self._table_df(spark, 3, 1, 1, 3),
+            F.col("v") == 1,
+            F.col("s") == 1,
+        ).collect()[0]
+        assert abs(out["p_fisher"] - 17 / 35) < 1e-5
+        assert out["support_n"] == 5
+
+    def test_zero_margin_and_guard(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import fisher_exact_2x2
+
+        # empty success column -> NULL p
+        df = self._table_df(spark, 0, 4, 0, 6)
+        out = fisher_exact_2x2(df, F.col("v") == 1, F.col("s") == 1).collect()[0]
+        assert out["p_fisher"] is None and out["support_n"] == 0
+
+        big = self._table_df(spark, 3, 1, 1, 3)
+        with _pytest.raises(ValueError, match="max_n"):
+            fisher_exact_2x2(
+                big, F.col("v") == 1, F.col("s") == 1, max_n=5
+            )

@@ -234,6 +234,54 @@ def test_sample_weighted_proportional_and_deterministic(spark):
     assert got[1] == 1 and got[2] == 5
 
 
+def test_sample_weighted_es_e6_matches_python_mirror(spark):
+    """The e6-ln A-ES variant: python mirror of the exact float chain
+    (two exact casts -> one IEEE division -> ln -> e6 round -> one
+    more division) reproduces selection AND priorities bit-for-bit;
+    proportionality and zero-weight exclusion hold; no weight cap."""
+    import hashlib
+    import math
+
+    from data_misc_tools_spark.operators.sampling import (
+        sample_weighted_es_e6,
+    )
+
+    rows = [(i, 9_000_000 if i < 1000 else 1_000_000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    sel = sample_weighted_es_e6(df, "id", "w", k=400, salt="t1").collect()
+    picked = [r.id for r in sel]
+    assert len(picked) == len(set(picked)) == 400
+    assert sum(1 for i in picked if i < 1000) > 300  # ~9:1 weights
+
+    def mirror(i, w):
+        h = int(hashlib.md5(f"t1{i}".encode()).hexdigest()[:8], 16)
+        l_e6 = round(math.log(float(h + 1) / float((1 << 32) + 1)) * 1e6)
+        return l_e6, l_e6 / float(w)
+
+    ref = sorted(
+        ((mirror(i, w)[1], i, w) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:400]
+    assert [(i) for _, i, _ in ref] == picked
+    by_id = {r.id: r for r in sel}
+    for pr, i, w in ref:
+        assert by_id[i]["priority"] == pr
+        assert by_id[i]["l_e6"] == mirror(i, w)[0]
+
+    # partitioning-independent; zero weights excluded
+    again = [
+        r.id
+        for r in sample_weighted_es_e6(
+            df.repartition(7), "id", "w", k=400, salt="t1"
+        ).collect()
+    ]
+    assert again == picked
+    dfz = spark.createDataFrame([(1, 0), (2, 5)], "id long, w long")
+    assert [
+        r.id for r in sample_weighted_es_e6(dfz, "id", "w", k=2).collect()
+    ] == [2]
+
+
 def test_dsir_topk_prefers_target_domain(spark):
     from pyspark.sql import functions as F
 

@@ -793,6 +793,76 @@ class TestFunnelBounded:
             funnel_stages_bounded(df, ["view"], 10)
 
 
+class TestHoltWintersSmooth:
+    def test_constant_series_is_fixed_point(self, spark):
+        from data_misc_tools_spark.operators.temporal import (
+            holt_winters_smooth,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 500) for i in range(20)], "o long, x long"
+        )
+        rows = holt_winters_smooth(df, "o", "x", season=4).collect()
+        assert rows[0]["fcast"] is None  # init row
+        for r in rows:
+            assert r["level"] == 500
+            assert r["trend"] == 0
+            assert r["seasonal"] == 0
+        assert all(r["fcast"] == 500 for r in rows[1:])
+
+    def test_pure_seasonal_pattern_is_learned(self, spark):
+        """A trendless exact period-4 pattern: after the init season
+        the one-step forecast reproduces the actual value exactly
+        (level == mean, seasonals == deviations, nothing to adapt)."""
+        from data_misc_tools_spark.operators.temporal import (
+            holt_winters_smooth,
+        )
+
+        pat = [100, 300, 200, 400]  # mean 250
+        df = spark.createDataFrame(
+            [(i, pat[i % 4]) for i in range(24)], "o long, x long"
+        )
+        rows = holt_winters_smooth(df, "o", "x", season=4).collect()
+        for r in rows[1:]:
+            assert r["fcast"] == r["x"], r
+            assert r["level"] == 250
+
+    def test_trending_series_fcast_tracks(self, spark):
+        """x_t = 10t: the trend term must pull forecasts toward the
+        slope — mean absolute forecast error over the last half of the
+        series beats the naive same-season baseline (error 40/step)."""
+        from data_misc_tools_spark.operators.temporal import (
+            holt_winters_smooth,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 10 * i) for i in range(40)], "o long, x long"
+        )
+        rows = holt_winters_smooth(
+            df, "o", "x", season=4, beta_permille=300
+        ).collect()
+        tail = rows[len(rows) // 2:]
+        mae = sum(abs(r["fcast"] - r["x"]) for r in tail) / len(tail)
+        assert mae < 40, mae
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import (
+            holt_winters_smooth,
+        )
+
+        df = spark.createDataFrame([(i, i) for i in range(6)], "o long, x long")
+        with _pytest.raises(ValueError, match="season"):
+            holt_winters_smooth(df, "o", "x", season=1)
+        with _pytest.raises(ValueError, match="full season"):
+            holt_winters_smooth(df, "o", "x", season=6)
+        with _pytest.raises(ValueError, match="permille"):
+            holt_winters_smooth(df, "o", "x", season=3, alpha_permille=0)
+        with _pytest.raises(ValueError, match="max_rows"):
+            holt_winters_smooth(df, "o", "x", season=3, max_rows=4)
+
+
 class TestHoltSmooth:
     @staticmethod
     def _tdiv(num, den):
