@@ -363,6 +363,12 @@ EXTENDED = [
     "dedup_stream_incremental",
     "ivf_index_append_demo",
     "exif_meta_demo",
+    "holt_winters_daily",
+    "weighted_sample_orders",
+    "fisher_exact_customers",
+    "silhouette_embeddings",
+    "proximity_search_docs",
+    "kappa_stopword_en",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -1853,6 +1853,63 @@ def bootstrap_ab_lift(
     return point.crossJoin(ci)
 
 
+def cohens_kappa_2x2(
+    df: DataFrame,
+    rater_a: Column,
+    rater_b: Column,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) for two binary raters — agreement
+    BEYOND CHANCE, the honest replacement for raw accuracy when one
+    class dominates (two raters who both say "not-English" to 95% of
+    docs agree 90%+ by luck alone; kappa strips that out):
+
+        kappa = (p_o − p_e) / (1 − p_e)
+              = (n·(n11+n00) − (r1·c1 + r2·c2))
+                / (n² − (r1·c1 + r2·c2))
+
+    with r = rater-A margins, c = rater-B margins. The curation use:
+    "does my cheap heuristic labeler actually AGREE with the trusted
+    labels, or only as much as chance would?" kappa ≥ ~0.6 is the
+    usual "substantial agreement" bar.
+
+    Engine-exact the chi_square_2x2 way: four exact cells from ONE
+    aggregate, margin products in decimal(38,0) (HUGEINT twin), then
+    ONE IEEE division of exact integers, UNROUNDED. Both-raters-
+    constant tables (p_e = 1 → 0/0) yield NULL.
+
+    Output: one row (n11, n10, n01, n00, kappa).
+    """
+    a = rater_a.cast("boolean")
+    b = rater_b.cast("boolean")
+    cells = df.agg(
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    dec = "decimal(38,0)"
+    return cells.selectExpr(
+        "n11", "n10", "n01", "n00",
+        f"""
+        CASE WHEN (cast(n11 + n10 + n01 + n00 as {dec})
+                   * (n11 + n10 + n01 + n00))
+                  - (cast(n11 + n10 as {dec}) * (n11 + n01)
+                     + cast(n01 + n00 as {dec}) * (n10 + n00)) = 0
+             THEN CAST(NULL AS DOUBLE)
+             ELSE cast((cast(n11 + n10 + n01 + n00 as {dec})
+                        * (n11 + n00))
+                       - (cast(n11 + n10 as {dec}) * (n11 + n01)
+                          + cast(n01 + n00 as {dec}) * (n10 + n00))
+                       as double)
+                  / cast((cast(n11 + n10 + n01 + n00 as {dec})
+                          * (n11 + n10 + n01 + n00))
+                         - (cast(n11 + n10 as {dec}) * (n11 + n01)
+                            + cast(n01 + n00 as {dec}) * (n10 + n00))
+                         as double)
+        END AS kappa""",
+    )
+
+
 def fisher_exact_2x2(
     df: DataFrame,
     variant: Column,

@@ -886,6 +886,67 @@ def tfidf_top_terms(
     )
 
 
+def min_cover_span(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Minimal cover span per document — classic proximity ranking
+    ("how tightly do the query terms co-occur"), the feature between
+    bag-of-words BM25 and exact :func:`phrase_search`: the length of
+    the SHORTEST token window containing every query term at least
+    once; a doc where "table scan merge" sit within 4 tokens beats one
+    scattering them across 300.
+
+    The textbook MinSpan sweep becomes pure window algebra: over the
+    doc's query-term postings ordered by position, last_t(p) = the
+    latest occurrence of term t at or before p (a conditional running
+    max per term — m bounded columns); a window ending at p covers all
+    terms iff every last_t is defined, and its tightest extent is
+    p − min_t last_t(p) + 1. The optimal window ends at SOME posting
+    of its final term, so min over p is exact. One posting filter (the
+    join prunes the corpus explode before any shuffle — the BM25
+    discipline), one doc-keyed window, one aggregate; all integers.
+
+    Output: (id_col, n_hits, min_span) for docs containing ALL terms
+    — n_hits = total query-term postings in the doc.
+    """
+    ts = list(terms)
+    if not ts or len(set(ts)) != len(ts):
+        raise ValueError("terms must be non-empty and distinct")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(ts))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lasts = [
+        F.max(F.when(F.col("tok") == t, F.col("pos"))).over(w).alias(f"__l{i}")
+        for i, t in enumerate(ts)
+    ]
+    lcols = [F.col(f"__l{i}") for i in range(len(ts))]
+    all_seen = lcols[0].isNotNull()
+    for c in lcols[1:]:
+        all_seen = all_seen & c.isNotNull()
+    spans = toks.select(F.col(id_col), F.col("pos"), *lasts).select(
+        F.col(id_col),
+        F.when(
+            all_seen,
+            F.col("pos") - F.least(*lcols) + 1,
+        )
+        .cast("long")
+        .alias("__span"),
+    )
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.min("__span").alias("min_span"),
+        )
+        .filter(F.col("min_span").isNotNull())
+    )
+
+
 def phrase_search(
     docs: DataFrame,
     phrase: list[str],

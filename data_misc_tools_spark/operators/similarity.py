@@ -1725,6 +1725,111 @@ def cluster_medoids(
     )
 
 
+def silhouette_labels(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    clustering-quality readout that follows :func:`kmeans_lloyd_e6` /
+    :func:`cluster_medoids`: for each point, a = d²(x, own centroid),
+    b = min over OTHER clusters d²(x, centroid), s = (b−a)/max(a,b)
+    ∈ [−1, 1] — positive means the point sits nearer its own centroid
+    than any other (well-clustered), negative means it is mis-assigned.
+    The simplified form (Hruschka et al. 2004) replaces the classic
+    all-pairs a/b with centroid distances: O(n·k) instead of O(n²),
+    the standard large-n silhouette.
+
+    Engine-exact: over fixed SQ codes, the centroid never materializes
+    as a float — d²(x, c_j) = q_j/n_j² with q_j = Σ_d (n_j·x_d − S_jd)²
+    an EXACT integer (S = per-cluster dim sums, n = cluster size), so
+    d² is ONE IEEE division of exact integers (the pearson class);
+    (b−a)/max(a,b) is a pinned-order chain on those shared doubles,
+    e6-rounded per point, and the per-cluster mean is a SIGNED half-up
+    of an exact integer sum (s is negative for mis-fit points — the
+    holt_winters rounding lesson).
+
+    Scale shape: one (label, dim) integer aggregate (k·dim rows,
+    broadcast back), then a scan-local n×k score — no pair join, no
+    global sort. Output: (label_col, n_points, mean_sil_e6) ordered by
+    label; mean_sil_e6 NULL when only one cluster exists (b undefined).
+    """
+    codes = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.col(id_col).alias("__id"),
+        sq_quantize(F.col(vec_col), scale).alias("__c"),
+    )
+    dim_sums = (
+        codes.select("__lbl", F.posexplode("__c").alias("__d", "__v"))
+        .groupBy("__lbl", "__d")
+        .agg(F.sum("__v").cast("long").alias("__s"))
+    )
+    cents = (
+        dim_sums.groupBy("__lbl")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__d"), F.col("__s")))
+                ),
+                lambda t: t.getField("__s"),
+            ).alias("__S")
+        )
+        .join(
+            codes.groupBy("__lbl").agg(F.count("*").cast("long").alias("__n")),
+            "__lbl",
+        )
+        .select(F.col("__lbl").alias("__cl"), "__S", "__n")
+    )
+    qq = F.aggregate(
+        F.zip_with(
+            F.col("__c"),
+            F.col("__S"),
+            lambda x, s: (F.col("__n") * x - s) * (F.col("__n") * x - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d2 = qq.cast("double") / (F.col("__n") * F.col("__n")).cast("double")
+    scored = codes.crossJoin(F.broadcast(cents)).select(
+        "__lbl", "__id", "__cl", d2.alias("__d2")
+    )
+    ab = scored.groupBy("__lbl", "__id").agg(
+        F.max(F.when(F.col("__cl") == F.col("__lbl"), F.col("__d2"))).alias(
+            "__a"
+        ),
+        F.min(F.when(F.col("__cl") != F.col("__lbl"), F.col("__d2"))).alias(
+            "__b"
+        ),
+    )
+    sil = ab.selectExpr(
+        "__lbl",
+        """CASE WHEN __b IS NULL THEN NULL
+                WHEN greatest(__a, __b) > 0D
+                THEN cast(round(1e6 * (__b - __a) / greatest(__a, __b))
+                          as long)
+                ELSE 0L END AS __s_e6""",
+    )
+    return (
+        sil.groupBy("__lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("__s_e6").cast("long").alias("__sum"),
+        )
+        .selectExpr(
+            f"__lbl AS {label_col}",
+            "n_points",
+            """CASE WHEN __sum IS NULL THEN NULL
+                    WHEN __sum >= 0
+                    THEN (2 * __sum + n_points) div (2 * n_points)
+                    ELSE (2 * __sum - n_points) div (2 * n_points)
+               END AS mean_sil_e6""",
+        )
+        .orderBy(label_col)
+    )
+
+
 def embedding_diagnostics(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2141,3 +2141,43 @@ class TestFisherExact2x2:
             fisher_exact_2x2(
                 big, F.col("v") == 1, F.col("s") == 1, max_n=5
             )
+
+
+class TestCohensKappa:
+    def _df(self, spark, a, b, c, d):
+        rows = [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+        return spark.createDataFrame(rows, "ra int, rb int")
+
+    def test_known_values_and_mirror(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import cohens_kappa_2x2
+
+        def mirror(a, b, c, d):
+            n = a + b + c + d
+            num = n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+            den = n * n - ((a + b) * (a + c) + (c + d) * (b + d))
+            return float(num) / float(den)
+
+        # textbook: po=0.7, pe=0.5 -> kappa = 0.4
+        out = cohens_kappa_2x2(
+            self._df(spark, 20, 5, 10, 15), F.col("ra") == 1, F.col("rb") == 1
+        ).collect()[0]
+        assert out["kappa"] == mirror(20, 5, 10, 15)
+        assert abs(out["kappa"] - 0.4) < 1e-12
+        # perfect agreement -> 1; perfect disagreement -> negative
+        assert cohens_kappa_2x2(
+            self._df(spark, 10, 0, 0, 10), F.col("ra") == 1, F.col("rb") == 1
+        ).collect()[0]["kappa"] == 1.0
+        assert cohens_kappa_2x2(
+            self._df(spark, 0, 10, 10, 0), F.col("ra") == 1, F.col("rb") == 1
+        ).collect()[0]["kappa"] == -1.0
+        # statistically independent raters -> ~0
+        out = cohens_kappa_2x2(
+            self._df(spark, 9, 21, 21, 49), F.col("ra") == 1, F.col("rb") == 1
+        ).collect()[0]
+        assert abs(out["kappa"]) < 1e-12  # margins 30/70 exactly indep
+        # both raters constant -> NULL (0/0)
+        assert cohens_kappa_2x2(
+            self._df(spark, 10, 0, 0, 0), F.col("ra") == 1, F.col("rb") == 1
+        ).collect()[0]["kappa"] is None

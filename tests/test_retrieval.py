@@ -555,3 +555,70 @@ class TestBm25F:
         q = R.queries_df(spark, [(1, "cat")])
         with _pytest.raises(ValueError, match=">= 1"):
             R.bm25f_topk(tiny, q, title_tokens=0)
+
+
+class TestMinCoverSpan:
+    def test_hand_cases_and_bruteforce(self, spark):
+        from data_misc_tools_spark.operators.retrieval import min_cover_span
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a x b y c"),            # a..c -> span 5
+                (2, "c b a"),                # any order -> 3
+                (3, "a a a b c"),            # tight tail -> 3
+                (4, "a b"),                  # missing c -> excluded
+                (5, "x a y b z c a b c x"),  # trailing a b c -> 3
+                (6, "c x x x a b x x c"),    # a b .. c vs c..a b -> 5
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_hits, r.min_span)
+            for r in min_cover_span(docs, ["a", "b", "c"]).collect()
+        }
+        assert got[1] == (3, 5)
+        assert got[2] == (3, 3)
+        assert got[3] == (5, 3)
+        assert 4 not in got
+        assert got[5] == (6, 3)
+        assert got[6] == (4, 5)
+
+        # brute force on random streams
+        import random
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(40):
+            toks = [rng.choice("abcxyz") for _ in range(rng.randrange(1, 25))]
+            rows.append((100 + i, " ".join(toks), toks))
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.min_span
+            for r in min_cover_span(df, ["a", "b", "c"]).collect()
+        }
+        for i, _, toks in rows:
+            best = None
+            for lo in range(len(toks)):
+                for hi in range(lo, len(toks)):
+                    win = toks[lo : hi + 1]
+                    if all(t in win for t in "abc"):
+                        sp = hi - lo + 1
+                        best = sp if best is None else min(best, sp)
+                        break
+            if best is None:
+                assert i not in got
+            else:
+                assert got[i] == best, i
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.retrieval import min_cover_span
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            min_cover_span(df, [])
+        with _pytest.raises(ValueError):
+            min_cover_span(df, ["a", "a"])

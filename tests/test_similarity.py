@@ -388,6 +388,95 @@ def test_ivf_append_matches_kmeans_assignment_and_full_recall(
     assert got == want
 
 
+class TestSilhouetteLabels:
+    def test_matches_python_mirror(self, spark):
+        import math
+        import random
+
+        from data_misc_tools_spark.operators.similarity import (
+            silhouette_labels,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.gauss(lbl * 3.0, 1.0) for _ in range(8)], lbl)
+            for i, lbl in enumerate(
+                lbl for lbl in range(3) for _ in range(40)
+            )
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {r["label"]: r for r in silhouette_labels(df).collect()}
+
+        import struct
+
+        def f32(x):  # the float32 the table stores
+            return struct.unpack("f", struct.pack("f", x))[0]
+
+        codes = {
+            i: [math.floor(f32(x) * 64) for x in v] for i, v, _ in rows
+        }
+        by_lbl: dict = {}
+        for i, _, lbl in rows:
+            by_lbl.setdefault(lbl, []).append(i)
+        S = {
+            lbl: [sum(codes[i][d] for i in ids) for d in range(8)]
+            for lbl, ids in by_lbl.items()
+        }
+        n = {lbl: len(ids) for lbl, ids in by_lbl.items()}
+
+        def d2(i, lbl):
+            q = sum(
+                (n[lbl] * codes[i][d] - S[lbl][d]) ** 2 for d in range(8)
+            )
+            return float(q) / float(n[lbl] * n[lbl])
+
+        sums = {lbl: 0 for lbl in by_lbl}
+        for i, _, lbl in rows:
+            a = d2(i, lbl)
+            b = min(d2(i, o) for o in by_lbl if o != lbl)
+            m = max(a, b)
+            s = round(1e6 * (b - a) / m) if m > 0 else 0
+            sums[lbl] += s
+        for lbl, ids in by_lbl.items():
+            ssum, cnt = sums[lbl], len(ids)
+            want = (
+                (2 * ssum + cnt) // (2 * cnt)
+                if ssum >= 0
+                else -((2 * -ssum + cnt) // (2 * cnt))
+            )
+            assert got[lbl]["mean_sil_e6"] == want, lbl
+            assert got[lbl]["n_points"] == cnt
+        # 3-sigma-separated gaussians: strongly positive silhouettes
+        assert all(r["mean_sil_e6"] > 500_000 for r in got.values())
+
+    def test_single_cluster_is_null_and_misfit_negative(self, spark):
+        from data_misc_tools_spark.operators.similarity import (
+            silhouette_labels,
+        )
+
+        one = spark.createDataFrame(
+            [(i, [float(i), 0.0], 0) for i in range(5)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        assert silhouette_labels(one).collect()[0]["mean_sil_e6"] is None
+
+        # a point planted in the WRONG cluster drags its label's mean
+        # below the clean twin cluster's
+        rows = (
+            [(i, [0.0, 0.0], 0) for i in range(4)]
+            + [(10 + i, [8.0, 8.0], 1) for i in range(4)]
+            + [(99, [8.0, 8.0], 0)]  # mis-assigned
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {r["label"]: r["mean_sil_e6"]
+               for r in silhouette_labels(df).collect()}
+        assert got[0] < got[1]
+
+
 def test_pq_append_matches_frozen_model_encoding(spark, sf_dir, tmp_path):
     """VERDICT r8 #3: appending to a persisted IVF-PQ index must
     place + encode every batch vector EXACTLY as the frozen model
