@@ -369,6 +369,8 @@ EXTENDED = [
     "silhouette_embeddings",
     "proximity_search_docs",
     "kappa_stopword_en",
+    "rouge_dedup_pairs",
+    "kcore_neardup",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -820,6 +820,62 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_edges(spark, f"{work}/state").orderBy("doc_a", "doc_b")
 
 
+@_q(
+    "rouge_dedup_pairs",
+    f"""
+    WITH pr AS ({_minhash_oracle("documents")}),
+    d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, ws[i.i] || ' ' || ws[i.i + 1] AS g
+        FROM d JOIN generate_series(1, 2048) i(i) ON i.i <= len(ws) - 1
+    ),
+    tf AS (SELECT doc_id, g, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+    sz AS (SELECT doc_id, sum(tf)::BIGINT AS sz FROM tf GROUP BY 1),
+    ov AS (
+        SELECT p.doc_a, p.doc_b, sum(least(a.tf, b.tf))::BIGINT AS ov
+        FROM pr p
+        JOIN tf a ON a.doc_id = p.doc_a
+        JOIN tf b ON b.doc_id = p.doc_b AND b.g = a.g
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           coalesce(ov.ov, 0)::BIGINT AS overlap,
+           sa.sz AS n_a, sb.sz AS n_b,
+           coalesce(ov.ov, 0)::DOUBLE / sa.sz::DOUBLE AS rouge_p,
+           coalesce(ov.ov, 0)::DOUBLE / sb.sz::DOUBLE AS rouge_r,
+           (2 * coalesce(ov.ov, 0))::DOUBLE / (sa.sz + sb.sz)::DOUBLE
+               AS rouge_f1
+    FROM pr p
+    LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def rouge_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 verification of the LSH candidate pairs — CLIPPED
+    bigram overlap (repeated template grams credit only up to the
+    other side's multiplicity, which set-Jaccard cannot see), the
+    summarization-world verify stage beside ngram_jaccard /
+    edit-distance. Exact integer overlap + gram totals; p/r/f1 are
+    single IEEE divisions, UNROUNDED. Pairs = the portable-minhash
+    band graph over documents (the dedup_stream_incremental pair set).
+    See operators/dedup.py:rouge_n_pairs."""
+    from data_misc_tools_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        rouge_n_pairs,
+    )
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = minhash_candidate_pairs(
+        d, num_perm=8, bands=4, k=5, portable_hash=True
+    )
+    return rouge_n_pairs(pairs, d, n=2).orderBy("doc_a", "doc_b")
+
+
 def _minhash_incremental_oracle() -> str:
     from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
 
@@ -9470,6 +9526,40 @@ def jw_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("jw_e6"), "name_a", "name_b").limit(20)
 
 
+ROWS_ONLY.add("kcore_neardup")
+
+
+@_q("kcore_neardup")
+def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the strict 2x4 MinHash candidate graph: the maximal
+    subgraph where every node keeps >= 3 neighbors — the degree-based
+    sibling of ktruss_neardup (core counts neighbors, truss counts
+    shared triangles; together they bracket "cohesive family" from
+    loose to strict). rows-only by design: peeling rounds are
+    data-dependent, so a fixed-depth unrolled SQL twin cannot exist —
+    the operator is pinned against a Python peeling reference in
+    tests/test_cluster.py. Output: surviving (node, degree) — the
+    final in-core degree census of k_core's surviving edges. See
+    operators/cluster.py:k_core."""
+    from data_misc_tools_spark.operators.cluster import k_core
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = D.minhash_candidate_pairs(
+        docs, num_perm=8, bands=2, k=5, portable_hash=True
+    )
+    core = k_core(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        k=3,
+    )
+    return (
+        core.select(F.col("a").alias("node"))
+        .unionAll(core.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .orderBy("node")
+    )
+
+
 ROWS_ONLY.add("ktruss_neardup")
 
 
@@ -14712,6 +14802,10 @@ GRADED_FIRST: list[str] = [
     "proximity_search_docs",
     # chance-corrected labeler agreement
     "kappa_stopword_en",
+    # clipped-bigram ROUGE verify over the LSH pair graph
+    "rouge_dedup_pairs",
+    # degree-peel cohesion core (rows-only, python-peel pinned)
+    "kcore_neardup",
     # --- changed this round: re-earn official rows ---
     # tied-timestamp DP fix (ADVICE r8 medium)
     "funnel_bounded_day",
@@ -14729,7 +14823,7 @@ GRADED_FIRST: list[str] = [
     # [temporal / sessions]
     "holt_linear_daily",
     # [dedup]
-    "dedup_minhash_lsh", "dedup_ppjoin",
+    "dedup_ppjoin",
     "dedup_repeated_ngrams", "dedup_substring_docs",
     # [similarity / ANN]
     "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
@@ -14742,7 +14836,7 @@ GRADED_FIRST: list[str] = [
     "readability_docs", "term_dispersion_docs",
     # [graph]
     "triangle_count_neardup", "harmonic_neardup_k3",
-    "lpa_communities_neardup", "pagerank_neardup_graph",
+    "lpa_communities_neardup",
     # [stats / eval]
     "corr_matrix_lineitem", "sprt_purchase_rate",
     "rmst_purchase_gap", "ipw_ate_purchase", "cramers_v_type_dow",

@@ -292,6 +292,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def rouge_n_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ROUGE-N overlap scoring for candidate pairs (Lin 2004) — the
+    summarization-world verify stage beside :func:`ngram_jaccard_pairs`
+    (set Jaccard) and :func:`editdist_pairs` (edit distance): CLIPPED
+    word-n-gram counts, so repeated grams credit only up to the other
+    side's multiplicity (Jaccard's distinct-set view can't see that a
+    doc repeats a template 5x):
+
+        overlap = Σ_g min(tf_a(g), tf_b(g))
+        rouge_p = overlap/|grams_a|,  rouge_r = overlap/|grams_b|,
+        rouge_f1 = 2·overlap/(|grams_a| + |grams_b|)
+
+    Engine-exact: overlap and gram totals are exact integers (one
+    (doc, gram) tf census, pair-keyed equi-join on the gram); each
+    ratio is ONE IEEE division of exact integers (the pearson class),
+    UNROUNDED. Docs with fewer than n tokens have no grams and drop
+    (no denominator exists).
+
+    Scale: the tf census is corpus-sized but the pair join touches
+    only candidate docs' grams (pairs ≪ n² — the LSH-verify
+    contract). Output: (doc_a, doc_b, overlap, n_a, n_b, rouge_p,
+    rouge_r, rouge_f1).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from data_misc_tools_spark.operators.text import tokens
+
+    ws = tokens(text_col)
+    # sequence(1, 0) generates DESCENDING (the corpus_diversity
+    # gotcha): short docs need the explicit empty-array branch
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(ws) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    tf = grams.groupBy(id_col, "g").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    sz = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("sz"))
+    tf_a = tf.select(F.col(id_col).alias("doc_a"), "g", F.col("tf").alias("__ta"))
+    tf_b = tf.select(F.col(id_col).alias("doc_b"), "g", F.col("tf").alias("__tb"))
+    ov = (
+        pairs.join(tf_a, "doc_a")
+        .join(tf_b, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("__ta", "__tb")).cast("long").alias("__ov"))
+    )
+    sz_a = sz.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("n_a"))
+    sz_b = sz.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("n_b"))
+    return (
+        pairs.join(ov, ["doc_a", "doc_b"], "left")
+        .join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b",
+            "coalesce(__ov, 0L) AS overlap",
+            "n_a", "n_b",
+            "cast(coalesce(__ov, 0L) as double) / cast(n_a as double)"
+            " AS rouge_p",
+            "cast(coalesce(__ov, 0L) as double) / cast(n_b as double)"
+            " AS rouge_r",
+            "cast(2 * coalesce(__ov, 0L) as double)"
+            " / cast(n_a + n_b as double) AS rouge_f1",
+        )
+    )
+
+
 def editdist_pairs(
     pairs: DataFrame,
     docs: DataFrame,

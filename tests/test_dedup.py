@@ -846,3 +846,53 @@ class TestLshParameterPlan:
             lsh_parameter_plan(spark, [(4, 16)])
         with _pytest.raises(ValueError, match="permille"):
             lsh_parameter_plan(spark, [(2, 4)], s_grid_permille=[1000])
+
+
+class TestRougeNPairs:
+    def test_clipped_counts_and_reference(self, spark):
+        from data_misc_tools_spark.operators.dedup import rouge_n_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),      # bigrams: ab x3, ba x2
+                (2, "a b c"),            # ab, bc
+                (3, "a b a b"),          # ab x2, ba x1
+                (4, "x"),                # no bigrams -> drops
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (1, 4)], "doc_a long, doc_b long"
+        )
+        got = {
+            (r.doc_a, r.doc_b): r
+            for r in rouge_n_pairs(pairs, docs, n=2).collect()
+        }
+        # (1,2): overlap = min(3,1)["a b"] = 1; n_a=5, n_b=2
+        r = got[(1, 2)]
+        assert (r.overlap, r.n_a, r.n_b) == (1, 5, 2)
+        assert r.rouge_p == 1 / 5 and r.rouge_r == 1 / 2
+        assert r.rouge_f1 == 2 / 7
+        # (1,3): clipping credits ab min(3,2)=2 and ba min(2,1)=1
+        r = got[(1, 3)]
+        assert (r.overlap, r.n_a, r.n_b) == (3, 5, 3)
+        assert r.rouge_f1 == 6 / 8
+        # (2,3): only "a b" shared once
+        assert got[(2, 3)].overlap == 1
+        # doc 4 has no bigrams -> the pair drops (no denominator)
+        assert (1, 4) not in got
+
+    def test_n1_equals_clipped_unigram_and_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.dedup import rouge_n_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a b b c")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        r = rouge_n_pairs(pairs, docs, n=1).collect()[0]
+        # unigram clip: a min(2,1)=1, b min(1,2)=1 -> 2 of (3, 4)
+        assert (r.overlap, r.n_a, r.n_b) == (2, 3, 4)
+        with _pytest.raises(ValueError):
+            rouge_n_pairs(pairs, docs, n=0)
