@@ -371,6 +371,7 @@ EXTENDED = [
     "kappa_stopword_en",
     "rouge_dedup_pairs",
     "kcore_neardup",
+    "brier_stopword_en",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -14203,6 +14203,77 @@ def _scored_en_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "brier_stopword_en",
+    f"""
+    WITH {_SCORED_EN_SQL},
+    b AS (
+        SELECT least((s * 10) // 1000000, 9)::BIGINT AS bucket,
+               y::BIGINT AS yy, s
+        FROM e6
+    ),
+    agg AS (
+        SELECT bucket, count(*)::BIGINT AS n_rows,
+               sum(yy)::BIGINT AS n_pos, sum(s)::BIGINT AS ss
+        FROM b GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_rows)::BIGINT AS nn, sum(n_pos)::BIGINT AS pp
+            FROM agg),
+    terms AS (
+        SELECT bucket, n_rows, n_pos,
+               ((2 * ss + n_rows) // (2 * n_rows))::BIGINT
+                   AS mean_score_e6,
+               ((2 * 1000000 * n_pos + n_rows) // (2 * n_rows))::BIGINT
+                   AS pos_rate_e6,
+               ((2 * (ss::HUGEINT - 1000000::HUGEINT * n_pos)
+                   * (ss::HUGEINT - 1000000::HUGEINT * n_pos)
+                 + 1000 * n_rows) // (2 * 1000 * n_rows))::BIGINT
+                   AS rel_term_e9,
+               ((2 * 1000000000
+                   * (nn::HUGEINT * n_pos - pp::HUGEINT * n_rows)
+                   * (nn::HUGEINT * n_pos - pp::HUGEINT * n_rows)
+                 + n_rows::HUGEINT * nn * nn)
+                // (2 * n_rows::HUGEINT * nn * nn))::BIGINT
+                   AS res_term_e9
+        FROM agg CROSS JOIN tot
+    ),
+    sums AS (
+        SELECT ((2 * sum(rel_term_e9) + max(nn2)) // (2 * max(nn2)))::BIGINT
+                   AS rel_e9,
+               ((2 * sum(res_term_e9) + max(nn2)) // (2 * max(nn2)))::BIGINT
+                   AS res_e9
+        FROM (SELECT terms.*, tot.nn AS nn2 FROM terms CROSS JOIN tot)
+    ),
+    unc AS (
+        SELECT ((2 * 1000000000 * pp::HUGEINT * (nn - pp)
+                 + nn::HUGEINT * nn)
+                // (2 * nn::HUGEINT * nn))::BIGINT AS unc_e9
+        FROM tot
+    )
+    SELECT bucket, n_rows, n_pos, mean_score_e6, pos_rate_e6,
+           rel_term_e9, res_term_e9, rel_e9, res_e9, unc_e9
+    FROM terms CROSS JOIN sums CROSS JOIN unc
+    ORDER BY bucket
+    """,
+)
+def brier_stopword_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the stopword-score Brier score —
+    reliability (miscalibration) vs resolution (discrimination) vs
+    base-rate uncertainty, the "is my score bad because it lies or
+    because it can't separate" split that completes the calibration
+    battery (calibration = gaps, isotonic = repair, AUC/PR = ranking,
+    kappa = thresholded agreement, THIS = decomposition). All half-up
+    e9 integers of exact decimal/HUGEINT products; per-bucket term
+    rows with repeated scalar totals (the benford convention). See
+    operators/profile.py:brier_decomposition."""
+    from data_misc_tools_spark.operators.profile import (
+        brier_decomposition,
+    )
+
+    scored = _scored_en_frame(spark, sf_dir)
+    return brier_decomposition(scored, "score_e6", "y")
+
+
+@_q(
     "kappa_stopword_en",
     f"""
     WITH {_SCORED_EN_SQL},
@@ -14804,6 +14875,8 @@ GRADED_FIRST: list[str] = [
     "kappa_stopword_en",
     # clipped-bigram ROUGE verify over the LSH pair graph
     "rouge_dedup_pairs",
+    # Murphy decomposition of the Brier score
+    "brier_stopword_en",
     # degree-peel cohesion core (rows-only, python-peel pinned)
     "kcore_neardup",
     # --- changed this round: re-earn official rows ---
@@ -14833,7 +14906,7 @@ GRADED_FIRST: list[str] = [
     "hybrid_rrf_search",
     # [text quality / analysis]
     "text_quality", "gopher_filter_demo", "keyness_llr_en_docs",
-    "readability_docs", "term_dispersion_docs",
+    "term_dispersion_docs",
     # [graph]
     "triangle_count_neardup", "harmonic_neardup_k3",
     "lpa_communities_neardup",

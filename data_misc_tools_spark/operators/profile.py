@@ -1853,6 +1853,119 @@ def bootstrap_ab_lift(
     return point.crossJoin(ci)
 
 
+def brier_decomposition(
+    df: DataFrame,
+    score_e6_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the (binned) Brier score (Murphy 1973)
+    — the third leg of the calibration battery beside
+    :func:`calibration_report` (per-bucket gaps) and
+    :func:`isotonic_fit` (repair): Brier = RELIABILITY − RESOLUTION +
+    UNCERTAINTY, where reliability = Σ n_b·(s̄_b − ȳ_b)²/N (how far
+    predictions sit from observed rates — lower is better),
+    resolution = Σ n_b·(ȳ_b − ȳ)²/N (how much the buckets actually
+    separate outcomes — HIGHER is better), uncertainty = ȳ(1−ȳ) (the
+    irreducible base-rate noise). The split answers "is my score bad
+    because it is miscalibrated, or because it cannot discriminate?"
+    — two different fixes.
+
+    Engine-exact: scores arrive as e6 INTEGERS (the calibration_report
+    contract); every term is a half-up e9 integer of exact products —
+    rel_term = (SS_b − 1e6·p_b)²/(1000·n_b), res_term =
+    1e9·(N·p_b − P·n_b)²/(n_b·N²), unc = 1e9·P·(N−P)/N² — carried in
+    decimal(38,0)/HUGEINT, summed as exact integers (per-bucket rows,
+    the benford no-float-sum-order rule). Both bounded frames are
+    localCheckpointed (two consumers each — the r8 pin-haul rule).
+    Exactness bound: 2e9·(N·p−P·n)² must fit decimal(38,0) — N up
+    to ~1e7 worst-case; past that Spark raises (ANSI) rather than
+    mis-reporting (the _den_dec convention).
+
+    Output: one row per bucket — (bucket, n_rows, n_pos,
+    mean_score_e6, pos_rate_e6, rel_term_e9, res_term_e9) plus the
+    repeated scalars rel_e9 = half-up(Σrel_terms/N), res_e9 =
+    half-up(Σres_terms/N), unc_e9 — ordered by bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError("need at least 2 buckets")
+    dec = "decimal(38,0)"
+    s = F.col(score_e6_col).cast("long")
+    guard = F.when(
+        (s < 0) | (s > 1_000_000),
+        F.raise_error(
+            F.format_string(
+                "brier_decomposition: score_e6 %s outside [0, 1e6]", s
+            )
+        ).cast("long"),
+    ).otherwise(s)
+    bucket = F.least(
+        F.expr(f"({score_e6_col} * {n_buckets}) div 1000000"),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    base = df.select(
+        guard.alias("__s"),
+        bucket.alias("bucket"),
+        F.col(label_col).cast("boolean").cast("long").alias("__y"),
+    )
+    agg = (
+        base.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__s").cast("long").alias("__ss"),
+        )
+        .localCheckpoint()
+    )
+    tot = agg.agg(
+        F.sum("n_rows").cast("long").alias("__N"),
+        F.sum("n_pos").cast("long").alias("__P"),
+    )
+    terms = (
+        agg.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bucket", "n_rows", "n_pos", "__N", "__P",
+            "(2 * __ss + n_rows) div (2 * n_rows) AS mean_score_e6",
+            "(2 * 1000000 * n_pos + n_rows) div (2 * n_rows)"
+            " AS pos_rate_e6",
+            f"""cast((2 * (cast(__ss as {dec}) - cast(1000000 as {dec})
+                           * n_pos)
+                        * (cast(__ss as {dec}) - cast(1000000 as {dec})
+                           * n_pos)
+                      + 1000 * n_rows)
+                     div (2 * 1000 * n_rows) as long) AS rel_term_e9""",
+            f"""cast((2 * 1000000000 * (cast(__N as {dec}) * n_pos
+                                        - cast(__P as {dec}) * n_rows)
+                        * (cast(__N as {dec}) * n_pos
+                           - cast(__P as {dec}) * n_rows)
+                      + cast(n_rows as {dec}) * __N * __N)
+                     div (2 * cast(n_rows as {dec}) * __N * __N) as long)
+                AS res_term_e9""",
+        )
+        .localCheckpoint()
+    )
+    sums = terms.agg(
+        F.sum("rel_term_e9").cast("long").alias("__relsum"),
+        F.sum("res_term_e9").cast("long").alias("__ressum"),
+        F.first("__N").alias("__N2"),
+        F.first("__P").alias("__P2"),
+    ).selectExpr(
+        "(2 * __relsum + __N2) div (2 * __N2) AS rel_e9",
+        "(2 * __ressum + __N2) div (2 * __N2) AS res_e9",
+        f"""cast((2 * 1000000000 * cast(__P2 as {dec}) * (__N2 - __P2)
+                  + cast(__N2 as {dec}) * __N2)
+                 div (2 * cast(__N2 as {dec}) * __N2) as long) AS unc_e9""",
+    )
+    return (
+        terms.crossJoin(F.broadcast(sums))
+        .select(
+            "bucket", "n_rows", "n_pos", "mean_score_e6", "pos_rate_e6",
+            "rel_term_e9", "res_term_e9", "rel_e9", "res_e9", "unc_e9",
+        )
+        .orderBy("bucket")
+    )
+
+
 def cohens_kappa_2x2(
     df: DataFrame,
     rater_a: Column,

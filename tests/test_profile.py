@@ -2181,3 +2181,85 @@ class TestCohensKappa:
         assert cohens_kappa_2x2(
             self._df(spark, 10, 0, 0, 0), F.col("ra") == 1, F.col("rb") == 1
         ).collect()[0]["kappa"] is None
+
+
+class TestBrierDecomposition:
+    def test_matches_python_reference_and_identity(self, spark):
+        import random
+
+        from data_misc_tools_spark.operators.profile import (
+            brier_decomposition,
+        )
+
+        rng = random.Random(17)
+        rows = []
+        for _ in range(600):
+            s = rng.randrange(0, 1_000_001)
+            y = 1 if rng.random() * 1_000_000 < s * 0.8 + 100_000 else 0
+            rows.append((s, y))
+        df = spark.createDataFrame(rows, "score_e6 long, y int")
+        got = brier_decomposition(df, "score_e6", "y").collect()
+
+        buckets: dict = {}
+        for s, y in rows:
+            b = min((s * 10) // 1_000_000, 9)
+            n, p, ss = buckets.get(b, (0, 0, 0))
+            buckets[b] = (n + 1, p + y, ss + s)
+        N = sum(n for n, _, _ in buckets.values())
+        P = sum(p for _, p, _ in buckets.values())
+        rel = res = 0
+        for b, (n, p, ss) in sorted(buckets.items()):
+            rel += (2 * (ss - 10**6 * p) ** 2 + 1000 * n) // (2 * 1000 * n)
+            res += (
+                2 * 10**9 * (N * p - P * n) ** 2 + n * N * N
+            ) // (2 * n * N * N)
+        unc = (2 * 10**9 * P * (N - P) + N * N) // (2 * N * N)
+        by_b = {r["bucket"]: r for r in got}
+        for b, (n, p, ss) in buckets.items():
+            r = by_b[b]
+            assert (r["n_rows"], r["n_pos"]) == (n, p)
+        rel_tot = (2 * rel + N) // (2 * N)
+        res_tot = (2 * res + N) // (2 * N)
+        r0 = got[0]
+        assert r0["rel_e9"] == rel_tot and r0["res_e9"] == res_tot
+        assert r0["unc_e9"] == unc
+        # Murphy identity: binned Brier = rel - res + unc (within the
+        # e9 quantization of <=10 bucket terms)
+        # direct binned Brier vs decomposition
+        direct = 0.0
+        for n, p, ss in buckets.values():
+            sbar = ss / n / 1e6
+            ybar = p / n
+            direct += n * (sbar - ybar) ** 2 - n * (ybar - P / N) ** 2
+        direct = direct / N + (P / N) * (1 - P / N)
+        assert abs((rel_tot - res_tot + unc) / 1e9 - direct) < 1e-5
+
+    def test_perfectly_calibrated_score_has_zero_reliability(self, spark):
+        from data_misc_tools_spark.operators.profile import (
+            brier_decomposition,
+        )
+
+        # bucket means exactly equal positive rates: 1/4 of rows
+        # positive at score 250000, 3/4 at 750000
+        rows = (
+            [(250_000, 1)] * 25 + [(250_000, 0)] * 75
+            + [(750_000, 1)] * 75 + [(750_000, 0)] * 25
+        )
+        df = spark.createDataFrame(rows, "score_e6 long, y int")
+        got = brier_decomposition(df, "score_e6", "y").collect()
+        assert all(r["rel_term_e9"] == 0 for r in got)
+        assert got[0]["rel_e9"] == 0
+        assert got[0]["res_e9"] > 0  # the buckets DO separate outcomes
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.profile import (
+            brier_decomposition,
+        )
+
+        df = spark.createDataFrame([(2_000_000, 1)], "score_e6 long, y int")
+        with _pytest.raises(Exception, match="outside"):
+            brier_decomposition(df, "score_e6", "y").collect()
+        with _pytest.raises(ValueError, match="buckets"):
+            brier_decomposition(df, "score_e6", "y", n_buckets=1)
