@@ -368,6 +368,38 @@ STRESS = {
     "kruskal_value_by_type": "linearithmic",
     # Brown-Forsythe: group-partitioned census cumsums + one agg
     "bf_variance_by_type": "linearithmic",
+    # --- round 9 ---
+    # Holt-Winters: daily rollup (days fixed on the replica) + driver
+    # recursion over the bounded series
+    "holt_winters_daily": "linear",
+    # A-ES e6 sample: scan-local score + TakeOrdered top-k
+    "weighted_sample_orders": "linear",
+    # Fisher exact: one cell aggregate + bounded lf/support frames
+    # (their size tracks N, so the window cumsum is the n log n part)
+    "fisher_exact_customers": "linearithmic",
+    # silhouette: (label, dim) aggregate + broadcast n x k score
+    "silhouette_embeddings": "linear",
+    # MinSpan: pruned postings + doc-keyed windows
+    "proximity_search_docs": "linearithmic",
+    # kappa / brier: one aggregate (+ bounded bucket frames)
+    "kappa_stopword_en": "linear",
+    "brier_stopword_en": "linear",
+    # ROUGE pairs: tf census + pair-keyed joins; pair count is
+    # LSH-luck-dominated on the replica (the documented pattern)
+    "rouge_dedup_pairs": "block-quadratic",
+    # k-core peel: per-round degree censuses, data-dependent rounds
+    "kcore_neardup": "linearithmic",
+    # EXIF walk: map-only byte folds (demo pinned to doc_id < 1000 —
+    # ~flat by design, the tiff/image_dhash precedent)
+    "exif_meta_demo": "linear",
+    # IVF append demo: build + append + drift report (KMeans fit
+    # dominates; assignment passes are map-only)
+    "ivf_index_append_demo": "linearithmic",
+    # streaming incremental dedup: 3 micro-batches of the LSH +
+    # index-query + incremental-CC pipeline (portable md5 hashing)
+    "dedup_stream_incremental": "linearithmic",
+    # analytic planner: parameter-grid arithmetic, data-independent
+    "lsh_plan_demo": "linear",
 }
 
 
