@@ -11082,7 +11082,11 @@ def silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label simplified silhouette over the embeddings table — the
     clustering-quality readout beside cluster_medoids_embeddings: are
     the intrinsic label families actually SEPARATED in embedding
-    space? d²(point, centroid) never materializes a float centroid
+    space? (FINDING, pinned in the r9 capstone: on this near-uniform
+    fixture they are NOT — means sit within noise of a shuffled
+    labeling, consistent with the r3 ADC-saturation observation; the
+    metric reads strongly positive on planted clusters.)
+    d²(point, centroid) never materializes a float centroid
     (q/n² of exact SQ-code integers, one IEEE division); per-point
     scores e6-round a shared double; per-label means are SIGNED
     half-up integer sums. O(n·k) — no pair join. See
