@@ -372,6 +372,7 @@ EXTENDED = [
     "rouge_dedup_pairs",
     "kcore_neardup",
     "brier_stopword_en",
+    "wilson_ci_purchase",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -14207,6 +14207,59 @@ def _scored_en_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wilson_ci_purchase",
+    """
+    WITH g AS (
+        SELECT event_type AS grp, count(*)::BIGINT AS n,
+               sum((value > 100)::BIGINT)::BIGINT AS k
+        FROM events GROUP BY 1
+    )
+    SELECT grp, n, k,
+           k::DOUBLE / n::DOUBLE AS p_hat,
+           (k::DOUBLE / n::DOUBLE
+            + 1.959964::DOUBLE * 1.959964::DOUBLE / (2 * n::DOUBLE))
+           / (1 + 1.959964::DOUBLE * 1.959964::DOUBLE / n::DOUBLE)
+           - (1.959964::DOUBLE * sqrt(k::DOUBLE / n::DOUBLE
+                * (1 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+                + 1.959964::DOUBLE * 1.959964::DOUBLE
+                  / (4 * n::DOUBLE * n::DOUBLE)))
+             / (1 + 1.959964::DOUBLE * 1.959964::DOUBLE / n::DOUBLE)
+               AS wilson_lo,
+           (k::DOUBLE / n::DOUBLE
+            + 1.959964::DOUBLE * 1.959964::DOUBLE / (2 * n::DOUBLE))
+           / (1 + 1.959964::DOUBLE * 1.959964::DOUBLE / n::DOUBLE)
+           + (1.959964::DOUBLE * sqrt(k::DOUBLE / n::DOUBLE
+                * (1 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+                + 1.959964::DOUBLE * 1.959964::DOUBLE
+                  / (4 * n::DOUBLE * n::DOUBLE)))
+             / (1 + 1.959964::DOUBLE * 1.959964::DOUBLE / n::DOUBLE)
+               AS wilson_hi
+    FROM g ORDER BY grp
+    """,
+)
+def wilson_ci_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score intervals for the per-event-type rate of
+    high-value rows (value > 100) — the proportion-uncertainty
+    readout beside the chi-square 'different?' and power 'could we
+    see it?' gates; Wilson stays sane at small n and extreme rates
+    where Wald collapses. Fixed e6 z-quantile (1.959964) forced to
+    DOUBLE in both engines (a bare DuckDB literal is DECIMAL and its
+    exact z² would diverge from Spark's double product); all later
+    ops are pinned IEEE steps on shared doubles, UNROUNDED. See
+    operators/profile.py:wilson_ci."""
+    from data_misc_tools_spark.operators.profile import wilson_ci
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        wilson_ci(
+            e.select(F.col("event_type").alias("grp"), "value"),
+            "grp",
+            F.col("value") > 100,
+        )
+    )
+
+
+@_q(
     "brier_stopword_en",
     f"""
     WITH {_SCORED_EN_SQL},
@@ -14881,6 +14934,8 @@ GRADED_FIRST: list[str] = [
     "rouge_dedup_pairs",
     # Murphy decomposition of the Brier score
     "brier_stopword_en",
+    # Wilson score intervals (the proportion-CI gate)
+    "wilson_ci_purchase",
     # degree-peel cohesion core (rows-only, python-peel pinned)
     "kcore_neardup",
     # --- changed this round: re-earn official rows ---
@@ -14915,7 +14970,7 @@ GRADED_FIRST: list[str] = [
     "triangle_count_neardup", "harmonic_neardup_k3",
     "lpa_communities_neardup",
     # [stats / eval]
-    "corr_matrix_lineitem", "sprt_purchase_rate",
+    "corr_matrix_lineitem",
     "rmst_purchase_gap", "ipw_ate_purchase", "cramers_v_type_dow",
     "purchase_gap_survival_km",
     # [sampling / etl / layout]

@@ -880,6 +880,68 @@ def sprt_report(
     ).orderBy("period")
 
 
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    z_e6: int = 1_959_964,
+) -> DataFrame:
+    """Wilson score interval per group (Wilson 1927) — the proportion
+    CI that behaves at small n and extreme rates where the naive Wald
+    interval collapses (p̂ ± z√(p̂q̂/n) is empty at p̂ = 0 and overshoots
+    [0,1]); the per-group uncertainty readout beside
+    :func:`chi_square_2x2`'s "different?" and :func:`ab_power_mde`'s
+    "could we see it?":
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Engine-exact the ab_power way: z rides as a FIXED e6 quantile
+    (default z_.975 — no engine evaluates an inverse normal CDF) and
+    is forced to DOUBLE in both engines (a bare 1.959964 literal is
+    DECIMAL in DuckDB and its z² would be exact where Spark's double
+    z² rounds — the 10000.0D lesson in reverse); counts are exact
+    integers; every later op is one pinned-order IEEE step on shared
+    doubles, emitted UNROUNDED. n = 0 groups can't occur (groupBy);
+    p̂ ∈ {0, 1} is exactly where Wilson stays sane.
+
+    Output: (group_col, n, k, p_hat, wilson_lo, wilson_hi), ordered
+    by group.
+    """
+    z = z_e6 / 1e6
+    g = df.groupBy(F.col(group_col)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(success.cast("boolean").cast("long")).cast("long").alias("k"),
+    )
+    zs = f"{z!r}D"
+    center = (
+        f"(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" + {zs} * {zs} / (2D * CAST(n AS DOUBLE)))"
+        f" / (1D + {zs} * {zs} / CAST(n AS DOUBLE))"
+    )
+    half = (
+        f"({zs} * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" * (1D - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" / CAST(n AS DOUBLE)"
+        f" + {zs} * {zs} / (4D * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+        f" / (1D + {zs} * {zs} / CAST(n AS DOUBLE))"
+    )
+    return (
+        g.selectExpr(
+            group_col, "n", "k",
+            "CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat",
+            f"{center} AS __c",
+            f"{half} AS __h",
+        )
+        .selectExpr(
+            group_col, "n", "k", "p_hat",
+            "__c - __h AS wilson_lo",
+            "__c + __h AS wilson_hi",
+        )
+        .orderBy(group_col)
+    )
+
+
 def ab_power_mde(
     df: DataFrame,
     variant: Column,

@@ -2263,3 +2263,37 @@ class TestBrierDecomposition:
             brier_decomposition(df, "score_e6", "y").collect()
         with _pytest.raises(ValueError, match="buckets"):
             brier_decomposition(df, "score_e6", "y", n_buckets=1)
+
+
+class TestWilsonCI:
+    def test_matches_python_mirror_and_textbook(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import wilson_ci
+
+        rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 29
+        df = spark.createDataFrame(rows, "grp string, s int")
+        got = {r["grp"]: r for r in
+               wilson_ci(df, "grp", F.col("s") == 1).collect()}
+
+        z = 1_959_964 / 1e6
+        for grp, n, k in (("a", 10, 8), ("b", 30, 1)):
+            p = k / n
+            c = (p + z * z / (2.0 * n)) / (1.0 + z * z / n)
+            h = (z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))) \
+                / (1.0 + z * z / n)
+            r = got[grp]
+            assert (r["n"], r["k"]) == (n, k)
+            assert r["p_hat"] == p
+            assert abs(r["wilson_lo"] - (c - h)) < 1e-12
+            assert abs(r["wilson_hi"] - (c + h)) < 1e-12
+        # textbook sanity: 8/10 Wilson 95% ~ (0.490, 0.943)
+        assert abs(got["a"]["wilson_lo"] - 0.4901) < 5e-3
+        assert abs(got["a"]["wilson_hi"] - 0.9433) < 5e-3
+        # bounds stay inside [0,1] even at p_hat extremes
+        ext = spark.createDataFrame([("c", 0)] * 5, "grp string, s int")
+        r = wilson_ci(ext, "grp", F.col("s") == 1).collect()[0]
+        assert 0.0 <= r["wilson_lo"] <= r["wilson_hi"] <= 1.0
+        assert r["wilson_lo"] == 0.0  # p_hat = 0: lo pinned at 0
