@@ -876,6 +876,65 @@ def rouge_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_n_pairs(pairs, d, n=2).orderBy("doc_a", "doc_b")
 
 
+ROWS_ONLY.add("dedup_stream_incremental_fast")
+
+
+@_q("dedup_stream_incremental_fast")
+def dedup_stream_incremental_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of dedup_stream_incremental: the IDENTICAL
+    foreachBatch pipeline with the fast xxhash64 MinHash family
+    instead of the oracle-portable md5 path (the
+    dedup_minhash_lsh_fast precedent — the graded row measures the
+    portable grading form, this row measures the engine's ceiling).
+    rows-only: the xxhash64 pair set is engine-specific by design;
+    pipeline correctness (replay == batch == full recompute) is
+    pinned hash-family-independently in tests/test_streaming.py.
+    bench labels the graded row `oracle_portable_graded` pointing
+    here."""
+    import glob
+    import os
+    import tempfile
+
+    from data_misc_tools_spark.streaming.incremental_dedup import (
+        incremental_dedup_stream,
+        read_edges,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix="incdedupf_")
+    stage = os.path.join(work, "stage")
+    os.makedirs(stage)
+    n = 0
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{work}/chunk{i}"
+        )
+        for f in sorted(glob.glob(f"{work}/chunk{i}/*.parquet")):
+            os.symlink(f, f"{stage}/{n}.parquet")
+            n += 1
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = incremental_dedup_stream(
+        stream,
+        index_path=f"{work}/idx",
+        state_path=f"{work}/state",
+        checkpoint=f"{work}/ckpt",
+        portable_hash=False,
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_edges(spark, f"{work}/state").orderBy("doc_a", "doc_b")
+
+
 def _minhash_incremental_oracle() -> str:
     from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
 
