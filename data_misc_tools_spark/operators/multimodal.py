@@ -1548,6 +1548,176 @@ def synthetic_exif(
     )
 
 
+def ico_image_meta(payload: Column | str, max_entries: int = 16) -> Column:
+    """Parse ICO containers (format #8) with pure JVM byte arithmetic
+    — the first DIRECTORY walk: an ICONDIR header (reserved 0, type
+    1, count) followed by ``count`` 16-byte ICONDIRENTRYs, each
+    holding dims, bit depth, payload size, and a FILE OFFSET to its
+    image — and each payload is peeked at its offset to classify
+    PNG-compressed vs classic DIB entries (the 0x89504E47 signature
+    vs a BITMAPINFOHEADER). The classic gotcha encoded: a width/height
+    BYTE of 0 means 256 (the format's one-byte dims cap out).
+
+    One let-bound entry scan (the exif idiom — entries read ONCE into
+    structs), aggregates answered as in-memory array ops. Non-ICO
+    payloads yield null fields.
+
+    Returns struct(format, n_images, width, height, bits_per_pixel,
+    n_png, n_dib, max_bytes) — width/height/bpp from the FIRST entry.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def u8(pos: Column) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10).cast(
+            "long"
+        )
+
+    def le16(pos: Column) -> Column:
+        return u8(pos + 1) * 256 + u8(pos)
+
+    def le32(pos: Column) -> Column:
+        return le16(pos + 2) * 65536 + le16(pos)
+
+    def bind(cols: dict, fn) -> Column:
+        return F.element_at(
+            F.transform(
+                F.array(F.struct(*[v.alias(k) for k, v in cols.items()])), fn
+            ),
+            1,
+        )
+
+    def dim(b: Column) -> Column:
+        return F.when(b == 0, F.lit(256).cast("long")).otherwise(b)
+
+    meta = bind({"cnt": le16(F.lit(5))}, lambda s0: bind(
+        {
+            "e": F.transform(
+                F.sequence(F.lit(0), F.lit(max_entries - 1)),
+                lambda j: F.struct(
+                    F.when(
+                        j < s0.getField("cnt"), dim(u8(7 + j * 16))
+                    ).alias("w"),
+                    F.when(
+                        j < s0.getField("cnt"), dim(u8(8 + j * 16))
+                    ).alias("h"),
+                    F.when(
+                        j < s0.getField("cnt"), le16(13 + j * 16)
+                    ).alias("bpp"),
+                    F.when(
+                        j < s0.getField("cnt"), le32(15 + j * 16)
+                    ).alias("nbytes"),
+                    F.when(
+                        j < s0.getField("cnt"),
+                        # peek the payload at its offset: PNG signature
+                        # or a DIB header (BITMAPINFOHEADER size 40)
+                        F.when(
+                            F.hex(
+                                F.substring(
+                                    p,
+                                    (le32(19 + j * 16) + 1).cast("int"),
+                                    F.lit(4),
+                                )
+                            )
+                            == "89504E47",
+                            F.lit("png"),
+                        ).otherwise(F.lit("dib")),
+                    ).alias("kind"),
+                ),
+            ),
+            "cnt": s0.getField("cnt"),
+        },
+        lambda s1: F.struct(
+            s1.getField("cnt").alias("n_images"),
+            F.element_at(s1.getField("e"), 1).getField("w").alias("w"),
+            F.element_at(s1.getField("e"), 1).getField("h").alias("h"),
+            F.element_at(s1.getField("e"), 1).getField("bpp").alias("bpp"),
+            F.size(
+                F.filter(
+                    s1.getField("e"), lambda x: x.getField("kind") == "png"
+                )
+            )
+            .cast("long")
+            .alias("n_png"),
+            F.size(
+                F.filter(
+                    s1.getField("e"), lambda x: x.getField("kind") == "dib"
+                )
+            )
+            .cast("long")
+            .alias("n_dib"),
+            F.array_max(
+                F.transform(
+                    s1.getField("e"), lambda x: x.getField("nbytes")
+                )
+            ).alias("max_bytes"),
+        ),
+    ))
+    is_ico = (le16(F.lit(1)) == 0) & (le16(F.lit(3)) == 1) & (
+        le16(F.lit(5)) >= 1
+    )
+    return F.struct(
+        F.when(is_ico, F.lit("ico"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("format"),
+        F.when(is_ico, meta.getField("n_images")).alias("n_images"),
+        F.when(is_ico, meta.getField("w")).alias("width"),
+        F.when(is_ico, meta.getField("h")).alias("height"),
+        F.when(is_ico, meta.getField("bpp")).alias("bits_per_pixel"),
+        F.when(is_ico, meta.getField("n_png")).alias("n_png"),
+        F.when(is_ico, meta.getField("n_dib")).alias("n_dib"),
+        F.when(is_ico, meta.getField("max_bytes")).alias("max_bytes"),
+    )
+
+
+def synthetic_ico(count: Column, base_size: Column) -> Column:
+    """Build a canonical ICO blob entirely with Catalyst expressions —
+    the writer half of the ICO round trip (:func:`ico_image_meta` is
+    the reader). ``count`` entries; entry k is (base_size·2^k)-square
+    (the BYTE dims store size % 256, so 256 encodes as 0 — the
+    format's gotcha), 32bpp, payload size 100 + k, payload magic
+    alternating PNG signature (even k) and a DIB BITMAPINFOHEADER
+    (odd k), 8 bytes each at offset 6 + 16·count + 8·k."""
+    n = count.cast("long")
+    b = base_size.cast("long")
+
+    def size_k(k: Column) -> Column:
+        # base * 2^k via repeated CASE (shiftleft needs literal bits)
+        out = b
+        for i in range(1, 8):
+            out = F.when(k == i, b * (1 << i)).otherwise(out)
+        return out
+
+    entries = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda k: F.concat(
+                _le_bytes(size_k(k) % 256, 1),   # width byte (256 -> 0)
+                _le_bytes(size_k(k) % 256, 1),   # height byte
+                F.lit("00"),                     # palette colors
+                F.lit("00"),                     # reserved
+                _le_bytes(F.lit(1), 2),          # planes
+                _le_bytes(F.lit(32), 2),         # bitcount
+                _le_bytes(F.lit(100) + k, 4),    # bytes_in_res
+                _le_bytes(6 + 16 * n + 8 * k, 4),  # image offset
+            ),
+        ),
+        "",
+    )
+    payloads = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda k: F.when(
+                k % 2 == 0, F.lit("89504E470D0A1A0A")  # PNG signature
+            ).otherwise(F.lit("2800000000000000")),     # DIB header(40)
+        ),
+        "",
+    )
+    header = F.concat(
+        _le_bytes(F.lit(0), 2), _le_bytes(F.lit(1), 2), _le_bytes(n, 2)
+    )
+    return F.unhex(F.concat(header, entries, payloads))
+
+
 def gif_image_meta(payload: Column | str) -> Column:
     """Parse GIF headers (signature + logical screen descriptor) with
     pure JVM byte arithmetic — format #6: version, canvas dims, and

@@ -823,3 +823,67 @@ class TestTiffRoundTrip:
         )
         for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
             assert marker not in plan
+
+
+class TestIcoRoundTrip:
+    def test_struct_verified_writer_and_directory_walk(self, spark):
+        """synthetic_ico's bytes verified with python struct, then the
+        reader's directory walk (entry stride, offset math, payload
+        peeks) against the same blobs — including the 0-means-256
+        dims gotcha."""
+        import struct
+
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import (
+            ico_image_meta,
+            synthetic_ico,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 16), (3, 40), (2, 256), (5, 100)], "n int, base int"
+        )
+        blobs = df.select(
+            "n", "base",
+            synthetic_ico(FF.col("n"), FF.col("base")).alias("payload"),
+        ).collect()
+        for r in blobs:
+            b = bytes(r.payload)
+            res, typ, cnt = struct.unpack("<HHH", b[:6])
+            assert (res, typ, cnt) == (0, 1, r.n)
+            for k in range(cnt):
+                w, h, col, rsv, planes, bpp, nb, off = struct.unpack(
+                    "<BBBBHHII", b[6 + 16 * k: 6 + 16 * (k + 1)]
+                )
+                want = (r.base * (2 ** k)) % 256
+                assert (w, h, planes, bpp, nb) == (
+                    want, want, 1, 32, 100 + k,
+                )
+                magic = b[off:off + 4]
+                assert magic == (b"\x89PNG" if k % 2 == 0 else b"\x28\x00\x00\x00")
+
+        got = df.select(
+            "n", "base",
+            ico_image_meta(
+                synthetic_ico(FF.col("n"), FF.col("base"))
+            ).alias("m"),
+        ).collect()
+        for r in got:
+            assert r.m.format == "ico"
+            assert r.m.n_images == r.n
+            want0 = r.base % 256 or 256
+            assert (r.m.width, r.m.height) == (want0, want0)
+            assert r.m.bits_per_pixel == 32
+            assert r.m.n_png == (r.n + 1) // 2
+            assert r.m.n_dib == r.n // 2
+            assert r.m.max_bytes == 100 + r.n - 1
+
+    def test_non_ico_yields_nulls(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators.multimodal import ico_image_meta
+
+        nt = spark.createDataFrame([("nope",)], "x string").select(
+            ico_image_meta(FF.encode("x", "utf-8")).alias("m")
+        ).collect()[0].m
+        assert all(v is None for v in nt.asDict().values())

@@ -400,6 +400,10 @@ STRESS = {
     "dedup_stream_incremental": "linearithmic",
     # analytic planner: parameter-grid arithmetic, data-independent
     "lsh_plan_demo": "linear",
+    # ICO walk: map-only byte reads, demo pinned to doc_id < 1000
+    "ico_meta_demo": "linear",
+    # Wilson: one group aggregate + pinned IEEE tail
+    "wilson_ci_purchase": "linear",
 }
 
 
