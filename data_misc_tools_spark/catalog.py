@@ -829,7 +829,14 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_hash=True,
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # a partial edge log would surface downstream as an opaque
+            # oracle hash mismatch — fail loudly instead (ADVICE r9)
+            raise TimeoutError(
+                "dedup_stream_incremental: availableNow run did not "
+                "finish within 300s; edge log would be partial"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -12949,7 +12956,12 @@ def psi_drift_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        if not finished:
+            raise TimeoutError(
+                "psi_drift_stream_demo: availableNow run did not "
+                "finish within 120s; window counts would be partial"
+            )
     finally:
         if q.isActive:
             q.stop()

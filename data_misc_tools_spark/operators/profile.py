@@ -2089,7 +2089,7 @@ def fisher_exact_2x2(
     df: DataFrame,
     variant: Column,
     success: Column,
-    max_n: int = 200_000,
+    max_n: int = 32_768,
 ) -> DataFrame:
     """Fisher's EXACT test for a 2x2 table — the small-sample
     companion of :func:`chi_square_2x2` (whose chi² approximation
@@ -2120,7 +2120,10 @@ def fisher_exact_2x2(
     at any sane threshold are unaffected, and both engines agree
     bit-for-bit. ``max_n`` guards the bounded lf/support frames (the
     bounded-rollup contract; Fisher is the SMALL-table gate — use
-    chi_square_2x2 on large ones).
+    chi_square_2x2 on large ones). The default 32768 MATCHES the
+    catalog oracle's ``generate_series(0, 32768)`` bound — raising it
+    past the oracle bound silently drops support rows on the DuckDB
+    side, so keep the two in lockstep.
 
     Output: one row (n11, n10, n01, n00, support_n, lsum_obs_e6,
     p_fisher). Zero-margin tables yield NULL p.

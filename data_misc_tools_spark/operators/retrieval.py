@@ -928,11 +928,15 @@ def min_cover_span(
     all_seen = lcols[0].isNotNull()
     for c in lcols[1:]:
         all_seen = all_seen & c.isNotNull()
+    # F.least asserts on < 2 columns — with a single query term the
+    # running max at p IS p, so the span collapses to the constant 1
+    # (ADVICE r9); lcols[0] keeps that exact without the assert.
+    least_last = lcols[0] if len(lcols) == 1 else F.least(*lcols)
     spans = toks.select(F.col(id_col), F.col("pos"), *lasts).select(
         F.col(id_col),
         F.when(
             all_seen,
-            F.col("pos") - F.least(*lcols) + 1,
+            F.col("pos") - least_last + 1,
         )
         .cast("long")
         .alias("__span"),

@@ -619,8 +619,13 @@ def ivf_index_drift(spark: SparkSession, path: str, vec_col: str | None = "embed
             "coalesce(n_rows_now, 0L) AS n_rows_now",
             "coalesce(n_rows_now, 0L) - coalesce(n_rows_base, 0L) AS added",
             """CASE WHEN coalesce(n_rows_base, 0L) > 0 THEN
-                 (2 * 1000 * (coalesce(n_rows_now, 0L) - n_rows_base)
-                  + n_rows_base) div (2 * n_rows_base)
+                 CASE WHEN coalesce(n_rows_now, 0L) >= n_rows_base THEN
+                   (2 * 1000 * (coalesce(n_rows_now, 0L) - n_rows_base)
+                    + n_rows_base) div (2 * n_rows_base)
+                 ELSE
+                   -((2 * 1000 * (n_rows_base - coalesce(n_rows_now, 0L))
+                      + n_rows_base) div (2 * n_rows_base))
+                 END
                END AS growth_permille""",
             """CASE WHEN n_rows_base > 0 AND qerr_base_sum IS NOT NULL THEN
                  (2 * qerr_base_sum + n_rows_base) div (2 * n_rows_base)

@@ -82,6 +82,25 @@ def test_fixture_docs_fit_series_bound(sf_dir):
     assert n_long == 0
 
 
+def test_fixture_customers_fit_fisher_series_bound(sf_dir):
+    """fisher_exact_customers' oracle enumerates log-factorials and
+    support points through a bounded `generate_series(0, 32768)`; a
+    customer table larger than that would silently drop support rows
+    on the DuckDB side (ADVICE r9). fisher_exact_2x2's max_n default
+    now matches the oracle bound — pin the fixture contract too."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchone()[0]
+    assert n <= 32768
+
+    from data_misc_tools_spark.operators import profile as profile_mod
+    import inspect
+
+    sig = inspect.signature(profile_mod.fisher_exact_2x2)
+    assert sig.parameters["max_n"].default == 32768
+
+
 def test_fixture_hourly_span_fits_series_bound(sf_dir):
     """hourly_anomaly_zscore_filled's oracle builds the zero-filled
     bucket axis with a bounded `JOIN generate_series(0, 8192)` per

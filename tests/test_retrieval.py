@@ -622,3 +622,19 @@ class TestMinCoverSpan:
             min_cover_span(df, [])
         with _pytest.raises(ValueError):
             min_cover_span(df, ["a", "a"])
+
+    def test_single_term(self, spark):
+        """The validator permits one term, but F.least asserts on < 2
+        columns (ADVICE r9) — single-term spans are the constant 1
+        wherever the term occurs."""
+        from data_misc_tools_spark.operators.retrieval import min_cover_span
+
+        docs = spark.createDataFrame(
+            [(1, "x a y a"), (2, "a"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_hits, r.min_span)
+            for r in min_cover_span(docs, ["a"]).collect()
+        }
+        assert got == {1: (2, 1), 2: (1, 1)}

@@ -572,6 +572,27 @@ def test_ivf_index_drift_report(spark, sf_dir, tmp_path):
     assert all(r.mean_qerr_e6_base is None for r in pd_rows)
 
 
+def test_ivf_index_drift_negative_delta_signed_half_up(spark, tmp_path):
+    """A SHRINKING cell (future compaction/deletes) must round its
+    growth_permille half away from zero, not toward +inf (ADVICE r9:
+    the unsigned (2n+d) div 2d form under-reports shrinkage by one
+    permille at the .5 boundary — the holt_winters signed-rounding
+    class). Fabricated layout: base 3 rows, now 2 → delta/base =
+    -333.33‰, signed half-up = -333 (unsigned truncation gives -332)."""
+    from data_misc_tools_spark.operators.similarity import ivf_index_drift
+
+    idx = str(tmp_path / "shrink")
+    spark.createDataFrame(
+        [(0, 3, None)], "cell long, n_rows long, qerr_e6_sum long"
+    ).write.parquet(f"{idx}/stats")
+    spark.createDataFrame(
+        [(0, 1), (0, 2)], "cell long, vec_id long"
+    ).write.parquet(f"{idx}/cells")
+    row = ivf_index_drift(spark, idx, vec_col=None).collect()[0]
+    assert row.added == -1
+    assert row.growth_permille == -333
+
+
 def test_ivf_probe_pruning_survives_append(spark, sf_dir, tmp_path):
     """The probed cell set must reach the cells scan as
     PartitionFilters AFTER an append (new rows land in existing cell
