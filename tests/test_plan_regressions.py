@@ -1215,9 +1215,15 @@ def test_r9_new_ops_plan_shapes(spark, sf_dir):
     for m in _PY_MARKERS:
         assert m not in p
 
-    # rouge: pair-keyed equi-joins only
+    # rouge: pair-keyed equi-joins only; pairs + tf are eagerly
+    # localCheckpointed (VERDICT r9 #1 — the shipped r9 plan replayed
+    # the minhash pipeline + gram census to 8 scans / 19 exchanges),
+    # so the FINAL plan reads zero parquet: every scan happened once
+    # at checkpoint time
     p = _plan(spark, "rouge_dedup_pairs", sf_dir)
     assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") == 0
+    assert p.count("Scan ExistingRDD") >= 2  # the pinned pairs + tf
     for m in _PY_MARKERS:
         assert m not in p
 
