@@ -604,6 +604,108 @@ def http_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "t_http_get_sql_demo",
+    """
+    SELECT doc_id, 200 AS code, concat('doc-', doc_id) AS content
+    FROM documents WHERE doc_id < 24
+    """,
+)
+def t_http_get_sql_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline SQL UX — ``t_http_get`` called INSIDE
+    SQL with LATERAL fan-out and automatic ctx passthrough (reference:
+    README.md:119-126, commons/UDTFExt.java:22-36) — now bound via a
+    PySpark 4.1 Python UDTF (functions/tablefuncs.py, registered by
+    register_all). Oracle-exact against the deterministic loopback
+    echo server (GET /x returns body "x"). The doc filter lives in a
+    subquery so only the 24 requested rows ever reach the UDTF."""
+    from data_misc_tools_spark.testing.httpserver import ensure_echo_server
+
+    port = ensure_echo_server()
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, h.code, h.content
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 24) d,
+             LATERAL t_http_get(
+                 concat('http://127.0.0.1:{port}/doc-', d.doc_id)) h
+        """
+    )
+
+
+@_q(
+    "jd_keys_sql_demo",
+    """
+    SELECT concat('nation:', n_nationkey) AS k, n_name AS v
+    FROM nation
+    """,
+)
+def jd_keys_sql_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``jd_keys`` + ``jd_mget`` as SQL table functions (reference:
+    redis/UDTFJedisKeys.java:38-48 — SQL-side key listing with 1→N
+    fan-out), against the file-backed Redis fake seeded from the
+    nation table (25 keys, bounded driver-side seed). The jd_keys scan
+    streams via SCAN semantics; jd_mget joins values back LATERALLY —
+    the reference's exact two-step idiom, engine-checked end-to-end
+    because the seeded keyspace is derived from the same table the
+    oracle reads."""
+    import tempfile
+
+    from data_misc_tools_spark.functions.tablefuncs import (
+        register_redis_table_functions,
+    )
+    from data_misc_tools_spark.testing.fakeredis import (
+        FakeRedis,
+        fake_redis_factory,
+    )
+
+    n = load_tables(spark, sf_dir, ["nation"])["nation"]
+    rows = n.select("n_nationkey", "n_name").collect()  # 25 rows, bounded
+    path = tempfile.mktemp(prefix="jdkeys_sql_")
+    r = FakeRedis(path)
+    r.mset({f"nation:{x['n_nationkey']}": x["n_name"] for x in rows})
+    register_redis_table_functions(spark, fake_redis_factory(path))
+    return spark.sql(
+        """
+        SELECT m.k, m.v
+        FROM jd_keys('nation:*') k, LATERAL jd_mget(array(k.k)) m
+        """
+    )
+
+
+@_q(
+    "zk_read_sql_demo",
+    """
+    SELECT concat('/region/', r_regionkey) AS p, r_name AS v FROM region
+    UNION ALL
+    SELECT '/region' AS p, CAST(NULL AS VARCHAR) AS v
+    """,
+)
+def zk_read_sql_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zk_read`` as a SQL table function — one (p, v) row per znode
+    under the requested subtree roots (reference:
+    zookeeper/ZooKeeperHelper.java:17-22), bound to the in-memory ZK
+    fake seeded from the region table. The DFS tree walk runs
+    executor-side inside the UDTF; the planner-level twin is
+    ``spark.read.format("zktree")`` (zktree_source_demo)."""
+    from data_misc_tools_spark.functions.tablefuncs import (
+        register_zk_table_functions,
+    )
+    from data_misc_tools_spark.testing.fakezk import FakeZK
+
+    rg = load_tables(spark, sf_dir, ["region"])["region"]
+    init = {
+        f"/region/{x['r_regionkey']}": x["r_name"]
+        for x in rg.select("r_regionkey", "r_name").collect()  # 5 rows
+    }
+
+    def zf(init=init):
+        return FakeZK(init)
+
+    register_zk_table_functions(spark, zf)
+    return spark.sql("SELECT p, v FROM zk_read('/region')")
+
+
+@_q(
     "streaming_hourly_rollup",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_str,

@@ -129,9 +129,17 @@ _SQL_UDFS: dict[str, str] = {
 
 def register_functions(spark: SparkSession) -> None:
     """Install the full SQL function surface on this session."""
+    from data_misc_tools_spark.functions.tablefuncs import (
+        register_http_table_functions,
+    )
+
     for ddl in _SQL_UDFS.values():
         spark.sql(ddl)
     _register_http(spark)
+    # SQL-callable table functions (the reference's lateral-view UX);
+    # redis/zk table functions need a client factory and register via
+    # functions.tablefuncs.register_{redis,zk}_table_functions.
+    register_http_table_functions(spark)
 
 
 def _register_http(spark: SparkSession) -> None:
