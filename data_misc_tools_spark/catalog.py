@@ -5451,15 +5451,19 @@ def lpa_communities_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("lpa_neardup_fast", _lpa_oracle(4))
 def lpa_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production twin of lpa_communities_neardup (VERDICT r6 ask):
-    cluster.label_propagation_fast — same graph, same 4 rounds, and
-    (unlike the float pagerank twin) the IDENTICAL integer output,
-    since LPA's votes are already exact counts with a deterministic
-    tie-break; what the twin drops is the per-round eager
-    localCheckpoint jobs (one lazy plan). Oracle-paired with the SAME
-    unrolled SQL as the graded row — the twin must hash-match it.
-    bench labels the graded row `oracle_portable_graded` pointing
-    here."""
+    """LAZY-PLAN twin of lpa_communities_neardup (not a "fast" twin
+    — VERDICT r9 #2): cluster.label_propagation_fast — same graph,
+    same 4 rounds, and (unlike the float pagerank twin) the IDENTICAL
+    integer output, since LPA's votes are already exact counts with a
+    deterministic tie-break; what the twin drops is the per-round
+    eager localCheckpoint jobs (one lazy plan). Oracle-paired with
+    the SAME unrolled SQL as the graded row — the twin must
+    hash-match it. Measured (tools/measure_isolated.py, r10): warm
+    totals are EQUAL at sf0.1 (graded 8.0s vs twin 6.5s when the twin
+    runs second on the memoized graph; PPR order-swapped shows the
+    graded row winning 4.9 vs 5.4) — the scheduling saving only
+    dominates at tiny scale (sf0.001: 8.5→2.2s). Demoted from the
+    bench headline tier; EXTENDED keeps the row."""
     from data_misc_tools_spark.operators.cluster import label_propagation_fast
 
     both = _neardup_graph_edges(spark, sf_dir)
@@ -5562,15 +5566,19 @@ ROWS_ONLY.add("ppr_seeds_fast")
 
 @_q("ppr_seeds_fast")
 def ppr_seeds_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production twin of personalized_pagerank_seeds (VERDICT r6
-    ask): float seed-biased power iteration via
+    """LAZY-PLAN twin of personalized_pagerank_seeds (not a "fast"
+    twin — VERDICT r9 #2): float seed-biased power iteration via
     cluster.personalized_pagerank_fast — same graph, same 10 smallest
     doc_ids as seeds, same 5 rounds, but ONE lazy plan (no per-round
     eager localCheckpoint, no e6 integer scaffolding). rows-only:
     float accumulation order is not engine-portable; parity with the
     integer-exact graded twin is pinned in tests/test_cluster.py.
-    bench labels the graded row `oracle_portable_graded` pointing
-    here."""
+    Measured fast-FIRST with tools/measure_isolated.py (r10): warm
+    5.35s vs the graded row's 4.85s at sf0.1 — the lazy plan saves
+    only checkpoint-job scheduling, which washes out once compute
+    dominates (the CLAUDE.md r7 honesty note, now confirmed in
+    isolation). Demoted from the bench headline tier; EXTENDED keeps
+    the row."""
     from data_misc_tools_spark.operators.cluster import personalized_pagerank_fast
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
