@@ -706,6 +706,94 @@ def zk_read_sql_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "inverted_index_drift_demo",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents WHERE doc_id < 2000
+    ),
+    tf_base AS (SELECT doc_id, tok FROM tok WHERE doc_id % 4 <> 0 GROUP BY 1, 2),
+    tf_all  AS (SELECT doc_id, tok FROM tok GROUP BY 1, 2),
+    dfb AS (SELECT tok, count(*)::BIGINT AS df FROM tf_base GROUP BY 1),
+    dfa AS (SELECT tok, count(*)::BIGINT AS df FROM tf_all  GROUP BY 1),
+    b AS (SELECT sum(df)::BIGINT AS n_postings_base,
+                 count(*)::BIGINT AS n_terms_base,
+                 max(df)::BIGINT AS max_df_base FROM dfb),
+    a AS (SELECT sum(df)::BIGINT AS n_postings_now,
+                 count(*)::BIGINT AS n_terms_now,
+                 max(df)::BIGINT AS max_df_now FROM dfa)
+    SELECT n_postings_base, n_postings_now,
+           n_postings_now - n_postings_base AS added,
+           CASE WHEN n_postings_now >= n_postings_base THEN
+             (2 * 1000 * (n_postings_now - n_postings_base) + n_postings_base)
+               // (2 * n_postings_base)
+           ELSE
+             -((2 * 1000 * (n_postings_base - n_postings_now) + n_postings_base)
+               // (2 * n_postings_base))
+           END AS growth_permille,
+           n_terms_base, n_terms_now, max_df_base, max_df_now
+    FROM b, a
+    """,
+)
+def inverted_index_drift_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-index lifecycle (VERDICT r9 #5 — the IVF standard applied
+    to the inverted BM25 index): build on 3/4 of the docs, append the
+    held-out quarter, then report drift. The per-bucket report
+    (retrieval.inverted_index_drift) is keyed by xxhash64 buckets the
+    oracle cannot reproduce, so the GRADED row is its bucket-agnostic
+    rollup — sums of per-bucket postings/terms are exact global counts
+    (a term's postings live wholly inside one bucket), max over
+    buckets of max_df is the global hottest df, and the global signed
+    half-up growth is recomputed from the global sums (never a sum of
+    per-bucket permilles)."""
+    import tempfile
+
+    from data_misc_tools_spark.operators.retrieval import (
+        inverted_index_append,
+        inverted_index_build,
+        inverted_index_drift,
+    )
+
+    d = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
+    path = tempfile.mkdtemp(prefix="invidx_drift_")
+    # 8 buckets, not the 64 default: the report is bucket-agnostic
+    # after the rollup, and 3x fewer tiny partition writes keeps the
+    # demo write-bound cost proportionate at gate scales
+    inverted_index_build(d.filter(F.col("doc_id") % 4 != 0), path, n_buckets=8)
+    inverted_index_append(d.filter(F.col("doc_id") % 4 == 0), path, n_buckets=8)
+    rep = inverted_index_drift(spark, path)
+    return rep.agg(
+        F.sum("n_postings_base").cast("long").alias("n_postings_base"),
+        F.sum("n_postings_now").cast("long").alias("n_postings_now"),
+        F.sum("added").cast("long").alias("added"),
+        F.sum("n_terms_base").cast("long").alias("n_terms_base"),
+        F.sum("n_terms_now").cast("long").alias("n_terms_now"),
+        F.max("max_df_base").cast("long").alias("max_df_base"),
+        F.max("max_df_now").cast("long").alias("max_df_now"),
+    ).selectExpr(
+        "n_postings_base",
+        "n_postings_now",
+        "added",
+        """CASE WHEN n_postings_now >= n_postings_base THEN
+             (2 * 1000 * (n_postings_now - n_postings_base) + n_postings_base)
+               div (2 * n_postings_base)
+           ELSE
+             -((2 * 1000 * (n_postings_base - n_postings_now) + n_postings_base)
+               div (2 * n_postings_base))
+           END AS growth_permille""",
+        "n_terms_base",
+        "n_terms_now",
+        "max_df_base",
+        "max_df_now",
+    )
+
+
+@_q(
     "streaming_hourly_rollup",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_str,
@@ -15091,86 +15179,69 @@ def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRADED_FIRST: list[str] = [
     # =======================================================================
-    # ROUND 9 WINDOW (VERDICT r8 ask #7 discipline): first-time r9
-    # entries + queries whose SEMANTICS or PLAN changed this round
-    # (they must re-earn official rows) + strongest veteran re-pins
-    # spanning every family. New r9 operators swap in for re-pins as
-    # they land; test_no_catalog_entry_escapes_grading enforces that
-    # nothing ships outside this window without an official row.
+    # ROUND 10 WINDOW (VERDICT r9 ask #4): zero backlog after r9, so
+    # all 50 slots are free — first-time r10 entries + queries whose
+    # SEMANTICS or PLAN changed this round (they must re-earn official
+    # rows) + strongest veteran re-pins spanning every family. New r10
+    # operators swap in for re-pins as they land;
+    # test_no_catalog_entry_escapes_grading enforces that nothing
+    # ships outside this window without an official row.
     # =======================================================================
-    # --- first-time r9 rows ---
-    # promoted from rows-only: exact e6-ln/e6-exp s-curves + HUGEINT
-    # recursive-CTE power twin (VERDICT #2)
-    "lsh_plan_demo",
-    # streaming incremental dedup: edge log == full-corpus LSH pairs
-    # (VERDICT #4)
-    "dedup_stream_incremental",
-    # IVF append + drift report, rows-only (KMeans layout; VERDICT #3)
-    "ivf_index_append_demo",
-    # EXIF pointer walk through the TIFF IFD chain (VERDICT #6)
-    "exif_meta_demo",
-    # --- new r9 operators (swap in as they land, displacing re-pins) ---
-    # level+trend+seasonal forecasting (list-state recursive-CTE twin)
-    "holt_winters_daily",
-    # unbounded-weight A-ES sampling via the e6-ln key
-    "weighted_sample_orders",
-    # small-sample exact significance (e6 log-factorial hypergeometric)
-    "fisher_exact_customers",
-    # centroid-silhouette clustering quality (exact q/n^2 distances)
-    "silhouette_embeddings",
-    # MinSpan proximity ranking as pure window algebra
-    "proximity_search_docs",
-    # chance-corrected labeler agreement
-    "kappa_stopword_en",
-    # clipped-bigram ROUGE verify over the LSH pair graph
-    "rouge_dedup_pairs",
-    # Murphy decomposition of the Brier score
-    "brier_stopword_en",
-    # Wilson score intervals (the proportion-CI gate)
-    "wilson_ci_purchase",
-    # ICO directory walk (format #8, per-entry payload peeks)
-    "ico_meta_demo",
-    # degree-peel cohesion core (rows-only, python-peel pinned)
-    "kcore_neardup",
+    # --- first-time r10 rows ---
+    # SQL-callable table functions (VERDICT #2): lateral fan-out with
+    # ctx passthrough against the loopback server / executor-side fakes
+    "t_http_get_sql_demo",
+    "jd_keys_sql_demo",
+    "zk_read_sql_demo",
+    # text-index lifecycle (VERDICT #5): build/append/drift rollup
+    "inverted_index_drift_demo",
     # --- changed this round: re-earn official rows ---
-    # tied-timestamp DP fix (ADVICE r8 medium)
-    "funnel_bounded_day",
-    # terms-frame checkpoint (ADVICE r8)
-    "kruskal_value_by_type",
-    # numerator clamp (ADVICE r8)
-    "bf_variance_by_type",
-    # decimal widening + alias de-shadowing (ADVICE r8)
-    "neyman_alloc_events",
-    # pruned mining explode (VERDICT #1 reconciliation)
-    "bm25_prf_search",
+    # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
+    "rouge_dedup_pairs",
+    # max_n default now matches the oracle series bound (ADVICE r9)
+    "fisher_exact_customers",
+    # single-term span fix touched the operator (ADVICE r9)
+    "proximity_search_docs",
+    # signed growth_permille in ivf_index_drift (ADVICE r9)
+    "ivf_index_append_demo",
+    # awaitTermination timeout now raises (ADVICE r9)
+    "dedup_stream_incremental",
+    "psi_drift_stream_demo",
+    # inverted_index_build/append now checkpoint the tf frame (plan
+    # change under these rows)
+    "bm25_index_query",
+    "bm25_index_serve",
     # --- veteran re-pins (drift sentinels; swap-out slots) ---
     # [relational / TPC-H]
     "q1_pricing_summary", "q3_shipping_priority",
     # [temporal / sessions]
-    "holt_linear_daily",
+    "holt_winters_daily", "funnel_bounded_day",
     # [dedup]
-    "dedup_ppjoin",
-    "dedup_repeated_ngrams", "dedup_substring_docs",
+    "dedup_ppjoin", "dedup_repeated_ngrams", "dedup_substring_docs",
     # [similarity / ANN]
     "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
-    "margin_mine_pairs",
+    "margin_mine_pairs", "silhouette_embeddings",
     # [retrieval]
     "bm25_search_topk", "ql_dirichlet_search", "bm25f_search_topk",
-    "hybrid_rrf_search",
+    "hybrid_rrf_search", "bm25_prf_search",
     # [text quality / analysis]
     "text_quality", "gopher_filter_demo", "keyness_llr_en_docs",
-    "term_dispersion_docs",
     # [graph]
     "triangle_count_neardup", "harmonic_neardup_k3",
     "lpa_communities_neardup",
     # [stats / eval]
-    "corr_matrix_lineitem",
-    "rmst_purchase_gap", "ipw_ate_purchase", "cramers_v_type_dow",
+    "corr_matrix_lineitem", "rmst_purchase_gap",
     "purchase_gap_survival_km",
+    "wilson_ci_purchase", "brier_stopword_en", "kruskal_value_by_type",
     # [sampling / etl / layout]
     "exact_stratified_split_langs", "write_plan_lineitem",
+    "weighted_sample_orders", "neyman_alloc_events",
     # [linkage]
     "jw_part_name_pairs", "fs_linkage_docs",
+    # [multimodal / formats]
+    "exif_meta_demo", "ico_meta_demo",
+    # [streaming]
+    "lsh_plan_demo",
 ]
 
 

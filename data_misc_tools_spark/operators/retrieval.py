@@ -508,11 +508,47 @@ def inverted_index_build(
     totals (N, L) and incremental append.
     """
     tf, _, _ = _corpus_stats(docs, text_col, id_col)
-    tf.withColumn("bucket", _bucket_of(F.col("tok"), n_buckets)).write.mode(
+    # three consumers (postings write, doclens rollup, stats snapshot)
+    # would each replay the corpus explode — pin once (the r8 pin-haul
+    # double-scan class)
+    tf_b = tf.withColumn(
+        "bucket", _bucket_of(F.col("tok"), n_buckets)
+    ).localCheckpoint(eager=True)
+    tf_b.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    tf_b.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
-    tf.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode("overwrite").parquet(
-        f"{path}/doclens"
+    ).parquet(f"{path}/doclens")
+    # train-time baseline snapshot for inverted_index_drift — the IVF
+    # lifecycle standard (similarity.ivf_index_drift) applied to the
+    # text index
+    _postings_bucket_stats(tf_b, id_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+
+
+def _postings_bucket_stats(postings: DataFrame, id_col: str) -> DataFrame:
+    """Per-bucket integer health stats of a postings frame:
+    (bucket, n_postings, n_terms, n_docs, max_df) — max_df is the
+    hottest term's document frequency inside the bucket (a term's
+    postings live wholly inside its bucket, so per-bucket df is the
+    term's TRUE df)."""
+    per_term = postings.groupBy("bucket", "tok").agg(
+        F.count("*").cast("long").alias("df"),
+    )
+    docs_per_bucket = postings.groupBy("bucket").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    return (
+        per_term.groupBy("bucket")
+        .agg(
+            F.sum("df").cast("long").alias("n_postings"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+        .join(docs_per_bucket, "bucket")
+        .select("bucket", "n_postings", "n_terms", "n_docs", "max_df")
     )
 
 
@@ -527,12 +563,153 @@ def inverted_index_append(
     batch is tokenized; postings land in their existing bucket
     partitions. ``n_buckets`` must match the build."""
     tf, _, _ = _corpus_stats(batch, text_col, id_col)
-    tf.withColumn("bucket", _bucket_of(F.col("tok"), n_buckets)).write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
-    tf.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode("append").parquet(
-        f"{path}/doclens"
+    tf_b = tf.withColumn(
+        "bucket", _bucket_of(F.col("tok"), n_buckets)
+    ).localCheckpoint(eager=True)  # two writes share one explode
+    tf_b.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
     )
+    tf_b.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode(
+        "append"
+    ).parquet(f"{path}/doclens")
+
+
+def inverted_index_drift(spark: SparkSession, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Index-health report for a persisted inverted index — the
+    "when do I rebuild / compact" gate the append path needs (VERDICT
+    r9 #5: the IVF lifecycle standard, similarity.ivf_index_drift,
+    applied to the text index).
+
+    Compares LIVE postings against the build-time baseline snapshot
+    ({path}/stats): per-bucket postings growth says whether appends
+    have skewed the bucket layout (a hot bucket slows every query
+    whose terms hash into it), term growth tracks vocabulary drift
+    (new shingles/languages landing in the corpus), and max_df drift
+    watches the hottest term per bucket — a runaway df means BM25's
+    idf is collapsing toward zero for that term and scan cost for
+    queries touching it grows linearly (the winnowing hot-key
+    lesson). Rules of thumb: compact/rebuild when max growth_permille
+    > 3000, re-examine stopword handling when max_df_now/max_df_base
+    > ~3 on a large bucket.
+
+    All metrics are integers (counts; SIGNED half-up permille — a
+    compaction that drops rows must round half away from zero, the
+    ivf growth_permille r10 fix). Output: (bucket, n_postings_base,
+    n_postings_now, added, growth_permille, n_terms_base,
+    n_terms_now, max_df_base, max_df_now) ordered by bucket.
+    """
+    base = spark.read.parquet(f"{path}/stats").selectExpr(
+        "bucket",
+        "n_postings AS n_postings_base",
+        "n_terms AS n_terms_base",
+        "max_df AS max_df_base",
+    )
+    now = _postings_bucket_stats(
+        spark.read.parquet(f"{path}/postings"), id_col
+    ).selectExpr(
+        "bucket",
+        "n_postings AS n_postings_now",
+        "n_terms AS n_terms_now",
+        "max_df AS max_df_now",
+    )
+    return (
+        base.join(now, "bucket", "full_outer")
+        .selectExpr(
+            "bucket",
+            "coalesce(n_postings_base, 0L) AS n_postings_base",
+            "coalesce(n_postings_now, 0L) AS n_postings_now",
+            "coalesce(n_postings_now, 0L) - coalesce(n_postings_base, 0L)"
+            " AS added",
+            """CASE WHEN coalesce(n_postings_base, 0L) > 0 THEN
+                 CASE WHEN coalesce(n_postings_now, 0L) >= n_postings_base THEN
+                   (2 * 1000 * (coalesce(n_postings_now, 0L) - n_postings_base)
+                    + n_postings_base) div (2 * n_postings_base)
+                 ELSE
+                   -((2 * 1000 * (n_postings_base - coalesce(n_postings_now, 0L))
+                      + n_postings_base) div (2 * n_postings_base))
+                 END
+               END AS growth_permille""",
+            "coalesce(n_terms_base, 0L) AS n_terms_base",
+            "coalesce(n_terms_now, 0L) AS n_terms_now",
+            "coalesce(max_df_base, 0L) AS max_df_base",
+            "coalesce(max_df_now, 0L) AS max_df_now",
+        )
+        .orderBy("bucket")
+    )
+
+
+def inverted_index_compact(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    id_col: str = "doc_id",
+) -> dict:
+    """Compact a persisted inverted index in place: incremental
+    appends leave one file per (append, bucket) pair, and after many
+    batches per-file open/footer overhead dominates the pruned scans
+    that make the index worth having. Rewrites postings to
+    ``files_per_bucket`` files per bucket partition (content
+    IDENTICAL — layout-only, so append==rebuild query equality is
+    preserved) and the doclens table to a single file.
+
+    Swap protocol: write to ``{path}/postings.compact``, then
+    delete + rename over the live directory (rename is atomic on
+    HDFS; the delete+rename PAIR is not — a production deployment
+    puts a manifest/transaction log above this, which is out of
+    scope here and documented as such).
+
+    Returns {postings_files_before, postings_files_after, buckets,
+    rows} for the maintenance log.
+    """
+    from data_misc_tools_spark.sources import fs as fsmod
+
+    def count_parquet_files(p: str) -> int:
+        n = 0
+        stack = [p]
+        while stack:
+            for e in fsmod.ls(spark, stack.pop()):
+                if e["is_dir"]:
+                    stack.append(e["path"])
+                elif e["path"].endswith(".parquet"):
+                    n += 1
+        return n
+
+    live = f"{path}/postings"
+    tmp = f"{path}/postings.compact"
+    files_before = count_parquet_files(live)
+    postings = spark.read.parquet(live)
+    n_rows = postings.count()
+    buckets = [r.bucket for r in postings.select("bucket").distinct().collect()]
+    # hash-repartition on (bucket, term-slice): every row of one
+    # (bucket, slice) pair lands in ONE task, so each bucket partition
+    # gets exactly files_per_bucket files (term-sliced, never
+    # row-split — a term's postings stay co-located)
+    slice_col = F.pmod(F.xxhash64("tok"), F.lit(files_per_bucket))
+    (
+        postings.repartition(
+            max(1, files_per_bucket * len(buckets)),
+            F.col("bucket"),
+            slice_col,
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    fsmod.delete(spark, live)
+    if not fsmod.rename(spark, tmp, live):
+        raise IOError(f"compaction swap failed: rename {tmp} -> {live}")
+    dl_tmp = f"{path}/doclens.compact"
+    dl_live = f"{path}/doclens"
+    spark.read.parquet(dl_live).coalesce(1).write.mode("overwrite").parquet(dl_tmp)
+    fsmod.delete(spark, dl_live)
+    if not fsmod.rename(spark, dl_tmp, dl_live):
+        raise IOError(f"compaction swap failed: rename {dl_tmp} -> {dl_live}")
+    return {
+        "postings_files_before": files_before,
+        "postings_files_after": count_parquet_files(live),
+        "buckets": len(buckets),
+        "rows": n_rows,
+    }
 
 
 def inverted_index_query(

@@ -102,3 +102,15 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     if not fs.exists(jpath):
         return False
     return fs.delete(jpath, recursive)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename/move via the Hadoop FileSystem API (atomic on HDFS for
+    same-directory renames — the standard commit primitive compaction
+    swaps rely on). False when the source is absent or the FS refuses
+    (e.g. destination exists)."""
+    fs, jsrc, _ = _fs(spark, src)
+    _, jdst, _ = _fs(spark, dst)
+    if not fs.exists(jsrc):
+        return False
+    return fs.rename(jsrc, jdst)

@@ -127,6 +127,85 @@ def test_inverted_index_append_equals_full_rebuild(spark, tmp_path):
     assert a == b == direct
 
 
+def test_inverted_index_drift_lifecycle(spark, tmp_path):
+    """Build -> zero-delta drift; append -> per-bucket added counts
+    reconcile with the batch's postings, signed half-up growth, and
+    max_df tracks the hottest term (the IVF drift contract applied to
+    the text index)."""
+    rows1 = [(i, f"alpha beta w{i}") for i in range(12)]
+    rows2 = [(100 + i, "alpha alpha zeta") for i in range(6)]
+    d1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    path = str(tmp_path / "drift")
+    R.inverted_index_build(d1, path, n_buckets=4)
+
+    base = R.inverted_index_drift(spark, path).collect()
+    assert sum(r.n_postings_base for r in base) == 12 * 3  # 3 distinct toks/doc
+    for r in base:
+        assert r.added == 0 and r.growth_permille == 0
+        assert r.n_terms_base == r.n_terms_now
+        assert r.max_df_base == r.max_df_now
+
+    R.inverted_index_append(d2, path, n_buckets=4)
+    rep = R.inverted_index_drift(spark, path).collect()
+    # batch postings: each of the 6 docs has 2 distinct toks (alpha, zeta)
+    assert sum(r.added for r in rep) == 6 * 2
+    for r in rep:
+        assert r.n_postings_now == r.n_postings_base + r.added
+        if r.n_postings_base > 0 and r.added >= 0:
+            want = (2 * 1000 * r.added + r.n_postings_base) // (
+                2 * r.n_postings_base
+            )
+            assert r.growth_permille == want
+    # alpha's df rose 12 -> 18: its bucket's max_df must see it
+    assert max(r.max_df_now for r in rep) == 18
+    assert max(r.max_df_base for r in rep) == 12
+
+
+def test_inverted_index_compact_preserves_queries(spark, tmp_path):
+    """Compaction is layout-only: file count drops to files_per_bucket
+    per bucket, and query results stay EQUAL to a fresh full rebuild
+    (the append==rebuild contract survives the rewrite). Drift counts
+    are unchanged too (content identity, not just top-k identity)."""
+    rows1 = [(i, f"alpha beta w{i} gamma") for i in range(10)]
+    rows2 = [(100 + i, f"beta delta w{i} epsilon") for i in range(10)]
+    d1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    d2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    both = d1.unionAll(d2)
+    inc, full = str(tmp_path / "cinc"), str(tmp_path / "cfull")
+    R.inverted_index_build(d1, inc, n_buckets=4)
+    for j in range(3):  # several appends -> many small files
+        R.inverted_index_append(
+            d2.filter((F.col("doc_id") % 3) == j), inc, n_buckets=4
+        )
+    R.inverted_index_build(both, full, n_buckets=4)
+
+    pre = {
+        (r.bucket, r.n_postings_now, r.n_terms_now, r.max_df_now)
+        for r in R.inverted_index_drift(spark, inc).collect()
+    }
+    stats = R.inverted_index_compact(spark, inc, files_per_bucket=1)
+    assert stats["postings_files_after"] <= stats["buckets"]
+    assert stats["postings_files_after"] < stats["postings_files_before"]
+
+    post = {
+        (r.bucket, r.n_postings_now, r.n_terms_now, r.max_df_now)
+        for r in R.inverted_index_drift(spark, inc).collect()
+    }
+    assert post == pre  # content identical
+
+    q = R.queries_df(spark, [(1, "beta delta"), (2, "alpha gamma")])
+    a = sorted(map(tuple, R.inverted_index_query(spark, inc, q, n_buckets=4).collect()))
+    b = sorted(map(tuple, R.inverted_index_query(spark, full, q, n_buckets=4).collect()))
+    assert a == b
+
+    # files_per_bucket=2 splits on term hash, never row-splits a term
+    stats2 = R.inverted_index_compact(spark, inc, files_per_bucket=2)
+    assert stats2["postings_files_after"] <= 2 * stats2["buckets"]
+    a2 = sorted(map(tuple, R.inverted_index_query(spark, inc, q, n_buckets=4).collect()))
+    assert a2 == b
+
+
 def test_inverted_index_scan_is_bucket_pruned(spark, tmp_path, tiny):
     path = str(tmp_path / "pruned")
     R.inverted_index_build(tiny, path, n_buckets=32)
