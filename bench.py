@@ -374,6 +374,13 @@ EXTENDED = [
     "brier_stopword_en",
     "wilson_ci_purchase",
     "ico_meta_demo",
+    # r10: SQL-callable table functions (lateral fan-out), text-index
+    # lifecycle rollup, the nine-format magic-byte dispatcher
+    "t_http_get_sql_demo",
+    "jd_keys_sql_demo",
+    "zk_read_sql_demo",
+    "inverted_index_drift_demo",
+    "media_meta_demo",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

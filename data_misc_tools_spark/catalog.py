@@ -706,6 +706,119 @@ def zk_read_sql_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "media_meta_demo",
+    """
+    SELECT doc_id,
+           CASE doc_id % 9
+             WHEN 0 THEN 'jpeg' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+             WHEN 3 THEN 'tiff' WHEN 4 THEN 'tiff' WHEN 5 THEN 'ico'
+             WHEN 6 THEN 'wav' WHEN 7 THEN 'mp4' WHEN 8 THEN 'png'
+           END AS format,
+           CASE doc_id % 9
+             WHEN 0 THEN 100 + doc_id WHEN 1 THEN 32 + doc_id % 100
+             WHEN 2 THEN 64 + doc_id % 50 WHEN 3 THEN 200 + doc_id % 30
+             WHEN 4 THEN 300 + doc_id % 20 WHEN 5 THEN 16
+             WHEN 7 THEN 640 WHEN 8 THEN 512 + doc_id % 40
+           END::BIGINT AS width,
+           CASE doc_id % 9
+             WHEN 0 THEN 50 + doc_id WHEN 1 THEN 16 + doc_id % 80
+             WHEN 2 THEN 32 + doc_id % 40 WHEN 3 THEN 80 + doc_id % 25
+             WHEN 4 THEN 150 + doc_id % 15 WHEN 5 THEN 16
+             WHEN 7 THEN 360 WHEN 8 THEN 256 + doc_id % 30
+           END::BIGINT AS height,
+           CASE doc_id % 9
+             WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 1
+             WHEN 5 THEN 1 + doc_id % 3
+           END::BIGINT AS n_frames,
+           CASE doc_id % 9 WHEN 6 THEN 8000 END::BIGINT AS sample_rate,
+           CASE doc_id % 9
+             WHEN 6 THEN (8000 + 10 * (doc_id % 100)) // 8
+             WHEN 7 THEN 1500 + doc_id
+           END::BIGINT AS duration_ms
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def media_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The magic-byte dispatcher on a MIXED synthetic crawl (VERDICT
+    r9 #6): 400 blobs cycling through all nine formats — JPEG / GIF /
+    BMP / TIFF / EXIF-in-TIFF / ICO / WAV / MP4 via the pure-Catalyst
+    writers, plus an inline PNG sig+IHDR header — routed through ONE
+    multimodal.media_meta CASE. The oracle recomputes every field
+    arithmetically from doc_id (the size-formula-oracle pattern of
+    the format demos; byte-level walker correctness is pinned by the
+    python-struct round-trip tests). EXIF rows route as 'tiff' —
+    TIFF-container EXIF shares the II*\\0 magic by design."""
+    from data_misc_tools_spark.operators import multimodal as M
+
+    d = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+    i = F.col("doc_id")
+    m = i % 9
+    png_hdr = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A"),          # PNG signature
+            F.lit("0000000D49484452"),           # IHDR length + tag
+            F.lpad(F.hex(F.lit(512) + i % 40), 8, "0"),   # width be32
+            F.lpad(F.hex(F.lit(256) + i % 30), 8, "0"),   # height be32
+        )
+    )
+    payload = (
+        F.when(m == 0, M.synthetic_jpeg(F.lit(100) + i, F.lit(50) + i))
+        .when(m == 1, M.synthetic_gif(F.lit(32) + i % 100, F.lit(16) + i % 80))
+        .when(m == 2, M.synthetic_bmp(F.lit(64) + i % 50, F.lit(32) + i % 40))
+        .when(
+            m == 3,
+            M.synthetic_tiff(
+                F.lit(200) + i % 30, F.lit(80) + i % 25, F.lit(1) + i % 3
+            ),
+        )
+        .when(
+            m == 4,
+            M.synthetic_exif(
+                F.lit(300) + i % 20,
+                F.lit(150) + i % 15,
+                F.lit(1),
+                F.lit("2024:01:02 03:04:05"),
+            ),
+        )
+        .when(m == 5, M.synthetic_ico(F.lit(1) + i % 3, F.lit(16)))
+        .when(
+            m == 6,
+            M.synthetic_wav(
+                F.lit(8000) + F.lit(10) * (i % 100), F.lit(8000), F.lit(1)
+            ),
+        )
+        .when(
+            m == 7,
+            M.synthetic_mp4(
+                F.lit(1000), F.lit(1500) + i, F.lit(640), F.lit(360)
+            ),
+        )
+        .otherwise(png_hdr)
+    )
+    # materialize the blobs BEFORE dispatching: media_meta references
+    # its payload ~50 times (each walker + magic check), and a Column
+    # argument INLINES the whole writer-CASE tree per reference — the
+    # same analysis blowup the dispatcher's own let-binding fixes
+    # internally. A checkpointed column is a leaf.
+    blobs = d.select("doc_id", payload.alias("payload")).localCheckpoint(
+        eager=True
+    )
+    return blobs.select("doc_id", M.media_meta("payload").alias("m")).select(
+        "doc_id",
+        F.col("m.format").alias("format"),
+        F.col("m.width").alias("width"),
+        F.col("m.height").alias("height"),
+        F.col("m.n_frames").alias("n_frames"),
+        F.col("m.sample_rate").alias("sample_rate"),
+        F.col("m.duration_ms").alias("duration_ms"),
+    )
+
+
+@_q(
     "inverted_index_drift_demo",
     """
     WITH tok AS (
@@ -15195,6 +15308,8 @@ GRADED_FIRST: list[str] = [
     "zk_read_sql_demo",
     # text-index lifecycle (VERDICT #5): build/append/drift rollup
     "inverted_index_drift_demo",
+    # magic-byte dispatcher over all nine format walkers (VERDICT #6)
+    "media_meta_demo",
     # --- changed this round: re-earn official rows ---
     # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
     "rouge_dedup_pairs",
@@ -15225,7 +15340,7 @@ GRADED_FIRST: list[str] = [
     "bm25_search_topk", "ql_dirichlet_search", "bm25f_search_topk",
     "hybrid_rrf_search", "bm25_prf_search",
     # [text quality / analysis]
-    "text_quality", "gopher_filter_demo", "keyness_llr_en_docs",
+    "text_quality", "keyness_llr_en_docs",
     # [graph]
     "triangle_count_neardup", "harmonic_neardup_k3",
     "lpa_communities_neardup",

@@ -887,3 +887,103 @@ class TestIcoRoundTrip:
             ico_image_meta(FF.encode("x", "utf-8")).alias("m")
         ).collect()[0].m
         assert all(v is None for v in nt.asDict().values())
+
+
+class TestMediaMetaDispatcher:
+    """media_meta: one magic-byte CASE over all nine format walkers
+    (VERDICT r9 #6)."""
+
+    def _blobs(self, spark):
+        import pyspark.sql.functions as FF
+
+        from data_misc_tools_spark.operators import multimodal as M
+
+        png_hdr = FF.unhex(
+            FF.concat(
+                FF.lit("89504E470D0A1A0A0000000D49484452"),
+                FF.lpad(FF.hex(FF.lit(777)), 8, "0"),
+                FF.lpad(FF.hex(FF.lit(333)), 8, "0"),
+            )
+        )
+        return spark.range(1).select(
+            FF.array(
+                M.synthetic_jpeg(FF.lit(640), FF.lit(480)),
+                M.synthetic_gif(FF.lit(32), FF.lit(16)),
+                M.synthetic_bmp(FF.lit(100), FF.lit(50)),
+                M.synthetic_tiff(FF.lit(200), FF.lit(80), FF.lit(3)),
+                M.synthetic_exif(
+                    FF.lit(300), FF.lit(150), FF.lit(6),
+                    FF.lit("2024:01:02 03:04:05"),
+                ),
+                M.synthetic_ico(FF.lit(2), FF.lit(16)),
+                M.synthetic_wav(FF.lit(8000), FF.lit(8000), FF.lit(1)),
+                M.synthetic_mp4(
+                    FF.lit(1000), FF.lit(2500), FF.lit(1920), FF.lit(1080)
+                ),
+                png_hdr,
+                FF.unhex(FF.lit("DEADBEEF")),
+            ).alias("blobs")
+        ).select(
+            FF.posexplode("blobs").alias("i", "payload")
+        ).localCheckpoint(eager=True)
+
+    def test_routes_all_nine_formats(self, spark):
+        from data_misc_tools_spark.operators.multimodal import media_meta
+
+        rows = {
+            r.i: r.m
+            for r in self._blobs(spark)
+            .select("i", media_meta("payload").alias("m"))
+            .collect()
+        }
+        assert (rows[0].format, rows[0].width, rows[0].height) == ("jpeg", 640, 480)
+        assert (rows[1].format, rows[1].width, rows[1].height) == ("gif", 32, 16)
+        assert (rows[2].format, rows[2].width, rows[2].height) == ("bmp", 100, 50)
+        assert (rows[3].format, rows[3].width, rows[3].height, rows[3].n_frames) == (
+            "tiff", 200, 80, 3,
+        )
+        # EXIF-in-TIFF shares the II*\0 magic: routes as tiff by design
+        assert (rows[4].format, rows[4].width, rows[4].height, rows[4].n_frames) == (
+            "tiff", 300, 150, 1,
+        )
+        assert (rows[5].format, rows[5].width, rows[5].n_frames) == ("ico", 16, 2)
+        assert (rows[6].format, rows[6].sample_rate, rows[6].duration_ms) == (
+            "wav", 8000, 1000,
+        )
+        assert rows[6].width is None
+        # mp4: duration_ms = (1000 * 2500) div 1000
+        assert (rows[7].format, rows[7].width, rows[7].height, rows[7].duration_ms) == (
+            "mp4", 1920, 1080, 2500,
+        )
+        assert (rows[8].format, rows[8].width, rows[8].height) == ("png", 777, 333)
+        # unknown magic -> all-null struct, never an error
+        assert rows[9] == type(rows[9])(
+            format=None, width=None, height=None, n_frames=None,
+            sample_rate=None, duration_ms=None,
+        )
+
+    def test_dispatch_is_jvm_only_and_bounded_tree(self, spark):
+        """No Python eval in the dispatcher plan, and the let-binding
+        holds: each walker fold appears ONCE (the naive formulation
+        re-inlined the 6-walker coalesce per field reference — 43 s of
+        Catalyst analysis per query construction)."""
+        import time
+
+        from data_misc_tools_spark.operators.multimodal import media_meta
+
+        blobs = self._blobs(spark)
+        t0 = time.time()
+        plan = (
+            blobs.select(media_meta("payload").alias("m"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        construct_s = time.time() - t0
+        for marker in (
+            "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+        ):
+            assert marker not in plan
+        # naive tree took ~43 s; the let-bound one ~4 s. 20 s is the
+        # loose regression ceiling (shared-host headroom included)
+        assert construct_s < 20, f"dispatcher construction took {construct_s:.1f}s"
