@@ -164,6 +164,71 @@ def connected_components_incremental(
     )
 
 
+def connected_components_incremental_delta(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The CHANGED-ROWS form of
+    :func:`connected_components_incremental`: only (node, component)
+    rows whose label differs from ``labels`` — relabeled members of
+    merged components plus first-seen nodes. The union
+    ``labels.anti-join(delta) ∪ delta`` equals the full incremental
+    result (pinned in tests), which is exactly what a bucketed
+    snapshot store needs: a batch rewrites the buckets holding delta
+    rows and leaves every other bucket's files untouched (VERDICT r9
+    #7 — the 100 TB labels-store step).
+
+    Cost: the contracted-graph CC (batch-sized) + ONE broadcast join
+    of the remap against ``labels`` — the remap holds only components
+    whose id actually changes, so the scan of ``labels`` prunes to
+    affected rows without a shuffle.
+    """
+    lab = labels.select(F.col("node"), F.col("component"))
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    for side in ("a", "b"):
+        e = (
+            e.join(
+                lab.select(
+                    F.col("node").alias(side),
+                    F.col("component").alias(f"__c_{side}"),
+                ),
+                side,
+                "left",
+            )
+            .withColumn(
+                f"__c_{side}", F.coalesce(F.col(f"__c_{side}"), F.col(side))
+            )
+        )
+    contracted = e.select(
+        F.col("__c_a").alias("src"), F.col("__c_b").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    remap = (
+        connected_components(contracted, src="src", dst="dst")
+        .select(
+            F.col("node").alias("component"), F.col("component").alias("__new")
+        )
+        # only components whose id CHANGES force rewrites
+        .filter(F.col("component") != F.col("__new"))
+    )
+    relabeled = lab.join(F.broadcast(remap), "component").select(
+        "node", F.col("__new").alias("component")
+    )
+    new_nodes = (
+        e.select(F.col("a").alias("node"), F.col("__c_a").alias("component"))
+        .union(e.select(F.col("b").alias("node"), F.col("__c_b").alias("component")))
+        .join(lab.select("node"), "node", "left_anti")
+        .distinct()
+        .join(F.broadcast(remap), "component", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__new"), F.col("component")).alias("component"),
+        )
+    )
+    return relabeled.unionByName(new_nodes)
+
+
 def dedup_keep_best(
     pairs: DataFrame,
     scores: DataFrame,

@@ -35,9 +35,17 @@ streaming/exactly_once.py if side-effect-free retries matter.
 At 100 TB: the index is band-partitioned parquet (batch joins read
 band-aligned row groups), the per-batch CC runs on the CONTRACTED
 graph (component-representatives touched by new edges, not the
-corpus), and the labels snapshot would be hash-bucketed so a batch
-rewrites touched buckets only — here versions are whole-directory for
-auditability (the upsert.py trade, documented there).
+corpus), and the labels snapshot is HASH-BUCKETED behind
+``buckets=N`` (VERDICT r9 #7): each bucket keeps its own version
+chain (``labels/b=K/v=N``), a batch computes only the CHANGED rows
+(cluster.connected_components_incremental_delta) and rewrites the
+buckets holding them — every other bucket's files are untouched.
+``buckets=1`` (default) keeps the flat whole-directory versions for
+auditability (the upsert.py trade). A crash between bucket writes
+can leave buckets at mixed versions for one batch; each bucket's
+version is individually atomic (_SUCCESS markers) and replaying the
+batch converges, so the window closes on restart — a strict batch-id
+ledger (streaming/exactly_once.py) removes even that window.
 """
 
 from __future__ import annotations
@@ -49,13 +57,41 @@ from data_misc_tools_spark.sources import fs as _fsh
 from data_misc_tools_spark.streaming.upsert import _current_version, _versions
 
 
+def _bucket_dirs(spark: SparkSession, labels_path: str) -> list[str]:
+    """``b=K`` subdirectories of a bucketed labels store (empty list
+    for the flat layout)."""
+    if not _fsh.exists(spark, labels_path):
+        return []
+    return sorted(
+        e["path"]
+        for e in _fsh.ls(spark, labels_path)
+        if e["is_dir"] and e["path"].rsplit("/", 1)[-1].startswith("b=")
+    )
+
+
 def read_labels(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Current committed (node, component) snapshot, None before the
-    first batch."""
-    v = _current_version(spark, f"{state_path}/labels")
+    first batch. Layout-aware: a bucketed store (``labels/b=K/v=N``)
+    reads the union of each bucket's current version; the flat store
+    reads ``labels/v=N``."""
+    labels_path = f"{state_path}/labels"
+    bdirs = _bucket_dirs(spark, labels_path)
+    if bdirs:
+        parts = []
+        for bd in bdirs:
+            v = _current_version(spark, bd)
+            if v is not None:
+                parts.append(f"{bd}/v={v}")
+        if not parts:
+            return None
+        out = spark.read.parquet(parts[0])
+        for p in parts[1:]:
+            out = out.unionByName(spark.read.parquet(p))
+        return out
+    v = _current_version(spark, labels_path)
     if v is None:
         return None
-    return spark.read.parquet(f"{state_path}/labels/v={v}")
+    return spark.read.parquet(f"{labels_path}/v={v}")
 
 
 def read_edges(spark: SparkSession, state_path: str) -> DataFrame | None:
@@ -82,7 +118,11 @@ class IncrementalDedupSink:
         id_col: str = "doc_id",
         portable_hash: bool = False,
         keep_versions: int = 2,
+        buckets: int = 1,
     ) -> None:
+        if buckets < 1:
+            raise ValueError(f"buckets must be >= 1, got {buckets}")
+        self.buckets = buckets
         self.index_path = index_path
         self.state_path = state_path
         self.kw = dict(
@@ -123,24 +163,70 @@ class IncrementalDedupSink:
         edges = edges.distinct().localCheckpoint()
 
         cur = read_labels(spark, self.state_path)
-        if cur is None:
-            labels = connected_components(edges, src="doc_a", dst="doc_b")
-        else:
-            labels = connected_components_incremental(
-                cur, edges, src="doc_a", dst="doc_b"
+        if self.buckets == 1:
+            if cur is None:
+                labels = connected_components(edges, src="doc_a", dst="doc_b")
+            else:
+                labels = connected_components_incremental(
+                    cur, edges, src="doc_a", dst="doc_b"
+                )
+            next_v = (
+                _current_version(spark, f"{self.state_path}/labels") or 0
+            ) + 1
+            labels.write.mode("overwrite").parquet(
+                f"{self.state_path}/labels/v={next_v}"
             )
-        next_v = (_current_version(spark, f"{self.state_path}/labels") or 0) + 1
-        labels.write.mode("overwrite").parquet(
-            f"{self.state_path}/labels/v={next_v}"
-        )
-        if self.keep_versions > 0:
-            for v in _versions(spark, f"{self.state_path}/labels")[
-                : -self.keep_versions
-            ]:
-                _fsh.delete(spark, f"{self.state_path}/labels/v={v}")
+            if self.keep_versions > 0:
+                for v in _versions(spark, f"{self.state_path}/labels")[
+                    : -self.keep_versions
+                ]:
+                    _fsh.delete(spark, f"{self.state_path}/labels/v={v}")
+        else:
+            self._write_bucketed(spark, cur, edges)
 
         edges.write.mode("append").parquet(f"{self.state_path}/edges")
         D.minhash_index_append(b, self.index_path, **self.kw)
+
+    def _write_bucketed(self, spark, cur: DataFrame | None, edges: DataFrame) -> None:
+        """Rewrite ONLY the buckets holding changed rows (the 100 TB
+        labels-store step): delta = relabeled + first-seen nodes from
+        cluster.connected_components_incremental_delta; bucket =
+        pmod(node, buckets) — deterministic and engine-portable, no
+        hash function in the layout contract."""
+        from data_misc_tools_spark.operators.cluster import (
+            connected_components,
+            connected_components_incremental_delta,
+        )
+
+        if cur is None:
+            delta = connected_components(edges, src="doc_a", dst="doc_b")
+        else:
+            delta = connected_components_incremental_delta(
+                cur, edges, src="doc_a", dst="doc_b"
+            )
+        delta = delta.withColumn(
+            "__b", F.pmod(F.col("node"), F.lit(self.buckets))
+        ).localCheckpoint()
+        touched = sorted(
+            r["__b"] for r in delta.select("__b").distinct().collect()
+        )
+        for k in touched:
+            bdir = f"{self.state_path}/labels/b={k}"
+            delta_k = delta.filter(F.col("__b") == k).select(
+                "node", "component"
+            )
+            v = _current_version(spark, bdir)
+            if v is None:
+                new_k = delta_k
+            else:
+                old_k = spark.read.parquet(f"{bdir}/v={v}")
+                new_k = old_k.join(
+                    F.broadcast(delta_k.select("node")), "node", "left_anti"
+                ).unionByName(delta_k)
+            new_k.write.mode("overwrite").parquet(f"{bdir}/v={(v or 0) + 1}")
+            if self.keep_versions > 0:
+                for old_v in _versions(spark, bdir)[: -self.keep_versions]:
+                    _fsh.delete(spark, f"{bdir}/v={old_v}")
 
 
 def incremental_dedup_stream(
