@@ -381,6 +381,9 @@ EXTENDED = [
     "zk_read_sql_demo",
     "inverted_index_drift_demo",
     "media_meta_demo",
+    "attribution_markov_events",
+    "kendall_quantity_line",
+    "scd2_user_state",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

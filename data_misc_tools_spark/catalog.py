@@ -705,6 +705,227 @@ def zk_read_sql_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT p, v FROM zk_read('/region')")
 
 
+def _markov_removal_oracle(rounds: int = 16) -> str:
+    """Unrolled value-iteration twin of
+    temporal.markov_removal_attribution: per-scenario adjusted
+    transition counts -> e6 half-up cell probabilities -> ``rounds``
+    unrolled v-levels (ONE reference per level — the
+    single-reference-per-round rule; a RECURSIVE CTE with grouping on
+    the recursive term is not portable)."""
+    levels = []
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        levels.append(
+            f"""v{r} AS (
+        SELECT m.scenario, m.src AS stt,
+               ((2 * sum(m.p6 * v.v) + 1000000) // 2000000)::BIGINT AS v
+        FROM mat m JOIN {prev} v
+          ON v.scenario = m.scenario AND v.stt = m.dst
+        GROUP BY 1, 2
+    )"""
+        )
+    chain = ",\n    ".join(levels)
+    return f"""
+    WITH seq AS (
+        SELECT user_id AS u, ts, event_id AS tb,
+               CASE WHEN event_type = 'purchase' THEN '__conv'
+                    ELSE event_type END AS st,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos
+        FROM events
+    ),
+    fpx AS (
+        SELECT *, min(CASE WHEN st = '__conv' THEN pos END)
+                  OVER (PARTITION BY u) AS fp
+        FROM seq
+    ),
+    kept AS (SELECT * FROM fpx WHERE fp IS NULL OR pos <= fp),
+    stepped AS (
+        SELECT u, pos, st,
+               coalesce(lag(st) OVER (PARTITION BY u ORDER BY pos),
+                        '__start') AS src,
+               max(pos) OVER (PARTITION BY u) AS lastp
+        FROM kept
+    ),
+    trans AS MATERIALIZED (
+        SELECT src, dst, count(*)::BIGINT AS n FROM (
+            SELECT src, st AS dst FROM stepped
+            UNION ALL
+            SELECT st AS src, '__null' AS dst
+            FROM stepped WHERE pos = lastp AND st <> '__conv'
+        ) GROUP BY 1, 2
+    ),
+    chans AS (
+        SELECT src AS c FROM trans
+        WHERE src NOT IN ('__start', '__conv', '__null')
+        UNION
+        SELECT dst FROM trans
+        WHERE dst NOT IN ('__start', '__conv', '__null')
+    ),
+    scen AS (SELECT c AS scenario FROM chans
+             UNION ALL SELECT '__none'),
+    adjc AS (
+        SELECT s.scenario, t.src,
+               CASE WHEN t.dst = s.scenario THEN '__null'
+                    ELSE t.dst END AS dst,
+               sum(t.n)::BIGINT AS n
+        FROM trans t CROSS JOIN scen s GROUP BY 1, 2, 3
+    ),
+    rs AS (SELECT scenario, src, sum(n)::BIGINT AS rsum
+           FROM adjc GROUP BY 1, 2),
+    mat AS MATERIALIZED (
+        SELECT a.scenario, a.src, a.dst,
+               ((2 * 1000000 * a.n + r.rsum) // (2 * r.rsum))::BIGINT AS p6
+        FROM adjc a JOIN rs r
+          ON r.scenario = a.scenario AND r.src = a.src
+        UNION ALL
+        SELECT scenario, '__conv', '__conv', 1000000::BIGINT FROM scen
+        UNION ALL
+        SELECT scenario, '__null', '__null', 1000000::BIGINT FROM scen
+    ),
+    sts AS (SELECT DISTINCT src AS stt FROM mat
+            UNION SELECT DISTINCT dst FROM mat),
+    v0 AS (
+        SELECT s.scenario, a.stt,
+               (CASE WHEN a.stt = '__conv' THEN 1000000
+                     ELSE 0 END)::BIGINT AS v
+        FROM scen s CROSS JOIN sts a
+    ),
+    {chain},
+    fvals AS (SELECT scenario, v FROM v{rounds} WHERE stt = '__start'),
+    base AS (SELECT v AS f_full FROM fvals WHERE scenario = '__none'),
+    rem AS (
+        SELECT f.scenario AS channel, f.v AS f_removed,
+               greatest(b.f_full - f.v, 0)::BIGINT AS drp
+        FROM fvals f, base b WHERE f.scenario <> '__none'
+    ),
+    tot AS (SELECT sum(drp)::BIGINT AS td FROM rem)
+    SELECT r.channel, b.f_full AS f_full_e6, r.f_removed AS f_removed_e6,
+           CASE WHEN b.f_full > 0 THEN
+             ((2 * 1000000 * r.drp + b.f_full) // (2 * b.f_full))::BIGINT
+           END AS removal_e6,
+           CASE WHEN t.td > 0 THEN
+             ((2 * 1000000 * r.drp + t.td) // (2 * t.td))::BIGINT
+           END AS attribution_e6
+    FROM rem r, base b, tot t ORDER BY r.channel
+    """
+
+
+@_q("attribution_markov_events", _markov_removal_oracle(16))
+def attribution_markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect multi-touch attribution over the events
+    journeys (Anderl et al. 2014) — the data-driven member of the
+    attribution trio (U-shape heuristic / exact Shapley / this):
+    credit(channel) ∝ how much first-order-chain conversion
+    probability drops when the channel's inbound edges redirect to
+    __null. Distributed part = ONE journey-transition census; the k+1
+    chain solves are bounded integer value iterations (16 rounds,
+    e6 half-up), replayed bit-for-bit by the oracle's unrolled CTE
+    chain. See temporal.markov_removal_attribution."""
+    from data_misc_tools_spark.operators.temporal import (
+        markov_removal_attribution,
+    )
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return markov_removal_attribution(e, rounds=16)
+
+
+@_q(
+    "kendall_quantity_line",
+    """
+    WITH cells AS (
+        SELECT l_quantity::BIGINT AS x, l_linenumber::BIGINT AS y,
+               count(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cd AS (
+        SELECT sum(CASE WHEN b.y > a.y THEN a.n::HUGEINT * b.n ELSE 0 END) AS c,
+               sum(CASE WHEN b.y < a.y THEN a.n::HUGEINT * b.n ELSE 0 END) AS d
+        FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    m AS (SELECT sum(n)::HUGEINT AS nn, count(*)::BIGINT AS n_cells FROM cells),
+    tx AS (SELECT sum(t * (t - 1))::HUGEINT AS tx2
+           FROM (SELECT sum(n)::HUGEINT AS t FROM cells GROUP BY x)),
+    ty AS (SELECT sum(t * (t - 1))::HUGEINT AS ty2
+           FROM (SELECT sum(n)::HUGEINT AS t FROM cells GROUP BY y))
+    SELECT nn::BIGINT AS n, n_cells, c::BIGINT AS nc, d::BIGINT AS nd,
+           CASE WHEN nn * (nn - 1) > tx2 AND nn * (nn - 1) > ty2 THEN
+             (c - d)::DOUBLE
+             / sqrt(((nn * (nn - 1) - tx2) / 2)::DOUBLE
+                    * ((nn * (nn - 1) - ty2) / 2)::DOUBLE)
+           END AS tau_b
+    FROM cd, m, tx, ty
+    """,
+)
+def kendall_quantity_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between l_quantity and l_linenumber — the
+    concordance gate beside spearman_quantity_price, exact on the
+    bounded 50x7 contingency grid (profile.kendall_tau_b: census +
+    broadcast grid self-join, never an O(n^2) pair sweep; nc/nd exact
+    decimal sums, tau_b ONE pinned-order IEEE expression). Honest
+    null expectation: line numbers are assigned within orders
+    independent of quantity, so tau_b ~ 0."""
+    from data_misc_tools_spark.operators.profile import kendall_tau_b
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return kendall_tau_b(
+        li,
+        F.col("l_quantity").cast("long"),
+        F.col("l_linenumber").cast("long"),
+    )
+
+
+@_q(
+    "scd2_user_state",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events WHERE user_id < 200
+    ),
+    m AS (
+        SELECT user_id, event_type, ts, event_id,
+               (event_type IS DISTINCT FROM lag(event_type) OVER w)
+               OR (lag(ts) OVER w IS NULL) AS chg
+        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT user_id, event_type, ts, event_id FROM m WHERE chg)
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           row_number() OVER w2 AS version,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball type-2 dimension build (cdc.scd2_intervals): each
+    user's event_type stream becomes validity intervals — consecutive
+    same-state events collapse into one run, valid_to chains to the
+    next run's valid_from, the open run flags is_current. The third
+    CDC leg beside compact_changelog (latest) and merge_snapshot
+    (apply). Deterministic run boundaries need a total per-key order:
+    (ts, event_id) — the compact_changelog tie invariant."""
+    from data_misc_tools_spark.operators.cdc import scd2_intervals
+
+    e = (
+        load_tables(spark, sf_dir, ["events"])["events"]
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    out = scd2_intervals(
+        e, key_cols=["user_id"], state_cols=["event_type"],
+        seq_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("version"),
+        "is_current",
+    )
+
+
 @_q(
     "media_meta_demo",
     """
@@ -15310,6 +15531,12 @@ GRADED_FIRST: list[str] = [
     "inverted_index_drift_demo",
     # magic-byte dispatcher over all nine format walkers (VERDICT #6)
     "media_meta_demo",
+    # Markov removal-effect attribution (unrolled value-iteration twin)
+    "attribution_markov_events",
+    # tau-b concordance on the bounded contingency grid
+    "kendall_quantity_line",
+    # Kimball SCD type-2 interval builder
+    "scd2_user_state",
     # --- changed this round: re-earn official rows ---
     # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
     "rouge_dedup_pairs",
@@ -15337,13 +15564,11 @@ GRADED_FIRST: list[str] = [
     "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
     "margin_mine_pairs", "silhouette_embeddings",
     # [retrieval]
-    "bm25_search_topk", "ql_dirichlet_search", "bm25f_search_topk",
-    "hybrid_rrf_search", "bm25_prf_search",
+    "bm25_search_topk", "hybrid_rrf_search", "bm25_prf_search",
     # [text quality / analysis]
     "text_quality", "keyness_llr_en_docs",
     # [graph]
-    "triangle_count_neardup", "harmonic_neardup_k3",
-    "lpa_communities_neardup",
+    "triangle_count_neardup", "lpa_communities_neardup",
     # [stats / eval]
     "corr_matrix_lineitem", "rmst_purchase_gap",
     "purchase_gap_survival_km",

@@ -89,3 +89,56 @@ def merge_snapshot(
     keys = list(key_cols)
     kept = base.join(touched.select(*keys).distinct(), on=keys, how="left_anti")
     return kept.unionByName(compacted.select(*base.columns))
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    state_cols: Sequence[str],
+    seq_cols: Sequence[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from a changelog —
+    the third leg of the CDC toolkit beside :func:`compact_changelog`
+    (latest state) and :func:`merge_snapshot` (apply): full HISTORY as
+    validity ranges, the classic warehouse dimension shape (Kimball
+    SCD type 2).
+
+    Consecutive rows per key whose ``state_cols`` are UNCHANGED
+    collapse into one interval; each emitted row carries
+    ``valid_from`` (the first seq value of the run), ``valid_to``
+    (the next run's valid_from — NULL while current), ``version``
+    (1-based change counter per key) and ``is_current``.
+
+    ``seq_cols`` must totally order each key's changelog (the
+    compact_changelog invariant — ties would make run boundaries
+    engine-dependent). NULL-safe state comparison (``<=>``), so NULL
+    states form runs too.
+
+    Plan shape: one hash Exchange on the key, two within-partition
+    window passes (lag to find run starts, lead over run starts for
+    valid_to) — no global sort, no Python, no self-join. At 100 TB
+    the changelog should be bucketed by key so the Exchange vanishes.
+    """
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(c).asc() for c in seq_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(seq_cols[0]).over(w).isNull()
+    starts = (
+        changelog.withColumn("__chg", first | changed)
+        .filter(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    vf = F.col(seq_cols[0])
+    vt = F.lead(seq_cols[0]).over(w2)
+    return starts.select(
+        *key_cols,
+        *state_cols,
+        vf.alias("valid_from"),
+        vt.alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        vt.isNull().alias("is_current"),
+    )

@@ -4413,3 +4413,100 @@ def cramers_v(
                      * cast(least(ra, rb) - 1 as double)))
            END AS v""",
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    max_cells: int = 65536,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation for BOUNDED-cardinality pairs
+    — the concordance companion of :func:`spearman_exact` (which
+    measures monotone association via ranks; tau-b counts the pairs
+    themselves and is the standard choice when both variables are
+    ordinal scales with heavy ties).
+
+    The O(n log n) inversion-count formulation needs a global sorted
+    sweep; on a CONTINGENCY GRID it collapses to exact integer sums —
+    the chi2/cramers_v census idiom: one (x, y) cell census (the only
+    shuffle), then concordant/discordant pair mass from a bounded
+    grid self-join (cells ≤ ``max_cells``, broadcast):
+
+        C = Σ n_ij · n_kl over k>i, l>j      (each pair once)
+        D = Σ n_ij · n_kl over k>i, l<j
+        n0 = n(n−1)/2,  n1 = Σ_x t(t−1)/2,  n2 = Σ_y t(t−1)/2
+        tau_b = (C − D) / sqrt((n0−n1)·(n0−n2))
+
+    All counts and pair sums are exact decimal(38,0) integers; tau_b
+    is ONE pinned-order IEEE expression — (C−D) to double, each
+    radicand factor to double, multiply, sqrt, divide (the
+    pearson_exact class: both engines evaluate the same doubles).
+    Raises when the grid exceeds ``max_cells`` — an unbounded-
+    cardinality column needs the sort-based formulation, not a census.
+
+    Output: one row (n, n_cells, nc, nd, tau_b) — nc/nd as longs
+    (raises past 2^63 via ANSI rather than silently wrapping).
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.select(x.alias("__x"), y.alias("__y"))
+        .groupBy("__x", "__y")
+        .agg(F.count("*").cast("long").alias("__n"))
+    ).localCheckpoint(eager=True)  # census feeds grid join + margins
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"contingency grid has {n_cells} cells > max_cells={max_cells}: "
+            "kendall_tau_b is the bounded-cardinality form"
+        )
+    a = cells.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__n").cast(dec).alias("__na"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__n").cast(dec).alias("__nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("__xb") > F.col("__xa"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("__yb") > F.col("__ya"), F.col("__na") * F.col("__nb"))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("__c"),
+        F.sum(
+            F.when(F.col("__yb") < F.col("__ya"), F.col("__na") * F.col("__nb"))
+            .otherwise(F.lit(0).cast(dec))
+        ).alias("__d"),
+    )
+    margins = cells.agg(F.sum("__n").cast(dec).alias("__nn"))
+    tx = (
+        cells.groupBy("__x")
+        .agg(F.sum("__n").cast(dec).alias("__t"))
+        .agg(F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__tx2"))
+    )
+    ty = (
+        cells.groupBy("__y")
+        .agg(F.sum("__n").cast(dec).alias("__t"))
+        .agg(F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__ty2"))
+    )
+    return (
+        cd.crossJoin(F.broadcast(margins))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .selectExpr(
+            "cast(__nn as long) AS n",
+            f"cast({n_cells} as long) AS n_cells",
+            "cast(__c as long) AS nc",
+            "cast(__d as long) AS nd",
+            # n0 - n1 = (n(n-1) - Σt(t-1))/2 per margin; fold the /2
+            # into the radicand product as /4 exactly
+            """CASE WHEN __nn * (__nn - 1) > __tx2
+                     AND __nn * (__nn - 1) > __ty2 THEN
+                 cast(cast(__c - __d as double)
+                      / sqrt(cast((__nn * (__nn - 1) - __tx2) / 2 as double)
+                             * cast((__nn * (__nn - 1) - __ty2) / 2 as double))
+                      as double)
+               END AS tau_b""",
+        )
+    )

@@ -1317,3 +1317,165 @@ def seasonal_naive_backtest(
             " ELSE (2 * 1000000 * se + sx) div (2 * sx) END AS wape_e6",
         )
     )
+
+
+START_STATE = "__start"
+CONV_STATE = "__conv"
+NULL_STATE = "__null"
+
+
+def journey_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    channel_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    conv_value: str = "purchase",
+) -> DataFrame:
+    """First-conversion journey transition census — the input of
+    :func:`markov_removal_attribution`: per user, order touches by
+    (ts, tiebreak), truncate at the FIRST conversion (which becomes
+    the absorbing ``__conv`` state), and emit (src, dst, n) counts
+    with ``__start`` fan-in and ``__null`` termination for users who
+    never convert. One keyed window + one aggregate — the distributed
+    part of Markov attribution; everything downstream is bounded by
+    the channel alphabet.
+    """
+    w = Window.partitionBy("__u").orderBy("__ts", "__tb")
+    seq = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.when(F.col(channel_col) == conv_value, F.lit(CONV_STATE))
+        .otherwise(F.col(channel_col).cast("string"))
+        .alias("__st"),
+    ).withColumn("__pos", F.row_number().over(w))
+    wfp = Window.partitionBy("__u")
+    fp = F.min(F.when(F.col("__st") == CONV_STATE, F.col("__pos"))).over(wfp)
+    kept = seq.withColumn("__fp", fp).filter(
+        F.col("__fp").isNull() | (F.col("__pos") <= F.col("__fp"))
+    )
+    w2 = Window.partitionBy("__u").orderBy("__pos")
+    steps = kept.select(
+        F.coalesce(F.lag("__st").over(w2), F.lit(START_STATE)).alias("src"),
+        F.col("__st").alias("dst"),
+        F.col("__u"),
+        F.col("__pos"),
+        F.max("__pos").over(Window.partitionBy("__u")).alias("__last"),
+        F.col("__st").alias("__cur"),
+    )
+    terminal = steps.filter(
+        (F.col("__pos") == F.col("__last")) & (F.col("__cur") != CONV_STATE)
+    ).select(F.col("__cur").alias("src"), F.lit(NULL_STATE).alias("dst"))
+    return (
+        steps.select("src", "dst")
+        .unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _halfup(num: int, den: int) -> int:
+    return (2 * num + den) // (2 * den)
+
+
+def _absorb_prob_e6(
+    trans: dict[tuple[str, str], int], states: list[str], rounds: int
+) -> int:
+    """e6 conversion probability from __start after ``rounds`` steps
+    of the quantized chain — EXACTLY the integer recursion the DuckDB
+    twin unrolls (p6 per cell half-up of n/rowsum; v-step half-up of
+    Σ p6·v / 1e6). Deterministic, engine-portable."""
+    rowsum: dict[str, int] = {}
+    for (s, _), n in trans.items():
+        rowsum[s] = rowsum.get(s, 0) + n
+    p6: dict[tuple[str, str], int] = {
+        (s, d): _halfup(1_000_000 * n, rowsum[s])
+        for (s, d), n in trans.items()
+    }
+    p6[(CONV_STATE, CONV_STATE)] = 1_000_000
+    p6[(NULL_STATE, NULL_STATE)] = 1_000_000
+    v = {s: (1_000_000 if s == CONV_STATE else 0) for s in states}
+    for _ in range(rounds):
+        nxt = {}
+        for s in states:
+            acc = sum(
+                p6.get((s, d), 0) * v[d] for d in states
+            )
+            nxt[s] = _halfup(acc, 1_000_000)
+        v = nxt
+    return v[START_STATE]
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    channel_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    conv_value: str = "purchase",
+    rounds: int = 16,
+    max_states: int = 24,
+) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2014,
+    "Mapping the customer journey") — the data-driven multi-touch
+    model beside the heuristic U-shape credits
+    (:func:`attribution_position_credit`) and the exact game-theoretic
+    :func:`shapley_attribution`: journeys become a first-order chain,
+    a channel's credit is how much the chain's conversion probability
+    DROPS when that channel is removed (its inbound transitions
+    redirect to ``__null`` — paths through it die), normalized across
+    channels.
+
+    Engine-exact (the markov_stationary idiom, extended to k+1
+    scenarios): the distributed work is ONE journey-transition census
+    (:func:`journey_transitions`, bounded by the channel alphabet —
+    guarded by ``max_states``); the chain solve is a deterministic
+    integer recursion — per-cell e6 half-up probabilities, ``rounds``
+    bounded-horizon value iterations with half-up e6 steps — replayed
+    bit-for-bit by the oracle's unrolled CTE chain (ONE reference per
+    level, the single-reference-per-round rule). ``rounds`` bounds
+    the path length credited (16 covers this corpus's journey
+    lengths); it is part of the contract, not a convergence knob.
+
+    Output: one row per channel (channel, f_full_e6, f_removed_e6,
+    removal_e6, attribution_e6), attribution summing to ~1e6.
+    """
+    trans_df = journey_transitions(
+        events, user_col, channel_col, ts_col, tiebreak_col, conv_value
+    )
+    rows = trans_df.collect()
+    trans = {(r["src"], r["dst"]): r["n"] for r in rows}
+    states = sorted({s for s, _ in trans} | {d for _, d in trans}
+                    | {CONV_STATE, NULL_STATE})
+    if len(states) > max_states:
+        raise ValueError(
+            f"{len(states)} journey states exceed max_states={max_states}: "
+            "the bounded-alphabet contract (group channels first)"
+        )
+    channels = [
+        s for s in states if s not in (START_STATE, CONV_STATE, NULL_STATE)
+    ]
+    f_full = _absorb_prob_e6(trans, states, rounds)
+    report = []
+    drops = {}
+    for c in channels:
+        adj: dict[tuple[str, str], int] = {}
+        for (s, d), n in trans.items():
+            key = (s, NULL_STATE) if d == c else (s, d)
+            adj[key] = adj.get(key, 0) + n
+        f_c = _absorb_prob_e6(adj, states, rounds)
+        drops[c] = max(f_full - f_c, 0)
+        report.append((c, f_c))
+    td = sum(drops.values())
+    out = []
+    for c, f_c in report:
+        removal = _halfup(1_000_000 * drops[c], f_full) if f_full > 0 else None
+        attr = _halfup(1_000_000 * drops[c], td) if td > 0 else None
+        out.append((c, f_full, f_c, removal, attr))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, f_full_e6 long, f_removed_e6 long, "
+        "removal_e6 long, attribution_e6 long",
+    ).orderBy("channel")

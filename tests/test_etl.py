@@ -575,3 +575,73 @@ class TestWritePlan:
         nested = df.select("i", __import__("pyspark").sql.functions.array("s").alias("arr"))
         with _pytest.raises(ValueError, match="nested"):
             write_plan(nested)
+
+
+class TestScd2Intervals:
+    """cdc.scd2_intervals — Kimball type-2 history from a changelog."""
+
+    def test_runs_collapse_and_chain(self, spark):
+        from data_misc_tools_spark.operators.cdc import scd2_intervals
+
+        rows = [
+            (1, "a", 10, 100),
+            (1, "a", 20, 101),   # same state: collapses into run 1
+            (1, "b", 30, 102),
+            (1, "a", 40, 103),   # back to a: NEW run (not merged)
+            (2, "x", 10, 104),
+        ]
+        out = scd2_intervals(
+            spark.createDataFrame(rows, "k long, s string, ts long, id long"),
+            key_cols=["k"], state_cols=["s"], seq_cols=["ts", "id"],
+        ).collect()
+        got = {
+            (r.k, r.version): (r.s, r.valid_from, r.valid_to, r.is_current)
+            for r in out
+        }
+        assert got == {
+            (1, 1): ("a", 10, 30, False),
+            (1, 2): ("b", 30, 40, False),
+            (1, 3): ("a", 40, None, True),
+            (2, 1): ("x", 10, None, True),
+        }
+
+    def test_null_states_form_runs(self, spark):
+        from data_misc_tools_spark.operators.cdc import scd2_intervals
+
+        rows = [(1, None, 10, 1), (1, None, 20, 2), (1, "a", 30, 3)]
+        out = scd2_intervals(
+            spark.createDataFrame(rows, "k long, s string, ts long, id long"),
+            key_cols=["k"], state_cols=["s"], seq_cols=["ts", "id"],
+        ).collect()
+        got = {(r.k, r.version): (r.s, r.valid_from, r.valid_to) for r in out}
+        assert got == {(1, 1): (None, 10, 30), (1, 2): ("a", 30, None)}
+
+    def test_multi_state_cols_and_tie_order(self, spark):
+        from data_misc_tools_spark.operators.cdc import scd2_intervals
+
+        # equal ts rows ordered by the id tiebreak; change in EITHER
+        # state col opens a run
+        rows = [(1, "a", 1, 10, 1), (1, "a", 2, 10, 2), (1, "b", 2, 10, 3)]
+        out = scd2_intervals(
+            spark.createDataFrame(
+                rows, "k long, s1 string, s2 long, ts long, id long"
+            ),
+            key_cols=["k"], state_cols=["s1", "s2"], seq_cols=["ts", "id"],
+        ).collect()
+        assert [(r.s1, r.s2, r.version) for r in sorted(out, key=lambda r: r.version)] == [
+            ("a", 1, 1), ("a", 2, 2), ("b", 2, 3),
+        ]
+
+    def test_plan_one_exchange_no_python(self, spark):
+        from data_misc_tools_spark.operators.cdc import scd2_intervals
+
+        df = spark.createDataFrame(
+            [(1, "a", 10, 1)], "k long, s string, ts long, id long"
+        )
+        plan = (
+            scd2_intervals(df, ["k"], ["s"], ["ts", "id"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for m in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+            assert m not in plan
+        assert plan.count("Exchange") <= 2  # one hash exchange (+AQE read)

@@ -2297,3 +2297,82 @@ class TestWilsonCI:
         r = wilson_ci(ext, "grp", F.col("s") == 1).collect()[0]
         assert 0.0 <= r["wilson_lo"] <= r["wilson_hi"] <= 1.0
         assert r["wilson_lo"] == 0.0  # p_hat = 0: lo pinned at 0
+
+
+class TestKendallTauB:
+    @staticmethod
+    def _ref(pairs):
+        """O(n^2) textbook tau-b."""
+        import math
+
+        n = len(pairs)
+        c = d = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                (x1, y1), (x2, y2) = pairs[i], pairs[j]
+                s = (x1 - x2) * (y1 - y2)
+                if (x1 != x2) and (y1 != y2):
+                    if s > 0:
+                        c += 1
+                    else:
+                        d += 1
+        n0 = n * (n - 1) // 2
+        n1 = 0
+        from collections import Counter
+
+        for t in Counter(x for x, _ in pairs).values():
+            n1 += t * (t - 1) // 2
+        n2 = 0
+        for t in Counter(y for _, y in pairs).values():
+            n2 += t * (t - 1) // 2
+        den = math.sqrt(float(n0 - n1) * float(n0 - n2))
+        return c, d, (c - d) / den if den else None
+
+    def test_matches_quadratic_reference(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kendall_tau_b
+
+        rng = random.Random(11)
+        pairs = [(rng.randrange(6), rng.randrange(4)) for _ in range(300)]
+        df = spark.createDataFrame(pairs, "x long, y long")
+        row = kendall_tau_b(df, F.col("x"), F.col("y")).collect()[0]
+        c, d, tau = self._ref(pairs)
+        assert (row.nc, row.nd) == (c, d)
+        assert abs(row.tau_b - tau) < 1e-12
+        assert row.n == 300 and row.n_cells <= 24
+
+    def test_perfect_and_reversed(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kendall_tau_b
+
+        up = spark.createDataFrame([(i, i) for i in range(20)], "x long, y long")
+        assert kendall_tau_b(up, F.col("x"), F.col("y")).collect()[0].tau_b == 1.0
+        dn = spark.createDataFrame(
+            [(i, -i) for i in range(20)], "x long, y long"
+        )
+        assert kendall_tau_b(dn, F.col("x"), F.col("y")).collect()[0].tau_b == -1.0
+
+    def test_degenerate_single_value_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kendall_tau_b
+
+        df = spark.createDataFrame([(1, i) for i in range(5)], "x long, y long")
+        assert kendall_tau_b(df, F.col("x"), F.col("y")).collect()[0].tau_b is None
+
+    def test_max_cells_guard(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kendall_tau_b
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "x long, y long"
+        )
+        with _pytest.raises(ValueError, match="max_cells"):
+            kendall_tau_b(df, F.col("x"), F.col("y"), max_cells=10)

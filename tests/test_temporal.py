@@ -981,3 +981,93 @@ class TestSeasonalNaiveBacktest:
         df = spark.createDataFrame([(1, 1)], "o long, x long")
         with _pytest.raises(ValueError):
             seasonal_naive_backtest(df, "o", "x", 0)
+
+
+class TestMarkovRemovalAttribution:
+    """temporal.markov_removal_attribution — removal-effect chains."""
+
+    @staticmethod
+    def _events(spark, journeys):
+        """journeys: list of channel-name lists; 'P' converts."""
+        rows = []
+        eid = 0
+        for u, j in enumerate(journeys):
+            for t, c in enumerate(j):
+                rows.append((u, "purchase" if c == "P" else c, t * 1000, eid))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long, event_id long"
+        )
+
+    def test_journey_transitions_counts(self, spark):
+        from data_misc_tools_spark.operators.temporal import (
+            journey_transitions,
+        )
+
+        e = self._events(spark, [["a", "b", "P"], ["a"], ["b", "b", "P", "a"]])
+        got = {
+            (r.src, r.dst): r.n
+            for r in journey_transitions(e, ts_col="ts").collect()
+        }
+        # user 2's trailing 'a' after the first purchase is DROPPED
+        assert got == {
+            ("__start", "a"): 2,
+            ("__start", "b"): 1,
+            ("a", "b"): 1,
+            ("b", "__conv"): 2,
+            ("a", "__null"): 1,
+            ("b", "b"): 1,
+        }
+
+    def test_exclusive_converter_takes_all_credit(self, spark):
+        from data_misc_tools_spark.operators.temporal import (
+            markov_removal_attribution,
+        )
+
+        # 'a' appears on every converting path; 'b' only on dead ends
+        e = self._events(
+            spark, [["a", "P"], ["a", "P"], ["b"], ["b"]]
+        )
+        got = {
+            r.channel: r for r in markov_removal_attribution(e).collect()
+        }
+        assert got["a"].attribution_e6 == 1_000_000
+        assert got["b"].attribution_e6 == 0
+        assert got["a"].f_removed_e6 == 0  # removing a kills conversion
+
+    def test_symmetric_channels_split_evenly(self, spark):
+        from data_misc_tools_spark.operators.temporal import (
+            markov_removal_attribution,
+        )
+
+        e = self._events(
+            spark, [["a", "P"], ["b", "P"], ["a"], ["b"]]
+        )
+        got = {
+            r.channel: r.attribution_e6
+            for r in markov_removal_attribution(e).collect()
+        }
+        assert got["a"] == got["b"] == 500_000
+
+    def test_attribution_sums_to_e6(self, spark, sf_dir):
+        from data_misc_tools_spark.operators.temporal import (
+            markov_removal_attribution,
+        )
+        from data_misc_tools_spark.session import load_tables
+
+        e = load_tables(spark, sf_dir, ["events"])["events"]
+        rows = markov_removal_attribution(e).collect()
+        total = sum(r.attribution_e6 for r in rows)
+        assert abs(total - 1_000_000) <= len(rows)  # half-up residue
+        assert all(0 <= r.removal_e6 <= 1_000_000 for r in rows)
+
+    def test_max_states_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import (
+            markov_removal_attribution,
+        )
+
+        e = self._events(spark, [[f"c{i}"] for i in range(30)])
+        with _pytest.raises(ValueError, match="max_states"):
+            markov_removal_attribution(e, max_states=8)
