@@ -384,6 +384,9 @@ EXTENDED = [
     "attribution_markov_events",
     "kendall_quantity_line",
     "scd2_user_state",
+    "dp_histogram_event_type",
+    "blocking_eval_minhash",
+    "kmv_intersect_users",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

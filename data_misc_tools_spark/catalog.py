@@ -705,6 +705,105 @@ def zk_read_sql_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT p, v FROM zk_read('/region')")
 
 
+@_q(
+    "kmv_intersect_users",
+    """
+    WITH tagged AS (
+        SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ib
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    ka AS (SELECT h FROM tagged WHERE ia = 1 ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM tagged WHERE ib = 1 ORDER BY h LIMIT 64),
+    u AS (
+        SELECT coalesce(a.h, b.h) AS h,
+               CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM ka a FULL OUTER JOIN kb b ON a.h = b.h
+        ORDER BY h LIMIT 64
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n, max(h)::BIGINT AS v,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS i
+        FROM u
+    )
+    SELECT 64::BIGINT AS k, n AS n_union_kept, v AS kth_union_hash,
+           i AS inter_in_sketch,
+           (CASE WHEN n < 64 THEN n
+                 ELSE (2 * 270582939648 + v) // (2 * v) END)::BIGINT
+             AS union_est,
+           (CASE WHEN n = 0 THEN NULL
+                 WHEN n < 64 THEN (2 * 1000000 * i + n) // (2 * n)
+                 ELSE (2 * 1000000 * i + 64) // 128 END)::BIGINT
+             AS jaccard_e6,
+           (CASE WHEN n < 64 THEN i
+                 ELSE (2 * i * ((2 * 270582939648 + v) // (2 * v)) + 64)
+                      // 128 END)::BIGINT
+             AS intersect_est,
+           n < 64 AS is_exact
+    FROM agg
+    """,
+)
+def kmv_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-intersection sketch (profile.kmv_intersect, Beyer et
+    al. 2007): estimate the overlap between clicking users and
+    purchasing users from two bottom-64 hash sketches — the set
+    operation HLL cannot answer without inclusion-exclusion error
+    blowup. Bottom-k rides TakeOrderedAndProject (never an
+    unpartitioned rank window); everything past the sketches is
+    bounded by 2k rows; all divisions half-up integers."""
+    from data_misc_tools_spark.operators.profile import kmv_intersect
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return kmv_intersect(
+        e,
+        "user_id",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        k=64,
+    )
+
+
+@_q(
+    "dp_histogram_event_type",
+    """
+    WITH h AS (
+        SELECT event_type AS g, count(*)::BIGINT AS n,
+               ('0x' || substr(md5('dp' || event_type), 1, 8))::BIGINT AS u
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT g,
+               n * 1000000000 +
+               (CASE WHEN 2 * u - 4294967295 >= 0 THEN -1 ELSE 1 END)
+               * 2000
+               * round(1e6 * ln(
+                   (4294967296.0 - abs(2.0 * u - 4294967295.0))
+                   / 4294967296.0))::BIGINT AS r9
+        FROM h
+    )
+    SELECT g AS k,
+           CASE WHEN r9 >= 0 THEN (2 * r9 + 1000000) // 2000000
+                ELSE -((2 * -r9 + 1000000) // 2000000)
+           END::BIGINT AS noisy_count_e3
+    FROM r
+    """,
+)
+def dp_histogram_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=0.5 differentially-private release of the event_type
+    histogram (profile.dp_histogram, b_e3=2000): Laplace noise by
+    inverse CDF from md5-seeded uniforms — deterministic, so the
+    release is reproducible under reruns AND the oracle replays it
+    bit-for-bit (the e6-ln per-quantity idiom on exact rationals).
+    True counts never leave the operator."""
+    from data_misc_tools_spark.operators.profile import dp_histogram
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return dp_histogram(e, F.col("event_type"), b_e3=2000)
+
+
 def _markov_removal_oracle(rounds: int = 16) -> str:
     """Unrolled value-iteration twin of
     temporal.markov_removal_attribution: per-scenario adjusted
@@ -1275,6 +1374,71 @@ def _minhash_oracle(source: str = _DOUBLED) -> str:
 
 
 _MINHASH_ORACLE = _minhash_oracle()
+
+
+_BLOCK_DOCS = "(SELECT doc_id, text FROM documents WHERE doc_id < 2000)"
+
+
+@_q(
+    "blocking_eval_minhash",
+    f"""
+    WITH cand AS ({_minhash_oracle(_BLOCK_DOCS)}),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM {_BLOCK_DOCS} a JOIN {_BLOCK_DOCS} b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+    ),
+    inter AS (SELECT doc_a, doc_b FROM cand INNER JOIN truth USING (doc_a, doc_b)),
+    s AS (SELECT (SELECT count(*) FROM cand)::BIGINT AS nc,
+                 (SELECT count(*) FROM truth)::BIGINT AS nt,
+                 (SELECT count(*) FROM inter)::BIGINT AS nm,
+                 (SELECT count(*) FROM {_BLOCK_DOCS} d)::BIGINT AS n)
+    SELECT n AS n_records,
+           (n * (n - 1) // 2)::BIGINT AS n_universe_pairs,
+           nc AS n_candidates, nt AS n_truth, nm AS n_matched,
+           CASE WHEN n > 1 THEN
+             1.0::DOUBLE - nc::DOUBLE / (n * (n - 1) // 2)::DOUBLE
+           END AS reduction_ratio,
+           CASE WHEN nt > 0 THEN nm::DOUBLE / nt::DOUBLE
+           END AS pairs_completeness,
+           CASE WHEN nc > 0 THEN nm::DOUBLE / nc::DOUBLE
+           END AS pairs_quality
+    FROM s
+    """,
+)
+def blocking_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme pre-flight (linkage.blocking_quality, Christen
+    2012): grade the MinHash-LSH candidate generator against the
+    exact-duplicate truth set — reduction ratio (work saved vs the
+    n(n−1)/2 universe), pairs completeness (every true dup pair must
+    surface: LSH finds exact dups with probability 1 since identical
+    texts share all bands), pairs quality (the verify stage's hit
+    rate). The portable-minhash pair set is the SAME relation the
+    dedup_minhash_lsh family grades — here it is the SUBJECT of the
+    audit rather than the product."""
+    from data_misc_tools_spark.operators import dedup as D
+    from data_misc_tools_spark.operators.linkage import blocking_quality
+
+    d = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)  # 3 consumers: cand, truth, count
+    )
+    cand = D.minhash_candidate_pairs(
+        d, num_perm=8, bands=4, k=5, portable_hash=True
+    )
+    truth = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.text") == F.col("b.text"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return blocking_quality(cand, truth, n_records=d.count())
+
+
 
 
 @_q("dedup_minhash_lsh", _MINHASH_ORACLE)
@@ -15537,6 +15701,12 @@ GRADED_FIRST: list[str] = [
     "kendall_quantity_line",
     # Kimball SCD type-2 interval builder
     "scd2_user_state",
+    # seeded-Laplace DP histogram release (e6-ln inverse CDF)
+    "dp_histogram_event_type",
+    # Christen blocking-quality triple over the LSH candidate set
+    "blocking_eval_minhash",
+    # KMV bottom-k set-intersection estimate
+    "kmv_intersect_users",
     # --- changed this round: re-earn official rows ---
     # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
     "rouge_dedup_pairs",
@@ -15559,7 +15729,7 @@ GRADED_FIRST: list[str] = [
     # [temporal / sessions]
     "holt_winters_daily", "funnel_bounded_day",
     # [dedup]
-    "dedup_ppjoin", "dedup_repeated_ngrams", "dedup_substring_docs",
+    "dedup_ppjoin", "dedup_substring_docs",
     # [similarity / ANN]
     "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
     "margin_mine_pairs", "silhouette_embeddings",
@@ -15570,12 +15740,11 @@ GRADED_FIRST: list[str] = [
     # [graph]
     "triangle_count_neardup", "lpa_communities_neardup",
     # [stats / eval]
-    "corr_matrix_lineitem", "rmst_purchase_gap",
-    "purchase_gap_survival_km",
+    "corr_matrix_lineitem", "purchase_gap_survival_km",
     "wilson_ci_purchase", "brier_stopword_en", "kruskal_value_by_type",
     # [sampling / etl / layout]
     "exact_stratified_split_langs", "write_plan_lineitem",
-    "weighted_sample_orders", "neyman_alloc_events",
+    "neyman_alloc_events",
     # [linkage]
     "jw_part_name_pairs", "fs_linkage_docs",
     # [multimodal / formats]

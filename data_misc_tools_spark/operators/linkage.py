@@ -538,3 +538,58 @@ def mutual_best_match(
             F.col("s").alias("score"),
         )
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen 2012's standard triple) —
+    the pre-flight audit every linkage/dedup pipeline needs before
+    trusting its candidate generator (LSH bands, sorted neighborhood,
+    blocking keys):
+
+        reduction_ratio     = 1 − |C| / (n·(n−1)/2)   (work saved)
+        pairs_completeness  = |C ∩ M| / |M|           (recall of truth)
+        pairs_quality       = |C ∩ M| / |C|           (precision of C)
+
+    A good blocker has RR ≈ 1 with PC ≈ 1; PQ says how much the
+    verify stage will throw away. Candidate and truth pairs must be
+    (left < right)-normalized; both are distinct-ed defensively.
+
+    Exact integers end-to-end (counts, decimal(38,0) universe); each
+    ratio is ONE unrounded IEEE division (the pearson class). Output:
+    one row (n_records, n_universe_pairs, n_candidates, n_truth,
+    n_matched, reduction_ratio, pairs_completeness, pairs_quality) —
+    NULL ratios on empty denominators.
+    """
+    if n_records < 0:
+        raise ValueError(f"n_records must be >= 0, got {n_records}")
+    c = candidates.select(left, right).distinct()
+    m = truth.select(left, right).distinct()
+    inter = c.join(m, [left, right])
+    stats = (
+        c.agg(F.count("*").cast("long").alias("n_candidates"))
+        .crossJoin(m.agg(F.count("*").cast("long").alias("n_truth")))
+        .crossJoin(inter.agg(F.count("*").cast("long").alias("n_matched")))
+    )
+    n0 = n_records * (n_records - 1) // 2
+    return stats.selectExpr(
+        f"cast({n_records} as long) AS n_records",
+        f"cast({n0} as long) AS n_universe_pairs",
+        "n_candidates",
+        "n_truth",
+        "n_matched",
+        f"""CASE WHEN {n0} > 0 THEN
+             1.0D - cast(n_candidates as double) / cast({n0} as double)
+           END AS reduction_ratio""",
+        """CASE WHEN n_truth > 0 THEN
+             cast(n_matched as double) / cast(n_truth as double)
+           END AS pairs_completeness""",
+        """CASE WHEN n_candidates > 0 THEN
+             cast(n_matched as double) / cast(n_candidates as double)
+           END AS pairs_quality""",
+    )

@@ -4510,3 +4510,170 @@ def kendall_tau_b(
                END AS tau_b""",
         )
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    key: Column,
+    b_e3: int = 1000,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private histogram release with DETERMINISTIC,
+    replayable Laplace noise — the release-side companion of the
+    privacy audit battery (:func:`k_anonymity`, :func:`t_closeness`):
+    per-group counts get Laplace(b) noise, ``b_e3 = round(1000·b)``
+    and b = Δf/ε with count sensitivity Δf = 1 (so ``b_e3=2000`` is
+    ε = 0.5).
+
+    Noise is drawn by INVERSE CDF from an md5-derived uniform of
+    (salt ‖ group): u32 ∈ [0, 2³²); t = 2·u32 − (2³²−1) (odd, exactly
+    centered); noise = −b·sign(t)·ln(1 − |t|/2³²). Determinism is a
+    feature two ways: the engine-portable oracle replays the release
+    bit-for-bit, and a production release pinned to a salt is
+    REPRODUCIBLE under reruns (fresh salt ⇒ fresh draw; reusing a
+    salt across releases of the SAME statistic spends no extra ε
+    because it re-publishes the same value — rotating salts is what
+    consumes budget, the standard seeded-DP operational trade).
+
+    Integer pipeline (the e6-ln idiom): ln of the exact rational
+    (2³²−|t|)/2³² e6-rounds identically in both engines; noise_e9 =
+    −sign(t)·b_e3·l_e6; the released count is the SIGNED half-up e3
+    of n·1e9 + noise_e9 (noise can push small counts negative — a
+    real Laplace release does too; no clamping, clamping breaks
+    unbiasedness).
+
+    Output: (k, noisy_count_e3) per group — true counts are NOT
+    emitted (that would be the whole privacy failure).
+    """
+    if b_e3 <= 0:
+        raise ValueError(f"b_e3 must be positive, got {b_e3}")
+    g = key.cast("string").alias("__g")
+    counts = df.select(g).groupBy("__g").agg(
+        F.count("*").cast("long").alias("__n")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("__g"))), 1, 8), 16, 10
+    ).cast("long")
+    staged = counts.withColumn("__u", u).selectExpr(
+        "__g",
+        f"""__n * 1000000000 +
+            (CASE WHEN 2 * __u - 4294967295 >= 0 THEN -1 ELSE 1 END)
+            * {b_e3}
+            * cast(round(1e6 * ln(
+                (4294967296.0 - abs(2.0 * __u - 4294967295.0))
+                / 4294967296.0)) as bigint) AS __r9""",
+    )
+    return staged.selectExpr(
+        "__g AS k",
+        """CASE WHEN __r9 >= 0 THEN (2 * __r9 + 1000000) div 2000000
+           ELSE -((2 * -__r9 + 1000000) div 2000000)
+           END AS noisy_count_e3""",
+    )
+
+
+def kmv_intersect(
+    df: DataFrame,
+    key_col: str,
+    cond_a: Column,
+    cond_b: Column,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-INTERSECTION estimate (Beyer et al. 2007 §5 — the set
+    operation HLL cannot do without inclusion-exclusion error blowup,
+    and the reason :func:`kmv_distinct` keeps exact hash values): for
+    the key-sets A = keys where ``cond_a`` and B = keys where
+    ``cond_b``,
+
+        L   = bottom-k of (sketch_A ∪ sketch_B)
+        K∩  = |L ∩ sketch_A ∩ sketch_B|
+        U   = (k−1)·M / v_k          (union estimate from L's max)
+        |A∩B| ≈ (K∩ / k) · U,  Jaccard ≈ K∩ / k
+
+    Integer end-to-end on the md5-derived 32-bit hash space (all the
+    divisions half-up — the kmv_distinct idiom). When the union has
+    fewer than k distinct hashes the sketches ARE the sets and every
+    output is exact (``is_exact``).
+
+    Scale shape: one distinct (side, hash) aggregate + side-keyed
+    bottom-k windows; everything after is bounded by 2k rows. Output:
+    one row (k, n_union_kept, kth_union_hash, inter_in_sketch,
+    union_est, jaccard_e6, intersect_est, is_exact).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    m = 1 << 32
+    h = F.expr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    sides = df.select(
+        h.alias("__h"),
+        cond_a.cast("boolean").alias("__a"),
+        cond_b.cast("boolean").alias("__b"),
+    ).filter(F.col("__a") | F.col("__b"))
+    # per-side distinct hashes; bottom-k via orderBy+limit
+    # (TakeOrderedAndProject — NEVER an unpartitioned rank window,
+    # the DSIR/zipf top-k rule)
+    tagged = (
+        sides.select(
+            F.col("__h"),
+            F.when(F.col("__a"), 1).otherwise(0).alias("__sa"),
+            F.when(F.col("__b"), 1).otherwise(0).alias("__sb"),
+        )
+        .groupBy("__h")
+        .agg(F.max("__sa").alias("__ia"), F.max("__sb").alias("__ib"))
+    ).localCheckpoint(eager=True)  # feeds both side sketches
+    ka = (
+        tagged.filter(F.col("__ia") == 1)
+        .select("__h")
+        .orderBy("__h")
+        .limit(k)
+        .select("__h", F.lit(1).alias("__in_a"))
+    )
+    kb = (
+        tagged.filter(F.col("__ib") == 1)
+        .select("__h")
+        .orderBy("__h")
+        .limit(k)
+        .select("__h", F.lit(1).alias("__in_b"))
+    )
+    union_sk = (
+        ka.join(kb, "__h", "full_outer")
+        .select(
+            "__h",
+            F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
+            F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+        )
+        .orderBy("__h")
+        .limit(k)  # bounded: both inputs already <= k rows
+    )
+    agg = union_sk.agg(
+        F.count("*").cast("long").alias("n_union_kept"),
+        F.max("__h").cast("long").alias("kth_union_hash"),
+        F.sum(
+            F.when((F.col("__in_a") == 1) & (F.col("__in_b") == 1), 1).otherwise(0)
+        ).cast("long").alias("inter_in_sketch"),
+    )
+    return agg.selectExpr(
+        f"cast({k} as long) AS k",
+        "n_union_kept",
+        "kth_union_hash",
+        "inter_in_sketch",
+        f"""CASE WHEN n_union_kept < {k} THEN n_union_kept
+             ELSE (2 * {(k - 1) * m}L + kth_union_hash)
+                  div (2 * kth_union_hash)
+           END AS union_est""",
+        f"""CASE WHEN n_union_kept = 0 THEN cast(null as long)
+             WHEN n_union_kept < {k} THEN
+               (2 * 1000000 * inter_in_sketch + n_union_kept)
+               div (2 * n_union_kept)
+             ELSE (2 * 1000000 * inter_in_sketch + {k}) div (2 * {k})
+           END AS jaccard_e6""",
+        f"""CASE WHEN n_union_kept < {k} THEN inter_in_sketch
+             ELSE (2 * inter_in_sketch
+                   * ((2 * {(k - 1) * m}L + kth_union_hash)
+                      div (2 * kth_union_hash)) + {k})
+                  div (2 * {k})
+           END AS intersect_est""",
+        f"cast(n_union_kept < {k} as boolean) AS is_exact",
+    )

@@ -425,3 +425,40 @@ class TestMutualBestMatch:
         got = mutual_best_match(df, "a", "b", "score").collect()
         nodes = [n for r in got for n in (r["node_a"], r["node_b"])]
         assert len(nodes) == len(set(nodes))
+
+
+class TestBlockingQuality:
+    def test_hand_counts(self, spark):
+        from data_misc_tools_spark.operators.linkage import blocking_quality
+
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3), (4, 5), (1, 2)], "doc_a long, doc_b long"
+        )  # dup row distincts away -> 3 candidates
+        truth = spark.createDataFrame(
+            [(1, 2), (4, 5), (6, 7)], "doc_a long, doc_b long"
+        )
+        r = blocking_quality(cand, truth, n_records=10).collect()[0]
+        assert r.n_universe_pairs == 45
+        assert (r.n_candidates, r.n_truth, r.n_matched) == (3, 3, 2)
+        assert abs(r.reduction_ratio - (1 - 3 / 45)) < 1e-15
+        assert abs(r.pairs_completeness - 2 / 3) < 1e-15
+        assert abs(r.pairs_quality - 2 / 3) < 1e-15
+
+    def test_empty_denominators_null(self, spark):
+        from data_misc_tools_spark.operators.linkage import blocking_quality
+
+        empty = spark.createDataFrame([], "doc_a long, doc_b long")
+        r = blocking_quality(empty, empty, n_records=1).collect()[0]
+        assert r.n_universe_pairs == 0
+        assert r.reduction_ratio is None
+        assert r.pairs_completeness is None
+        assert r.pairs_quality is None
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.linkage import blocking_quality
+
+        empty = spark.createDataFrame([], "doc_a long, doc_b long")
+        with _pytest.raises(ValueError, match="n_records"):
+            blocking_quality(empty, empty, n_records=-1)

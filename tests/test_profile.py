@@ -2376,3 +2376,130 @@ class TestKendallTauB:
         )
         with _pytest.raises(ValueError, match="max_cells"):
             kendall_tau_b(df, F.col("x"), F.col("y"), max_cells=10)
+
+
+class TestDpHistogram:
+    @staticmethod
+    def _ref_noise_e9(group: str, b_e3: int, salt: str = "dp") -> int:
+        import hashlib
+        import math
+
+        u = int(hashlib.md5((salt + group).encode()).hexdigest()[:8], 16)
+        t = 2 * u - 4294967295
+        l_e6 = round(1e6 * math.log((4294967296.0 - abs(float(t))) / 4294967296.0))
+        return (-1 if t >= 0 else 1) * b_e3 * int(l_e6)
+
+    def test_matches_python_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import dp_histogram
+
+        rows = [(f"g{i % 7}",) for i in range(700)]
+        df = spark.createDataFrame(rows, "g string")
+        got = {
+            r.k: r.noisy_count_e3
+            for r in dp_histogram(df, F.col("g"), b_e3=2000).collect()
+        }
+        for i in range(7):
+            g = f"g{i}"
+            r9 = 100 * 10**9 + self._ref_noise_e9(g, 2000)
+            want = (
+                (2 * r9 + 10**6) // (2 * 10**6)
+                if r9 >= 0
+                else -((2 * -r9 + 10**6) // (2 * 10**6))
+            )
+            assert got[g] == want, g
+
+    def test_salt_changes_draw_and_release_is_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import dp_histogram
+
+        df = spark.createDataFrame([("a",)] * 50, "g string")
+        one = dp_histogram(df, F.col("g"), b_e3=3000).collect()[0]
+        two = dp_histogram(df, F.col("g"), b_e3=3000).collect()[0]
+        assert one.noisy_count_e3 == two.noisy_count_e3  # replayable
+        other = dp_histogram(df, F.col("g"), b_e3=3000, salt="v2").collect()[0]
+        assert other.noisy_count_e3 != one.noisy_count_e3  # fresh draw
+
+    def test_noise_scale_tracks_b(self, spark):
+        """Mean |noise| over many groups ~ b (Laplace mean abs = b)."""
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import dp_histogram
+
+        df = spark.createDataFrame([(f"u{i}",) for i in range(400)], "g string")
+        rel = dp_histogram(df, F.col("g"), b_e3=5000).collect()
+        errs = [abs(r.noisy_count_e3 - 1000) for r in rel]  # true n = 1
+        mean_abs = sum(errs) / len(errs)
+        assert 3000 < mean_abs < 7500  # b_e3 = 5000 +/- sampling slack
+        assert any(r.noisy_count_e3 < 0 for r in rel)  # unclamped tails
+
+    def test_b_guard(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import dp_histogram
+
+        df = spark.createDataFrame([("a",)], "g string")
+        with _pytest.raises(ValueError, match="b_e3"):
+            dp_histogram(df, F.col("g"), b_e3=0)
+
+
+class TestKmvIntersect:
+    def test_exact_small_sets(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kmv_intersect
+
+        rows = [(i, "a") for i in range(10)] + [(i, "b") for i in range(5, 15)]
+        df = spark.createDataFrame(rows, "uid long, side string")
+        r = kmv_intersect(
+            df, "uid", F.col("side") == "a", F.col("side") == "b", k=64
+        ).collect()[0]
+        assert r.is_exact
+        assert r.n_union_kept == 15
+        assert r.intersect_est == 5  # exact overlap {5..9}
+        assert r.union_est == 15
+
+    def test_estimate_tracks_truth(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kmv_intersect
+
+        n, overlap = 5000, 1500
+        rows = [(i, "a") for i in range(n)] + [
+            (i, "b") for i in range(n - overlap, 2 * n - overlap)
+        ]
+        df = spark.createDataFrame(rows, "uid long, side string")
+        r = kmv_intersect(
+            df, "uid", F.col("side") == "a", F.col("side") == "b", k=256
+        ).collect()[0]
+        assert not r.is_exact
+        true_union = 2 * n - overlap
+        assert abs(r.union_est - true_union) / true_union < 0.25
+        assert abs(r.intersect_est - overlap) / overlap < 0.4  # k=256 noise
+
+    def test_disjoint_sets(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kmv_intersect
+
+        rows = [(i, "a") for i in range(20)] + [(1000 + i, "b") for i in range(20)]
+        df = spark.createDataFrame(rows, "uid long, side string")
+        r = kmv_intersect(
+            df, "uid", F.col("side") == "a", F.col("side") == "b", k=64
+        ).collect()[0]
+        assert r.intersect_est == 0 and r.jaccard_e6 == 0
+
+    def test_k_guard(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import kmv_intersect
+
+        df = spark.createDataFrame([(1, "a")], "uid long, side string")
+        with _pytest.raises(ValueError, match="k must be"):
+            kmv_intersect(df, "uid", F.col("side") == "a", F.col("side") == "b", k=1)
