@@ -387,6 +387,7 @@ EXTENDED = [
     "dp_histogram_event_type",
     "blocking_eval_minhash",
     "kmv_intersect_users",
+    "croston_sparse_daily",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

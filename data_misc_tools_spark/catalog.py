@@ -930,6 +930,59 @@ def attribution_markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "croston_sparse_daily",
+    """
+    WITH RECURSIVE dm AS (
+        SELECT (epoch(date_trunc('day', ts))::BIGINT // 86400)::BIGINT AS day,
+               count(*)::BIGINT AS x
+        FROM events WHERE event_type = 'purchase' AND value > 150
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT row_number() OVER (ORDER BY day) AS rn, day, x,
+               coalesce(day - lag(day) OVER (ORDER BY day), 1)::BIGINT AS iv
+        FROM dm
+    ),
+    r AS (
+        SELECT rn, day, x, iv,
+               (1000 * x)::BIGINT AS z, (1000 * iv)::BIGINT AS p
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.day, d.x, d.iv,
+               ((2 * (100 * 1000 * d.x + 900 * r.z) + 1000) // 2000)::BIGINT,
+               ((2 * (100 * 1000 * d.iv + 900 * r.p) + 1000) // 2000)::BIGINT
+        FROM r JOIN d ON d.rn = r.rn + 1
+    )
+    SELECT day AS o, x, iv AS interval, z AS z_e3, p AS p_e3,
+           ((2 * 1000 * z + p) // (2 * p))::BIGINT AS fcast_e3
+    FROM r ORDER BY o
+    """,
+)
+def croston_sparse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast (α=0.1) of daily
+    HIGH-VALUE purchase counts (value > 150 — the sparse tail where
+    most days see no demand): smooths demand sizes and inter-demand
+    intervals separately and forecasts z/p per period, the sparse
+    completion of the forecasting ladder (ewma → holt → holt_winters
+    → this). Intervals derive from day-axis gaps, no zero-fill pass;
+    the twin replays the two-state e3 recursion as a RECURSIVE CTE.
+    See operators/temporal.py:croston_smooth."""
+    from data_misc_tools_spark.operators.temporal import croston_smooth
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .groupBy(
+            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return croston_smooth(daily, "day", "n", alpha_permille=100)
+
+
+@_q(
     "kendall_quantity_line",
     """
     WITH cells AS (
@@ -15707,6 +15760,8 @@ GRADED_FIRST: list[str] = [
     "blocking_eval_minhash",
     # KMV bottom-k set-intersection estimate
     "kmv_intersect_users",
+    # Croston intermittent-demand forecast (sparse ladder member)
+    "croston_sparse_daily",
     # --- changed this round: re-earn official rows ---
     # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
     "rouge_dedup_pairs",
@@ -15727,7 +15782,7 @@ GRADED_FIRST: list[str] = [
     # [relational / TPC-H]
     "q1_pricing_summary", "q3_shipping_priority",
     # [temporal / sessions]
-    "holt_winters_daily", "funnel_bounded_day",
+    "holt_winters_daily",
     # [dedup]
     "dedup_ppjoin", "dedup_substring_docs",
     # [similarity / ANN]

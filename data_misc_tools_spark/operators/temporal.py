@@ -1479,3 +1479,83 @@ def markov_removal_attribution(
         "channel string, f_full_e6 long, f_removed_e6 long, "
         "removal_e6 long, attribution_e6 long",
     ).orderBy("channel")
+
+
+def croston_smooth(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alpha_permille: int = 100,
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand — the
+    sparse-series member of the forecasting ladder (ewma → holt →
+    holt_winters → this): when most periods have zero demand, a
+    single EWMA chases zeros down and under-forecasts; Croston
+    smooths two series instead — non-zero demand SIZES z and
+    inter-demand INTERVALS p — and forecasts z/p demand per period.
+
+    The input carries only the DEMAND rows (periods with activity);
+    intervals derive from gaps in ``order_col`` — no zero-filling
+    pass. Init at the first demand: z₁ = x₁, p₁ = its interval
+    (1 when unknown); per demand t with interval qₜ:
+
+        z_e3 ← halfup(α·1000·xₜ + (1−α)·z_e3)
+        p_e3 ← halfup(α·1000·qₜ + (1−α)·p_e3)
+        fcast_e3 = halfup(1000 · z_e3 / p_e3)
+
+    All state is e3 integers with unsigned half-up (sizes and
+    intervals are non-negative); a RECURSIVE CTE twin replays the
+    recursion bit-for-bit (the ewma/holt precedent). Bounded-rollup
+    contract: the demand series is collected ordered (max_rows
+    guard); the recurrence is inherently serial.
+
+    Output: (o, x, interval, z_e3, p_e3, fcast_e3) per demand row —
+    fcast_e3 is the POST-update demand-per-period forecast.
+    """
+    a = int(alpha_permille)
+    if not 0 < a <= 1000:
+        raise ValueError("alpha_permille must be in (0, 1000]")
+    rows = (
+        df.select(
+            F.col(order_col).cast("long").alias("o"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .filter(F.col("x") > 0)
+        .orderBy("o")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"series exceeds max_rows={max_rows}: roll it up further "
+            "before smoothing (the bounded-rollup contract)"
+        )
+    if not rows:
+        raise ValueError("Croston needs at least one non-zero demand")
+
+    def halfup(num: int, den: int) -> int:
+        return (2 * num + den) // (2 * den)
+
+    out = []
+    prev_o = None
+    z = p = 0
+    for r in rows:
+        iv = 1 if prev_o is None else r["o"] - prev_o
+        if prev_o is None:
+            z = 1000 * r["x"]
+            p = 1000 * iv
+        else:
+            z = halfup(a * 1000 * r["x"] + (1000 - a) * z, 1000)
+            p = halfup(a * 1000 * iv + (1000 - a) * p, 1000)
+        f = halfup(1000 * z, p)
+        out.append((r["o"], r["x"], iv, z, p, f))
+        prev_o = r["o"]
+    vals = ", ".join(
+        f"({o}L, {x}L, {iv}L, {z}L, {p}L, {f}L)" for o, x, iv, z, p, f in out
+    )
+    return df.sparkSession.sql(
+        "SELECT o, x, interval, z_e3, p_e3, fcast_e3 FROM VALUES "
+        + vals
+        + " AS t(o, x, interval, z_e3, p_e3, fcast_e3)"
+    )

@@ -1071,3 +1071,58 @@ class TestMarkovRemovalAttribution:
         e = self._events(spark, [[f"c{i}"] for i in range(30)])
         with _pytest.raises(ValueError, match="max_states"):
             markov_removal_attribution(e, max_states=8)
+
+
+class TestCrostonSmooth:
+    def test_python_reference_recursion(self, spark):
+        from data_misc_tools_spark.operators.temporal import croston_smooth
+
+        # demands on days 0, 3, 4, 10 (intervals 1, 3, 1, 6)
+        rows = [(0, 4), (3, 2), (4, 6), (10, 3)]
+        df = spark.createDataFrame(rows, "day long, n long")
+        got = [
+            (r.o, r.x, r.interval, r.z_e3, r.p_e3, r.fcast_e3)
+            for r in croston_smooth(
+                df, "day", "n", alpha_permille=200
+            ).orderBy("o").collect()
+        ]
+
+        def halfup(num, den):
+            return (2 * num + den) // (2 * den)
+
+        z, p = 4000, 1000
+        want = [(0, 4, 1, 4000, 1000, halfup(1000 * 4000, 1000))]
+        prev = 0
+        for o, x in rows[1:]:
+            iv = o - prev
+            z = halfup(200 * 1000 * x + 800 * z, 1000)
+            p = halfup(200 * 1000 * iv + 800 * p, 1000)
+            want.append((o, x, iv, z, p, halfup(1000 * z, p)))
+            prev = o
+        assert got == want
+
+    def test_constant_demand_fixed_point(self, spark):
+        """Constant size 5 every 2 periods: z -> 5000, p -> 2000,
+        forecast -> 2500 (2.5 demand/period... per-period rate 5/2)."""
+        from data_misc_tools_spark.operators.temporal import croston_smooth
+
+        rows = [(2 * i, 5) for i in range(40)]
+        df = spark.createDataFrame(rows, "day long, n long")
+        last = croston_smooth(df, "day", "n", alpha_permille=300).orderBy(
+            "o"
+        ).collect()[-1]
+        assert last.z_e3 == 5000
+        # p approaches 2000 from below (init interval is 1 by
+        # convention); the e3 half-up quantization can pin it one
+        # grid point short — a documented property, not drift
+        assert last.p_e3 in (1999, 2000)
+        assert abs(last.fcast_e3 - 2500) <= 2
+
+    def test_zero_rows_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.temporal import croston_smooth
+
+        df = spark.createDataFrame([(1, 0)], "day long, n long")
+        with _pytest.raises(ValueError, match="non-zero demand"):
+            croston_smooth(df, "day", "n")
