@@ -1243,3 +1243,76 @@ def test_holt_winters_rollup_single_scan(spark, sf_dir):
     plan = _plan(spark, "holt_winters_daily", sf_dir)
     assert plan.count("Scan parquet") == 0
     assert "LocalTableScan" in plan
+
+
+def test_r10_new_ops_plan_shapes(spark, sf_dir):
+    """Round-10 operators: intended top-level shapes, no Python eval
+    outside the declared Python-UDTF surface, no cartesian products."""
+    # scd2: ONE hash exchange on the key, two window passes, no join
+    p = _plan(spark, "scd2_user_state", sf_dir)
+    assert "Window" in p
+    assert "Join" not in p
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # kendall: census + BROADCAST grid self-join; the n^2 pair sweep
+    # must never appear (no SortMergeJoin on the raw rows)
+    p = _plan(spark, "kendall_quantity_line", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # markov attribution: the returned report is a VALUES
+    # LocalRelation — the census was collected at construction; the
+    # final plan reads NO parquet (the fk_discovery shape)
+    p = _plan(spark, "attribution_markov_events", sf_dir)
+    assert p.count("Scan parquet") == 0
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p
+
+    # dp histogram: one scan, one aggregate, map-side JVM noise
+    p = _plan(spark, "dp_histogram_event_type", sf_dir)
+    assert p.count("Scan parquet") == 2  # tree + detail listing
+    assert "Join" not in p
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # kmv intersect: bottom-k via TakeOrderedAndProject, never an
+    # unpartitioned rank window
+    p = _plan(spark, "kmv_intersect_users", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # croston: bounded-rollup contract — final plan is pure VALUES
+    p = _plan(spark, "croston_sparse_daily", sf_dir)
+    assert p.count("Scan parquet") == 0
+    assert "LocalTableScan" in p
+
+    # media_meta: checkpointed blobs + one JVM dispatch projection
+    p = _plan(spark, "media_meta_demo", sf_dir)
+    assert p.count("Scan parquet") == 0  # blobs pinned at construction
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # inverted-index drift rollup: reads the persisted stats +
+    # postings layouts only, no corpus re-tokenization in the final
+    # plan (the build/append ran at construction)
+    p = _plan(spark, "inverted_index_drift_demo", sf_dir)
+    assert "posexplode" not in p and "explode" not in p.lower()
+    for m in _PY_MARKERS:
+        assert m not in p
+
+    # SQL table functions: the lateral t_http_get IS a Python UDTF —
+    # pin that it appears as one (the declared Python surface) and
+    # that the doc filter still prunes before the fan-out
+    p = _plan(spark, "t_http_get_sql_demo", sf_dir)
+    assert "PythonUDTF" in p or "BatchEvalPythonUDTF" in p
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,24)" in p
+
+    # blocking eval: candidate/truth joins are pair-keyed equi-joins
+    p = _plan(spark, "blocking_eval_minhash", sf_dir)
+    assert "CartesianProduct" not in p
+    for m in _PY_MARKERS:
+        assert m not in p
