@@ -388,6 +388,7 @@ EXTENDED = [
     "blocking_eval_minhash",
     "kmv_intersect_users",
     "croston_sparse_daily",
+    "wilcoxon_user_click_purchase",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

@@ -930,6 +930,73 @@ def attribution_markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wilcoxon_user_click_purchase",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click'
+                        THEN round(value * 100)::BIGINT ELSE 0 END) AS pre,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN round(value * 100)::BIGINT ELSE 0 END) AS post
+        FROM events GROUP BY 1
+    ),
+    dd AS (SELECT post - pre AS d FROM pu),
+    nz AS (SELECT d > 0 AS pos, abs(d) AS absd FROM dd WHERE d <> 0),
+    g AS (
+        SELECT absd,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS ca,
+               count(*)::BIGINT AS c
+        FROM nz GROUP BY 1
+    ),
+    cg AS (SELECT *, sum(c) OVER (ORDER BY absd)::BIGINT AS cum_c FROM g),
+    agg AS (
+        SELECT sum(c)::HUGEINT AS n,
+               sum(ca * (2 * (cum_c - c) + c + 1))::HUGEINT AS r2a,
+               sum(c * c * c - c)::HUGEINT AS t
+        FROM cg
+    )
+    SELECT (SELECT count(*) FROM pu)::BIGINT AS n_pairs,
+           coalesce(n, 0)::BIGINT AS n_nonzero,
+           coalesce(r2a, 0)::DOUBLE / 2 AS w_plus,
+           CASE WHEN n = 0 OR n IS NULL
+                  OR 2 * n * (n + 1) * (2 * n + 1) - t = 0 THEN NULL
+                ELSE (2 * r2a - n * (n + 1))::DOUBLE
+                     / sqrt((2 * n * (n + 1) * (2 * n + 1) - t)::DOUBLE
+                            / 3::DOUBLE)
+           END AS z_stat
+    FROM agg
+    """,
+)
+def wilcoxon_user_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user totals — click
+    spend vs purchase spend for the same user (the paired member of
+    the nonparametric battery; mannwhitney_u compares independent
+    groups): doubled tied ranks over |d| cents, 2*W+ accumulated
+    exactly in decimal(38,0)/HUGEINT, tie-corrected z as one
+    pinned-order IEEE chain, UNROUNDED. See
+    operators/profile.py:wilcoxon_signed_rank."""
+    from data_misc_tools_spark.operators.profile import wilcoxon_signed_rank
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    pu = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("pre"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("post"),
+    )
+    return wilcoxon_signed_rank(pu, F.col("pre"), F.col("post"), scale=1)
+
+
+
+@_q(
     "croston_sparse_daily",
     """
     WITH RECURSIVE dm AS (
@@ -1483,730 +1550,7 @@ def blocking_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(cand, truth, n_records=d.count())
 
 
-@_q(
-    "dp_histogram_event_type",
-    """
-    WITH h AS (
-        SELECT event_type AS g, count(*)::BIGINT AS n,
-               ('0x' || substr(md5('dp' || event_type), 1, 8))::BIGINT AS u
-        FROM events GROUP BY 1
-    ),
-    r AS (
-        SELECT g,
-               n * 1000000000 +
-               (CASE WHEN 2 * u - 4294967295 >= 0 THEN -1 ELSE 1 END)
-               * 2000
-               * round(1e6 * ln(
-                   (4294967296.0 - abs(2.0 * u - 4294967295.0))
-                   / 4294967296.0))::BIGINT AS r9
-        FROM h
-    )
-    SELECT g AS k,
-           CASE WHEN r9 >= 0 THEN (2 * r9 + 1000000) // 2000000
-                ELSE -((2 * -r9 + 1000000) // 2000000)
-           END::BIGINT AS noisy_count_e3
-    FROM r
-    """,
-)
-def dp_histogram_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε=0.5 differentially-private release of the event_type
-    histogram (profile.dp_histogram, b_e3=2000): Laplace noise by
-    inverse CDF from md5-seeded uniforms — deterministic, so the
-    release is reproducible under reruns AND the oracle replays it
-    bit-for-bit (the e6-ln per-quantity idiom on exact rationals).
-    True counts never leave the operator."""
-    from data_misc_tools_spark.operators.profile import dp_histogram
 
-    e = load_tables(spark, sf_dir, ["events"])["events"]
-    return dp_histogram(e, F.col("event_type"), b_e3=2000)
-
-
-def _markov_removal_oracle(rounds: int = 16) -> str:
-    """Unrolled value-iteration twin of
-    temporal.markov_removal_attribution: per-scenario adjusted
-    transition counts -> e6 half-up cell probabilities -> ``rounds``
-    unrolled v-levels (ONE reference per level — the
-    single-reference-per-round rule; a RECURSIVE CTE with grouping on
-    the recursive term is not portable)."""
-    levels = []
-    for r in range(1, rounds + 1):
-        prev = f"v{r - 1}"
-        levels.append(
-            f"""v{r} AS (
-        SELECT m.scenario, m.src AS stt,
-               ((2 * sum(m.p6 * v.v) + 1000000) // 2000000)::BIGINT AS v
-        FROM mat m JOIN {prev} v
-          ON v.scenario = m.scenario AND v.stt = m.dst
-        GROUP BY 1, 2
-    )"""
-        )
-    chain = ",\n    ".join(levels)
-    return f"""
-    WITH seq AS (
-        SELECT user_id AS u, ts, event_id AS tb,
-               CASE WHEN event_type = 'purchase' THEN '__conv'
-                    ELSE event_type END AS st,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS pos
-        FROM events
-    ),
-    fpx AS (
-        SELECT *, min(CASE WHEN st = '__conv' THEN pos END)
-                  OVER (PARTITION BY u) AS fp
-        FROM seq
-    ),
-    kept AS (SELECT * FROM fpx WHERE fp IS NULL OR pos <= fp),
-    stepped AS (
-        SELECT u, pos, st,
-               coalesce(lag(st) OVER (PARTITION BY u ORDER BY pos),
-                        '__start') AS src,
-               max(pos) OVER (PARTITION BY u) AS lastp
-        FROM kept
-    ),
-    trans AS MATERIALIZED (
-        SELECT src, dst, count(*)::BIGINT AS n FROM (
-            SELECT src, st AS dst FROM stepped
-            UNION ALL
-            SELECT st AS src, '__null' AS dst
-            FROM stepped WHERE pos = lastp AND st <> '__conv'
-        ) GROUP BY 1, 2
-    ),
-    chans AS (
-        SELECT src AS c FROM trans
-        WHERE src NOT IN ('__start', '__conv', '__null')
-        UNION
-        SELECT dst FROM trans
-        WHERE dst NOT IN ('__start', '__conv', '__null')
-    ),
-    scen AS (SELECT c AS scenario FROM chans
-             UNION ALL SELECT '__none'),
-    adjc AS (
-        SELECT s.scenario, t.src,
-               CASE WHEN t.dst = s.scenario THEN '__null'
-                    ELSE t.dst END AS dst,
-               sum(t.n)::BIGINT AS n
-        FROM trans t CROSS JOIN scen s GROUP BY 1, 2, 3
-    ),
-    rs AS (SELECT scenario, src, sum(n)::BIGINT AS rsum
-           FROM adjc GROUP BY 1, 2),
-    mat AS MATERIALIZED (
-        SELECT a.scenario, a.src, a.dst,
-               ((2 * 1000000 * a.n + r.rsum) // (2 * r.rsum))::BIGINT AS p6
-        FROM adjc a JOIN rs r
-          ON r.scenario = a.scenario AND r.src = a.src
-        UNION ALL
-        SELECT scenario, '__conv', '__conv', 1000000::BIGINT FROM scen
-        UNION ALL
-        SELECT scenario, '__null', '__null', 1000000::BIGINT FROM scen
-    ),
-    sts AS (SELECT DISTINCT src AS stt FROM mat
-            UNION SELECT DISTINCT dst FROM mat),
-    v0 AS (
-        SELECT s.scenario, a.stt,
-               (CASE WHEN a.stt = '__conv' THEN 1000000
-                     ELSE 0 END)::BIGINT AS v
-        FROM scen s CROSS JOIN sts a
-    ),
-    {chain},
-    fvals AS (SELECT scenario, v FROM v{rounds} WHERE stt = '__start'),
-    base AS (SELECT v AS f_full FROM fvals WHERE scenario = '__none'),
-    rem AS (
-        SELECT f.scenario AS channel, f.v AS f_removed,
-               greatest(b.f_full - f.v, 0)::BIGINT AS drp
-        FROM fvals f, base b WHERE f.scenario <> '__none'
-    ),
-    tot AS (SELECT sum(drp)::BIGINT AS td FROM rem)
-    SELECT r.channel, b.f_full AS f_full_e6, r.f_removed AS f_removed_e6,
-           CASE WHEN b.f_full > 0 THEN
-             ((2 * 1000000 * r.drp + b.f_full) // (2 * b.f_full))::BIGINT
-           END AS removal_e6,
-           CASE WHEN t.td > 0 THEN
-             ((2 * 1000000 * r.drp + t.td) // (2 * t.td))::BIGINT
-           END AS attribution_e6
-    FROM rem r, base b, tot t ORDER BY r.channel
-    """
-
-
-@_q("attribution_markov_events", _markov_removal_oracle(16))
-def attribution_markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markov removal-effect multi-touch attribution over the events
-    journeys (Anderl et al. 2014) — the data-driven member of the
-    attribution trio (U-shape heuristic / exact Shapley / this):
-    credit(channel) ∝ how much first-order-chain conversion
-    probability drops when the channel's inbound edges redirect to
-    __null. Distributed part = ONE journey-transition census; the k+1
-    chain solves are bounded integer value iterations (16 rounds,
-    e6 half-up), replayed bit-for-bit by the oracle's unrolled CTE
-    chain. See temporal.markov_removal_attribution."""
-    from data_misc_tools_spark.operators.temporal import (
-        markov_removal_attribution,
-    )
-
-    e = load_tables(spark, sf_dir, ["events"])["events"]
-    return markov_removal_attribution(e, rounds=16)
-
-
-@_q(
-    "croston_sparse_daily",
-    """
-    WITH RECURSIVE dm AS (
-        SELECT (epoch(date_trunc('day', ts))::BIGINT // 86400)::BIGINT AS day,
-               count(*)::BIGINT AS x
-        FROM events WHERE event_type = 'purchase' AND value > 150
-        GROUP BY 1
-    ),
-    d AS (
-        SELECT row_number() OVER (ORDER BY day) AS rn, day, x,
-               coalesce(day - lag(day) OVER (ORDER BY day), 1)::BIGINT AS iv
-        FROM dm
-    ),
-    r AS (
-        SELECT rn, day, x, iv,
-               (1000 * x)::BIGINT AS z, (1000 * iv)::BIGINT AS p
-        FROM d WHERE rn = 1
-        UNION ALL
-        SELECT d.rn, d.day, d.x, d.iv,
-               ((2 * (100 * 1000 * d.x + 900 * r.z) + 1000) // 2000)::BIGINT,
-               ((2 * (100 * 1000 * d.iv + 900 * r.p) + 1000) // 2000)::BIGINT
-        FROM r JOIN d ON d.rn = r.rn + 1
-    )
-    SELECT day AS o, x, iv AS interval, z AS z_e3, p AS p_e3,
-           ((2 * 1000 * z + p) // (2 * p))::BIGINT AS fcast_e3
-    FROM r ORDER BY o
-    """,
-)
-def croston_sparse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Croston's intermittent-demand forecast (α=0.1) of daily
-    HIGH-VALUE purchase counts (value > 150 — the sparse tail where
-    most days see no demand): smooths demand sizes and inter-demand
-    intervals separately and forecasts z/p per period, the sparse
-    completion of the forecasting ladder (ewma → holt → holt_winters
-    → this). Intervals derive from day-axis gaps, no zero-fill pass;
-    the twin replays the two-state e3 recursion as a RECURSIVE CTE.
-    See operators/temporal.py:croston_smooth."""
-    from data_misc_tools_spark.operators.temporal import croston_smooth
-
-    e = load_tables(spark, sf_dir, ["events"])["events"]
-    daily = (
-        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
-        .groupBy(
-            F.expr("unix_timestamp(date_trunc('day', ts)) div 86400")
-            .cast("long")
-            .alias("day")
-        )
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    return croston_smooth(daily, "day", "n", alpha_permille=100)
-
-
-@_q(
-    "kendall_quantity_line",
-    """
-    WITH cells AS (
-        SELECT l_quantity::BIGINT AS x, l_linenumber::BIGINT AS y,
-               count(*)::BIGINT AS n
-        FROM lineitem GROUP BY 1, 2
-    ),
-    cd AS (
-        SELECT sum(CASE WHEN b.y > a.y THEN a.n::HUGEINT * b.n ELSE 0 END) AS c,
-               sum(CASE WHEN b.y < a.y THEN a.n::HUGEINT * b.n ELSE 0 END) AS d
-        FROM cells a JOIN cells b ON b.x > a.x
-    ),
-    m AS (SELECT sum(n)::HUGEINT AS nn, count(*)::BIGINT AS n_cells FROM cells),
-    tx AS (SELECT sum(t * (t - 1))::HUGEINT AS tx2
-           FROM (SELECT sum(n)::HUGEINT AS t FROM cells GROUP BY x)),
-    ty AS (SELECT sum(t * (t - 1))::HUGEINT AS ty2
-           FROM (SELECT sum(n)::HUGEINT AS t FROM cells GROUP BY y))
-    SELECT nn::BIGINT AS n, n_cells, c::BIGINT AS nc, d::BIGINT AS nd,
-           CASE WHEN nn * (nn - 1) > tx2 AND nn * (nn - 1) > ty2 THEN
-             (c - d)::DOUBLE
-             / sqrt(((nn * (nn - 1) - tx2) / 2)::DOUBLE
-                    * ((nn * (nn - 1) - ty2) / 2)::DOUBLE)
-           END AS tau_b
-    FROM cd, m, tx, ty
-    """,
-)
-def kendall_quantity_line(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kendall's tau-b between l_quantity and l_linenumber — the
-    concordance gate beside spearman_quantity_price, exact on the
-    bounded 50x7 contingency grid (profile.kendall_tau_b: census +
-    broadcast grid self-join, never an O(n^2) pair sweep; nc/nd exact
-    decimal sums, tau_b ONE pinned-order IEEE expression). Honest
-    null expectation: line numbers are assigned within orders
-    independent of quantity, so tau_b ~ 0."""
-    from data_misc_tools_spark.operators.profile import kendall_tau_b
-
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    return kendall_tau_b(
-        li,
-        F.col("l_quantity").cast("long"),
-        F.col("l_linenumber").cast("long"),
-    )
-
-
-@_q(
-    "scd2_user_state",
-    """
-    WITH c AS (
-        SELECT user_id, event_type, ts, event_id
-        FROM events WHERE user_id < 200
-    ),
-    m AS (
-        SELECT user_id, event_type, ts, event_id,
-               (event_type IS DISTINCT FROM lag(event_type) OVER w)
-               OR (lag(ts) OVER w IS NULL) AS chg
-        FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    s AS (SELECT user_id, event_type, ts, event_id FROM m WHERE chg)
-    SELECT user_id, event_type AS state,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-           strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
-           row_number() OVER w2 AS version,
-           lead(ts) OVER w2 IS NULL AS is_current
-    FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kimball type-2 dimension build (cdc.scd2_intervals): each
-    user's event_type stream becomes validity intervals — consecutive
-    same-state events collapse into one run, valid_to chains to the
-    next run's valid_from, the open run flags is_current. The third
-    CDC leg beside compact_changelog (latest) and merge_snapshot
-    (apply). Deterministic run boundaries need a total per-key order:
-    (ts, event_id) — the compact_changelog tie invariant."""
-    from data_misc_tools_spark.operators.cdc import scd2_intervals
-
-    e = (
-        load_tables(spark, sf_dir, ["events"])["events"]
-        .filter(F.col("user_id") < 200)
-        .select("user_id", "event_type", "ts", "event_id")
-    )
-    out = scd2_intervals(
-        e, key_cols=["user_id"], state_cols=["event_type"],
-        seq_cols=["ts", "event_id"],
-    )
-    return out.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
-        F.col("version"),
-        "is_current",
-    )
-
-
-@_q(
-    "media_meta_demo",
-    """
-    SELECT doc_id,
-           CASE doc_id % 9
-             WHEN 0 THEN 'jpeg' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
-             WHEN 3 THEN 'tiff' WHEN 4 THEN 'tiff' WHEN 5 THEN 'ico'
-             WHEN 6 THEN 'wav' WHEN 7 THEN 'mp4' WHEN 8 THEN 'png'
-           END AS format,
-           CASE doc_id % 9
-             WHEN 0 THEN 100 + doc_id WHEN 1 THEN 32 + doc_id % 100
-             WHEN 2 THEN 64 + doc_id % 50 WHEN 3 THEN 200 + doc_id % 30
-             WHEN 4 THEN 300 + doc_id % 20 WHEN 5 THEN 16
-             WHEN 7 THEN 640 WHEN 8 THEN 512 + doc_id % 40
-           END::BIGINT AS width,
-           CASE doc_id % 9
-             WHEN 0 THEN 50 + doc_id WHEN 1 THEN 16 + doc_id % 80
-             WHEN 2 THEN 32 + doc_id % 40 WHEN 3 THEN 80 + doc_id % 25
-             WHEN 4 THEN 150 + doc_id % 15 WHEN 5 THEN 16
-             WHEN 7 THEN 360 WHEN 8 THEN 256 + doc_id % 30
-           END::BIGINT AS height,
-           CASE doc_id % 9
-             WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 1
-             WHEN 5 THEN 1 + doc_id % 3
-           END::BIGINT AS n_frames,
-           CASE doc_id % 9 WHEN 6 THEN 8000 END::BIGINT AS sample_rate,
-           CASE doc_id % 9
-             WHEN 6 THEN (8000 + 10 * (doc_id % 100)) // 8
-             WHEN 7 THEN 1500 + doc_id
-           END::BIGINT AS duration_ms
-    FROM documents WHERE doc_id < 400
-    """,
-)
-def media_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The magic-byte dispatcher on a MIXED synthetic crawl (VERDICT
-    r9 #6): 400 blobs cycling through all nine formats — JPEG / GIF /
-    BMP / TIFF / EXIF-in-TIFF / ICO / WAV / MP4 via the pure-Catalyst
-    writers, plus an inline PNG sig+IHDR header — routed through ONE
-    multimodal.media_meta CASE. The oracle recomputes every field
-    arithmetically from doc_id (the size-formula-oracle pattern of
-    the format demos; byte-level walker correctness is pinned by the
-    python-struct round-trip tests). EXIF rows route as 'tiff' —
-    TIFF-container EXIF shares the II*\\0 magic by design."""
-    from data_misc_tools_spark.operators import multimodal as M
-
-    d = (
-        load_tables(spark, sf_dir, ["documents"])["documents"]
-        .filter(F.col("doc_id") < 400)
-        .select("doc_id")
-    )
-    i = F.col("doc_id")
-    m = i % 9
-    png_hdr = F.unhex(
-        F.concat(
-            F.lit("89504E470D0A1A0A"),          # PNG signature
-            F.lit("0000000D49484452"),           # IHDR length + tag
-            F.lpad(F.hex(F.lit(512) + i % 40), 8, "0"),   # width be32
-            F.lpad(F.hex(F.lit(256) + i % 30), 8, "0"),   # height be32
-        )
-    )
-    payload = (
-        F.when(m == 0, M.synthetic_jpeg(F.lit(100) + i, F.lit(50) + i))
-        .when(m == 1, M.synthetic_gif(F.lit(32) + i % 100, F.lit(16) + i % 80))
-        .when(m == 2, M.synthetic_bmp(F.lit(64) + i % 50, F.lit(32) + i % 40))
-        .when(
-            m == 3,
-            M.synthetic_tiff(
-                F.lit(200) + i % 30, F.lit(80) + i % 25, F.lit(1) + i % 3
-            ),
-        )
-        .when(
-            m == 4,
-            M.synthetic_exif(
-                F.lit(300) + i % 20,
-                F.lit(150) + i % 15,
-                F.lit(1),
-                F.lit("2024:01:02 03:04:05"),
-            ),
-        )
-        .when(m == 5, M.synthetic_ico(F.lit(1) + i % 3, F.lit(16)))
-        .when(
-            m == 6,
-            M.synthetic_wav(
-                F.lit(8000) + F.lit(10) * (i % 100), F.lit(8000), F.lit(1)
-            ),
-        )
-        .when(
-            m == 7,
-            M.synthetic_mp4(
-                F.lit(1000), F.lit(1500) + i, F.lit(640), F.lit(360)
-            ),
-        )
-        .otherwise(png_hdr)
-    )
-    # materialize the blobs BEFORE dispatching: media_meta references
-    # its payload ~50 times (each walker + magic check), and a Column
-    # argument INLINES the whole writer-CASE tree per reference — the
-    # same analysis blowup the dispatcher's own let-binding fixes
-    # internally. A checkpointed column is a leaf.
-    blobs = d.select("doc_id", payload.alias("payload")).localCheckpoint(
-        eager=True
-    )
-    return blobs.select("doc_id", M.media_meta("payload").alias("m")).select(
-        "doc_id",
-        F.col("m.format").alias("format"),
-        F.col("m.width").alias("width"),
-        F.col("m.height").alias("height"),
-        F.col("m.n_frames").alias("n_frames"),
-        F.col("m.sample_rate").alias("sample_rate"),
-        F.col("m.duration_ms").alias("duration_ms"),
-    )
-
-
-@_q(
-    "inverted_index_drift_demo",
-    """
-    WITH tok AS (
-        SELECT doc_id,
-               unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
-        FROM documents WHERE doc_id < 2000
-    ),
-    tf_base AS (SELECT doc_id, tok FROM tok WHERE doc_id % 4 <> 0 GROUP BY 1, 2),
-    tf_all  AS (SELECT doc_id, tok FROM tok GROUP BY 1, 2),
-    dfb AS (SELECT tok, count(*)::BIGINT AS df FROM tf_base GROUP BY 1),
-    dfa AS (SELECT tok, count(*)::BIGINT AS df FROM tf_all  GROUP BY 1),
-    b AS (SELECT sum(df)::BIGINT AS n_postings_base,
-                 count(*)::BIGINT AS n_terms_base,
-                 max(df)::BIGINT AS max_df_base FROM dfb),
-    a AS (SELECT sum(df)::BIGINT AS n_postings_now,
-                 count(*)::BIGINT AS n_terms_now,
-                 max(df)::BIGINT AS max_df_now FROM dfa)
-    SELECT n_postings_base, n_postings_now,
-           n_postings_now - n_postings_base AS added,
-           CASE WHEN n_postings_now >= n_postings_base THEN
-             (2 * 1000 * (n_postings_now - n_postings_base) + n_postings_base)
-               // (2 * n_postings_base)
-           ELSE
-             -((2 * 1000 * (n_postings_base - n_postings_now) + n_postings_base)
-               // (2 * n_postings_base))
-           END AS growth_permille,
-           n_terms_base, n_terms_now, max_df_base, max_df_now
-    FROM b, a
-    """,
-)
-def inverted_index_drift_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-index lifecycle (VERDICT r9 #5 — the IVF standard applied
-    to the inverted BM25 index): build on 3/4 of the docs, append the
-    held-out quarter, then report drift. The per-bucket report
-    (retrieval.inverted_index_drift) is keyed by xxhash64 buckets the
-    oracle cannot reproduce, so the GRADED row is its bucket-agnostic
-    rollup — sums of per-bucket postings/terms are exact global counts
-    (a term's postings live wholly inside one bucket), max over
-    buckets of max_df is the global hottest df, and the global signed
-    half-up growth is recomputed from the global sums (never a sum of
-    per-bucket permilles)."""
-    import tempfile
-
-    from data_misc_tools_spark.operators.retrieval import (
-        inverted_index_append,
-        inverted_index_build,
-        inverted_index_drift,
-    )
-
-    d = (
-        load_tables(spark, sf_dir, ["documents"])["documents"]
-        .filter(F.col("doc_id") < 2000)
-        .select("doc_id", "text")
-    )
-    path = tempfile.mkdtemp(prefix="invidx_drift_")
-    # 8 buckets, not the 64 default: the report is bucket-agnostic
-    # after the rollup, and 3x fewer tiny partition writes keeps the
-    # demo write-bound cost proportionate at gate scales
-    inverted_index_build(d.filter(F.col("doc_id") % 4 != 0), path, n_buckets=8)
-    inverted_index_append(d.filter(F.col("doc_id") % 4 == 0), path, n_buckets=8)
-    rep = inverted_index_drift(spark, path)
-    return rep.agg(
-        F.sum("n_postings_base").cast("long").alias("n_postings_base"),
-        F.sum("n_postings_now").cast("long").alias("n_postings_now"),
-        F.sum("added").cast("long").alias("added"),
-        F.sum("n_terms_base").cast("long").alias("n_terms_base"),
-        F.sum("n_terms_now").cast("long").alias("n_terms_now"),
-        F.max("max_df_base").cast("long").alias("max_df_base"),
-        F.max("max_df_now").cast("long").alias("max_df_now"),
-    ).selectExpr(
-        "n_postings_base",
-        "n_postings_now",
-        "added",
-        """CASE WHEN n_postings_now >= n_postings_base THEN
-             (2 * 1000 * (n_postings_now - n_postings_base) + n_postings_base)
-               div (2 * n_postings_base)
-           ELSE
-             -((2 * 1000 * (n_postings_base - n_postings_now) + n_postings_base)
-               div (2 * n_postings_base))
-           END AS growth_permille""",
-        "n_terms_base",
-        "n_terms_now",
-        "max_df_base",
-        "max_df_now",
-    )
-
-
-@_q(
-    "streaming_hourly_rollup",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_str,
-           event_type,
-           count(*) AS n_events
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same rollup as hourly_event_rollup but executed through
-    Structured Streaming (file source → windowed agg → memory sink,
-    availableNow trigger) — the engine's replacement for the
-    reference's manual micro-batch machinery (reference:
-    process/KafkaHelper.scala, Configs.scala:51-65)."""
-    from data_misc_tools_spark.session import nanos_ts_columns
-    from data_misc_tools_spark.streaming.batch_replay import replay_parquet_aggregate
-
-    path = f"{sf_dir}/events.parquet"
-    nanos = nanos_ts_columns(path)
-
-    def fix_ts(df: DataFrame) -> DataFrame:
-        for c in nanos:
-            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-        return df
-
-    return replay_parquet_aggregate(
-        spark,
-        path,
-        group_cols=[
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour_str"),
-            F.col("event_type"),
-        ],
-        aggs=[F.count("*").alias("n_events")],
-        transform=fix_ts,
-    )
-
-
-@_q(
-    "streaming_sliding_rollup",
-    """
-    WITH b AS (
-        SELECT event_type,
-               (floor(epoch(ts) / 1800))::BIGINT * 1800 AS bucket
-        FROM events
-    ), w AS (
-        SELECT event_type, bucket - k.k * 1800 AS ws
-        FROM b JOIN (VALUES (0), (1)) k(k) ON true
-    )
-    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M') AS win_start,
-           event_type,
-           count(*) AS n_events
-    FROM w
-    GROUP BY 1, 2
-    """,
-)
-def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sliding_window_rollup executed through Structured Streaming
-    (file source -> hopping-window agg -> memory sink, availableNow):
-    the built-in F.window(1h, 30min) is the same operator in batch and
-    streaming, so the oracle carries over verbatim — the point of
-    declaring windows instead of hand-slicing micro-batches like the
-    reference's runner (reference: process/KafkaHelper.scala:89-131)."""
-    from data_misc_tools_spark.session import nanos_ts_columns
-    from data_misc_tools_spark.streaming.batch_replay import replay_parquet_aggregate
-
-    path = f"{sf_dir}/events.parquet"
-    nanos = nanos_ts_columns(path)
-
-    def fix_ts(df: DataFrame) -> DataFrame:
-        for c in nanos:
-            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-        return df
-
-    out = replay_parquet_aggregate(
-        spark,
-        path,
-        group_cols=[F.window("ts", "1 hour", "30 minutes"), F.col("event_type")],
-        aggs=[F.count("*").alias("n_events")],
-        transform=fix_ts,
-    )
-    return out.select(
-        F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("win_start"),
-        "event_type",
-        "n_events",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deduplication suite (training-data pipeline operators)
-# ---------------------------------------------------------------------------
-
-# Doubled corpus (docs ∪ docs shifted by 1e6) so exact/fuzzy dup
-# behavior is non-trivial even though the generator emits unique texts.
-_DOUBLED = """
-    (SELECT doc_id, text FROM documents
-     UNION ALL
-     SELECT doc_id + 1000000 AS doc_id, text FROM documents)
-"""
-
-
-def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
-    return d.unionAll(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
-
-
-@_q(
-    "dedup_exact",
-    f"""
-    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
-    FROM {_DOUBLED} GROUP BY md5(text)
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content digest: one hash-agg, digest-only shuffle."""
-    return D.exact_dedup_stats(_doubled_docs(spark, sf_dir))
-
-
-def _minhash_oracle(source: str = _DOUBLED) -> str:
-    from data_misc_tools_spark.operators.dedup import _MINHASH_A, _MINHASH_B, MINHASH_P
-
-    perms = ", ".join(
-        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
-        for i in range(8)
-    )
-    return f"""
-    WITH sh AS (
-        SELECT d.doc_id,
-               ('0x' || substr(md5(substr(d.text, g.x, 5)), 1, 8))::BIGINT AS h
-        FROM {source} d
-        JOIN generate_series(1, 2048) g(x) ON g.x <= length(d.text) - 4
-        WHERE length(d.text) >= 5
-    ),
-    sig AS (SELECT doc_id, {perms} FROM sh GROUP BY doc_id),
-    bands AS (
-        SELECT doc_id, 0 AS band, concat(m0, '_', m1) AS band_val FROM sig
-        UNION ALL SELECT doc_id, 1, concat(m2, '_', m3) FROM sig
-        UNION ALL SELECT doc_id, 2, concat(m4, '_', m5) FROM sig
-        UNION ALL SELECT doc_id, 3, concat(m6, '_', m7) FROM sig
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
-    WHERE a.doc_id < b.doc_id
-"""
-
-
-_MINHASH_ORACLE = _minhash_oracle()
-
-
-_BLOCK_DOCS = "(SELECT doc_id, text FROM documents WHERE doc_id < 2000)"
-
-
-@_q(
-    "blocking_eval_minhash",
-    f"""
-    WITH cand AS ({_minhash_oracle(_BLOCK_DOCS)}),
-    truth AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM {_BLOCK_DOCS} a JOIN {_BLOCK_DOCS} b
-          ON a.text = b.text AND a.doc_id < b.doc_id
-    ),
-    inter AS (SELECT doc_a, doc_b FROM cand INNER JOIN truth USING (doc_a, doc_b)),
-    s AS (SELECT (SELECT count(*) FROM cand)::BIGINT AS nc,
-                 (SELECT count(*) FROM truth)::BIGINT AS nt,
-                 (SELECT count(*) FROM inter)::BIGINT AS nm,
-                 (SELECT count(*) FROM {_BLOCK_DOCS} d)::BIGINT AS n)
-    SELECT n AS n_records,
-           (n * (n - 1) // 2)::BIGINT AS n_universe_pairs,
-           nc AS n_candidates, nt AS n_truth, nm AS n_matched,
-           CASE WHEN n > 1 THEN
-             1.0::DOUBLE - nc::DOUBLE / (n * (n - 1) // 2)::DOUBLE
-           END AS reduction_ratio,
-           CASE WHEN nt > 0 THEN nm::DOUBLE / nt::DOUBLE
-           END AS pairs_completeness,
-           CASE WHEN nc > 0 THEN nm::DOUBLE / nc::DOUBLE
-           END AS pairs_quality
-    FROM s
-    """,
-)
-def blocking_eval_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocking-scheme pre-flight (linkage.blocking_quality, Christen
-    2012): grade the MinHash-LSH candidate generator against the
-    exact-duplicate truth set — reduction ratio (work saved vs the
-    n(n−1)/2 universe), pairs completeness (every true dup pair must
-    surface: LSH finds exact dups with probability 1 since identical
-    texts share all bands), pairs quality (the verify stage's hit
-    rate). The portable-minhash pair set is the SAME relation the
-    dedup_minhash_lsh family grades — here it is the SUBJECT of the
-    audit rather than the product."""
-    from data_misc_tools_spark.operators import dedup as D
-    from data_misc_tools_spark.operators.linkage import blocking_quality
-
-    d = (
-        load_tables(spark, sf_dir, ["documents"])["documents"]
-        .filter(F.col("doc_id") < 2000)
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)  # 3 consumers: cand, truth, count
-    )
-    cand = D.minhash_candidate_pairs(
-        d, num_perm=8, bands=4, k=5, portable_hash=True
-    )
-    truth = (
-        d.alias("a")
-        .join(d.alias("b"), F.col("a.text") == F.col("b.text"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    return blocking_quality(cand, truth, n_records=d.count())
 
 
 
@@ -16479,6 +15823,8 @@ GRADED_FIRST: list[str] = [
     "kmv_intersect_users",
     # Croston intermittent-demand forecast (sparse ladder member)
     "croston_sparse_daily",
+    # paired nonparametric shift test (signed-rank, doubled ties)
+    "wilcoxon_user_click_purchase",
     # --- changed this round: re-earn official rows ---
     # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
     "rouge_dedup_pairs",
@@ -16497,7 +15843,7 @@ GRADED_FIRST: list[str] = [
     "bm25_index_serve",
     # --- veteran re-pins (drift sentinels; swap-out slots) ---
     # [relational / TPC-H]
-    "q1_pricing_summary", "q3_shipping_priority",
+    "q1_pricing_summary",
     # [temporal / sessions]
     "holt_winters_daily",
     # [dedup]

@@ -4677,3 +4677,72 @@ def kmv_intersect(
            END AS intersect_est""",
         f"cast(n_union_kept < {k} as boolean) AS is_exact",
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    pre: Column,
+    post: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED member of the
+    nonparametric battery (:func:`mannwhitney_u` compares two
+    independent groups; this compares two measurements of the SAME
+    units): did the paired differences shift, robust to outliers
+    that wreck the paired t-test.
+
+    Classic pipeline, engine-exact: d = post − pre in exact
+    fixed-point integers; zero differences DROP (the standard
+    Wilcoxon treatment); |d| ranks with tied AVERAGE ranks via the
+    doubled-rank census idiom (2·avgrank = 2·prefix + c + 1 — the
+    :func:`_rank_groups` machinery reused with variant = (d > 0) and
+    value = |d|, so r2a = Σ c₊·(2s+c+1) IS exactly 2·W⁺). The
+    tie-corrected normal approximation (no continuity correction):
+
+        A = 2·r2a − n(n+1)           (= 4·(W⁺ − n(n+1)/4), exact)
+        z = A / sqrt((2·n(n+1)(2n+1) − T) / 3),  T = Σ(t³−t)
+        (16·Var[W⁺] = 16·(n(n+1)(2n+1)/24 − T/48) — the T term halves
+        relative to the leading one, a factor easy to double-count)
+
+    — one pinned-order IEEE chain over exact decimal(38,0) sums (the
+    pearson class). NULL z when no nonzero differences exist or all
+    |d| tie into one group with zero variance.
+
+    Output: one row (n_pairs, n_nonzero, w_plus, z_stat) — w_plus as
+    half-unit-exact double (ties make W half-integral).
+    """
+    dec = "decimal(38,0)"
+    d = df.select(
+        (
+            F.round(post * F.lit(scale)).cast("long")
+            - F.round(pre * F.lit(scale)).cast("long")
+        ).alias("__d")
+    )
+    n_pairs = d.count()
+    nz = d.filter(F.col("__d") != 0).select(
+        (F.col("__d") > 0).alias("__pos"),
+        F.abs(F.col("__d")).alias("__absd"),
+    )
+    cg = _rank_groups(nz, F.col("__pos"), "__absd", scale=1)
+    agg = cg.selectExpr("ca", "cb", "c", "cum_c - c AS s").agg(
+        F.sum(F.col("ca") + F.col("cb")).cast(dec).alias("n"),
+        F.sum(
+            (F.col("ca") * (2 * F.col("s") + F.col("c") + 1)).cast(dec)
+        ).alias("r2a"),
+        F.sum(
+            (F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast(dec)
+        ).alias("t"),
+    )
+    guard = "n = 0 OR n IS NULL OR 2 * n * (n + 1) * (2 * n + 1) - t = 0"
+    return agg.selectExpr(
+        f"cast({n_pairs} as long) AS n_pairs",
+        "cast(coalesce(n, 0) as long) AS n_nonzero",
+        "CAST(coalesce(r2a, 0) AS DOUBLE) / 2 AS w_plus",
+        f"""
+        CASE WHEN {guard} THEN CAST(NULL AS DOUBLE)
+             ELSE CAST(2 * r2a - n * (n + 1) AS DOUBLE)
+                  / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - t
+                              AS DOUBLE) / 3.0D)
+        END AS z_stat
+        """,
+    )

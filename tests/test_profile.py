@@ -2503,3 +2503,78 @@ class TestKmvIntersect:
         df = spark.createDataFrame([(1, "a")], "uid long, side string")
         with _pytest.raises(ValueError, match="k must be"):
             kmv_intersect(df, "uid", F.col("side") == "a", F.col("side") == "b", k=1)
+
+
+class TestWilcoxonSignedRank:
+    @staticmethod
+    def _ref(diffs):
+        """Textbook tie-corrected normal approximation (no CC)."""
+        import math
+
+        nz = [d for d in diffs if d != 0]
+        n = len(nz)
+        if n == 0:
+            return 0, None, None
+        by_abs = sorted(range(n), key=lambda i: abs(nz[i]))
+        ranks = [0.0] * n
+        i = 0
+        tie_t = 0
+        while i < n:
+            j = i
+            while j < n and abs(nz[by_abs[j]]) == abs(nz[by_abs[i]]):
+                j += 1
+            avg = (i + 1 + j) / 2
+            for k in range(i, j):
+                ranks[by_abs[k]] = avg
+            c = j - i
+            tie_t += c**3 - c
+            i = j
+        w_plus = sum(r for r, d in zip(ranks, nz) if d > 0)
+        var = n * (n + 1) * (2 * n + 1) / 24 - tie_t / 48
+        z = (w_plus - n * (n + 1) / 4) / math.sqrt(var) if var > 0 else None
+        return n, w_plus, z
+
+    def test_matches_reference_with_ties_and_zeros(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import (
+            wilcoxon_signed_rank,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (rng.randrange(10), rng.randrange(10)) for _ in range(300)
+        ]  # many ties, some zeros
+        df = spark.createDataFrame(rows, "pre long, post long")
+        got = wilcoxon_signed_rank(
+            df, F.col("pre"), F.col("post"), scale=1
+        ).collect()[0]
+        n, w_plus, z = self._ref([b - a for a, b in rows])
+        assert got.n_pairs == 300 and got.n_nonzero == n
+        assert got.w_plus == w_plus
+        assert abs(got.z_stat - z) < 1e-9
+
+    def test_planted_shift_is_significant(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import (
+            wilcoxon_signed_rank,
+        )
+
+        rows = [(i % 7, i % 7 + 1 + (i % 3)) for i in range(100)]
+        df = spark.createDataFrame(rows, "pre long, post long")
+        got = wilcoxon_signed_rank(df, F.col("pre"), F.col("post"), scale=1)
+        assert got.collect()[0].z_stat > 5  # every diff positive
+
+    def test_degenerate_all_zero_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame([(3, 3)] * 10, "pre long, post long")
+        r = wilcoxon_signed_rank(df, F.col("pre"), F.col("post"), scale=1).collect()[0]
+        assert r.n_nonzero == 0 and r.z_stat is None and r.w_plus == 0.0
