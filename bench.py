@@ -389,6 +389,9 @@ EXTENDED = [
     "kmv_intersect_users",
     "croston_sparse_daily",
     "wilcoxon_user_click_purchase",
+    "profile_orders_columns",
+    "mcf_repeat_purchases",
+    "bland_altman_order_totals",
 ]
 
 # Graded entries that are INTENTIONALLY slower than their production

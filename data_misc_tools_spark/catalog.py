@@ -995,6 +995,177 @@ def wilcoxon_user_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilcoxon_signed_rank(pu, F.col("pre"), F.col("post"), scale=1)
 
 
+def _profile_col_oracle(col: str, cast: str = "VARCHAR") -> str:
+    return f"""
+    SELECT '{col}' AS column,
+           (SELECT count(*) FROM orders)::BIGINT AS n,
+           (SELECT count(*) FROM orders WHERE {col} IS NULL)::BIGINT AS n_null,
+           (SELECT count(DISTINCT {col}) FROM orders)::BIGINT AS n_distinct,
+           (SELECT min({col}) FROM orders)::{cast}::VARCHAR AS min_value,
+           (SELECT max({col}) FROM orders)::{cast}::VARCHAR AS max_value,
+           t.top_value, t.top_count
+    FROM (
+        SELECT {col}::VARCHAR AS top_value, count(*)::BIGINT AS top_count
+        FROM orders WHERE {col} IS NOT NULL
+        GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 1
+    ) t
+    """
+
+
+@_q(
+    "profile_orders_columns",
+    " UNION ALL ".join(
+        _profile_col_oracle(c)
+        for c in ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+    ),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic table profiler (etl.profile_columns) over four orders
+    columns — the unfamiliar-dataset first look the dq_expectations
+    contract starts from: counts, nulls, distincts, typed min/max
+    (numeric order BEFORE stringification — the "100" < "99"
+    profiler bug), modal value with deterministic string-ascending
+    tiebreak. Per column: one scan-local aggregate + one
+    TakeOrdered(1) mode pick; report rows union."""
+    from data_misc_tools_spark.operators.etl import profile_columns
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return profile_columns(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    )
+
+
+@_q(
+    "mcf_repeat_purchases",
+    """
+    WITH base AS (
+        SELECT user_id AS u,
+               (epoch(date_trunc('day', ts))::BIGINT // 86400)::BIGINT AS d,
+               event_type = 'purchase' AS e
+        FROM events
+    ),
+    ends AS (SELECT u, max(d) AS endd FROM base GROUP BY 1),
+    nus AS (SELECT count(*)::BIGINT AS n FROM ends),
+    endc AS (SELECT endd AS d, count(*)::BIGINT AS k FROM ends GROUP BY 1),
+    ev AS (SELECT d, count(*)::BIGINT AS n_events FROM base WHERE e GROUP BY 1),
+    axis AS (
+        SELECT d, sum(n_events)::BIGINT AS n_events, sum(k)::BIGINT AS k
+        FROM (
+            SELECT d, n_events, 0::BIGINT AS k FROM ev
+            UNION ALL SELECT d, 0::BIGINT, k FROM endc
+        ) GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, n_events,
+               ((SELECT n FROM nus)
+                - (sum(k) OVER (ORDER BY d) - k))::BIGINT AS n_risk
+        FROM axis
+    ),
+    inc AS (
+        SELECT d, n_events, n_risk,
+               ((2 * 1000000 * n_events + n_risk) // (2 * n_risk))::BIGINT
+                 AS increment_e6
+        FROM cum WHERE n_events > 0
+    )
+    SELECT d AS day, n_events, n_risk, increment_e6,
+           sum(increment_e6) OVER (ORDER BY d)::BIGINT AS mcf_e6
+    FROM inc ORDER BY day
+    """,
+)
+def mcf_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson's mean cumulative function for repeat purchases — the
+    RECURRENT-events member of the survival battery (KM/NA model time
+    to one event; the MCF reads "purchases accumulated per
+    still-observed user by day t"): per-user observation ends at the
+    last activity day, the risk set depletes on that axis, and the
+    MCF is the exact integer cumsum of half-up e6 per-day increments
+    (both cumulative axes ride global_cumsum). See
+    operators/profile.py:mean_cumulative_function."""
+    from data_misc_tools_spark.operators.profile import (
+        mean_cumulative_function,
+    )
+
+    e = load_tables(spark, sf_dir, ["events"])["events"]
+    return mean_cumulative_function(
+        e,
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('day', ts)) div 86400"),
+        F.col("event_type") == "purchase",
+    )
+
+
+@_q(
+    "bland_altman_order_totals",
+    """
+    WITH li AS (
+        SELECT l_orderkey AS ok,
+               round(sum(l_extendedprice) * 100)::BIGINT AS li_cents
+        FROM lineitem GROUP BY 1
+    ),
+    dd AS (
+        SELECT round(o.o_totalprice * 100)::BIGINT - li.li_cents AS d
+        FROM orders o JOIN li ON o.o_orderkey = li.ok
+    ),
+    agg AS (
+        SELECT count(*)::HUGEINT AS n, sum(d)::HUGEINT AS sd_,
+               sum(d::HUGEINT * d)::HUGEINT AS ss
+        FROM dd
+    ),
+    st AS (
+        SELECT n, sd_, ss,
+               sd_::DOUBLE / n::DOUBLE AS bias,
+               CASE WHEN n >= 2 AND n * ss - sd_ * sd_ > 0 THEN
+                 sqrt((n * ss - sd_ * sd_)::DOUBLE
+                      / (n * (n - 1))::DOUBLE)
+               END AS sd_diff
+        FROM agg
+    ),
+    lim AS (
+        SELECT n, bias, sd_diff,
+               bias - (1959964::DOUBLE / 1000000::DOUBLE) * sd_diff AS loa_low,
+               bias + (1959964::DOUBLE / 1000000::DOUBLE) * sd_diff AS loa_high
+        FROM st
+    ),
+    w AS (
+        SELECT count(*)::BIGINT AS n_within
+        FROM dd, lim
+        WHERE d::DOUBLE >= lim.loa_low AND d::DOUBLE <= lim.loa_high
+    )
+    SELECT n::BIGINT AS n, bias, sd_diff, loa_low, loa_high,
+           CASE WHEN loa_low IS NULL THEN NULL ELSE w.n_within END::BIGINT
+             AS n_within,
+           CASE WHEN loa_low IS NULL OR n = 0 THEN NULL
+                ELSE (2 * 1000000 * w.n_within + n::BIGINT)
+                     // (2 * n::BIGINT) END::BIGINT AS within_e6
+    FROM lim, w
+    """,
+)
+def bland_altman_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement between the ORDER HEADER total and the
+    lineitem extendedprice rollup — two "instruments" measuring the
+    same order. Honest negative finding on this generator: the
+    header o_totalprice is an independent draw, so the report shows
+    a large bias and wide limits of agreement — exactly what the
+    method-comparison plot is for (a consistent generator would show
+    bias 0, LoA 0). Exact decimal cents in, pinned IEEE closed forms
+    out, fixed e6 z forced to double in BOTH engines (the wilson_ci
+    lesson). See operators/profile.py:bland_altman."""
+    from data_misc_tools_spark.operators.profile import bland_altman
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.round(F.sum("l_extendedprice") * 100).cast("long").alias("li_cents")
+    )
+    pairs = t["orders"].join(li, F.col("o_orderkey") == F.col("ok")).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("a"),
+        F.col("li_cents").alias("b"),
+    )
+    return bland_altman(pairs, F.col("a"), F.col("b"), scale=1)
+
+
+
+
+
 
 @_q(
     "croston_sparse_daily",
@@ -15825,6 +15996,12 @@ GRADED_FIRST: list[str] = [
     "croston_sparse_daily",
     # paired nonparametric shift test (signed-rank, doubled ties)
     "wilcoxon_user_click_purchase",
+    # generic table profiler (typed min/max, modal value)
+    "profile_orders_columns",
+    # recurrent-event mean cumulative function
+    "mcf_repeat_purchases",
+    # method-comparison agreement (header vs lineitem totals)
+    "bland_altman_order_totals",
     # --- changed this round: re-earn official rows ---
     # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
     "rouge_dedup_pairs",
@@ -15849,12 +16026,12 @@ GRADED_FIRST: list[str] = [
     # [dedup]
     "dedup_ppjoin", "dedup_substring_docs",
     # [similarity / ANN]
-    "embedding_neardup", "kmeans_embeddings", "semdedup_embeddings",
+    "embedding_neardup", "kmeans_embeddings",
     "margin_mine_pairs", "silhouette_embeddings",
     # [retrieval]
     "bm25_search_topk", "hybrid_rrf_search", "bm25_prf_search",
     # [text quality / analysis]
-    "text_quality", "keyness_llr_en_docs",
+    "text_quality",
     # [graph]
     "triangle_count_neardup", "lpa_communities_neardup",
     # [stats / eval]
@@ -15864,7 +16041,7 @@ GRADED_FIRST: list[str] = [
     "exact_stratified_split_langs", "write_plan_lineitem",
     "neyman_alloc_events",
     # [linkage]
-    "jw_part_name_pairs", "fs_linkage_docs",
+    "jw_part_name_pairs",
     # [multimodal / formats]
     "exif_meta_demo", "ico_meta_demo",
     # [streaming]

@@ -865,3 +865,75 @@ def write_plan(
         "*",
         "(n_rows + n_files - 1) div n_files AS rows_per_file",
     ).orderBy("part_key")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-row-per-column table profile — the first thing anyone runs
+    on an unfamiliar dataset, and the summary the dq_expectations /
+    schema-drift contracts start from: row count, null count,
+    distinct count, min/max, and the modal value with its frequency.
+
+    Everything exits as STRINGS so heterogeneous columns stack into
+    one report frame; values are cast per column BEFORE aggregation,
+    so min/max order is the COLUMN'S type order, not string order
+    (the classic profiler bug: "100" < "99"). The modal value is the
+    most frequent NON-NULL value, ties broken by ascending string
+    value (engine-deterministic); n_distinct excludes NULLs (the SQL
+    count-distinct convention — n_null reports them separately).
+
+    Plan shape: per column, one scan-local aggregate plus one
+    count-groupBy + TakeOrdered(1); the per-column one-row frames
+    cross-join (1x1, broadcast) and union into the report. Columns
+    with engine-divergent string forms (DOUBLE formatting) should be
+    pre-cast by the caller when the report must be engine-portable.
+
+    Output: (column, n, n_null, n_distinct, min_value, max_value,
+    top_value, top_count) — one row per requested column, in the
+    requested order.
+    """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        base = df.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(col.isNull().cast("long")).cast("long").alias("n_null"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+            F.min(col).cast("string").alias("min_value"),
+            F.max(col).cast("string").alias("max_value"),
+        )
+        top = (
+            df.filter(col.isNotNull())
+            .groupBy(col.cast("string").alias("__v"))
+            .agg(F.count("*").cast("long").alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__v"))
+            .limit(1)
+            .select(
+                F.col("__v").alias("top_value"),
+                F.col("__c").alias("top_count"),
+            )
+        )
+        # LEFT join on a constant key, not a crossJoin: an all-NULL
+        # column has an EMPTY top frame, and crossJoin-with-empty
+        # would silently drop the column's report row
+        parts.append(
+            base.withColumn("__k", F.lit(1))
+            .join(
+                F.broadcast(top.withColumn("__k", F.lit(1))), "__k", "left"
+            )
+            .select(
+                F.lit(c).alias("column"),
+                "n",
+                "n_null",
+                "n_distinct",
+                "min_value",
+                "max_value",
+                "top_value",
+                "top_count",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

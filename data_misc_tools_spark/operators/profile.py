@@ -4746,3 +4746,176 @@ def wilcoxon_signed_rank(
         END AS z_stat
         """,
     )
+
+
+def mean_cumulative_function(
+    events: DataFrame,
+    user_col: str,
+    day_col: Column,
+    is_event: Column,
+) -> DataFrame:
+    """Nelson's mean cumulative function (MCF) for RECURRENT events —
+    the repeated-events companion of the survival pair
+    (:func:`kaplan_meier` / :func:`nelson_aalen` model time to ONE
+    event; the MCF answers "how many events has the average
+    still-observed unit accumulated by day t" — repeat purchases,
+    failures, support tickets):
+
+        risk(t)  = # users still under observation at t
+                   (observation ends at the user's LAST activity day
+                   — the operational proxy when no explicit censor
+                   column exists)
+        m(t)     = events at t among at-risk users / risk(t)
+        MCF(t)   = Σ_{s ≤ t} m(s)
+
+    Engine-exact: per-day increments are half-up e6 integers and the
+    MCF is their EXACT integer cumsum (the nelson_aalen additive
+    idiom — no products, no ln); both cumulative axes (risk
+    depletion, MCF) ride :func:`etl.global_cumsum`
+    (range-partitioned, never a single-reducer window).
+
+    Output: (day, n_events, n_risk, increment_e6, mcf_e6) ordered by
+    day, one row per day with ≥1 qualifying event.
+    """
+    from data_misc_tools_spark.operators.etl import global_cumsum
+
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        day_col.cast("long").alias("__d"),
+        is_event.cast("boolean").alias("__e"),
+    )
+    ends = base.groupBy("__u").agg(F.max("__d").alias("__end"))
+    n_users = ends.count()
+    end_census = ends.groupBy("__end").agg(
+        F.count("*").cast("long").alias("__k")
+    )
+    ev = (
+        base.filter(F.col("__e"))
+        .groupBy("__d")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    # risk at day d = n_users - #(ends strictly before d): union the
+    # event-day and end-day frames onto ONE day axis so a single
+    # cumsum carries both counters (the logrank one-pass idiom)
+    axis = (
+        ev.selectExpr("__d", "n_events", "0L AS __k")
+        .unionByName(
+            end_census.selectExpr("__end AS __d", "0L AS n_events", "__k")
+        )
+        .groupBy("__d")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("__k").cast("long").alias("__k"),
+        )
+    )
+    cum = global_cumsum(axis, [F.col("__d")], ["__k"]).selectExpr(
+        "__d",
+        "n_events",
+        f"{n_users}L - (cum___k - __k) AS n_risk",
+    )
+    inc = cum.filter(F.col("n_events") > 0).selectExpr(
+        "__d",
+        "n_events",
+        "n_risk",
+        "(2 * 1000000 * n_events + n_risk) div (2 * n_risk) AS increment_e6",
+    )
+    out = global_cumsum(inc, [F.col("__d")], ["increment_e6"])
+    return out.selectExpr(
+        "__d AS day",
+        "n_events",
+        "n_risk",
+        "increment_e6",
+        "cum_increment_e6 AS mcf_e6",
+    ).orderBy("day")
+
+
+def bland_altman(
+    df: DataFrame,
+    a: Column,
+    b: Column,
+    scale: int = 100,
+) -> DataFrame:
+    """Bland–Altman agreement analysis (Bland & Altman 1986) — do two
+    measurements of the SAME units agree well enough to be used
+    interchangeably? The method-comparison companion of
+    :func:`cohens_kappa_2x2` (categorical raters) and
+    :func:`wilcoxon_signed_rank` (did the pairs SHIFT — a distinct
+    question from "how far apart do they scatter"):
+
+        bias = mean(d),  d = a − b in exact fixed-point units
+        LoA  = bias ± 1.959964·sd(d)    (the 95% limits of agreement)
+
+    plus the empirical share of pairs inside the limits. Engine-exact
+    the pearson way: Σd and Σd² accumulate in decimal(38,0); bias and
+    sd are pinned-order IEEE expressions of those exact integers; the
+    z quantile is the FIXED e6 integer 1959964 forced to double in
+    both engines (the wilson_ci lesson — a bare 1.959964 literal is
+    DECIMAL in DuckDB and its square diverges). The within-limits
+    comparison tests exact-integer d against the computed double
+    bounds — deterministic in both engines. sd needs n ≥ 2 and
+    non-constant d, else NULL limits.
+
+    Output: one row (n, bias, sd_diff, loa_low, loa_high, n_within,
+    within_e6) — bias/sd/limits in the SCALED unit (e.g. cents).
+    """
+    dec = "decimal(38,0)"
+    d = df.select(
+        (
+            F.round(a * F.lit(scale)).cast("long")
+            - F.round(b * F.lit(scale)).cast("long")
+        ).alias("__d")
+    ).localCheckpoint(eager=True)  # two consumers: stats + coverage
+    # sd = sqrt((n·Σd² − (Σd)²) / (n(n−1))) — the textbook sample sd
+    # of the differences from exact sums
+    stats = d.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("__d").cast(dec).alias("sd_"),
+        F.sum(F.col("__d").cast(dec) * F.col("__d").cast(dec)).alias("ss"),
+    ).selectExpr(
+        "n",
+        "sd_",
+        "ss",
+        "CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) AS bias",
+        """CASE WHEN n >= 2 AND n * ss - sd_ * sd_ > 0 THEN
+             sqrt(CAST(n * ss - sd_ * sd_ AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE))
+           END AS sd_diff""",
+    ).selectExpr(
+        "n",
+        "bias",
+        "sd_diff",
+        "bias - (CAST(1959964 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        " * sd_diff AS loa_low",
+        "bias + (CAST(1959964 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        " * sd_diff AS loa_high",
+    )
+    within = (
+        d.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__d").cast("double") >= F.col("loa_low"))
+                    & (F.col("__d").cast("double") <= F.col("loa_high")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_within")
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(within))
+        .selectExpr(
+            "CAST(n AS LONG) AS n",
+            "bias",
+            "sd_diff",
+            "loa_low",
+            "loa_high",
+            "CASE WHEN loa_low IS NULL THEN CAST(NULL AS LONG)"
+            " ELSE n_within END AS n_within",
+            """CASE WHEN loa_low IS NULL OR n = 0 THEN CAST(NULL AS LONG)
+               ELSE (2 * 1000000 * n_within + CAST(n AS LONG))
+                    div (2 * CAST(n AS LONG))
+               END AS within_e6""",
+        )
+    )

@@ -645,3 +645,39 @@ class TestScd2Intervals:
         for m in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
             assert m not in plan
         assert plan.count("Exchange") <= 2  # one hash exchange (+AQE read)
+
+
+class TestProfileColumns:
+    def test_hand_profile(self, spark):
+        from data_misc_tools_spark.operators.etl import profile_columns
+
+        df = spark.createDataFrame(
+            [("a", 3, None), ("b", 1, None), ("a", None, None), (None, 100, None)],
+            "s string, x long, z string",
+        )
+        got = {
+            r.column: r
+            for r in profile_columns(df, ["s", "x", "z"]).collect()
+        }
+        s = got["s"]
+        assert (s.n, s.n_null, s.n_distinct) == (4, 1, 2)
+        assert (s.min_value, s.max_value) == ("a", "b")
+        assert (s.top_value, s.top_count) == ("a", 2)
+        x = got["x"]
+        # numeric order, not string order: max is 100 even though
+        # "100" < "3" lexicographically
+        assert (x.min_value, x.max_value) == ("1", "100")
+        assert x.n_distinct == 3
+        assert x.top_count == 1 and x.top_value == "1"  # tie -> asc value
+        z = got["z"]  # all-NULL column still reports a row
+        assert (z.n, z.n_null, z.n_distinct) == (4, 4, 0)
+        assert z.top_value is None and z.top_count is None
+
+    def test_empty_cols_guard(self, spark):
+        import pytest as _pytest
+
+        from data_misc_tools_spark.operators.etl import profile_columns
+
+        df = spark.createDataFrame([(1,)], "x long")
+        with _pytest.raises(ValueError, match="at least one column"):
+            profile_columns(df, [])

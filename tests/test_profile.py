@@ -2578,3 +2578,47 @@ class TestWilcoxonSignedRank:
         df = spark.createDataFrame([(3, 3)] * 10, "pre long, post long")
         r = wilcoxon_signed_rank(df, F.col("pre"), F.col("post"), scale=1).collect()[0]
         assert r.n_nonzero == 0 and r.z_stat is None and r.w_plus == 0.0
+
+
+class TestBlandAltman:
+    def test_matches_numpy_reference(self, spark):
+        import math
+        import random
+
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import bland_altman
+
+        rng = random.Random(3)
+        rows = [
+            (x := rng.randrange(100, 200), x + rng.randrange(-5, 9))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "a long, b long")
+        r = bland_altman(df, F.col("a"), F.col("b"), scale=1).collect()[0]
+        ds = [a - b for a, b in rows]
+        n = len(ds)
+        bias = sum(ds) / n
+        sd = math.sqrt(
+            (n * sum(d * d for d in ds) - sum(ds) ** 2) / (n * (n - 1))
+        )
+        z = 1959964 / 1000000
+        assert abs(r.bias - bias) < 1e-12
+        assert abs(r.sd_diff - sd) < 1e-12
+        assert abs(r.loa_low - (bias - z * sd)) < 1e-9
+        assert abs(r.loa_high - (bias + z * sd)) < 1e-9
+        n_within = sum(1 for d in ds if r.loa_low <= d <= r.loa_high)
+        assert r.n_within == n_within
+        assert r.within_e6 == (2 * 10**6 * n_within + n) // (2 * n)
+        assert r.within_e6 > 900_000  # ~95% by construction
+
+    def test_constant_difference_null_limits(self, spark):
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.profile import bland_altman
+
+        df = spark.createDataFrame([(10, 7)] * 5, "a long, b long")
+        r = bland_altman(df, F.col("a"), F.col("b"), scale=1).collect()[0]
+        assert r.bias == 3.0
+        assert r.sd_diff is None and r.loa_low is None
+        assert r.n_within is None and r.within_e6 is None
