@@ -154,6 +154,42 @@ def minhash_bands(sigs: DataFrame, bands: int, id_col: str = "doc_id") -> DataFr
     return sigs.select(F.col(id_col), F.posexplode(band_vals).alias("band", "band_val"))
 
 
+def minhash_band_table(
+    df: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The (id, band, band_val) LSH band table of a corpus slice —
+    signatures + banding in one map-only pass. Factored out (r10) so
+    a caller that needs the SAME batch's bands for several consumers
+    (self-pairs + index query + index append — the streaming
+    incremental-dedup micro-batch) hashes the batch ONCE and pins the
+    result, instead of re-running the md5/xxhash shingle pass per
+    consumer."""
+    sigs = minhash_signatures(
+        df, num_perm=num_perm, k=k, text_col=text_col, id_col=id_col,
+        portable_hash=portable_hash,
+    )
+    return minhash_bands(sigs, bands=bands, id_col=id_col)
+
+
+def candidate_pairs_from_bands(b: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band-bucket self-join tail of :func:`minhash_candidate_pairs`
+    over a prebuilt band table: (doc_a, doc_b), doc_a < doc_b."""
+    left = b.select(F.col(id_col).alias("doc_a"), "band", "band_val")
+    right = b.select(F.col(id_col).alias("doc_b"), "band", "band_val")
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     num_perm: int = 8,
@@ -169,19 +205,11 @@ def minhash_candidate_pairs(
     standard banding construction: P(collide) ≈ 1-(1-j^r)^b for
     Jaccard j, r rows/band, b bands.
     """
-    sigs = minhash_signatures(
-        df, num_perm=num_perm, k=k, text_col=text_col, id_col=id_col,
-        portable_hash=portable_hash,
+    b = minhash_band_table(
+        df, num_perm=num_perm, bands=bands, k=k, text_col=text_col,
+        id_col=id_col, portable_hash=portable_hash,
     )
-    b = minhash_bands(sigs, bands=bands, id_col=id_col)
-    left = b.select(F.col(id_col).alias("doc_a"), "band", "band_val")
-    right = b.select(F.col(id_col).alias("doc_b"), "band", "band_val")
-    return (
-        left.join(right, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return candidate_pairs_from_bands(b, id_col=id_col)
 
 
 def simhash(
@@ -318,11 +346,16 @@ def rouge_n_pairs(
 
     Scale: the tf census is corpus-sized but the pair join touches
     only candidate docs' grams (pairs ≪ n² — the LSH-verify
-    contract). ``pairs`` (often the full LSH pipeline) is consumed
-    twice (overlap join + final left join) and ``tf`` twice
-    (tf_a/tf_b, plus the sz rollup) — both are localCheckpointed so
-    neither upstream replays (VERDICT r9 #1: the shipped plan read 8
-    parquet scans / 19 exchanges; pinned it is 2 scans). Output:
+    contract). ``tf`` is consumed three times (tf_a/tf_b/sz) so it is
+    localCheckpointed (VERDICT r9 #1: the shipped r9 plan replayed the
+    gram census to 8 parquet scans / 19 exchanges); ``pairs`` (often
+    the full LSH pipeline) is consumed ONCE — zero-overlap pairs are
+    preserved by a LEFT join on the gram side feeding the overlap
+    aggregate (null tf_b contributes 0), which replaced the r9 shape's
+    separate pairs-left-join-ov sort-merge join (one fewer shuffle +
+    sort of the pair set, r10) — so a single eager checkpoint of
+    ``pairs`` keeps the final plan scan-free without a second
+    consumer. Output:
     (doc_a, doc_b, overlap, n_a, n_b, rouge_p, rouge_r, rouge_f1).
     """
     if n < 1:
@@ -351,17 +384,33 @@ def rouge_n_pairs(
     sz = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("sz"))
     tf_a = tf.select(F.col(id_col).alias("doc_a"), "g", F.col("tf").alias("__ta"))
     tf_b = tf.select(F.col(id_col).alias("doc_b"), "g", F.col("tf").alias("__tb"))
+    # LEFT join on the gram side: a pair whose docs share no gram
+    # keeps its tf_a rows (null __tb -> 0 contribution), so the
+    # overlap aggregate itself preserves zero-overlap pairs and the
+    # r9 shape's second pairs consumer (pairs LEFT JOIN ov — a full
+    # sort-merge join + two exchanges over the pair set) is gone.
+    # Pairs whose doc_a has no grams drop at the inner tf_a join —
+    # identical to the r9 shape, where the inner sz_a join dropped
+    # them (docs with < n tokens have no denominator, the documented
+    # contract); doc_b-gramless pairs drop at the inner sz_b join in
+    # both shapes.
     ov = (
         pairs.join(tf_a, "doc_a")
-        .join(tf_b, ["doc_b", "g"])
+        .join(tf_b, ["doc_b", "g"], "left")
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.least("__ta", "__tb")).cast("long").alias("__ov"))
+        .agg(
+            F.sum(
+                F.when(F.col("__tb").isNotNull(), F.least("__ta", "__tb"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("__ov")
+        )
     )
     sz_a = sz.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("n_a"))
     sz_b = sz.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("n_b"))
     return (
-        pairs.join(ov, ["doc_a", "doc_b"], "left")
-        .join(sz_a, "doc_a")
+        ov.join(sz_a, "doc_a")
         .join(sz_b, "doc_b")
         .selectExpr(
             "doc_a", "doc_b",
@@ -471,12 +520,15 @@ def minhash_index_append(
     """Add a new batch's bands to a persisted index (append-mode write
     into the same band partitions)."""
     sigs = minhash_signatures(df, num_perm, k, text_col, id_col, portable_hash)
-    (
-        minhash_bands(sigs, bands, id_col)
-        .write.mode("append")
-        .partitionBy("band")
-        .parquet(path)
-    )
+    minhash_index_append_bands(minhash_bands(sigs, bands, id_col), path)
+
+
+def minhash_index_append_bands(bands_df: DataFrame, path: str) -> None:
+    """Append a PREBUILT (id, band, band_val) band table to a
+    persisted index — the batch-hashes-once path (r10): callers that
+    already materialized the batch's bands for other consumers write
+    them directly instead of re-hashing the batch."""
+    bands_df.write.mode("append").partitionBy("band").parquet(path)
 
 
 def minhash_index_query(
@@ -498,11 +550,20 @@ def minhash_index_query(
     parquet scan joined on (band, band_val). Equal batch parameters
     (num_perm/k/bands/hash family) are the caller's contract — they
     must match the build, or buckets never collide."""
-    spark = batch.sparkSession
     sigs = minhash_signatures(batch, num_perm, k, text_col, id_col, portable_hash)
-    qb = minhash_bands(sigs, bands, id_col).select(
-        F.col(id_col).alias("batch_id"), "band", "band_val"
+    return minhash_index_query_bands(
+        minhash_bands(sigs, bands, id_col), path, id_col=id_col
     )
+
+
+def minhash_index_query_bands(
+    bands_df: DataFrame, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`minhash_index_query` over a PREBUILT band table (r10):
+    the join tail alone, for callers that hash the batch once and fan
+    its bands out to several consumers."""
+    spark = bands_df.sparkSession
+    qb = bands_df.select(F.col(id_col).alias("batch_id"), "band", "band_val")
     idx = spark.read.parquet(path).select(
         F.col(id_col).alias("index_id"), "band", "band_val"
     )

@@ -67,12 +67,24 @@ def _toks(
     """(id, dl, tok) exploded tokens with the doc length riding along
     (so downstream aggregates never join a doc-side table).
     ``extra_cols`` carry additional key columns through the explode
-    (the PRF mining pass rides query_id along)."""
-    return docs.select(
+    (the PRF mining pass rides query_id along).
+
+    The token ARRAY is projected once BELOW the Generate (r10): a
+    sibling ``size(tokens(text))`` next to ``explode(tokens(text))``
+    is re-evaluated per exploded OUTPUT row — the split+filter ran
+    ~dl times per document (measured 1.52s -> 0.21s for the bare
+    explode at sf0.1, guide §1/§4 expression-duplication class);
+    referencing the projected array makes dl an O(1) length read."""
+    base = docs.select(
         *[F.col(c) for c in (extra_cols or [])],
         F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("dl"),
-        F.explode(tokens(text_col)).alias("tok"),
+        tokens(text_col).alias("__toks"),
+    )
+    return base.select(
+        *[F.col(c) for c in (extra_cols or [])],
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("tok"),
     )
 
 
@@ -402,14 +414,19 @@ def bm25f_topk(
         "query_id", F.explode(tokens("qtext")).alias("tok")
     ).distinct()
     qtok = qterms.select("tok").distinct()
-    n_tok = F.size(tokens(text_col)).cast("long")
+    # token array projected once BELOW the Generate (the _toks r10
+    # fix): as posexplode siblings, dl's two tokens() references were
+    # re-split per exploded OUTPUT row
+    n_tok = F.size("__toks").cast("long")
     dl = (n_tok + (title_weight - 1) * F.least(
         F.lit(title_tokens).cast("long"), n_tok
     )).cast("long")
     toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
         F.col(id_col),
         dl.alias("dl"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        F.posexplode("__toks").alias("pos", "tok"),
     )
     tf = (
         toks.join(F.broadcast(qtok), "tok")
@@ -423,7 +440,8 @@ def bm25f_topk(
         .agg(F.sum("w").cast("long").alias("tf"), F.max("dl").alias("dl"))
     )
     corpus = (
-        docs.select(dl.alias("dl"))
+        docs.select(tokens(text_col).alias("__toks"))
+        .select(dl.alias("dl"))
         .where(F.col("dl") > 0)
         .agg(
             F.count("*").cast("long").alias("n_docs"),

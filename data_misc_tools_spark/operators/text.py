@@ -1589,10 +1589,12 @@ def term_dispersion(
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
     dec = "decimal(38,0)"
-    toks = df.select(
+    # token array projected once BELOW the Generate (the _toks r10
+    # fix): a sibling size(tokens()) re-splits per exploded output row
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
         F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("len"),
-        F.explode(tokens(text_col)).alias("word"),
+        F.size("__toks").cast("long").alias("len"),
+        F.explode("__toks").alias("word"),
     )
     # the (doc, word) census feeds the per-word rollup AND the
     # deviation sum; the per-word frame feeds scoring AND the

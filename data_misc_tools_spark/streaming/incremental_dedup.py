@@ -2,20 +2,23 @@
 CONTINUOUS corpus ingestion (VERDICT r8 #4).
 
 Composes three proven batch pieces inside one foreachBatch sink —
-per micro-batch of documents:
+per micro-batch of documents (the batch is LSH-hashed exactly ONCE:
+its band table is pinned and fanned out to all three steps — r10;
+the r9 shape re-ran the md5 shingle pass per step, 3x):
 
 1. candidate edges = batch-internal LSH pairs
-   (dedup.minhash_candidate_pairs) ∪ batch-vs-index collisions
-   (dedup.minhash_index_query — only the BATCH is hashed; the backlog
-   was hashed once, when it streamed through);
+   (dedup.candidate_pairs_from_bands) ∪ batch-vs-index collisions
+   (dedup.minhash_index_query_bands — only the BATCH is hashed; the
+   backlog was hashed once, when it streamed through);
 2. cluster labels merge INCREMENTALLY
    (cluster.connected_components_incremental over the contracted
    graph) into a versioned snapshot store (the upsert.py layout:
    ``labels/v=N`` + ``_SUCCESS`` commit markers, torn writes
    invisible);
 3. the batch's band table appends into the persisted MinHash index
-   (dedup.minhash_index_append), and the batch's normalized edges
-   append to an ``edges`` audit log.
+   (dedup.minhash_index_append_bands — the already-pinned bands write
+   directly), and the batch's normalized edges append to an ``edges``
+   audit log.
 
 Equality contract (pinned in tests/test_streaming.py): after an
 availableNow replay over a file stream, labels == the BATCH
@@ -148,14 +151,20 @@ class IncrementalDedupSink:
         b = batch.select(self.id_col, self.text_col)
         if not b.take(1):
             return
-        # the batch feeds three consumers (internal pairs, index
-        # query, index append): pin it or each re-reads the source
-        b = b.localCheckpoint()
+        # hash the batch ONCE (r10): the three consumers (internal
+        # pairs, index query, index append) all need the same band
+        # table, and the md5/xxhash shingle pass is the dominant
+        # per-batch compute — the r9 shape re-ran it per consumer
+        # (3x). Pinning the bands also pins the batch read, so the
+        # separate batch checkpoint is gone too.
+        bands_b = D.minhash_band_table(b, **self.kw).localCheckpoint()
 
-        internal = D.minhash_candidate_pairs(b, **self.kw)
+        internal = D.candidate_pairs_from_bands(bands_b, id_col=self.id_col)
         edges = internal
         if _fsh.exists(spark, self.index_path):
-            vs = D.minhash_index_query(b, self.index_path, **self.kw).select(
+            vs = D.minhash_index_query_bands(
+                bands_b, self.index_path, id_col=self.id_col
+            ).select(
                 F.least("batch_id", "index_id").alias("doc_a"),
                 F.greatest("batch_id", "index_id").alias("doc_b"),
             )
@@ -185,7 +194,7 @@ class IncrementalDedupSink:
             self._write_bucketed(spark, cur, edges)
 
         edges.write.mode("append").parquet(f"{self.state_path}/edges")
-        D.minhash_index_append(b, self.index_path, **self.kw)
+        D.minhash_index_append_bands(bands_b, self.index_path)
 
     def _write_bucketed(self, spark, cur: DataFrame | None, edges: DataFrame) -> None:
         """Rewrite ONLY the buckets holding changed rows (the 100 TB
