@@ -123,7 +123,13 @@ def minhash_signatures(
         lambda p: hexpr(t.substr(p, F.lit(k))),
     )
     # map-only pipeline: parallelism must come from the input, so
-    # spread small/few-partition inputs across cores first
+    # spread small/few-partition inputs across cores first. KEEP the
+    # shingle-hash array projected in its own select: inlining hs
+    # into the 8 array_min(transform(...)) permutation columns
+    # re-hashes every shingle per permutation (measured 1.19s vs
+    # 0.38s for the signature pass at sf0.1 — lambda-bearing
+    # expressions sit outside codegen subexpression elimination; the
+    # _toks / _poisson1_w r10 class).
     out = _spread(df.filter(F.length(t) >= k)).select(F.col(id_col), hs.alias("__hs"))
 
     def perm(i: int):
@@ -232,11 +238,17 @@ def simhash(
     toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("w")
     )
+    # hash projected once BEFORE the aggregate: as an inline input to
+    # the 16 per-bit vote sums the md5 is re-evaluated per aggregate
+    # expression (the _poisson1_w r10 class; ~20% here)
     h = F.conv(F.substring(F.md5(F.col("w")), 1, hexdigits), 16, 10).cast("long")
-    votes = toks.groupBy(id_col).agg(
+    hv = toks.select(F.col(id_col), h.alias("__h"))
+    votes = hv.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"v{b}")
             for b in range(bits)
         ]

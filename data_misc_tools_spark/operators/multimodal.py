@@ -36,6 +36,18 @@ MEDIA_META_TYPE = StructType(
 )
 
 
+def _let1(expr, fn):
+    """Let-binding for ONE expression (the audio-fingerprint /
+    media_meta idiom, factored module-level in r10): evaluate ``expr``
+    once as the sole element of an array and hand it to ``fn`` as a
+    lambda variable. Every plain Column reference INLINES its whole
+    subtree, so an N-field output struct reading N fields of an
+    O(iterations) walker fold re-evaluates the fold N times per row
+    without this — the r10 walker-tail fix (jpeg/mp4/tiff/exif/ico
+    read their fold 3-7x each)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def with_binary_payload(
     df: DataFrame, source_col: str, payload_col: str = "payload", charset: str = "UTF-8"
 ) -> DataFrame:
@@ -257,27 +269,32 @@ def image_dimensions(payload: Column | str) -> Column:
 
     is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
     is_gif = F.hex(F.substring(p, 1, 4)).isin("47494638")
-    jpeg = jpeg_dimensions(p)
-    is_jpeg = jpeg.getField("width").isNotNull()
-    fmt = (
-        F.when(is_png, F.lit("png"))
-        .when(is_gif, F.lit("gif"))
-        .when(is_jpeg, F.lit("jpeg"))
-        .otherwise(F.lit(None).cast("string"))
-    )
-    width = (
-        F.when(is_png, be32(17))
-        .when(is_gif, le16(7))
-        .when(is_jpeg, jpeg.getField("width"))
-    )
-    height = (
-        F.when(is_png, be32(21))
-        .when(is_gif, le16(9))
-        .when(is_jpeg, jpeg.getField("height"))
-    )
-    return F.struct(
-        fmt.alias("format"), width.alias("width"), height.alias("height")
-    )
+
+    # jpeg walker bound ONCE (_let1): referenced five times below the
+    # whole segment walk re-ran per reference (r10)
+    def out(jpeg):
+        is_jpeg = jpeg.getField("width").isNotNull()
+        fmt = (
+            F.when(is_png, F.lit("png"))
+            .when(is_gif, F.lit("gif"))
+            .when(is_jpeg, F.lit("jpeg"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        width = (
+            F.when(is_png, be32(17))
+            .when(is_gif, le16(7))
+            .when(is_jpeg, jpeg.getField("width"))
+        )
+        height = (
+            F.when(is_png, be32(21))
+            .when(is_gif, le16(9))
+            .when(is_jpeg, jpeg.getField("height"))
+        )
+        return F.struct(
+            fmt.alias("format"), width.alias("width"), height.alias("height")
+        )
+
+    return _let1(jpeg_dimensions(p), out)
 
 
 def jpeg_dimensions(payload: Column | str, max_segments: int = 16) -> Column:
@@ -334,13 +351,18 @@ def jpeg_dimensions(payload: Column | str, max_segments: int = 16) -> Column:
     folded = F.aggregate(
         F.sequence(F.lit(1), F.lit(max_segments)), init, step
     )
-    is_jpeg = (F.hex(F.substring(p, 1, 2)) == "FFD8") & (
-        folded.getField("w") != -1
-    )
-    return F.struct(
-        F.when(is_jpeg, folded.getField("w")).alias("width"),
-        F.when(is_jpeg, folded.getField("h")).alias("height"),
-    )
+    is_sig = F.hex(F.substring(p, 1, 2)) == "FFD8"
+
+    # fold bound ONCE (_let1): referenced thrice in the output struct
+    # the whole segment walk re-ran per field (r10)
+    def out(f):
+        is_jpeg = is_sig & (f.getField("w") != -1)
+        return F.struct(
+            F.when(is_jpeg, f.getField("w")).alias("width"),
+            F.when(is_jpeg, f.getField("h")).alias("height"),
+        )
+
+    return _let1(folded, out)
 
 
 def wav_audio_meta(payload: Column | str) -> Column:
@@ -511,8 +533,10 @@ def mp4_video_meta(payload: Column | str, max_boxes: int = 8) -> Column:
         F.lit(1).cast("long").alias("pos"), F.lit(-1).cast("long").alias("moov")
     )
     top = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), top_init, top_step)
-    moov_pos = top.getField("moov")
-    moov_end = moov_pos + be32_at(moov_pos)
+    # the TOP fold is bound once via _let1 at the tail (r10): inlined,
+    # moov_pos's references (moov_end, child_init, is_mp4) re-ran the
+    # whole top-level walk per use, and the 4 output fields re-ran the
+    # child walk each — see the `out` closure below.
 
     def child_step(acc: Column, _: Column) -> Column:
         # the moov end offset rides in the fold state: referencing the
@@ -544,22 +568,50 @@ def mp4_video_meta(payload: Column | str, max_boxes: int = 8) -> Column:
         )
         return F.when(done, acc).otherwise(nxt)
 
-    child_init = F.struct(
-        (moov_pos + 8).alias("pos"),
-        moov_end.alias("end"),
-        F.lit(None).cast("long").alias("ts"),
-        F.lit(None).cast("long").alias("dur"),
-        F.lit(None).cast("long").alias("w"),
-        F.lit(None).cast("long").alias("h"),
+    null_l = F.lit(None).cast("long")
+    null_out = F.struct(
+        null_l.alias("timescale"),
+        null_l.alias("duration"),
+        null_l.alias("width"),
+        null_l.alias("height"),
     )
-    kids = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), child_init, child_step)
-    is_mp4 = (F.hex(F.substring(p, 5, 4)) == "66747970") & (moov_pos != -1)
-    return F.struct(
-        F.when(is_mp4, kids.getField("ts")).alias("timescale"),
-        F.when(is_mp4, kids.getField("dur")).alias("duration"),
-        F.when(is_mp4, kids.getField("w")).alias("width"),
-        F.when(is_mp4, kids.getField("h")).alias("height"),
-    )
+    is_sig = F.hex(F.substring(p, 5, 4)) == "66747970"
+
+    def out(t):
+        moov_pos = t.getField("moov")
+        moov_end = moov_pos + be32_at(moov_pos)
+        child_init = F.struct(
+            (moov_pos + 8).alias("pos"),
+            moov_end.alias("end"),
+            F.lit(None).cast("long").alias("ts"),
+            F.lit(None).cast("long").alias("dur"),
+            F.lit(None).cast("long").alias("w"),
+            F.lit(None).cast("long").alias("h"),
+        )
+        kids = F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_boxes)), child_init, child_step
+        )
+        # the moov guard stays OUTSIDE the kids binding: pre-binding,
+        # the per-field when(is_mp4, ...) guards also kept the child
+        # walk from EXECUTING on ftyp-less blobs / moov-less files —
+        # the bound form must preserve that (the media_meta dispatcher
+        # evaluates every walker on every blob) (r10)
+        return F.when(
+            moov_pos != -1,
+            _let1(
+                kids,
+                lambda kk: F.struct(
+                    kk.getField("ts").alias("timescale"),
+                    kk.getField("dur").alias("duration"),
+                    kk.getField("w").alias("width"),
+                    kk.getField("h").alias("height"),
+                ),
+            ),
+        ).otherwise(null_out)
+
+    # sig guard outside the top binding too: non-MP4 blobs skip both
+    # walks entirely
+    return F.when(is_sig, _let1(top, out)).otherwise(null_out)
 
 
 _UNITY_MATRIX_HEX = (
@@ -1293,16 +1345,38 @@ def tiff_image_meta(
         F.sequence(F.lit(1), F.lit(max_pages)), init, step
     )
     is_tiff = F.hex(F.substring(p, 1, 4)) == "49492A00"  # 'II', 42
-    return F.struct(
-        F.when(is_tiff, F.lit("tiff"))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("format"),
-        F.when(is_tiff, folded.getField("pages")).alias("pages"),
-        F.when(is_tiff, folded.getField("w")).alias("width"),
-        F.when(is_tiff, folded.getField("h")).alias("height"),
-        F.when(is_tiff, folded.getField("bps")).alias("bits_per_sample"),
-        F.when(is_tiff, folded.getField("comp")).alias("compression"),
-        F.when(is_tiff, folded.getField("wlast")).alias("last_width"),
+    # fold bound ONCE (_let1): referenced six times in the output
+    # struct the whole IFD-chain walk re-ran per field. The magic
+    # check stays OUTSIDE the binding — per-field when(is_tiff, ...)
+    # guards also kept the walk from ever EXECUTING on foreign bytes
+    # (dynamic-offset reads overflow on arbitrary blobs), so the bound
+    # form must preserve that: walk once under the guard, null struct
+    # otherwise (r10).
+    null_l = F.lit(None).cast("long")
+    return F.when(
+        is_tiff,
+        _let1(
+            folded,
+            lambda f: F.struct(
+                F.lit("tiff").alias("format"),
+                f.getField("pages").alias("pages"),
+                f.getField("w").alias("width"),
+                f.getField("h").alias("height"),
+                f.getField("bps").alias("bits_per_sample"),
+                f.getField("comp").alias("compression"),
+                f.getField("wlast").alias("last_width"),
+            ),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(None).cast("string").alias("format"),
+            null_l.alias("pages"),
+            null_l.alias("width"),
+            null_l.alias("height"),
+            null_l.alias("bits_per_sample"),
+            null_l.alias("compression"),
+            null_l.alias("last_width"),
+        )
     )
 
 
@@ -1485,14 +1559,33 @@ def exif_image_meta(payload: Column | str, max_entries: int = 16) -> Column:
         ),
     ))
     is_tiff = F.hex(F.substring(p, 1, 4)) == "49492A00"
-    return F.struct(
-        F.when(is_tiff, F.lit("tiff"))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("format"),
-        F.when(is_tiff, meta.getField("w")).alias("width"),
-        F.when(is_tiff, meta.getField("h")).alias("height"),
-        F.when(is_tiff, meta.getField("ori")).alias("orientation"),
-        F.when(is_tiff, meta.getField("dt")).alias("dt_original"),
+    # meta bound ONCE (_let1): the nested let-bound walk was still
+    # inlined 4x by the output struct's references. The magic check
+    # stays OUTSIDE the binding — the per-field guards also kept the
+    # walk from executing on foreign bytes (dynamic-offset reads
+    # overflow on arbitrary blobs): walk once under the guard, null
+    # struct otherwise (r10).
+    null_l = F.lit(None).cast("long")
+    return F.when(
+        is_tiff,
+        _let1(
+            meta,
+            lambda mm: F.struct(
+                F.lit("tiff").alias("format"),
+                mm.getField("w").alias("width"),
+                mm.getField("h").alias("height"),
+                mm.getField("ori").alias("orientation"),
+                mm.getField("dt").alias("dt_original"),
+            ),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(None).cast("string").alias("format"),
+            null_l.alias("width"),
+            null_l.alias("height"),
+            null_l.alias("orientation"),
+            F.lit(None).cast("string").alias("dt_original"),
+        )
     )
 
 
@@ -1655,17 +1748,41 @@ def ico_image_meta(payload: Column | str, max_entries: int = 16) -> Column:
     is_ico = (le16(F.lit(1)) == 0) & (le16(F.lit(3)) == 1) & (
         le16(F.lit(5)) >= 1
     )
-    return F.struct(
-        F.when(is_ico, F.lit("ico"))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("format"),
-        F.when(is_ico, meta.getField("n_images")).alias("n_images"),
-        F.when(is_ico, meta.getField("w")).alias("width"),
-        F.when(is_ico, meta.getField("h")).alias("height"),
-        F.when(is_ico, meta.getField("bpp")).alias("bits_per_pixel"),
-        F.when(is_ico, meta.getField("n_png")).alias("n_png"),
-        F.when(is_ico, meta.getField("n_dib")).alias("n_dib"),
-        F.when(is_ico, meta.getField("max_bytes")).alias("max_bytes"),
+    # meta bound ONCE (_let1): the directory walk was inlined 7x by
+    # the output struct's references. The magic check stays OUTSIDE
+    # the binding — the per-field guards also kept the walk from ever
+    # EXECUTING on foreign bytes (the per-entry payload peek casts a
+    # 32-bit LE offset read from arbitrary bytes to int, which
+    # overflows under ANSI — the media_meta dispatcher evaluates every
+    # walker on every blob): walk once under the guard, null struct
+    # otherwise (r10).
+    null_l = F.lit(None).cast("long")
+    return F.when(
+        is_ico,
+        _let1(
+            meta,
+            lambda mm: F.struct(
+                F.lit("ico").alias("format"),
+                mm.getField("n_images").alias("n_images"),
+                mm.getField("w").alias("width"),
+                mm.getField("h").alias("height"),
+                mm.getField("bpp").alias("bits_per_pixel"),
+                mm.getField("n_png").alias("n_png"),
+                mm.getField("n_dib").alias("n_dib"),
+                mm.getField("max_bytes").alias("max_bytes"),
+            ),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(None).cast("string").alias("format"),
+            null_l.alias("n_images"),
+            null_l.alias("width"),
+            null_l.alias("height"),
+            null_l.alias("bits_per_pixel"),
+            null_l.alias("n_png"),
+            null_l.alias("n_dib"),
+            null_l.alias("max_bytes"),
+        )
     )
 
 
