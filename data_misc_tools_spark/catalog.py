@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_misc_tools_spark.session import load_tables, session_cache
+from data_misc_tools_spark.session import load_tables, local_df, session_cache
 from data_misc_tools_spark.functions.aggregates import max_with, min_with
 from data_misc_tools_spark.functions.scalar import su_strip, url_encode
 from data_misc_tools_spark.operators import contamination as C
@@ -454,8 +454,8 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def url_encode_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url_encode parity incl. the reference's NULL→'null' rule
     (reference: hive-udfs/.../http/UDFUrlEncoder.java:26-63)."""
-    df = spark.createDataFrame(
-        [("a b",), ("x&y?",), ("ü",), ("a.b-c_d*e",), (None,)], "raw string"
+    df = local_df(
+        spark, [("a b",), ("x&y?",), ("ü",), ("a.b-c_d*e",), (None,)], "raw string"
     )
     return df.select("raw", url_encode(F.col("raw")).alias("encoded"))
 
@@ -1780,12 +1780,17 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="incdedup_")
     stage = os.path.join(work, "stage")
     os.makedirs(stage)
+    # ONE scan writes all three chunks (dir-partitioned by doc_id%3;
+    # hash partitioning puts each chunk value in exactly one task so
+    # each dir holds one file) — the per-chunk filter+coalesce(1) form
+    # was 3 scans of documents (r10). The __c key lives in the dir
+    # name, so staged FILES carry (doc_id, text) exactly as before.
+    docs.withColumn("__c", F.col("doc_id") % 3).repartition(
+        3, "__c"
+    ).write.partitionBy("__c").parquet(f"{work}/chunks")
     n = 0
     for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-            f"{work}/chunk{i}"
-        )
-        for f in sorted(glob.glob(f"{work}/chunk{i}/*.parquet")):
+        for f in sorted(glob.glob(f"{work}/chunks/__c={i}/*.parquet")):
             os.symlink(f, f"{stage}/{n}.parquet")
             n += 1
     schema = spark.read.parquet(stage).schema
@@ -2558,7 +2563,8 @@ def gc_reference_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the fixture ties only non-max keys; the aachen/bonn tie at 10
     exercises multiplicity without touching the argmax result.
     """
-    gc = spark.createDataFrame(
+    gc = local_df(
+        spark,
         [
             ("331", 10, "aachen"), ("331", 25, "berlin"), ("331", 10, "bonn"),
             ("331", None, "ghost"), ("323", 7, "celle"), ("323", 3, "dresden"),
@@ -2832,7 +2838,8 @@ def event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.temporal import range_join
 
     e = load_tables(spark, sf_dir, ["events"])["events"]
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
         "band string, lo double, hi double",
     )
@@ -5335,7 +5342,8 @@ def reflect_bridge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM to reflect into). The decoded column round-trips through
     java.net.URLDecoder exactly as the reference's UDFUrlEncoder
     inverse idiom would."""
-    df = spark.createDataFrame(
+    df = local_df(
+        spark,
         [('"quoted"', "a%20b"), ('"x"y"', "a%2Bb"), ("plain", "%25C3%25BC")],
         "raw string, enc string",
     )
@@ -6040,7 +6048,7 @@ def dictionary_tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf here). One explode + broadcast join + (doc, topic) count.
     See operators/text.py:dictionary_tag."""
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    terms = spark.createDataFrame(_TAG_DICT, "term string, topic string")
+    terms = local_df(spark, _TAG_DICT, "term string, topic string")
     return T.dictionary_tag(d, terms)
 
 

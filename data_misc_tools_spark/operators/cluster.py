@@ -36,15 +36,33 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    max_driver_edges: int = 100_000,
 ) -> DataFrame:
     """Label every node with the min node id of its component.
 
     ``edges`` is undirected (each pair once is enough). Returns
     (node, component) with one row per distinct node. Deterministic:
-    component ids are the smallest member id."""
+    component ids are the smallest member id — a property of the GRAPH,
+    not the algorithm, so any correct CC yields the identical frame.
+
+    Fast path (r10): when the edge list fits under
+    ``max_driver_edges`` rows it is collected (bounded — the limit is
+    part of the collect) and resolved with a driver-side union-find,
+    replacing 2-4 distributed label-propagation rounds (each a
+    shuffle + eager localCheckpoint + convergence count ≈ 2 jobs)
+    with ONE small job. The streaming incremental pipeline's
+    contracted graphs and near-dup batch graphs are exactly this
+    shape; the markov_stationary_fast precedent (bounded collect
+    behind a guard). Larger graphs fall through to the distributed
+    loop unchanged, so the 100 TB story is untouched. Pass
+    ``max_driver_edges=0`` to force the distributed path."""
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b"))
+    if max_driver_edges and e.schema[0].dataType == e.schema[1].dataType:
+        rows = e.limit(max_driver_edges + 1).collect()
+        if len(rows) <= max_driver_edges:
+            return _cc_driver(edges.sparkSession, rows, e.schema[0].dataType)
     und = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -84,6 +102,46 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _cc_driver(spark, edge_rows, node_type) -> DataFrame:
+    """Union-find over a collected (bounded) edge list; returns the
+    (node, component=min member id) frame — bit-identical to the
+    distributed propagation's converged output."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    from data_misc_tools_spark.session import local_df
+
+    return local_df(spark, out, schema)
 
 
 def dedup_clusters(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_misc_tools_spark.session import local_df
+
 
 from data_misc_tools_spark.operators.util import spread as _spread
 
@@ -1421,8 +1423,8 @@ def lsh_parameter_plan(
                 "decimal(38,0)/HUGEINT range both engines share"
             )
         rows += [(b, r, t) for t in grid]
-    base = spark.createDataFrame(
-        rows, "bands long, rows_per_band long, s_permille long"
+    base = local_df(
+        spark, rows, "bands long, rows_per_band long, s_permille long"
     )
     dec = "decimal(38,0)"
     return (

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_misc_tools_spark.session import local_df
+
 
 def json_results_explode(
     df: DataFrame,
@@ -424,7 +426,7 @@ def global_rank(
     for p, n in counts:
         offs.append((p, acc))
         acc += n
-    off_df = df.sparkSession.createDataFrame(offs, "__pid int, __off long")
+    off_df = local_df(df.sparkSession, offs, "__pid int, __off long")
     return (
         ranked.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, F.col("__r") + F.col("__off"))
@@ -484,7 +486,7 @@ def global_cumsum(
         offs.append((row[0], *acc))
         acc = [a + (t or 0) for a, t in zip(acc, row[1:])]
     schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
-    off_df = df.sparkSession.createDataFrame(offs, schema)
+    off_df = local_df(df.sparkSession, offs, schema)
     out = cum.join(F.broadcast(off_df), "__pid")
     for c in sum_cols:
         out = out.withColumn(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_misc_tools_spark.session import local_df
+
 
 def _e6ln(expr: str) -> str:
     """e6-rounded natural log of an exact-integer SQL expression —
@@ -228,8 +230,9 @@ def fs_em_weights(
         )
         for i, c in enumerate(agree_cols)
     ]
-    wdf = pairs.sparkSession.createDataFrame(
-        rows, "field string, m double, u double, w_agree double, w_disagree double"
+    wdf = local_df(
+        pairs.sparkSession, rows,
+        "field string, m double, u double, w_agree double, w_disagree double"
     )
     return wdf, float(lam)
 

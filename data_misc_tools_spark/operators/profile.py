@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_misc_tools_spark.session import local_df
+
 
 def profile_table(
     df: DataFrame,
@@ -2643,8 +2645,8 @@ def benford_first_digit(
     with zero observations included (expected counts still penalize).
     """
     spark = df.sparkSession
-    exp = spark.createDataFrame(
-        sorted(_BENFORD_E6.items()), "digit int, expected_e6 long"
+    exp = local_df(
+        spark, sorted(_BENFORD_E6.items()), "digit int, expected_e6 long"
     )
     cents = F.round(F.col(value_col) * F.lit(scale)).cast("long")
     obs = (

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_misc_tools_spark.session import local_df
+
 from .text import tokens
 
 __all__ = [
@@ -55,7 +57,7 @@ __all__ = [
 
 def queries_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
     """Tiny helper: build the (query_id, qtext) DataFrame from a list."""
-    return spark.createDataFrame(queries, "query_id long, qtext string")
+    return local_df(spark, queries, "query_id long, qtext string")
 
 
 def _toks(
@@ -1174,8 +1176,9 @@ def phrase_search(
     if not phrase:
         raise ValueError("phrase_search needs at least one term")
     m = len(phrase)
-    slots = docs.sparkSession.createDataFrame(
-        [(i, t) for i, t in enumerate(phrase)], "slot long, term string"
+    slots = local_df(
+        docs.sparkSession, [(i, t) for i, t in enumerate(phrase)],
+        "slot long, term string"
     )
     toks = docs.select(
         F.col(id_col),

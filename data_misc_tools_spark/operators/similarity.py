@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_misc_tools_spark.session import local_df
+
 
 def _dbl(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -352,7 +354,7 @@ def ivf_topk(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+    centers_df = local_df(spark, centers, "cell int, center array<double>")
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     # rank cells per query by cosine to the centroid, keep top n_probe
@@ -482,8 +484,8 @@ def ivf_build_index(
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    centers_df = corpus.sparkSession.createDataFrame(
-        centers, "cell int, center array<double>"
+    centers_df = local_df(
+        corpus.sparkSession, centers, "cell int, center array<double>"
     )
     centers_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
     # baseline per-cell stats AT TRAIN TIME: ivf_index_drift compares
@@ -798,7 +800,8 @@ def pq_build_index(
         encode, schema=f"{id_col} long, codes array<long>, cell int"
     ).write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
 
-    centers_out = spark.createDataFrame(
+    centers_out = local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",
     )
@@ -808,7 +811,8 @@ def pq_build_index(
     _write_index_stats(
         assigned.select(id_col, "cell"), centers_out, f"{path}/stats", None
     )
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (j, c, [float(x) for x in books[j][c]])
             for j in range(m_subvectors)
@@ -816,8 +820,8 @@ def pq_build_index(
         ],
         "m int, code int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(bool(residual),)], "residual boolean"
+    local_df(
+        spark, [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -881,7 +885,8 @@ def pq_append_index(
     centers_rows = sorted(
         spark.read.parquet(f"{path}/centers").collect(), key=lambda r: r.cell
     )
-    centers_df = spark.createDataFrame(
+    centers_df = local_df(
+        spark,
         [(r.cell, [float(x) for x in r.center]) for r in centers_rows],
         "cell int, center array<double>",
     )
@@ -1093,7 +1098,8 @@ def cosine_neardup_pairs_ivf(
     )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(feats)
     centers = model.clusterCenters()
-    centers_df = df.sparkSession.createDataFrame(
+    centers_df = local_df(
+        df.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     )
@@ -1460,7 +1466,8 @@ def mmr_rerank(
                 best = (vid, code, rel, score)
         picked.append((best[0], best[1], best[2]))
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, vid, rel) for i, (vid, _, rel) in enumerate(picked)],
         f"rank long, {id_col} long, rel long",
     )
@@ -1541,8 +1548,8 @@ def kcenter_select(
                 )
                 .localCheckpoint(eager=True)
             )
-    return df.sparkSession.createDataFrame(
-        picked, f"rank long, {id_col} long, d2 long"
+    return local_df(
+        df.sparkSession, picked, f"rank long, {id_col} long, d2 long"
     )
 
 
@@ -1619,7 +1626,13 @@ def margin_topk_pairs(
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("dot"),
-    )
+    # the directed dot frame feeds TWO consumers (the top-k sums and
+    # the canonical pair list), so without pinning the interpreted
+    # HOF dot self-join runs twice (the r8 double-scan class; warm
+    # total 4.3 -> 3.3 s at sf0.1, exec 4.0 -> 0.7 with the dot paid
+    # once at the eager checkpoint). Bounded: block-join or the
+    # max_rows_unblocked guard caps it at ~n_block^2 narrow rows.
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("__x").orderBy(F.desc("dot"), F.asc("__y"))
     sumk = (
         directed.withColumn("__rn", F.row_number().over(w))

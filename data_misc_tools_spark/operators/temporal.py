@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_misc_tools_spark.session import local_df
+
 
 def asof_join(
     left: DataFrame,
@@ -721,8 +723,8 @@ def stationary_distribution_fast(
             nxt[j] += v[i] * (r["n"] / row_tot[i])
         v = nxt
     spark = df.sparkSession
-    return spark.createDataFrame(
-        [(s, float(v[idx[s]])) for s in states], "state string, p double"
+    return local_df(
+        spark, [(s, float(v[idx[s]])) for s in states], "state string, p double"
     )
 
 
@@ -1474,7 +1476,8 @@ def markov_removal_attribution(
         attr = _halfup(1_000_000 * drops[c], td) if td > 0 else None
         out.append((c, f_full, f_c, removal, attr))
     spark = events.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         out,
         "channel string, f_full_e6 long, f_removed_e6 long, "
         "removal_e6 long, attribution_e6 long",

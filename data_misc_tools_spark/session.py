@@ -95,6 +95,20 @@ def build_session(
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema, rows_per_slice: int = 100_000):
+    """``createDataFrame`` for SMALL driver-local row lists without the
+    32-way parallelize: a bare ``createDataFrame(list)`` splits the
+    list into ``defaultParallelism`` slices, each served by its own
+    Python worker — on a cold ``local[32]`` session that is 32 worker
+    spawns (~5 s measured) to ship an 8-row frame. Centroid tables,
+    global-rank offset maps and bounded report frames are all this
+    shape; one slice is the right number (r10)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n = max(1, (len(rows) + rows_per_slice - 1) // rows_per_slice)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+
+
 def session_cache(spark: SparkSession, name: str) -> dict:
     """A named per-session memoization dict stored ON the session
     object itself. An ``id(spark)``-keyed module dict can false-hit
