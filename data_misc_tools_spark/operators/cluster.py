@@ -479,6 +479,7 @@ def pagerank_exact(
     dst: str = "dst",
     damping_pct: int = 85,
     max_iter: int = 5,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Engine-exact integer PageRank over a graph with NO dangling
     nodes (every node has >= 1 out-edge — true for any symmetrized
@@ -500,9 +501,15 @@ def pagerank_exact(
     SINGLE reference to v (the cluster.py/DuckDB plan-doubling rule).
 
     Scale shape: one groupBy(dst) shuffle of the edge-share stream
-    per round; ranks localCheckpoint each round (referenced once, but
-    the chain would still deepen the lineage linearly and re-run all
-    prior rounds on each action without it). Output: (node, v_e6).
+    per round. Single-reference rounds mean the lineage grows
+    LINEARLY, so the whole iteration compiles into one lazy plan —
+    integer math makes the result independent of when jobs run, and
+    the per-round eager localCheckpoint the r5 form paid (one
+    materialization job per round) bought nothing: A/B on the sf0.1
+    neardup graph, hash-identical output, 4.5-5.8 s eager vs
+    2.7-3.0 s lazy (r10). ``checkpoint_every`` lazily bounds lineage
+    depth for long runs (the pagerank_fast cadence). Output:
+    (node, v_e6).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     deg = e.groupBy("a").agg(F.count("*").cast("long").alias("__deg"))
@@ -513,7 +520,7 @@ def pagerank_exact(
     base = (2 * (100 - damping_pct) * 1_000_000 + 100 * n) // (200 * n)
     d = damping_pct
     v = nodes.select("node", F.lit(1_000_000 // n).cast("long").alias("v"))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         v = (
             ew.join(v, ew["a"] == v["node"])
             .select(
@@ -526,8 +533,11 @@ def pagerank_exact(
                 F.col("b").alias("node"),
                 (F.lit(base) + F.expr(f"(2 * __in * {d} + 100) div 200")).alias("v"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < max_iter:
+            v = v.localCheckpoint(eager=False)
     return v.select("node", F.col("v").alias("v_e6"))
 
 
@@ -957,8 +967,13 @@ def label_propagation(
     Scale shape per round: one join of the edge list against the
     label frame (labels shuffle on node id; co-partitioned across
     rounds), one (node, label) count aggregate, one per-node argmax
-    window. Labels localCheckpoint per round — referenced once per
-    round, but an uncut lineage re-runs all prior rounds per action.
+    window. Labels are referenced ONCE per round, so lineage grows
+    linearly and the rounds run as one lazy plan, with a lazy
+    localCheckpoint every 2 rounds bounding analysis depth (the
+    label_propagation_fast cadence). Integer votes with a
+    deterministic tie-break make the result schedule-independent;
+    the per-round eager form measured 4.9-7.3 s vs 3.9-5.5 s for
+    this shape on the sf0.1 neardup graph, hash-identical (r10).
 
     Output: (node, community).
     """
@@ -970,7 +985,7 @@ def label_propagation(
         "node", F.col("node").alias("label")
     )
     w = Window.partitionBy("node").orderBy(F.desc("__c"), F.asc("label"))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         labels = (
             e.join(labels, e["b"] == labels["node"])
             .select(F.col("a").alias("node"), "label")
@@ -979,8 +994,9 @@ def label_propagation(
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % 2 == 0 and (i + 1) < max_iter:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -1089,14 +1105,16 @@ def personalized_pagerank_exact(
             .select("node", F.expr(f"(2 * __in * {d} + 100) div 200").alias("v"))
         )
         # base mass lands on seeds only: one union-agg keeps the round
-        # a single reference to v and never densifies the node set
+        # a single reference to v and never densifies the node set.
+        # Single-reference rounds -> linear lineage -> ONE lazy plan
+        # (the pagerank_exact r10 A/B: hash-identical, ~1.7x faster
+        # than per-round eager checkpoints at sf0.1).
         v = (
             routed.unionByName(
                 sd.select("node", F.lit(base).cast("long").alias("v"))
             )
             .groupBy("node")
             .agg(F.sum("v").cast("long").alias("v"))
-            .localCheckpoint(eager=True)
         )
     return v.select("node", F.col("v").alias("v_e6"))
 

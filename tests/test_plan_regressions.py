@@ -523,15 +523,21 @@ def test_nb_confusion_reuses_one_trained_model(spark, sf_dir):
     assert "Scan ExistingRDD" in plan  # the checkpointed model tables
 
 
-def test_pagerank_exact_rounds_are_constant_size(spark, sf_dir):
-    """pagerank_exact localCheckpoints per round: the final plan must
-    not contain the unrolled 5-round lineage (a non-checkpointed loop
-    inlines every previous round; with the checkpoint the visible
-    plan is one round + top-k)."""
+def test_pagerank_exact_rounds_are_linear(spark, sf_dir):
+    """pagerank_exact (r10) runs its 5 single-reference rounds as ONE
+    lazy plan: lineage grows LINEARLY (one edge-frame reference and
+    ~2 exchanges per round), never the 2^rounds doubling that forces
+    eager per-round materialization in twice-referenced iterative
+    ops. Pin the linear shape: bounded exchanges, one checkpointed
+    edge-frame scan per round (+1 for the node seed), top-k via
+    TakeOrderedAndProject, and a plan string far below doubling size
+    (5 doubled rounds would be >100 KB)."""
     df = QUERIES["pagerank_neardup_graph"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange") <= 4
+    assert plan.count("Exchange") <= 13
+    assert plan.count("Scan ExistingRDD") <= 7
+    assert len(plan) < 40_000
 
 
 def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
