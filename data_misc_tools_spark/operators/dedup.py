@@ -514,7 +514,14 @@ def minhash_index_build(
     """
     sigs = minhash_signatures(df, num_perm, k, text_col, id_col, portable_hash)
     (
+        # REBALANCE by the partition column before a partitionBy write
+        # (guide §6): without it every upstream task writes one file
+        # per band (tasks x bands tiny files — slow to write here,
+        # slow to LIST and read on every later query); AQE rebalance
+        # coalesces to ~one right-sized file per band locally and
+        # splits oversized bands by advisory size at scale.
         minhash_bands(sigs, bands, id_col)
+        .hint("rebalance", "band")
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(path)
@@ -542,7 +549,9 @@ def minhash_index_append_bands(bands_df: DataFrame, path: str) -> None:
     persisted index — the batch-hashes-once path (r10): callers that
     already materialized the batch's bands for other consumers write
     them directly instead of re-hashing the batch."""
-    bands_df.write.mode("append").partitionBy("band").parquet(path)
+    bands_df.hint("rebalance", "band").write.mode("append").partitionBy(
+        "band"
+    ).parquet(path)
 
 
 def minhash_index_query(
@@ -740,7 +749,14 @@ def set_similarity_join(
 
     # word n-gram set elements: small shared vocabularies make raw
     # word sets near-identical across documents; n-grams restore
-    # distinctiveness (gram_n=1 == plain word sets)
+    # distinctiveness (gram_n=1 == plain word sets). Four consumers
+    # read the token frame (frequency census, ordered rollup, both
+    # verify sides), but every one first shuffles on the SAME
+    # (id, tok) distinct aggregate, so AQE's runtime ReusedExchange
+    # dedupes the tokenize+explode upstream — an explicit eager
+    # localCheckpoint measured a WASH at sf0.1 (r10 A/B: 4.6-6.1 s
+    # unpinned vs 4.9-5.4 s pinned) and only adds construction
+    # serialization; deliberately left unpinned.
     toks = _gram_set_tokens(df, text_col, id_col, gram_n)
     freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
     ordered = (
@@ -852,6 +868,10 @@ def containment_join(
     """
     from data_misc_tools_spark.operators.util import half_up_ratio4
 
+    # five consumers read the token frame, but all shuffle first on
+    # the same (id, tok) distinct aggregate — AQE ReusedExchange
+    # dedupes the upstream at runtime, and pinning measured a wash at
+    # sf0.1 (the set_similarity_join r10 A/B); left unpinned
     toks = _gram_set_tokens(df, text_col, id_col, gram_n)
     freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
     ordered = (
@@ -1242,17 +1262,26 @@ def suffix_window_spans(
         F.col(id_col).alias("__id2"),
         F.col("pos").alias("__pos2"),
     )
-    # LCP as an O(window) fold, not O(window^2) prefix re-comparisons
-    # (64 single-char probes vs 64 prefix compares of ~32 chars each —
-    # measured 23.2 s -> 15.0 s at sf0.1 before the checkpoint). The
-    # `i <= least(length)` guard blocks the '' == '' trap past either
-    # string's end; acc freezes at the first mismatch.
+    # LCP as an O(log window) binary-search fold: prefix equality is
+    # monotone in the probe length, so 7 halving probes replace the 64
+    # per-char ones (HOF folds are INTERPRETED per element — iteration
+    # count, not bytes compared, is the cost; each probe is one JVM
+    # memcmp of <= window bytes). Truncating substr semantics make
+    # over-length probes safe: prefixes of different lengths compare
+    # unequal, so acc can only overshoot when the keys are fully equal
+    # — the least(length) clamp restores the exact old value
+    # (common-prefix length clamped to the shorter key).
+    pw = 1
+    while pw < window:
+        pw <<= 1
+    steps = []
+    while pw >= 1:
+        steps.append(pw)
+        pw >>= 1
     lcp = F.expr(
-        f"aggregate(sequence(1, {window}), 0,"
-        f" (acc, i) -> CASE WHEN acc = i - 1"
-        f" AND i <= least(length(__k), length(__k2))"
-        f" AND substr(__k, i, 1) = substr(__k2, i, 1)"
-        f" THEN i ELSE acc END)"
+        f"least(aggregate(array({','.join(map(str, steps))}), 0,"
+        f" (acc, s) -> CASE WHEN substr(__k, 1, acc + s) = substr(__k2, 1, acc + s)"
+        f" THEN acc + s ELSE acc END), length(__k), length(__k2))"
     ).cast("long")
     pairs = (
         ranked.join(right, "__sr")

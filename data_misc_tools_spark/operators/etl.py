@@ -418,9 +418,13 @@ def global_rank(
     pid = parts.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*order_by)
     ranked = pid.withColumn("__r", F.row_number().over(w).cast("long"))
+    # offsets need only per-partition COUNTS — collected from the
+    # pre-window frame, so the offsets job pays the range shuffle but
+    # never the within-partition sort (the window itself runs once,
+    # in the consumer's action; r10 — the sort was executing twice)
     counts = sorted(
         (r["__pid"], r["__n"])
-        for r in ranked.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+        for r in pid.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
     )
     offs, acc = [], 0
     for p, n in counts:
@@ -475,9 +479,13 @@ def global_cumsum(
         cum = cum.withColumn(
             prefix + c, F.sum(F.col(c).cast("long")).over(w)
         )
+    # per-partition grand totals come from the RAW columns — collected
+    # from the pre-window frame so the offsets job skips the
+    # within-partition sort (the r10 global_rank fix; the cumsum
+    # window itself runs once, in the consumer's action)
     totals = sorted(
         (r["__pid"], *[r["__t_" + c] for c in sum_cols])
-        for r in cum.groupBy("__pid")
+        for r in pid.groupBy("__pid")
         .agg(*[F.sum(F.col(c).cast("long")).alias("__t_" + c) for c in sum_cols])
         .collect()
     )

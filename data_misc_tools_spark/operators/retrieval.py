@@ -534,9 +534,11 @@ def inverted_index_build(
     tf_b = tf.withColumn(
         "bucket", _bucket_of(F.col("tok"), n_buckets)
     ).localCheckpoint(eager=True)
-    tf_b.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # rebalance by bucket before the partitioned write (guide §6):
+    # one right-sized file per bucket, not tasks x buckets tiny files
+    tf_b.hint("rebalance", "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     tf_b.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode(
         "overwrite"
     ).parquet(f"{path}/doclens")
@@ -586,9 +588,9 @@ def inverted_index_append(
     tf_b = tf.withColumn(
         "bucket", _bucket_of(F.col("tok"), n_buckets)
     ).localCheckpoint(eager=True)  # two writes share one explode
-    tf_b.write.mode("append").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    tf_b.hint("rebalance", "bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
     tf_b.groupBy(id_col).agg(F.max("dl").alias("dl")).write.mode(
         "append"
     ).parquet(f"{path}/doclens")

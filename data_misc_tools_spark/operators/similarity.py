@@ -480,7 +480,11 @@ def ivf_build_index(
     assigned = model.transform(feats).select(
         F.col(id_col), F.col(vec_col), F.col("prediction").alias("cell")
     )
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    # rebalance by cell before the partitioned write (guide §6): one
+    # right-sized file per cell instead of tasks x cells tiny files
+    assigned.hint("rebalance", "cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/cells")
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -489,8 +493,17 @@ def ivf_build_index(
     )
     centers_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
     # baseline per-cell stats AT TRAIN TIME: ivf_index_drift compares
-    # the live index against these to say when to re-train
-    _write_index_stats(assigned, centers_df, f"{path}/stats", vec_col)
+    # the live index against these to say when to re-train. Computed
+    # from the JUST-WRITTEN cells (a few right-sized files after the
+    # rebalance) instead of the `assigned` plan — re-reading the index
+    # is cheaper than replaying KMeans.transform over the corpus scan,
+    # and the snapshot then provably describes what landed on disk.
+    _write_index_stats(
+        corpus.sparkSession.read.parquet(f"{path}/cells"),
+        centers_df,
+        f"{path}/stats",
+        vec_col,
+    )
 
 
 def ivf_append_index(
@@ -528,7 +541,9 @@ def ivf_append_index(
         .filter(F.col("__rn") == 1)
         .select(id_col, vec_col, "cell")
     )
-    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+    assigned.hint("rebalance", "cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(f"{path}/cells")
 
 
 def _qerr_e6(vec_col: str) -> Column:
@@ -798,7 +813,9 @@ def pq_build_index(
 
     assigned.mapInPandas(
         encode, schema=f"{id_col} long, codes array<long>, cell int"
-    ).write.partitionBy("cell").mode("overwrite").parquet(f"{path}/cells")
+    ).hint("rebalance", "cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/cells")
 
     centers_out = local_df(
         spark,
@@ -807,9 +824,14 @@ def pq_build_index(
     )
     centers_out.coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
     # train-time baseline (counts only — cells hold codes, not
-    # vectors, so qerr is not recomputable from the index)
+    # vectors, so qerr is not recomputable from the index). Counted
+    # from the just-written cells: replaying `assigned` would re-run
+    # the KMeans assignment over the corpus scan a second time.
     _write_index_stats(
-        assigned.select(id_col, "cell"), centers_out, f"{path}/stats", None
+        spark.read.parquet(f"{path}/cells").select(id_col, "cell"),
+        centers_out,
+        f"{path}/stats",
+        None,
     )
     local_df(
         spark,
@@ -924,7 +946,9 @@ def pq_append_index(
     enc = _pq_encode_map(books, centers_np, residual, id_col, m_sub, dsub)
     assigned.mapInPandas(
         enc, schema=f"{id_col} long, codes array<long>, cell int"
-    ).write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+    ).hint("rebalance", "cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(f"{path}/cells")
 
 
 def pq_query_index(

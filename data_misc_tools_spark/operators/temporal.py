@@ -616,20 +616,26 @@ def stationary_distribution(
     Scale: each round is one broadcast-size join (the chain alphabet
     is small) over the |alphabet|² count matrix — iterations cost
     |edges| work, not |events|; the event scan happens once in
-    transition_matrix. The counts frame is cached AND the mass vector
-    localCheckpoints every round: v is referenced twice per round
-    (routed + dangling), so an uncheckpointed lineage doubles per
-    iteration — 2^iters plan nodes chokes Catalyst long before the
-    data does (the cluster.py lesson).
+    transition_matrix and the counts frame is pinned with an eager
+    localCheckpoint (one reference per round would otherwise replay
+    the event scan every iteration). The mass vector v is referenced
+    ONCE per round (routed mass and dangling pass-through share a
+    single LEFT JOIN), so lineage grows LINEARLY and the whole
+    iteration compiles into ONE lazy plan — the pagerank_exact
+    finding (r10): per-round eager localCheckpoints bought only job-
+    scheduling overhead; output is hash-identical integer math either
+    way. ``checkpoint_every`` lazily bounds lineage depth for long
+    runs.
 
     Output: (state, v_e6 BIGINT, p DOUBLE = v_e6/1e6).
     """
+    checkpoint_every = 8
     t = transition_matrix(df, entity_col, order_cols, item_col).select(
         F.col("from_item").alias("i"), F.col("to_item").alias("j"), "n"
     )
     t = t.withColumn(
         "r", F.sum("n").over(Window.partitionBy("i")).cast("long")
-    ).cache()
+    ).localCheckpoint(eager=True)
     states = (
         t.select(F.col("i").alias("state"))
         .union(t.select(F.col("j").alias("state")))
@@ -639,11 +645,11 @@ def stationary_distribution(
     v = states.select(
         "state", F.lit(1_000_000 // n_states).cast("long").alias("v")
     )
-    for _ in range(iters):
+    for i in range(iters):
         # one reference to v per round (routed mass and dangling
-        # pass-through in a single LEFT JOIN): a twice-referenced v
-        # doubles the lineage per iteration; with the checkpoint this
-        # keeps each round's plan constant-size
+        # pass-through in a single LEFT JOIN) keeps the lazy lineage
+        # linear; a twice-referenced v would double the plan per
+        # iteration (the cluster.py lesson) and need eager rounds
         v = (
             v.join(t, v["state"] == t["i"], "left")
             .select(
@@ -654,18 +660,14 @@ def stationary_distribution(
             )
             .groupBy("state")
             .agg(F.sum("__m").cast("long").alias("v"))
-            .localCheckpoint(eager=True)
         )
-    out = v.select(
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            v = v.localCheckpoint(eager=False)
+    return v.select(
         "state",
         F.col("v").alias("v_e6"),
         (F.col("v") / F.lit(1_000_000.0)).alias("p"),
     )
-    # v is localCheckpointed (materialized), so the cached counts frame
-    # can be released — long sessions run many catalog queries and
-    # would otherwise accumulate one cached matrix per call
-    t.unpersist()
-    return out
 
 
 def stationary_distribution_fast(
