@@ -573,11 +573,22 @@ def blocking_quality(
         raise ValueError(f"n_records must be >= 0, got {n_records}")
     c = candidates.select(left, right).distinct()
     m = truth.select(left, right).distinct()
-    inter = c.join(m, [left, right])
-    stats = (
-        c.agg(F.count("*").cast("long").alias("n_candidates"))
-        .crossJoin(m.agg(F.count("*").cast("long").alias("n_truth")))
-        .crossJoin(inter.agg(F.count("*").cast("long").alias("n_matched")))
+    # one pass over each input pipeline (r10): a full-outer join on
+    # the pair key marks membership on both sides, and a single
+    # aggregate reads all three counts. The previous shape consumed
+    # `c` twice (count + intersection join) and `m` twice — each
+    # reference re-ran its whole upstream (for the LSH demo, the md5
+    # shingle + band self-join pipeline) because the count aggregate
+    # and the join shuffle differently, so nothing was reusable.
+    cm = c.withColumn("__c", F.lit(1)).join(
+        m.withColumn("__m", F.lit(1)), [left, right], "full_outer"
+    )
+    stats = cm.agg(
+        F.count("__c").cast("long").alias("n_candidates"),
+        F.count("__m").cast("long").alias("n_truth"),
+        F.count(F.when(F.col("__c").isNotNull() & F.col("__m").isNotNull(), 1))
+        .cast("long")
+        .alias("n_matched"),
     )
     n0 = n_records * (n_records - 1) // 2
     return stats.selectExpr(

@@ -4800,15 +4800,27 @@ def mean_cumulative_function(
         day_col.cast("long").alias("__d"),
         is_event.cast("boolean").alias("__e"),
     )
-    ends = base.groupBy("__u").agg(F.max("__d").alias("__end"))
-    n_users = ends.count()
+    # ONE events scan (r10): roll up to (user, day) first — the old
+    # shape aggregated `base` twice on different keys (per-user end
+    # day, per-day event count), so the events scan and its full-row
+    # shuffle ran twice, plus a third pipeline run for ends.count().
+    # The rollup's map-side partial aggregation shrinks the shuffle
+    # to user x day rows, and every later frame derives from the
+    # pinned rollup.
+    ud = (
+        base.groupBy("__u", "__d")
+        .agg(F.sum(F.col("__e").cast("long")).cast("long").alias("__ne"))
+        .localCheckpoint(eager=True)
+    )
+    ends = ud.groupBy("__u").agg(F.max("__d").alias("__end"))
     end_census = ends.groupBy("__end").agg(
         F.count("*").cast("long").alias("__k")
-    )
+    ).localCheckpoint(eager=True)
+    n_users = end_census.agg(F.sum("__k")).collect()[0][0] or 0
     ev = (
-        base.filter(F.col("__e"))
+        ud.filter(F.col("__ne") > 0)
         .groupBy("__d")
-        .agg(F.count("*").cast("long").alias("n_events"))
+        .agg(F.sum("__ne").cast("long").alias("n_events"))
     )
     # risk at day d = n_users - #(ends strictly before d): union the
     # event-day and end-day frames onto ONE day axis so a single
