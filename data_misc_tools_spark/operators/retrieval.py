@@ -927,6 +927,12 @@ def ql_dirichlet_topk(
         .join(F.broadcast(qtok), "tok")
         .groupBy(id_col, "tok")
         .agg(F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+        # three consumers (ctf census, candidate set, the background
+        # left join) — pin the query-term-matched relation so the
+        # corpus explode runs once (r10; the static plan showed 3
+        # explode replays and AQE exchange reuse did not cover the
+        # per-branch pruned variants)
+        .localCheckpoint(eager=True)
     )
     ctf = tfm.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctf"))
     corpus = _corpus_totals(docs, text_col, id_col)
