@@ -13906,7 +13906,7 @@ def psi_drift_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from data_misc_tools_spark.operators.profile import reference_edges
+    from data_misc_tools_spark.operators.profile import edges_from_census
     from data_misc_tools_spark.session import nanos_ts_columns
     from data_misc_tools_spark.streaming.drift import (
         drift_bins_stream,
@@ -13918,7 +13918,16 @@ def psi_drift_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "ts", F.round(F.col("value") * 100).cast("long").alias("x")
     )
-    edges = reference_edges(base, "x", 10)
+    # ONE batch-side events scan (r10): the pinned value census feeds
+    # the quantile edges AND the binned reference counts — the old
+    # shape scanned events for the census, again for the reference
+    # total, and a third time for ref_counts.
+    census = (
+        base.groupBy("x")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    edges = edges_from_census(census, 10)
     stage = tempfile.mkdtemp(prefix="psistream_stage_")
     os.symlink(os.path.abspath(src), os.path.join(stage, "events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -13958,9 +13967,9 @@ def psi_drift_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ed in edges:
         be = be + (F.col("x") > F.lit(int(ed))).cast("long")
     ref_counts = (
-        base.select(be.alias("bin"))
+        census.select(be.alias("bin"), "c")
         .groupBy("bin")
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.sum("c").cast("long").alias("n"))
     )
     terms = psi_from_bin_counts(
         spark.table(name), ref_counts, len(edges) + 1

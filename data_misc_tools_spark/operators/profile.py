@@ -3584,14 +3584,34 @@ def reference_edges(
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    ref = ref_df.select(F.col(value_col).cast("long").alias("x"))
+    # ONE reference scan (r10): the census is pinned (bounded by the
+    # value domain — the documented psi_report assumption) because
+    # BOTH the cumulative count and the grand total read it; the old
+    # shape re-ran the reference scan for the total.
+    census = (
+        ref.groupBy("x")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return edges_from_census(census, n_bins)
+
+
+def edges_from_census(census: DataFrame, n_bins: int = 10) -> list:
+    """:func:`reference_edges` over a pre-aggregated (x, c) value
+    census — callers that already hold the census (e.g. to derive
+    binned reference counts from the same frame) skip the raw scan.
+    The census should be pinned by the caller if its construction is
+    expensive; it is referenced twice here (cumulative count + grand
+    total)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
     from data_misc_tools_spark.operators.etl import global_cumsum
 
-    ref = ref_df.select(F.col(value_col).cast("long").alias("x"))
-    census = ref.groupBy("x").agg(F.count("*").cast("long").alias("c"))
     cum = global_cumsum(census, ["x"], ["c"]).crossJoin(
-        F.broadcast(ref.agg(F.count("*").cast("long").alias("n")))
+        F.broadcast(census.agg(F.sum("c").cast("long").alias("n")))
     )
-    qs = ref_df.sparkSession.range(1, n_bins).select(F.col("id").alias("j"))
+    qs = census.sparkSession.range(1, n_bins).select(F.col("id").alias("j"))
     return sorted(
         {
             r["e"]
