@@ -1865,15 +1865,10 @@ def rouge_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single IEEE divisions, UNROUNDED. Pairs = the portable-minhash
     band graph over documents (the dedup_stream_incremental pair set).
     See operators/dedup.py:rouge_n_pairs."""
-    from data_misc_tools_spark.operators.dedup import (
-        minhash_candidate_pairs,
-        rouge_n_pairs,
-    )
+    from data_misc_tools_spark.operators.dedup import rouge_n_pairs
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = minhash_candidate_pairs(
-        d, num_perm=8, bands=4, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=4)
     return rouge_n_pairs(pairs, d, n=2).orderBy("doc_a", "doc_b")
 
 
@@ -5746,9 +5741,7 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import triangle_count
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return triangle_count(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -6282,20 +6275,43 @@ def _lpa_oracle(iters: int = 4) -> str:
     """
 
 
+def _minhash_pairs_memo(
+    spark: SparkSession, sf_dir: str, bands: int
+) -> DataFrame:
+    """Portable-MinHash candidate pairs over the documents table,
+    memoized per (session, sf_dir, bands) as a pinned frame (r10):
+    the 4x2 set feeds rouge_dedup_pairs AND the pagerank/PPR/LPA
+    graph; the strict 2x4 set feeds ELEVEN wedge/peel-family queries
+    (triangle, adamic-adar, edge support, k-core, k-truss, LCC,
+    jaccard linkpred, assortativity, harmonic, mutual-best,
+    threshold-sweep) — each previously re-ran the full md5-shingle +
+    band self-join pipeline (~2-3.5 s at sf0.1). The
+    _neardup_graph_edges precedent one level lower; the pair set is
+    deterministic, so memoization cannot change any result."""
+    cache = session_cache(spark, "minhash_pairs")
+    key = (sf_dir, bands)
+    pairs = cache.get(key)
+    if pairs is None:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        pairs = D.minhash_candidate_pairs(
+            docs, num_perm=8, bands=bands, k=5, portable_hash=True
+        ).localCheckpoint(eager=True)
+        cache[key] = pairs
+    return pairs
+
+
 def _neardup_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized portable-MinHash candidate edges, memoized per
     (session, sf_dir) as a localCheckpointed frame: three graph
     queries (pagerank / personalized pagerank / LPA) walk the SAME
     deterministic graph, and re-hashing the corpus per query is pure
-    repeat work (the _bm25_index_path precedent). The frame is
-    deterministic, so memoization cannot change any result."""
+    repeat work (the _bm25_index_path precedent). Built from the
+    memoized 4x2 pair set (r10). The frame is deterministic, so
+    memoization cannot change any result."""
     cache = session_cache(spark, "neardup_graph")
     both = cache.get(sf_dir)
     if both is None:
-        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-        pairs = D.minhash_candidate_pairs(
-            docs, num_perm=8, bands=4, k=5, portable_hash=True
-        )
+        pairs = _minhash_pairs_memo(spark, sf_dir, bands=4)
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
@@ -9240,9 +9256,7 @@ def linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import adamic_adar
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return adamic_adar(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         top_k=50,
@@ -10129,9 +10143,7 @@ def edge_support_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import edge_triangle_support
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return (
         edge_triangle_support(
             pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -10556,9 +10568,7 @@ def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import k_core
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     core = k_core(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         k=3,
@@ -10589,9 +10599,7 @@ def ktruss_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import k_truss
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return k_truss(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         k=4,
@@ -11356,9 +11364,7 @@ def lcc_neardup_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return local_clustering_coefficients(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -11713,9 +11719,7 @@ def harmonic_neardup_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return harmonic_centrality_k(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         max_dist=3,
@@ -13473,9 +13477,7 @@ def linkpred_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import jaccard_similarity
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return jaccard_similarity(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         top_k=50,
@@ -14767,9 +14769,7 @@ def assortativity_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.cluster import degree_assortativity
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pairs = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    pairs = _minhash_pairs_memo(spark, sf_dir, bands=2)
     return degree_assortativity(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -14901,9 +14901,7 @@ def mutual_best_match_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.linkage import mutual_best_match
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = D.minhash_candidate_pairs(
-        docs, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    cand = _minhash_pairs_memo(spark, sf_dir, bands=2)
     scored = jaccard_similarity(
         cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     ).filter(F.col("is_edge"))
@@ -15636,9 +15634,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_misc_tools_spark.operators.dedup import threshold_sweep
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = D.minhash_candidate_pairs(
-        d, num_perm=8, bands=2, k=5, portable_hash=True
-    )
+    cand = _minhash_pairs_memo(spark, sf_dir, bands=2)
     scored = (
         D.ngram_jaccard_pairs(cand, d, n=3)
         .select(
