@@ -9683,9 +9683,10 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ["documents"])["documents"]
     q = R.queries_df(spark, _BM25_QUERIES)
-    b = R.bm25_topk(d, q, k=20).select("query_id", "doc_id", "rank")
-    l = R.ql_dirichlet_topk(d, q, k=20).select("query_id", "doc_id", "rank")
-    return R.rrf_fuse([b, l], k_rrf=60, top_k=10)
+    # r10: both legs share ONE pinned query-term-matched tf relation
+    # and ONE corpus-totals scan (row-identical to fusing the two
+    # standalone retrievers — equality pinned in test_retrieval)
+    return R.rrf_hybrid_bm25_ql(d, q, leg_k=20, top_k=10, mu=2000, k_rrf=60)
 
 
 

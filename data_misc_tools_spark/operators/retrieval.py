@@ -934,8 +934,25 @@ def ql_dirichlet_topk(
         # per-branch pruned variants)
         .localCheckpoint(eager=True)
     )
-    ctf = tfm.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctf"))
     corpus = _corpus_totals(docs, text_col, id_col)
+    return _ql_rank_matched(tfm, qterms, corpus, k, mu, id_col)
+
+
+def _ql_rank_matched(
+    tfm: DataFrame,
+    qterms: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    mu: int,
+    id_col: str,
+) -> DataFrame:
+    """:func:`ql_dirichlet_topk`'s scoring tail over an injected
+    query-term-matched tf relation (id, tok, tf, dl) and corpus
+    totals — so a hybrid caller can share ONE pinned matched relation
+    between the BM25 and QL legs instead of tokenizing the corpus
+    once per retriever (r10 optimization; plan-identical to the
+    pre-refactor inline body)."""
+    ctf = tfm.groupBy("tok").agg(F.sum("tf").cast("long").alias("ctf"))
     cand = (
         tfm.join(F.broadcast(qterms), "tok")
         .groupBy("query_id", id_col)
@@ -1031,6 +1048,41 @@ def rrf_fuse(
         .where(F.col("rank") <= top_k)
         .select("query_id", id_col, "rank", "rrf_e6", "n_lists")
     )
+
+
+def rrf_hybrid_bm25_ql(
+    docs: DataFrame,
+    queries: DataFrame,
+    leg_k: int = 20,
+    top_k: int = 10,
+    mu: int = 2000,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 + QL-Dirichlet hybrid fused by :func:`rrf_fuse`, with the
+    shared work computed ONCE: calling the two retrievers
+    independently tokenizes+explodes the corpus once per leg and scans
+    it twice more for corpus totals. Both legs score the SAME
+    deterministic (id, tok, tf, dl) query-term-matched relation, so
+    this pins it (and the 1-row corpus totals) and feeds both scoring
+    tails — 2 explode pipelines + 2 totals scans become 1 + 1. The
+    fused output is row-identical to
+    ``rrf_fuse([bm25_topk(..., k=leg_k), ql_dirichlet_topk(..., k=leg_k)])``
+    by construction (equality pinned in tests/test_retrieval.py)."""
+    qterms = queries.select(
+        "query_id", F.explode(tokens("qtext")).alias("tok")
+    ).distinct()
+    qtok = qterms.select("tok").distinct()
+    tfm = _matched_tf(docs, qtok, text_col, id_col).localCheckpoint(eager=True)
+    corpus = _corpus_totals(docs, text_col, id_col).localCheckpoint(eager=True)
+    b = _rank_scored_tf(tfm, qterms, corpus, leg_k, id_col).select(
+        "query_id", id_col, "rank"
+    )
+    ql = _ql_rank_matched(tfm, qterms, corpus, leg_k, mu, id_col).select(
+        "query_id", id_col, "rank"
+    )
+    return rrf_fuse([b, ql], k_rrf=k_rrf, top_k=top_k, id_col=id_col)
 
 
 def tfidf_top_terms(

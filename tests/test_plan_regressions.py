@@ -641,9 +641,13 @@ def test_ql_dirichlet_filters_before_aggregating(spark, sf_dir):
 def test_hybrid_rrf_fusion_is_one_aggregate_over_bounded_legs(spark, sf_dir):
     """No non-broadcast cartesian anywhere; the only cross joins are
     the by-design 1-row corpus-totals broadcasts each leg inherits
-    from bm25_topk/ql_dirichlet_topk."""
+    from bm25_topk/ql_dirichlet_topk. r10 leg-share pin: both legs
+    read the ONE pinned matched-tf relation and the ONE pinned corpus
+    totals, so the final plan contains ZERO parquet scans (the corpus
+    is tokenized once, in the pin job, not once per retriever)."""
     plan = _plan(spark, "hybrid_rrf_search", sf_dir)
     assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0
 
 
 def test_winnowing_selection_is_map_only(spark, sf_dir):

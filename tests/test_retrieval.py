@@ -428,6 +428,31 @@ class TestRRFFuse:
                 for r1 in rows if r1.n_lists == 1
             )
 
+    def test_shared_leg_hybrid_equals_independent_legs(self, spark, sf_dir):
+        """rrf_hybrid_bm25_ql (ONE pinned matched-tf relation + ONE
+        corpus-totals scan shared by both scoring tails — the r10
+        leg-sharing optimization) must be row-identical to fusing the
+        two standalone retrievers."""
+        from data_misc_tools_spark.operators import retrieval as R
+        from data_misc_tools_spark.session import load_tables
+
+        d = load_tables(spark, sf_dir, ["documents"])["documents"]
+        q = R.queries_df(
+            spark, [(1, "spark stream window"), (2, "hash join merge")]
+        )
+        b = R.bm25_topk(d, q, k=20).select("query_id", "doc_id", "rank")
+        l = R.ql_dirichlet_topk(d, q, k=20).select("query_id", "doc_id", "rank")
+        want = sorted(
+            map(tuple, R.rrf_fuse([b, l], k_rrf=60, top_k=10).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                R.rrf_hybrid_bm25_ql(d, q, leg_k=20, top_k=10).collect(),
+            )
+        )
+        assert got == want
+
 
 def test_tfidf_top_terms_python_reference(spark):
     import math
