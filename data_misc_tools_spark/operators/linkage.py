@@ -526,6 +526,15 @@ def mutual_best_match(
         sym.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("u", "v", "s")
+        # the mutuality self-join references best TWICE — unpinned,
+        # the whole upstream scoring pipeline (e.g. the wedge-census
+        # Jaccard in the catalog demo: 25 SortMergeJoins static) is
+        # planned and executed once per reference. best is bounded by
+        # the node count (one row per node), so pin it (r10; the mcf
+        # precedent — local wall-clock is a slight win at sf0.1,
+        # 1.2-1.4 -> 1.1-1.2 s canary-clean, and halving the upstream
+        # is the scale lever)
+        .localCheckpoint(eager=True)
     )
     other = best.select(
         F.col("u").alias("v2"), F.col("v").alias("u2")

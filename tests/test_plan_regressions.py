@@ -1105,9 +1105,14 @@ def test_seasonal_naive_bounded_domain_join(spark, sf_dir):
 
 def test_mutual_best_match_node_keyed_windows(spark, sf_dir):
     """RBM: the per-node best election is a NODE-partitioned rank
-    window; the mutuality check is one equi self-join."""
+    window; the mutuality check is one equi self-join. r10 pin: the
+    twice-referenced best frame is localCheckpointed, so the final
+    plan joins two pinned frames and reads NO parquet (unpinned, the
+    whole wedge-census scoring upstream planned once per reference —
+    25 SortMergeJoins static)."""
     plan = _plan(spark, "mutual_best_match_neardup", sf_dir)
     assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         head = spec.split(",")[0].strip()
         assert not head.endswith("ASC NULLS FIRST"), (
