@@ -362,6 +362,10 @@ EXTENDED = [
     # drift report, EXIF pointer walk
     "dedup_stream_incremental",
     "ivf_index_append_demo",
+    # r11 (VERDICT r10 #3): report-serve half of the IVF lifecycle —
+    # ivf_index_append_demo's first exposure pays Lloyd + append, this
+    # row hits the memoized index
+    "ivf_index_serve_demo",
     "exif_meta_demo",
     "holt_winters_daily",
     "weighted_sample_orders",
@@ -403,6 +407,9 @@ ORACLE_PORTABLE_TWINS = {
     "bootstrap_value_ci": "bootstrap_value_ci_fast",
     "ab_lift_purchase_vs_click": "ab_lift_fast",
     "bm25_index_query": "bm25_index_serve",  # includes the index BUILD
+    # r11 (VERDICT r10 #3): first exposure includes Lloyd training +
+    # frozen-centroid append; the serve row is the report alone
+    "ivf_index_append_demo": "ivf_index_serve_demo",
     "dedup_minhash_lsh": "dedup_minhash_lsh_fast",
     "embedding_neardup": "embedding_neardup_gemm",
     # r6 (VERDICT r5 ask): the two e6 power-iteration graded rows
@@ -705,33 +712,53 @@ def main() -> int:
     )
     record["drift_vs_prev"] = _drift_vs_prev(local_path, timings, record)
 
-    # full per-query record, always (the judge's drift analysis reads
-    # this when the stdout line had to drop entries)
-    with open(local_path, "w") as f:
-        json.dump(record, f, indent=1)
-        f.write("\n")
+    # Deterministic stdout packing (VERDICT r10 #5): the driver diffs
+    # consecutive rounds' packed lines, so a row that merely fell off
+    # the byte budget reads as phantom "dropped_from_bench" (r10:
+    # bootstrap_value_ci / dedup_ppjoin ran at 8.0/7.0 s but lost the
+    # slowest-first race to rouge/stream). Priority now: (1) the drift
+    # core (r2-shared history), (2) whatever the PREVIOUS same-SF
+    # record packed onto its line (pre-field records fall back to
+    # their full query map by descending time), (3) the slowest of the
+    # rest. Under stable timings the packed set therefore changes only
+    # additively round-over-round. Read BEFORE the overwrite below.
+    prev_packed: list[str] = []
+    try:
+        with open(local_path) as f:
+            _prev = json.load(f)
+        if _prev.get("sf") == record.get("sf"):
+            prev_packed = list(_prev.get("stdout_packed") or [])
+            if not prev_packed:
+                pq = _prev.get("queries") or {}
+                prev_packed = sorted(pq, key=lambda n: -pq[n])
+    except (OSError, ValueError):
+        pass
 
-    # stdout line: drift-tracking core first (r2-shared set = stable
-    # cross-round comparisons), then the slowest remaining queries,
-    # greedily while the line stays under the driver's tail budget.
     MAX_LINE = 1900
     core = [n for n in _DRIFT_CORE if n in timings]
+    carry = [n for n in prev_packed if n in timings and n not in _DRIFT_CORE]
     rest = sorted(
-        (n for n in timings if n not in _DRIFT_CORE),
+        (n for n in timings if n not in _DRIFT_CORE and n not in carry),
         key=lambda n: -timings[n],
     )
     packed: dict[str, float] = {}
     line = ""
-    for name in [*core, *rest]:
+    for name in [*core, *carry, *rest]:
         trial = dict(packed)
         trial[name] = timings[name]
-        # oracle_portable_graded + drift_vs_prev live only in
-        # BENCH_local.json — both are per-query dicts that would eat
-        # the stdout line's byte budget
+        # oracle_portable_graded + drift_vs_prev + stdout_packed live
+        # only in BENCH_local.json — per-query dicts/lists that would
+        # eat the stdout line's byte budget
         slim = {
             k: v
             for k, v in record.items()
-            if k not in ("oracle_portable_graded", "drift_vs_prev", "canary")
+            if k
+            not in (
+                "oracle_portable_graded",
+                "drift_vs_prev",
+                "canary",
+                "stdout_packed",
+            )
         }
         # compact canary on the line (ratio + verdict, ~45 bytes);
         # the query list stays in BENCH_local.json
@@ -740,6 +767,14 @@ def main() -> int:
         if len(cand) > MAX_LINE:
             continue
         packed, line = trial, cand
+    record["stdout_packed"] = list(packed)
+
+    # full per-query record, always (the judge's drift analysis reads
+    # this when the stdout line had to drop entries)
+    with open(local_path, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+
     assert line and len(line) <= MAX_LINE, "bench line exceeds tail budget"
     assert json.loads(line)["value"] == total
     print(line)

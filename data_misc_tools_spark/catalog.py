@@ -1359,7 +1359,10 @@ def media_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     the format demos; byte-level walker correctness is pinned by the
     python-struct round-trip tests). EXIF rows route as 'tiff' —
     TIFF-container EXIF shares the II*\\0 magic by design."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_misc_tools_spark.operators import multimodal as M
+    from data_misc_tools_spark.session import checkpoint_interpreted
 
     d = (
         load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -1376,48 +1379,45 @@ def media_meta_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.hex(F.lit(256) + i % 30), 8, "0"),   # height be32
         )
     )
-    payload = (
-        F.when(m == 0, M.synthetic_jpeg(F.lit(100) + i, F.lit(50) + i))
-        .when(m == 1, M.synthetic_gif(F.lit(32) + i % 100, F.lit(16) + i % 80))
-        .when(m == 2, M.synthetic_bmp(F.lit(64) + i % 50, F.lit(32) + i % 40))
-        .when(
-            m == 3,
-            M.synthetic_tiff(
-                F.lit(200) + i % 30, F.lit(80) + i % 25, F.lit(1) + i % 3
-            ),
-        )
-        .when(
-            m == 4,
-            M.synthetic_exif(
-                F.lit(300) + i % 20,
-                F.lit(150) + i % 15,
-                F.lit(1),
-                F.lit("2024:01:02 03:04:05"),
-            ),
-        )
-        .when(m == 5, M.synthetic_ico(F.lit(1) + i % 3, F.lit(16)))
-        .when(
-            m == 6,
-            M.synthetic_wav(
-                F.lit(8000) + F.lit(10) * (i % 100), F.lit(8000), F.lit(1)
-            ),
-        )
-        .when(
-            m == 7,
-            M.synthetic_mp4(
-                F.lit(1000), F.lit(1500) + i, F.lit(640), F.lit(360)
-            ),
-        )
-        .otherwise(png_hdr)
-    )
+    # the eight writer arms are independent expression trees built
+    # CONCURRENTLY (r11, the media_meta walker treatment): the cost is
+    # py4j round trips, not Catalyst — 1.23 s serial -> 0.89 s
+    arm_builders = [
+        lambda: M.synthetic_jpeg(F.lit(100) + i, F.lit(50) + i),
+        lambda: M.synthetic_gif(F.lit(32) + i % 100, F.lit(16) + i % 80),
+        lambda: M.synthetic_bmp(F.lit(64) + i % 50, F.lit(32) + i % 40),
+        lambda: M.synthetic_tiff(
+            F.lit(200) + i % 30, F.lit(80) + i % 25, F.lit(1) + i % 3
+        ),
+        lambda: M.synthetic_exif(
+            F.lit(300) + i % 20,
+            F.lit(150) + i % 15,
+            F.lit(1),
+            F.lit("2024:01:02 03:04:05"),
+        ),
+        lambda: M.synthetic_ico(F.lit(1) + i % 3, F.lit(16)),
+        lambda: M.synthetic_wav(
+            F.lit(8000) + F.lit(10) * (i % 100), F.lit(8000), F.lit(1)
+        ),
+        lambda: M.synthetic_mp4(
+            F.lit(1000), F.lit(1500) + i, F.lit(640), F.lit(360)
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        arms = [f.result() for f in [ex.submit(b) for b in arm_builders]]
+    payload = F.when(m == 0, arms[0])
+    for k in range(1, 8):
+        payload = payload.when(m == k, arms[k])
+    payload = payload.otherwise(png_hdr)
     # materialize the blobs BEFORE dispatching: media_meta references
     # its payload ~50 times (each walker + magic check), and a Column
     # argument INLINES the whole writer-CASE tree per reference — the
     # same analysis blowup the dispatcher's own let-binding fixes
-    # internally. A checkpointed column is a leaf.
-    blobs = d.select("doc_id", payload.alias("payload")).localCheckpoint(
-        eager=True
-    )
+    # internally. A checkpointed column is a leaf. Interpreted
+    # checkpoint (r11): compiling the writer CASE cost ~1 s of janino
+    # for a 400-row job; interpreted eval is bit-identical and ~0.65 s
+    # total (data_misc_tools_spark.session.checkpoint_interpreted).
+    blobs = checkpoint_interpreted(d.select("doc_id", payload.alias("payload")))
     return blobs.select("doc_id", M.media_meta("payload").alias("m")).select(
         "doc_id",
         F.col("m.format").alias("format"),
@@ -1743,7 +1743,7 @@ _STREAM_DEDUP_DOCS = (
 @_q("dedup_stream_incremental", _minhash_oracle(_STREAM_DEDUP_DOCS))
 def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING incremental-dedup pipeline end-to-end (VERDICT r8
-    #4), oracle-exact: documents split into three file batches stream
+    #4), oracle-exact: documents split into two file batches stream
     through foreachBatch — each micro-batch LSH-hashes ITSELF only,
     queries the persisted MinHash index for cross-batch collisions,
     merges edges into versioned CC labels incrementally, and appends
@@ -1755,7 +1755,7 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table. Labels == full recompute is pinned in
     tests/test_streaming.py. COST NOTE (r9 measured): a fast-xxhash64
     twin of this row ran ~EQUAL wall-clock at sf0.1 (50.5s vs 49.2s)
-    — the cost is the streaming machinery (3 micro-batches x
+    — the cost is the streaming machinery (per-micro-batch
     checkpointing + CC + index writes), NOT the portable md5 path, so
     no oracle_portable twin is labeled (the hash delta matters only
     when per-doc hashing dominates, i.e. real corpus sizes); the
@@ -1780,16 +1780,24 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="incdedup_")
     stage = os.path.join(work, "stage")
     os.makedirs(stage)
-    # ONE scan writes all three chunks (dir-partitioned by doc_id%3;
+    # ONE scan writes both chunks (dir-partitioned by doc_id%2;
     # hash partitioning puts each chunk value in exactly one task so
     # each dir holds one file) — the per-chunk filter+coalesce(1) form
     # was 3 scans of documents (r10). The __c key lives in the dir
     # name, so staged FILES carry (doc_id, text) exactly as before.
-    docs.withColumn("__c", F.col("doc_id") % 3).repartition(
-        3, "__c"
+    # TWO micro-batches, not three (r11, VERDICT r10 #4): the r10
+    # per-step instrumentation showed every batch pays the same fixed
+    # obligations (hash pin, index query, CC + versioned labels write,
+    # two appends + checkpoint commit) and the demo's corpus is pinned
+    # tiny, so batch COUNT is the cost driver; two batches still
+    # exercise the cross-batch index-query path (batch 1 builds the
+    # index, batch 2 collides against it), and the edge log is
+    # batch-layout-invariant — the oracle is unchanged.
+    docs.withColumn("__c", F.col("doc_id") % 2).repartition(
+        2, "__c"
     ).write.partitionBy("__c").parquet(f"{work}/chunks")
     n = 0
-    for i in range(3):
+    for i in range(2):
         for f in sorted(glob.glob(f"{work}/chunks/__c={i}/*.parquet")):
             os.symlink(f, f"{stage}/{n}.parquet")
             n += 1
@@ -1799,6 +1807,13 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
+    # micro-batch jobs plan under the session's shuffle-partition
+    # setting; the demo's batches are ~1000 pinned docs, so 32-way
+    # exchanges are pure task-scheduling overhead (guide §2.2 in
+    # miniature). Scoped to the stream run and restored in `finally`
+    # — production streams size this to their batch volume.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = incremental_dedup_stream(
         stream,
         index_path=f"{work}/idx",
@@ -1816,6 +1831,7 @@ def dedup_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "finish within 300s; edge log would be partial"
             )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         if q.isActive:
             q.stop()
     return read_edges(spark, f"{work}/state").orderBy("doc_a", "doc_b")
@@ -6557,6 +6573,33 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROWS_ONLY.add("ivf_index_append_demo")
+ROWS_ONLY.add("ivf_index_serve_demo")
+
+
+def _ivf_append_idx_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build + append the IVF lifecycle index once per (session,
+    sf_dir) into a temp dir; later calls reuse it (the
+    _bm25_index_path precedent, VERDICT r10 #3). Lets the bench
+    separate index BUILD+APPEND cost (ivf_index_append_demo, first
+    call — Lloyd training dominates) from report-SERVE latency
+    (ivf_index_serve_demo, cache hit). Nothing persists across runs:
+    tempdir + session-scoped cache only."""
+    import tempfile
+
+    from data_misc_tools_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+    )
+
+    cache = session_cache(spark, "ivf_append_idx")
+    path = cache.get(sf_dir)
+    if path is None:
+        e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        path = tempfile.mkdtemp(prefix="ivf_app_")
+        ivf_build_index(e.filter(F.col("vec_id") % 5 != 0), path, n_clusters=8)
+        ivf_append_index(e.filter(F.col("vec_id") % 5 == 0), path)
+        cache[sf_dir] = path
+    return path
 
 
 @_q("ivf_index_append_demo")
@@ -6571,21 +6614,27 @@ def ivf_index_append_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the KMeans cell layout is iterative/seeded, not
     SQL-expressible (the embedding_pq_topk precedent). Append ==
     frozen-model encoding and post-append partition pruning are pinned
-    in tests/test_similarity.py. See
+    in tests/test_similarity.py. Bench note (VERDICT r10 #3): this
+    row's first exposure INCLUDES the Lloyd training + append (the
+    index is memoized per session, never across runs); the report-only
+    number is ivf_index_serve_demo. See
     operators/similarity.py:ivf_append_index / ivf_index_drift."""
-    import tempfile
+    from data_misc_tools_spark.operators.similarity import ivf_index_drift
 
-    from data_misc_tools_spark.operators.similarity import (
-        ivf_append_index,
-        ivf_build_index,
-        ivf_index_drift,
-    )
+    return ivf_index_drift(spark, _ivf_append_idx_path(spark, sf_dir))
 
-    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    idx = tempfile.mkdtemp(prefix="ivf_app_")
-    ivf_build_index(e.filter(F.col("vec_id") % 5 != 0), idx, n_clusters=8)
-    ivf_append_index(e.filter(F.col("vec_id") % 5 == 0), idx)
-    return ivf_index_drift(spark, idx)
+
+@_q("ivf_index_serve_demo")
+def ivf_index_serve_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-SERVE latency of the persisted IVF lifecycle index: the
+    same drift report over the prebuilt (memoized) index, so a bench
+    run that already built it measures the report scan alone — the
+    bm25_index_serve treatment for the slowest non-streaming headline
+    row (VERDICT r10 #3). Output identical to ivf_index_append_demo
+    whether or not the build was warm."""
+    from data_misc_tools_spark.operators.similarity import ivf_index_drift
+
+    return ivf_index_drift(spark, _ivf_append_idx_path(spark, sf_dir))
 
 
 @_q(
@@ -13945,6 +13994,14 @@ def psi_drift_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.round(F.col("value") * 100).cast("long").alias("x")
     )
     name = f"psidrift_{uuid.uuid4().hex[:10]}"
+    # the windowed census is a STATEFUL aggregate: one state store per
+    # shuffle partition, each paying checkpoint-commit file ops per
+    # micro-batch — 32 stores for a ~30-day/10-bin census is pure
+    # fixed cost (guide §2.2 in miniature). Scoped to the stream run
+    # and restored in `finally`; production monitors size this to
+    # their window-key cardinality.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         drift_bins_stream(stream, edges, "x", "ts", "1 day")
         .writeStream.format("memory")
@@ -13964,6 +14021,7 @@ def psi_drift_stream_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "finish within 120s; window counts would be partial"
             )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         if q.isActive:
             q.stop()
     be = F.lit(0).cast("long")
@@ -15976,74 +16034,52 @@ def cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRADED_FIRST: list[str] = [
     # =======================================================================
-    # ROUND 10 WINDOW (VERDICT r9 ask #4): zero backlog after r9, so
-    # all 50 slots are free — first-time r10 entries + queries whose
-    # SEMANTICS or PLAN changed this round (they must re-earn official
-    # rows) + strongest veteran re-pins spanning every family. New r10
-    # operators swap in for re-pins as they land;
+    # ROUND 11 WINDOW (optimization round 2/2). Slots: (a) the 8
+    # optimizer-touched r10 queries the VERDICT r10 #2 ordered rotated
+    # in for official re-pins, (b) queries whose construction or plan
+    # changed THIS round (they must re-earn official rows), (c) the
+    # one first-time r11 row (the IVF serve split, VERDICT r10 #3),
+    # (d) strongest veteran re-pins spanning every family.
     # test_no_catalog_entry_escapes_grading enforces that nothing
     # ships outside this window without an official row.
     # =======================================================================
-    # --- first-time r10 rows ---
-    # SQL-callable table functions (VERDICT #2): lateral fan-out with
-    # ctx passthrough against the loopback server / executor-side fakes
-    "t_http_get_sql_demo",
-    "jd_keys_sql_demo",
-    "zk_read_sql_demo",
-    # text-index lifecycle (VERDICT #5): build/append/drift rollup
-    "inverted_index_drift_demo",
-    # magic-byte dispatcher over all nine format walkers (VERDICT #6)
-    "media_meta_demo",
-    # Markov removal-effect attribution (unrolled value-iteration twin)
-    "attribution_markov_events",
-    # tau-b concordance on the bounded contingency grid
-    "kendall_quantity_line",
-    # Kimball SCD type-2 interval builder
-    "scd2_user_state",
-    # seeded-Laplace DP histogram release (e6-ln inverse CDF)
-    "dp_histogram_event_type",
-    # Christen blocking-quality triple over the LSH candidate set
-    "blocking_eval_minhash",
-    # KMV bottom-k set-intersection estimate
-    "kmv_intersect_users",
-    # Croston intermittent-demand forecast (sparse ladder member)
-    "croston_sparse_daily",
-    # paired nonparametric shift test (signed-rank, doubled ties)
-    "wilcoxon_user_click_purchase",
-    # generic table profiler (typed min/max, modal value)
-    "profile_orders_columns",
-    # recurrent-event mean cumulative function
-    "mcf_repeat_purchases",
-    # method-comparison agreement (header vs lineitem totals)
-    "bland_altman_order_totals",
-    # --- changed this round: re-earn official rows ---
-    # pairs+tf localCheckpoint, 8 scans -> 0 (VERDICT #1)
-    "rouge_dedup_pairs",
-    # max_n default now matches the oracle series bound (ADVICE r9)
-    "fisher_exact_customers",
-    # single-term span fix touched the operator (ADVICE r9)
-    "proximity_search_docs",
-    # signed growth_permille in ivf_index_drift (ADVICE r9)
-    "ivf_index_append_demo",
-    # awaitTermination timeout now raises (ADVICE r9)
+    # --- (a) VERDICT r10 #2: optimizer-touched in r10, not re-graded ---
+    "markov_stationary_events",
+    "pagerank_neardup_graph",
+    "ql_dirichlet_search",
+    "mutual_best_match_neardup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "bootstrap_value_ci",
+    "dedup_incremental_index",
+    # --- (b) changed this round: re-earn official rows ---
+    # 2 micro-batches + scoped stream shuffle partitions + pinned-band
+    # empty guard (VERDICT r10 #4)
     "dedup_stream_incremental",
+    # scoped stream shuffle partitions for the stateful census
     "psi_drift_stream_demo",
-    # inverted_index_build/append now checkpoint the tf frame (plan
-    # change under these rows)
-    "bm25_index_query",
-    "bm25_index_serve",
-    # --- veteran re-pins (drift sentinels; swap-out slots) ---
+    # concurrent walker/writer construction + interpreted blob
+    # checkpoint (VERDICT r10 #6)
+    "media_meta_demo",
+    # build+append memoized per session; first exposure pays Lloyd
+    "ivf_index_append_demo",
+    # --- (c) first-time r11 ---
+    # report-serve half of the IVF lifecycle (VERDICT r10 #3)
+    "ivf_index_serve_demo",
+    # --- (d) veteran re-pins (drift sentinels; swap-out slots) ---
     # [relational / TPC-H]
     "q1_pricing_summary",
     # [temporal / sessions]
-    "holt_winters_daily",
+    "holt_winters_daily", "attribution_markov_events",
+    "mcf_repeat_purchases",
     # [dedup]
-    "dedup_ppjoin", "dedup_substring_docs",
+    "dedup_ppjoin", "dedup_substring_docs", "rouge_dedup_pairs",
     # [similarity / ANN]
     "embedding_neardup", "kmeans_embeddings",
     "margin_mine_pairs", "silhouette_embeddings",
     # [retrieval]
     "bm25_search_topk", "hybrid_rrf_search", "bm25_prf_search",
+    "bm25_index_query", "bm25_index_serve", "proximity_search_docs",
     # [text quality / analysis]
     "text_quality",
     # [graph]
@@ -16051,14 +16087,16 @@ GRADED_FIRST: list[str] = [
     # [stats / eval]
     "corr_matrix_lineitem", "purchase_gap_survival_km",
     "wilson_ci_purchase", "brier_stopword_en", "kruskal_value_by_type",
+    "fisher_exact_customers", "wilcoxon_user_click_purchase",
+    "kendall_quantity_line",
     # [sampling / etl / layout]
     "exact_stratified_split_langs", "write_plan_lineitem",
-    "neyman_alloc_events",
+    "neyman_alloc_events", "scd2_user_state",
     # [linkage]
-    "jw_part_name_pairs",
+    "jw_part_name_pairs", "blocking_eval_minhash",
     # [multimodal / formats]
     "exif_meta_demo", "ico_meta_demo",
-    # [streaming]
+    # [streaming / planning]
     "lsh_plan_demo",
 ]
 

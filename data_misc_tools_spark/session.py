@@ -109,6 +109,28 @@ def local_df(spark: SparkSession, rows, schema, rows_per_slice: int = 100_000):
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
 
 
+def checkpoint_interpreted(df):
+    """Eager ``localCheckpoint`` of a SMALL frame whose plan holds a
+    HUGE expression tree, run with codegen disabled for just that job
+    (r11): janino-compiling a multi-thousand-node writer CASE costs
+    ~1 s while interpreted evaluation of a few hundred rows is
+    milliseconds (measured 1.62 s -> 0.65 s on the media_meta blob
+    checkpoint, bit-identical output). Confs are restored in a
+    ``finally`` — the eager checkpoint executes inside the scope, so
+    nothing else plans under the override. Use ONLY for bounded demo
+    frames; codegen wins on real row counts."""
+    spark = df.sparkSession
+    prev_ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
+
+
 def session_cache(spark: SparkSession, name: str) -> dict:
     """A named per-session memoization dict stored ON the session
     object itself. An ``id(spark)``-keyed module dict can false-hit

@@ -149,15 +149,20 @@ class IncrementalDedupSink:
 
         spark = batch.sparkSession
         b = batch.select(self.id_col, self.text_col)
-        if not b.take(1):
-            return
         # hash the batch ONCE (r10): the three consumers (internal
         # pairs, index query, index append) all need the same band
         # table, and the md5/xxhash shingle pass is the dominant
         # per-batch compute — the r9 shape re-ran it per consumer
         # (3x). Pinning the bands also pins the batch read, so the
-        # separate batch checkpoint is gone too.
+        # separate batch checkpoint is gone too. The empty-batch guard
+        # reads the PINNED frame (r11): the old ``batch.take(1)``
+        # pre-check was a second job over the batch source per
+        # micro-batch; hashing an empty batch is free and an empty
+        # band table implies an empty batch (every non-empty doc row
+        # yields >= 1 band row, and the checkpoint is already paid).
         bands_b = D.minhash_band_table(b, **self.kw).localCheckpoint()
+        if not bands_b.take(1):
+            return
 
         internal = D.candidate_pairs_from_bands(bands_b, id_col=self.id_col)
         edges = internal

@@ -1113,6 +1113,14 @@ def test_mutual_best_match_node_keyed_windows(spark, sf_dir):
     plan = _plan(spark, "mutual_best_match_neardup", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0
+    # ADVICE r10: zero-scan alone would pass even without the best
+    # frame's localCheckpoint (the memoized pair set is checkpointed
+    # upstream) — pin the JOIN shape too: the mutuality self-join of
+    # the pinned best frame is ONE SortMergeJoin (formatted explain
+    # lists each node twice: tree + detail), vs 25 when the scoring
+    # upstream replays per reference.
+    assert plan.count("SortMergeJoin") <= 2, plan.count("SortMergeJoin")
+    assert plan.count("Window") <= 2, plan.count("Window")
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         head = spec.split(",")[0].strip()
         assert not head.endswith("ASC NULLS FIRST"), (
