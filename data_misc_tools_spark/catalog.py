@@ -16063,6 +16063,12 @@ GRADED_FIRST: list[str] = [
     "media_meta_demo",
     # build+append memoized per session; first exposure pays Lloyd
     "ivf_index_append_demo",
+    # --- (b continued) the _spread single-file-input fix (guide §2.5)
+    # + the winnowing doubling sliding-min changed these plans too ---
+    "containment_quotes",
+    "winnowing_match_pairs",
+    "winnowing_cap_report",
+    "ab_lift_purchase_vs_click",
     # --- (c) first-time r11 ---
     # report-serve half of the IVF lifecycle (VERDICT r10 #3)
     "ivf_index_serve_demo",
@@ -16070,8 +16076,7 @@ GRADED_FIRST: list[str] = [
     # [relational / TPC-H]
     "q1_pricing_summary",
     # [temporal / sessions]
-    "holt_winters_daily", "attribution_markov_events",
-    "mcf_repeat_purchases",
+    "holt_winters_daily",
     # [dedup]
     "dedup_ppjoin", "dedup_substring_docs", "rouge_dedup_pairs",
     # [similarity / ANN]
@@ -16088,10 +16093,9 @@ GRADED_FIRST: list[str] = [
     "corr_matrix_lineitem", "purchase_gap_survival_km",
     "wilson_ci_purchase", "brier_stopword_en", "kruskal_value_by_type",
     "fisher_exact_customers", "wilcoxon_user_click_purchase",
-    "kendall_quantity_line",
     # [sampling / etl / layout]
     "exact_stratified_split_langs", "write_plan_lineitem",
-    "neyman_alloc_events", "scd2_user_state",
+    "neyman_alloc_events",
     # [linkage]
     "jw_part_name_pairs", "blocking_eval_minhash",
     # [multimodal / formats]

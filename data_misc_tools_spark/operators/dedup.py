@@ -378,8 +378,11 @@ def rouge_n_pairs(
 
     ws = tokens(text_col)
     # sequence(1, 0) generates DESCENDING (the corpus_diversity
-    # gotcha): short docs need the explicit empty-array branch
-    grams = docs.select(
+    # gotcha): short docs need the explicit empty-array branch.
+    # _spread before the ~L-gram explode (r11): single-file inputs
+    # otherwise serialize the gram materialization on one task
+    # (guide §2.5; part of the flat-at-sf1 rouge finding).
+    grams = _spread(docs).select(
         F.col(id_col),
         F.explode(
             F.when(
@@ -819,7 +822,10 @@ def _gram_set_tokens(
     :func:`containment_join` (gram_n=1 == plain word sets)."""
     from data_misc_tools_spark.operators.text import tokens
 
-    base = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    # _spread before the tokenize + gram explode (r11): single-file
+    # inputs otherwise run the whole set materialization on one task
+    # (guide §2.5; part of the flat-at-sf1 ppjoin finding)
+    base = _spread(df).select(F.col(id_col), tokens(text_col).alias("__w"))
     if gram_n > 1:
         elems = F.when(
             F.size("__w") >= gram_n,
@@ -971,15 +977,45 @@ def winnowing_fingerprints(
     )
     # combined key: min() picks (smallest hash, rightmost position)
     comb = F.transform(hs, lambda h, i: h * 65536 + (65535 - (i + 1)))
-    sels = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("__c")) - (w - 1)),
-            lambda s: F.array_min(F.slice(F.col("__c"), s, w)),
+
+    # Sliding-window minimum via DOUBLING (r11): the naive
+    # array_min(slice(c, s, w)) per position is O(n*w) interpreted HOF
+    # ops PLUS a w-element array COPY per position (slice allocates);
+    # the sparse-table decomposition computes min over [s, s+w-1] as
+    # least(m_p[s], m_p[s+w-p]) for the largest power of two p <= w,
+    # building log2(w) doubling levels of O(n) leasts each — identical
+    # values, no per-position allocation. Each level is projected as
+    # its OWN column so the next level's two references stay column
+    # lookups instead of inlining the subtree twice (the let-binding
+    # rule). m_{2p}[i] = least(m_p[i], m_p[i+p]) covers [i, i+2p-1].
+    def _next_level(prev: Column, p: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(prev) - p),
+            lambda i: F.least(
+                F.element_at(prev, i), F.element_at(prev, i + p)
+            ),
         )
+
+    # _spread before the md5-per-position hash pass (r11): the k-gram
+    # hashing is ~length(text) md5 calls per row, and a single-file
+    # input scan runs it all on one task (guide §2.5)
+    base = _spread(df.filter(F.length(t) >= k + w - 1)).select(
+        F.col(id_col), comb.alias("__m1")
     )
-    base = df.filter(F.length(t) >= k + w - 1).select(
-        F.col(id_col), comb.alias("__c")
-    )
+    p = 1
+    while p * 2 <= w:
+        base = base.select(
+            F.col(id_col),
+            _next_level(F.col(f"__m{p}"), p).alias(f"__m{p * 2}"),
+        )
+        p *= 2
+    mp = F.col(f"__m{p}")
+    if p == w:
+        sels = F.array_distinct(mp)
+    else:
+        # residual width: one more least() pass stitches the largest
+        # power-of-two level up to w (overlap is harmless for min)
+        sels = F.array_distinct(_next_level(mp, w - p))
     return base.select(F.col(id_col), F.explode(sels).alias("__s")).select(
         F.col(id_col),
         (F.lit(65535) - F.col("__s") % 65536).cast("long").alias("pos"),
@@ -1239,8 +1275,13 @@ def suffix_window_spans(
         )
     else:
         starts = F.sequence(F.lit(1), F.length(t))
+    # _spread BEFORE the ~300x suffix explode (r11): a single-file
+    # input scan leaves the whole suffix materialization + key substr
+    # on one task — measured FLAT 54 s at sf1 from 8 to 32 cores
+    # (guide §2.5 input skew; the minhash_signatures guard applied
+    # here). Shuffling the small pre-explode doc rows is cheap.
     suf = (
-        df.filter(F.length(t) >= min_len)
+        _spread(df.filter(F.length(t) >= min_len))
         .select(F.col(id_col), t.alias("__t"), F.explode(starts).alias("pos"))
         .select(
             F.col(id_col),

@@ -1796,7 +1796,14 @@ def bootstrap_ci_mean(
         F.count("*").cast("long").alias("n_rows"),
         (F.sum("__x").cast("double") / F.count("*") / scale).alias("mean"),
     )
-    rep = base.select(
+    # spread before the n_boot-x explode (r11): a single-file input
+    # scan otherwise runs the whole replicate fan-out + per-replicate
+    # hashing on one or two tasks (guide §2.5 input skew; the
+    # minhash_signatures guard — at sf1 the 21 MB events table is ONE
+    # scan partition and the md5 pass serialized)
+    from data_misc_tools_spark.operators.util import spread as _spread
+
+    rep = _spread(base).select(
         *g, "__k", "__x",
         F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r"),
     )
@@ -1886,7 +1893,11 @@ def bootstrap_ab_lift(
             / F.sum(F.when(~F.col("__t"), 1)) / scale
         ).alias("lift"),
     )
-    rep = base.select(
+    # spread before the n_boot-x explode (r11): the bootstrap_ci_mean
+    # single-file-input guard (guide §2.5)
+    from data_misc_tools_spark.operators.util import spread as _spread
+
+    rep = _spread(base).select(
         "__k", "__t", "__x",
         F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__r"),
     )

@@ -415,6 +415,30 @@ class TestWinnowing:
         for i, t in docs:
             assert got.get(i, set()) == self._ref_fps(t), i
 
+    def test_selection_matches_reference_across_window_widths(self, spark):
+        """r11 doubling rewrite of the sliding-window minimum: the
+        sparse-table form least(m_p[s], m_p[s+w-p]) must equal the
+        quadratic reference for power-of-two widths (pure doubling),
+        residual widths (the extra stitch pass), and the w=2 edge."""
+        import random
+        import string
+
+        from data_misc_tools_spark.operators.dedup import winnowing_fingerprints
+
+        random.seed(11)
+        docs = [
+            (i, "".join(random.choice(string.ascii_lowercase + " ")
+                        for _ in range(90)))
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for w in (2, 3, 6, 8, 9):
+            got = {}
+            for r in winnowing_fingerprints(df, w=w).collect():
+                got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+            for i, t in docs:
+                assert got.get(i, set()) == self._ref_fps(t, w=w), (w, i)
+
     def test_shared_substring_guarantee(self, spark):
         """The winnowing contract: ANY pair sharing a substring of
         w + k − 1 characters shares at least one selected fingerprint
