@@ -16069,6 +16069,7 @@ GRADED_FIRST: list[str] = [
     "winnowing_match_pairs",
     "winnowing_cap_report",
     "ab_lift_purchase_vs_click",
+    "nb_language_confusion",
     # --- (c) first-time r11 ---
     # report-serve half of the IVF lifecycle (VERDICT r10 #3)
     "ivf_index_serve_demo",
@@ -16092,7 +16093,7 @@ GRADED_FIRST: list[str] = [
     # [stats / eval]
     "corr_matrix_lineitem", "purchase_gap_survival_km",
     "wilson_ci_purchase", "brier_stopword_en", "kruskal_value_by_type",
-    "fisher_exact_customers", "wilcoxon_user_click_purchase",
+    "fisher_exact_customers",
     # [sampling / etl / layout]
     "exact_stratified_split_langs", "write_plan_lineitem",
     "neyman_alloc_events",

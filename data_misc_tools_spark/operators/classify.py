@@ -69,7 +69,12 @@ def nb_train(
                    round(ln((c_ct + 1) / (t_c + V)) * 1e6) − def_e6
     where t_c = total n-gram count of class c and V = |global vocab|.
     """
-    toks = df.select(
+    from data_misc_tools_spark.operators.util import spread as _spread
+
+    # _spread before the ~length(text)-x gram explode (r11): a
+    # single-file corpus scan otherwise runs the whole train gram
+    # materialization on one task (guide §2.5 input skew)
+    toks = _spread(df).select(
         F.col(label_col).alias("label"),
         F.explode(_grams(F.col(text_col), n)).alias("gram"),
     )
@@ -148,7 +153,10 @@ def nb_predict(
     every input row should left-join the predictions back onto the
     input ids and treat NULL as "no evidence" (a prior-only argmax is
     a one-liner on ``cls``: the label with the max ``prior_e6``)."""
-    toks = df.select(
+    from data_misc_tools_spark.operators.util import spread as _spread
+
+    # the nb_train single-file-input guard (r11, guide §2.5)
+    toks = _spread(df).select(
         F.col(id_col), F.explode(_grams(F.col(text_col), n)).alias("gram")
     )
     vocab = weights.select("gram").distinct()

@@ -877,7 +877,9 @@ def containment_join(
     # five consumers read the token frame, but all shuffle first on
     # the same (id, tok) distinct aggregate — AQE ReusedExchange
     # dedupes the upstream at runtime, and pinning measured a wash at
-    # sf0.1 (the set_similarity_join r10 A/B); left unpinned
+    # sf0.1 (the set_similarity_join r10 A/B) AND at sf1 (r11,
+    # VERDICT r10 #7: pinned 51.7/35.1 s vs unpinned 48.5/32.9 s
+    # isolated — AQE reuse holds at 10x); left unpinned
     toks = _gram_set_tokens(df, text_col, id_col, gram_n)
     freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("f"))
     ordered = (

@@ -64,6 +64,12 @@ def association_rules_pairs(
     n_baskets, confidence, lift) with item_a < item_b; rules below
     ``min_support`` co-occurrences are dropped.
     """
+    # the distinct basket frame feeds totals/support/self-join, but a
+    # localCheckpoint pin measured a WASH at sf0.1 (r10 A/B) and again
+    # at sf1 (r11, VERDICT r10 #7: pinned warm 3.9-4.3 s vs unpinned
+    # 4.2-6.9 s isolated, overlapping under noisy canaries; item_cf's
+    # rating-frame pin likewise 3.0-3.3 vs 2.7-3.6) — AQE runtime
+    # exchange reuse dedupes the upstream at both scales; left unpinned
     b = df.select(
         F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
     ).distinct()
