@@ -987,3 +987,35 @@ class TestMediaMetaDispatcher:
         # naive tree took ~43 s; the let-bound one ~4 s. 20 s is the
         # loose regression ceiling (shared-host headroom included)
         assert construct_s < 20, f"dispatcher construction took {construct_s:.1f}s"
+
+
+class TestCheckpointInterpreted:
+    def test_equal_to_codegen_checkpoint_and_confs_restored(self, spark):
+        """r11: checkpoint_interpreted must produce bit-identical rows
+        to a plain eager localCheckpoint (it only disables codegen for
+        the one job) and must restore both codegen confs even though
+        the job ran under the override."""
+        from pyspark.sql import functions as F
+
+        from data_misc_tools_spark.operators.multimodal import (
+            synthetic_bmp,
+            synthetic_gif,
+        )
+        from data_misc_tools_spark.session import checkpoint_interpreted
+
+        prev_ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        prev_fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+        d = spark.range(0, 50).select(F.col("id").cast("long").alias("i"))
+        payload = F.when(
+            F.col("i") % 2 == 0,
+            synthetic_bmp(F.lit(16) + F.col("i"), F.lit(8) + F.col("i")),
+        ).otherwise(synthetic_gif(F.lit(4) + F.col("i"), F.lit(3)))
+        df = d.select("i", payload.alias("p"))
+        a = checkpoint_interpreted(df)
+        b = df.localCheckpoint(eager=True)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert spark.conf.get("spark.sql.codegen.wholeStage", "true") == prev_ws
+        assert (
+            spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+            == prev_fm
+        )
