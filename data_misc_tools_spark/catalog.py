@@ -16070,6 +16070,7 @@ GRADED_FIRST: list[str] = [
     "winnowing_cap_report",
     "ab_lift_purchase_vs_click",
     "nb_language_confusion",
+    "dedup_repeated_ngrams",
     # --- (c) first-time r11 ---
     # report-serve half of the IVF lifecycle (VERDICT r10 #3)
     "ivf_index_serve_demo",
@@ -16098,7 +16099,7 @@ GRADED_FIRST: list[str] = [
     "exact_stratified_split_langs", "write_plan_lineitem",
     "neyman_alloc_events",
     # [linkage]
-    "jw_part_name_pairs", "blocking_eval_minhash",
+    "jw_part_name_pairs",
     # [multimodal / formats]
     "exif_meta_demo", "ico_meta_demo",
     # [streaming / planning]

@@ -641,7 +641,10 @@ def repeated_ngram_removal(
     """
     from data_misc_tools_spark.operators.text import tokens
 
-    base = df.select(F.col(id_col), tokens(text_col).alias("arr"))
+    # _spread before the tokenize + dual explode (r11): single-file
+    # inputs otherwise run the gram/token materialization on one task
+    # (guide §2.5; the suffix_window_spans class)
+    base = _spread(df).select(F.col(id_col), tokens(text_col).alias("arr"))
     toks = base.select(
         id_col, F.posexplode("arr").alias("pos", "tok")
     )
